@@ -1,0 +1,52 @@
+"""dask_traj_spark — a PySpark-native trajectory analytics engine.
+
+A from-scratch re-design of the capabilities of ``sroet/dask-traj``
+(lazy chunked molecular-dynamics trajectory analysis) on idiomatic
+Spark: trajectories are long-format DataFrames over Parquet, geometry
+operators are broadcast-join + SQL-expression plans with
+Arrow-vectorized ``applyInPandas`` fast paths, and aggregations are
+plain ``GROUP BY frame_id``.
+
+Public API mirrors the reference's surface
+(``/root/reference/dask_traj/__init__.py:8-10``):
+``load``, ``Trajectory``, ``compute_distances``,
+``compute_displacements``, ``compute_angles``,
+``compute_center_of_mass``, ``compute_center_of_geometry``,
+``find_closest_contact``, plus the unit-cell algebra and the
+large-scale data-pipeline extensions (dedup / similarity / text /
+multimodal) that the reference does not have.
+"""
+
+from dask_traj_spark.session import get_spark
+from dask_traj_spark.trajectory import Trajectory
+from dask_traj_spark.sources.loaders import load, load_tables, from_wide_pandas
+from dask_traj_spark.operators.distance import (
+    compute_distances,
+    compute_displacements,
+    find_closest_contact,
+    compute_center_of_mass,
+    compute_center_of_geometry,
+)
+from dask_traj_spark.operators.angle import compute_angles
+from dask_traj_spark.operators.unitcell import (
+    lengths_and_angles_to_box_vectors,
+    box_vectors_to_lengths_and_angles,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "Trajectory",
+    "load",
+    "load_tables",
+    "from_wide_pandas",
+    "compute_distances",
+    "compute_displacements",
+    "compute_angles",
+    "compute_center_of_mass",
+    "compute_center_of_geometry",
+    "find_closest_contact",
+    "lengths_and_angles_to_box_vectors",
+    "box_vectors_to_lengths_and_angles",
+]

@@ -1,0 +1,110 @@
+"""Angles (G3/G4) — SQL and vectorized forms.
+
+Semantics per the reference's pure-array path
+(``/root/reference/dask_traj/geometry/angle.py:142-176``): for each
+triplet (i, j, k), u = MIC(r_i − r_j), v = MIC(r_k − r_j), angle =
+arccos(û · v̂). Returned in radians, float32, as
+(frame_id, triplet_id, angle_rad).
+
+SQL form: three broadcast-pair joins stitched per frame + a codegen'd
+acos expression. Vectorized form: the numpy kernel over wide frames —
+zero shuffles past the wide pivot.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from dask_traj_spark import schemas
+from dask_traj_spark.operators import kernels
+from dask_traj_spark.operators.distance import (
+    _VECTORIZED_THRESHOLD,
+    _add_displacement,
+    _batch_arrays,
+    _normalize_indices,
+    _pairs_df,
+    _wide_with_box,
+)
+
+
+def _leg_sql(traj, pairs_df: DataFrame, use_box: bool, out: tuple[str, str, str]) -> DataFrame:
+    """Displacement r_b − r_a for a (triplet_id, a, b) table."""
+    from dask_traj_spark.operators.distance import _pair_coords_sql
+
+    df = _pair_coords_sql(traj, pairs_df, "a", "b", "triplet_id")
+    df = _add_displacement(traj, df, use_box)
+    return df.select(
+        "frame_id",
+        "triplet_id",
+        F.col("_dx").alias(out[0]),
+        F.col("_dy").alias(out[1]),
+        F.col("_dz").alias(out[2]),
+    )
+
+
+def compute_angles(
+    traj,
+    angle_indices: Iterable,
+    periodic: bool = True,
+    form: str = "auto",
+    n_atoms: int | None = None,
+) -> DataFrame:
+    """Angle at the middle atom of each (i, j, k) triplet.
+
+    Reference driver: geometry/angle.py:58-139.
+    """
+    arr = _normalize_indices(angle_indices, 3, n_atoms or traj.n_atoms, "angle_indices")
+    if len(arr) == 0:  # empty short-circuit (angle.py:98-99)
+        return traj.spark.createDataFrame([], schemas.ANGLES_SCHEMA)
+    if form == "auto":
+        form = "vectorized" if len(arr) >= _VECTORIZED_THRESHOLD else "sql"
+    if form == "vectorized":
+        return _vectorized_angles(traj, arr, periodic)
+
+    use_box = periodic and traj.have_unitcell
+    spark = traj.spark
+    # u-leg: (j -> i), v-leg: (j -> k)
+    u_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 0]], axis=1), ["triplet_id", "a", "b"])
+    v_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 2]], axis=1), ["triplet_id", "a", "b"])
+    u = _leg_sql(traj, u_pairs, use_box, ("ux", "uy", "uz"))
+    v = _leg_sql(traj, v_pairs, use_box, ("vx", "vy", "vz"))
+    j = u.join(v, ["frame_id", "triplet_id"])
+    un = F.sqrt(F.col("ux") ** 2 + F.col("uy") ** 2 + F.col("uz") ** 2)
+    vn = F.sqrt(F.col("vx") ** 2 + F.col("vy") ** 2 + F.col("vz") ** 2)
+    dot = F.col("ux") * F.col("vx") + F.col("uy") * F.col("vy") + F.col("uz") * F.col("vz")
+    cosang = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dot / (un * vn)))
+    return j.select(
+        "frame_id",
+        "triplet_id",
+        F.acos(cosang).cast("float").alias("angle_rad"),
+    )
+
+
+def _vectorized_angles(traj, arr: np.ndarray, periodic: bool) -> DataFrame:
+    import pandas as pd
+
+    wide, use_box = _wide_with_box(traj, periodic)
+    sc = traj.spark.sparkContext
+    b = sc.broadcast(arr)
+    n_trip = len(arr)
+
+    def gen(batches):
+        t = b.value
+        ti, tj, tk = t[:, 0], t[:, 1], t[:, 2]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xyz, box, ortho = _batch_arrays(pdf, use_box)
+            ang = kernels.angles_np(xyz, ti, tj, tk, box, ortho)
+            yield pd.DataFrame(
+                {
+                    "frame_id": np.repeat(pdf["frame_id"].to_numpy(), n_trip),
+                    "triplet_id": np.tile(np.arange(n_trip, dtype=np.int32), len(pdf)),
+                    "angle_rad": ang.ravel(),
+                }
+            )
+
+    return wide.mapInPandas(gen, schema=schemas.ANGLES_SCHEMA)

@@ -1,0 +1,372 @@
+"""Distances, displacements, closest contact, centers (G1/G2/G5/G6/G7).
+
+Each operator has two equivalent physical strategies (SURVEY.md §7.1):
+
+- ``form="sql"`` — a declarative plan: broadcast the (tiny) pair
+  table, semi-filter the coords fact table to the atoms referenced,
+  self-join per frame, compute the displacement with codegen'd
+  column expressions (MIC included — see ``mic.py``). Catalyst gets
+  full pushdown/pruning visibility; used as the auditable
+  cross-check and for small pair sets.
+- ``form="vectorized"`` — the throughput path: pivot to wide
+  per-frame rows (ONE shuffle), then ``mapInPandas`` runs the numpy
+  kernels in ``kernels.py`` over Arrow batches; zero further
+  shuffles; output is already long-format.
+
+``form="auto"`` picks vectorized for ≥512 pairs.
+
+The reference's equivalents: driver loops over frame-chunks wrapping
+delayed numpy/C kernels (``geometry/distance.py:69-145`` distances,
+``:202-279`` displacements, ``:299-337`` COM, ``:355-390`` COG,
+``:393-464`` closest contact — single frame only there; ours does
+all frames with a ``min_by`` aggregation, strictly more capable).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dask_traj_spark import schemas
+from dask_traj_spark.operators import kernels
+from dask_traj_spark.operators.mic import add_mic_displacement, orthogonality_expr
+
+_BOX_COLS = ["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]
+_VECTORIZED_THRESHOLD = 512
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _normalize_indices(
+    pairs, n_cols: int, n_atoms: int | None, name: str
+) -> np.ndarray:
+    """Validate an index set eagerly (P3: reference raises ValueError
+    on out-of-range — distance.py:105-106, angle.py:95-96)."""
+    arr = np.asarray(list(pairs) if not isinstance(pairs, np.ndarray) else pairs)
+    if arr.size == 0:
+        return arr.reshape(0, n_cols).astype(np.int32)
+    if arr.ndim != 2 or arr.shape[1] != n_cols:
+        raise ValueError(f"{name} must have shape (n, {n_cols}), got {arr.shape}")
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise ValueError(f"{name} must be integers")
+    if arr.min() < 0 or (n_atoms is not None and arr.max() >= n_atoms):
+        raise ValueError(
+            f"{name} contains atom indices outside [0, {n_atoms})"
+        )
+    return arr.astype(np.int32)
+
+
+def _pairs_df(spark, arr: np.ndarray, cols: Sequence[str]) -> DataFrame:
+    rows = [(int(i),) + tuple(int(v) for v in r) for i, r in enumerate(arr)]
+    schema = ", ".join([f"{cols[0]} int"] + [f"{c} int" for c in cols[1:]])
+    return spark.createDataFrame(rows, schema)
+
+
+def _with_box(traj, df: DataFrame) -> DataFrame:
+    """Join per-frame box vectors + the orthogonality predicate onto a
+    frame-keyed DataFrame. The unitcell dimension has one row per
+    frame — tiny relative to the fact table; an equi-join on
+    frame_id that AQE turns into broadcast when it fits."""
+    uc = traj.unitcell_full()
+    sel = uc.select(
+        "frame_id",
+        *[F.col(c).cast("double").alias(c) for c in _BOX_COLS],
+        orthogonality_expr(
+            F.col("alpha").cast("double"),
+            F.col("beta").cast("double"),
+            F.col("gamma").cast("double"),
+        ).alias("_ortho"),
+    )
+    return df.join(sel, "frame_id")
+
+
+def _add_displacement(traj, df: DataFrame, use_box: bool) -> DataFrame:
+    """Append MIC-aware displacement columns (_dx,_dy,_dz) to a df
+    with x1..z2 (and join the box when periodic)."""
+    df = df.withColumns(
+        {
+            "_dx": F.col("x2") - F.col("x1"),
+            "_dy": F.col("y2") - F.col("y1"),
+            "_dz": F.col("z2") - F.col("z1"),
+        }
+    )
+    if not use_box:
+        return df
+    df = _with_box(traj, df)
+    df = add_mic_displacement(df, "_dx", "_dy", "_dz", out=("_mx", "_my", "_mz"))
+    return (
+        df.drop("_dx", "_dy", "_dz", "_ortho", *_BOX_COLS)
+        .withColumnsRenamed({"_mx": "_dx", "_my": "_dy", "_mz": "_dz"})
+    )
+
+
+# ------------------------------------------------------------ SQL forms
+
+
+def _pair_coords_sql(traj, pairs_df: DataFrame, a_col: str, b_col: str, id_col: str) -> DataFrame:
+    """(frame_id, <id_col>, x1..z1, x2..z2) for every (frame, pair).
+
+    Plan shape: coords ⋈ broadcast(pairs twice). The two joins key on
+    atom_id (broadcast hash, no shuffle of the fact table), then the
+    1↔2 sides meet on (frame_id, pair) — both sides were semi-filtered
+    to referenced atoms first so the shuffle moves only the atoms the
+    query touches, not the full fact table.
+    """
+    p = F.broadcast(pairs_df)
+    c = traj.coords
+    atoms_a = F.broadcast(pairs_df.select(F.col(a_col).alias("atom_id")).distinct())
+    atoms_b = F.broadcast(pairs_df.select(F.col(b_col).alias("atom_id")).distinct())
+    c1 = (
+        c.join(atoms_a, "atom_id", "left_semi")
+        .join(p, F.col("atom_id") == F.col(a_col))
+        .select(
+            "frame_id",
+            F.col(id_col),
+            F.col(b_col).alias("_other"),
+            F.col("x").cast("double").alias("x1"),
+            F.col("y").cast("double").alias("y1"),
+            F.col("z").cast("double").alias("z1"),
+        )
+    )
+    c2 = c.join(atoms_b, "atom_id", "left_semi").select(
+        "frame_id",
+        F.col("atom_id").alias("_other"),
+        F.col("x").cast("double").alias("x2"),
+        F.col("y").cast("double").alias("y2"),
+        F.col("z").cast("double").alias("z2"),
+    )
+    return c1.join(c2, ["frame_id", "_other"]).drop("_other")
+
+
+def _displacements_sql(traj, pairs_df: DataFrame, periodic: bool) -> DataFrame:
+    use_box = periodic and traj.have_unitcell
+    df = _pair_coords_sql(traj, pairs_df, "i", "j", "pair_id")
+    df = _add_displacement(traj, df, use_box)
+    return df.select(
+        "frame_id",
+        "pair_id",
+        F.col("_dx").cast("float").alias("dx"),
+        F.col("_dy").cast("float").alias("dy"),
+        F.col("_dz").cast("float").alias("dz"),
+    )
+
+
+# ----------------------------------------------------- vectorized forms
+
+
+def _wide_with_box(traj, periodic: bool) -> tuple[DataFrame, bool]:
+    use_box = periodic and traj.have_unitcell
+    wide = traj.wide()
+    if use_box:
+        uc = traj.unitcell_full().select(
+            "frame_id",
+            F.array(*[F.col(c).cast("float") for c in _BOX_COLS]).alias("_box"),
+            F.array(
+                F.col("alpha").cast("float"),
+                F.col("beta").cast("float"),
+                F.col("gamma").cast("float"),
+            ).alias("_angles"),
+        )
+        wide = wide.join(uc, "frame_id")
+    return wide, use_box
+
+
+def _batch_arrays(pdf, use_box):
+    xyz = np.stack(
+        [
+            np.stack(pdf["xs"].to_numpy()),
+            np.stack(pdf["ys"].to_numpy()),
+            np.stack(pdf["zs"].to_numpy()),
+        ],
+        axis=-1,
+    ).astype(np.float32)  # (B, n_atoms, 3)
+    box = ortho = None
+    if use_box:
+        box = np.stack(pdf["_box"].to_numpy()).astype(np.float32).reshape(-1, 3, 3)
+        ang = np.stack(pdf["_angles"].to_numpy()).astype(np.float32)
+        ortho = kernels.is_orthogonal_np(ang)
+    return xyz, box, ortho
+
+
+def _vectorized_pair_op(traj, arr: np.ndarray, periodic: bool, want_vectors: bool) -> DataFrame:
+    import pandas as pd
+
+    wide, use_box = _wide_with_box(traj, periodic)
+    sc = traj.spark.sparkContext
+    b_pairs = sc.broadcast(arr)
+    n_pairs = len(arr)
+
+    def gen(batches):
+        pi = b_pairs.value[:, 0]
+        pj = b_pairs.value[:, 1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xyz, box, ortho = _batch_arrays(pdf, use_box)
+            frames = np.repeat(pdf["frame_id"].to_numpy(), n_pairs)
+            pids = np.tile(np.arange(n_pairs, dtype=np.int32), len(pdf))
+            if want_vectors:
+                d = kernels.displacements_np(xyz, pi, pj, box, ortho)
+                yield pd.DataFrame(
+                    {
+                        "frame_id": frames,
+                        "pair_id": pids,
+                        "dx": d[..., 0].ravel(),
+                        "dy": d[..., 1].ravel(),
+                        "dz": d[..., 2].ravel(),
+                    }
+                )
+            else:
+                d = kernels.distances_np(xyz, pi, pj, box, ortho)
+                yield pd.DataFrame(
+                    {"frame_id": frames, "pair_id": pids, "dist": d.ravel()}
+                )
+
+    schema = schemas.DISPLACEMENTS_SCHEMA if want_vectors else schemas.DISTANCES_SCHEMA
+    return wide.mapInPandas(gen, schema=schema)
+
+
+# ------------------------------------------------------------ public API
+
+
+def compute_distances(
+    traj,
+    atom_pairs: Iterable,
+    periodic: bool = True,
+    form: str = "auto",
+    n_atoms: int | None = None,
+) -> DataFrame:
+    """Euclidean distance per (frame, atom-pair), optional MIC.
+
+    Returns DataFrame(frame_id, pair_id, dist FLOAT); pair_id is the
+    position in ``atom_pairs``. Reference: compute_distances,
+    geometry/distance.py:69-145.
+    """
+    arr = _normalize_indices(atom_pairs, 2, n_atoms or traj.n_atoms, "atom_pairs")
+    if len(arr) == 0:  # P4 empty short-circuit (distance.py:107-108)
+        return traj.spark.createDataFrame([], schemas.DISTANCES_SCHEMA)
+    if form == "auto":
+        form = "vectorized" if len(arr) >= _VECTORIZED_THRESHOLD else "sql"
+    if form == "vectorized":
+        return _vectorized_pair_op(traj, arr, periodic, want_vectors=False)
+    pairs_df = _pairs_df(traj.spark, arr, ["pair_id", "i", "j"])
+    d = _displacements_sql(traj, pairs_df, periodic)
+    dist = F.sqrt(
+        F.col("dx").cast("double") ** 2
+        + F.col("dy").cast("double") ** 2
+        + F.col("dz").cast("double") ** 2
+    )
+    return d.select("frame_id", "pair_id", dist.cast("float").alias("dist"))
+
+
+def compute_displacements(
+    traj,
+    atom_pairs: Iterable,
+    periodic: bool = True,
+    form: str = "auto",
+    n_atoms: int | None = None,
+) -> DataFrame:
+    """Displacement vector r_j − r_i per (frame, pair), optional MIC.
+
+    Returns DataFrame(frame_id, pair_id, dx, dy, dz FLOAT).
+    Reference: compute_displacements, geometry/distance.py:202-279.
+    """
+    arr = _normalize_indices(atom_pairs, 2, n_atoms or traj.n_atoms, "atom_pairs")
+    if len(arr) == 0:
+        return traj.spark.createDataFrame([], schemas.DISPLACEMENTS_SCHEMA)
+    if form == "auto":
+        form = "vectorized" if len(arr) >= _VECTORIZED_THRESHOLD else "sql"
+    if form == "vectorized":
+        return _vectorized_pair_op(traj, arr, periodic, want_vectors=True)
+    pairs_df = _pairs_df(traj.spark, arr, ["pair_id", "i", "j"])
+    return _displacements_sql(traj, pairs_df, periodic)
+
+
+def compute_center_of_mass(traj, topology: DataFrame | None = None) -> DataFrame:
+    """Mass-weighted mean position per frame → (frame_id, x, y, z
+    DOUBLE). A pure partial+final aggregation: the map-side combine
+    collapses n_atoms rows to one per frame before any exchange.
+    Reference: geometry/distance.py:282-337 (float64 accumulation,
+    masses normalized to sum 1 — :319-320)."""
+    top = topology if topology is not None else traj.topology
+    if top is None:
+        raise ValueError("compute_center_of_mass requires a topology with masses")
+    m = F.broadcast(top.select("atom_id", F.col("mass").cast("double").alias("mass")))
+    j = traj.coords.join(m, "atom_id")
+    return (
+        j.groupBy("frame_id")
+        .agg(
+            (F.sum(F.col("x").cast("double") * F.col("mass")) / F.sum("mass")).alias("x"),
+            (F.sum(F.col("y").cast("double") * F.col("mass")) / F.sum("mass")).alias("y"),
+            (F.sum(F.col("z").cast("double") * F.col("mass")) / F.sum("mass")).alias("z"),
+        )
+    )
+
+
+def compute_center_of_geometry(traj) -> DataFrame:
+    """Unweighted mean position per frame → (frame_id, x, y, z
+    DOUBLE). Reference: geometry/distance.py:340-390."""
+    return traj.coords.groupBy("frame_id").agg(
+        F.avg(F.col("x").cast("double")).alias("x"),
+        F.avg(F.col("y").cast("double")).alias("y"),
+        F.avg(F.col("z").cast("double")).alias("z"),
+    )
+
+
+def find_closest_contact(
+    traj,
+    group1: Iterable[int],
+    group2: Iterable[int],
+    frame: int | None = None,
+    periodic: bool = True,
+) -> DataFrame:
+    """Closest atom pair between two groups → (frame_id, i, j, dist).
+
+    The reference computes a single frame only and calls this shape
+    its worst case (geometry/distance.py:393-464, note :452-454);
+    relationally it is a per-frame cross join of two tiny filtered
+    sets followed by a ``min_by`` — we generalize to all frames
+    (``frame=None``) and the aggregation is partial+final, so it
+    scales with n_frames, not with driver round-trips.
+    Ties break deterministically on (dist, i, j).
+    """
+    g1 = sorted({int(a) for a in group1})
+    g2 = sorted({int(a) for a in group2})
+    if not g1 or not g2:
+        raise ValueError("find_closest_contact requires non-empty groups")
+    c = traj.coords
+    if frame is not None:
+        c = c.filter(F.col("frame_id") == frame)
+    c1 = c.filter(F.col("atom_id").isin(g1)).select(
+        "frame_id",
+        F.col("atom_id").alias("i"),
+        F.col("x").cast("double").alias("x1"),
+        F.col("y").cast("double").alias("y1"),
+        F.col("z").cast("double").alias("z1"),
+    )
+    c2 = c.filter(F.col("atom_id").isin(g2)).select(
+        "frame_id",
+        F.col("atom_id").alias("j"),
+        F.col("x").cast("double").alias("x2"),
+        F.col("y").cast("double").alias("y2"),
+        F.col("z").cast("double").alias("z2"),
+    )
+    df = c1.join(c2, "frame_id")
+    use_box = periodic and traj.have_unitcell
+    df = _add_displacement(traj, df, use_box)
+    dist = F.sqrt(F.col("_dx") ** 2 + F.col("_dy") ** 2 + F.col("_dz") ** 2)
+    scored = df.select("frame_id", "i", "j", dist.alias("dist"))
+    best = (
+        scored.groupBy("frame_id")
+        .agg(F.min(F.struct("dist", "i", "j")).alias("best"))
+        .select(
+            "frame_id",
+            F.col("best.i").alias("i"),
+            F.col("best.j").alias("j"),
+            F.col("best.dist").cast("float").alias("dist"),
+        )
+    )
+    return best

@@ -1,0 +1,108 @@
+"""Minimum-image-convention displacement expressions (shared by
+distances, displacements, angles — G1/G2/G3, G8).
+
+The reference delegates MIC to MDTraj's C/SSE kernels
+(``/root/reference/dask_traj/geometry/distance.py:53-54``) with a
+runtime branch on box orthogonality (``:49-58``, the lazy
+``orthogonal`` flag built at ``:128``). Here both paths are pure
+SQL column expressions so they stay inside whole-stage codegen:
+
+- **orthorhombic** fast path: per-axis ``d -= L * round(d/L)``;
+- **triclinic** general path: deskew against the reduced
+  (lower-triangular) box vectors, then take the minimum over the 27
+  neighbor images via ``array_min`` over 27 candidate structs (no
+  explode, no UDF).
+
+IMPORTANT plan-size discipline: the triclinic search is built as
+*staged projections* (``withColumns`` layers) so every deskew
+subexpression is a named column evaluated once. Building it as one
+nested Column tree duplicates the deskew subtree 27×4 times and
+sends Catalyst optimization time through the roof (measured:
+minutes vs milliseconds).
+
+The same math, vectorized in numpy, lives in ``kernels.py`` for the
+pandas-UDF fast path; both implementations agree to float32
+tolerance (tested differentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BOX_COLS = ["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]
+
+IMAGE_OFFSETS = [
+    (si, sj, sk) for si in (-1, 0, 1) for sj in (-1, 0, 1) for sk in (-1, 0, 1)
+]
+
+
+def orthogonality_expr(alpha: Column, beta: Column, gamma: Column, tol: float = 1e-5) -> Column:
+    """allclose(angles, 90) as a row predicate (degrees) — G8."""
+    return (
+        (F.abs(alpha - 90.0) < tol)
+        & (F.abs(beta - 90.0) < tol)
+        & (F.abs(gamma - 90.0) < tol)
+    )
+
+
+def add_mic_displacement(
+    df: DataFrame,
+    dx: str = "dx",
+    dy: str = "dy",
+    dz: str = "dz",
+    out: tuple[str, str, str] = ("mdx", "mdy", "mdz"),
+) -> DataFrame:
+    """Append MIC'd displacement columns ``out`` to a DataFrame that
+    has raw displacement columns (dx,dy,dz), box-vector columns
+    (ax..cz) and the ``_ortho`` predicate column.
+
+    Intermediate columns are dropped before returning.
+    """
+    b = {c: F.col(c) for c in BOX_COLS}
+
+    # --- triclinic deskew, staged so each value is computed once ---
+    s3 = F.round(F.col(dz) / b["cz"], 0)
+    df = df.withColumns(
+        {
+            "_t1x": F.col(dx) - s3 * b["cx"],
+            "_t1y": F.col(dy) - s3 * b["cy"],
+            "_t1z": F.col(dz) - s3 * b["cz"],
+        }
+    )
+    s2 = F.round(F.col("_t1y") / b["by"], 0)
+    df = df.withColumns(
+        {
+            "_t2x": F.col("_t1x") - s2 * b["bx"],
+            "_t2y": F.col("_t1y") - s2 * b["by"],
+        }
+    )
+    s1 = F.round(F.col("_t2x") / b["ax"], 0)
+    df = df.withColumn("_rx", F.col("_t2x") - s1 * b["ax"])
+
+    # --- 27-image min via array_min over (d2, dx, dy, dz) structs ---
+    # struct comparison orders by d2 first → array_min carries the
+    # winning displacement along (a shuffle-free min_by).
+    rx, ry, rz = F.col("_rx"), F.col("_t2y"), F.col("_t1z")
+    imgs = []
+    for si, sj, sk in IMAGE_OFFSETS:
+        cdx = rx - float(si) * b["ax"] - float(sj) * b["bx"] - float(sk) * b["cx"]
+        cdy = ry - float(si) * b["ay"] - float(sj) * b["by"] - float(sk) * b["cy"]
+        cdz = rz - float(si) * b["az"] - float(sj) * b["bz"] - float(sk) * b["cz"]
+        d2 = cdx * cdx + cdy * cdy + cdz * cdz
+        imgs.append(
+            F.struct(d2.alias("d2"), cdx.alias("dx"), cdy.alias("dy"), cdz.alias("dz"))
+        )
+    df = df.withColumn("_best", F.array_min(F.array(*imgs)))
+
+    # --- orthorhombic fast path + per-row branch (G8) ---
+    odx = F.col(dx) - b["ax"] * F.round(F.col(dx) / b["ax"], 0)
+    ody = F.col(dy) - b["by"] * F.round(F.col(dy) / b["by"], 0)
+    odz = F.col(dz) - b["cz"] * F.round(F.col(dz) / b["cz"], 0)
+    df = df.withColumns(
+        {
+            out[0]: F.when(F.col("_ortho"), odx).otherwise(F.col("_best.dx")),
+            out[1]: F.when(F.col("_ortho"), ody).otherwise(F.col("_best.dy")),
+            out[2]: F.when(F.col("_ortho"), odz).otherwise(F.col("_best.dz")),
+        }
+    )
+    return df.drop("_t1x", "_t1y", "_t1z", "_t2x", "_t2y", "_rx", "_best")
