@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Two tiers:
+
+1. **canonical** — the BASELINE.md workload shape: 1,251 frames ×
+   22,561 atoms, distances over 124,750 pairs
+   (combinations(range(500), 2)) with orthorhombic MIC. Coordinates
+   are generated deterministically JVM-side (xxhash64 grid — no
+   Python in the generation path) in packed frame order and cached;
+   the Arrow-vectorized kernel then computes the full (1251, 124750)
+   distance matrix with array-per-frame output into a noop sink.
+   Reference numbers to beat: 6.32 s compute / 7.29 s end-to-end
+   (LocalCluster 4proc×12threads; BASELINE.md).
+
+2. **oracle-suite ops** at ``$SPARK_GRAFT_SF_DIR`` — the SQL-form
+   operators the correctness gate runs (triclinic-MIC distances,
+   angles, COM, all-frames closest contact), timed with a noop sink.
+
+Output: {"metric": "canonical_e2e", "value": <load+compute sec>,
+"unit": "sec", "queries": {...per-query sec...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_FRAMES = 1251
+N_ATOMS = 22561
+N_SEL = 500  # combinations(range(500), 2) = 124,750 pairs
+BOX_L = 2.0
+
+
+def _canonical_traj(spark):
+    """Deterministic 1251×22561 trajectory, all JVM-side."""
+    from dask_traj_spark.trajectory import Trajectory
+
+    # generate per-frame then explode atoms so every partition holds
+    # whole frames (the packed=True contract)
+    gid = F.col("frame_id") * N_ATOMS + F.col("atom_id")
+    grid = lambda salt: (  # noqa: E731
+        F.pmod(F.xxhash64(gid, F.lit(salt)), F.lit(4096)) / 4096.0 * BOX_L
+    )
+    coords = (
+        spark.range(N_FRAMES, numPartitions=64)
+        .select(
+            F.col("id").alias("frame_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(N_ATOMS - 1))).alias("atom_id"),
+        )
+        .select(
+            "frame_id",
+            F.col("atom_id").cast("int").alias("atom_id"),
+            grid(0).cast("float").alias("x"),
+            grid(1).cast("float").alias("y"),
+            grid(2).cast("float").alias("z"),
+        )
+    )
+    uc_vals = {
+        "a": BOX_L, "b": BOX_L, "c": BOX_L,
+        "alpha": 90.0, "beta": 90.0, "gamma": 90.0,
+        "ax": BOX_L, "ay": 0.0, "az": 0.0,
+        "bx": 0.0, "by": BOX_L, "bz": 0.0,
+        "cx": 0.0, "cy": 0.0, "cz": BOX_L,
+    }
+    uc = spark.range(N_FRAMES).select(
+        F.col("id").alias("frame_id"),
+        *[F.lit(v).cast("float").alias(k) for k, v in uc_vals.items()],
+    )
+    # range-generated coords are already frame-contiguous + sorted
+    return Trajectory(coords, unitcell=uc, packed=True)
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import itertools
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from dask_traj_spark import queries as q
+    from dask_traj_spark.operators.distance import compute_distances
+    from dask_traj_spark.session import get_spark
+
+    t_start = time.time()
+    spark = get_spark(app_name="dask-traj-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {"session_start": round(time.time() - t_start, 3)}
+
+    # Warm the Python worker pool + module imports with a miniature
+    # run of the same code path (the reference's notebook timings are
+    # warm-session too — the JVM, BLAS and OS cache are all hot).
+    global N_FRAMES
+    real_frames = N_FRAMES
+    N_FRAMES = 64
+    mini = _canonical_traj(spark)
+    _noop(
+        compute_distances(
+            mini, [(0, 1)], periodic=True, form="vectorized", n_atoms=N_ATOMS
+        )
+    )
+    N_FRAMES = real_frames
+
+    # ---- tier 1: canonical BASELINE workload ------------------------
+    t0 = time.time()
+    traj = _canonical_traj(spark)
+    traj.frame_packed().cache().count()
+    times["canonical_load"] = round(time.time() - t0, 3)
+
+    pairs = list(itertools.combinations(range(N_SEL), 2))
+    t0 = time.time()
+    d = compute_distances(
+        traj, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
+    )
+    _noop(d)
+    times["canonical_distances"] = round(time.time() - t0, 3)
+    traj.frame_packed().unpersist()
+
+    # ---- tier 2: oracle-suite SQL-form operators at sf ----------------
+    registry = q.queries()
+    for name in (
+        "g1_distances_mic_triclinic",
+        "g3_angles",
+        "g5_center_of_mass",
+        "g7_closest_contact",
+    ):
+        t0 = time.time()
+        _noop(registry[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    e2e = times["canonical_load"] + times["canonical_distances"]
+    print(
+        json.dumps(
+            {
+                "metric": "canonical_e2e",
+                "value": round(e2e, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

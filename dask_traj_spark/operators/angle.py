@@ -7,8 +7,9 @@ arccos(û · v̂). Returned in radians, float32, as
 (frame_id, triplet_id, angle_rad).
 
 SQL form: three broadcast-pair joins stitched per frame + a codegen'd
-acos expression. Vectorized form: the numpy kernel over wide frames —
-zero shuffles past the wide pivot.
+acos expression. Vectorized form: the numpy kernel over packed
+frame blocks (see distance.py's vectorized-forms section) — zero
+shuffles when the trajectory is already frame-packed.
 """
 
 from __future__ import annotations
@@ -23,10 +24,11 @@ from dask_traj_spark.operators import kernels
 from dask_traj_spark.operators.distance import (
     _VECTORIZED_THRESHOLD,
     _add_displacement,
-    _batch_arrays,
+    _block_arrays,
+    _iter_frame_blocks,
     _normalize_indices,
+    _packed_input,
     _pairs_df,
-    _wide_with_box,
 )
 
 
@@ -72,8 +74,11 @@ def compute_angles(
     u = _leg_sql(traj, u_pairs, use_box, ("ux", "uy", "uz"))
     v = _leg_sql(traj, v_pairs, use_box, ("vx", "vy", "vz"))
     j = u.join(v, ["frame_id", "triplet_id"])
-    un = F.sqrt(F.col("ux") ** 2 + F.col("uy") ** 2 + F.col("uz") ** 2)
-    vn = F.sqrt(F.col("vx") ** 2 + F.col("vy") ** 2 + F.col("vz") ** 2)
+    # x*x, not pow(x,2): multiplication is IEEE exact-rounded, pow is
+    # not guaranteed — matters for bit-reproducibility vs the oracle
+    sq = lambda c: F.col(c) * F.col(c)  # noqa: E731
+    un = F.sqrt(sq("ux") + sq("uy") + sq("uz"))
+    vn = F.sqrt(sq("vx") + sq("vy") + sq("vz"))
     dot = F.col("ux") * F.col("vx") + F.col("uy") * F.col("vy") + F.col("uz") * F.col("vz")
     cosang = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dot / (un * vn)))
     return j.select(
@@ -86,25 +91,25 @@ def compute_angles(
 def _vectorized_angles(traj, arr: np.ndarray, periodic: bool) -> DataFrame:
     import pandas as pd
 
-    wide, use_box = _wide_with_box(traj, periodic)
+    sel = np.unique(arr)
+    packed, lookup = _packed_input(traj, periodic, atoms=sel)
     sc = traj.spark.sparkContext
-    b = sc.broadcast(arr)
+    b = sc.broadcast(np.searchsorted(sel, arr).astype(np.int32))
+    b_lookup = sc.broadcast(lookup)
     n_trip = len(arr)
 
     def gen(batches):
         t = b.value
         ti, tj, tk = t[:, 0], t[:, 1], t[:, 2]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            xyz, box, ortho = _batch_arrays(pdf, use_box)
+        for block in _iter_frame_blocks(batches):
+            fids, xyz, box, ortho = _block_arrays(block, b_lookup.value)
             ang = kernels.angles_np(xyz, ti, tj, tk, box, ortho)
             yield pd.DataFrame(
                 {
-                    "frame_id": np.repeat(pdf["frame_id"].to_numpy(), n_trip),
-                    "triplet_id": np.tile(np.arange(n_trip, dtype=np.int32), len(pdf)),
+                    "frame_id": np.repeat(fids, n_trip),
+                    "triplet_id": np.tile(np.arange(n_trip, dtype=np.int32), len(fids)),
                     "angle_rad": ang.ravel(),
                 }
             )
 
-    return wide.mapInPandas(gen, schema=schemas.ANGLES_SCHEMA)
+    return packed.mapInPandas(gen, schema=schemas.ANGLES_SCHEMA)

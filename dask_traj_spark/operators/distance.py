@@ -155,59 +155,141 @@ def _displacements_sql(traj, pairs_df: DataFrame, periodic: bool) -> DataFrame:
 
 
 # ----------------------------------------------------- vectorized forms
+#
+# Input layout: traj.frame_packed() — long-format PRIMITIVE columns,
+# frame-contiguous and (frame_id, atom_id)-sorted per partition.
+# Primitive columns take Arrow's zero-boxing fast path across the
+# JVM→Python boundary; ARRAY<FLOAT> columns do not (measured ~10×
+# slower end-to-end — per-element boxing on the JVM side). The numpy
+# reshape to (frames, atoms, 3) happens Python-side, where it's a
+# single memcpy-shaped operation. The per-frame unitcell is tiny and
+# rides along as a broadcast numpy lookup, not as joined columns on
+# 10^8 rows.
 
 
-def _wide_with_box(traj, periodic: bool) -> tuple[DataFrame, bool]:
-    use_box = periodic and traj.have_unitcell
-    wide = traj.wide()
-    if use_box:
-        uc = traj.unitcell_full().select(
-            "frame_id",
-            F.array(*[F.col(c).cast("float") for c in _BOX_COLS]).alias("_box"),
-            F.array(
-                F.col("alpha").cast("float"),
-                F.col("beta").cast("float"),
-                F.col("gamma").cast("float"),
-            ).alias("_angles"),
+class _BoxLookup:
+    """Driver-collected per-frame box: frame_id → (3,3) vectors +
+    orthogonality flag, queried with searchsorted inside kernels.
+
+    Scale note: one row per frame (n_frames ≪ n_rows). At extreme
+    frame counts (>10^7) switch to joining box columns instead."""
+
+    def __init__(self, ids, vecs, ortho):
+        self.ids = ids
+        self.vecs = vecs
+        self.ortho = ortho
+
+    @classmethod
+    def from_traj(cls, traj):
+        pdf = (
+            traj.unitcell_full()
+            .select("frame_id", *_BOX_COLS, "alpha", "beta", "gamma")
+            .toPandas()
+            .sort_values("frame_id")
         )
-        wide = wide.join(uc, "frame_id")
-    return wide, use_box
+        ids = pdf["frame_id"].to_numpy()
+        vecs = pdf[_BOX_COLS].to_numpy(dtype=np.float32).reshape(-1, 3, 3)
+        ang = pdf[["alpha", "beta", "gamma"]].to_numpy(dtype=np.float32)
+        return cls(ids, vecs, kernels.is_orthogonal_np(ang))
+
+    def get(self, frame_ids):
+        idx = np.searchsorted(self.ids, frame_ids)
+        return self.vecs[idx], self.ortho[idx]
 
 
-def _batch_arrays(pdf, use_box):
-    xyz = np.stack(
-        [
-            np.stack(pdf["xs"].to_numpy()),
-            np.stack(pdf["ys"].to_numpy()),
-            np.stack(pdf["zs"].to_numpy()),
-        ],
-        axis=-1,
-    ).astype(np.float32)  # (B, n_atoms, 3)
-    box = ortho = None
-    if use_box:
-        box = np.stack(pdf["_box"].to_numpy()).astype(np.float32).reshape(-1, 3, 3)
-        ang = np.stack(pdf["_angles"].to_numpy()).astype(np.float32)
-        ortho = kernels.is_orthogonal_np(ang)
-    return xyz, box, ortho
-
-
-def _vectorized_pair_op(traj, arr: np.ndarray, periodic: bool, want_vectors: bool) -> DataFrame:
+def _iter_frame_blocks(batches):
+    """Regroup an Arrow-batch iterator into complete-frame pandas
+    blocks: a frame straddling two batches is carried forward until
+    its last row has arrived (input is frame-contiguous + sorted)."""
     import pandas as pd
 
-    wide, use_box = _wide_with_box(traj, periodic)
+    carry = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        fids = pdf["frame_id"].to_numpy()
+        cut = int(np.searchsorted(fids, fids[-1]))
+        if cut > 0:
+            yield pdf.iloc[:cut]
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+        else:
+            carry = pdf
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _block_arrays(block, box_lookup):
+    """Complete-frame block → (frame_ids (B,), xyz (B, n_atoms, 3),
+    box (B,3,3)|None, ortho (B,)|None)."""
+    fids_all = block["frame_id"].to_numpy()
+    fids, counts = np.unique(fids_all, return_counts=True)
+    n_at = int(counts[0])
+    if not (counts == n_at).all():
+        raise ValueError(
+            "frame blocks have unequal atom counts — the trajectory is "
+            "not frame-packed (a packed=True Trajectory must have whole "
+            f"frames per partition); counts={dict(zip(fids, counts))}"
+        )
+    xyz = np.stack(
+        [
+            block["x"].to_numpy(dtype=np.float32).reshape(-1, n_at),
+            block["y"].to_numpy(dtype=np.float32).reshape(-1, n_at),
+            block["z"].to_numpy(dtype=np.float32).reshape(-1, n_at),
+        ],
+        axis=-1,
+    )
+    if box_lookup is None:
+        return fids, xyz, None, None
+    box, ortho = box_lookup.get(fids)
+    return fids, xyz, box, ortho
+
+
+def _packed_input(traj, periodic: bool, atoms: np.ndarray | None = None):
+    """The vectorized feed: frame-packed coords, optionally
+    semi-filtered to the atoms the index set actually references
+    (pushdown-friendly JVM-side predicate — with 500 of 22k atoms
+    selected this cuts the Arrow feed ~45×), projected to the 4
+    columns the kernel reads.
+
+    Returns (feed_df, box_lookup). When ``atoms`` is given the
+    caller must remap its indices to positions in the sorted unique
+    atom list (np.searchsorted) — frames in the feed then contain
+    exactly those atoms in sorted order.
+    """
+    use_box = periodic and traj.have_unitcell
+    lookup = _BoxLookup.from_traj(traj) if use_box else None
+    feed = traj.frame_packed()
+    if atoms is not None:
+        feed = feed.filter(F.col("atom_id").isin([int(a) for a in atoms]))
+    return feed.select("frame_id", "x", "y", "z"), lookup
+
+
+def _vectorized_pair_op(
+    traj, arr: np.ndarray, periodic: bool, want_vectors: bool, wide_output: bool = False
+) -> DataFrame:
+    import pandas as pd
+
+    sel = np.unique(arr)
+    packed, lookup = _packed_input(traj, periodic, atoms=sel)
+    remapped = np.searchsorted(sel, arr).astype(np.int32)
     sc = traj.spark.sparkContext
-    b_pairs = sc.broadcast(arr)
+    b_pairs = sc.broadcast(remapped)
+    b_lookup = sc.broadcast(lookup)
     n_pairs = len(arr)
 
     def gen(batches):
         pi = b_pairs.value[:, 0]
         pj = b_pairs.value[:, 1]
-        for pdf in batches:
-            if len(pdf) == 0:
+        for block in _iter_frame_blocks(batches):
+            fids, xyz, box, ortho = _block_arrays(block, b_lookup.value)
+            if wide_output and not want_vectors:
+                d = kernels.distances_np(xyz, pi, pj, box, ortho)
+                yield pd.DataFrame({"frame_id": fids, "dists": list(d)})
                 continue
-            xyz, box, ortho = _batch_arrays(pdf, use_box)
-            frames = np.repeat(pdf["frame_id"].to_numpy(), n_pairs)
-            pids = np.tile(np.arange(n_pairs, dtype=np.int32), len(pdf))
+            frames = np.repeat(fids, n_pairs)
+            pids = np.tile(np.arange(n_pairs, dtype=np.int32), len(fids))
             if want_vectors:
                 d = kernels.displacements_np(xyz, pi, pj, box, ortho)
                 yield pd.DataFrame(
@@ -225,8 +307,11 @@ def _vectorized_pair_op(traj, arr: np.ndarray, periodic: bool, want_vectors: boo
                     {"frame_id": frames, "pair_id": pids, "dist": d.ravel()}
                 )
 
-    schema = schemas.DISPLACEMENTS_SCHEMA if want_vectors else schemas.DISTANCES_SCHEMA
-    return wide.mapInPandas(gen, schema=schema)
+    if wide_output and not want_vectors:
+        schema = schemas.DISTANCES_WIDE_SCHEMA
+    else:
+        schema = schemas.DISPLACEMENTS_SCHEMA if want_vectors else schemas.DISTANCES_SCHEMA
+    return packed.mapInPandas(gen, schema=schema)
 
 
 # ------------------------------------------------------------ public API
@@ -238,12 +323,15 @@ def compute_distances(
     periodic: bool = True,
     form: str = "auto",
     n_atoms: int | None = None,
+    wide_output: bool = False,
 ) -> DataFrame:
     """Euclidean distance per (frame, atom-pair), optional MIC.
 
     Returns DataFrame(frame_id, pair_id, dist FLOAT); pair_id is the
-    position in ``atom_pairs``. Reference: compute_distances,
-    geometry/distance.py:69-145.
+    position in ``atom_pairs``. With ``wide_output=True`` (vectorized
+    form only) returns (frame_id, dists ARRAY<FLOAT>) — one row per
+    frame, the reference's native result shape. Reference:
+    compute_distances, geometry/distance.py:69-145.
     """
     arr = _normalize_indices(atom_pairs, 2, n_atoms or traj.n_atoms, "atom_pairs")
     if len(arr) == 0:  # P4 empty short-circuit (distance.py:107-108)
@@ -251,14 +339,14 @@ def compute_distances(
     if form == "auto":
         form = "vectorized" if len(arr) >= _VECTORIZED_THRESHOLD else "sql"
     if form == "vectorized":
-        return _vectorized_pair_op(traj, arr, periodic, want_vectors=False)
+        return _vectorized_pair_op(
+            traj, arr, periodic, want_vectors=False, wide_output=wide_output
+        )
     pairs_df = _pairs_df(traj.spark, arr, ["pair_id", "i", "j"])
     d = _displacements_sql(traj, pairs_df, periodic)
-    dist = F.sqrt(
-        F.col("dx").cast("double") ** 2
-        + F.col("dy").cast("double") ** 2
-        + F.col("dz").cast("double") ** 2
-    )
+    # x*x, not pow(x,2) — exact-rounded, bit-reproducible vs the oracle
+    sq = lambda c: F.col(c).cast("double") * F.col(c).cast("double")  # noqa: E731
+    dist = F.sqrt(sq("dx") + sq("dy") + sq("dz"))
     return d.select("frame_id", "pair_id", dist.cast("float").alias("dist"))
 
 
@@ -357,7 +445,11 @@ def find_closest_contact(
     df = c1.join(c2, "frame_id")
     use_box = periodic and traj.have_unitcell
     df = _add_displacement(traj, df, use_box)
-    dist = F.sqrt(F.col("_dx") ** 2 + F.col("_dy") ** 2 + F.col("_dz") ** 2)
+    dist = F.sqrt(
+        F.col("_dx") * F.col("_dx")
+        + F.col("_dy") * F.col("_dy")
+        + F.col("_dz") * F.col("_dz")
+    )
     scored = df.select("frame_id", "i", "j", dist.alias("dist"))
     best = (
         scored.groupBy("frame_id")

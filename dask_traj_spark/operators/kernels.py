@@ -27,21 +27,35 @@ def displacements_np(
     orthogonal: np.ndarray | None = None,  # (B,) bool
 ) -> np.ndarray:
     """Pair displacements r_j - r_i with optional MIC. → (B, P, 3) f32."""
-    d = xyz[:, pairs_j, :] - xyz[:, pairs_i, :]
+    d = xyz[:, pairs_j, :]  # gather makes a fresh array we can mutate
+    np.subtract(d, xyz[:, pairs_i, :], out=d)
     if box is None:
         return d.astype(np.float32, copy=False)
-    out = np.empty_like(d, dtype=np.float32)
     ortho = (
         orthogonal
         if orthogonal is not None
         else np.zeros(len(d), dtype=bool)
     )
+    if ortho.all():
+        L = np.stack(
+            [box[:, 0, 0], box[:, 1, 1], box[:, 2, 2]], axis=-1
+        )[:, None, :]  # (B, 1, 3)
+        q = d / L
+        np.round(q, out=q)
+        q *= L
+        d -= q
+        return d.astype(np.float32, copy=False)
+    out = np.empty_like(d, dtype=np.float32)
     if ortho.any():
         L = np.stack(
             [box[ortho, 0, 0], box[ortho, 1, 1], box[ortho, 2, 2]], axis=-1
         )[:, None, :]  # (b, 1, 3)
         dd = d[ortho]
-        out[ortho] = dd - L * np.round(dd / L)
+        q = dd / L
+        np.round(q, out=q)
+        q *= L
+        dd -= q
+        out[ortho] = dd
     if (~ortho).any():
         out[~ortho] = _triclinic_mic(d[~ortho], box[~ortho])
     return out
@@ -74,7 +88,8 @@ def _triclinic_mic(d: np.ndarray, box: np.ndarray) -> np.ndarray:
 def distances_np(xyz, pairs_i, pairs_j, box=None, orthogonal=None) -> np.ndarray:
     """Pair distances → (B, P) float32."""
     d = displacements_np(xyz, pairs_i, pairs_j, box, orthogonal)
-    return np.sqrt((d.astype(np.float32) ** 2).sum(-1)).astype(np.float32)
+    d2 = np.einsum("...c,...c->...", d, d)
+    return np.sqrt(d2, out=d2).astype(np.float32, copy=False)
 
 
 def angles_np(xyz, trip_i, trip_j, trip_k, box=None, orthogonal=None) -> np.ndarray:

@@ -10,15 +10,27 @@ SQL column expressions so they stay inside whole-stage codegen:
 - **orthorhombic** fast path: per-axis ``d -= L * round(d/L)``;
 - **triclinic** general path: deskew against the reduced
   (lower-triangular) box vectors, then take the minimum over the 27
-  neighbor images via ``array_min`` over 27 candidate structs (no
-  explode, no UDF).
+  neighbor images with a single ``F.aggregate`` (higher-order
+  function) over a constant offsets array (no explode, no UDF).
 
-IMPORTANT plan-size discipline: the triclinic search is built as
-*staged projections* (``withColumns`` layers) so every deskew
-subexpression is a named column evaluated once. Building it as one
-nested Column tree duplicates the deskew subtree 27×4 times and
-sends Catalyst optimization time through the roof (measured:
-minutes vs milliseconds).
+IMPORTANT plan-shape discipline, learned the hard way:
+
+1. The deskew is built as *staged projections* (``withColumns``
+   layers) so every subexpression is a named column evaluated once.
+   One nested Column tree duplicates the deskew subtree 27×4 times
+   and sends Catalyst optimization time through the roof (measured:
+   minutes vs milliseconds).
+2. The image search is ONE ``aggregate`` lambda, not 27 copies of
+   the candidate expression inside ``F.array(struct, ...)``. Besides
+   keeping the plan tiny, this dodges a whole-stage-codegen
+   miscompilation observed on Spark 4.1.2: a 27-element array of
+   structs of compound arithmetic (after a join, with
+   constant-foldable box columns) silently produced wrong struct
+   fields for a subset of elements (and NPE'd in generated code in
+   other select combinations). Higher-order functions evaluate via
+   the interpreted path per element — 27 iterations over a constant
+   array is negligible — and the single lambda body cannot be
+   cross-contaminated by codegen CSE.
 
 The same math, vectorized in numpy, lives in ``kernels.py`` for the
 pandas-UDF fast path; both implementations agree to float32
@@ -79,20 +91,39 @@ def add_mic_displacement(
     s1 = F.round(F.col("_t2x") / b["ax"], 0)
     df = df.withColumn("_rx", F.col("_t2x") - s1 * b["ax"])
 
-    # --- 27-image min via array_min over (d2, dx, dy, dz) structs ---
-    # struct comparison orders by d2 first → array_min carries the
-    # winning displacement along (a shuffle-free min_by).
+    # --- 27-image min via ONE aggregate() lambda (see docstring) ---
+    # running min by full struct comparison (d2, dx, dy, dz) — the
+    # same lexicographic order array_min/min_by would use, and the
+    # deterministic tie-break the duckdb oracle specifies.
     rx, ry, rz = F.col("_rx"), F.col("_t2y"), F.col("_t1z")
-    imgs = []
-    for si, sj, sk in IMAGE_OFFSETS:
-        cdx = rx - float(si) * b["ax"] - float(sj) * b["bx"] - float(sk) * b["cx"]
-        cdy = ry - float(si) * b["ay"] - float(sj) * b["by"] - float(sk) * b["cy"]
-        cdz = rz - float(si) * b["az"] - float(sj) * b["bz"] - float(sk) * b["cz"]
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(float(si)).alias("i"),
+                F.lit(float(sj)).alias("j"),
+                F.lit(float(sk)).alias("k"),
+            )
+            for si, sj, sk in IMAGE_OFFSETS
+        ]
+    )
+
+    def _step(acc, o):
+        cdx = rx - o["i"] * b["ax"] - o["j"] * b["bx"] - o["k"] * b["cx"]
+        cdy = ry - o["i"] * b["ay"] - o["j"] * b["by"] - o["k"] * b["cy"]
+        cdz = rz - o["i"] * b["az"] - o["j"] * b["bz"] - o["k"] * b["cz"]
         d2 = cdx * cdx + cdy * cdy + cdz * cdz
-        imgs.append(
-            F.struct(d2.alias("d2"), cdx.alias("dx"), cdy.alias("dy"), cdz.alias("dz"))
+        cand = F.struct(
+            d2.alias("d2"), cdx.alias("dx"), cdy.alias("dy"), cdz.alias("dz")
         )
-    df = df.withColumn("_best", F.array_min(F.array(*imgs)))
+        return F.when(cand < acc, cand).otherwise(acc)
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(0.0).alias("dx"),
+        F.lit(0.0).alias("dy"),
+        F.lit(0.0).alias("dz"),
+    )
+    df = df.withColumn("_best", F.aggregate(offsets, init, _step))
 
     # --- orthorhombic fast path + per-row branch (G8) ---
     odx = F.col(dx) - b["ax"] * F.round(F.col(dx) / b["ax"], 0)

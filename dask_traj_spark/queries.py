@@ -1,0 +1,686 @@
+"""Driver-contract queries: engine operators + DuckDB oracle SQL.
+
+Every entry here pairs a Spark implementation (running the actual
+engine operators from ``operators/``) with an ANSI-SQL oracle that
+DuckDB executes on the same parquet tables. The driver compares
+row counts, schemas and order-insensitive value hashes — so both
+sides must produce **bit-identical** values, not just close ones.
+
+Reproducibility rules used throughout (worth reading before adding
+a query):
+
+1. **Deterministic shared input.** The trajectory tables are derived
+   from the ``embeddings`` parquet: atom = ``vec_id``, frame f's
+   (x,y,z) = embedding elements (3f+1, 3f+2, 3f+3) (1-based in both
+   Spark ``element_at`` and DuckDB list indexing). Both engines read
+   the identical float32 values.
+2. **Dyadic quantization before aggregation.** Coordinates are
+   snapped to a 2^-12 grid (``round(x*4096)/4096``). Products and
+   sums of grid values are exact in IEEE double, so aggregation
+   results are independent of summation order — the only way a
+   Spark partial-agg and a DuckDB sequential sum can hash-match.
+3. **Exact-rounded ops only** on the value path: + - * / sqrt are
+   correctly rounded per IEEE-754 and identical in JVM and DuckDB;
+   ``pow`` is not (we never use it). Transcendentals (acos, cos,
+   sin) are protected with ``round(x, 6)`` on the final value.
+4. **Box constants are dyadic rationals** (1/64 multiples) — exact
+   in float32 AND float64, so literal casts agree across engines.
+5. Final output columns are BIGINT / DOUBLE / STRING / TIMESTAMP
+   only, aliased identically in both implementations.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dask_traj_spark.trajectory import Trajectory
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------
+# shared trajectory derivation (embeddings → coords/topology/unitcell)
+# ---------------------------------------------------------------------
+
+N_FRAMES = 21  # 64-dim embeddings → 21 (x,y,z) frames
+QGRID = 4096.0
+
+# dyadic box constants (exact in f32 and f64)
+ORTHO_L = 0.25
+TRI = {  # lower-triangular box vectors, rows a, b, c
+    "ax": 0.25, "ay": 0.0, "az": 0.0,
+    "bx": 0.0625, "by": 0.21875, "bz": 0.0,
+    "cx": 0.046875, "cy": 0.03125, "cz": 0.1875,
+}
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def coords_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format coords derived deterministically from embeddings,
+    quantized to the 2^-12 grid."""
+    el = lambda off: F.expr(  # noqa: E731
+        f"element_at(embedding, CAST(frame_id*3+{off} AS INT))"
+    ).cast("double")
+    q = lambda c: F.round(c * QGRID, 0) / QGRID  # noqa: E731
+    return (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_id"),
+        )
+        .select(
+            F.col("frame_id").cast("long").alias("frame_id"),
+            F.col("vec_id").cast("int").alias("atom_id"),
+            q(el(1)).alias("x"),
+            q(el(2)).alias("y"),
+            q(el(3)).alias("z"),
+        )
+    )
+
+
+COORDS_CTE = f"""
+coords AS (
+    SELECT CAST(f.frame_id AS BIGINT) AS frame_id,
+           CAST(e.vec_id AS INT) AS atom_id,
+           round(CAST(e.embedding[3*f.frame_id+1] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} AS x,
+           round(CAST(e.embedding[3*f.frame_id+2] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} AS y,
+           round(CAST(e.embedding[3*f.frame_id+3] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} AS z
+    FROM embeddings e CROSS JOIN range({N_FRAMES}) f(frame_id)
+)"""
+
+
+def topology_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology dimension with mass = label+1 (deterministic)."""
+    return _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("int").alias("atom_id"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("element"),
+        (F.col("label") + 1).cast("double").alias("mass"),
+        F.lit(None).cast("int").alias("residue_id"),
+        F.lit(None).cast("string").alias("residue_name"),
+        F.lit(0).alias("chain_id"),
+    )
+
+
+def _unitcell_df(spark: SparkSession, kind: str) -> DataFrame:
+    """Constant per-frame box. kind in {'ortho', 'triclinic'}."""
+    base = spark.range(N_FRAMES).select(F.col("id").alias("frame_id"))
+    if kind == "ortho":
+        vals = {
+            "a": ORTHO_L, "b": ORTHO_L, "c": ORTHO_L,
+            "alpha": 90.0, "beta": 90.0, "gamma": 90.0,
+            "ax": ORTHO_L, "ay": 0.0, "az": 0.0,
+            "bx": 0.0, "by": ORTHO_L, "bz": 0.0,
+            "cx": 0.0, "cy": 0.0, "cz": ORTHO_L,
+        }
+    else:
+        # lengths/angles only steer the orthogonality branch; the
+        # triclinic values (≈76°) are safely non-orthogonal
+        vals = dict(TRI)
+        vals.update({"a": 0.25, "b": 0.2273, "c": 0.1938,
+                     "alpha": 76.0, "beta": 73.0, "gamma": 74.0})
+    cols = [F.lit(v).cast("float").alias(k) for k, v in vals.items()]
+    return base.select("frame_id", *cols)
+
+
+def trajectory_from_embeddings(
+    spark: SparkSession, sf_dir: str, box: str | None = None
+) -> Trajectory:
+    uc = _unitcell_df(spark, box) if box else None
+    return Trajectory(
+        coords_df(spark, sf_dir), unitcell=uc, topology=topology_df(spark, sf_dir)
+    )
+
+
+def _pairs(n: int) -> list[tuple[int, int]]:
+    return list(itertools.combinations(range(n), 2))
+
+
+def _triplets(n: int) -> list[tuple[int, int, int]]:
+    return list(itertools.combinations(range(n), 3))
+
+
+PAIRS_CTE = """
+pairs AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY i.a, j.b) - 1 AS INT) AS pair_id,
+           CAST(i.a AS INT) AS i, CAST(j.b AS INT) AS j
+    FROM range({n}) i(a), range({n}) j(b) WHERE i.a < j.b
+)"""
+
+TRIPLETS_CTE = """
+triplets AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY i.a, j.b, k.c) - 1 AS INT) AS triplet_id,
+           CAST(i.a AS INT) AS i, CAST(j.b AS INT) AS j, CAST(k.c AS INT) AS k
+    FROM range({n}) i(a), range({n}) j(b), range({n}) k(c)
+    WHERE i.a < j.b AND j.b < k.c
+)"""
+
+# float32 round-trip helpers for the oracle (the engine casts
+# displacement components and final values to FLOAT)
+_F32 = "CAST(CAST({v} AS REAL) AS DOUBLE)"
+
+
+def _dist_from_components(dx: str, dy: str, dz: str) -> str:
+    """Mirror of the engine's value path: components → float32 →
+    double → sqrt(sum of squares) → float32 → double."""
+    fx, fy, fz = (_F32.format(v=dx), _F32.format(v=dy), _F32.format(v=dz))
+    return _F32.format(v=f"sqrt({fx}*{fx} + {fy}*{fy} + {fz}*{fz})")
+
+
+N_DIST_ATOMS = 24
+N_ANGLE_ATOMS = 12
+
+
+# ---------------------------------------------------------------------
+# G1: distances (non-periodic)
+# ---------------------------------------------------------------------
+
+_DIST_ORACLE = f"""
+WITH {COORDS_CTE.strip()},
+{PAIRS_CTE.format(n=N_DIST_ATOMS).strip()}
+SELECT c1.frame_id AS frame_id, p.pair_id AS pair_id,
+       {_dist_from_components('c2.x-c1.x', 'c2.y-c1.y', 'c2.z-c1.z')} AS dist
+FROM pairs p
+JOIN coords c1 ON c1.atom_id = p.i
+JOIN coords c2 ON c2.atom_id = p.j AND c2.frame_id = c1.frame_id
+"""
+
+
+@register("g1_distances", _DIST_ORACLE)
+def q_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import compute_distances
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    d = compute_distances(
+        traj, _pairs(N_DIST_ATOMS), periodic=False, form="sql", n_atoms=N_DIST_ATOMS
+    )
+    return d.select(
+        "frame_id",
+        "pair_id",
+        F.col("dist").cast("double").alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------
+# G1: distances with orthorhombic MIC
+# ---------------------------------------------------------------------
+
+_DIST_ORTHO_ORACLE = f"""
+WITH {COORDS_CTE.strip()},
+{PAIRS_CTE.format(n=N_DIST_ATOMS).strip()},
+disp AS (
+    SELECT c1.frame_id, p.pair_id,
+           c2.x-c1.x AS dx, c2.y-c1.y AS dy, c2.z-c1.z AS dz
+    FROM pairs p
+    JOIN coords c1 ON c1.atom_id = p.i
+    JOIN coords c2 ON c2.atom_id = p.j AND c2.frame_id = c1.frame_id
+),
+mic AS (
+    SELECT frame_id, pair_id,
+           dx - {ORTHO_L}*round(dx/{ORTHO_L}) AS mx,
+           dy - {ORTHO_L}*round(dy/{ORTHO_L}) AS my,
+           dz - {ORTHO_L}*round(dz/{ORTHO_L}) AS mz
+    FROM disp
+)
+SELECT frame_id, pair_id, {_dist_from_components('mx', 'my', 'mz')} AS dist
+FROM mic
+"""
+
+
+@register("g1_distances_mic_ortho", _DIST_ORTHO_ORACLE)
+def q_distances_ortho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import compute_distances
+
+    traj = trajectory_from_embeddings(spark, sf_dir, box="ortho")
+    d = compute_distances(
+        traj, _pairs(N_DIST_ATOMS), periodic=True, form="sql", n_atoms=N_DIST_ATOMS
+    )
+    return d.select("frame_id", "pair_id", F.col("dist").cast("double").alias("dist"))
+
+
+# ---------------------------------------------------------------------
+# G1: distances with triclinic MIC (27-image search)
+# ---------------------------------------------------------------------
+
+def _triclinic_oracle() -> str:
+    t = TRI
+    return f"""
+WITH {COORDS_CTE.strip()},
+{PAIRS_CTE.format(n=N_DIST_ATOMS).strip()},
+disp AS (
+    SELECT c1.frame_id, p.pair_id,
+           c2.x-c1.x AS dx, c2.y-c1.y AS dy, c2.z-c1.z AS dz
+    FROM pairs p
+    JOIN coords c1 ON c1.atom_id = p.i
+    JOIN coords c2 ON c2.atom_id = p.j AND c2.frame_id = c1.frame_id
+),
+d1 AS (
+    SELECT frame_id, pair_id, dx, dy, dz, round(dz/{t['cz']}) AS s3 FROM disp
+),
+d2 AS (
+    SELECT frame_id, pair_id,
+           dx - s3*{t['cx']} AS t1x, dy - s3*{t['cy']} AS t1y, dz - s3*{t['cz']} AS t1z
+    FROM d1
+),
+d3 AS (
+    SELECT *, round(t1y/{t['by']}) AS s2 FROM d2
+),
+d4 AS (
+    SELECT frame_id, pair_id,
+           t1x - s2*{t['bx']} AS t2x, t1y - s2*{t['by']} AS t2y, t1z AS t1z
+    FROM d3
+),
+d5 AS (
+    SELECT frame_id, pair_id,
+           t2x - round(t2x/{t['ax']})*{t['ax']} AS rx, t2y AS ry, t1z AS rz
+    FROM d4
+),
+cand AS (
+    SELECT d.frame_id, d.pair_id,
+           d.rx - o_i.s*{t['ax']} - o_j.s*{t['bx']} - o_k.s*{t['cx']} AS cdx,
+           d.ry - o_i.s*{t['ay']} - o_j.s*{t['by']} - o_k.s*{t['cy']} AS cdy,
+           d.rz - o_i.s*{t['az']} - o_j.s*{t['bz']} - o_k.s*{t['cz']} AS cdz
+    FROM d5 d, range(-1, 2) o_i(s), range(-1, 2) o_j(s), range(-1, 2) o_k(s)
+),
+scored AS (
+    SELECT frame_id, pair_id, cdx, cdy, cdz,
+           ROW_NUMBER() OVER (
+               PARTITION BY frame_id, pair_id
+               ORDER BY cdx*cdx + cdy*cdy + cdz*cdz, cdx, cdy, cdz
+           ) AS rn
+    FROM cand
+)
+SELECT frame_id, pair_id, {_dist_from_components('cdx', 'cdy', 'cdz')} AS dist
+FROM scored WHERE rn = 1
+"""
+
+
+@register("g1_distances_mic_triclinic", _triclinic_oracle())
+def q_distances_triclinic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import compute_distances
+
+    traj = trajectory_from_embeddings(spark, sf_dir, box="triclinic")
+    d = compute_distances(
+        traj, _pairs(N_DIST_ATOMS), periodic=True, form="sql", n_atoms=N_DIST_ATOMS
+    )
+    return d.select("frame_id", "pair_id", F.col("dist").cast("double").alias("dist"))
+
+
+# ---------------------------------------------------------------------
+# G2: displacements (non-periodic)
+# ---------------------------------------------------------------------
+
+_DISP_ORACLE = f"""
+WITH {COORDS_CTE.strip()},
+{PAIRS_CTE.format(n=N_DIST_ATOMS).strip()}
+SELECT c1.frame_id AS frame_id, p.pair_id AS pair_id,
+       {_F32.format(v='c2.x-c1.x')} AS dx,
+       {_F32.format(v='c2.y-c1.y')} AS dy,
+       {_F32.format(v='c2.z-c1.z')} AS dz
+FROM pairs p
+JOIN coords c1 ON c1.atom_id = p.i
+JOIN coords c2 ON c2.atom_id = p.j AND c2.frame_id = c1.frame_id
+"""
+
+
+@register("g2_displacements", _DISP_ORACLE)
+def q_displacements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import compute_displacements
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    d = compute_displacements(
+        traj, _pairs(N_DIST_ATOMS), periodic=False, form="sql", n_atoms=N_DIST_ATOMS
+    )
+    return d.select(
+        "frame_id",
+        "pair_id",
+        F.col("dx").cast("double").alias("dx"),
+        F.col("dy").cast("double").alias("dy"),
+        F.col("dz").cast("double").alias("dz"),
+    )
+
+
+# ---------------------------------------------------------------------
+# G3/G4: angles (non-periodic; transcendental → round 6)
+# ---------------------------------------------------------------------
+
+_ANGLE_ORACLE = f"""
+WITH {COORDS_CTE.strip()},
+{TRIPLETS_CTE.format(n=N_ANGLE_ATOMS).strip()},
+legs AS (
+    SELECT cj.frame_id, t.triplet_id,
+           {_F32.format(v='ci.x-cj.x')} AS ux, {_F32.format(v='ci.y-cj.y')} AS uy,
+           {_F32.format(v='ci.z-cj.z')} AS uz,
+           {_F32.format(v='ck.x-cj.x')} AS vx, {_F32.format(v='ck.y-cj.y')} AS vy,
+           {_F32.format(v='ck.z-cj.z')} AS vz
+    FROM triplets t
+    JOIN coords ci ON ci.atom_id = t.i
+    JOIN coords cj ON cj.atom_id = t.j AND cj.frame_id = ci.frame_id
+    JOIN coords ck ON ck.atom_id = t.k AND ck.frame_id = ci.frame_id
+)
+SELECT frame_id, triplet_id,
+       round(acos(greatest(-1.0, least(1.0,
+           (ux*vx + uy*vy + uz*vz) /
+           (sqrt(ux*ux + uy*uy + uz*uz) * sqrt(vx*vx + vy*vy + vz*vz))
+       ))), 6) AS angle_rad
+FROM legs
+"""
+
+
+@register("g3_angles", _ANGLE_ORACLE)
+def q_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.angle import compute_angles
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    # SQL form computes legs in double but the engine's public output
+    # is float32; for the oracle gate we recompute the final acos in
+    # double from the engine's float32 legs — mirror with _F32 above.
+    a = _angles_double(traj)
+    return a
+
+
+def _angles_double(traj) -> DataFrame:
+    """Engine angle plan, but keeping the final acos in DOUBLE and
+    rounding to 1e-6 rad (transcendental-protection policy)."""
+    import numpy as np
+
+    from dask_traj_spark.operators.angle import _leg_sql
+    from dask_traj_spark.operators.distance import _pairs_df
+
+    arr = np.asarray(_triplets(N_ANGLE_ATOMS), dtype=np.int32)
+    spark = traj.spark
+    u_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 0]], axis=1), ["triplet_id", "a", "b"])
+    v_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 2]], axis=1), ["triplet_id", "a", "b"])
+    u = _leg_sql(traj, u_pairs, False, ("ux", "uy", "uz"))
+    v = _leg_sql(traj, v_pairs, False, ("vx", "vy", "vz"))
+    # legs come back float32 (engine contract); lift to double exactly
+    j = u.join(v, ["frame_id", "triplet_id"])
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    un = F.sqrt(d("ux") * d("ux") + d("uy") * d("uy") + d("uz") * d("uz"))
+    vn = F.sqrt(d("vx") * d("vx") + d("vy") * d("vy") + d("vz") * d("vz"))
+    dot = d("ux") * d("vx") + d("uy") * d("vy") + d("uz") * d("vz")
+    cosang = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dot / (un * vn)))
+    return j.select(
+        "frame_id", "triplet_id", F.round(F.acos(cosang), 6).alias("angle_rad")
+    )
+
+
+# ---------------------------------------------------------------------
+# G5: center of mass (exact aggregation via dyadic grid)
+# ---------------------------------------------------------------------
+
+_COM_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT c.frame_id AS frame_id,
+       sum(c.x * CAST(e.label+1 AS DOUBLE)) / sum(CAST(e.label+1 AS DOUBLE)) AS x,
+       sum(c.y * CAST(e.label+1 AS DOUBLE)) / sum(CAST(e.label+1 AS DOUBLE)) AS y,
+       sum(c.z * CAST(e.label+1 AS DOUBLE)) / sum(CAST(e.label+1 AS DOUBLE)) AS z
+FROM coords c JOIN embeddings e ON c.atom_id = e.vec_id
+GROUP BY c.frame_id
+"""
+
+
+@register("g5_center_of_mass", _COM_ORACLE)
+def q_com(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import compute_center_of_mass
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return compute_center_of_mass(traj)
+
+
+# ---------------------------------------------------------------------
+# G6: center of geometry
+# ---------------------------------------------------------------------
+
+_COG_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT frame_id, avg(x) AS x, avg(y) AS y, avg(z) AS z
+FROM coords GROUP BY frame_id
+"""
+
+
+@register("g6_center_of_geometry", _COG_ORACLE)
+def q_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import compute_center_of_geometry
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return compute_center_of_geometry(traj)
+
+
+# ---------------------------------------------------------------------
+# G7: closest contact, generalized to every frame
+# ---------------------------------------------------------------------
+
+_CONTACT_G1 = list(range(0, 10))
+_CONTACT_G2 = list(range(10, 20))
+
+_CONTACT_ORACLE = f"""
+WITH {COORDS_CTE.strip()},
+scored AS (
+    SELECT c1.frame_id, c1.atom_id AS i, c2.atom_id AS j,
+           sqrt((c2.x-c1.x)*(c2.x-c1.x) + (c2.y-c1.y)*(c2.y-c1.y)
+                + (c2.z-c1.z)*(c2.z-c1.z)) AS dist
+    FROM coords c1
+    JOIN coords c2 ON c2.frame_id = c1.frame_id
+    WHERE c1.atom_id BETWEEN 0 AND 9 AND c2.atom_id BETWEEN 10 AND 19
+),
+ranked AS (
+    SELECT frame_id, i, j, dist,
+           ROW_NUMBER() OVER (PARTITION BY frame_id ORDER BY dist, i, j) AS rn
+    FROM scored
+)
+SELECT frame_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       {_F32.format(v='dist')} AS dist
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("g7_closest_contact", _CONTACT_ORACLE)
+def q_closest_contact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.distance import find_closest_contact
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    d = find_closest_contact(traj, _CONTACT_G1, _CONTACT_G2, periodic=False)
+    return d.select("frame_id", "i", "j", F.col("dist").cast("double").alias("dist"))
+
+
+# ---------------------------------------------------------------------
+# G9/G10: unit-cell conversions (transcendental → round 6)
+# ---------------------------------------------------------------------
+
+_UC_CASES = [
+    (0, 6.8555, 6.8555, 6.8555, 60.0, 60.0, 90.0),
+    (1, 1.0, 2.0, 3.0, 90.0, 90.0, 90.0),
+    (2, 2.0, 2.0, 2.0, 75.0, 80.0, 85.0),
+    (3, 0.25, 0.25, 0.25, 60.0, 70.0, 80.0),
+]
+
+_UC_VALUES = "VALUES " + ", ".join(
+    f"({fid}, CAST({a} AS REAL), CAST({b} AS REAL), CAST({c} AS REAL), "
+    f"CAST({al} AS REAL), CAST({be} AS REAL), CAST({ga} AS REAL))"
+    for fid, a, b, c, al, be, ga in _UC_CASES
+)
+
+_G9_ORACLE = f"""
+WITH cells(frame_id, a, b, c, alpha, beta, gamma) AS ({_UC_VALUES}),
+d AS (
+    SELECT frame_id,
+           CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b, CAST(c AS DOUBLE) AS c,
+           radians(CAST(alpha AS DOUBLE)) AS ar, radians(CAST(beta AS DOUBLE)) AS br,
+           radians(CAST(gamma AS DOUBLE)) AS gr
+    FROM cells
+),
+v AS (
+    SELECT frame_id,
+           a AS ax, 0.0 AS ay, 0.0 AS az,
+           b*cos(gr) AS bx, b*sin(gr) AS by, 0.0 AS bz,
+           c*cos(br) AS cx,
+           c*(cos(ar) - cos(br)*cos(gr))/sin(gr) AS cy,
+           sqrt(c*c - (c*cos(br))*(c*cos(br))
+                - (c*(cos(ar) - cos(br)*cos(gr))/sin(gr))
+                  * (c*(cos(ar) - cos(br)*cos(gr))/sin(gr))) AS cz
+    FROM d
+)
+SELECT frame_id,
+       round(CASE WHEN abs(ax) < 1e-6 THEN 0.0 ELSE ax END, 6) AS ax,
+       round(CASE WHEN abs(ay) < 1e-6 THEN 0.0 ELSE ay END, 6) AS ay,
+       round(CASE WHEN abs(az) < 1e-6 THEN 0.0 ELSE az END, 6) AS az,
+       round(CASE WHEN abs(bx) < 1e-6 THEN 0.0 ELSE bx END, 6) AS bx,
+       round(CASE WHEN abs(by) < 1e-6 THEN 0.0 ELSE by END, 6) AS by,
+       round(CASE WHEN abs(bz) < 1e-6 THEN 0.0 ELSE bz END, 6) AS bz,
+       round(CASE WHEN abs(cx) < 1e-6 THEN 0.0 ELSE cx END, 6) AS cx,
+       round(CASE WHEN abs(cy) < 1e-6 THEN 0.0 ELSE cy END, 6) AS cy,
+       round(CASE WHEN abs(cz) < 1e-6 THEN 0.0 ELSE cz END, 6) AS cz
+FROM v
+"""
+
+
+@register("g9_lengths_angles_to_vectors", _G9_ORACLE)
+def q_unitcell_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_traj_spark.operators.unitcell import box_vector_exprs
+
+    rows = [(fid, a, b, c, al, be, ga) for fid, a, b, c, al, be, ga in _UC_CASES]
+    df = spark.createDataFrame(
+        rows, "frame_id bigint, a float, b float, c float, alpha float, beta float, gamma float"
+    )
+    e = box_vector_exprs(
+        F.col("a").cast("double"), F.col("b").cast("double"), F.col("c").cast("double"),
+        F.col("alpha").cast("double"), F.col("beta").cast("double"), F.col("gamma").cast("double"),
+    )
+    return df.select(
+        "frame_id", *[F.round(v, 6).alias(k) for k, v in e.items()]
+    )
+
+
+# ---------------------------------------------------------------------
+# P1: frame slicing (stride + reverse + renumber)
+# ---------------------------------------------------------------------
+
+_SLICE_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT CAST((20 - frame_id) / 2 AS BIGINT) AS frame_id, atom_id, x, y, z
+FROM coords WHERE frame_id % 2 = 0
+"""
+
+
+@register("p1_frame_slice_stride_reverse", _SLICE_ORACLE)
+def q_frame_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    # traj[::-2] over 21 frames → old frames [20, 18, ..., 0] → new 0..10
+    sliced = traj.select_frames(list(range(N_FRAMES - 1, -1, -2)))
+    return sliced.coords.select("frame_id", "atom_id", "x", "y", "z")
+
+
+# ---------------------------------------------------------------------
+# P2: atom slice with dense renumbering
+# ---------------------------------------------------------------------
+
+_ATOM_SLICE_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT frame_id, CAST(atom_id / 7 AS INT) AS atom_id, x, y, z
+FROM coords WHERE atom_id % 7 = 0
+"""
+
+
+@register("p2_atom_slice", _ATOM_SLICE_ORACLE)
+def q_atom_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    n = traj.n_atoms
+    t2 = traj.atom_slice([a for a in range(n) if a % 7 == 0])
+    return t2.coords.select("frame_id", "atom_id", "x", "y", "z")
+
+
+# ---------------------------------------------------------------------
+# U1: trajectory concat with overlap discard
+# ---------------------------------------------------------------------
+
+_CONCAT_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT frame_id, atom_id, x, y, z FROM coords WHERE frame_id < 15
+"""
+
+
+@register("u1_concat_overlap_discard", _CONCAT_ORACLE)
+def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    left = traj.slice_frames(0, 10)
+    right = traj.slice_frames(9, 15)
+    # right's first frame == left's last frame → discarded; result is
+    # exactly frames 0..14 of the source (reference semantics,
+    # core/dask_traj.py:630-640)
+    joined = left.join(right, check_topology=False, discard_overlapping_frames=True)
+    return joined.coords.select("frame_id", "atom_id", "x", "y", "z")
+
+
+# ---------------------------------------------------------------------
+# U2: content fingerprint (portable integer hash)
+# ---------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT frame_id,
+       sum(CAST(atom_id + 1 AS BIGINT) * (
+           3*CAST(round(x*{QGRID:.0f}) AS BIGINT)
+           + 5*CAST(round(y*{QGRID:.0f}) AS BIGINT)
+           + 7*CAST(round(z*{QGRID:.0f}) AS BIGINT)
+       )) AS fp
+FROM coords GROUP BY frame_id
+"""
+
+
+@register("u2_content_fingerprint", _FP_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = coords_df(spark, sf_dir)
+    qi = lambda col: F.round(F.col(col) * QGRID, 0).cast("long")  # noqa: E731
+    term = (F.col("atom_id") + 1).cast("long") * (
+        3 * qi("x") + 5 * qi("y") + 7 * qi("z")
+    )
+    return c.groupBy("frame_id").agg(F.sum(term).alias("fp"))
+
+
+# ---------------------------------------------------------------------
+# S8: synthetic time fallback
+# ---------------------------------------------------------------------
+
+_TIME_ORACLE = f"""
+WITH {COORDS_CTE.strip()}
+SELECT DISTINCT frame_id, CAST(frame_id AS DOUBLE) AS time,
+       frame_id AS step
+FROM coords
+"""
+
+
+@register("s8_time_fallback", _TIME_ORACLE)
+def q_time_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return traj.frames

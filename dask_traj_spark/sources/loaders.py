@@ -45,11 +45,23 @@ KNOWN_UNIMPLEMENTED = {
 
 
 def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
-    """``load(spark, path)`` → Trajectory. Lazy: nothing reads until
-    an action runs (reference S1, core/dask_traj.py:61-100)."""
+    """``load(spark, path)`` or ``load(path)`` (reference-parity
+    one-arg form, using the active SparkSession) → Trajectory. Lazy:
+    nothing reads until an action runs (reference S1,
+    core/dask_traj.py:61-100)."""
     if path is None:
-        raise TypeError("usage: load(spark, path)")
-    spark = spark_or_path
+        if not isinstance(spark_or_path, str):
+            raise TypeError("usage: load(spark, path) or load(path)")
+        path = spark_or_path
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from dask_traj_spark.session import get_spark
+
+            spark = get_spark()
+    else:
+        spark = spark_or_path
     ext = _extension(path)
     kind = SUPPORTED_EXTENSIONS.get(ext)
     if kind is None:

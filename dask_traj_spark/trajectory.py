@@ -49,12 +49,20 @@ class Trajectory:
         frames: DataFrame | None = None,
         unitcell: DataFrame | None = None,
         topology: DataFrame | None = None,
+        packed: bool = False,
     ):
         self.coords = coords
         self._frames = frames
         self.unitcell = unitcell
         self.topology = topology
         self.spark = coords.sparkSession
+        #: packed=True asserts the coords layout contract: every
+        #: partition holds only WHOLE frames, rows sorted by
+        #: (frame_id, atom_id) — e.g. read from frame-bucketed
+        #: parquet or generated per-frame. Lets the vectorized
+        #: geometry path skip its one shuffle. Violations surface as
+        #: a clear error in the kernel's frame-block check.
+        self.packed = packed
 
     # ---- dimensions -------------------------------------------------
 
@@ -128,6 +136,36 @@ class Trajectory:
             uc = with_lengths_and_angles(uc)
         return uc
 
+    # ---- packed long view (the vectorized hot path) -----------------
+
+    def frame_packed(self) -> DataFrame:
+        """Long coords arranged so every partition holds whole frames,
+        rows sorted by (frame_id, atom_id). This — NOT ``wide()`` —
+        is the input layout of the Arrow-vectorized geometry path:
+        primitive columns cross the JVM→Arrow boundary on the fast
+        (zero-boxing) path, and the Python side reshapes to
+        (frames, atoms, 3) numpy blocks for the kernels.
+
+        Costs one range-shuffle + in-partition sort, unless the
+        trajectory was constructed with ``packed=True`` (frame-sorted
+        parquet / ordered generation), in which case it is free.
+        Memoized; ``traj.frame_packed().cache()`` before running
+        several geometry ops.
+
+        At 100 TB this is the layout the storage should already have:
+        parquet bucketed/sorted by frame ranges makes every geometry
+        op a narrow scan.
+        """
+        if getattr(self, "_packed_df", None) is not None:
+            return self._packed_df
+        if self.packed:
+            self._packed_df = self.coords
+        else:
+            self._packed_df = self.coords.repartitionByRange(
+                "frame_id"
+            ).sortWithinPartitions("frame_id", "atom_id")
+        return self._packed_df
+
     # ---- wide (per-frame arrays) view -------------------------------
 
     def wide(self) -> DataFrame:
@@ -137,14 +175,21 @@ class Trajectory:
 
         ``array_sort`` on (atom_id, value) structs guarantees
         positional order without a sort-based aggregate.
+
+        The result DataFrame is memoized on the instance so callers
+        can ``traj.wide().cache()`` once and every downstream
+        geometry op reuses the same (possibly cached) plan.
         """
+        if getattr(self, "_wide", None) is not None:
+            return self._wide
         pack = lambda c: F.transform(  # noqa: E731
             F.array_sort(F.collect_list(F.struct(F.col("atom_id"), F.col(c).alias("v")))),
             lambda s: s["v"],
         )
-        return self.coords.groupBy("frame_id").agg(
+        self._wide = self.coords.groupBy("frame_id").agg(
             pack("x").alias("xs"), pack("y").alias("ys"), pack("z").alias("zs")
         )
+        return self._wide
 
     # ---- slicing (P1/P2) --------------------------------------------
 

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()``
+twin on DuckDB (same parquet tables registered as views), then
+compares row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spdf: pd.DataFrame, dpdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        problems.append(f"columns differ: {sorted(spdf.columns)} vs {sorted(dpdf.columns)}")
+        return problems
+    if len(spdf) != len(dpdf):
+        problems.append(f"row count differs: spark={len(spdf)} duckdb={len(dpdf)}")
+    a, b = canon(spdf), canon(dpdf)
+    if len(a) == len(b):
+        for col in a.columns:
+            av, bv = a[col], b[col]
+            try:
+                same = (av.isna() & bv.isna()) | (av == bv)
+                n_bad = int((~same).sum())
+            except Exception as e:  # dtype mismatch etc
+                problems.append(f"col {col}: compare error {e}")
+                continue
+            if n_bad:
+                idx = (~same).idxmax()
+                problems.append(
+                    f"col {col}: {n_bad} mismatches; first at row {idx}: "
+                    f"spark={av[idx]!r} duckdb={bv[idx]!r}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from dask_traj_spark.queries import oracle_sql, queries
+    from dask_traj_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    qs, os_ = queries(), oracle_sql()
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in os_:
+            print(f"SKIP {name}: no oracle (rows={len(spdf)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            dpdf = con.execute(os_[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, spdf, dpdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} rows={len(spdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

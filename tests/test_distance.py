@@ -76,6 +76,49 @@ def test_forms_agree(traj_triclinic, pairs45):
     np.testing.assert_allclose(a, b, atol=ATOL)
 
 
+def test_triclinic_mic_literal_box_tight(spark):
+    """Regression: Spark 4.1.2 whole-stage codegen miscompiled the
+    27-image search when box columns were constant-foldable literals
+    (the oracle-gate setup) and the box was small enough that distant
+    images win often. Build the unitcell from F.lit and wrap hard."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(7)
+    n_frames, n_atoms = 8, 16
+    xyz = rng.uniform(-1.0, 1.0, size=(n_frames, n_atoms, 3)).astype(np.float32)
+    box = np.array(
+        [[0.25, 0.0, 0.0], [0.0625, 0.21875, 0.0], [0.046875, 0.03125, 0.1875]]
+    )
+    rows = [
+        (int(f), int(a), float(x), float(y), float(z))
+        for f in range(n_frames)
+        for a, (x, y, z) in enumerate(xyz[f])
+    ]
+    coords = spark.createDataFrame(
+        rows, "frame_id bigint, atom_id int, x float, y float, z float"
+    )
+    vals = dict(
+        zip(
+            ["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"],
+            box.ravel().tolist(),
+        )
+    )
+    vals.update({"a": 0.25, "b": 0.2273, "c": 0.1938, "alpha": 76.0, "beta": 73.0, "gamma": 74.0})
+    uc = spark.range(n_frames).select(
+        F.col("id").alias("frame_id"),
+        *[F.lit(v).cast("float").alias(k) for k, v in vals.items()],
+    )
+    traj = Trajectory(coords, unitcell=uc)
+    pairs = np.array(list(itertools.combinations(range(n_atoms), 2)), dtype=np.int32)
+    got = _collect_dist(compute_distances(traj, pairs, periodic=True, form="sql"))
+    want = golden.distances(xyz, pairs, box=box)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
 def test_empty_pairs(traj_nocell):
     # P4: empty selection short-circuits (reference distance.py:107-108)
     df = compute_distances(traj_nocell, np.empty((0, 2), dtype=np.int32))
