@@ -1,0 +1,165 @@
+"""Text-analysis functions for large-scale corpus pipelines.
+
+Beyond-reference capability block (the reference is a trajectory
+engine; a 100 TB training-data pipeline needs the same engine to
+score/filter/fingerprint text): tokenization, document statistics,
+quality scoring, language-ID scoring, and content fingerprinting —
+all as JVM-side column expressions (zero Python in the hot path,
+whole-stage codegen end to end).
+
+Determinism rules (the DuckDB oracle hash-compares values):
+
+- counts and ratios are integer arithmetic followed by one double
+  division — correctly rounded, engine-independent;
+- the fingerprint is an order-independent BIGINT sum of bounded
+  positional terms — exact;
+- token ids come from a sorted global vocabulary (dense ranks over
+  ORDER BY word), identical in any engine.
+
+Scale notes: the vocab dense-rank is a single-partition window —
+fine for bounded vocabularies (real corpora: hash the token instead;
+``token_id_hashed`` provides that path). Everything else is
+groupBy/join on doc_id — shuffle partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: fixed marker (function-word) lists per language for the n-gram /
+#: stopword language-ID heuristic. Deterministic constants — part of
+#: the function's definition, mirrored verbatim in the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "los", "una", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+#: positional weights for the rolling fingerprint: 31^(pos % 8).
+FP_WEIGHTS: tuple[int, ...] = tuple(31 ** i for i in range(8))
+FP_MOD = 1_000_000_007
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, word) — whitespace tokenization with positions."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+
+
+def vocab(tok: DataFrame) -> DataFrame:
+    """Global sorted vocabulary with dense int ids (1-based).
+
+    Single-partition window — bounded-vocab path; see module
+    docstring for the hashed alternative at open-vocabulary scale.
+    """
+    return (
+        tok.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.row_number().over(Window.orderBy("word")).alias("tid"),
+        )
+    )
+
+
+def token_id_hashed(word: Column, bits: int = 31) -> Column:
+    """Open-vocabulary token id: xxhash64 → non-negative int. The
+    scale path (no global window); NOT oracle-portable, used by the
+    vectorized/streaming variants only."""
+    return F.pmod(F.xxhash64(word), F.lit(2 ** bits)).cast("long")
+
+
+def _n_tokens(text: Column) -> Column:
+    # single-space-joined corpus: tokens = spaces + 1 (exact ints)
+    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token/char counts, distinct tokens,
+    mean token length. All integer counts + one double division."""
+    t = F.col(text_col)
+    n_tok = _n_tokens(t)
+    toks = F.split(t, " ")
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        ((F.length(t) - (n_tok - 1)).cast("double") / n_tok.cast("double")).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    (stopword_ratio + length_score + distinct_ratio) / 3, where
+    length_score = min(n_tokens, 50)/50 and distinct_ratio =
+    n_distinct/n_tokens. Deterministic rational arithmetic."""
+    t = F.col(text_col)
+    n_tok = _n_tokens(t).cast("double")
+    toks = F.split(t, " ")
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(*STOPWORDS))
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    length_score = F.least(n_tok, F.lit(50.0)) / F.lit(50.0)
+    score = (stop_hits / n_tok + length_score + n_distinct / n_tok) / F.lit(3.0)
+    return df.select(
+        "doc_id",
+        (stop_hits / n_tok).alias("stopword_ratio"),
+        length_score.alias("length_score"),
+        (n_distinct / n_tok).alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scores + argmax prediction (lexicographic
+    tie-break). An n-gram/stopword-family heuristic: score_l =
+    |tokens ∩ markers_l| / n_tokens."""
+    t = F.col(text_col)
+    n_tok = _n_tokens(t).cast("double")
+    toks = F.split(t, " ")
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS[lang])))
+        cols.append((hits.cast("double") / n_tok).alias(f"score_{lang}"))
+    out = df.select("doc_id", *cols)
+    # argmax with lexicographic tie-break: max over (score, reversed
+    # lang ordering) structs → greatest score, smallest lang on ties
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(len(langs) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return out.select("doc_id", *[f"score_{lang}" for lang in langs],
+                      best["lang"].alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-independent rolling document fingerprint:
+    sum over positions of (tid+1) * 31^(pos % 8) mod 1e9+7, where tid
+    is the sorted-vocab id. Bounded terms, BIGINT-exact, identical in
+    any engine."""
+    tok = tokens(df, text_col)
+    v = F.broadcast(vocab(tok))
+    j = tok.join(v, "word")
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in FP_WEIGHTS]),
+        (F.col("pos") % 8 + 1).cast("int"),
+    )
+    term = (F.col("tid").cast("long") + 1) * w % FP_MOD
+    return j.groupBy("doc_id").agg((F.sum(term) % FP_MOD).alias("fp"))

@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability block: approximate-nearest-neighbor and
+near-duplicate detection over a 100 TB embedding corpus.
+
+Three physical strategies:
+
+- **SQL brute force** (``cosine_topk``): explode both sides, exact
+  dot products via one groupBy-sum, window top-k. The auditable
+  baseline and the oracle-gate form. Quantizing elements to a 2^-12
+  grid first makes every product an exact multiple of 2^-24 and the
+  64-term sum exact in double — aggregation order cannot change the
+  result, which is what lets a Spark partial-agg hash-match a DuckDB
+  sequential sum.
+- **vectorized brute force** (``cosine_topk_vectorized``): broadcast
+  the (small) query matrix, one numpy matmul per Arrow batch of the
+  corpus, per-partition top-k then a final global top-k — the
+  throughput path: O(batch × dim × q) BLAS, no shuffle until the
+  tiny per-partition winners.
+- **LSH-bucketed** (``cosine_lsh_buckets`` + ``near_duplicates_
+  embedding_lsh``): random-hyperplane signatures (deterministic
+  integer-seeded planes), bucket join, exact rerank inside buckets —
+  the scale path when the corpus side is too big to brute-force.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+QGRID = 4096.0  # 2^12 — quantization grid for exact aggregation
+
+
+def _quantized_elements(emb: DataFrame, id_col: str, prefix: str) -> DataFrame:
+    """Explode embeddings to (id, pos, value) with 2^-12-quantized
+    double values (exact in both engines)."""
+    return emb.select(
+        F.col(id_col).alias(prefix),
+        F.posexplode(F.col("embedding")).alias("pos", "_v"),
+    ).select(
+        prefix,
+        "pos",
+        (F.round(F.col("_v").cast("double") * QGRID, 0) / QGRID).alias(f"v_{prefix}"),
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame, query_ids: Sequence[int], id_col: str = "vec_id"
+) -> DataFrame:
+    """(qid, vec_id, cos) exact quantized cosine for every (query,
+    corpus) pair. Query side is broadcast."""
+    q = F.broadcast(
+        _quantized_elements(
+            emb.where(F.col(id_col).isin([int(i) for i in query_ids])), id_col, "qid"
+        )
+    )
+    c = _quantized_elements(emb, id_col, "cid")
+    dots = (
+        q.join(c, "pos")
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.col("v_qid") * F.col("v_cid")).alias("dot"),
+            F.sum(F.col("v_qid") * F.col("v_qid")).alias("qq"),
+            F.sum(F.col("v_cid") * F.col("v_cid")).alias("cc"),
+        )
+    )
+    return dots.select(
+        "qid",
+        F.col("cid").alias(id_col),
+        (F.col("dot") / (F.sqrt("qq") * F.sqrt("cc"))).alias("cos"),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_ids: Sequence[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine per query (excluding self), deterministic
+    tie-break on (cos desc, vec_id asc). → (qid, vec_id, cos, rank)."""
+    pairs = cosine_pairs(emb, query_ids, id_col).where(F.col("qid") != F.col(id_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        pairs.select("qid", id_col, "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame, query_ids: Sequence[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Throughput form: broadcast query matrix, numpy matmul per
+    Arrow batch, per-batch top-k, final exact top-k via one tiny
+    window. Output matches ``cosine_topk`` semantics within float
+    tolerance (float32 BLAS vs exact SQL — NOT bit-identical; use
+    the SQL form for the oracle gate)."""
+    import pandas as pd
+
+    qpdf = (
+        emb.where(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(id_col, "embedding")
+        .toPandas()
+    )
+    qids = qpdf[id_col].to_numpy()
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float32)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_q = sc.broadcast((qids, qm))
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        qids_, qm_ = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm_ @ cm.T  # (q, batch)
+            cids = pdf[id_col].to_numpy()
+            # mask self-matches BEFORE top-k so self-removal can't
+            # starve a batch below k candidates
+            for qi, qid in enumerate(qids_):
+                sims[qi, cids == qid] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "qid": np.repeat(qids_, kk),
+                id_col: cids[idx].ravel(),
+                "cos": np.take_along_axis(sims, idx, axis=1).ravel().astype(np.float64),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = emb.select(id_col, "embedding").mapInPandas(gen, schema)
+    partial = partial.where(F.col("qid") != F.col(id_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        partial.select("qid", id_col, "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------------------ LSH
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def cosine_lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id"
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector → (id, bucket).
+    Deterministic planes (seeded); signature bit j = sign(v · p_j).
+    Computed JVM-side as 8 aggregate() dot products over the array —
+    no Python, no shuffle."""
+    planes = _hyperplanes(dim, n_planes)
+    sig = None
+    for j in range(n_planes):
+        lits = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), lits, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return emb.select(F.col(id_col), sig.cast("long").alias("bucket"))
+
+
+def near_duplicates_embedding_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: bucket-join on LSH
+    signatures, exact quantized-cosine rerank inside buckets →
+    (id1, id2, cos ≥ threshold). Recall is bounded by the bucket
+    collision probability — raise n_planes bands (OR-construction)
+    for higher recall; this single-signature form is the demo/spec."""
+    b = cosine_lsh_buckets(emb, n_planes, dim, id_col)
+    l = b.select(F.col(id_col).alias("id1"), "bucket")
+    r = b.select(F.col(id_col).alias("id2"), "bucket")
+    cand = (
+        l.join(r, "bucket").where(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+    e1 = _quantized_elements(emb, id_col, "id1")
+    e2 = _quantized_elements(emb, id_col, "id2")
+    scored = (
+        cand.join(e1, "id1")
+        .join(e2, ["id2", "pos"])
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum(F.col("v_id1") * F.col("v_id2")).alias("dot"),
+            F.sum(F.col("v_id1") * F.col("v_id1")).alias("n1"),
+            F.sum(F.col("v_id2") * F.col("v_id2")).alias("n2"),
+        )
+        .select(
+            "id1",
+            "id2",
+            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("cos"),
+        )
+    )
+    return scored.where(F.col("cos") >= threshold)

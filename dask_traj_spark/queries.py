@@ -684,3 +684,11 @@ FROM coords
 def q_time_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj = trajectory_from_embeddings(spark, sf_dir)
     return traj.frames
+
+
+# ---------------------------------------------------------------------
+# training-data pipeline queries (text/dedup/similarity/multimodal)
+# live in queries_pipeline.py; importing it populates the registry.
+# ---------------------------------------------------------------------
+
+from dask_traj_spark import queries_pipeline  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,510 @@
+"""Driver-contract queries for the training-data pipeline blocks:
+text analysis, deduplication, similarity search, multimodal.
+
+Same bit-reproducibility discipline as ``queries.py`` (which imports
+this module to populate the registry): integer arithmetic and exact
+dyadic rationals on every aggregated value path; one correctly-
+rounded double division at the end; transcendentals protected with
+round(·, 6). DuckDB syntax notes baked in below: positions come from
+``generate_subscripts`` (this build has no WITH ORDINALITY), byte
+lengths from ``octet_length(encode(text))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dask_traj_spark.queries import register
+
+# ---------------------------------------------------------------------
+# shared oracle CTE fragments
+# ---------------------------------------------------------------------
+
+TOK_CTE = """
+tok AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+)"""
+
+VOC_CTE = """
+voc AS (
+    SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY word) AS INT) AS tid
+    FROM (SELECT DISTINCT word FROM tok)
+)"""
+
+DT_CTE = """
+dt AS (
+    SELECT DISTINCT t.doc_id, v.tid
+    FROM tok t JOIN voc v USING (word)
+)"""
+
+_NTOK = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+_T1_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({_NTOK} AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(length(text) - ({_NTOK} - 1) AS DOUBLE) / CAST({_NTOK} AS DOUBLE)
+           AS mean_token_len
+FROM documents
+"""
+
+
+@register("t1_doc_stats", _T1_ORACLE)
+def q_doc_stats(spark, sf_dir):
+    from dask_traj_spark.functions.text import doc_stats
+
+    d = doc_stats(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_tokens",
+        "n_distinct",
+        "mean_token_len",
+    )
+
+
+_STOP_SQL = "('the', 'a', 'of', 'and', 'is', 'to', 'in')"
+
+_T2_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+           / CAST({_NTOK} AS DOUBLE) AS stopword_ratio,
+       least(CAST({_NTOK} AS DOUBLE), 50.0) / 50.0 AS length_score,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST({_NTOK} AS DOUBLE) AS distinct_ratio,
+       (CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+            / CAST({_NTOK} AS DOUBLE)
+        + least(CAST({_NTOK} AS DOUBLE), 50.0) / 50.0
+        + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / CAST({_NTOK} AS DOUBLE)) / 3.0 AS quality
+FROM documents
+"""
+
+
+@register("t2_quality_score", _T2_ORACLE)
+def q_quality(spark, sf_dir):
+    from dask_traj_spark.functions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _langid_oracle() -> str:
+    from dask_traj_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({markers})))"
+            f" AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS score_{lang}"
+        )
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       CASE {whens} END AS pred_lang
+FROM s
+"""
+
+
+@register("t3_langid", _langid_oracle())
+def q_langid(spark, sf_dir):
+    from dask_traj_spark.functions.text import langid_scores
+
+    return langid_scores(_docs(spark, sf_dir))
+
+
+_FP_W = "[1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111]"
+
+_T4_ORACLE = f"""
+WITH {TOK_CTE.strip()},
+{VOC_CTE.strip()}
+SELECT t.doc_id,
+       sum(((CAST(v.tid AS BIGINT) + 1) * ({_FP_W}[t.pos % 8 + 1])) % 1000000007)
+           % 1000000007 AS fp
+FROM tok t JOIN voc v USING (word)
+GROUP BY t.doc_id
+"""
+
+
+@register("t4_fingerprint", _T4_ORACLE)
+def q_fingerprint_text(spark, sf_dir):
+    from dask_traj_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+_T5_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(CAST({_NTOK} AS BIGINT)) AS total_tokens,
+       sum(CAST(length(text) AS BIGINT)) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register("t5_source_stats", _T5_ORACLE)
+def q_source_stats(spark, sf_dir):
+    t = F.col("text")
+    n_tok = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.sum(F.length(t).cast("long")).alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------
+
+_D1_ORACLE = """
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("d1_exact_dedup", _D1_ORACLE)
+def q_exact_dedup(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _minhash_oracle(threshold: float) -> str:
+    from dask_traj_spark.operators.dedup import (
+        BAND_MIX,
+        MINHASH_P,
+        N_BANDS,
+        N_HASHES,
+        _hash_consts,
+    )
+
+    mins = ", ".join(
+        f"min((CAST(tid AS BIGINT) * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in ((i, _hash_consts(i)) for i in range(N_HASHES))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} * {BAND_MIX} + h{2 * b + 1} AS bh FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {TOK_CTE.strip()},
+{VOC_CTE.strip()},
+{DT_CTE.strip()},
+sig AS (SELECT doc_id, {mins} FROM dt GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+    WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+    SELECT c.doc1, c.doc2, count(*) AS i
+    FROM cand c
+    JOIN dt t1 ON t1.doc_id = c.doc1
+    JOIN dt t2 ON t2.doc_id = c.doc2 AND t2.tid = t1.tid
+    GROUP BY c.doc1, c.doc2
+),
+j AS (
+    SELECT i.doc1, i.doc2,
+           CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.doc1
+    JOIN sizes s2 ON s2.doc_id = i.doc2
+)
+SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+@register("d2_minhash_lsh_neardup", _minhash_oracle(0.9))
+def q_minhash(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import near_duplicates_minhash
+
+    return near_duplicates_minhash(_docs(spark, sf_dir), threshold=0.9)
+
+
+def _simhash_oracle() -> str:
+    bits = 16
+    sums = ", ".join(
+        f"sum((((CAST(tid AS BIGINT) * 1103515245 + 12345) % 2147483648) >> {j}) % 2 * 2 - 1) AS s{j}"
+        for j in range(bits)
+    )
+    sh = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH {TOK_CTE.strip()},
+{VOC_CTE.strip()},
+{DT_CTE.strip()},
+per AS (SELECT doc_id, {sums} FROM dt GROUP BY doc_id)
+SELECT doc_id, CAST({sh} AS BIGINT) AS sh FROM per
+"""
+
+
+@register("d3_simhash", _simhash_oracle())
+def q_simhash(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _ngram_oracle(threshold: float) -> str:
+    return f"""
+WITH {TOK_CTE.strip()},
+big AS (
+    SELECT DISTINCT t1.doc_id, t1.word || '_' || t2.word AS shingle
+    FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+sv AS (
+    SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS INT) AS tid
+    FROM (SELECT DISTINCT shingle FROM big)
+),
+ds AS (SELECT b.doc_id, s.tid FROM big b JOIN sv s USING (shingle)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM ds a JOIN ds b ON a.tid = b.tid AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT c.doc1, c.doc2, count(*) AS i
+    FROM cand c
+    JOIN ds t1 ON t1.doc_id = c.doc1
+    JOIN ds t2 ON t2.doc_id = c.doc2 AND t2.tid = t1.tid
+    GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.doc1
+JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) >= {threshold}
+"""
+
+
+@register("d4_ngram_jaccard_neardup", _ngram_oracle(0.9))
+def q_ngram(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import near_duplicates_ngram
+
+    return near_duplicates_ngram(_docs(spark, sf_dir), threshold=0.9)
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+_N_QUERIES = 10
+_TOPK = 10
+
+_V1_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS vq
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS vc
+    FROM embeddings
+),
+dots AS (
+    SELECT qid, cid, sum(vq * vc) AS dot, sum(vq * vq) AS qq, sum(vc * vc) AS cc
+    FROM q JOIN c USING (pos) GROUP BY qid, cid
+),
+scored AS (
+    SELECT qid, cid, dot / (sqrt(qq) * sqrt(cc)) AS cos
+    FROM dots WHERE qid <> cid
+),
+ranked AS (
+    SELECT qid, cid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+    FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS vec_id, cos,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+@register("v1_cosine_topk", _V1_ORACLE)
+def q_cosine_topk(spark, sf_dir):
+    from dask_traj_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(_emb(spark, sf_dir), list(range(_N_QUERIES)), k=_TOPK)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _emb_lsh_oracle(threshold: float) -> str:
+    from dask_traj_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    rows = []
+    for j in range(8):
+        for pos in range(64):
+            n = int(round(float(planes[j, pos]) * 4096.0))
+            rows.append(f"({j}, {pos + 1}, {n}/4096.0)")
+    values = ", ".join(rows)
+    bits = " + ".join(
+        f"CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(8)
+    )
+    dcols = ", ".join(
+        f"sum(CASE WHEN p.j = {j} THEN e.q * p.p ELSE 0 END) AS d{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH planes(j, pos, p) AS (VALUES {values}),
+e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS q
+    FROM embeddings
+),
+dots AS (
+    SELECT e.vec_id, {dcols}
+    FROM e JOIN planes p USING (pos)
+    GROUP BY e.vec_id
+),
+buckets AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM dots),
+cand AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.id1, c.id2,
+           sum(e1.q * e2.q) AS dot, sum(e1.q * e1.q) AS n1, sum(e2.q * e2.q) AS n2
+    FROM cand c
+    JOIN e e1 ON e1.vec_id = c.id1
+    JOIN e e2 ON e2.vec_id = c.id2 AND e2.pos = e1.pos
+    GROUP BY c.id1, c.id2
+)
+SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+       dot / (sqrt(n1) * sqrt(n2)) AS cos
+FROM scored WHERE dot / (sqrt(n1) * sqrt(n2)) >= {threshold}
+"""
+
+
+@register("v2_embedding_neardup_lsh", _emb_lsh_oracle(0.35))
+def q_emb_neardup(spark, sf_dir):
+    from dask_traj_spark.operators.similarity import near_duplicates_embedding_lsh
+
+    out = near_duplicates_embedding_lsh(_emb(spark, sf_dir), threshold=0.35)
+    return out.select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "cos",
+    )
+
+
+# ---------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------
+
+_M1_ORACLE = """
+SELECT 'fake/utf8' AS kind,
+       count(*) AS n,
+       sum(octet_length(encode(text))) AS total_bytes,
+       min(octet_length(encode(text))) AS min_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+"""
+
+
+@register("m1_media_stats", _M1_ORACLE)
+def q_media_stats(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import attach_payload, media_stats
+
+    return media_stats(attach_payload(_docs(spark, sf_dir)))
+
+
+@register("m2_decode_features")  # no SQL oracle: pandas-UDF decode stub
+def q_decode_features(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload,
+        decode_and_featurize,
+    )
+
+    return decode_and_featurize(attach_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------
+# G10: box vectors → lengths/angles (completes the unitcell pair)
+# ---------------------------------------------------------------------
+
+_G10_CASES = [
+    # frame_id, ax..cz (lower-triangular boxes)
+    (0, 2.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0, 2.0),
+    (1, 0.25, 0.0, 0.0, 0.0625, 0.21875, 0.0, 0.046875, 0.03125, 0.1875),
+    (2, 6.8555, 0.0, 0.0, 0.0, 6.8555, 0.0, 3.42775, 3.42775, 4.8477),
+]
+
+_G10_VALUES = ", ".join(
+    "(" + ", ".join(str(v) for v in row) + ")" for row in _G10_CASES
+)
+
+_G10_ORACLE = f"""
+WITH v(frame_id, ax, ay, az, bx, by, bz, cx, cy, cz) AS (VALUES {_G10_VALUES}),
+n AS (
+    SELECT frame_id,
+           sqrt(ax*ax + ay*ay + az*az) AS na,
+           sqrt(bx*bx + by*by + bz*bz) AS nb,
+           sqrt(cx*cx + cy*cy + cz*cz) AS nc,
+           bx*cx + by*cy + bz*cz AS dbc,
+           cx*ax + cy*ay + cz*az AS dca,
+           ax*bx + ay*by + az*bz AS dab
+    FROM v
+)
+SELECT frame_id,
+       round(na, 6) AS a, round(nb, 6) AS b, round(nc, 6) AS c,
+       round(degrees(acos(greatest(-1.0, least(1.0, dbc / (nb * nc))))), 6) AS alpha,
+       round(degrees(acos(greatest(-1.0, least(1.0, dca / (nc * na))))), 6) AS beta,
+       round(degrees(acos(greatest(-1.0, least(1.0, dab / (na * nb))))), 6) AS gamma
+FROM n
+"""
+
+
+@register("g10_vectors_to_lengths_angles", _G10_ORACLE)
+def q_g10(spark, sf_dir):
+    from dask_traj_spark.operators.unitcell import lengths_angles_exprs
+
+    df = spark.createDataFrame(
+        _G10_CASES,
+        "frame_id bigint, ax double, ay double, az double, "
+        "bx double, by double, bz double, cx double, cy double, cz double",
+    )
+    e = lengths_angles_exprs(
+        *[F.col(c) for c in ("ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz")]
+    )
+    return df.select("frame_id", *[F.round(v, 6).alias(k) for k, v in e.items()])

@@ -1,0 +1,179 @@
+"""Tests for the training-data pipeline blocks: text analysis,
+dedup, similarity, multimodal. (The DuckDB oracle gate covers value
+parity; these cover semantics, edge cases, and form agreement.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en", "s0", 22),
+        (1, "the cat sat on the mat", "en", "s0", 22),  # exact dup of 0
+        (2, "the cat sat on the big mat", "en", "s1", 26),  # near dup
+        (3, "der hund und die katze", "de", "s1", 22),
+        (4, "le chat et la souris", "fr", "s2", 20),
+        (5, "completely different words entirely here", "en", "s2", 40),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestText:
+    def test_doc_stats(self, docs):
+        from dask_traj_spark.functions.text import doc_stats
+
+        pdf = doc_stats(docs).toPandas().set_index("doc_id").sort_index()
+        assert pdf.loc[0, "n_tokens"] == 6
+        assert pdf.loc[0, "n_distinct"] == 5  # 'the' twice
+        assert pdf.loc[5, "n_tokens"] == 5
+        np.testing.assert_allclose(
+            pdf.loc[0, "mean_token_len"], (22 - 5) / 6
+        )
+
+    def test_quality_bounds(self, docs):
+        from dask_traj_spark.functions.text import quality_score
+
+        pdf = quality_score(docs).toPandas()
+        assert ((pdf["quality"] >= 0) & (pdf["quality"] <= 1)).all()
+        assert ((pdf["stopword_ratio"] >= 0) & (pdf["stopword_ratio"] <= 1)).all()
+
+    def test_langid_markers(self, docs):
+        from dask_traj_spark.functions.text import langid_scores
+
+        pdf = langid_scores(docs).toPandas().set_index("doc_id")
+        assert pdf.loc[0, "pred_lang"] == "en"  # 'the', 'a'
+        assert pdf.loc[3, "pred_lang"] == "de"  # der/und/die
+        assert pdf.loc[4, "pred_lang"] == "fr"  # le/la/et
+
+    def test_fingerprint_deterministic_and_discriminating(self, docs):
+        from dask_traj_spark.functions.text import fingerprint
+
+        a = fingerprint(docs).toPandas().set_index("doc_id")["fp"]
+        b = fingerprint(docs).toPandas().set_index("doc_id")["fp"]
+        assert (a == b).all()
+        assert a[0] == a[1]  # identical texts
+        assert a[0] != a[5]
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from dask_traj_spark.operators.dedup import exact_duplicates
+
+        pdf = exact_duplicates(docs).toPandas()
+        assert len(pdf) == 5  # 6 docs, one exact pair
+        dup = pdf[pdf["n"] == 2]
+        assert len(dup) == 1 and dup["keep_id"].iloc[0] == 0
+
+    def test_minhash_finds_near_dup(self, docs):
+        from dask_traj_spark.operators.dedup import near_duplicates_minhash
+
+        pdf = near_duplicates_minhash(docs, threshold=0.5).toPandas()
+        pairs = set(zip(pdf["doc1"], pdf["doc2"]))
+        assert (0, 1) in pairs  # identical → jaccard 1.0
+        assert (0, 2) in pairs  # one extra token
+        assert not any(5 in p for p in pairs)
+
+    def test_minhash_jaccard_exact_value(self, docs):
+        from dask_traj_spark.operators.dedup import near_duplicates_minhash
+
+        pdf = near_duplicates_minhash(docs, threshold=0.5).toPandas()
+        row = pdf[(pdf["doc1"] == 0) & (pdf["doc2"] == 2)]
+        # tokens {the,cat,sat,on,mat} vs +{big}: 5/6
+        np.testing.assert_allclose(row["jaccard"].iloc[0], 5 / 6)
+
+    def test_simhash_identical_docs_equal(self, docs):
+        from dask_traj_spark.operators.dedup import simhash
+
+        pdf = simhash(docs).toPandas().set_index("doc_id")["sh"]
+        assert pdf[0] == pdf[1]
+        assert 0 <= pdf.min() and pdf.max() < 2 ** 16
+
+    def test_ngram_jaccard(self, docs):
+        from dask_traj_spark.operators.dedup import near_duplicates_ngram
+
+        pdf = near_duplicates_ngram(docs, threshold=0.9).toPandas()
+        pairs = set(zip(pdf["doc1"], pdf["doc2"]))
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs  # bigram jaccard 4/8 < 0.9
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((20, 64)).astype(np.float32)
+        base[1] = base[0] + 0.01 * rng.standard_normal(64).astype(np.float32)
+        rows = [(int(i), [float(x) for x in base[i]], int(i % 3)) for i in range(20)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_topk_sql_finds_planted_neighbor(self, emb):
+        from dask_traj_spark.operators.similarity import cosine_topk
+
+        pdf = cosine_topk(emb, [0], k=3).toPandas()
+        assert pdf[pdf["rank"] == 1]["vec_id"].iloc[0] == 1
+        assert pdf[pdf["rank"] == 1]["cos"].iloc[0] > 0.99
+
+    def test_topk_forms_agree(self, emb):
+        from dask_traj_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_vectorized,
+        )
+
+        a = cosine_topk(emb, [0, 5], k=5).toPandas().sort_values(["qid", "rank"])
+        b = (
+            cosine_topk_vectorized(emb, [0, 5], k=5)
+            .toPandas()
+            .sort_values(["qid", "rank"])
+        )
+        assert list(a["vec_id"]) == list(b["vec_id"])
+        np.testing.assert_allclose(a["cos"], b["cos"], atol=1e-4)
+
+    def test_lsh_neardup_finds_planted_pair(self, emb):
+        from dask_traj_spark.operators.similarity import (
+            near_duplicates_embedding_lsh,
+        )
+
+        pdf = near_duplicates_embedding_lsh(emb, threshold=0.95).toPandas()
+        assert (0, 1) in set(zip(pdf["id1"], pdf["id2"]))
+
+
+class TestMultimodal:
+    def test_payload_and_stats(self, docs):
+        from dask_traj_spark.operators.multimodal import attach_payload, media_stats
+
+        media = attach_payload(docs)
+        stats = media_stats(media).toPandas()
+        assert stats["n"].iloc[0] == 6
+        assert stats["total_bytes"].iloc[0] == sum(
+            len(t.encode()) for t in docs.toPandas()["text"]
+        )
+
+    def test_decode_stub_deterministic(self, docs):
+        from dask_traj_spark.operators.multimodal import (
+            attach_payload,
+            decode_and_featurize,
+        )
+
+        media = attach_payload(docs)
+        pdf = decode_and_featurize(media).toPandas().set_index("doc_id")
+        assert pdf.loc[0, "width"] == len("the cat sat on the mat")
+        # features = first 8 bytes / 255
+        want = np.frombuffer(b"the cat ", dtype=np.uint8) / 255.0
+        np.testing.assert_allclose(pdf.loc[0, "features"], want, rtol=1e-6)
+
+    def test_real_decode_raises(self, docs):
+        from dask_traj_spark.operators.multimodal import (
+            attach_payload,
+            decode_and_featurize,
+        )
+
+        with pytest.raises(NotImplementedError):
+            decode_and_featurize(attach_payload(docs), real=True)
