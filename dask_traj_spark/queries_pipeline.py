@@ -460,6 +460,103 @@ def q_decode_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# event analytics (windows / sessionization — batch twins of the
+# streaming ops in streaming/ingest.py)
+# ---------------------------------------------------------------------
+
+_E1_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("e1_event_window_counts", _E1_ORACLE)
+def q_event_windows(spark, sf_dir):
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_cents",
+        )
+    )
+
+
+_E2_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           event_id
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ordered
+),
+sess AS (
+    SELECT user_id, ts, event_id,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+FROM sess
+GROUP BY user_id, session_no
+"""
+
+
+@register("e2_sessionization", _E2_ORACLE)
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window
+    functions — the batch twin of a session-window streaming agg."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+            "duration_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
 # G10: box vectors → lengths/angles (completes the unitcell pair)
 # ---------------------------------------------------------------------
 

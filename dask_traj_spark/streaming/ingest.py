@@ -1,0 +1,169 @@
+"""Structured Streaming: streaming trajectory ingest + windowed /
+stateful operators.
+
+The reference is batch-only (SURVEY.md §2.5); streaming is the
+deliberate extension (§7.5c): a simulation appends frame-chunk files
+while analysis runs continuously. Design:
+
+- **ingest**: ``readStream`` over a directory of coords parquet
+  (the same long format as batch — one schema everywhere). Each
+  appended file is a micro-batch of whole frames.
+- **per-frame aggregates** (COG/COM) are plain streaming groupBy —
+  partial+final agg per micro-batch, update mode.
+- **event-time windows**: frame `time` (ps) as event time, tumbling
+  windows + watermark for late frames.
+- **custom stateful ops** via ``applyInPandasWithState`` — e.g. a
+  per-atom exponential moving average that carries state across
+  micro-batches (the streaming analog of a per-chunk numpy kernel).
+
+Tests drive these with file sources + ``trigger(availableNow)`` +
+memory sinks, asserting parity with the batch computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from dask_traj_spark import schemas
+
+
+def stream_coords(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of a directory of coords parquet files
+    (schema = batch COORDS_SCHEMA; every appended file becomes a
+    micro-batch)."""
+    return (
+        spark.readStream.schema(schemas.COORDS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def streaming_center_of_geometry(coords: DataFrame) -> DataFrame:
+    """Per-frame COG over a coords stream — same plan as the batch
+    G6, incrementally maintained (update/complete mode)."""
+    return coords.groupBy("frame_id").agg(
+        F.avg(F.col("x").cast("double")).alias("x"),
+        F.avg(F.col("y").cast("double")).alias("y"),
+        F.avg(F.col("z").cast("double")).alias("z"),
+    )
+
+
+def windowed_frame_stats(
+    coords: DataFrame,
+    frames: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Tumbling event-time windows over frame time with a watermark
+    for late frames: join the (streaming) coords to the per-frame
+    time dimension, window on a timestamp derived from `time` ps.
+
+    frames: static dimension (frame_id, time) — a stream-static join
+    (broadcast), allowed before a streaming aggregation.
+    """
+    ts = F.timestamp_seconds(F.col("time"))
+    with_ts = coords.join(F.broadcast(frames), "frame_id").withColumn("ts", ts)
+    return (
+        with_ts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("frame_id").alias("n_frames"),
+            F.avg(F.col("x").cast("double")).alias("mean_x"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_frames",
+            "mean_x",
+        )
+    )
+
+
+# ------------------------------------------------------- stateful op
+
+EMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ema_x", T.DoubleType()),
+        T.StructField("ema_y", T.DoubleType()),
+        T.StructField("ema_z", T.DoubleType()),
+    ]
+)
+
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("atom_id", T.IntegerType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("ema_x", T.DoubleType()),
+        T.StructField("ema_y", T.DoubleType()),
+        T.StructField("ema_z", T.DoubleType()),
+    ]
+)
+
+
+def streaming_position_ema(coords: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-atom exponential moving average of position, state carried
+    across micro-batches with ``applyInPandasWithState`` — the custom
+    stateful operator pattern (watermark-free, GroupStateTimeout
+    none; keyed by atom_id).
+
+    Emits one row per (atom, frame) with the EMA *after* that frame,
+    processing each group's rows in frame order.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (atom_id,) = key
+        if state.exists:
+            ema_x, ema_y, ema_z = state.get
+        else:
+            ema_x = ema_y = ema_z = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("frame_id")
+            for row in pdf.itertuples(index=False):
+                if ema_x is None:
+                    ema_x, ema_y, ema_z = float(row.x), float(row.y), float(row.z)
+                else:
+                    ema_x = alpha * float(row.x) + (1 - alpha) * ema_x
+                    ema_y = alpha * float(row.y) + (1 - alpha) * ema_y
+                    ema_z = alpha * float(row.z) + (1 - alpha) * ema_z
+                out.append((atom_id, row.frame_id, ema_x, ema_y, ema_z))
+        state.update((ema_x, ema_y, ema_z))
+        yield pd.DataFrame(
+            out, columns=["atom_id", "frame_id", "ema_x", "ema_y", "ema_z"]
+        )
+
+    return coords.groupBy("atom_id").applyInPandasWithState(
+        update,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ----------------------------------------------- event-stream demo
+
+
+def streaming_event_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed per-type event counts with late-data watermark over
+    the TESTDATA events stream (ts TIMESTAMP, event_type STRING)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,142 @@
+"""Streaming tests: file-source micro-batches → memory sink with
+availableNow triggers, asserting parity with batch results."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def coords_stream_dir(spark, tmp_path_factory):
+    """Three parquet files of whole frames (micro-batch units)."""
+    base = str(tmp_path_factory.mktemp("coords_stream"))
+    rng = np.random.default_rng(11)
+    n_atoms = 50
+    for chunk, frames in enumerate([(0, 4), (4, 8), (8, 10)]):
+        rows = []
+        for f in range(*frames):
+            xyz = rng.uniform(0, 2, (n_atoms, 3))
+            rows += [
+                (f, a, float(xyz[a, 0]), float(xyz[a, 1]), float(xyz[a, 2]))
+                for a in range(n_atoms)
+            ]
+        df = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x float, y float, z float"
+        )
+        df.coalesce(1).write.parquet(os.path.join(base, f"chunk{chunk}"))
+    # flatten: move part files up so the dir is one flat file source
+    import glob
+    import shutil
+
+    for i, p in enumerate(glob.glob(os.path.join(base, "chunk*", "*.parquet"))):
+        shutil.move(p, os.path.join(base, f"part{i}.parquet"))
+    for d in glob.glob(os.path.join(base, "chunk*")):
+        shutil.rmtree(d)
+    return base
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_cog_matches_batch(spark, coords_stream_dir):
+    from dask_traj_spark.streaming.ingest import (
+        stream_coords,
+        streaming_center_of_geometry,
+    )
+
+    s = streaming_center_of_geometry(stream_coords(spark, coords_stream_dir))
+    _run_to_memory(s, "cog_stream", "complete")
+    got = spark.sql("SELECT * FROM cog_stream").toPandas().set_index("frame_id").sort_index()
+
+    batch = spark.read.parquet(coords_stream_dir)
+    want = (
+        batch.groupBy("frame_id")
+        .agg(
+            F.avg(F.col("x").cast("double")).alias("x"),
+            F.avg(F.col("y").cast("double")).alias("y"),
+            F.avg(F.col("z").cast("double")).alias("z"),
+        )
+        .toPandas()
+        .set_index("frame_id")
+        .sort_index()
+    )
+    assert len(got) == 10
+    np.testing.assert_allclose(got[["x", "y", "z"]], want[["x", "y", "z"]], atol=1e-9)
+
+
+def test_streaming_ema_stateful(spark, coords_stream_dir):
+    from dask_traj_spark.streaming.ingest import (
+        stream_coords,
+        streaming_position_ema,
+    )
+
+    s = streaming_position_ema(stream_coords(spark, coords_stream_dir), alpha=0.5)
+    _run_to_memory(s, "ema_stream", "append")
+    got = spark.sql("SELECT * FROM ema_stream").toPandas()
+    assert len(got) == 10 * 50  # one row per (frame, atom)
+
+    # closed-form check for one atom against the batch data
+    batch = (
+        spark.read.parquet(coords_stream_dir)
+        .where(F.col("atom_id") == 7)
+        .orderBy("frame_id")
+        .toPandas()
+    )
+    ema = None
+    for x in batch["x"]:
+        ema = float(x) if ema is None else 0.5 * float(x) + 0.5 * ema
+    last = got[(got["atom_id"] == 7) & (got["frame_id"] == 9)]["ema_x"].iloc[0]
+    np.testing.assert_allclose(last, ema, atol=1e-9)
+
+
+def test_streaming_event_windows(spark):
+    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.streaming.ingest import streaming_event_window_counts
+
+    # stream the events parquet as a file source (nanos ts → read as
+    # long via the legacy conf, converted to timestamp post-scan,
+    # mirroring sources/events.py)
+    import shutil
+    import tempfile
+
+    src = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_df = events_df(spark, src)
+    ev_schema = spark.read.parquet(f"{src}/events.parquet").schema
+    # streaming file sources require a directory
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{src}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    s = streaming_event_window_counts(stream)
+    _run_to_memory(s, "ev_stream", "append")
+    # append mode emits only watermark-closed windows; with
+    # availableNow the final watermark closes all but the last —
+    # compare against batch for the emitted subset
+    got = spark.sql("SELECT * FROM ev_stream").toPandas()
+    batch = (
+        batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .toPandas()
+    )
+    assert len(got) > 0
+    merged = got.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert (merged["n_s"] == merged["n_b"]).all()
