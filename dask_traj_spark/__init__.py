@@ -19,7 +19,13 @@ multimodal) that the reference does not have.
 
 from dask_traj_spark.session import get_spark
 from dask_traj_spark.trajectory import Trajectory
-from dask_traj_spark.sources.loaders import load, load_tables, from_wide_pandas
+from dask_traj_spark.sources.loaders import (
+    load,
+    load_tables,
+    load_frame_range,
+    save_tables,
+    from_wide_pandas,
+)
 from dask_traj_spark.operators.distance import (
     compute_distances,
     compute_displacements,
@@ -40,6 +46,8 @@ __all__ = [
     "Trajectory",
     "load",
     "load_tables",
+    "load_frame_range",
+    "save_tables",
     "from_wide_pandas",
     "compute_distances",
     "compute_displacements",

@@ -1,0 +1,234 @@
+"""Relational operator coverage on the TPC-H-ish tables: joins
+(broadcast/semi/anti), partial+final aggregation, rollup, window
+functions, top-k, set operations.
+
+The reference has none of these (SURVEY.md §2.5) — this block shows
+the same engine covering the relational surface a 100 TB pipeline
+needs, with the usual determinism discipline: money quantized to
+integer cents (``round(x*100)`` BIGINT) before any aggregation, so
+sums are order-independent and hash-identical to the DuckDB oracle;
+dates exported as strings.
+
+Plan shapes: nation/region/customer dimensions broadcast; lineitem
+is the only shuffled table and always aggregates partial-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dask_traj_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------- r1
+
+_R1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cp,
+       count(*) AS count_order,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_qty_c
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("r1_pricing_summary", _R1_ORACLE)
+def q_r1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: one partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    qty_c = _cents("l_quantity")
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")  # 0.05 → 5
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_c).alias("sum_qty_c"),
+        F.sum(ep_c).alias("sum_base_c"),
+        F.sum(ep_c * (100 - disc_pct)).alias("sum_disc_cp"),
+        F.count(F.lit(1)).alias("count_order"),
+        (F.sum(qty_c).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_qty_c"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- r2
+
+_R2_ORACLE = """
+WITH rev AS (
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_cp
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_cp DESC, l_orderkey) AS rk
+    FROM rev
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cp, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+@register("r2_topk_revenue", _R2_ORACLE)
+def q_r2(spark, sf_dir):
+    """Q3-style top-k: broadcast customer dim, join, agg, window
+    top-10 with deterministic tie-break."""
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+                "revenue_cp"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("revenue_cp").desc(), F.col("l_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------- r3
+
+_R3_ORACLE = """
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_c,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@register("r3_rollup_acctbal", _R3_ORACLE)
+def q_r3(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate over broadcast dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        r, n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(_cents("c_acctbal")).alias("acctbal_c"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "acctbal_c",
+            "n_customers",
+        )
+    )
+
+
+# ---------------------------------------------------------------- r4
+
+_R4_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_total_c
+FROM orders
+"""
+
+
+@register("r4_running_revenue_window", _R4_ORACLE)
+def q_r4(spark, sf_dir):
+    """Per-customer running revenue — window function surface."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.sum(_cents("o_totalprice")).over(w).alias("running_total_c"),
+    )
+
+
+# ---------------------------------------------------------------- r5
+
+_R5_ORACLE = """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("r5_semi_anti_join", _R5_ORACLE)
+def q_r5(spark, sf_dir):
+    """Semi + anti join: customers with open orders but no filled
+    ones."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    open_o = o.where(F.col("o_orderstatus") == "O")
+    filled = o.where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(open_o, c["c_custkey"] == open_o["o_custkey"], "left_semi")
+        .join(filled, c["c_custkey"] == filled["o_custkey"], "left_anti")
+        .select("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------- r6
+
+_R6_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("r6_intersect_status", _R6_ORACLE)
+def q_r6(spark, sf_dir):
+    """INTERSECT: customers with both open and filled orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)

@@ -35,9 +35,10 @@ SUPPORTED_EXTENSIONS = {
     ".parquet": "parquet_dir",
     "": "parquet_dir",  # a directory of tables
     ".xyz": "xyz",
+    ".dcd": "dcd",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".xtc", ".trr", ".dcd", ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
+    ".xtc", ".trr", ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".crd",
     ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst", ".lammpstrj",
     ".gro", ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
@@ -76,6 +77,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.xyz import load_xyz
 
         return load_xyz(spark, path, **options)
+    if kind == "dcd":
+        from dask_traj_spark.sources.dcd import load_dcd
+
+        return load_dcd(spark, path, **options)
     raise AssertionError(kind)
 
 
@@ -87,7 +92,10 @@ def _extension(path: str) -> str:
 
 
 def load_tables(spark: SparkSession, directory: str) -> Trajectory:
-    """Load the canonical Parquet table layout."""
+    """Load the canonical Parquet table layout. A ``frame_bucket``
+    hive-partition column (written by ``save_tables(...,
+    bucket_frames=N)``) is dropped after the scan — it exists purely
+    so frame-range predicates prune whole directories."""
     def opt(name: str) -> DataFrame | None:
         p = os.path.join(directory, f"{name}.parquet")
         return spark.read.parquet(p) if os.path.exists(p) else None
@@ -95,17 +103,51 @@ def load_tables(spark: SparkSession, directory: str) -> Trajectory:
     coords = opt("coords")
     if coords is None:
         raise FileNotFoundError(f"{directory}/coords.parquet not found")
+    if "frame_bucket" in coords.columns:
+        coords = coords.drop("frame_bucket")
     return Trajectory(coords, opt("frames"), opt("unitcell"), opt("topology"))
 
 
-def save_tables(traj: Trajectory, directory: str, mode: str = "overwrite") -> None:
+def save_tables(
+    traj: Trajectory,
+    directory: str,
+    mode: str = "overwrite",
+    bucket_frames: int | None = None,
+) -> None:
     """Sink: write the trajectory back as Parquet tables (the
     reference has NO sinks at all — SURVEY.md S11; Spark gives us
-    this for free). coords is repartitioned by frame ranges so a
-    re-load scans align with frame locality."""
-    traj.coords.repartitionByRange("frame_id", "atom_id").write.mode(mode).parquet(
-        os.path.join(directory, "coords.parquet")
-    )
+    this for free).
+
+    100 TB layout: coords range-partitioned on frame_id and sorted
+    by (frame_id, atom_id) inside every file, so scans stream frames
+    in order. With ``bucket_frames=N`` a ``frame_bucket =
+    frame_id div N`` hive-partition column is added — frame-range
+    predicates then prune whole directories before any I/O
+    (PartitionFilters in the scan node), the parquet-source analog
+    of the reference's chunk culling (core/dask_traj.py:212).
+    """
+    from pyspark.sql import functions as F
+
+    coords = traj.coords
+    path = os.path.join(directory, "coords.parquet")
+    if bucket_frames:
+        (
+            coords.withColumn(
+                "frame_bucket", F.expr(f"frame_id div {int(bucket_frames)}")
+            )
+            .repartitionByRange("frame_bucket", "frame_id")
+            .sortWithinPartitions("frame_id", "atom_id")
+            .write.mode(mode)
+            .partitionBy("frame_bucket")
+            .parquet(path)
+        )
+    else:
+        (
+            coords.repartitionByRange("frame_id")
+            .sortWithinPartitions("frame_id", "atom_id")
+            .write.mode(mode)
+            .parquet(path)
+        )
     for name, df in (
         ("frames", traj._frames),
         ("unitcell", traj.unitcell),
@@ -113,6 +155,52 @@ def save_tables(traj: Trajectory, directory: str, mode: str = "overwrite") -> No
     ):
         if df is not None:
             df.write.mode(mode).parquet(os.path.join(directory, f"{name}.parquet"))
+    import json
+
+    with open(os.path.join(directory, "_traj_meta.json"), "w") as fh:
+        json.dump({"bucket_frames": bucket_frames}, fh)
+
+
+def load_frame_range(
+    spark: SparkSession, directory: str, lo: int, hi: int
+) -> Trajectory:
+    """Load only frames ``lo <= frame_id < hi``. When the layout was
+    written with ``bucket_frames=N`` this adds the derived
+    ``frame_bucket`` predicate so whole hive partitions are pruned
+    before any I/O — a frame_id predicate alone cannot prune a
+    directory keyed on a derived column, so the engine derives it
+    from the stored metadata."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    meta_path = os.path.join(directory, "_traj_meta.json")
+    n = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            n = json.load(fh).get("bucket_frames")
+    coords = spark.read.parquet(os.path.join(directory, "coords.parquet"))
+    pred = (F.col("frame_id") >= lo) & (F.col("frame_id") < hi)
+    if n and "frame_bucket" in coords.columns:
+        pred = (
+            pred
+            & (F.col("frame_bucket") >= lo // n)
+            & (F.col("frame_bucket") <= max(lo, hi - 1) // n)
+        )
+    coords = coords.where(pred)
+    if "frame_bucket" in coords.columns:
+        coords = coords.drop("frame_bucket")
+
+    def opt(name: str) -> DataFrame | None:
+        p = os.path.join(directory, f"{name}.parquet")
+        if not os.path.exists(p):
+            return None
+        return spark.read.parquet(p).where(
+            (F.col("frame_id") >= lo) & (F.col("frame_id") < hi)
+        )
+
+    t = load_tables(spark, directory)
+    return Trajectory(coords, opt("frames"), opt("unitcell"), t.topology)
 
 
 def from_wide_pandas(

@@ -121,6 +121,34 @@ def test_media_payload_pruned_from_stats_scan(spark, tmp_path_factory):
     )
 
 
+def test_bucketed_sink_prunes_partitions(spark, tmp_path_factory, parquet_traj):
+    """save_tables(bucket_frames=N) → frame-range predicates prune
+    whole hive partitions (PartitionFilters), and the round-trip
+    preserves content."""
+    from dask_traj_spark.sources.loaders import load_tables, save_tables
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    save_tables(parquet_traj, base, bucket_frames=5)
+    back = load_tables(spark, base)
+    assert back.coords.columns == ["frame_id", "atom_id", "x", "y", "z"]
+    assert back.coords.count() == parquet_traj.coords.count()
+
+    from dask_traj_spark.sources.loaders import load_frame_range
+
+    ranged = load_frame_range(spark, base, 0, 5)
+    text = audit(ranged.coords).text
+    assert "PartitionFilters: [" in text and "frame_bucket" in text, text
+    assert ranged.coords.count() == 5 * 30
+    # content parity on a sample frame
+    a = (
+        parquet_traj.coords.where(F.col("frame_id") == 3)
+        .orderBy("atom_id")
+        .toPandas()
+    )
+    b = back.coords.where(F.col("frame_id") == 3).orderBy("atom_id").toPandas()
+    assert np.allclose(a[["x", "y", "z"]], b[["x", "y", "z"]])
+
+
 def test_distances_sql_broadcasts_pairs(parquet_traj):
     from dask_traj_spark.operators.distance import compute_distances
 
