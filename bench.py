@@ -157,10 +157,23 @@ def main() -> None:
         "g3_angles",
         "g5_center_of_mass",
         "g7_closest_contact",
+        "x1_frame_rmsd",
+        "d1_exact_dedup",
+        "t4_fingerprint",
+        "r1_pricing_summary",
+        "r2_topk_revenue",
     ):
         t0 = time.time()
         _noop(registry[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+
+    # vectorized ANN at sf scale (matmul path, not the SQL form)
+    from dask_traj_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    _noop(cosine_topk_vectorized(emb, list(range(10)), k=10))
+    times["v_cosine_topk_vectorized"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(

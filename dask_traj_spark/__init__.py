@@ -38,6 +38,7 @@ from dask_traj_spark.operators.unitcell import (
     lengths_and_angles_to_box_vectors,
     box_vectors_to_lengths_and_angles,
 )
+from dask_traj_spark.functions.validation import ensure_type, ensure_schema
 
 __version__ = "0.1.0"
 
@@ -57,4 +58,6 @@ __all__ = [
     "find_closest_contact",
     "lengths_and_angles_to_box_vectors",
     "box_vectors_to_lengths_and_angles",
+    "ensure_type",
+    "ensure_schema",
 ]

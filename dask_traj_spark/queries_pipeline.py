@@ -557,6 +557,72 @@ def q_sessionization(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# trajectory similarity search (frame RMSD — SURVEY.md §7.5b)
+# ---------------------------------------------------------------------
+
+_RMSD_QFRAME = 5
+
+
+def _rmsd_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+q AS (
+    SELECT atom_id, x AS qx, y AS qy, z AS qz
+    FROM coords WHERE frame_id = {_RMSD_QFRAME}
+),
+per AS (
+    SELECT c.frame_id,
+           avg(c.x*c.x + c.y*c.y + c.z*c.z) AS m_ff,
+           avg(q.qx*q.qx + q.qy*q.qy + q.qz*q.qz) AS m_qq,
+           avg(c.x*q.qx + c.y*q.qy + c.z*q.qz) AS m_fq,
+           avg(c.x) AS cx, avg(c.y) AS cy, avg(c.z) AS cz,
+           avg(q.qx) AS qcx, avg(q.qy) AS qcy, avg(q.qz) AS qcz
+    FROM coords c JOIN q USING (atom_id)
+    GROUP BY c.frame_id
+)
+SELECT frame_id,
+       sqrt(greatest(
+           m_ff - (cx*cx + cy*cy + cz*cz)
+           + m_qq - (qcx*qcx + qcy*qcy + qcz*qcz)
+           - 2 * (m_fq - (cx*qcx + cy*qcy + cz*qcz)), 0.0)) AS rmsd
+FROM per
+"""
+
+
+@register("x1_frame_rmsd", _rmsd_oracle())
+def q_frame_rmsd(spark, sf_dir):
+    from dask_traj_spark.operators.rmsd import frame_rmsd
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return frame_rmsd(traj, _RMSD_QFRAME)
+
+
+def _rmsd_topk_oracle() -> str:
+    inner = _rmsd_oracle().strip()
+    return f"""
+WITH base AS ({inner}),
+ranked AS (
+    SELECT frame_id, rmsd,
+           ROW_NUMBER() OVER (ORDER BY rmsd ASC, frame_id ASC) AS rank
+    FROM base WHERE frame_id <> {_RMSD_QFRAME}
+)
+SELECT frame_id, rmsd, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("x2_rmsd_topk", _rmsd_topk_oracle())
+def q_rmsd_topk(spark, sf_dir):
+    from dask_traj_spark.operators.rmsd import rmsd_topk
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return rmsd_topk(traj, _RMSD_QFRAME, k=5)
+
+
+# ---------------------------------------------------------------------
 # G10: box vectors → lengths/angles (completes the unitcell pair)
 # ---------------------------------------------------------------------
 

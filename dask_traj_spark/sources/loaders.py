@@ -36,9 +36,10 @@ SUPPORTED_EXTENSIONS = {
     "": "parquet_dir",  # a directory of tables
     ".xyz": "xyz",
     ".dcd": "dcd",
+    ".xtc": "xtc",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".xtc", ".trr", ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
+    ".trr", ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".crd",
     ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst", ".lammpstrj",
     ".gro", ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
@@ -81,6 +82,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.dcd import load_dcd
 
         return load_dcd(spark, path, **options)
+    if kind == "xtc":
+        from dask_traj_spark.sources.xtc import load_xtc
+
+        return load_xtc(spark, path, **options)
     raise AssertionError(kind)
 
 

@@ -1,0 +1,349 @@
+"""XTC (GROMACS) compressed binary trajectory source.
+
+Implemented from the PUBLIC xdrfile/XDR container description (the
+format behind ``xdr3dfcoord``): XDR big-endian framing, per frame —
+
+- int32 magic (1995), int32 natoms, int32 step, float32 time,
+- 9 × float32 box vectors (nm, row-major a,b,c),
+- the compressed coordinate block: int32 natoms again; if ≤ 9 atoms,
+  plain floats; else float32 precision, int32 minint[3]/maxint[3],
+  int32 smallidx, int32 nbytes + that many opaque bytes (padded to a
+  4-byte boundary) holding a big-endian bit stream.
+
+The bit stream encodes quantized integer coordinates
+(``round(x * precision)``) as either whole-range triples
+(``sizeofints`` bits across the min→max range) or runs of small
+deltas from a sliding ``magicints`` window, with the classic
+water-molecule first/second-atom interchange. The decoder below is
+a faithful pure-Python implementation of that public algorithm
+(bit_length arithmetic replaces the C big-int byte loops).
+
+Frame blocks are variable-length ⇒ ``index_xtc`` scans headers once
+(seek-skip per frame, reading ~60 bytes each) to build the offset
+index; ``partitions()`` then gives chunked parallel reads exactly
+like the DCD/XYZ sources. Decoding runs inside partitions —
+parallel across frame-chunks.
+
+Writer: not implemented (compression); ``save_tables``/``write_dcd``
+are the engine's sinks. The reference itself cannot write any
+format either (SURVEY.md S11).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from dask_traj_spark.trajectory import Trajectory
+
+MAGIC = 1995
+
+MAGICINTS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0,
+    8, 10, 12, 16, 20, 25, 32, 40, 50, 64, 80, 101, 128, 161, 203, 256,
+    322, 406, 512, 645, 812, 1024, 1290, 1625, 2048, 2580, 3250, 4096,
+    5060, 6501, 8192, 10321, 13003, 16384, 20642, 26007, 32768, 41285,
+    52015, 65536, 82570, 104031, 131072, 165140, 208063, 262144, 330280,
+    416127, 524287, 660561, 832255, 1048576, 1321122, 1664510, 2097152,
+    2642245, 3329021, 4194304, 5284491, 6658042, 8388608, 10568983,
+    13316085, 16777216,
+]
+FIRSTIDX = 9
+
+
+class _BitReader:
+    """Big-endian bit stream over the opaque data block (the C
+    receivebits state machine: lastbyte/lastbits byte feeder)."""
+
+    __slots__ = ("buf", "cnt", "lastbyte", "lastbits")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.cnt = 0
+        self.lastbyte = 0
+        self.lastbits = 0
+
+    def bits(self, nbits: int) -> int:
+        mask = (1 << nbits) - 1
+        num = 0
+        lastbyte, lastbits, cnt, buf = self.lastbyte, self.lastbits, self.cnt, self.buf
+        while nbits >= 8:
+            lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+            cnt += 1
+            num |= (lastbyte >> lastbits) << (nbits - 8)
+            nbits -= 8
+        if nbits > 0:
+            if lastbits < nbits:
+                lastbits += 8
+                lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+                cnt += 1
+            lastbits -= nbits
+            num |= (lastbyte >> lastbits) & ((1 << nbits) - 1)
+        self.lastbyte, self.lastbits, self.cnt = lastbyte, lastbits, cnt
+        return num & mask
+
+    def ints(self, num_of_bits: int, sizes: tuple[int, int, int]) -> list[int]:
+        """receiveints(3, ...): read the packed big-int (8-bit chunks,
+        little-endian byte significance) then peel off sizes[2],
+        sizes[1]; the remainder is nums[0]."""
+        nbytes = 0
+        big = 0
+        nb = num_of_bits
+        while nb > 8:
+            big |= self.bits(8) << (8 * nbytes)
+            nbytes += 1
+            nb -= 8
+        if nb > 0:
+            big |= self.bits(nb) << (8 * nbytes)
+        n2 = big % sizes[2]
+        big //= sizes[2]
+        n1 = big % sizes[1]
+        n0 = big // sizes[1]
+        return [n0, n1, n2]
+
+
+def _read_xdr_int(f) -> int:
+    return struct.unpack(">i", f.read(4))[0]
+
+
+def _read_xdr_float(f) -> float:
+    return struct.unpack(">f", f.read(4))[0]
+
+
+class XTCFrameInfo:
+    def __init__(self, frame_id, offset, natoms, step, time, box):
+        self.frame_id = frame_id
+        self.offset = offset
+        self.natoms = natoms
+        self.step = step
+        self.time = time
+        self.box = box  # (3,3) nm
+
+
+def index_xtc(path: str) -> list[XTCFrameInfo]:
+    """One header-scan pass → per-frame offsets + step/time/box
+    (the coordinate payload is skipped, not decoded)."""
+    frames = []
+    with open(path, "rb") as f:
+        fid = 0
+        while True:
+            offset = f.tell()
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            magic = struct.unpack(">i", head)[0]
+            if magic != MAGIC:
+                raise ValueError(f"bad XTC magic {magic} at offset {offset}")
+            natoms = _read_xdr_int(f)
+            step = _read_xdr_int(f)
+            time = _read_xdr_float(f)
+            box = np.array(
+                [[_read_xdr_float(f) for _ in range(3)] for _ in range(3)]
+            )
+            if natoms <= 9:
+                f.seek(4 + 12 * natoms, 1)  # natoms + plain floats
+            else:
+                f.seek(4 + 4, 1)  # natoms again + precision
+                f.seek(4 * 6 + 4, 1)  # minint, maxint, smallidx
+                nbytes = _read_xdr_int(f)
+                f.seek((nbytes + 3) // 4 * 4, 1)
+            frames.append(XTCFrameInfo(fid, offset, natoms, step, time, box))
+            fid += 1
+    return frames
+
+
+def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
+    """Decode one frame at the current file position →
+    (step, time, box (3,3), xyz (natoms, 3) float32 nm)."""
+    magic = _read_xdr_int(f)
+    if magic != MAGIC:
+        raise ValueError(f"bad XTC magic {magic}")
+    natoms = _read_xdr_int(f)
+    step = _read_xdr_int(f)
+    time = _read_xdr_float(f)
+    box = np.array([[_read_xdr_float(f) for _ in range(3)] for _ in range(3)])
+    size2 = _read_xdr_int(f)
+    if size2 != natoms:
+        raise ValueError("natoms mismatch in coordinate block")
+    if natoms <= 9:
+        flat = struct.unpack(f">{3 * natoms}f", f.read(12 * natoms))
+        return step, time, box, np.array(flat, dtype=np.float32).reshape(-1, 3)
+
+    precision = _read_xdr_float(f)
+    minint = [_read_xdr_int(f) for _ in range(3)]
+    maxint = [_read_xdr_int(f) for _ in range(3)]
+    smallidx = _read_xdr_int(f)
+    nbytes = _read_xdr_int(f)
+    data = f.read((nbytes + 3) // 4 * 4)
+
+    sizeint = [maxint[d] - minint[d] + 1 for d in range(3)]
+    if any(s > 0xFFFFFF for s in sizeint):
+        bitsizeint = [s.bit_length() for s in sizeint]
+        bitsize = 0
+    else:
+        bitsizeint = [0, 0, 0]
+        bitsize = (sizeint[0] * sizeint[1] * sizeint[2]).bit_length()
+
+    smaller = MAGICINTS[max(FIRSTIDX, smallidx - 1)] // 2
+    small = MAGICINTS[smallidx] // 2
+    sizesmall = [MAGICINTS[smallidx]] * 3
+
+    br = _BitReader(data)
+    inv = 1.0 / precision
+    out = np.empty((natoms, 3), dtype=np.float32)
+    w = 0  # write index
+    i = 0
+    run = 0
+    prev = [0, 0, 0]
+    while i < natoms:
+        if bitsize == 0:
+            this = [br.bits(bitsizeint[0]), br.bits(bitsizeint[1]), br.bits(bitsizeint[2])]
+        else:
+            this = br.ints(bitsize, tuple(sizeint))
+        i += 1
+        this = [this[d] + minint[d] for d in range(3)]
+        prev = list(this)
+
+        flag = br.bits(1)
+        is_smaller = 0
+        if flag == 1:
+            run = br.bits(5)
+            is_smaller = run % 3
+            run -= is_smaller
+            is_smaller -= 1
+        if run > 0:
+            for k in range(0, run, 3):
+                d3 = br.ints(smallidx, tuple(sizesmall))
+                i += 1
+                d3 = [d3[d] + prev[d] - small for d in range(3)]
+                if k == 0:
+                    # water-optimization interchange: the first small
+                    # atom is emitted before the whole-range atom
+                    d3, prev = prev, d3
+                    out[w] = [prev[0] * inv, prev[1] * inv, prev[2] * inv]
+                    w += 1
+                else:
+                    prev = list(d3)
+                out[w] = [d3[0] * inv, d3[1] * inv, d3[2] * inv]
+                w += 1
+        else:
+            out[w] = [this[0] * inv, this[1] * inv, this[2] * inv]
+            w += 1
+
+        smallidx += is_smaller
+        if is_smaller < 0:
+            small = smaller
+            smaller = MAGICINTS[smallidx - 1] // 2 if smallidx > FIRSTIDX else 0
+        elif is_smaller > 0:
+            smaller = small
+            small = MAGICINTS[smallidx] // 2
+        sizesmall = [MAGICINTS[smallidx]] * 3
+    return step, time, box, out
+
+
+def _decode_range(path: str, offsets: list[tuple[int, int]]):
+    """Yield (frame_id, xyz) for [(frame_id, byte_offset)]."""
+    with open(path, "rb") as f:
+        for fid, off in offsets:
+            f.seek(off)
+            _step, _time, _box, xyz = decode_frame(f)
+            yield fid, xyz
+
+
+try:  # Spark >= 4.0 Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _XTCPartition(InputPartition):
+        def __init__(self, offsets):
+            self.offsets = offsets
+
+    class XTCDataSourceReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.path = options.get("path")
+            self.chunks = int(options.get("chunks", 100))
+
+        def partitions(self):
+            idx = [(fi.frame_id, fi.offset) for fi in index_xtc(self.path)]
+            return [
+                _XTCPartition(idx[i : i + self.chunks])
+                for i in range(0, len(idx), self.chunks)
+            ]
+
+        def read(self, partition):
+            for fid, xyz in _decode_range(self.path, partition.offsets):
+                for atom_id in range(xyz.shape[0]):
+                    yield (
+                        int(fid),
+                        int(atom_id),
+                        float(xyz[atom_id, 0]),
+                        float(xyz[atom_id, 1]),
+                        float(xyz[atom_id, 2]),
+                    )
+
+    class XTCDataSource(DataSource):
+        """``spark.read.format("xtctraj").option("chunks", N).load(p)``"""
+
+        @classmethod
+        def name(cls):
+            return "xtctraj"
+
+        def schema(self):
+            return "frame_id long, atom_id int, x float, y float, z float"
+
+        def reader(self, schema):
+            return XTCDataSourceReader(schema, self.options)
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_DATASOURCE_API = False
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    if HAVE_DATASOURCE_API and id(spark) not in _REGISTERED:
+        spark.dataSource.register(XTCDataSource)
+        _REGISTERED.add(id(spark))
+
+
+def load_xtc(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
+    """Load a .xtc trajectory: chunked lazy coords scan via the
+    custom source; frames (step/time) and per-frame box come from
+    the driver-side header index (no coordinate decode)."""
+    idx = index_xtc(path)
+    if HAVE_DATASOURCE_API:
+        register(spark)
+        coords = (
+            spark.read.format("xtctraj")
+            .option("path", path)
+            .option("chunks", str(chunks))
+            .load()
+        )
+    else:  # pragma: no cover - older pyspark
+        import pandas as pd
+
+        rows = [
+            (fid, aid, float(x), float(y), float(z))
+            for fid, xyz in _decode_range(path, [(fi.frame_id, fi.offset) for fi in idx])
+            for aid, (x, y, z) in enumerate(xyz)
+        ]
+        coords = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["frame_id", "atom_id", "x", "y", "z"]),
+            schema="frame_id long, atom_id int, x float, y float, z float",
+        )
+    frames = spark.createDataFrame(
+        [(fi.frame_id, float(fi.time), int(fi.step)) for fi in idx],
+        "frame_id long, time double, step long",
+    )
+    unitcell = spark.createDataFrame(
+        [
+            (fi.frame_id, *[float(v) for v in fi.box.ravel()])
+            for fi in idx
+        ],
+        "frame_id long, ax float, ay float, az float, bx float, by float, "
+        "bz float, cx float, cy float, cz float",
+    )
+    return Trajectory(coords, frames=frames, unitcell=unitcell)

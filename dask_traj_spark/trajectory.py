@@ -384,6 +384,31 @@ class Trajectory:
         tpdf = self.frames.orderBy("frame_id").toPandas()
         return xyz, tpdf["time"].to_numpy()
 
+    def to_mdtraj(self):
+        """Materialize to an ``mdtraj.Trajectory`` when mdtraj is
+        installed (reference S10, core/dask_traj.py:390-404) — the
+        escape hatch to the wider MDTraj analysis surface. This
+        container has no mdtraj; the import guard raises with a
+        clear message while ``to_numpy`` remains always available."""
+        try:
+            import mdtraj  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "to_mdtraj requires the optional mdtraj dependency; "
+                "use to_numpy() for raw arrays"
+            ) from e
+        import mdtraj as md
+        import numpy as np
+
+        xyz, time = self.to_numpy()
+        topo = md.Topology()
+        chain = topo.add_chain()
+        res = topo.add_residue("UNK", chain)
+        for i in range(xyz.shape[1]):
+            topo.add_atom(f"A{i}", md.element.carbon, res)
+        t = md.Trajectory(xyz, topo, time=np.asarray(time))
+        return t
+
     def cache(self) -> "Trajectory":
         self.coords.cache()
         return self

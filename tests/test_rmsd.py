@@ -1,0 +1,84 @@
+"""Frame-RMSD similarity search tests (operators/rmsd.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rmsd_traj(spark):
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    rng = np.random.default_rng(21)
+    base = rng.uniform(0, 3, (1, 40, 3)).astype(np.float32)
+    frames = [base[0]]
+    for _ in range(9):
+        frames.append(frames[-1] + rng.normal(0, 0.05, (40, 3)).astype(np.float32))
+    xyz = np.stack(frames)
+    return from_wide_pandas(spark, xyz), xyz
+
+
+def _golden_centered_rmsd(xyz, q):
+    p = xyz - xyz.mean(axis=1, keepdims=True)
+    qq = q - q.mean(axis=0, keepdims=True)
+    return np.sqrt(((p - qq) ** 2).sum(-1).mean(-1))
+
+
+def test_frame_rmsd_matches_golden(rmsd_traj):
+    from dask_traj_spark.operators.rmsd import frame_rmsd
+
+    traj, xyz = rmsd_traj
+    got = (
+        frame_rmsd(traj, 0).toPandas().set_index("frame_id").sort_index()["rmsd"]
+    )
+    want = _golden_centered_rmsd(
+        xyz.astype(np.float64), xyz[0].astype(np.float64)
+    )
+    # engine quantizes coords to 2^-12 → atol reflects the grid
+    np.testing.assert_allclose(got.to_numpy(), want, atol=2e-3)
+    assert got[0] < 1e-9  # self-RMSD exactly 0
+
+
+def test_rmsd_topk_orders_by_drift(rmsd_traj):
+    from dask_traj_spark.operators.rmsd import rmsd_topk
+
+    traj, _ = rmsd_traj
+    pdf = rmsd_topk(traj, 0, k=3).toPandas().sort_values("rank")
+    # random walk: nearest frames to frame 0 are the earliest ones
+    assert pdf["frame_id"].iloc[0] == 1
+    assert (pdf["rmsd"].diff().dropna() >= 0).all()
+
+
+def test_aligned_rmsd_invariant_to_rotation(spark):
+    """Kabsch RMSD must be ~0 for a rigidly rotated frame where the
+    centered (unaligned) RMSD is clearly nonzero."""
+    from dask_traj_spark.operators.rmsd import frame_rmsd, frame_rmsd_aligned
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    rng = np.random.default_rng(4)
+    a = rng.uniform(-1, 1, (30, 3))
+    th = 0.7
+    rot = np.array(
+        [
+            [np.cos(th), -np.sin(th), 0.0],
+            [np.sin(th), np.cos(th), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    xyz = np.stack([a, a @ rot.T]).astype(np.float32)
+    traj = from_wide_pandas(spark, xyz)
+
+    unaligned = (
+        frame_rmsd(traj, 0).toPandas().set_index("frame_id").sort_index()["rmsd"]
+    )
+    aligned = (
+        frame_rmsd_aligned(traj, 0)
+        .toPandas()
+        .set_index("frame_id")
+        .sort_index()["rmsd"]
+    )
+    assert unaligned[1] > 0.1
+    assert aligned[1] < 1e-3
+    assert aligned[0] < 1e-6
