@@ -368,6 +368,31 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+@register("v3_cosine_topk_ivf", _V1_ORACLE)
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN (train k-means centroids → assign clusters → probe →
+    broadcast-semi-join prefilter → exact rerank). Gated in the
+    full-probe configuration (nprobe == n_centroids → recall 1.0 →
+    identical to the exact-top-k oracle); partial-probe recall is
+    covered by the pytest suite."""
+    from dask_traj_spark.operators.similarity import cosine_topk_ivf
+
+    out = cosine_topk_ivf(
+        _emb(spark, sf_dir),
+        list(range(_N_QUERIES)),
+        k=_TOPK,
+        n_centroids=8,
+        nprobe=8,
+        rerank="sql",
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _emb_lsh_oracle(threshold: float) -> str:
     from dask_traj_spark.operators.similarity import _hyperplanes
 

@@ -214,6 +214,83 @@ def q_r5(spark, sf_dir):
 
 # ---------------------------------------------------------------- r6
 
+_R7_ORACLE = """
+SELECT n.n_name AS nation,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_cp,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+                AND n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("r7_regional_revenue", _R7_ORACLE)
+def q_r7(spark, sf_dir):
+    """TPC-H Q5-style 6-table join (local-supplier revenue by
+    nation): dims broadcast, lineitem the only shuffled side, one
+    partial+final agg — exactly the plan a 100 TB run needs."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            n,
+            (F.col("n_nationkey") == F.col("c_nationkey"))
+            & (F.col("n_nationkey") == F.col("s_nationkey")),
+        )
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+            "revenue_cp"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_R8_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("r8_cube_quantities", _R8_ORACLE)
+def q_r8(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — grouping-sets surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty_c",
+            "n",
+        )
+    )
+
+
 _R6_ORACLE = """
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 INTERSECT

@@ -35,7 +35,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else DEFAULT_SHUFFLE_PARTITIONS
 
+    # Python workers (UDFs, Python DataSources) unpickle classes from
+    # this package in separate processes; make sure they can import it
+    # even when the driver script added the repo to sys.path manually.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
+
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -37,9 +37,10 @@ SUPPORTED_EXTENSIONS = {
     ".xyz": "xyz",
     ".dcd": "dcd",
     ".xtc": "xtc",
+    ".trr": "trr",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".trr", ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
+    ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".crd",
     ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst", ".lammpstrj",
     ".gro", ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
@@ -86,6 +87,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.xtc import load_xtc
 
         return load_xtc(spark, path, **options)
+    if kind == "trr":
+        from dask_traj_spark.sources.trr import load_trr
+
+        return load_trr(spark, path, **options)
     raise AssertionError(kind)
 
 

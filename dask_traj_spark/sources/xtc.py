@@ -24,9 +24,12 @@ index; ``partitions()`` then gives chunked parallel reads exactly
 like the DCD/XYZ sources. Decoding runs inside partitions —
 parallel across frame-chunks.
 
-Writer: not implemented (compression); ``save_tables``/``write_dcd``
-are the engine's sinks. The reference itself cannot write any
-format either (SURVEY.md S11).
+``write_xtc`` emits VALID streams using the simple encoding the
+format allows — every atom as a whole-range triple with run-flag 0
+(no delta runs). Any conforming reader (including GROMACS tools and
+this module) decodes it; the trade-off is compression ratio, not
+validity. The reference itself cannot write any format (SURVEY.md
+S11).
 """
 
 from __future__ import annotations
@@ -241,6 +244,111 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
             small = MAGICINTS[smallidx] // 2
         sizesmall = [MAGICINTS[smallidx]] * 3
     return step, time, box, out
+
+
+class _BitWriter:
+    """Big-endian bit stream writer (inverse of _BitReader)."""
+
+    __slots__ = ("out", "acc", "nacc")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def bits(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.out.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def ints(self, nums: list[int], num_of_bits: int, sizes: tuple[int, int, int]) -> None:
+        """Inverse of _BitReader.ints: pack into one big int then
+        emit as 8-bit chunks, little-endian byte significance."""
+        big = (nums[0] * sizes[1] + nums[1]) * sizes[2] + nums[2]
+        nb = num_of_bits
+        while nb > 8:
+            self.bits(big & 0xFF, 8)
+            big >>= 8
+            nb -= 8
+        if nb > 0:
+            self.bits(big, nb)
+
+    def finish(self) -> bytes:
+        if self.nacc > 0:
+            self.out.append((self.acc << (8 - self.nacc)) & 0xFF)
+            self.acc = 0
+            self.nacc = 0
+        return bytes(self.out)
+
+
+def write_xtc(traj: Trajectory, path: str, precision: float = 1000.0) -> None:
+    """Sink: driver-side XTC export. Quantizes to ``precision``
+    (default 1/1000 nm — the GROMACS convention), encodes every atom
+    as a whole-range triple (run-flag 0). Box comes from the
+    trajectory's unitcell (vectors), identity-ish fallback when
+    absent."""
+    import numpy as np
+
+    xyz, time = traj.to_numpy()
+    n_frames, n_atoms, _ = xyz.shape
+    boxes = None
+    if traj.have_unitcell:
+        uc = traj.unitcell_vectors.orderBy("frame_id").toPandas()
+        boxes = uc[["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]].to_numpy(
+            dtype=np.float64
+        ).reshape(-1, 3, 3)
+    steps = np.arange(n_frames)
+
+    with open(path, "wb") as f:
+        for fid in range(n_frames):
+            f.write(struct.pack(">i", MAGIC))
+            f.write(struct.pack(">i", n_atoms))
+            f.write(struct.pack(">i", int(steps[fid])))
+            f.write(struct.pack(">f", float(time[fid]) if time is not None else float(fid)))
+            box = boxes[fid] if boxes is not None else np.zeros((3, 3))
+            for r in range(3):
+                for c in range(3):
+                    f.write(struct.pack(">f", float(box[r, c])))
+            f.write(struct.pack(">i", n_atoms))
+            if n_atoms <= 9:
+                f.write(struct.pack(f">{3 * n_atoms}f", *xyz[fid].ravel()))
+                continue
+            q = np.round(xyz[fid].astype(np.float64) * precision).astype(np.int64)
+            minint = q.min(axis=0)
+            maxint = q.max(axis=0)
+            sizeint = (maxint - minint + 1).tolist()
+            if any(s > 0xFFFFFF for s in sizeint):
+                bitsizeint = [int(s).bit_length() for s in sizeint]
+                bitsize = 0
+            else:
+                bitsizeint = [0, 0, 0]
+                bitsize = int(sizeint[0] * sizeint[1] * sizeint[2]).bit_length()
+            smallidx = FIRSTIDX  # no delta runs emitted; any valid idx
+            f.write(struct.pack(">f", float(precision)))
+            for d in range(3):
+                f.write(struct.pack(">i", int(minint[d])))
+            for d in range(3):
+                f.write(struct.pack(">i", int(maxint[d])))
+            f.write(struct.pack(">i", smallidx))
+            bw = _BitWriter()
+            rel = q - minint
+            for a in range(n_atoms):
+                if bitsize == 0:
+                    for d in range(3):
+                        bw.bits(int(rel[a, d]), bitsizeint[d])
+                else:
+                    bw.ints([int(rel[a, 0]), int(rel[a, 1]), int(rel[a, 2])],
+                            bitsize, tuple(sizeint))
+                bw.bits(0, 1)  # run flag 0: no delta run follows
+            data = bw.finish()
+            f.write(struct.pack(">i", len(data)))
+            f.write(data)
+            pad = (-len(data)) % 4
+            if pad:
+                f.write(b"\x00" * pad)
 
 
 def _decode_range(path: str, offsets: list[tuple[int, int]]):

@@ -136,6 +136,31 @@ class TestSimilarity:
         assert list(a["vec_id"]) == list(b["vec_id"])
         np.testing.assert_allclose(a["cos"], b["cos"], atol=1e-4)
 
+    def test_ivf_topk_finds_planted_neighbor(self, emb):
+        from dask_traj_spark.operators.similarity import cosine_topk_ivf
+
+        pdf = (
+            cosine_topk_ivf(emb, [0], k=3, n_centroids=4, nprobe=2)
+            .toPandas()
+            .sort_values("rank")
+        )
+        # planted near-duplicate (vec 1) shares vec 0's cluster
+        assert pdf["vec_id"].iloc[0] == 1
+        assert pdf["cos"].iloc[0] > 0.99
+
+    def test_ivf_recall_vs_brute_force(self, emb):
+        from dask_traj_spark.operators.similarity import (
+            cosine_topk_ivf,
+            cosine_topk_vectorized,
+        )
+
+        brute = cosine_topk_vectorized(emb, [0, 5], k=5).toPandas()
+        ivf = cosine_topk_ivf(emb, [0, 5], k=5, n_centroids=4, nprobe=4).toPandas()
+        # nprobe == n_centroids → exhaustive → identical result sets
+        b = set(zip(brute["qid"], brute["vec_id"]))
+        a = set(zip(ivf["qid"], ivf["vec_id"]))
+        assert a == b
+
     def test_lsh_neardup_finds_planted_pair(self, emb):
         from dask_traj_spark.operators.similarity import (
             near_duplicates_embedding_lsh,

@@ -87,8 +87,50 @@ def test_spark_load_xtc(spark):
     assert (pdf["dist"] > 0).all() and (pdf["dist"] < 1.0).all()
 
 
+def test_xtc_write_read_round_trip(spark, tmp_path):
+    """write_xtc (whole-range-triple encoding) → load_xtc recovers
+    coordinates to the quantization grid, box, and times."""
+    import dask_traj_spark as dts
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+    from dask_traj_spark.sources.xtc import write_xtc
+
+    rng = np.random.default_rng(13)
+    xyz = rng.uniform(-2, 5, (7, 50, 3)).astype(np.float32)
+    traj = from_wide_pandas(
+        spark,
+        xyz,
+        time=np.arange(7) * 10.0,
+        unitcell_lengths=np.full((7, 3), 7.0),
+        unitcell_angles=np.tile([90.0, 90.0, 90.0], (7, 1)),
+    )
+    p = str(tmp_path / "rt.xtc")
+    write_xtc(traj, p)
+
+    back = dts.load(spark, p, chunks=3)
+    assert back.n_frames == 7 and back.n_atoms == 50
+    got, t = back.to_numpy()
+    np.testing.assert_allclose(got, xyz, atol=6e-4)  # 1/1000 nm grid
+    np.testing.assert_allclose(t, np.arange(7) * 10.0)
+    la = back.unitcell_lengths_angles.where(F.col("frame_id") == 2).first()
+    np.testing.assert_allclose(la["a"], 7.0, atol=1e-5)
+
+
+def test_xtc_write_tiny_uncompressed(spark, tmp_path):
+    """≤9 atoms takes the plain-floats branch of the container."""
+    import dask_traj_spark as dts
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+    from dask_traj_spark.sources.xtc import write_xtc
+
+    xyz = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3) / 7.0
+    traj = from_wide_pandas(spark, xyz)
+    p = str(tmp_path / "tiny.xtc")
+    write_xtc(traj, p)
+    got, _ = dts.load(spark, p).to_numpy()
+    np.testing.assert_allclose(got, xyz, atol=1e-6)
+
+
 def test_unknown_format_still_raises(spark):
     import dask_traj_spark as dts
 
     with pytest.raises(NotImplementedError):
-        dts.load(spark, "/tmp/nope.trr")
+        dts.load(spark, "/tmp/nope.binpos")
