@@ -192,17 +192,11 @@ try:  # Spark >= 4.0 Python DataSource API
             ]
 
         def read(self, partition):
-            for fid, xyz in _read_frames(
-                self.path, self.info, partition.start, partition.count
-            ):
-                for atom_id in range(xyz.shape[0]):
-                    yield (
-                        int(fid),
-                        int(atom_id),
-                        float(xyz[atom_id, 0]),
-                        float(xyz[atom_id, 1]),
-                        float(xyz[atom_id, 2]),
-                    )
+            from dask_traj_spark.sources._arrow import frames_to_record_batches
+
+            yield from frames_to_record_batches(
+                _read_frames(self.path, self.info, partition.start, partition.count)
+            )
 
     class DCDDataSource(DataSource):
         """``spark.read.format("dcdtraj").option("chunks", N).load(p)``"""

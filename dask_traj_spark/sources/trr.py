@@ -173,17 +173,14 @@ try:  # Spark >= 4.0 Python DataSource API
             ]
 
         def read(self, partition):
-            for fid, _step, _t, _box, xyz in _read_frames(
-                self.path, self.info, partition.start, partition.count
-            ):
-                for atom_id in range(xyz.shape[0]):
-                    yield (
-                        int(fid),
-                        int(atom_id),
-                        float(xyz[atom_id, 0]),
-                        float(xyz[atom_id, 1]),
-                        float(xyz[atom_id, 2]),
-                    )
+            from dask_traj_spark.sources._arrow import frames_to_record_batches
+
+            yield from frames_to_record_batches(
+                (fid, xyz)
+                for fid, _step, _t, _box, xyz in _read_frames(
+                    self.path, self.info, partition.start, partition.count
+                )
+            )
 
     class TRRDataSource(DataSource):
         """``spark.read.format("trrtraj").option("chunks", N).load(p)``"""

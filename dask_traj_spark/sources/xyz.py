@@ -52,22 +52,33 @@ def index_xyz(path: str) -> list[tuple[int, int, int]]:
     return frames
 
 
-def _decode_frames(path: str, specs: list[tuple[int, int, int]], scale: float):
-    """Yield (frame_id, atom_id, x, y, z) rows for the given frame specs."""
+def _decode_frame_arrays(path: str, specs: list[tuple[int, int, int]], scale: float):
+    """Yield (frame_id, xyz (n, 3) float32) for the given frame specs."""
+    import numpy as np
+
     with open(path, "rb") as f:
         for fid, offset, n in specs:
             f.seek(offset)
             f.readline()  # n_atoms
             f.readline()  # comment
-            for atom_id in range(n):
-                parts = f.readline().split()
-                yield (
-                    int(fid),
-                    int(atom_id),
-                    float(parts[1]) * scale,
-                    float(parts[2]) * scale,
-                    float(parts[3]) * scale,
-                )
+            rows = [f.readline().split()[1:4] for _ in range(n)]
+            # parse + scale in float64 then narrow, matching the
+            # row-path semantics (f64 product cast to FLOAT on ingest)
+            xyz = (np.array(rows, dtype=np.float64) * scale).astype(np.float32)
+            yield fid, xyz
+
+
+def _decode_frames(path: str, specs: list[tuple[int, int, int]], scale: float):
+    """Yield (frame_id, atom_id, x, y, z) rows for the given frame specs."""
+    for fid, xyz in _decode_frame_arrays(path, specs, scale):
+        for atom_id in range(xyz.shape[0]):
+            yield (
+                int(fid),
+                int(atom_id),
+                float(xyz[atom_id, 0]),
+                float(xyz[atom_id, 1]),
+                float(xyz[atom_id, 2]),
+            )
 
 
 try:  # Spark >= 4.0 Python DataSource API
@@ -91,7 +102,11 @@ try:  # Spark >= 4.0 Python DataSource API
             ]
 
         def read(self, partition):
-            yield from _decode_frames(self.path, partition.specs, self.scale)
+            from dask_traj_spark.sources._arrow import frames_to_record_batches
+
+            yield from frames_to_record_batches(
+                _decode_frame_arrays(self.path, partition.specs, self.scale)
+            )
 
     class XYZDataSource(DataSource):
         """``spark.read.format("xyztraj").option("chunks", N).load(p)``"""
