@@ -581,6 +581,80 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+_E3_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_c, event_type
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts_us, 0 AS side, event_id AS tie,
+         ts_us AS m_ts, event_id AS m_id, value_c AS m_val,
+         CAST(NULL AS BIGINT) AS click_id
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts_us, 1, 0, NULL, NULL, NULL, event_id
+  FROM ev WHERE event_type = 'click'
+),
+filled AS (
+  SELECT user_id, ts_us, side, click_id,
+         last_value(m_ts IGNORE NULLS) OVER w AS purchase_us,
+         last_value(m_id IGNORE NULLS) OVER w AS purchase_id,
+         last_value(m_val IGNORE NULLS) OVER w AS value_c
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts_us AS click_us, click_id, purchase_us, purchase_id, value_c
+FROM filled WHERE side = 1
+"""
+
+
+@register("e3_asof_last_purchase", _E3_ORACLE)
+def q_asof_last_purchase(spark, sf_dir):
+    """Keyed as-of join (point-in-time lookup): every click event
+    gets the user's most recent purchase at-or-before it — the
+    union+running-last operator from ``operators/asof.py`` (one
+    shuffle total; no built-in Spark equivalent)."""
+    from dask_traj_spark.operators.asof import asof_join
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_us"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("purch_us"),
+        F.col("event_id").alias("purchase_id"),
+        "value_c",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        left_on="click_us",
+        right_on="purch_us",
+        left_by="user_id",
+        right_by="user_id",
+        payload=["purchase_id", "value_c"],
+        tie="purchase_id",
+    )
+    return out.select(
+        "user_id",
+        "click_us",
+        "click_id",
+        F.col("purch_us_matched").alias("purchase_us"),
+        "purchase_id",
+        "value_c",
+    )
+
+
 # ---------------------------------------------------------------------
 # trajectory similarity search (frame RMSD — SURVEY.md §7.5b)
 # ---------------------------------------------------------------------

@@ -148,6 +148,28 @@ def streaming_position_ema(coords: DataFrame, alpha: float = 0.2) -> DataFrame:
 # ----------------------------------------------- event-stream demo
 
 
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based, dynamic length) via the
+    native ``session_window`` streaming aggregate — the streaming
+    twin of the batch e2 sessionization (lag/sum window form). State
+    is a per-(user, open-session) aggregate that merges as events
+    arrive and finalizes once the watermark passes the session gap.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_event_window_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -140,3 +140,62 @@ def test_streaming_event_windows(spark):
     assert len(got) > 0
     merged = got.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
     assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_streaming_session_windows(spark):
+    """Native session_window streaming agg vs the batch gap
+    sessionization: every watermark-closed session must match a
+    batch session exactly (same start, end - gap, count)."""
+    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.streaming.ingest import streaming_session_windows
+
+    import shutil
+    import tempfile
+
+    src = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_schema = spark.read.parquet(f"{src}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="events_sess_")
+    shutil.copy(f"{src}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    s = streaming_session_windows(stream, gap="30 minutes")
+    _run_to_memory(s, "sess_stream", "append")
+    got = spark.sql("SELECT * FROM sess_stream").toPandas()
+    assert len(got) > 0
+
+    # batch twin: gap sessionization over the same events
+    from pyspark.sql import Window
+
+    ev = events_df(spark, src).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    batch = (
+        ev.withColumn(
+            "session_no",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+        .toPandas()
+    )
+    merged = got.merge(
+        batch, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    # every emitted (closed) session matches its batch twin's count
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
