@@ -655,6 +655,80 @@ def q_asof_last_purchase(spark, sf_dir):
     )
 
 
+_E4_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type FROM events
+),
+ordered AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts_us, event_id,
+         sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+),
+intervals AS (
+  SELECT user_id, session_no, min(ts_us) AS lo, max(ts_us) AS hi
+  FROM sess GROUP BY user_id, session_no
+),
+errors AS (SELECT event_id, ts_us FROM ev WHERE event_type = 'error')
+SELECT e.event_id, e.ts_us, count(*) AS n_overlap
+FROM errors e JOIN intervals i ON e.ts_us >= i.lo AND e.ts_us <= i.hi
+GROUP BY e.event_id, e.ts_us
+"""
+
+
+@register("e4_session_concurrency", _E4_ORACLE)
+def q_session_concurrency(spark, sf_dir):
+    """Range (interval) join via binning: for every error event,
+    count the gap-sessions (all users) concurrently open at that
+    instant. The binned equi-join from ``operators/rangejoin.py``
+    replaces the O(|L|·|R|) nested-loop a naive BETWEEN join plans."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.operators.rangejoin import overlap_count
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_sess = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    intervals = (
+        ev.withColumn(
+            "session_no",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+        .select("lo", "hi")
+    )
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "ts_us")
+    return overlap_count(
+        errors,
+        intervals,
+        "ts_us",
+        "lo",
+        "hi",
+        bin_width=3_600_000_000,  # 1-hour bins ≈ median session span
+        group_cols=["event_id", "ts_us"],
+    )
+
+
 # ---------------------------------------------------------------------
 # trajectory similarity search (frame RMSD — SURVEY.md §7.5b)
 # ---------------------------------------------------------------------
