@@ -1,0 +1,80 @@
+"""Bucketed coords tables: round-trip, co-located self-join with no
+exchange, correctness of displacements vs a direct computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_traj_spark.sources.bucketed import (
+    frame_displacements_bucketed,
+    save_coords_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_table(spark, traj_triclinic, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bucketed") / "coords_b")
+    save_coords_bucketed(
+        traj_triclinic.coords, "coords_bucketed_test", path, n_buckets=8
+    )
+    yield "coords_bucketed_test"
+    spark.sql("DROP TABLE IF EXISTS coords_bucketed_test")
+
+
+def test_round_trip_count(spark, traj_triclinic, bucketed_table):
+    n = spark.table(bucketed_table).count()
+    assert n == traj_triclinic.coords.count()
+
+
+def test_displacement_window_has_no_exchange(spark, bucketed_table):
+    out = frame_displacements_bucketed(spark, bucketed_table)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" in plan
+
+
+def test_rmsf_agg_and_join_have_no_exchange(spark, bucketed_table):
+    from dask_traj_spark.sources.bucketed import rmsf_bucketed
+
+    out = rmsf_bucketed(spark, bucketed_table)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_rmsf_matches_direct(spark, traj_triclinic, bucketed_table):
+    from dask_traj_spark.sources.bucketed import rmsf_bucketed
+
+    got = (
+        rmsf_bucketed(spark, bucketed_table)
+        .where(F.col("atom_id") == 3)
+        .first()["rmsf"]
+    )
+    pdf = (
+        traj_triclinic.coords.where(F.col("atom_id") == 3)
+        .toPandas()[["x", "y", "z"]]
+        .to_numpy()
+    )
+    want = np.sqrt(((pdf - pdf.mean(axis=0)) ** 2).sum(axis=1).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_displacements_match_direct(spark, traj_triclinic, bucketed_table):
+    out = (
+        frame_displacements_bucketed(spark, bucketed_table)
+        .where((F.col("atom_id") == 7) & (F.col("frame_id") < 5))
+        .orderBy("frame_id")
+        .toPandas()
+    )
+    direct = (
+        traj_triclinic.coords.where(
+            (F.col("atom_id") == 7) & (F.col("frame_id") < 6)
+        )
+        .orderBy("frame_id")
+        .toPandas()
+    )
+    got = out[["dx", "dy", "dz"]].to_numpy()
+    want = np.diff(direct[["x", "y", "z"]].to_numpy(), axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
