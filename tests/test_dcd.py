@@ -90,3 +90,33 @@ def test_dcd_rejects_garbage(tmp_path):
     p.write_bytes(b"\x00" * 100)
     with pytest.raises(ValueError):
         read_info(str(p))
+
+
+def test_dcd_parts_sink_and_merge(spark, tmp_path):
+    """Distributed parts sink → driver merge → single-file re-load
+    matches the original trajectory."""
+    import numpy as np
+
+    import dask_traj_spark as dts
+    from dask_traj_spark.sources.dcd import merge_dcd_parts, write_dcd_parts
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    rng = np.random.default_rng(23)
+    xyz = rng.uniform(-1, 4, (11, 40, 3)).astype(np.float32)
+    traj = from_wide_pandas(
+        spark,
+        xyz,
+        unitcell_lengths=np.full((11, 3), 5.0),
+        unitcell_angles=np.tile([90.0, 90.0, 90.0], (11, 1)),
+    )
+    d = str(tmp_path / "parts")
+    manifest = write_dcd_parts(traj, d, frames_per_part=4)
+    assert [m[0] for m in manifest] == [0, 1, 2]
+    assert [m[2] for m in manifest] == [4, 4, 3]
+
+    out = str(tmp_path / "merged.dcd")
+    merge_dcd_parts(d, out)
+    back = dts.load(spark, out, chunks=5)
+    assert back.n_frames == 11 and back.n_atoms == 40
+    got, _ = back.to_numpy()
+    np.testing.assert_allclose(got, xyz, atol=2e-6)
