@@ -291,6 +291,84 @@ def q_r8(spark, sf_dir):
     )
 
 
+_R9_ORACLE = """
+WITH avg_bal AS (
+    SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       count(*) AS numcust,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+FROM customer c, avg_bal
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c.c_nationkey
+"""
+
+
+@register("r9_rich_inactive_customers", _R9_ORACLE)
+def q_r9(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global average balance,
+    broadcast single-row) + anti join against orders (customers with
+    no orders) + aggregate. The anti join shuffles on custkey;
+    everything else is broadcast."""
+    c = _t(spark, sf_dir, "customer").withColumn("bal_c", _cents("c_acctbal"))
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("bal_c").alias("ab"))
+    )
+    cand = c.crossJoin(F.broadcast(avg_bal)).where(F.col("bal_c") > F.col("ab"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    inactive = cand.join(recent, "c_custkey", "left_anti")
+    return inactive.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_c").alias("totacctbal_c"),
+    )
+
+
+_R10_ORACLE = """
+WITH q AS (
+    SELECT l_partkey,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem
+),
+a AS (SELECT l_partkey, avg(qty_c) AS avg_qty_c FROM q GROUP BY l_partkey)
+SELECT q.l_partkey AS partkey, sum(q.price_c) AS revenue_c, count(*) AS n
+FROM q JOIN a USING (l_partkey)
+WHERE CAST(q.qty_c AS DOUBLE) < a.avg_qty_c / 5
+GROUP BY q.l_partkey
+"""
+
+
+@register("r10_small_qty_revenue", _R10_ORACLE)
+def q_r10(spark, sf_dir):
+    """TPC-H Q17 shape (rows below 20% of their part's average
+    quantity). The oracle writes it as agg + self-join; the Spark
+    form is a window average over the SAME partitioning — one
+    shuffle on l_partkey, no join node at all."""
+    q = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        q.withColumn("avg_qty_c", F.avg("qty_c").over(w))
+        .where(F.col("qty_c").cast("double") < F.col("avg_qty_c") / 5)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("price_c").alias("revenue_c"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 _R6_ORACLE = """
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 INTERSECT
