@@ -41,7 +41,7 @@ def displacements_np(
             [box[:, 0, 0], box[:, 1, 1], box[:, 2, 2]], axis=-1
         )[:, None, :]  # (B, 1, 3)
         q = d / L
-        np.round(q, out=q)
+        np.rint(q, out=q)
         q *= L
         d -= q
         return d.astype(np.float32, copy=False)
@@ -52,7 +52,7 @@ def displacements_np(
         )[:, None, :]  # (b, 1, 3)
         dd = d[ortho]
         q = dd / L
-        np.round(q, out=q)
+        np.rint(q, out=q)
         q *= L
         dd -= q
         out[ortho] = dd
@@ -67,9 +67,9 @@ def _triclinic_mic(d: np.ndarray, box: np.ndarray) -> np.ndarray:
     a = box[:, 0][:, None, :]  # (B,1,3)
     b = box[:, 1][:, None, :]
     c = box[:, 2][:, None, :]
-    d = d - c * np.round(d[..., 2:3] / c[..., 2:3])
-    d = d - b * np.round(d[..., 1:2] / b[..., 1:2])
-    d = d - a * np.round(d[..., 0:1] / a[..., 0:1])
+    d = d - c * np.rint(d[..., 2:3] / c[..., 2:3])
+    d = d - b * np.rint(d[..., 1:2] / b[..., 1:2])
+    d = d - a * np.rint(d[..., 0:1] / a[..., 0:1])
     best = d.copy()
     best_n2 = (best ** 2).sum(-1)
     for si in (-1, 0, 1):
