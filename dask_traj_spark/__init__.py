@@ -21,6 +21,7 @@ from dask_traj_spark.session import get_spark
 from dask_traj_spark.trajectory import Trajectory
 from dask_traj_spark.sources.loaders import (
     load,
+    load_multi,
     load_tables,
     load_frame_range,
     save_tables,
@@ -46,6 +47,7 @@ __all__ = [
     "get_spark",
     "Trajectory",
     "load",
+    "load_multi",
     "load_tables",
     "load_frame_range",
     "save_tables",

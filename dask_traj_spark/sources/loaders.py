@@ -94,6 +94,36 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
     raise AssertionError(kind)
 
 
+def load_multi(
+    spark: SparkSession,
+    paths: "list[str] | str",
+    chunks: int = 100,
+    check_topology: bool = False,
+    **options,
+) -> Trajectory:
+    """Load a sequence of trajectory files (a glob pattern or an
+    explicit ordered list) as ONE trajectory, frames renumbered
+    across the file boundary.
+
+    The reference is single-file; at real scale a trajectory is
+    always a directory of segment files. Each file keeps its own
+    chunked DataSource scan (per-file partitions ⇒ parallel decode
+    across files AND chunks); concatenation is the lazy UNION ALL of
+    ``Trajectory.join`` (U1), so nothing materializes here.
+    """
+    import glob as _glob
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths))
+    if not paths:
+        raise ValueError("load_multi: no input files")
+    trajs = [load(spark, p, chunks=chunks, **options) for p in paths]
+    out = trajs[0]
+    for t in trajs[1:]:
+        out = out.join(t, check_topology=check_topology)
+    return out
+
+
 def _extension(path: str) -> str:
     base = os.path.basename(path.rstrip("/"))
     if "." not in base:

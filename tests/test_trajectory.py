@@ -142,3 +142,25 @@ def test_unitcell_lazy_derivation(spark, traj_triclinic):
         [6.8555, 6.8555, 6.8555, 60.0, 60.0, 90.0],
         atol=1e-3,
     )
+
+
+def test_load_multi_concatenates_files(spark, tmp_path):
+    """A glob of segment files loads as one trajectory with frames
+    renumbered across the boundary (the multi-file form of U1)."""
+    import numpy as np
+
+    import dask_traj_spark as dts
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+    from dask_traj_spark.sources.trr import write_trr
+
+    rng = np.random.default_rng(3)
+    seg = [rng.uniform(0, 3, (n, 12, 3)).astype(np.float32) for n in (4, 3, 5)]
+    for i, xyz in enumerate(seg):
+        write_trr(
+            from_wide_pandas(spark, xyz, time=np.arange(len(xyz)) * 1.0),
+            str(tmp_path / f"seg{i}.trr"),
+        )
+    traj = dts.load_multi(spark, str(tmp_path / "seg*.trr"), chunks=2)
+    assert traj.n_frames == 12 and traj.n_atoms == 12
+    got, _ = traj.to_numpy()
+    np.testing.assert_array_equal(got, np.concatenate(seg, axis=0))
