@@ -124,13 +124,25 @@ def _read_meta(path: str, info: TRRInfo):
 def write_trr(traj: Trajectory, path: str) -> None:
     """Sink: driver-side float32 x-only TRR export."""
     xyz, time = traj.to_numpy()
-    n_frames, n_atoms, _ = xyz.shape
     boxes = None
     if traj.have_unitcell:
         uc = traj.unitcell_vectors.orderBy("frame_id").toPandas()
         boxes = uc[["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]].to_numpy(
             dtype=np.float64
         ).reshape(-1, 3, 3)
+    _write_trr_file(path, xyz, time, boxes)
+
+
+def _write_trr_file(
+    path: str,
+    xyz: "np.ndarray",
+    time: "np.ndarray | None",
+    boxes: "np.ndarray | None",
+    step_offset: int = 0,
+) -> None:
+    """Serialize one standalone TRR file (per-frame headers, so
+    part files concatenate by byte append)."""
+    n_frames, n_atoms, _ = xyz.shape
     with open(path, "wb") as f:
         for fid in range(n_frames):
             f.write(struct.pack(">i", MAGIC))
@@ -145,8 +157,9 @@ def write_trr(traj: Trajectory, path: str) -> None:
                     ">10i", 0, 0, box_size, 0, 0, 0, 0, x_size, 0, 0
                 )
             )
-            f.write(struct.pack(">3i", n_atoms, fid, 0))
-            f.write(struct.pack(">2f", float(time[fid]), 0.0))
+            f.write(struct.pack(">3i", n_atoms, step_offset + fid, 0))
+            t = float(time[fid]) if time is not None else float(step_offset + fid)
+            f.write(struct.pack(">2f", t, 0.0))
             if boxes is not None:
                 f.write(struct.pack(">9f", *boxes[fid].ravel()))
             f.write(xyz[fid].astype(">f4").tobytes())

@@ -384,21 +384,35 @@ def write_xtc(traj: Trajectory, path: str, precision: float = 1000.0) -> None:
     import numpy as np
 
     xyz, time = traj.to_numpy()
-    n_frames, n_atoms, _ = xyz.shape
     boxes = None
     if traj.have_unitcell:
         uc = traj.unitcell_vectors.orderBy("frame_id").toPandas()
         boxes = uc[["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]].to_numpy(
             dtype=np.float64
         ).reshape(-1, 3, 3)
-    steps = np.arange(n_frames)
+    _write_xtc_file(path, xyz, time, boxes, precision)
+
+
+def _write_xtc_file(
+    path: str,
+    xyz: "np.ndarray",
+    time: "np.ndarray | None",
+    boxes: "np.ndarray | None",
+    precision: float = 1000.0,
+    step_offset: int = 0,
+) -> None:
+    """Serialize one standalone XTC file (frames are self-framed, so
+    part files concatenate by byte append)."""
+    import numpy as np
+
+    n_frames, n_atoms, _ = xyz.shape
 
     with open(path, "wb") as f:
         for fid in range(n_frames):
             f.write(struct.pack(">i", MAGIC))
             f.write(struct.pack(">i", n_atoms))
-            f.write(struct.pack(">i", int(steps[fid])))
-            f.write(struct.pack(">f", float(time[fid]) if time is not None else float(fid)))
+            f.write(struct.pack(">i", int(step_offset + fid)))
+            f.write(struct.pack(">f", float(time[fid]) if time is not None else float(step_offset + fid)))
             box = boxes[fid] if boxes is not None else np.zeros((3, 3))
             for r in range(3):
                 for c in range(3):
