@@ -65,6 +65,7 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
             spark = get_spark()
     else:
         spark = spark_or_path
+    top = options.pop("top", None)
     ext = _extension(path)
     kind = SUPPORTED_EXTENSIONS.get(ext)
     if kind is None:
@@ -74,24 +75,41 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
             )
         raise NotImplementedError(f"Unknown trajectory format {ext!r}")
     if kind == "parquet_dir":
-        return load_tables(spark, path)
-    if kind == "xyz":
+        traj = load_tables(spark, path)
+    elif kind == "xyz":
         from dask_traj_spark.sources.xyz import load_xyz
 
-        return load_xyz(spark, path, **options)
-    if kind == "dcd":
+        traj = load_xyz(spark, path, **options)
+    elif kind == "dcd":
         from dask_traj_spark.sources.dcd import load_dcd
 
-        return load_dcd(spark, path, **options)
-    if kind == "xtc":
+        traj = load_dcd(spark, path, **options)
+    elif kind == "xtc":
         from dask_traj_spark.sources.xtc import load_xtc
 
-        return load_xtc(spark, path, **options)
-    if kind == "trr":
+        traj = load_xtc(spark, path, **options)
+    elif kind == "trr":
         from dask_traj_spark.sources.trr import load_trr
 
-        return load_trr(spark, path, **options)
-    raise AssertionError(kind)
+        traj = load_trr(spark, path, **options)
+    else:
+        raise AssertionError(kind)
+    if top is not None:
+        # reference S1: load(traj, top=...) parses the topology file
+        # eagerly and validates it against the trajectory
+        # (core/dask_traj.py:80-83 — without reproducing its
+        # unbound-name bug on topology-bearing extensions, §8)
+        from dask_traj_spark.sources.topology import load_topology
+
+        tdf = load_topology(spark, top)
+        n_top = tdf.count()
+        if n_top != traj.n_atoms:
+            raise ValueError(
+                f"topology has {n_top} atoms but trajectory has "
+                f"{traj.n_atoms}"
+            )
+        traj.topology = tdf
+    return traj
 
 
 def load_multi(
