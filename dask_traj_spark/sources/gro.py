@@ -1,0 +1,192 @@
+"""GRO (GROMACS coordinate) trajectory source — text, multi-frame.
+
+Reference parity: ``file_returns['.gro'] = [xyz, time,
+unitcell_vectors]`` (core/dask_traj.py:49). Frame block layout
+(public GROMACS spec, fixed columns):
+
+- title line (optionally ``... t= <time ps>``),
+- atom count,
+- one line per atom: resid[0:5] resname[5:10] name[10:15]
+  serial[15:20] x y z (%8.3f each, nm) [vx vy vz],
+- box line: ``v1x v2y v3z [v1y v1z v2x v2z v3x v3y]`` (free format).
+
+Like the XYZ source: one driver index pass records per-frame byte
+offsets (plus time and box, which live in the frame header/footer —
+no coordinate parsing), then the DataSource decodes frame chunks in
+parallel and yields Arrow RecordBatches. GRO is topology-bearing:
+``load_gro`` attaches the topology parsed from the first frame
+(the reference instead hits an unbound-name bug on topology-bearing
+extensions — SURVEY.md §8; we do the right thing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from dask_traj_spark.trajectory import Trajectory
+
+
+def _parse_time(title: str) -> float | None:
+    if " t=" in title:
+        try:
+            return float(title.rsplit("t=", 1)[1].split()[0])
+        except (ValueError, IndexError):
+            return None
+    return None
+
+
+def _parse_box(line: str) -> np.ndarray:
+    """GROMACS box line → (3,3) row-vector matrix."""
+    v = [float(x) for x in line.split()]
+    m = np.zeros((3, 3))
+    m[0, 0], m[1, 1], m[2, 2] = v[0], v[1], v[2]
+    if len(v) >= 9:
+        m[0, 1], m[0, 2] = v[3], v[4]
+        m[1, 0], m[1, 2] = v[5], v[6]
+        m[2, 0], m[2, 1] = v[7], v[8]
+    return m
+
+
+def index_gro(path: str) -> list[tuple[int, int, int, float | None, np.ndarray]]:
+    """One pass → [(frame_id, byte_offset, n_atoms, time|None,
+    box (3,3))]; coordinates are skipped, not parsed."""
+    frames = []
+    with open(path, "rb") as f:
+        fid = 0
+        while True:
+            start = f.tell()
+            title = f.readline()
+            if not title.strip():
+                break
+            n = int(f.readline().strip())
+            for _ in range(n):
+                f.readline()
+            box = _parse_box(f.readline().decode())
+            t = _parse_time(title.decode(errors="replace"))
+            frames.append((fid, start, n, t, box))
+            fid += 1
+    return frames
+
+
+def _decode_frame_arrays(path: str, specs):
+    """specs: [(frame_id, offset, n_atoms)] → yield (frame_id,
+    xyz (n,3) float32 nm)."""
+    with open(path, "rb") as f:
+        for fid, offset, n in specs:
+            f.seek(offset)
+            f.readline()  # title
+            f.readline()  # count
+            rows = []
+            for _ in range(n):
+                line = f.readline()
+                rows.append((line[20:28], line[28:36], line[36:44]))
+            xyz = np.array(rows, dtype=np.float64).astype(np.float32)
+            yield fid, xyz
+
+
+try:  # Spark >= 4.0 Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _GROPartition(InputPartition):
+        def __init__(self, specs):
+            self.specs = specs
+
+    class GRODataSourceReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.path = options.get("path")
+            self.chunks = int(options.get("chunks", 10))
+
+        def partitions(self):
+            idx = [(fid, off, n) for fid, off, n, _t, _b in index_gro(self.path)]
+            return [
+                _GROPartition(idx[i : i + self.chunks])
+                for i in range(0, len(idx), self.chunks)
+            ]
+
+        def read(self, partition):
+            from dask_traj_spark.sources._arrow import frames_to_record_batches
+
+            yield from frames_to_record_batches(
+                _decode_frame_arrays(self.path, partition.specs)
+            )
+
+    class GRODataSource(DataSource):
+        """``spark.read.format("grotraj").option("chunks", N).load(p)``"""
+
+        @classmethod
+        def name(cls):
+            return "grotraj"
+
+        def schema(self):
+            return "frame_id long, atom_id int, x float, y float, z float"
+
+        def reader(self, schema):
+            return GRODataSourceReader(schema, self.options)
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_DATASOURCE_API = False
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    if HAVE_DATASOURCE_API and id(spark) not in _REGISTERED:
+        spark.dataSource.register(GRODataSource)
+        _REGISTERED.add(id(spark))
+
+
+def load_gro(spark: SparkSession, path: str, chunks: int = 10) -> Trajectory:
+    """Load a (multi-frame) .gro file: chunked lazy coords scan,
+    driver-side time/box index, topology from the first frame."""
+    idx = index_gro(path)
+    if not idx:
+        raise ValueError(f"empty GRO file: {path}")
+    if HAVE_DATASOURCE_API:
+        register(spark)
+        coords = (
+            spark.read.format("grotraj")
+            .option("path", path)
+            .option("chunks", str(chunks))
+            .load()
+        )
+    else:  # pragma: no cover
+        import pandas as pd
+
+        rows = [
+            (fid, aid, float(x), float(y), float(z))
+            for fid, xyz in _decode_frame_arrays(
+                path, [(f, o, n) for f, o, n, _t, _b in idx]
+            )
+            for aid, (x, y, z) in enumerate(xyz)
+        ]
+        coords = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["frame_id", "atom_id", "x", "y", "z"]),
+            schema="frame_id long, atom_id int, x float, y float, z float",
+        )
+    # time: from 't=' titles when present, else the arange fallback
+    # (reference S8, core/dask_traj.py:267-273)
+    frames = spark.createDataFrame(
+        [
+            (fid, float(t) if t is not None else float(fid), fid)
+            for fid, _o, _n, t, _b in idx
+        ],
+        "frame_id long, time double, step long",
+    )
+    unitcell = None
+    if any(np.abs(b).sum() > 0 for _f, _o, _n, _t, b in idx):
+        unitcell = spark.createDataFrame(
+            [
+                (fid, *[float(v) for v in box.ravel()])
+                for fid, _o, _n, _t, box in idx
+            ],
+            "frame_id long, ax float, ay float, az float, bx float, by float, "
+            "bz float, cx float, cy float, cz float",
+        )
+    from dask_traj_spark.sources.topology import load_topology
+
+    traj = Trajectory(coords, frames=frames, unitcell=unitcell)
+    traj.topology = load_topology(spark, path)
+    return traj

@@ -38,12 +38,13 @@ SUPPORTED_EXTENSIONS = {
     ".dcd": "dcd",
     ".xtc": "xtc",
     ".trr": "trr",
+    ".gro": "gro",
 }
 KNOWN_UNIMPLEMENTED = {
     ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".crd",
     ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst", ".lammpstrj",
-    ".gro", ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
+    ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
 }
 
 
@@ -92,6 +93,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.trr import load_trr
 
         traj = load_trr(spark, path, **options)
+    elif kind == "gro":
+        from dask_traj_spark.sources.gro import load_gro
+
+        traj = load_gro(spark, path, **options)
     else:
         raise AssertionError(kind)
     if top is not None:
