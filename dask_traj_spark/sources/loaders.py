@@ -39,11 +39,13 @@ SUPPORTED_EXTENSIONS = {
     ".xtc": "xtc",
     ".trr": "trr",
     ".gro": "gro",
+    ".binpos": "binpos",
+    ".lammpstrj": "lammpstrj",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".binpos", ".nc", ".netcdf", ".h5", ".hdf5",
+    ".nc", ".netcdf", ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".crd",
-    ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst", ".lammpstrj",
+    ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst",
     ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
 }
 
@@ -97,6 +99,14 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.gro import load_gro
 
         traj = load_gro(spark, path, **options)
+    elif kind == "binpos":
+        from dask_traj_spark.sources.binpos import load_binpos
+
+        traj = load_binpos(spark, path, **options)
+    elif kind == "lammpstrj":
+        from dask_traj_spark.sources.lammpstrj import load_lammpstrj
+
+        traj = load_lammpstrj(spark, path, **options)
     else:
         raise AssertionError(kind)
     if top is not None:

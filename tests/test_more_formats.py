@@ -1,0 +1,88 @@
+"""BINPOS and LAMMPS-dump sources: round trips, ordering, boxes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestBinpos:
+    def test_write_read_round_trip(self, spark, tmp_path):
+        import dask_traj_spark as dts
+        from dask_traj_spark.sources.binpos import write_binpos
+        from dask_traj_spark.sources.loaders import from_wide_pandas
+
+        rng = np.random.default_rng(41)
+        xyz = rng.uniform(-2, 3, (6, 25, 3)).astype(np.float32)
+        p = str(tmp_path / "t.binpos")
+        write_binpos(from_wide_pandas(spark, xyz), p)
+        back = dts.load(spark, p, chunks=2)
+        assert back.n_frames == 6 and back.n_atoms == 25
+        got, _ = back.to_numpy()
+        np.testing.assert_allclose(got, xyz, atol=3e-6)  # nm→Å→nm f32
+
+    def test_rejects_garbage(self, tmp_path):
+        from dask_traj_spark.sources.binpos import read_info
+
+        p = tmp_path / "bad.binpos"
+        p.write_bytes(b"nope" + b"\x00" * 32)
+        with pytest.raises(ValueError):
+            read_info(str(p))
+
+
+_LMP_FRAME = """ITEM: TIMESTEP
+{step}
+ITEM: NUMBER OF ATOMS
+4
+ITEM: BOX BOUNDS pp pp pp
+0.0 20.0
+0.0 18.0
+0.0 16.0
+ITEM: ATOMS id type x y z
+3 1 3.0 3.1 3.2
+1 1 1.0 1.1 1.2
+4 2 4.0 4.1 4.2
+2 2 2.0 2.1 2.2
+"""
+
+
+class TestLammpstrj:
+    @pytest.fixture(scope="class")
+    def lmp_file(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("lmp") / "dump.lammpstrj"
+        p.write_text("".join(_LMP_FRAME.format(step=s) for s in (0, 100, 200)))
+        return str(p)
+
+    def test_load_sorts_by_id_and_scales(self, spark, lmp_file):
+        import dask_traj_spark as dts
+
+        traj = dts.load(spark, lmp_file, chunks=2)
+        assert traj.n_frames == 3 and traj.n_atoms == 4
+        got, t = traj.to_numpy()
+        # rows sorted by LAMMPS atom id, Å → nm
+        np.testing.assert_allclose(got[0, :, 0], [0.1, 0.2, 0.3, 0.4], atol=1e-6)
+        np.testing.assert_allclose(t, [0.0, 100.0, 200.0])
+
+    def test_box_lengths(self, spark, lmp_file):
+        import dask_traj_spark as dts
+
+        traj = dts.load(spark, lmp_file)
+        row = traj.unitcell_vectors.where(F.col("frame_id") == 0).first()
+        np.testing.assert_allclose(
+            [row["ax"], row["by"], row["cz"]], [2.0, 1.8, 1.6], atol=1e-6
+        )
+        la = traj.unitcell_lengths_angles.where(F.col("frame_id") == 0).first()
+        np.testing.assert_allclose(la["alpha"], 90.0, atol=1e-4)
+
+    def test_scaled_coords_rejected(self, spark, tmp_path):
+        import dask_traj_spark as dts
+
+        p = tmp_path / "scaled.lammpstrj"
+        p.write_text(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 1\n0 1\n0 1\n"
+            "ITEM: ATOMS id xs ys zs\n1 0.5 0.5 0.5\n"
+        )
+        with pytest.raises(Exception, match="scaled"):
+            dts.load(spark, str(p)).to_numpy()

@@ -133,4 +133,4 @@ def test_unknown_format_still_raises(spark):
     import dask_traj_spark as dts
 
     with pytest.raises(NotImplementedError):
-        dts.load(spark, "/tmp/nope.binpos")
+        dts.load(spark, "/tmp/nope.h5")
