@@ -41,11 +41,15 @@ SUPPORTED_EXTENSIONS = {
     ".gro": "gro",
     ".binpos": "binpos",
     ".lammpstrj": "lammpstrj",
+    ".inpcrd": "restart",
+    ".restrt": "restart",
+    ".rst7": "restart",
+    ".crd": "mdcrd",
+    ".mdcrd": "mdcrd",
 }
 KNOWN_UNIMPLEMENTED = {
     ".nc", ".netcdf", ".h5", ".hdf5",
-    ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".crd",
-    ".mdcrd", ".inpcrd", ".restrt", ".rst7", ".ncrst",
+    ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".ncrst",
     ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
 }
 
@@ -107,6 +111,15 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.lammpstrj import load_lammpstrj
 
         traj = load_lammpstrj(spark, path, **options)
+    elif kind == "restart":
+        from dask_traj_spark.sources.amber import load_restart
+
+        traj = load_restart(spark, path, **options)
+    elif kind == "mdcrd":
+        from dask_traj_spark.sources.amber import load_mdcrd
+
+        traj = load_mdcrd(spark, path, top=top, **options)
+        top = None  # consumed (supplies the atom count + topology)
     else:
         raise AssertionError(kind)
     if top is not None:
