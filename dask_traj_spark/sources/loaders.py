@@ -35,6 +35,7 @@ SUPPORTED_EXTENSIONS = {
     ".parquet": "parquet_dir",
     "": "parquet_dir",  # a directory of tables
     ".xyz": "xyz",
+    ".xyz.gz": "xyz",
     ".dcd": "dcd",
     ".xtc": "xtc",
     ".trr": "trr",
@@ -46,11 +47,14 @@ SUPPORTED_EXTENSIONS = {
     ".rst7": "restart",
     ".crd": "mdcrd",
     ".mdcrd": "mdcrd",
+    ".nc": "netcdf",
+    ".netcdf": "netcdf",
+    ".ncdf": "netcdf",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".nc", ".netcdf", ".h5", ".hdf5",
+    ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".ncrst",
-    ".arc", ".hdf", ".xyz.gz", ".gsd", ".stk", ".dtr",
+    ".arc", ".hdf", ".gsd", ".stk", ".dtr",
 }
 
 
@@ -120,6 +124,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
 
         traj = load_mdcrd(spark, path, top=top, **options)
         top = None  # consumed (supplies the atom count + topology)
+    elif kind == "netcdf":
+        from dask_traj_spark.sources.netcdf3 import load_netcdf
+
+        traj = load_netcdf(spark, path, **options)
     else:
         raise AssertionError(kind)
     if top is not None:
@@ -174,7 +182,10 @@ def _extension(path: str) -> str:
     base = os.path.basename(path.rstrip("/"))
     if "." not in base:
         return ""
-    return base[base.index(".") :].lower() if base.endswith(".pdb.gz") else os.path.splitext(base)[1].lower()
+    for suffix in (".pdb.gz", ".xyz.gz"):
+        if base.lower().endswith(suffix):
+            return suffix
+    return os.path.splitext(base)[1].lower()
 
 
 def load_tables(spark: SparkSession, directory: str) -> Trajectory:

@@ -29,12 +29,23 @@ from dask_traj_spark.trajectory import Trajectory
 ANGSTROM_TO_NM = 0.1
 
 
+def _open(path: str):
+    """Binary opener, gzip-transparent (.xyz.gz — the stream is
+    unsplittable, so gz partitions re-inflate up to their offset;
+    fine for the archival single-file case this exists for)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def index_xyz(path: str) -> list[tuple[int, int, int]]:
     """One pass over the file → [(frame_id, byte_offset, n_atoms)]."""
     frames = []
     off = 0
     fid = 0
-    with open(path, "rb") as f:
+    with _open(path) as f:
         while True:
             start = off
             line = f.readline()
@@ -56,7 +67,7 @@ def _decode_frame_arrays(path: str, specs: list[tuple[int, int, int]], scale: fl
     """Yield (frame_id, xyz (n, 3) float32) for the given frame specs."""
     import numpy as np
 
-    with open(path, "rb") as f:
+    with _open(path) as f:
         for fid, offset, n in specs:
             f.seek(offset)
             f.readline()  # n_atoms

@@ -86,3 +86,22 @@ class TestLammpstrj:
         )
         with pytest.raises(Exception, match="scaled"):
             dts.load(spark, str(p)).to_numpy()
+
+
+def test_xyz_gz_round_trip(spark, tmp_path):
+    """.xyz.gz: gzip-transparent scan through the XYZ source."""
+    import gzip
+
+    import dask_traj_spark as dts
+
+    text = (
+        "2\nf0\nO 1.0 2.0 3.0\nH 4.0 5.0 6.0\n"
+        "2\nf1\nO 1.5 2.5 3.5\nH 4.5 5.5 6.5\n"
+    )
+    p = tmp_path / "t.xyz.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(text)
+    traj = dts.load(spark, str(p))
+    assert traj.n_frames == 2 and traj.n_atoms == 2
+    got, _ = traj.to_numpy()
+    np.testing.assert_allclose(got[1, 1], [0.45, 0.55, 0.65], atol=1e-6)
