@@ -369,6 +369,42 @@ def q_r10(spark, sf_dir):
     )
 
 
+_R11_ORACLE = """
+SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+       sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS promo_cp,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_cp
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+"""
+
+
+@register("r11_promo_share_by_month", _R11_ORACLE)
+def q_r11(spark, sf_dir):
+    """TPC-H Q14 shape: lineitem ⋈ broadcast part, conditional
+    aggregation by ship month (integer-cents revenue, exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    disc_cp = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc_cp).otherwise(0)
+            ).alias("promo_cp"),
+            F.sum(disc_cp).alias("total_cp"),
+        )
+    )
+
+
 _R6_ORACLE = """
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 INTERSECT
