@@ -50,11 +50,13 @@ SUPPORTED_EXTENSIONS = {
     ".nc": "netcdf",
     ".netcdf": "netcdf",
     ".ncdf": "netcdf",
+    ".ncrst": "ncrestart",
+    ".arc": "arc",
 }
 KNOWN_UNIMPLEMENTED = {
     ".h5", ".hdf5",
-    ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml", ".ncrst",
-    ".arc", ".hdf", ".gsd", ".stk", ".dtr",
+    ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml",
+    ".hdf", ".gsd", ".stk", ".dtr",
 }
 
 
@@ -128,6 +130,14 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.netcdf3 import load_netcdf
 
         traj = load_netcdf(spark, path, **options)
+    elif kind == "ncrestart":
+        from dask_traj_spark.sources.netcdf3 import load_ncrestart
+
+        traj = load_ncrestart(spark, path, **options)
+    elif kind == "arc":
+        from dask_traj_spark.sources.arc import load_arc
+
+        traj = load_arc(spark, path, **options)
     else:
         raise AssertionError(kind)
     if top is not None:

@@ -105,3 +105,87 @@ def test_xyz_gz_round_trip(spark, tmp_path):
     assert traj.n_frames == 2 and traj.n_atoms == 2
     got, _ = traj.to_numpy()
     np.testing.assert_allclose(got[1, 1], [0.45, 0.55, 0.65], atol=1e-6)
+
+
+class TestArc:
+    def test_arc_round_trip_with_box(self, spark, tmp_path):
+        import dask_traj_spark as dts
+
+        frames = []
+        for fid in range(3):
+            frames.append(
+                f"     4  generated frame {fid}\n"
+                "    18.000   18.000   18.000   90.000   90.000   90.000\n"
+                + "".join(
+                    f"  {a+1}  C   {fid + a + 1.0:.4f}   {a + 2.0:.4f}   "
+                    f"{a + 3.0:.4f}   1\n"
+                    for a in range(4)
+                )
+            )
+        p = tmp_path / "t.arc"
+        p.write_text("".join(frames))
+        traj = dts.load(spark, str(p), chunks=2)
+        assert traj.n_frames == 3 and traj.n_atoms == 4
+        got, _ = traj.to_numpy()
+        np.testing.assert_allclose(got[2, 1, 0], 0.4, atol=1e-6)  # Å→nm
+        la = traj.unitcell_lengths_angles.first()
+        np.testing.assert_allclose(la["a"], 1.8, atol=1e-6)
+
+    def test_arc_no_box(self, spark, tmp_path):
+        import dask_traj_spark as dts
+
+        p = tmp_path / "nb.arc"
+        p.write_text(
+            "     2  mol\n"
+            "  1  O   1.0   2.0   3.0   1\n"
+            "  2  H   4.0   5.0   6.0   1\n"
+        )
+        traj = dts.load(spark, str(p))
+        assert traj.n_frames == 1 and not traj.have_unitcell
+
+
+def test_ncrst_round_trip(spark, tmp_path):
+    """NetCDF restart: hand-build via the writer machinery's inverse
+    is overkill — write a trajectory nc, then a single-frame restart
+    layout by reusing NC3File constants."""
+    import struct
+
+    import numpy as np
+
+    import dask_traj_spark as dts
+
+    # minimal handwritten NetCDF3 restart: dims atom=2, spatial=3;
+    # non-record vars coordinates(atom,spatial) double, time() double
+    def name(s):
+        return struct.pack(">I", len(s)) + s + b"\x00" * ((-len(s)) % 4)
+
+    hdr = b"CDF\x01" + struct.pack(">I", 0)
+    hdr += struct.pack(">II", 10, 2)  # NC_DIMENSION, 2 dims
+    hdr += name(b"atom") + struct.pack(">I", 2)
+    hdr += name(b"spatial") + struct.pack(">I", 3)
+    hdr += struct.pack(">II", 0, 0)  # no global atts
+    hdr += struct.pack(">II", 11, 2)  # NC_VARIABLE, 2 vars
+    # compute begins after serializing with placeholders: just build twice
+    def vars_block(b_coords, b_time):
+        out = name(b"coordinates") + struct.pack(">I", 2)
+        out += struct.pack(">II", 0, 1)  # dimids atom, spatial
+        out += struct.pack(">II", 0, 0)  # no atts
+        out += struct.pack(">III", 6, 48, b_coords)
+        out += name(b"time") + struct.pack(">I", 0)
+        out += struct.pack(">II", 0, 0)
+        out += struct.pack(">III", 6, 8, b_time)
+        return out
+
+    hlen = len(hdr + vars_block(0, 0))
+    data = hdr + vars_block(hlen, hlen + 48)
+    xyz = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    data += xyz.astype(">f8").tobytes()
+    data += struct.pack(">d", 99.5)
+    p = tmp_path / "r.ncrst"
+    p.write_bytes(data)
+
+    traj = dts.load(spark, str(p))
+    assert traj.n_frames == 1 and traj.n_atoms == 2
+    got, t = traj.to_numpy()
+    np.testing.assert_allclose(got[0], xyz * 0.1, atol=1e-6)
+    np.testing.assert_allclose(t, [99.5])
