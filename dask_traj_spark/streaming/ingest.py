@@ -148,6 +148,95 @@ def streaming_position_ema(coords: DataFrame, alpha: float = 0.2) -> DataFrame:
 # ----------------------------------------------- event-stream demo
 
 
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("right_ts", T.LongType()),
+        T.StructField("right_id", T.LongType()),
+        T.StructField("right_val", T.DoubleType()),
+    ]
+)
+
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("left_ts", T.LongType()),
+        T.StructField("left_id", T.LongType()),
+        T.StructField("matched_ts", T.LongType()),
+        T.StructField("matched_id", T.LongType()),
+        T.StructField("matched_val", T.DoubleType()),
+    ]
+)
+
+
+def streaming_asof_enrich(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Streaming as-of enrichment join: every ``left_type`` event is
+    tagged with the key's most recent ``right_type`` event at-or-
+    before it — the streaming twin of ``operators/asof.asof_join``.
+
+    State per key = the latest right event seen (carried across
+    micro-batches via ``applyInPandasWithState``). Within a batch
+    both sides are merged in timestamp order, so intra-batch
+    ordering is exact; ACROSS batches the join is correct when
+    micro-batches arrive in source order (the file/Kafka offset
+    order), which is the processing-time contract of a state-machine
+    enrichment join — a watermark-buffered variant would trade
+    latency for full event-time ordering.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            r_ts, r_id, r_val = state.get
+        else:
+            r_ts = r_id = r_val = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if row.event_type == right_type:
+                    r_ts, r_id, r_val = (
+                        int(row.ts_us),
+                        int(row.event_id),
+                        float(row.value),
+                    )
+                elif row.event_type == left_type:
+                    out.append(
+                        (user_id, int(row.ts_us), int(row.event_id),
+                         r_ts, r_id, r_val)
+                    )
+        if r_ts is not None:
+            state.update((r_ts, r_id, r_val))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "left_ts", "left_id",
+                "matched_ts", "matched_id", "matched_val",
+            ],
+        )
+
+    keyed = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

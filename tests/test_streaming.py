@@ -199,3 +199,66 @@ def test_streaming_session_windows(spark):
     # every emitted (closed) session matches its batch twin's count
     assert len(merged) == len(got)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_streaming_asof_matches_batch(spark):
+    """Single-file source (one micro-batch → intra-batch ordering is
+    exact) must reproduce the batch as-of join row for row."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.operators.asof import asof_join
+    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.streaming.ingest import streaming_asof_enrich
+
+    src = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_schema = spark.read.parquet(f"{src}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="events_asof_")
+    shutil.copy(f"{src}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    s = streaming_asof_enrich(stream)
+    _run_to_memory(s, "asof_stream", "append")
+    got = (
+        spark.sql("SELECT * FROM asof_stream")
+        .toPandas()
+        .sort_values(["user_id", "left_ts", "left_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+
+    ev = events_df(spark, src).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("left_ts"), F.col("event_id").alias("left_id")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_val"),
+    )
+    batch = (
+        asof_join(clicks, purch, "left_ts", "r_ts", "user_id", "user_id",
+                  payload=["r_id", "r_val"], tie="r_id")
+        .toPandas()
+        .sort_values(["user_id", "left_ts", "left_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        got["matched_id"].fillna(-1).to_numpy(),
+        batch["r_id"].fillna(-1).to_numpy(),
+    )
