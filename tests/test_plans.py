@@ -158,3 +158,47 @@ def test_distances_sql_broadcasts_pairs(parquet_traj):
     a = audit(df)
     # the pairs dimension must arrive via broadcast, never sort-merge
     assert a.n_broadcast_joins >= 2, a.text
+
+
+def test_q5_join_broadcasts_all_dims(spark):
+    """r7 (TPC-H Q5 shape): supplier/nation/region broadcast; the
+    only shuffle exchanges feed the lineitem⋈orders⋈customer joins
+    and the final aggregate."""
+    from dask_traj_spark.queries_relational import q_r7
+
+    a = audit(q_r7(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 3, a.text
+    assert a.n_sortmerge_joins + a.n_shuffledhash_joins <= 2, a.text
+
+
+def test_q17_window_form_single_shuffle_no_join(spark):
+    """r10 uses a window average instead of the agg+self-join the
+    oracle spells - one shuffle on l_partkey, zero join nodes."""
+    from dask_traj_spark.queries_relational import q_r10
+
+    a = audit(q_r10(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffledhash_joins == 0, (
+        a.text
+    )
+    # window shuffle + final agg shuffle (partial agg collapses first)
+    assert a.n_shuffles <= 2, a.text
+
+
+def test_promo_share_broadcasts_part(spark):
+    from dask_traj_spark.queries_relational import q_r11
+
+    a = audit(q_r11(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins == 1, a.text
+    assert a.n_shuffles <= 1, a.text
+
+
+def test_asof_query_single_shuffle(spark):
+    """e3: the union+running-last as-of join is one exchange end to
+    end (plus the events-scan normalization)."""
+    from dask_traj_spark.queries_pipeline import q_asof_last_purchase
+
+    a = audit(q_asof_last_purchase(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffledhash_joins == 0, (
+        a.text
+    )
+    assert a.n_shuffles <= 1, a.text
