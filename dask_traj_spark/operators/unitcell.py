@@ -111,3 +111,23 @@ def lengths_and_angles_to_box_vectors(df: DataFrame) -> DataFrame:
 def box_vectors_to_lengths_and_angles(df: DataFrame) -> DataFrame:
     """Public G10: df with (ax..cz[,frame_id]) → + (a..gamma)."""
     return with_lengths_and_angles(df)
+
+
+def frame_orthogonality(traj, eps: float = 1e-4) -> DataFrame:
+    """G8: the per-frame orthogonality predicate — every box angle
+    within ``eps`` of 90° (reference computes it lazily per chunk to
+    steer the MIC fast path, geometry/distance.py:128; the
+    vectorized kernels here branch on the same predicate inside the
+    UDF via ``_BoxLookup``). Exposed as a DataFrame op so the
+    audit/oracle path can gate it."""
+    from pyspark.sql import functions as F
+
+    la = traj.unitcell_lengths_angles
+    if la is None:
+        raise ValueError("trajectory has no unitcell")
+    cond = (
+        (F.abs(F.col("alpha") - 90.0) < eps)
+        & (F.abs(F.col("beta") - 90.0) < eps)
+        & (F.abs(F.col("gamma") - 90.0) < eps)
+    )
+    return la.select("frame_id", cond.alias("orthogonal"))

@@ -337,6 +337,49 @@ def q_distances_triclinic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# G8: orthogonality predicate (the MIC fast-path steer)
+# ---------------------------------------------------------------------
+
+_G8_ORACLE = f"""
+WITH uc AS (
+    SELECT f.frame_id,
+           CASE WHEN f.frame_id % 2 = 0 THEN 90.0 ELSE 76.0 END AS alpha,
+           CASE WHEN f.frame_id % 2 = 0 THEN 90.0 ELSE 73.0 END AS beta,
+           90.0 AS gamma
+    FROM range({N_FRAMES}) f(frame_id)
+)
+SELECT CAST(frame_id AS BIGINT) AS frame_id,
+       (abs(alpha - 90.0) < 0.0001 AND abs(beta - 90.0) < 0.0001
+        AND abs(gamma - 90.0) < 0.0001) AS orthogonal
+FROM uc
+"""
+
+
+@register("g8_orthogonality", _G8_ORACLE)
+def q_orthogonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed per-frame boxes (even frames orthorhombic, odd
+    triclinic) → the data-dependent branch predicate of G1/G3."""
+    from dask_traj_spark.operators.unitcell import frame_orthogonality
+
+    even = F.col("frame_id") % 2 == 0
+    uc = (
+        spark.range(N_FRAMES)
+        .select(F.col("id").alias("frame_id"))
+        .select(
+            "frame_id",
+            F.lit(0.25).cast("float").alias("a"),
+            F.lit(0.25).cast("float").alias("b"),
+            F.lit(0.25).cast("float").alias("c"),
+            F.when(even, 90.0).otherwise(76.0).cast("float").alias("alpha"),
+            F.when(even, 90.0).otherwise(73.0).cast("float").alias("beta"),
+            F.lit(90.0).cast("float").alias("gamma"),
+        )
+    )
+    traj = Trajectory(coords_df(spark, sf_dir), unitcell=uc)
+    return frame_orthogonality(traj)
+
+
+# ---------------------------------------------------------------------
 # G2: displacements (non-periodic)
 # ---------------------------------------------------------------------
 

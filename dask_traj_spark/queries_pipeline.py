@@ -182,6 +182,77 @@ def q_source_stats(spark, sf_dir):
     )
 
 
+def _curation_oracle() -> str:
+    from dask_traj_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({markers})))"
+            f" AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS score_{lang}"
+        )
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH q AS (
+    SELECT doc_id,
+           (CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+                / CAST({_NTOK} AS DOUBLE)
+            + least(CAST({_NTOK} AS DOUBLE), 50.0) / 50.0
+            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / CAST({_NTOK} AS DOUBLE)) / 3.0 AS quality
+    FROM documents
+),
+s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents),
+l AS (SELECT doc_id, CASE {whens} END AS pred_lang FROM s),
+dd AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT d.source, l.pred_lang, count(*) AS n_docs,
+       sum(CAST(length(d.text) AS BIGINT)) AS total_chars
+FROM documents d
+JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN dd USING (doc_id)
+WHERE dd.rn = 1 AND q.quality >= 0.45
+GROUP BY d.source, l.pred_lang
+"""
+
+
+@register("c1_corpus_curation", _curation_oracle())
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation selection — the composite a training-data
+    pipeline actually runs: exact dedup (keep lowest doc_id per
+    content hash) ∧ quality ≥ 0.45 ∧ language-ID, aggregated per
+    (source, predicted language). One plan: the dedup window, both
+    scoring projections, and the final aggregate fuse over a single
+    documents scan lineage."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.functions.text import langid_scores, quality_score
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = langid_scores(docs).select("doc_id", "pred_lang")
+    cur = (
+        kept.join(q, "doc_id")
+        .where(F.col("quality") >= 0.45)
+        .join(lang, "doc_id")
+    )
+    return cur.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------
