@@ -260,6 +260,79 @@ def cosine_topk_ivf(
     return cosine_topk_vectorized(cand, query_ids, k=k, id_col=id_col)
 
 
+def ivf_build_index(
+    emb: DataFrame,
+    directory: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist an IVF index: the corpus re-written PARTITIONED BY
+    cluster (hive directories), plus the centroid matrix as a tiny
+    parquet. At 100 TB this is the layout that makes ANN cheap:
+    probing ``nprobe`` of ``n_centroids`` clusters is a partition-
+    pruned scan (PartitionFilters on ``cluster``) that never touches
+    the other directories' files. One shuffle at build time."""
+    cent = ivf_train(emb, n_centroids=n_centroids, seed=seed, id_col=id_col)
+    assign = ivf_assign(emb, cent, id_col)
+    (
+        emb.join(assign, id_col)
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{directory}/corpus")
+    )
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cent_pdf = pd.DataFrame(
+        {
+            "cluster": np.arange(len(cent), dtype=np.int32),
+            "centroid": list(cent.astype(np.float32)),
+        }
+    )
+    spark.createDataFrame(cent_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{directory}/centroids"
+    )
+    return cent
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    directory: str,
+    query_ids: "Sequence[int]",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a persisted IVF index: load centroids (tiny), pick
+    the ``nprobe`` nearest clusters per query, scan ONLY those
+    cluster partitions (pruned at the parquet source), exact
+    vectorized rerank. Queries are looked up from the index itself
+    by id."""
+    import pandas as pd  # noqa: F401
+
+    cent_pdf = spark.read.parquet(f"{directory}/centroids").toPandas()
+    cent_pdf = cent_pdf.sort_values("cluster")
+    cent = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float32)
+
+    corpus = spark.read.parquet(f"{directory}/corpus")
+    qpdf = (
+        corpus.where(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(id_col, "embedding")
+        .toPandas()
+    )
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float32)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True) + 1e-12
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probe_clusters = sorted({int(c) for row in probes for c in row})
+
+    cand = corpus.where(F.col("cluster").isin(probe_clusters)).select(
+        id_col, "embedding"
+    )
+    return cosine_topk_vectorized(cand, query_ids, k=k, id_col=id_col)
+
+
 # ------------------------------------------------------------------ LSH
 
 

@@ -202,3 +202,60 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_and_featurize(attach_payload(docs), real=True)
+
+
+class TestIVFIndex:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((20, 64)).astype(np.float32)
+        base[1] = base[0] + 0.01 * rng.standard_normal(64).astype(np.float32)
+        rows = [(int(i), [float(x) for x in base[i]], int(i % 3)) for i in range(20)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    @pytest.fixture(scope="class")
+    def index_dir(self, spark, emb, tmp_path_factory):
+        from dask_traj_spark.operators.similarity import ivf_build_index
+
+        d = str(tmp_path_factory.mktemp("ivf") / "idx")
+        ivf_build_index(emb, d, n_centroids=4)
+        return d
+
+    def test_probe_scan_is_partition_pruned(self, spark, index_dir):
+        """The probed read must show cluster PartitionFilters — the
+        scan never touches unprobed cluster directories."""
+        from dask_traj_spark.operators.similarity import cosine_topk_ivf_indexed
+
+        out = cosine_topk_ivf_indexed(spark, index_dir, [0], k=3, nprobe=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cluster" in m.group(1), plan
+
+    def test_full_probe_matches_brute_force(self, spark, emb, index_dir):
+        from dask_traj_spark.operators.similarity import (
+            cosine_topk_ivf_indexed,
+            cosine_topk_vectorized,
+        )
+
+        brute = cosine_topk_vectorized(emb, [0, 5], k=5).toPandas()
+        idx = cosine_topk_ivf_indexed(
+            spark, index_dir, [0, 5], k=5, nprobe=4
+        ).toPandas()
+        assert set(zip(brute["qid"], brute["vec_id"])) == set(
+            zip(idx["qid"], idx["vec_id"])
+        )
+
+    def test_planted_neighbor_found_with_one_probe(self, spark, index_dir):
+        from dask_traj_spark.operators.similarity import cosine_topk_ivf_indexed
+
+        pdf = (
+            cosine_topk_ivf_indexed(spark, index_dir, [0], k=3, nprobe=1)
+            .toPandas()
+            .sort_values("rank")
+        )
+        assert pdf["vec_id"].iloc[0] == 1  # near-dup shares the cluster
+        assert pdf["cos"].iloc[0] > 0.99
