@@ -736,3 +736,4 @@ def q_time_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from dask_traj_spark import queries_pipeline  # noqa: E402,F401  (registration side-effect)
 from dask_traj_spark import queries_relational  # noqa: E402,F401  (registration side-effect)
+from dask_traj_spark import queries_relational2  # noqa: E402,F401  (registration side-effect)

@@ -202,3 +202,46 @@ def test_asof_query_single_shuffle(spark):
         a.text
     )
     assert a.n_shuffles <= 1, a.text
+
+
+def test_q3_shape_broadcasts_customer(spark):
+    """r12 (TPC-H Q3 shape): the filtered customer dim broadcasts;
+    lineitem⋈orders may shuffle, plus agg + top-k ordering."""
+    from dask_traj_spark.queries_relational2 import q_r12
+
+    a = audit(q_r12(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 1, a.text
+    assert a.n_sortmerge_joins + a.n_shuffledhash_joins <= 1, a.text
+
+
+def test_q7_shape_broadcasts_enriched_dims(spark):
+    """r13 (TPC-H Q7 shape): supplier⋈nation and customer⋈nation are
+    pre-joined broadcast-side — 4 broadcast joins, only the
+    lineitem⋈orders join may exchange."""
+    from dask_traj_spark.queries_relational2 import q_r13
+
+    a = audit(q_r13(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 4, a.text
+    assert a.n_sortmerge_joins + a.n_shuffledhash_joins <= 1, a.text
+
+
+def test_q16_shape_anti_join_is_broadcast(spark):
+    """r14 (TPC-H Q16 shape): the NOT-IN suppliers anti-join and the
+    part join both broadcast; shuffles only for the distinct agg."""
+    from dask_traj_spark.queries_relational2 import q_r14
+
+    a = audit(q_r14(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 2, a.text
+    assert a.n_sortmerge_joins + a.n_shuffledhash_joins == 0, a.text
+
+
+def test_window_breadth_single_shuffle(spark):
+    """r18: all five window functions share one window spec — a
+    single exchange on nationkey, no joins."""
+    from dask_traj_spark.queries_relational2 import q_r18
+
+    a = audit(q_r18(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffledhash_joins == 0, (
+        a.text
+    )
+    assert a.n_shuffles <= 1, a.text
