@@ -49,6 +49,86 @@ def save_coords_bucketed(
     )
 
 
+def append_coords_bucketed(
+    coords: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    key: str = "atom_id",
+) -> None:
+    """Append frames to an existing bucketed table (streaming-ingest
+    / new-segment flow). Correct — new rows hash into the right
+    buckets — but each append task adds one file per bucket it
+    touches, so a table ingested in T batches carries O(T × buckets)
+    files. ``compact_bucketed`` restores one-file-per-bucket."""
+    (
+        coords.repartition(n_buckets, key)
+        .write.mode("append")
+        .bucketBy(n_buckets, key)
+        .sortBy(key, "frame_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucket_file_stats(spark: SparkSession, table: str) -> dict[int, int]:
+    """Files per bucket id, parsed from the bucket suffix Spark
+    encodes in every file name (``..._00007.c000``). The compaction
+    trigger: any bucket with more than a handful of files (or files
+    far below the parquet row-group sweet spot) is paying per-file
+    open/footer costs on every scan. Driver-side metadata only — no
+    data read. (On a real cluster the same listing comes from the
+    catalog/manifest, not a local walk.)"""
+    import re
+
+    counts: dict[int, int] = {}
+    for f in spark.table(table).inputFiles():
+        m = re.search(r"_(\d{5})(?:\.c\d+)?\.", f.rsplit("/", 1)[-1])
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    dst_path: str,
+    n_buckets: int = 32,
+    key: str = "atom_id",
+) -> None:
+    """OPTIMIZE-style rewrite of a fragmented bucketed table into an
+    identically-bucketed table with exactly one file per bucket
+    (``repartition(n_buckets, key)`` → each task holds exactly one
+    bucket's rows and writes one file). Costs one shuffle — the same
+    price as the original write — and every co-located plan
+    (window/agg/join with zero Exchange) holds unchanged on the
+    compacted table. At 100 TB you run this per hive partition of
+    the frame-range layout, compacting only partitions whose
+    ``bucket_file_stats`` crossed the threshold, not the whole
+    table.
+
+    Reads the table's parquet files by *path*, not through the
+    catalog: against the catalog table Spark sees a matching bucket
+    spec, elides the repartition as redundant, and lets write tasks
+    mirror the fragmented input file groups — re-emitting one file
+    per (task, bucket), i.e. the fragmentation survives. A plain
+    path scan has no bucket metadata, so the exchange is real and
+    each bucket lands in exactly one writer."""
+    files = spark.table(src_table).inputFiles()
+    dirs = sorted({f.rsplit("/", 1)[0] for f in files})
+    src = spark.read.parquet(*dirs)
+    (
+        src.repartition(n_buckets, key)
+        .write.mode("overwrite")
+        .option("path", dst_path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key, "frame_id")
+        .format("parquet")
+        .saveAsTable(dst_table)
+    )
+
+
 def frame_displacements_bucketed(
     spark: SparkSession, table: str, lag: int = 1
 ) -> DataFrame:

@@ -78,3 +78,48 @@ def test_displacements_match_direct(spark, traj_triclinic, bucketed_table):
     got = out[["dx", "dy", "dz"]].to_numpy()
     want = np.diff(direct[["x", "y", "z"]].to_numpy(), axis=0)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_append_then_compact_restores_one_file_per_bucket(
+    spark, traj_triclinic, tmp_path_factory
+):
+    """Ingest-in-batches fragments the table (files per bucket grows
+    with batch count); compaction rewrites to exactly one file per
+    bucket with identical content and the same zero-exchange plans."""
+    from dask_traj_spark.sources.bucketed import (
+        append_coords_bucketed,
+        bucket_file_stats,
+        compact_bucketed,
+        save_coords_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("compact")
+    c = traj_triclinic.coords
+    first = c.where(F.col("frame_id") < 50)
+    rest = c.where(F.col("frame_id") >= 50)
+    save_coords_bucketed(first, "coords_frag_test", str(base / "frag"), n_buckets=8)
+    append_coords_bucketed(rest, "coords_frag_test", n_buckets=8)
+
+    frag = bucket_file_stats(spark, "coords_frag_test")
+    assert sum(frag.values()) > 8, frag  # two batches → >1 file in some bucket
+
+    compact_bucketed(
+        spark, "coords_frag_test", "coords_compact_test", str(base / "compact"),
+        n_buckets=8,
+    )
+    comp = bucket_file_stats(spark, "coords_compact_test")
+    assert set(comp) == set(range(8)) and all(v == 1 for v in comp.values()), comp
+
+    # content identical
+    a = spark.table("coords_frag_test")
+    b = spark.table("coords_compact_test")
+    assert a.count() == b.count() == c.count()
+    assert a.exceptAll(b).count() == 0
+
+    # co-located plans still exchange-free on the compacted table
+    out = frame_displacements_bucketed(spark, "coords_compact_test")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    spark.sql("DROP TABLE IF EXISTS coords_frag_test")
+    spark.sql("DROP TABLE IF EXISTS coords_compact_test")

@@ -262,3 +262,89 @@ def test_streaming_asof_matches_batch(spark):
         got["matched_id"].fillna(-1).to_numpy(),
         batch["r_id"].fillna(-1).to_numpy(),
     )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
+    """At-least-once feed with dups within and across micro-batches
+    → dropDuplicatesWithinWatermark keeps exactly one per event_id."""
+    from dask_traj_spark.streaming.ingest import streaming_dedup_events
+
+    base = str(tmp_path_factory.mktemp("dedup_stream"))
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    rows1 = [
+        (i, f"2024-01-01 10:{m:02d}:00", i % 5, float(i))
+        for i, m in [(1, 0), (2, 1), (2, 1), (3, 2), (4, 3)]
+    ]
+    rows2 = [
+        (i, f"2024-01-01 10:{m:02d}:00", i % 5, float(i))
+        for i, m in [(3, 2), (5, 10), (1, 0), (6, 11)]
+    ]
+    str_schema = "event_id long, ts string, user_id long, value double"
+    for n, rows in (("a", rows1), ("b", rows2)):
+        spark.createDataFrame(rows, str_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(f"{base}/{n}")
+    import glob
+    import shutil
+
+    for i, p in enumerate(glob.glob(f"{base}/*/*.parquet")):
+        shutil.move(p, f"{base}/part{i}.parquet")
+    for d in glob.glob(f"{base}/[ab]"):
+        shutil.rmtree(d)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    s = streaming_dedup_events(stream)
+    _run_to_memory(s, "dedup_stream", "append")
+    got = spark.sql("SELECT event_id FROM dedup_stream").toPandas()
+    assert sorted(got["event_id"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_streaming_view_purchase_join_matches_batch(spark, tmp_path_factory):
+    """Stream-stream interval join parity with the identical batch
+    join: every purchase within 1h of a same-user view."""
+    from dask_traj_spark.streaming.ingest import streaming_view_purchase_join
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    views = [
+        (100 + i, f"2024-01-01 {h:02d}:00:00", u, 0.0)
+        for i, (h, u) in enumerate([(9, 1), (10, 1), (9, 2), (12, 3)])
+    ]
+    purchases = [
+        (200 + i, f"2024-01-01 {h:02d}:{m:02d}:00", u, p)
+        for i, (h, m, u, p) in enumerate(
+            [(9, 30, 1, 10.0), (10, 15, 1, 20.0), (11, 30, 2, 30.0), (12, 5, 3, 40.0)]
+        )
+    ]
+    dirs = {}
+    for name, rows in (("views", views), ("purchases", purchases)):
+        d = str(tmp_path_factory.mktemp(f"ss_{name}"))
+        str_schema = "event_id long, ts string, user_id long, value double"
+        spark.createDataFrame(rows, str_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        dirs[name] = d
+
+    def rd(d, streaming):
+        if streaming:
+            return spark.readStream.schema(schema).parquet(d)
+        return spark.read.parquet(d)
+
+    s = streaming_view_purchase_join(rd(dirs["views"], True), rd(dirs["purchases"], True))
+    _run_to_memory(s, "vp_join_stream", "append")
+    got = spark.sql(
+        "SELECT view_id, purchase_id FROM vp_join_stream ORDER BY view_id, purchase_id"
+    ).toPandas()
+    batch = (
+        streaming_view_purchase_join(
+            rd(dirs["views"], False), rd(dirs["purchases"], False)
+        )
+        .orderBy("view_id", "purchase_id")
+        .select("view_id", "purchase_id")
+        .toPandas()
+    )
+    assert len(batch) > 0
+    assert got.values.tolist() == batch.values.tolist()
