@@ -464,6 +464,38 @@ def q_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+@register("v4_ann_recall")
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of the *partial-probe* IVF configuration (nprobe 2
+    of 8 centroids — the configuration actually run at scale, where
+    probes read nprobe/n_centroids of the corpus) measured against
+    the exact brute-force top-k, entirely in-engine. Output: one row
+    per query, ``hits`` = |IVF∩exact| of k. No oracle entry: the
+    IVF side (sampled k-means index) is not SQL-expressible; the
+    driver records the rows-only check. Both sides break cos-ties by
+    vec_id, so hits is deterministic."""
+    from dask_traj_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    qids = list(range(_N_QUERIES))
+    exact = cosine_topk(emb, qids, k=_TOPK).select("qid", "vec_id")
+    approx = cosine_topk_ivf(
+        emb, qids, k=_TOPK, n_centroids=8, nprobe=2, rerank="sql"
+    ).select("qid", "vec_id")
+    hits = exact.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    base = spark.createDataFrame([(q,) for q in qids], "qid long")
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.lit(_TOPK).cast("long").alias("k"),
+        )
+    )
+
+
 def _emb_lsh_oracle(threshold: float) -> str:
     from dask_traj_spark.operators.similarity import _hyperplanes
 

@@ -52,11 +52,12 @@ SUPPORTED_EXTENSIONS = {
     ".ncdf": "netcdf",
     ".ncrst": "ncrestart",
     ".arc": "arc",
+    ".h5": "hdf5",
+    ".hdf5": "hdf5",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".h5", ".hdf5",
     ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml",
-    ".hdf", ".gsd", ".stk", ".dtr",
+    ".hdf", ".gsd", ".stk", ".dtr", ".tng",
 }
 
 
@@ -138,6 +139,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.arc import load_arc
 
         traj = load_arc(spark, path, **options)
+    elif kind == "hdf5":
+        from dask_traj_spark.sources.hdf5 import load_hdf5
+
+        traj = load_hdf5(spark, path, **options)
     else:
         raise AssertionError(kind)
     if top is not None:

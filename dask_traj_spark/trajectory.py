@@ -258,6 +258,25 @@ class Trajectory:
             )
         return Trajectory(coords, self._frames, self.unitcell, topology)
 
+    def select_atoms(self, predicate: str) -> "Trajectory":
+        """``atom_slice`` by a SQL predicate over the topology
+        dimension — e.g. ``"element = 'C'"`` or
+        ``"residue_name = 'ALA' AND name LIKE 'C%'"``. The selection
+        language of the reference stack is mdtraj's
+        ``topology.select``; here the topology is a table, so the
+        selection language is SQL. The matching atom ids are
+        collected driver-side (topology is a broadcast-scale
+        dimension, ~n_atoms rows) and fed to :meth:`atom_slice`."""
+        if self.topology is None:
+            raise ValueError("select_atoms requires a topology")
+        ids = [
+            r.atom_id
+            for r in self.topology.where(predicate).select("atom_id").collect()
+        ]
+        if not ids:
+            raise ValueError(f"selection {predicate!r} matched no atoms")
+        return self.atom_slice(ids)
+
     # ---- concatenation (U1) -----------------------------------------
 
     def join(

@@ -189,3 +189,42 @@ def test_ncrst_round_trip(spark, tmp_path):
     got, t = traj.to_numpy()
     np.testing.assert_allclose(got[0], xyz * 0.1, atol=1e-6)
     np.testing.assert_allclose(t, [99.5])
+
+
+def test_hdf5_gated_on_h5py(spark, tmp_path):
+    """.h5 is a real loader when h5py exists; without it the error
+    names the missing dependency (not a bare 'unknown format')."""
+    from dask_traj_spark.sources.hdf5 import HAVE_H5PY
+    from dask_traj_spark.sources.loaders import load
+
+    p = str(tmp_path / "t.h5")
+    open(p, "wb").close()
+    if not HAVE_H5PY:
+        with pytest.raises(NotImplementedError, match="h5py"):
+            load(spark, p)
+    else:  # pragma: no cover - h5py absent in this container
+        with pytest.raises(Exception):
+            load(spark, p)  # empty file is not valid HDF5
+
+
+def test_tng_recognized_unimplemented(spark, tmp_path):
+    from dask_traj_spark.sources.loaders import load
+
+    p = str(tmp_path / "t.tng")
+    open(p, "wb").close()
+    with pytest.raises(NotImplementedError, match="recognized"):
+        load(spark, p)
+
+
+def test_select_atoms_sql_predicate(traj_triclinic):
+    """select_atoms: SQL predicate over the topology dimension →
+    dense renumbered subset (the mdtraj topology.select use-case)."""
+    sub = traj_triclinic.select_atoms("element = 'C'")
+    n_c = traj_triclinic.topology.where("element = 'C'").count()
+    assert sub.n_atoms == n_c
+    assert sub.topology.where("element != 'C'").count() == 0
+    # renumbered densely from 0
+    ids = [r.atom_id for r in sub.topology.select("atom_id").distinct().collect()]
+    assert sorted(ids) == list(range(n_c))
+    with pytest.raises(ValueError, match="matched no atoms"):
+        traj_triclinic.select_atoms("element = 'Xx'")
