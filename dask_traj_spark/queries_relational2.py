@@ -373,3 +373,29 @@ def q_r19(spark, sf_dir):
         F.percentile("total_c", F.lit(0.5)).alias("q50"),
         F.percentile("total_c", F.lit(0.75)).alias("q75"),
     )
+
+
+# ---------------------------------------------------------------- r20
+
+_R20_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("r20_except_status", _R20_ORACLE)
+def q_r20(spark, sf_dir):
+    """EXCEPT (set difference, the complement of r6's INTERSECT):
+    customers with open orders and no filled ones."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # distinct first: exceptAll on raw feeds keeps *surplus
+    # multiplicity* (a customer with 5 open / 2 filled orders would
+    # survive 3×), which is not EXCEPT's set semantics
+    return a.distinct().exceptAll(b.distinct())
