@@ -399,3 +399,42 @@ def q_r20(spark, sf_dir):
     # multiplicity* (a customer with 5 open / 2 filled orders would
     # survive 3×), which is not EXCEPT's set semantics
     return a.distinct().exceptAll(b.distinct())
+
+
+# ---------------------------------------------------------------- r21
+
+_R21_ORACLE = """
+WITH px AS (
+    SELECT l_partkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           l_suppkey
+    FROM lineitem),
+m AS (
+    SELECT l_partkey, min(price_c) AS min_price_c
+    FROM px GROUP BY l_partkey)
+SELECT px.l_partkey AS partkey,
+       m.min_price_c,
+       min(px.l_suppkey) AS suppkey
+FROM px
+JOIN m ON px.l_partkey = m.l_partkey AND px.price_c = m.min_price_c
+GROUP BY px.l_partkey, m.min_price_c
+"""
+
+
+@register("r21_min_cost_supplier", _R21_ORACLE)
+def q_r21(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part) as ONE ``min_by``
+    aggregation over a lexicographic struct order — no self-join.
+    The oracle spells the same thing the classic way (min subquery +
+    join back + tie-break re-aggregation); ``min_by`` on
+    ``struct(price, suppkey)`` is deterministic because the struct
+    order is total."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        _cents("l_extendedprice").alias("price_c"),
+        F.col("l_suppkey").alias("suppkey"),
+    )
+    return li.groupBy("partkey").agg(
+        F.min("price_c").alias("min_price_c"),
+        F.min_by("suppkey", F.struct("price_c", "suppkey")).alias("suppkey"),
+    )

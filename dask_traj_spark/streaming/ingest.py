@@ -331,3 +331,37 @@ def streaming_view_purchase_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_coords_to_bucketed(
+    spark: SparkSession,
+    src_path: str,
+    table: str,
+    checkpoint: str,
+    n_buckets: int = 32,
+    key: str = "atom_id",
+):
+    """The 100 TB ingest loop, end to end: a streaming coords scan
+    appended micro-batch by micro-batch into the hash-bucketed table
+    via ``foreachBatch`` → ``append_coords_bucketed``. Each batch
+    pays its one bucket-shuffle on arrival, so the table is always
+    query-ready with the zero-exchange per-atom plans; fragmentation
+    accrues per batch and ``compact_bucketed`` (sources/bucketed.py)
+    restores one-file-per-bucket out of band. The checkpoint makes
+    ingest exactly-once across restarts (file source + foreachBatch
+    idempotent-by-batch-id is Spark's standard recovery contract).
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from dask_traj_spark.sources.bucketed import append_coords_bucketed
+
+    stream = stream_coords(spark, src_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_coords_bucketed(batch_df, table, n_buckets=n_buckets, key=key)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -348,3 +348,45 @@ def test_streaming_view_purchase_join_matches_batch(spark, tmp_path_factory):
     )
     assert len(batch) > 0
     assert got.values.tolist() == batch.values.tolist()
+
+
+def test_stream_to_bucketed_ingest_loop(spark, coords_stream_dir, tmp_path_factory):
+    """Full ingest loop: stream → foreachBatch bucketed appends →
+    compact → zero-exchange per-atom query, content = batch read."""
+    from dask_traj_spark.sources.bucketed import (
+        bucket_file_stats,
+        compact_bucketed,
+        frame_displacements_bucketed,
+    )
+    from dask_traj_spark.streaming.ingest import stream_coords_to_bucketed
+
+    base = tmp_path_factory.mktemp("ingest_loop")
+    spark.sql("DROP TABLE IF EXISTS ingest_loop_test")
+    spark.sql("DROP TABLE IF EXISTS ingest_loop_compact")
+    # make the first append create the table with its bucket spec
+    q = stream_coords_to_bucketed(
+        spark,
+        coords_stream_dir,
+        "ingest_loop_test",
+        checkpoint=str(base / "ckpt"),
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(coords_stream_dir)
+    assert spark.table("ingest_loop_test").count() == batch.count()
+
+    compact_bucketed(
+        spark, "ingest_loop_test", "ingest_loop_compact", str(base / "compact"),
+        n_buckets=4,
+    )
+    stats = bucket_file_stats(spark, "ingest_loop_compact")
+    assert all(v == 1 for v in stats.values()), stats
+    assert (
+        spark.table("ingest_loop_compact").exceptAll(batch).count() == 0
+    )
+    out = frame_displacements_bucketed(spark, "ingest_loop_compact")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS ingest_loop_test")
+    spark.sql("DROP TABLE IF EXISTS ingest_loop_compact")
