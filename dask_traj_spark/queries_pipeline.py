@@ -947,3 +947,32 @@ def q_g10(spark, sf_dir):
         *[F.col(c) for c in ("ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz")]
     )
     return df.select("frame_id", *[F.round(v, 6).alias(k) for k, v in e.items()])
+
+
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+_T6_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+           AS n_pieces_bpe
+FROM documents
+"""
+
+
+@register("t6_token_counts", _T6_ORACLE)
+def q_token_counts(spark, sf_dir):
+    """Token counting both ways the pipeline brief asks for:
+    whitespace tokens and a BPE-ish regex piece count (the GPT-2
+    pre-tokenizer pattern family, lookahead-free so Java regex and
+    RE2 agree). Pure JVM-side ``regexp_count`` — no UDF."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .cast("long")
+        .alias("n_tokens_ws"),
+        F.regexp_count(t, F.lit(_BPE_RE)).cast("long").alias("n_pieces_bpe"),
+    )

@@ -190,3 +190,59 @@ def load_gro(spark: SparkSession, path: str, chunks: int = 10) -> Trajectory:
     traj = Trajectory(coords, frames=frames, unitcell=unitcell)
     traj.topology = load_topology(spark, path)
     return traj
+
+
+def write_gro(traj: Trajectory, path: str) -> None:
+    """Sink: driver-side multi-frame GRO export. Fixed-width records
+    (``%5d%-5s%5s%5d`` then ``%8.3f`` coords in nm), title line
+    carrying ``t=`` so the reader round-trips time, box line from
+    the unitcell vectors (row-major, GROMACS order
+    ``v1x v2y v3z v1y v1z v2x v2z v3x v3y``, trailing zeros
+    trimmed to the diagonal form when orthorhombic). Residue/atom
+    names come from the topology when present, ``MOL``/``X``
+    placeholders otherwise."""
+    import numpy as np
+
+    xyz, time = traj.to_numpy()
+    n_frames, n_atoms, _ = xyz.shape
+    names = [("MOL", "X")] * n_atoms
+    resids = [1] * n_atoms
+    if traj.topology is not None:
+        trows = (
+            traj.topology.select("atom_id", "name", "residue_id", "residue_name")
+            .orderBy("atom_id")
+            .collect()
+        )
+        if len(trows) == n_atoms:
+            names = [(r.residue_name or "MOL", r.name or "X") for r in trows]
+            resids = [int(r.residue_id) + 1 for r in trows]
+    boxes = None
+    if traj.have_unitcell:
+        uc = traj.unitcell_vectors.orderBy("frame_id").toPandas()
+        boxes = (
+            uc[["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]]
+            .to_numpy(dtype=np.float64)
+            .reshape(-1, 3, 3)
+        )
+    with open(path, "w") as f:
+        for fid in range(n_frames):
+            t = float(time[fid]) if time is not None else float(fid)
+            f.write(f"frame {fid} t= {t:.5f}\n")
+            f.write(f"{n_atoms:5d}\n")
+            for a in range(n_atoms):
+                resname, atom = names[a]
+                f.write(
+                    f"{resids[a] % 100000:5d}{resname[:5]:<5s}"
+                    f"{atom[:5]:>5s}{(a + 1) % 100000:5d}"
+                    f"{xyz[fid, a, 0]:8.3f}{xyz[fid, a, 1]:8.3f}"
+                    f"{xyz[fid, a, 2]:8.3f}\n"
+                )
+            if boxes is not None:
+                b = boxes[fid]
+                off = [b[0, 1], b[0, 2], b[1, 0], b[1, 2], b[2, 0], b[2, 1]]
+                line = f"{b[0, 0]:10.5f}{b[1, 1]:10.5f}{b[2, 2]:10.5f}"
+                if any(abs(v) > 1e-9 for v in off):
+                    line += "".join(f"{v:10.5f}" for v in off)
+                f.write(line + "\n")
+            else:
+                f.write(f"{0.0:10.5f}{0.0:10.5f}{0.0:10.5f}\n")

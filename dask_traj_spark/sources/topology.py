@@ -132,3 +132,60 @@ def load_topology(spark: SparkSession, path: str) -> DataFrame:
     else:
         raise NotImplementedError(f"topology format not supported: {path}")
     return spark.createDataFrame(pdf, schema=schemas.TOPOLOGY_SCHEMA)
+
+
+def write_pdb(traj, path: str) -> None:
+    """Sink: driver-side multi-MODEL PDB export (the reference can
+    parse but never write PDB; SURVEY.md S11). Fixed-column ATOM
+    records (coords in Å — PDB convention — from our nm), CRYST1
+    from the unitcell lengths/angles of frame 0, one MODEL/ENDMDL
+    block per frame. Topology supplies names when present."""
+    import numpy as np
+
+    xyz, _time = traj.to_numpy()
+    n_frames, n_atoms, _ = xyz.shape
+    ang = xyz.astype(np.float64) * 10.0  # nm → Å
+    names = [("X", "MOL", 1, "A", "C")] * n_atoms
+    if traj.topology is not None:
+        trows = (
+            traj.topology.select(
+                "atom_id", "name", "residue_id", "residue_name", "chain_id",
+                "element",
+            )
+            .orderBy("atom_id")
+            .collect()
+        )
+        if len(trows) == n_atoms:
+            names = [
+                (
+                    r.name or "X",
+                    (r.residue_name or "MOL")[:3],
+                    int(r.residue_id) + 1,
+                    chr(ord("A") + int(r.chain_id) % 26),
+                    (r.element or "C")[:2],
+                )
+                for r in trows
+            ]
+    cryst = None
+    if traj.have_unitcell:
+        uc = traj.unitcell.orderBy("frame_id").limit(1).collect()[0]
+        cryst = (
+            f"CRYST1{uc.a * 10:9.3f}{uc.b * 10:9.3f}{uc.c * 10:9.3f}"
+            f"{uc.alpha:7.2f}{uc.beta:7.2f}{uc.gamma:7.2f} P 1           1\n"
+        )
+    with open(path, "w") as f:
+        if cryst:
+            f.write(cryst)
+        for fid in range(n_frames):
+            f.write(f"MODEL     {fid + 1:4d}\n")
+            for a in range(n_atoms):
+                nm, res, rid, ch, el = names[a]
+                pad_nm = f" {nm:<3s}" if len(nm) < 4 else nm[:4]
+                f.write(
+                    f"ATOM  {(a + 1) % 100000:5d} {pad_nm}"
+                    f" {res:>3s} {ch}{rid % 10000:4d}    "
+                    f"{ang[fid, a, 0]:8.3f}{ang[fid, a, 1]:8.3f}"
+                    f"{ang[fid, a, 2]:8.3f}{1.0:6.2f}{0.0:6.2f}"
+                    f"          {el.upper():>2s}\n"
+                )
+            f.write("ENDMDL\n")

@@ -81,3 +81,29 @@ def test_gro_time_fallback_without_t(spark, tmp_path):
     )
     traj = dts.load(spark, str(p))
     assert traj.frames.first()["time"] == 0.0  # arange fallback (S8)
+
+
+def test_gro_write_read_round_trip(spark, traj_triclinic, tmp_path):
+    """write_gro → load_gro round-trips coords (3-decimal nm grid),
+    time, and the triclinic box."""
+    import numpy as np
+
+    from dask_traj_spark.sources.gro import write_gro
+
+    sub = traj_triclinic.slice_frames(0, 3).atom_slice(list(range(40)))
+    p = str(tmp_path / "rt.gro")
+    write_gro(sub, p)
+
+    import dask_traj_spark as dts
+
+    back = dts.load(spark, p)
+    assert back.n_frames == 3 and back.n_atoms == 40
+    a, ta = sub.to_numpy()
+    b, tb = back.to_numpy()
+    np.testing.assert_allclose(b, np.round(a.astype(np.float64) * 1000) / 1000,
+                               atol=5e-4)
+    np.testing.assert_allclose(tb, ta, atol=1e-4)
+    ua = sub.unitcell_vectors.orderBy("frame_id").toPandas()
+    ub = back.unitcell_vectors.orderBy("frame_id").toPandas()
+    cols = ["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]
+    np.testing.assert_allclose(ub[cols].to_numpy(), ua[cols].to_numpy(), atol=1e-4)

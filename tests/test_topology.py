@@ -75,3 +75,27 @@ def test_unknown_topology_format_raises(spark):
 
     with pytest.raises(NotImplementedError):
         load_topology(spark, "/tmp/top.xml")
+
+
+def test_pdb_write_parse_round_trip(spark, traj_triclinic, tmp_path):
+    """write_pdb → our own PDB topology parser recovers the atom
+    dimension (names, residues, chains); CRYST1 carries the box."""
+    from dask_traj_spark.sources.topology import load_topology, write_pdb
+
+    sub = traj_triclinic.slice_frames(0, 2).atom_slice(list(range(25)))
+    p = str(tmp_path / "rt.pdb")
+    write_pdb(sub, p)
+
+    top = load_topology(spark, p)
+    assert top.count() == 25
+    orig = {
+        r.atom_id: (r.name, r.residue_name)
+        for r in sub.topology.orderBy("atom_id").collect()
+    }
+    got = {
+        r.atom_id: (r.name, r.residue_name)
+        for r in top.orderBy("atom_id").collect()
+    }
+    assert got == {k: (v[0], v[1][:3]) for k, v in orig.items()}
+    cryst = [ln for ln in open(p) if ln.startswith("CRYST1")]
+    assert len(cryst) == 1 and "60.00" in cryst[0]
