@@ -107,3 +107,47 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+FRAME_BYTES = 16  # fake codec: fixed-size frames inside the payload
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes binary, n_frames int"
+)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Video-style frame sampling over an opaque payload: treat each
+    payload as a sequence of fixed-size ``FRAME_BYTES`` frames and
+    emit every ``every``-th one as its own row. The Spark-side
+    plumbing is the real thing — Arrow-batched ``mapInPandas``
+    exploding one input row into many output rows with a binary
+    column — while the "codec" is a deterministic stub (byte
+    slicing), so the whole operator is oracle-checkable; a real
+    ffmpeg frame extractor drops into ``gen`` without touching the
+    plan, schema, or partitioning."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_doc, out_idx, out_bytes, out_n = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n = len(b) // FRAME_BYTES
+                for f in range(0, n, every):
+                    out_doc.append(doc_id)
+                    out_idx.append(f)
+                    out_bytes.append(b[f * FRAME_BYTES : (f + 1) * FRAME_BYTES])
+                    out_n.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "frame_bytes": out_bytes,
+                    "n_frames": out_n,
+                }
+            )
+
+    return media.mapInPandas(gen, FRAME_SAMPLE_SCHEMA)

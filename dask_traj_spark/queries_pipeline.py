@@ -976,3 +976,38 @@ def q_token_counts(spark, sf_dir):
         .alias("n_tokens_ws"),
         F.regexp_count(t, F.lit(_BPE_RE)).cast("long").alias("n_pieces_bpe"),
     )
+
+
+# this DuckDB build cannot slice BLOBs; the corpus is ASCII so
+# byte offsets == char offsets and encode(substring(text)) is the
+# same bytes as slicing encode(text)
+_M3_ORACLE = """
+WITH m AS (
+    SELECT doc_id, text,
+           CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames
+    FROM documents),
+f AS (
+    SELECT doc_id, n_frames,
+           unnest(range(0, n_frames, 4)) AS frame_idx
+    FROM m)
+SELECT f.doc_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       md5(substring(m.text, CAST(f.frame_idx AS INT) * 16 + 1, 16))
+           AS frame_md5,
+       f.n_frames
+FROM f JOIN m USING (doc_id)
+"""
+
+
+@register("m3_frame_sample", _M3_ORACLE)
+def q_frame_sample(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import attach_payload, frame_sample
+
+    media = attach_payload(_docs(spark, sf_dir))
+    out = frame_sample(media, every=4)
+    # binary columns are not hashable by the compare harness; gate
+    # on an md5 digest of the sampled bytes instead (ASCII corpus →
+    # DuckDB's md5-on-VARCHAR sees the same bytes)
+    return out.select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5"), "n_frames"
+    )

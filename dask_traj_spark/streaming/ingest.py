@@ -358,6 +358,13 @@ def stream_coords_to_bucketed(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         append_coords_bucketed(batch_df, table, n_buckets=n_buckets, key=key)
+        # foreachBatch runs in a cloned session whose SessionState
+        # (and relation cache) is separate from the parent's, so an
+        # append through the clone leaves the parent session's cached
+        # file listing stale — readers keep seeing the pre-batch
+        # table. Refresh through the PARENT session (write_batch runs
+        # driver-side, so the closure capture is safe).
+        spark.catalog.refreshTable(table)
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -390,3 +390,54 @@ def test_stream_to_bucketed_ingest_loop(spark, coords_stream_dir, tmp_path_facto
     assert "Exchange" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS ingest_loop_test")
     spark.sql("DROP TABLE IF EXISTS ingest_loop_compact")
+
+
+def test_stream_ingest_restart_is_exactly_once(spark, tmp_path_factory):
+    """Restarting the checkpointed ingest stream after new files
+    arrive appends ONLY the new data — no reprocessing of batches
+    already committed (the recovery contract the 100 TB ingest
+    relies on)."""
+    import shutil
+
+    from dask_traj_spark.streaming.ingest import stream_coords_to_bucketed
+
+    base = tmp_path_factory.mktemp("restart")
+    src = str(base / "src")
+    os.makedirs(src)
+    spark.sql("DROP TABLE IF EXISTS restart_ingest_test")
+    # a DROP on a half-created managed table can leave its warehouse
+    # directory behind, which blocks re-creation
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/restart_ingest_test", ignore_errors=True)
+
+    def add_file(name, lo, hi):
+        df = spark.range(lo, hi).selectExpr(
+            "id as frame_id",
+            "cast(id % 7 as int) as atom_id",
+            "cast(id as float) x", "cast(id as float) y", "cast(id as float) z",
+        )
+        stage = str(base / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+
+        for i, p in enumerate(glob.glob(f"{stage}/*.parquet")):
+            shutil.move(p, f"{src}/{name}_{i}.parquet")
+        shutil.rmtree(stage)
+
+    ckpt = str(base / "ckpt")
+    add_file("a", 0, 100)
+    q = stream_coords_to_bucketed(
+        spark, src, "restart_ingest_test", checkpoint=ckpt, n_buckets=4
+    )
+    q.awaitTermination(120)
+    assert spark.table("restart_ingest_test").count() == 100
+
+    add_file("b", 100, 150)
+    q2 = stream_coords_to_bucketed(
+        spark, src, "restart_ingest_test", checkpoint=ckpt, n_buckets=4
+    )
+    q2.awaitTermination(120)
+    got = spark.table("restart_ingest_test")
+    assert got.count() == 150  # no double-ingest of file a
+    assert got.select("frame_id").distinct().count() == 150
+    spark.sql("DROP TABLE IF EXISTS restart_ingest_test")
