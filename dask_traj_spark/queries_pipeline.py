@@ -1011,3 +1011,69 @@ def q_frame_sample(spark, sf_dir):
     return out.select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5"), "n_frames"
     )
+
+
+_E5_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+    FROM events)
+SELECT p.user_id, count(*) AS n_funnels
+FROM e p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+      SELECT 1 FROM e c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 86400000000
+        AND EXISTS (
+            SELECT 1 FROM e v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view'
+              AND v.ts_us <= c.ts_us AND v.ts_us >= c.ts_us - 86400000000))
+GROUP BY p.user_id
+"""
+
+
+@register("e5_funnel_completions", _E5_ORACLE)
+def q_funnel(spark, sf_dir):
+    """Three-step funnel (view → click → purchase, each hop within
+    24 h, per user), counted per user. The oracle spells it as nested
+    correlated EXISTS; the engine runs it as two *binned range
+    joins* (operators/rangejoin.py — interval containment as an
+    equi-join on time bins, the scale pattern) with semi-join
+    dedup."""
+    from dask_traj_spark.operators.rangejoin import range_join
+    from dask_traj_spark.sources.events import events_df
+
+    e = events_df(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    hop = 86_400_000_000  # 24 h in epoch micros
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_us").alias("v_lo"),
+        (F.col("ts_us") + hop).alias("v_hi"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("click_id")
+    )
+    qc = (
+        range_join(clicks, views, "ts_us", "v_lo", "v_hi", bin_width=hop,
+                   equi_keys=["user_id"])
+        .select("user_id", "ts_us", "click_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.col("ts_us").alias("c_lo"),
+            (F.col("ts_us") + hop).alias("c_hi"),
+            "click_id",
+        )
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("event_id").alias("purchase_id")
+    )
+    funnels = (
+        range_join(purchases, qc, "ts_us", "c_lo", "c_hi", bin_width=hop,
+                   equi_keys=["user_id"])
+        .select("user_id", "purchase_id")
+        .distinct()
+    )
+    return funnels.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_funnels"))

@@ -438,3 +438,37 @@ def q_r21(spark, sf_dir):
         F.min("price_c").alias("min_price_c"),
         F.min_by("suppkey", F.struct("price_c", "suppkey")).alias("suppkey"),
     )
+
+
+# ---------------------------------------------------------------- r22
+
+_R22_ORACLE = """
+SELECT l_returnflag AS returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+           <= count(DISTINCT l_partkey) / 20 AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("r22_sketch_distinct", _R22_ORACLE)
+def q_r22(spark, sf_dir):
+    """Sketch operator surface (HLL): the raw approximate counts are
+    engine-specific (Spark HLL++ vs DuckDB HLL — never
+    hash-comparable), so the gate checks the *contract* both
+    sketches guarantee: the estimate lands within 5% of the exact
+    distinct count (observed error ~0.5% at this cardinality — the
+    boolean is deterministically true on both engines). Exact counts
+    ride along and gate fully."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.count_distinct("l_partkey")
+            )
+            <= F.count_distinct("l_partkey") / 20
+        ).alias("approx_within_5pct"),
+    )
