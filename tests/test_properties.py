@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis) for the pure-Python hot
+kernels — no Spark session, so hundreds of generated cases run in
+seconds. These probe input space the fixed fixtures don't:
+arbitrary boxes, lattice offsets, coordinate magnitudes, and random
+quantized trajectories through the XTC codec.
+
+Mirrors the reference's differential-testing philosophy (SURVEY.md
+§5) with generated rather than fixed inputs; the oracles are
+independent brute-force definitions, not the code under test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dask_traj_spark.operators.kernels import displacements_np, distances_np
+
+# --------------------------------------------------------------- helpers
+
+
+def _ortho_box(lx, ly, lz):
+    return np.diag([lx, ly, lz]).astype(np.float64)[None]
+
+
+def _reduced_triclinic(lx, ly, lz, bx, cx, cy):
+    """Lower-triangular reduced box: off-diagonals bounded by half
+    the diagonal (GROMACS reduced form — what loaders produce)."""
+    box = np.array(
+        [[lx, 0.0, 0.0], [bx * lx, ly, 0.0], [cx * lx, cy * ly, lz]],
+        dtype=np.float64,
+    )
+    return box[None]
+
+
+def _brute_mic(d, box):
+    """Independent oracle: minimize |d - i·a - j·b - k·c| over an
+    image grid whose radius adapts to |d| / box size, so the global
+    minimum is always inside the searched range (a fixed radius
+    can't miss it). Vectorized over the whole grid."""
+    a, b, c = box[0]
+    min_diag = min(abs(a[0]), abs(b[1]), abs(c[2]))
+    n = int(np.ceil(np.abs(d).max() / min_diag)) + 2
+    r = np.arange(-n, n + 1)
+    ii, jj, kk = np.meshgrid(r, r, r, indexing="ij")
+    cand = (
+        d[None, None, None, :]
+        - ii[..., None] * a
+        - jj[..., None] * b
+        - kk[..., None] * c
+    )
+    return float(np.sqrt((cand**2).sum(-1).min()))
+
+
+coords = st.floats(min_value=-5.0, max_value=5.0, width=32)
+lengths = st.floats(min_value=0.5, max_value=4.0, width=32)
+# the 27-image convention (mdtraj/GROMACS semantics this engine
+# implements) is exact for *reduced* boxes: comparable edge lengths,
+# off-diagonals well under half the diagonal. Generate in that
+# regime so the adaptive brute force and the convention agree.
+tri_lengths = st.floats(min_value=1.0, max_value=2.0, width=32)
+skews = st.floats(min_value=-0.25, max_value=0.25, width=32)
+images = st.integers(min_value=-2, max_value=2)
+
+
+# --------------------------------------------------------------- MIC
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    p=st.tuples(coords, coords, coords),
+    q=st.tuples(coords, coords, coords),
+    dims=st.tuples(lengths, lengths, lengths),
+)
+def test_ortho_mic_matches_brute_force(p, q, dims):
+    xyz = np.array([[p, q]], dtype=np.float32)
+    box = _ortho_box(*dims)
+    got = distances_np(
+        xyz, np.array([0]), np.array([1]), box, np.array([True])
+    )[0, 0]
+    want = _brute_mic(
+        xyz[0, 1].astype(np.float64) - xyz[0, 0].astype(np.float64), box
+    )
+    assert got == pytest.approx(want, abs=2e-4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    p=st.tuples(coords, coords, coords),
+    q=st.tuples(coords, coords, coords),
+    dims=st.tuples(tri_lengths, tri_lengths, tri_lengths),
+    skew=st.tuples(skews, skews, skews),
+)
+def test_triclinic_mic_matches_brute_force(p, q, dims, skew):
+    xyz = np.array([[p, q]], dtype=np.float32)
+    box = _reduced_triclinic(*dims, *skew)
+    got = distances_np(
+        xyz, np.array([0]), np.array([1]), box, np.array([False])
+    )[0, 0]
+    want = _brute_mic(
+        xyz[0, 1].astype(np.float64) - xyz[0, 0].astype(np.float64), box
+    )
+    assert got == pytest.approx(want, abs=2e-4)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    p=st.tuples(coords, coords, coords),
+    q=st.tuples(coords, coords, coords),
+    dims=st.tuples(tri_lengths, tri_lengths, tri_lengths),
+    skew=st.tuples(skews, skews, skews),
+    img=st.tuples(images, images, images),
+)
+def test_mic_invariant_under_lattice_translation(p, q, dims, skew, img):
+    """Translating one endpoint by ANY lattice vector must not change
+    the MIC distance — the defining property of the convention."""
+    box = _reduced_triclinic(*dims, *skew)
+    a, b, c = box[0]
+    shift = img[0] * a + img[1] * b + img[2] * c
+    xyz1 = np.array([[p, q]], dtype=np.float32)
+    xyz2 = np.array([[p, tuple(np.array(q) + shift)]], dtype=np.float32)
+    d1 = distances_np(xyz1, np.array([0]), np.array([1]), box, np.array([False]))
+    d2 = distances_np(xyz2, np.array([0]), np.array([1]), box, np.array([False]))
+    # float32 endpoints shifted by up to ~4 box lengths lose some ulps
+    assert d1[0, 0] == pytest.approx(d2[0, 0], abs=5e-4)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    p=st.tuples(coords, coords, coords),
+    q=st.tuples(coords, coords, coords),
+    dims=st.tuples(tri_lengths, tri_lengths, tri_lengths),
+    skew=st.tuples(skews, skews, skews),
+)
+def test_mic_displacement_consistent_with_distance(p, q, dims, skew):
+    """|displacement| == distance on the same inputs (the two public
+    kernels must agree)."""
+    xyz = np.array([[p, q]], dtype=np.float32)
+    box = _reduced_triclinic(*dims, *skew)
+    disp = displacements_np(
+        xyz, np.array([0]), np.array([1]), box, np.array([False])
+    )
+    dist = distances_np(
+        xyz, np.array([0]), np.array([1]), box, np.array([False])
+    )
+    assert np.linalg.norm(disp[0, 0]) == pytest.approx(dist[0, 0], abs=1e-5)
+
+
+# --------------------------------------------------------------- XTC codec
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_atoms=st.integers(min_value=10, max_value=300),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    walk=st.floats(min_value=0.0009765625, max_value=0.5),
+)
+def test_xtc_codec_roundtrip_random_walks(tmp_path_factory, n_atoms, seed, walk):
+    """write → decode is exact on the 1/precision grid for random
+    walks of any step size (tiny steps exercise long delta runs,
+    huge ones the whole-range fallback)."""
+    import os
+
+    from dask_traj_spark.sources import xtc as X
+
+    rng = np.random.default_rng(seed)
+    start = rng.uniform(0, 3, (1, n_atoms, 3))
+    steps = rng.normal(0, walk, (2, n_atoms, 3))
+    xyz = np.cumsum(np.concatenate([start, steps]), axis=0).astype(np.float32)
+    time = np.arange(3, dtype=np.float64)
+
+    p = str(tmp_path_factory.mktemp("xtc_prop") / "w.xtc")
+    X._write_xtc_file(p, xyz, time, None, precision=1000.0)
+    frames = []
+    with open(p, "rb") as f:
+        size = os.path.getsize(p)
+        while f.tell() < size:
+            frames.append(X.decode_frame(f))
+    got = np.stack([fr[3] for fr in frames])
+    q1 = np.round(xyz.astype(np.float64) * 1000).astype(np.int64)
+    q2 = np.round(got.astype(np.float64) * 1000).astype(np.int64)
+    assert (q1 == q2).all()
