@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dask_traj_spark import schemas
 from dask_traj_spark.trajectory import Trajectory
@@ -215,8 +215,11 @@ def load_tables(spark: SparkSession, directory: str) -> Trajectory:
     coords = opt("coords")
     if coords is None:
         raise FileNotFoundError(f"{directory}/coords.parquet not found")
-    if "frame_bucket" in coords.columns:
-        coords = coords.drop("frame_bucket")
+    # normalize column ORDER, not just the set: after a dynamic
+    # partition-overwrite compaction the scan can surface data
+    # columns in a different order, and positional consumers
+    # (exceptAll, union, packed feeds) would silently mismatch
+    coords = coords.select("frame_id", "atom_id", "x", "y", "z")
     return Trajectory(coords, opt("frames"), opt("unitcell"), opt("topology"))
 
 
@@ -376,3 +379,55 @@ def from_wide_pandas(
         topology = spark.createDataFrame(topology_rows, schema=schemas.TOPOLOGY_SCHEMA)
 
     return Trajectory(coords, frames, unitcell, topology)
+
+
+def partition_file_stats(coords_path: str) -> dict[int, int]:
+    """Data files per ``frame_bucket=`` hive partition of a coords
+    layout written by ``save_tables(bucket_frames=N)``. Driver-side
+    listing only — the compaction trigger. (On object stores the
+    same numbers come from the catalog/manifest listing.)"""
+    import glob
+
+    stats: dict[int, int] = {}
+    for d in glob.glob(os.path.join(coords_path, "frame_bucket=*")):
+        b = int(d.rsplit("=", 1)[1])
+        stats[b] = len(glob.glob(os.path.join(d, "*.parquet")))
+    return stats
+
+
+def compact_frame_partitions(
+    spark: SparkSession,
+    coords_path: str,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> list[int]:
+    """Partition-scoped OPTIMIZE for the frame-range hive layout:
+    rewrite only the ``frame_bucket=`` directories whose file count
+    reached ``min_files``, coalescing each to ``target_files``
+    frame-sorted files. Untouched partitions keep their files —
+    at 100 TB you compact the tail the last ingest wrote, never the
+    whole table. Uses dynamic partition overwrite so the rewrite
+    replaces exactly the partitions it read (atomic per partition on
+    HDFS-like stores; on object stores pair with a manifest commit).
+
+    Returns the list of compacted bucket ids."""
+    stats = partition_file_stats(coords_path)
+    todo = sorted(b for b, n in stats.items() if n >= min_files)
+    if not todo:
+        return []
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        frag = spark.read.parquet(coords_path).where(
+            F.col("frame_bucket").isin([int(b) for b in todo])
+        )
+        (
+            frag.repartition(max(1, target_files * len(todo)), "frame_bucket")
+            .sortWithinPartitions("frame_id", "atom_id")
+            .write.mode("overwrite")
+            .partitionBy("frame_bucket")
+            .parquet(coords_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return todo

@@ -123,3 +123,49 @@ def test_append_then_compact_restores_one_file_per_bucket(
 
     spark.sql("DROP TABLE IF EXISTS coords_frag_test")
     spark.sql("DROP TABLE IF EXISTS coords_compact_test")
+
+
+def test_frame_partition_compaction(spark, traj_triclinic, tmp_path_factory):
+    """Partition-scoped OPTIMIZE: appending fragments only some
+    frame_bucket partitions; compaction rewrites exactly those,
+    preserves content, and pruning still works."""
+    from dask_traj_spark.sources.loaders import (
+        compact_frame_partitions,
+        partition_file_stats,
+        save_tables,
+    )
+
+    base = str(tmp_path_factory.mktemp("hivecompact") / "tables")
+    first = traj_triclinic.slice_frames(0, 60)
+    save_tables(first, base, bucket_frames=20)
+    coords_path = f"{base}/coords.parquet"
+
+    # append the remaining frames — fragments the touched buckets
+    rest = traj_triclinic.coords.where(F.col("frame_id") >= 60)
+    (
+        rest.withColumn("frame_bucket", F.expr("frame_id div 20"))
+        .repartition(4)
+        .write.mode("append")
+        .partitionBy("frame_bucket")
+        .parquet(coords_path)
+    )
+    before = partition_file_stats(coords_path)
+    assert any(n > 1 for n in before.values()), before
+
+    n_total = spark.read.parquet(coords_path).count()
+    compacted = compact_frame_partitions(spark, coords_path, min_files=2)
+    assert compacted, before
+    after = partition_file_stats(coords_path)
+    for b in compacted:
+        assert after[b] <= max(1, before[b] // 2), (b, before[b], after[b])
+    # untouched partitions keep their layout; content identical
+    for b, n in before.items():
+        if b not in compacted:
+            assert after[b] == n
+    assert spark.read.parquet(coords_path).count() == n_total
+    got = spark.read.parquet(coords_path).select(
+        "frame_id", "atom_id", "x", "y", "z"
+    )
+    assert got.exceptAll(
+        traj_triclinic.coords.select("frame_id", "atom_id", "x", "y", "z")
+    ).count() == 0
