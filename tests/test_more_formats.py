@@ -228,3 +228,23 @@ def test_select_atoms_sql_predicate(traj_triclinic):
     assert sorted(ids) == list(range(n_c))
     with pytest.raises(ValueError, match="matched no atoms"):
         traj_triclinic.select_atoms("element = 'Xx'")
+
+
+def test_truncated_binary_files_raise_cleanly(spark, tmp_path, traj_triclinic):
+    """A mid-frame truncation of a binary trajectory must raise a
+    clear error at index/decode time, never return garbage frames."""
+    import dask_traj_spark as dts
+    from dask_traj_spark.sources.dcd import write_dcd
+    from dask_traj_spark.sources.xtc import write_xtc
+
+    sub = traj_triclinic.slice_frames(0, 5).atom_slice(list(range(30)))
+    for name, writer in (("t.xtc", write_xtc), ("t.dcd", write_dcd)):
+        full = tmp_path / name
+        writer(sub, str(full))
+        data = full.read_bytes()
+        cut = tmp_path / f"cut_{name}"
+        cut.write_bytes(data[: int(len(data) * 0.7)])
+        with pytest.raises((ValueError, EOFError, Exception)):
+            t = dts.load(spark, str(cut))
+            # force materialization in case indexing alone survives
+            t.coords.count()

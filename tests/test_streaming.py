@@ -441,3 +441,35 @@ def test_stream_ingest_restart_is_exactly_once(spark, tmp_path_factory):
     assert got.count() == 150  # no double-ingest of file a
     assert got.select("frame_id").distinct().count() == 150
     spark.sql("DROP TABLE IF EXISTS restart_ingest_test")
+
+
+def test_streaming_distances_match_batch(spark, coords_stream_dir):
+    """G1 on a stream: identical kernel, identical results to the
+    batch vectorized form, stateless append mode."""
+    import numpy as np
+
+    from dask_traj_spark.streaming.ingest import (
+        stream_coords,
+        streaming_distances,
+    )
+
+    pairs = [(0, 1), (2, 40), (7, 33)]
+    s = streaming_distances(stream_coords(spark, coords_stream_dir), pairs)
+    _run_to_memory(s, "dist_stream", "append")
+    got = (
+        spark.sql("SELECT * FROM dist_stream")
+        .orderBy("frame_id", "pair_id")
+        .toPandas()
+    )
+
+    import dask_traj_spark as dts
+    from dask_traj_spark.trajectory import Trajectory
+
+    batch = Trajectory(spark.read.parquet(coords_stream_dir))
+    want = (
+        dts.compute_distances(batch, pairs, periodic=False, form="vectorized")
+        .orderBy("frame_id", "pair_id")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["dist"].to_numpy(), want["dist"].to_numpy())
