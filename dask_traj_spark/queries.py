@@ -90,7 +90,10 @@ def coords_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = lambda off: F.expr(  # noqa: E731
         f"element_at(embedding, CAST(frame_id*3+{off} AS INT))"
     ).cast("double")
-    q = lambda c: F.round(c * QGRID, 0) / QGRID  # noqa: E731
+    # "+ 0.0" normalizes IEEE -0.0 to +0.0 (x + 0.0 == +0.0 when x is
+    # any signed zero, under round-to-nearest); DuckDB side does the
+    # same, so raw-coordinate passthrough queries hash identically.
+    q = lambda c: F.round(c * QGRID, 0) / QGRID + 0.0  # noqa: E731
     return (
         _emb(spark, sf_dir)
         .select(
@@ -112,9 +115,9 @@ COORDS_CTE = f"""
 coords AS (
     SELECT CAST(f.frame_id AS BIGINT) AS frame_id,
            CAST(e.vec_id AS INT) AS atom_id,
-           round(CAST(e.embedding[3*f.frame_id+1] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} AS x,
-           round(CAST(e.embedding[3*f.frame_id+2] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} AS y,
-           round(CAST(e.embedding[3*f.frame_id+3] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} AS z
+           round(CAST(e.embedding[3*f.frame_id+1] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} + 0.0 AS x,
+           round(CAST(e.embedding[3*f.frame_id+2] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} + 0.0 AS y,
+           round(CAST(e.embedding[3*f.frame_id+3] AS DOUBLE) * {QGRID:.0f}) / {QGRID:.0f} + 0.0 AS z
     FROM embeddings e CROSS JOIN range({N_FRAMES}) f(frame_id)
 )"""
 
@@ -594,7 +597,7 @@ v AS (
                   * (c*(cos(ar) - cos(br)*cos(gr))/sin(gr))) AS cz
     FROM d
 )
-SELECT frame_id,
+SELECT CAST(frame_id AS BIGINT) AS frame_id,
        round(CASE WHEN abs(ax) < 1e-6 THEN 0.0 ELSE ax END, 6) AS ax,
        round(CASE WHEN abs(ay) < 1e-6 THEN 0.0 ELSE ay END, 6) AS ay,
        round(CASE WHEN abs(az) < 1e-6 THEN 0.0 ELSE az END, 6) AS az,
@@ -692,11 +695,11 @@ def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_ORACLE = f"""
 WITH {COORDS_CTE.strip()}
 SELECT frame_id,
-       sum(CAST(atom_id + 1 AS BIGINT) * (
+       CAST(sum(CAST(atom_id + 1 AS BIGINT) * (
            3*CAST(round(x*{QGRID:.0f}) AS BIGINT)
            + 5*CAST(round(y*{QGRID:.0f}) AS BIGINT)
            + 7*CAST(round(z*{QGRID:.0f}) AS BIGINT)
-       )) AS fp
+       )) AS BIGINT) AS fp
 FROM coords GROUP BY frame_id
 """
 

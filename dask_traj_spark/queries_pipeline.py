@@ -141,8 +141,8 @@ _T4_ORACLE = f"""
 WITH {TOK_CTE.strip()},
 {VOC_CTE.strip()}
 SELECT t.doc_id,
-       sum(((CAST(v.tid AS BIGINT) + 1) * ({_FP_W}[t.pos % 8 + 1])) % 1000000007)
-           % 1000000007 AS fp
+       CAST(sum(((CAST(v.tid AS BIGINT) + 1) * ({_FP_W}[t.pos % 8 + 1])) % 1000000007)
+           % 1000000007 AS BIGINT) AS fp
 FROM tok t JOIN voc v USING (word)
 GROUP BY t.doc_id
 """
@@ -158,8 +158,8 @@ def q_fingerprint_text(spark, sf_dir):
 _T5_ORACLE = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(CAST({_NTOK} AS BIGINT)) AS total_tokens,
-       sum(CAST(length(text) AS BIGINT)) AS total_chars
+       CAST(sum(CAST({_NTOK} AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 """
@@ -213,7 +213,7 @@ dd AS (
     FROM documents
 )
 SELECT d.source, l.pred_lang, count(*) AS n_docs,
-       sum(CAST(length(d.text) AS BIGINT)) AS total_chars
+       CAST(sum(CAST(length(d.text) AS BIGINT)) AS BIGINT) AS total_chars
 FROM documents d
 JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN dd USING (doc_id)
 WHERE dd.rn = 1 AND q.quality >= 0.45
@@ -563,9 +563,9 @@ def q_emb_neardup(spark, sf_dir):
 _M1_ORACLE = """
 SELECT 'fake/utf8' AS kind,
        count(*) AS n,
-       sum(octet_length(encode(text))) AS total_bytes,
-       min(octet_length(encode(text))) AS min_bytes,
-       max(octet_length(encode(text))) AS max_bytes
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 """
 
@@ -596,7 +596,7 @@ _E1_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -925,7 +925,7 @@ n AS (
            ax*bx + ay*by + az*bz AS dab
     FROM v
 )
-SELECT frame_id,
+SELECT CAST(frame_id AS BIGINT) AS frame_id,
        round(na, 6) AS a, round(nb, 6) AS b, round(nc, 6) AS c,
        round(degrees(acos(greatest(-1.0, least(1.0, dbc / (nb * nc))))), 6) AS alpha,
        round(degrees(acos(greatest(-1.0, least(1.0, dca / (nc * na))))), 6) AS beta,

@@ -32,10 +32,10 @@ def _cents(col: str) -> F.Column:
 
 _R1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cp,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_cp,
        count(*) AS count_order,
        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS avg_qty_c
@@ -72,8 +72,8 @@ WITH rev AS (
     SELECT l.l_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o.o_orderpriority,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_cp
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -124,7 +124,7 @@ def q_r2(spark, sf_dir):
 _R3_ORACLE = """
 SELECT coalesce(r.r_name, 'ALL') AS region,
        coalesce(n.n_name, 'ALL') AS nation,
-       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_c,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c,
        count(*) AS n_customers
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -163,10 +163,10 @@ _R4_ORACLE = """
 SELECT o_custkey,
        o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS running_total_c
+       ) AS BIGINT) AS running_total_c
 FROM orders
 """
 
@@ -216,8 +216,8 @@ def q_r5(spark, sf_dir):
 
 _R7_ORACLE = """
 SELECT n.n_name AS nation,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_cp,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp,
        count(*) AS n_items
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -265,7 +265,7 @@ def q_r7(spark, sf_dir):
 _R8_ORACLE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
        count(*) AS n
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -298,7 +298,7 @@ WITH avg_bal AS (
 )
 SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
        count(*) AS numcust,
-       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
 FROM customer c, avg_bal
 WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > ab
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -342,7 +342,7 @@ WITH q AS (
     FROM lineitem
 ),
 a AS (SELECT l_partkey, avg(qty_c) AS avg_qty_c FROM q GROUP BY l_partkey)
-SELECT q.l_partkey AS partkey, sum(q.price_c) AS revenue_c, count(*) AS n
+SELECT q.l_partkey AS partkey, CAST(sum(q.price_c) AS BIGINT) AS revenue_c, count(*) AS n
 FROM q JOIN a USING (l_partkey)
 WHERE CAST(q.qty_c AS DOUBLE) < a.avg_qty_c / 5
 GROUP BY q.l_partkey
@@ -371,12 +371,12 @@ def q_r10(spark, sf_dir):
 
 _R11_ORACLE = """
 SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
-       sum(CASE WHEN p.p_type LIKE 'PROMO%'
+       CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
                 THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
-                ELSE 0 END) AS promo_cp,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_cp
+                ELSE 0 END) AS BIGINT) AS promo_cp,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_cp
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY 1
 """

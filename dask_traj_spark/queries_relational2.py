@@ -34,8 +34,8 @@ def _cents(col: str) -> F.Column:
 
 _R12_ORACLE = """
 SELECT l.l_orderkey AS orderkey,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_cp,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
        o.o_orderpriority AS orderpriority
 FROM customer c
@@ -85,8 +85,8 @@ _R13_ORACLE = """
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS volume_cp
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS volume_cp
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -185,7 +185,7 @@ _R15_ORACLE = """
 SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c,
-       sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS sum_qty_c
+       CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -231,8 +231,8 @@ def q_r15(spark, sf_dir):
 # ---------------------------------------------------------------- r16
 
 _R16_ORACLE = """
-SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_cp,
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cp,
        count(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -281,7 +281,7 @@ def q_r16(spark, sf_dir):
 _R17_ORACLE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
        count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -337,9 +337,11 @@ def q_r18(spark, sf_dir):
         "bal_c",
         F.lag("bal_c").over(w).alias("prev_bal_c"),
         F.lead("bal_c").over(w).alias("next_bal_c"),
-        F.ntile(4).over(w).alias("quartile"),
+        # long casts: Spark ntile/row_number are INT, DuckDB's are
+        # BIGINT — the driver hashes dtype-sensitively
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 

@@ -13,6 +13,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -33,23 +34,52 @@ def duck_con(sf_dir: str):
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Mirrors the driver's canonicalizer: sort columns by name, then
+    # sort rows by all columns.  An unhashable cell (list/ndarray/
+    # bytearray) makes sort_values raise, exactly like the driver's
+    # harness — compare() surfaces that as a failure.
     pdf = pdf[sorted(pdf.columns)]
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
+def _bits(v: pd.Series) -> pd.Series:
+    """Float values as their IEEE-754 bit patterns (NaN-normalized)."""
+    arr = v.to_numpy(dtype=np.float64, copy=True)
+    arr[np.isnan(arr)] = np.nan  # canonical NaN payload
+    return pd.Series(arr.view(np.uint64))
+
+
 def compare(name: str, spdf: pd.DataFrame, dpdf: pd.DataFrame) -> list[str]:
+    """Driver-equivalent compare: identical columns, row counts, per-
+    column DTYPES, and bit-identical values (floats compared on their
+    IEEE bit patterns, so -0.0 != 0.0 and int64 != float64 — the two
+    classes the round-1 driver caught and a plain ``==`` passed)."""
     problems = []
     if sorted(spdf.columns) != sorted(dpdf.columns):
         problems.append(f"columns differ: {sorted(spdf.columns)} vs {sorted(dpdf.columns)}")
         return problems
     if len(spdf) != len(dpdf):
         problems.append(f"row count differs: spark={len(spdf)} duckdb={len(dpdf)}")
-    a, b = canon(spdf), canon(dpdf)
+    try:
+        a, b = canon(spdf), canon(dpdf)
+    except TypeError as e:
+        problems.append(f"canonicalize error (driver would err too): {e}")
+        return problems
+    for col in a.columns:
+        if str(a[col].dtype) != str(b[col].dtype):
+            problems.append(
+                f"col {col}: DTYPE differs: spark={a[col].dtype} duckdb={b[col].dtype}"
+            )
+    if problems:
+        return problems
     if len(a) == len(b):
         for col in a.columns:
             av, bv = a[col], b[col]
             try:
-                same = (av.isna() & bv.isna()) | (av == bv)
+                if av.dtype.kind == "f":
+                    same = _bits(av) == _bits(bv)
+                else:
+                    same = (av.isna() & bv.isna()) | (av == bv)
                 n_bad = int((~same).sum())
             except Exception as e:  # dtype mismatch etc
                 problems.append(f"col {col}: compare error {e}")
