@@ -619,14 +619,69 @@ def q_media_stats(spark, sf_dir):
     return media_stats(attach_payload(_docs(spark, sf_dir)))
 
 
-@register("m2_decode_features")  # no SQL oracle: pandas-UDF decode stub
+# The decode stub's features are float32(byte_i / 255) of the first
+# 8 payload bytes (multimodal.py:decode_and_featurize), so the bytes
+# are exactly recoverable as round(f*255) — the query gates on
+# integer byte stats (hashable scalars; the raw ARRAY<FLOAT> column
+# crashed the driver's canonicalizer in round 1). DuckDB mirrors the
+# byte extraction with ord(substr(text,i,1)) — the corpus is ASCII,
+# so char offsets == byte offsets (same trick as the m3 oracle).
+_M2_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS width,
+           text
+    FROM documents
+), f AS (
+    SELECT doc_id, width,
+           CASE WHEN width >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b1,
+           CASE WHEN width >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b2,
+           CASE WHEN width >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END AS b3,
+           CASE WHEN width >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END AS b4,
+           CASE WHEN width >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END AS b5,
+           CASE WHEN width >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END AS b6,
+           CASE WHEN width >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END AS b7,
+           CASE WHEN width >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END AS b8
+    FROM m
+)
+SELECT doc_id,
+       width,
+       CAST(greatest(width // 2, 1) AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) AS feat_sum,
+       CAST(least(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_min,
+       CAST(greatest(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_max,
+       CAST(b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) / 2040.0 AS feat_mean
+FROM f
+"""
+
+
+@register("m2_decode_features", _M2_ORACLE)
 def q_decode_features(spark, sf_dir):
     from dask_traj_spark.operators.multimodal import (
         attach_payload,
         decode_and_featurize,
     )
 
-    return decode_and_featurize(attach_payload(_docs(spark, sf_dir)))
+    decoded = decode_and_featurize(attach_payload(_docs(spark, sf_dir)))
+    # float32(b/255)*255 rounds back to the exact byte (rel. err
+    # <= 2^-24 << 1/510), so these stats are exact integers on both
+    # engines; feat_mean divides by the dyadic-free constant 2040 but
+    # from identical BIGINT operands, so the IEEE quotient matches.
+    fb = F.transform("features", lambda f: F.round(f * 255, 0).cast("long"))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.aggregate(fb, F.lit(0).cast("long"), lambda a, x: a + x).alias("feat_sum"),
+        F.array_min(fb).alias("feat_min"),
+        F.array_max(fb).alias("feat_max"),
+        (
+            F.aggregate(fb, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+            / F.lit(2040.0)
+        ).alias("feat_mean"),
+    )
 
 
 # ---------------------------------------------------------------------
