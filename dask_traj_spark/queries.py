@@ -56,8 +56,33 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver scores exactly the first 50 registry entries per round.
+# All 63 queries stay registered, but registration order alone left
+# r6/r11-r22 beyond the window in round 1 (never scored).  These 13
+# were driver-green in round 1 AND have pytest coverage, so rotate
+# them to the tail; the previously-unscored relational queries now
+# sit inside the scored window.  Rotate again next round if needed.
+_SCORING_TAIL = [
+    "g1_distances",
+    "g1_distances_mic_ortho",
+    "g8_orthogonality",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g9_lengths_angles_to_vectors",
+    "g10_vectors_to_lengths_angles",
+    "s8_time_fallback",
+    "p2_atom_slice",
+    "x1_frame_rmsd",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    head = {n: f for n, f in _QUERIES.items() if n not in _SCORING_TAIL}
+    tail = {n: _QUERIES[n] for n in _SCORING_TAIL if n in _QUERIES}
+    return {**head, **tail}
 
 
 def oracle_sql() -> dict[str, str]:
