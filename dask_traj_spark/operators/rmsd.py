@@ -73,10 +73,16 @@ def rmsd_topk(traj, query_frame: int, k: int = 5) -> DataFrame:
     """k most-similar frames to ``query_frame`` (excluding itself),
     deterministic tie-break (rmsd asc, frame_id asc)."""
     r = frame_rmsd(traj, query_frame).where(F.col("frame_id") != query_frame)
-    w = Window.orderBy(F.col("rmsd").asc(), F.col("frame_id").asc())
-    return (
-        r.select("frame_id", "rmsd", F.row_number().over(w).cast("int").alias("rank"))
-        .where(F.col("rank") <= k)
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps); the rank window then covers only k rows.
+    # A bare Window.orderBy over all frames would single-partition the
+    # whole per-frame result at large n_frames.
+    order = [F.col("rmsd").asc(), F.col("frame_id").asc()]
+    top = r.orderBy(*order).limit(k)
+    return top.select(
+        "frame_id",
+        "rmsd",
+        F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
     )
 
 

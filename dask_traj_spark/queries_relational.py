@@ -112,10 +112,14 @@ def q_r2(spark, sf_dir):
             )
         )
     )
-    w = Window.orderBy(F.col("revenue_cp").desc(), F.col("l_orderkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= 10)
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps, no global sort); the row_number window then
+    # runs over only the <=10 surviving rows. A bare Window.orderBy
+    # here would instead funnel EVERY aggregated group through one task.
+    order = [F.col("revenue_cp").desc(), F.col("l_orderkey")]
+    top = rev.orderBy(*order).limit(10)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*order)).cast("int")
     )
 
 
