@@ -103,7 +103,7 @@ def test_streaming_ema_stateful(spark, coords_stream_dir):
 
 
 def test_streaming_event_windows(spark):
-    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.sources.events import events_df, normalize_event_ts
     from dask_traj_spark.streaming.ingest import streaming_event_window_counts
 
     # stream the events parquet as a file source (nanos ts → read as
@@ -123,8 +123,8 @@ def test_streaming_event_windows(spark):
         spark.readStream.schema(ev_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = normalize_event_ts(stream)
     s = streaming_event_window_counts(stream)
     _run_to_memory(s, "ev_stream", "append")
     # append mode emits only watermark-closed windows; with
@@ -146,7 +146,7 @@ def test_streaming_session_windows(spark):
     """Native session_window streaming agg vs the batch gap
     sessionization: every watermark-closed session must match a
     batch session exactly (same start, end - gap, count)."""
-    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.sources.events import events_df, normalize_event_ts
     from dask_traj_spark.streaming.ingest import streaming_session_windows
 
     import shutil
@@ -161,8 +161,8 @@ def test_streaming_session_windows(spark):
         spark.readStream.schema(ev_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = normalize_event_ts(stream)
     s = streaming_session_windows(stream, gap="30 minutes")
     _run_to_memory(s, "sess_stream", "append")
     got = spark.sql("SELECT * FROM sess_stream").toPandas()
@@ -208,7 +208,7 @@ def test_streaming_asof_matches_batch(spark):
     import tempfile
 
     from dask_traj_spark.operators.asof import asof_join
-    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.sources.events import events_df, normalize_event_ts
     from dask_traj_spark.streaming.ingest import streaming_asof_enrich
 
     src = "/root/testdata/sf0.001"
@@ -220,8 +220,8 @@ def test_streaming_asof_matches_batch(spark):
         spark.readStream.schema(ev_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = normalize_event_ts(stream)
     s = streaming_asof_enrich(stream)
     _run_to_memory(s, "asof_stream", "append")
     got = (
