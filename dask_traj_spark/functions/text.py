@@ -70,8 +70,11 @@ def vocab(tok: DataFrame) -> DataFrame:
 
 def token_id_hashed(word: Column, bits: int = 31) -> Column:
     """Open-vocabulary token id: xxhash64 → non-negative int. The
-    scale path (no global window); NOT oracle-portable, used by the
-    vectorized/streaming variants only."""
+    DEFAULT id path for every dedup/fingerprint operator — no global
+    window, embarrassingly parallel at any corpus size. NOT
+    oracle-portable (DuckDB has no xxhash64); the oracle-gated query
+    wrappers pass ``id_mode='sorted'`` to get DuckDB-reproducible
+    dense-rank ids instead."""
     return F.pmod(F.xxhash64(word), F.lit(2 ** bits)).cast("long")
 
 
@@ -149,17 +152,30 @@ def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
                       best["lang"].alias("pred_lang"))
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
     """Order-independent rolling document fingerprint:
-    sum over positions of (tid+1) * 31^(pos % 8) mod 1e9+7, where tid
-    is the sorted-vocab id. Bounded terms, BIGINT-exact, identical in
-    any engine."""
+    sum over positions of (tid+1) * 31^(pos % 8) mod 1e9+7.
+
+    ``id_mode='hashed'`` (default): tid = xxhash64 token id — no
+    global window, the 100 TB path. ``id_mode='sorted'``: tid from the
+    sorted-vocab dense rank — single-partition window, but
+    reproducible in any SQL engine; used by the oracle-gated wrapper.
+
+    All modular products are fully reduced before multiplying, so
+    every intermediate fits BIGINT for either id width:
+    ((tid+1) mod M) * (w mod M) < (1e9+7)^2 ≈ 1.0e18 < 2^63."""
     tok = tokens(df, text_col)
-    v = F.broadcast(vocab(tok))
-    j = tok.join(v, "word")
+    if id_mode == "hashed":
+        j = tok.select("doc_id", "pos", token_id_hashed(F.col("word")).alias("tid"))
+    elif id_mode == "sorted":
+        j = tok.join(F.broadcast(vocab(tok)), "word")
+    else:
+        raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
     w = F.element_at(
-        F.array(*[F.lit(x) for x in FP_WEIGHTS]),
+        F.array(*[F.lit(x % FP_MOD) for x in FP_WEIGHTS]),
         (F.col("pos") % 8 + 1).cast("int"),
     )
-    term = (F.col("tid").cast("long") + 1) * w % FP_MOD
+    term = (F.col("tid").cast("long") + 1) % FP_MOD * w % FP_MOD
     return j.groupBy("doc_id").agg((F.sum(term) % FP_MOD).alias("fp"))

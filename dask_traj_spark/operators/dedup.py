@@ -8,30 +8,52 @@ Plan shapes (scale posture):
 
 - **exact**: one hash-groupBy over the corpus — partial+final agg,
   one shuffle on a 32-char key.
-- **minhash/LSH**: tokens → (broadcast) vocab join → k min-aggs per
-  doc (ONE groupBy), band hashes → self-join on (band, hash) buckets
-  → candidate pairs → Jaccard verify on the token sets. Only
-  same-bucket docs are ever paired — the O(n²) comparison never
-  materializes. Skewed buckets (boilerplate docs) are the classic
-  hazard: AQE skew-join handles moderate skew; degenerate buckets
-  should be capped upstream (drop buckets above a size threshold).
+- **minhash/LSH**: tokens → hashed token ids (default; no global
+  state) → k min-aggs per doc (ONE groupBy), band hashes → self-join
+  on (band, hash) buckets → candidate pairs → Jaccard verify on the
+  token sets. Only same-bucket docs are ever paired — the O(n²)
+  comparison never materializes. Skewed buckets (boilerplate docs)
+  are the classic hazard: AQE skew-join handles moderate skew, and
+  ``max_bucket`` drops degenerate buckets (a bucket of B docs emits
+  B² pairs — a 10⁶-doc boilerplate bucket would emit 10¹² pairs)
+  before the self-join.
 - **simhash**: one groupBy producing a 16-bit signature per doc;
   near-dup candidates = equal signatures (or Hamming-adjacent via
   banding the bits).
 - **ngram-jaccard**: bigram shingles → same bucket-join + verify
-  shape as LSH, with shingles as the buckets.
+  shape as LSH, with shingles as the buckets and ``max_df`` capping
+  shingle document frequency (a stopword bigram like "of_the" occurs
+  in nearly every doc and would pair everything with everything).
 
-Determinism (DuckDB oracle hash-compares values): token/shingle ids
-come from sorted-vocab dense ranks; min-hash uses integer affine
-hashes ((a·tid+b) mod p); Jaccard is one double division of exact
-ints. All mirrored verbatim in the SQL oracles.
+Token/shingle id assignment (``id_mode``):
+
+- ``"hashed"`` (DEFAULT — the 100 TB path): xxhash64 of the token /
+  shingle text. No global vocabulary, no single-partition window,
+  embarrassingly parallel. Not reproducible in DuckDB.
+- ``"sorted"``: dense ranks over a sorted global vocabulary — a
+  single-partition window, bounded-vocab only, but bit-reproducible
+  in any SQL engine. Used ONLY by the oracle-gated query wrappers in
+  ``queries_pipeline`` (the driver's DuckDB twin must re-derive the
+  identical ids).
+
+Jaccard values are invariant under any injective id mapping, so both
+modes agree wherever the candidate generation overlaps; the affine
+minhash values differ between modes (they hash the id), which only
+perturbs which *candidates* LSH surfaces — the exact-Jaccard verify
+then filters both the same way.
+
+Determinism (DuckDB oracle hash-compares values): sorted-mode ids
+are dense ranks; min-hash uses integer affine hashes
+((a·tid+b) mod p) — with hashed 31-bit ids, a·tid < 2^62, still
+BIGINT-exact; Jaccard is one double division of exact ints. The
+bucket caps are mirrored as HAVING clauses in the SQL oracles.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dask_traj_spark.functions.text import tokens, vocab
+from dask_traj_spark.functions.text import token_id_hashed, tokens, vocab
 
 #: affine minhash constants: h_i(t) = (A_i * t + B_i) mod P. Fixed,
 #: mirrored in the oracle SQL.
@@ -39,6 +61,12 @@ MINHASH_P = 2_147_483_647
 N_HASHES = 16
 N_BANDS = 8  # 2 rows per band
 BAND_MIX = 1_000_003
+
+#: default degenerate-bucket caps. An LSH bucket (or shingle) held by
+#: more than this many docs is boilerplate, not near-duplication —
+#: dropping it bounds the self-join at B²·cap pairs per bucket.
+MAX_BUCKET = 1024
+MAX_SHINGLE_DF = 1024
 
 
 def _hash_consts(i: int) -> tuple[int, int]:
@@ -65,16 +93,27 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_token_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, tid) distinct token-id sets (broadcast sorted vocab)."""
+def _doc_token_ids(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
+    """(doc_id, tid) distinct token-id sets. Hashed ids by default
+    (scale path); sorted-vocab dense ranks for oracle parity."""
     tok = tokens(docs, text_col)
-    v = F.broadcast(vocab(tok))
-    return tok.join(v, "word").select("doc_id", "tid").distinct()
+    if id_mode == "hashed":
+        return tok.select(
+            "doc_id", token_id_hashed(F.col("word")).alias("tid")
+        ).distinct()
+    if id_mode == "sorted":
+        v = F.broadcast(vocab(tok))
+        return tok.join(v, "word").select("doc_id", "tid").distinct()
+    raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
     """(doc_id, h0..h{k-1}) — k min-aggregations in one groupBy."""
-    dt = _doc_token_ids(docs, text_col)
+    dt = _doc_token_ids(docs, text_col, id_mode)
     aggs = []
     for i in range(N_HASHES):
         a, b = _hash_consts(i)
@@ -84,10 +123,30 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return dt.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop rows whose bucket (group on ``keys``) exceeds ``cap``
+    members. One extra shuffle on the same keys the downstream
+    self-join uses (AQE co-locates them); at scale this is what keeps
+    a boilerplate bucket from emitting O(B²) candidate pairs."""
+    if cap is None:
+        return df
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        df.join(sizes.where(F.col("_bsz") <= cap), keys)
+        .drop("_bsz")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
     """(doc1, doc2) candidate near-dup pairs: docs sharing any LSH
-    band bucket (band hash = h_{2b} * mix + h_{2b+1})."""
-    sig = minhash_signatures(docs, text_col)
+    band bucket (band hash = h_{2b} * mix + h_{2b+1}), after dropping
+    degenerate buckets larger than ``max_bucket``."""
+    sig = minhash_signatures(docs, text_col, id_mode)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -99,6 +158,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("band", "bh"),
     )
+    bands = _cap_buckets(bands, ["band", "bh"], max_bucket)
     l = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     r = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")
     return (
@@ -135,20 +195,32 @@ def _jaccard_verify(pairs: DataFrame, dt: DataFrame) -> DataFrame:
 
 
 def near_duplicates_minhash(
-    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification:
-    (doc1, doc2, jaccard) where jaccard ≥ threshold."""
-    dt = _doc_token_ids(docs, text_col)
-    cand = lsh_candidate_pairs(docs, text_col)
+    (doc1, doc2, jaccard) where jaccard ≥ threshold. The Jaccard
+    verify always uses the FULL token sets — the cap only bounds
+    candidate generation."""
+    dt = _doc_token_ids(docs, text_col, id_mode)
+    cand = lsh_candidate_pairs(docs, text_col, id_mode, max_bucket)
     return _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    id_mode: str = "hashed",
+) -> DataFrame:
     """(doc_id, sh) 16-bit SimHash over the distinct token set:
     bit j set iff sum over tokens of (2·bit_j(h(tid)) − 1) > 0,
-    h(t) = (1103515245·t + 12345) mod 2^31."""
-    dt = _doc_token_ids(docs, text_col)
+    h(t) = (1103515245·t + 12345) mod 2^31. With 31-bit hashed ids,
+    tid·1103515245 < 2^62 — BIGINT-exact."""
+    dt = _doc_token_ids(docs, text_col, id_mode)
     h = (F.col("tid").cast("long") * 1103515245 + 12345) % (2 ** 31)
     bit_sums = [
         F.sum(F.shiftright(h, j) % 2 * 2 - 1).alias(f"s{j}") for j in range(bits)
@@ -161,12 +233,11 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     return per_doc.select("doc_id", sh.cast("long").alias("sh"))
 
 
-def _doc_shingle_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sid) distinct word-bigram shingle ids via a sorted
-    shingle vocabulary (dense ranks — same bounded-vocab caveat as
-    the token vocab)."""
-    from pyspark.sql import Window
-
+def _doc_shingle_ids(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
+    """(doc_id, tid) distinct word-bigram shingle ids. Hashed by
+    default; sorted dense ranks for oracle parity."""
     tok = tokens(docs, text_col)
     nxt = tok.select(
         "doc_id", (F.col("pos") - 1).alias("pos"), F.col("word").alias("word2")
@@ -176,22 +247,41 @@ def _doc_shingle_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select("doc_id", F.concat_ws("_", "word", "word2").alias("shingle"))
         .distinct()
     )
-    sv = F.broadcast(
-        big.select("shingle")
-        .distinct()
-        .select("shingle", F.row_number().over(Window.orderBy("shingle")).alias("sid"))
-    )
-    return big.join(sv, "shingle").select("doc_id", F.col("sid").alias("tid"))
+    if id_mode == "hashed":
+        return big.select(
+            "doc_id", token_id_hashed(F.col("shingle")).alias("tid")
+        )
+    if id_mode == "sorted":
+        from pyspark.sql import Window
+
+        sv = F.broadcast(
+            big.select("shingle")
+            .distinct()
+            .select(
+                "shingle",
+                F.row_number().over(Window.orderBy("shingle")).alias("sid"),
+            )
+        )
+        return big.join(sv, "shingle").select("doc_id", F.col("sid").alias("tid"))
+    raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
 
 
 def near_duplicates_ngram(
-    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Word-bigram (2-gram) Jaccard near-dup pairs: candidates are
-    docs sharing ≥1 shingle; (doc1, doc2, jaccard ≥ threshold)."""
-    ds = _doc_shingle_ids(docs, text_col)
-    s1 = ds.select(F.col("doc_id").alias("doc1"), "tid")
-    s2 = ds.select(F.col("doc_id").alias("doc2"), "tid")
+    docs sharing ≥1 shingle whose document frequency is ≤ ``max_df``
+    (a stopword bigram shared by the whole corpus pairs everything
+    with everything); (doc1, doc2, jaccard ≥ threshold). Jaccard
+    verify uses the FULL shingle sets."""
+    ds = _doc_shingle_ids(docs, text_col, id_mode)
+    ds_cand = _cap_buckets(ds, ["tid"], max_df)
+    s1 = ds_cand.select(F.col("doc_id").alias("doc1"), "tid")
+    s2 = ds_cand.select(F.col("doc_id").alias("doc2"), "tid")
     cand = (
         s1.join(s2, "tid")
         .where(F.col("doc1") < F.col("doc2"))

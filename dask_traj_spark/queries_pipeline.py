@@ -152,7 +152,9 @@ GROUP BY t.doc_id
 def q_fingerprint_text(spark, sf_dir):
     from dask_traj_spark.functions.text import fingerprint
 
-    return fingerprint(_docs(spark, sf_dir))
+    # sorted-vocab ids: the only DuckDB-reproducible id assignment.
+    # The operator default is id_mode="hashed" (no global window).
+    return fingerprint(_docs(spark, sf_dir), id_mode="sorted")
 
 
 _T5_ORACLE = f"""
@@ -273,6 +275,7 @@ def q_exact_dedup(spark, sf_dir):
 def _minhash_oracle(threshold: float) -> str:
     from dask_traj_spark.operators.dedup import (
         BAND_MIX,
+        MAX_BUCKET,
         MINHASH_P,
         N_BANDS,
         N_HASHES,
@@ -293,9 +296,14 @@ WITH {TOK_CTE.strip()},
 {DT_CTE.strip()},
 sig AS (SELECT doc_id, {mins} FROM dt GROUP BY doc_id),
 bands AS ({band_selects}),
+bok AS (
+    SELECT band, bh FROM bands GROUP BY band, bh
+    HAVING count(*) <= {MAX_BUCKET}
+),
+bandsf AS (SELECT b.* FROM bands b JOIN bok USING (band, bh)),
 cand AS (
     SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
-    FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+    FROM bandsf l JOIN bandsf r ON l.band = r.band AND l.bh = r.bh
     WHERE l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
@@ -319,9 +327,14 @@ SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= {threshold}
 
 @register("d2_minhash_lsh_neardup", _minhash_oracle(0.9))
 def q_minhash(spark, sf_dir):
-    from dask_traj_spark.operators.dedup import near_duplicates_minhash
+    from dask_traj_spark.operators.dedup import MAX_BUCKET, near_duplicates_minhash
 
-    return near_duplicates_minhash(_docs(spark, sf_dir), threshold=0.9)
+    # sorted ids for DuckDB parity; the operator default is hashed.
+    # The bucket cap is mirrored in the oracle's HAVING clause.
+    return near_duplicates_minhash(
+        _docs(spark, sf_dir), threshold=0.9, id_mode="sorted",
+        max_bucket=MAX_BUCKET,
+    )
 
 
 def _simhash_oracle() -> str:
@@ -346,10 +359,12 @@ SELECT doc_id, CAST({sh} AS BIGINT) AS sh FROM per
 def q_simhash(spark, sf_dir):
     from dask_traj_spark.operators.dedup import simhash
 
-    return simhash(_docs(spark, sf_dir))
+    return simhash(_docs(spark, sf_dir), id_mode="sorted")
 
 
 def _ngram_oracle(threshold: float) -> str:
+    from dask_traj_spark.operators.dedup import MAX_SHINGLE_DF as max_df
+
     return f"""
 WITH {TOK_CTE.strip()},
 big AS (
@@ -361,9 +376,11 @@ sv AS (
     FROM (SELECT DISTINCT shingle FROM big)
 ),
 ds AS (SELECT b.doc_id, s.tid FROM big b JOIN sv s USING (shingle)),
+dok AS (SELECT tid FROM ds GROUP BY tid HAVING count(*) <= {max_df}),
+dsf AS (SELECT ds.* FROM ds JOIN dok USING (tid)),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM ds a JOIN ds b ON a.tid = b.tid AND a.doc_id < b.doc_id
+    FROM dsf a JOIN dsf b ON a.tid = b.tid AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
 inter AS (
@@ -384,9 +401,12 @@ WHERE CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) >= {threshold}
 
 @register("d4_ngram_jaccard_neardup", _ngram_oracle(0.9))
 def q_ngram(spark, sf_dir):
-    from dask_traj_spark.operators.dedup import near_duplicates_ngram
+    from dask_traj_spark.operators.dedup import MAX_SHINGLE_DF, near_duplicates_ngram
 
-    return near_duplicates_ngram(_docs(spark, sf_dir), threshold=0.9)
+    return near_duplicates_ngram(
+        _docs(spark, sf_dir), threshold=0.9, id_mode="sorted",
+        max_df=MAX_SHINGLE_DF,
+    )
 
 
 # ---------------------------------------------------------------------

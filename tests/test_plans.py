@@ -245,3 +245,77 @@ def test_window_breadth_single_shuffle(spark):
         a.text
     )
     assert a.n_shuffles <= 1, a.text
+
+
+def _docs_fixture(spark):
+    return spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5} tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+
+def test_default_dedup_paths_have_no_single_partition_window(spark):
+    """The hashed-id default for minhash/simhash/ngram/fingerprint must
+    compile without any single-partition exchange — the sorted-vocab
+    global window is reserved for the oracle-gated wrappers."""
+    from dask_traj_spark.functions.text import fingerprint
+    from dask_traj_spark.operators.dedup import (
+        near_duplicates_minhash,
+        near_duplicates_ngram,
+        simhash,
+    )
+
+    docs = _docs_fixture(spark)
+    for df in (
+        near_duplicates_minhash(docs, threshold=0.5),
+        simhash(docs),
+        near_duplicates_ngram(docs, threshold=0.3),
+        fingerprint(docs),
+    ):
+        text = audit(df).text
+        assert "SinglePartition" not in text, text
+
+
+def test_sorted_mode_matches_hashed_mode_jaccard(spark):
+    """Jaccard is invariant under injective id mapping: for pairs both
+    modes surface, the values must agree exactly."""
+    from dask_traj_spark.operators.dedup import near_duplicates_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "the quick brown fox leaps"),
+            (2, "entirely different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    hashed = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in near_duplicates_ngram(docs, threshold=0.1).collect()
+    }
+    sorted_ = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in near_duplicates_ngram(
+            docs, threshold=0.1, id_mode="sorted"
+        ).collect()
+    }
+    # candidate generation is id-independent for ngram (docs sharing a
+    # shingle) so the pair sets coincide, and values must be identical
+    assert hashed == sorted_
+    assert (0, 1) in hashed
+
+
+def test_degenerate_bucket_cap_drops_boilerplate_pairs(spark):
+    """A shingle shared by every doc must not pair the whole corpus
+    when its document frequency exceeds max_df."""
+    from dask_traj_spark.operators.dedup import near_duplicates_ngram
+
+    # 12 docs all sharing the boilerplate bigram "x y"; otherwise unique
+    docs = spark.createDataFrame(
+        [(i, f"x y unique{i} token{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    uncapped = near_duplicates_ngram(docs, threshold=0.0, max_df=None)
+    capped = near_duplicates_ngram(docs, threshold=0.0, max_df=5)
+    assert uncapped.count() == 12 * 11 // 2
+    assert capped.count() == 0
