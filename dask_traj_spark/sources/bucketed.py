@@ -55,11 +55,15 @@ def append_coords_bucketed(
     n_buckets: int = 32,
     key: str = "atom_id",
 ) -> None:
-    """Append frames to an existing bucketed table (streaming-ingest
-    / new-segment flow). Correct — new rows hash into the right
+    """Append frames to an existing bucketed table (one-shot
+    new-segment flow). Correct — new rows hash into the right
     buckets — but each append task adds one file per bucket it
     touches, so a table ingested in T batches carries O(T × buckets)
-    files. ``compact_bucketed`` restores one-file-per-bucket."""
+    files. ``compact_bucketed`` restores one-file-per-bucket.
+
+    NOT idempotent: a blind append re-run duplicates rows. Streaming
+    ingest must use ``overwrite_coords_bucketed_batch``, whose
+    replay overwrites the batch's own partition."""
     (
         coords.repartition(n_buckets, key)
         .write.mode("append")
@@ -67,6 +71,57 @@ def append_coords_bucketed(
         .sortBy(key, "frame_id")
         .format("parquet")
         .saveAsTable(table)
+    )
+
+
+def overwrite_coords_bucketed_batch(
+    coords: DataFrame,
+    table: str,
+    batch_id: int,
+    n_buckets: int = 32,
+    key: str = "atom_id",
+) -> None:
+    """Exactly-once micro-batch append: stamp rows with ``batch_id``,
+    store the table hive-partitioned by it (bucketed by ``key``
+    within each partition), and make every write a DYNAMIC PARTITION
+    OVERWRITE of that one batch partition.
+
+    Replays are idempotent by construction: if the driver dies after
+    the files land but before the streaming checkpoint commits, the
+    restarted query re-runs the same ``batch_id`` and the overwrite
+    replaces the partial partition instead of appending next to it.
+    This is the standard Spark recovery contract for foreachBatch
+    sinks without transactional storage (the alternative — a
+    committed-ids ledger — still leaks the append/commit race this
+    closes).
+
+    Bucketed-join co-location survives the extra partition level:
+    bucket b's files across all batch partitions form one bucket
+    group, so per-atom self-joins stay zero-exchange; queries that
+    don't filter on ``batch_id`` simply ignore it (and ops like
+    ``compact_bucketed`` fold it away)."""
+    spark = coords.sparkSession
+    stamped = coords.withColumn("batch_id", F.lit(int(batch_id)))
+    if not spark.catalog.tableExists(table):
+        (
+            stamped.repartition(n_buckets, key)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .bucketBy(n_buckets, key)
+            .sortBy(key, "frame_id")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return
+    # insertInto is positional — align to the catalog column order
+    # (partition column last); dynamic mode overwrites only the batch
+    # partition(s) present in this DataFrame.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cols = spark.table(table).columns
+    (
+        stamped.select(*cols)
+        .repartition(n_buckets, key)
+        .write.insertInto(table, overwrite=True)
     )
 
 

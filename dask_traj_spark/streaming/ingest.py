@@ -342,22 +342,29 @@ def stream_coords_to_bucketed(
     key: str = "atom_id",
 ):
     """The 100 TB ingest loop, end to end: a streaming coords scan
-    appended micro-batch by micro-batch into the hash-bucketed table
-    via ``foreachBatch`` → ``append_coords_bucketed``. Each batch
-    pays its one bucket-shuffle on arrival, so the table is always
-    query-ready with the zero-exchange per-atom plans; fragmentation
-    accrues per batch and ``compact_bucketed`` (sources/bucketed.py)
-    restores one-file-per-bucket out of band. The checkpoint makes
-    ingest exactly-once across restarts (file source + foreachBatch
-    idempotent-by-batch-id is Spark's standard recovery contract).
+    written micro-batch by micro-batch into the hash-bucketed table
+    via ``foreachBatch`` → ``overwrite_coords_bucketed_batch``. Each
+    batch pays its one bucket-shuffle on arrival, so the table is
+    always query-ready with the zero-exchange per-atom plans;
+    fragmentation accrues per batch and ``compact_bucketed``
+    (sources/bucketed.py) restores one-file-per-bucket out of band.
+
+    Exactly-once across restarts AND mid-batch crashes: the sink
+    partitions the table by ``batch_id`` and every write is a dynamic
+    partition overwrite of that batch's partition, so a replay of a
+    half-committed batch replaces its own files instead of appending
+    duplicates (checkpoint replays re-present the same batch_id —
+    Spark's foreachBatch contract).
 
     Returns the StreamingQuery (caller awaits/stops)."""
-    from dask_traj_spark.sources.bucketed import append_coords_bucketed
+    from dask_traj_spark.sources.bucketed import overwrite_coords_bucketed_batch
 
     stream = stream_coords(spark, src_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        append_coords_bucketed(batch_df, table, n_buckets=n_buckets, key=key)
+        overwrite_coords_bucketed_batch(
+            batch_df, table, batch_id, n_buckets=n_buckets, key=key
+        )
         # foreachBatch runs in a cloned session whose SessionState
         # (and relation cache) is separate from the parent's, so an
         # append through the clone leaves the parent session's cached

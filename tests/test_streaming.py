@@ -473,3 +473,112 @@ def test_streaming_distances_match_batch(spark, coords_stream_dir):
     )
     assert len(got) == len(want) > 0
     np.testing.assert_array_equal(got["dist"].to_numpy(), want["dist"].to_numpy())
+
+
+def _drain_active_streams(spark, timeout=30.0):
+    """Wait until the session has no active streaming queries — an
+    availableNow query can linger in the manager briefly after
+    awaitTermination, which trips the same-checkpoint guard on
+    restart."""
+    import time
+
+    deadline = time.time() + timeout
+    while spark.streams.active and time.time() < deadline:
+        time.sleep(0.1)
+    assert not spark.streams.active
+
+
+def test_batch_overwrite_sink_is_idempotent(spark, tmp_path_factory):
+    """Replaying a micro-batch (same batch_id) must replace its own
+    partition, not append duplicates — the exact crash window between
+    file commit and checkpoint commit."""
+    import shutil
+
+    from dask_traj_spark.sources.bucketed import overwrite_coords_bucketed_batch
+
+    spark.sql("DROP TABLE IF EXISTS idem_sink_test")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/idem_sink_test", ignore_errors=True)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id as frame_id",
+            "cast(id % 7 as int) as atom_id",
+            "cast(id as float) x", "cast(id as float) y", "cast(id as float) z",
+        )
+
+    overwrite_coords_bucketed_batch(batch(0, 100), "idem_sink_test", 0, n_buckets=4)
+    overwrite_coords_bucketed_batch(batch(100, 150), "idem_sink_test", 1, n_buckets=4)
+    assert spark.table("idem_sink_test").count() == 150
+    # replay batch 1 (crash-before-checkpoint-commit scenario)
+    overwrite_coords_bucketed_batch(batch(100, 150), "idem_sink_test", 1, n_buckets=4)
+    got = spark.table("idem_sink_test")
+    assert got.count() == 150
+    assert got.select("frame_id").distinct().count() == 150
+    # replay of the TABLE-CREATING batch 0 must also be idempotent
+    overwrite_coords_bucketed_batch(batch(0, 100), "idem_sink_test", 0, n_buckets=4)
+    assert spark.table("idem_sink_test").count() == 150
+    spark.sql("DROP TABLE IF EXISTS idem_sink_test")
+
+
+def test_stream_ingest_replays_half_committed_batch_without_dupes(
+    spark, tmp_path_factory
+):
+    """Kill-between-append-and-commit simulation: run the ingest to
+    completion, then delete the newest checkpoint commit marker (files
+    are on disk, commit is not) and restart — Spark re-presents the
+    last batch_id and the sink must overwrite, not duplicate."""
+    import glob
+    import shutil
+
+    from dask_traj_spark.streaming.ingest import stream_coords_to_bucketed
+
+    base = tmp_path_factory.mktemp("crash_replay")
+    src = str(base / "src")
+    os.makedirs(src)
+    spark.sql("DROP TABLE IF EXISTS crash_replay_test")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/crash_replay_test", ignore_errors=True)
+
+    def add_file(name, lo, hi):
+        df = spark.range(lo, hi).selectExpr(
+            "id as frame_id",
+            "cast(id % 7 as int) as atom_id",
+            "cast(id as float) x", "cast(id as float) y", "cast(id as float) z",
+        )
+        stage = str(base / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        for i, p in enumerate(glob.glob(f"{stage}/*.parquet")):
+            shutil.move(p, f"{src}/{name}_{i}.parquet")
+        shutil.rmtree(stage)
+
+    ckpt = str(base / "ckpt")
+    add_file("a", 0, 100)
+    add_file("b", 100, 160)
+    q = stream_coords_to_bucketed(
+        spark, src, "crash_replay_test", checkpoint=ckpt, n_buckets=4
+    )
+    q.awaitTermination(120)
+    q.stop()
+    _drain_active_streams(spark)
+    assert spark.table("crash_replay_test").count() == 160
+
+    # simulate the crash: data files committed, checkpoint commit lost
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert commits, "no commit markers found"
+    os.remove(commits[-1])
+    # also drop the hidden Hadoop checksum twin, or the replayed
+    # commit's rename fails on the stale .crc
+    d, name = os.path.split(commits[-1])
+    crc = os.path.join(d, f".{name}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = stream_coords_to_bucketed(
+        spark, src, "crash_replay_test", checkpoint=ckpt, n_buckets=4
+    )
+    q2.awaitTermination(120)
+    got = spark.table("crash_replay_test")
+    assert got.count() == 160, "replayed batch duplicated rows"
+    assert got.select("frame_id").distinct().count() == 160
+    spark.sql("DROP TABLE IF EXISTS crash_replay_test")
