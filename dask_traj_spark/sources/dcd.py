@@ -95,7 +95,16 @@ def _read_frames(path: str, info: DCDInfo, start: int, count: int):
 
 def read_cells(path: str) -> list[tuple[int, float, float, float, float, float, float]]:
     """(frame_id, a, b, c, alpha, beta, gamma) per frame, lengths nm.
-    XTLA layout stores cosines of the angles."""
+
+    The XTLA layout ``[a, X γ, b, X β, X α, c]`` stores the angle
+    slots either as cosines (CHARMM ≥ c22 XTLA convention) or as
+    plain degrees (many NAMD / older CHARMM writers). Sniff per
+    frame, the same heuristic the MD tool ecosystem settled on: all
+    three values in [-1, 1] → cosines, else degrees. (A real cell
+    angle below ~57.3° = 1 rad is chemically implausible, so the
+    ranges don't collide in practice; a stored 90.0 interpreted as a
+    cosine would clamp to cos=1 → 0° and silently corrupt every MIC
+    distance downstream.)"""
     info = read_info(path)
     if not info.has_cell:
         return []
@@ -103,17 +112,22 @@ def read_cells(path: str) -> list[tuple[int, float, float, float, float, float, 
     with open(path, "rb") as f:
         for fid in range(info.n_frames):
             f.seek(info.data_offset + fid * info.frame_size + 4)
-            a, cg, b, cb, ca, c = struct.unpack("<6d", f.read(48))
-            deg = lambda x: math.degrees(math.acos(max(-1.0, min(1.0, x))))  # noqa: E731
+            a, g_, b, b_, a_, c = struct.unpack("<6d", f.read(48))
+            if all(abs(v) <= 1.0 for v in (g_, b_, a_)):
+                conv = lambda x: math.degrees(  # noqa: E731
+                    math.acos(max(-1.0, min(1.0, x)))
+                )
+            else:
+                conv = lambda x: float(x)  # noqa: E731  (already degrees)
             out.append(
                 (
                     fid,
                     a * ANGSTROM_TO_NM,
                     b * ANGSTROM_TO_NM,
                     c * ANGSTROM_TO_NM,
-                    deg(ca),
-                    deg(cb),
-                    deg(cg),
+                    conv(a_),
+                    conv(b_),
+                    conv(g_),
                 )
             )
     return out
@@ -200,11 +214,13 @@ def write_dcd_parts(
 
     os.makedirs(directory, exist_ok=True)
     cells = None
+    cell_fids = None
     if traj.have_unitcell:
         uc = traj.unitcell_lengths_angles.orderBy("frame_id").toPandas()
+        cell_fids = uc["frame_id"].to_numpy(np.int64)
         cells = uc[["a", "b", "c", "alpha", "beta", "gamma"]].to_numpy()
     spark = traj.coords.sparkSession
-    b_cells = spark.sparkContext.broadcast(cells)
+    b_cells = spark.sparkContext.broadcast((cell_fids, cells))
 
     fpp = int(frames_per_part)
     coords = traj.coords.withColumn(
@@ -218,12 +234,22 @@ def write_dcd_parts(
         nf = len(frame_ids)
         na = len(pdf) // nf
         xyz = pdf[["x", "y", "z"]].to_numpy(np.float64).reshape(nf, na, 3)
-        cells_all = b_cells.value
-        cells_part = (
-            cells_all[frame_ids.min() : frame_ids.max() + 1]
-            if cells_all is not None
-            else None
-        )
+        # gather cells BY frame_id, not positionally — a sliced or
+        # renumbered trajectory's frame ids are neither dense nor
+        # zero-based, so cells_all[min:max+1] would misalign.
+        fids_all, cells_all = b_cells.value
+        cells_part = None
+        if cells_all is not None:
+            idx = np.searchsorted(fids_all, frame_ids)
+            bad = (idx >= len(fids_all)) | (
+                np.take(fids_all, np.minimum(idx, len(fids_all) - 1)) != frame_ids
+            )
+            if bad.any():
+                raise ValueError(
+                    f"part {part}: no unitcell row for frame ids "
+                    f"{frame_ids[bad][:5].tolist()}"
+                )
+            cells_part = cells_all[idx]
         p = os.path.join(directory, f"part-{part:05d}.dcd")
         _write_dcd_file(p, xyz, cells_part)
         return pd.DataFrame([(int(part), p, nf)], columns=["part_no", "path", "n_frames"])
