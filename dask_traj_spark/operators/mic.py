@@ -7,7 +7,7 @@ runtime branch on box orthogonality (``:49-58``, the lazy
 ``orthogonal`` flag built at ``:128``). Here both paths are pure
 SQL column expressions so they stay inside whole-stage codegen:
 
-- **orthorhombic** fast path: per-axis ``d -= L * round(d/L)``;
+- **orthorhombic** fast path: per-axis ``d -= L * bround(d/L)``;
 - **triclinic** general path: deskew against the reduced
   (lower-triangular) box vectors, then take the minimum over the 27
   neighbor images with a single ``F.aggregate`` (higher-order
@@ -34,7 +34,10 @@ IMPORTANT plan-shape discipline, learned the hard way:
 
 The same math, vectorized in numpy, lives in ``kernels.py`` for the
 pandas-UDF fast path; both implementations agree to float32
-tolerance (tested differentially).
+tolerance (tested differentially). Rounding convention: HALF-TO-EVEN
+everywhere (``F.bround`` here, ``np.rint`` in the kernels,
+``round_even`` in the DuckDB oracles) so the SQL and vectorized
+forms agree bit-for-bit even at exact half-box ties.
 """
 
 from __future__ import annotations
@@ -73,7 +76,7 @@ def add_mic_displacement(
     b = {c: F.col(c) for c in BOX_COLS}
 
     # --- triclinic deskew, staged so each value is computed once ---
-    s3 = F.round(F.col(dz) / b["cz"], 0)
+    s3 = F.bround(F.col(dz) / b["cz"], 0)
     df = df.withColumns(
         {
             "_t1x": F.col(dx) - s3 * b["cx"],
@@ -81,14 +84,14 @@ def add_mic_displacement(
             "_t1z": F.col(dz) - s3 * b["cz"],
         }
     )
-    s2 = F.round(F.col("_t1y") / b["by"], 0)
+    s2 = F.bround(F.col("_t1y") / b["by"], 0)
     df = df.withColumns(
         {
             "_t2x": F.col("_t1x") - s2 * b["bx"],
             "_t2y": F.col("_t1y") - s2 * b["by"],
         }
     )
-    s1 = F.round(F.col("_t2x") / b["ax"], 0)
+    s1 = F.bround(F.col("_t2x") / b["ax"], 0)
     df = df.withColumn("_rx", F.col("_t2x") - s1 * b["ax"])
 
     # --- 27-image min via ONE aggregate() lambda (see docstring) ---
@@ -126,9 +129,9 @@ def add_mic_displacement(
     df = df.withColumn("_best", F.aggregate(offsets, init, _step))
 
     # --- orthorhombic fast path + per-row branch (G8) ---
-    odx = F.col(dx) - b["ax"] * F.round(F.col(dx) / b["ax"], 0)
-    ody = F.col(dy) - b["by"] * F.round(F.col(dy) / b["by"], 0)
-    odz = F.col(dz) - b["cz"] * F.round(F.col(dz) / b["cz"], 0)
+    odx = F.col(dx) - b["ax"] * F.bround(F.col(dx) / b["ax"], 0)
+    ody = F.col(dy) - b["by"] * F.bround(F.col(dy) / b["by"], 0)
+    odz = F.col(dz) - b["cz"] * F.bround(F.col(dz) / b["cz"], 0)
     df = df.withColumns(
         {
             out[0]: F.when(F.col("_ortho"), odx).otherwise(F.col("_best.dx")),

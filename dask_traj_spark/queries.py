@@ -346,9 +346,9 @@ disp AS (
 ),
 mic AS (
     SELECT frame_id, pair_id,
-           dx - {ORTHO_L}*round(dx/{ORTHO_L}) AS mx,
-           dy - {ORTHO_L}*round(dy/{ORTHO_L}) AS my,
-           dz - {ORTHO_L}*round(dz/{ORTHO_L}) AS mz
+           dx - {ORTHO_L}*round_even(dx/{ORTHO_L}, 0) AS mx,
+           dy - {ORTHO_L}*round_even(dy/{ORTHO_L}, 0) AS my,
+           dz - {ORTHO_L}*round_even(dz/{ORTHO_L}, 0) AS mz
     FROM disp
 )
 SELECT frame_id, pair_id, {_dist_from_components('mx', 'my', 'mz')} AS dist
@@ -384,7 +384,7 @@ disp AS (
     JOIN coords c2 ON c2.atom_id = p.j AND c2.frame_id = c1.frame_id
 ),
 d1 AS (
-    SELECT frame_id, pair_id, dx, dy, dz, round(dz/{t['cz']}) AS s3 FROM disp
+    SELECT frame_id, pair_id, dx, dy, dz, round_even(dz/{t['cz']}, 0) AS s3 FROM disp
 ),
 d2 AS (
     SELECT frame_id, pair_id,
@@ -392,7 +392,7 @@ d2 AS (
     FROM d1
 ),
 d3 AS (
-    SELECT *, round(t1y/{t['by']}) AS s2 FROM d2
+    SELECT *, round_even(t1y/{t['by']}, 0) AS s2 FROM d2
 ),
 d4 AS (
     SELECT frame_id, pair_id,
@@ -401,7 +401,7 @@ d4 AS (
 ),
 d5 AS (
     SELECT frame_id, pair_id,
-           t2x - round(t2x/{t['ax']})*{t['ax']} AS rx, t2y AS ry, t1z AS rz
+           t2x - round_even(t2x/{t['ax']}, 0)*{t['ax']} AS rx, t2y AS ry, t1z AS rz
     FROM d4
 ),
 cand AS (

@@ -132,3 +132,78 @@ def test_invalid_pairs_raise(traj_nocell):
         compute_distances(traj_nocell, np.array([[0, 999999]]))
     with pytest.raises(ValueError):
         compute_distances(traj_nocell, np.array([[-1, 1]]))
+
+
+def test_half_box_tie_rounding_sql_equals_vectorized(spark):
+    """At displacements exactly half a box length, half-away-from-zero
+    (F.round / np.round) and half-to-even (F.bround / np.rint) pick
+    different images. Both engine forms must use HALF-TO-EVEN so the
+    documented differential equivalence holds at the tie points."""
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    L = 0.25
+    # dx/L hits exact ties: 0.125/0.25 = 0.5, -0.125/0.25 = -0.5,
+    # 0.375/0.25 = 1.5; plus a non-tie control 0.1
+    xs = np.array([0.0, 0.125, -0.125, 0.375, 0.1], dtype=np.float32)
+    xyz = np.zeros((1, len(xs), 3), dtype=np.float32)
+    xyz[0, :, 0] = xs
+    traj = from_wide_pandas(
+        spark,
+        xyz,
+        unitcell_lengths=np.full((1, 3), L),
+        unitcell_angles=np.tile([90.0, 90.0, 90.0], (1, 1)),
+    )
+    pairs = [(0, i) for i in range(1, len(xs))]
+    a = _collect_disp(compute_displacements(traj, pairs, periodic=True, form="sql"))
+    b = _collect_disp(
+        compute_displacements(traj, pairs, periodic=True, form="vectorized")
+    )
+    # bit-exact agreement, including at the ties
+    np.testing.assert_array_equal(a, b)
+    # half-to-even at 0.5: round to 0 -> displacement stays 0.125
+    np.testing.assert_allclose(a[0, 0], [0.125, 0.0, 0.0], atol=1e-7)
+    np.testing.assert_allclose(a[0, 1], [-0.125, 0.0, 0.0], atol=1e-7)
+    # 1.5 rounds to 2 (even): 0.375 - 2*0.25 = -0.125
+    np.testing.assert_allclose(a[0, 2], [-0.125, 0.0, 0.0], atol=1e-7)
+
+
+def test_half_box_tie_rounding_triclinic_forms_agree(spark):
+    """Same tie discipline on the triclinic 27-image path: the deskew
+    rounds (bround vs np.rint) must agree at half-multiples of the
+    box diagonal."""
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.trajectory import Trajectory
+
+    # lower-triangular box with dyadic entries so the deskew ratios hit
+    # exact ties: dz/cz = 0.09375/0.1875 = 0.5 exactly, 0.28125/0.1875
+    # = 1.5 exactly
+    xyz = np.zeros((1, 3, 3), dtype=np.float32)
+    xyz[0, 1] = [0.03125, 0.109375, 0.09375]
+    xyz[0, 2] = [-0.03125, -0.109375, 0.28125]
+    rows = [
+        (int(f), int(a), float(x), float(y), float(z))
+        for f in range(1)
+        for a, (x, y, z) in enumerate(xyz[f])
+    ]
+    coords = spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x float, y float, z float"
+    )
+    box = {
+        "a": 0.25, "b": 0.2273, "c": 0.1938,
+        "alpha": 76.0, "beta": 73.0, "gamma": 74.0,  # non-ortho branch
+        "ax": 0.25, "ay": 0.0, "az": 0.0,
+        "bx": 0.0625, "by": 0.21875, "bz": 0.0,
+        "cx": 0.046875, "cy": 0.03125, "cz": 0.1875,
+    }
+    uc = spark.range(1).select(
+        F.col("id").alias("frame_id"),
+        *[F.lit(v).cast("float").alias(k) for k, v in box.items()],
+    )
+    traj = Trajectory(coords, unitcell=uc)
+    pairs = [(0, 1), (0, 2)]
+    a = _collect_disp(compute_displacements(traj, pairs, periodic=True, form="sql"))
+    b = _collect_disp(
+        compute_displacements(traj, pairs, periodic=True, form="vectorized")
+    )
+    np.testing.assert_array_equal(a, b)
