@@ -175,6 +175,42 @@ def main() -> None:
     _noop(cosine_topk_vectorized(emb, list(range(10)), k=10))
     times["v_cosine_topk_vectorized"] = round(time.time() - t0, 3)
 
+    master = spark.sparkContext.master
+
+    # Optional apples-to-apples run vs BASELINE.md's 12-thread
+    # LocalCluster: re-run the canonical one-pass on local[12].
+    # Enabled by default (it adds one workload's wall time); set
+    # SPARK_GRAFT_BASELINE_RUN=0 to skip.
+    if os.environ.get("SPARK_GRAFT_BASELINE_RUN", "1") != "0":
+        spark.stop()
+        spark12 = get_spark(
+            app_name="dask-traj-spark-bench-12", master="local[12]",
+            shuffle_partitions=12,
+        )
+        spark12.sparkContext.setLogLevel("ERROR")
+        # warm the worker pool the same way as the main run
+        N_FRAMES = 64
+        mini = _canonical_traj(spark12)
+        _noop(
+            compute_distances(
+                mini, [(0, 1)], periodic=True, form="vectorized", n_atoms=N_ATOMS
+            )
+        )
+        N_FRAMES = real_frames
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fresh = _canonical_traj(spark12)
+            _noop(
+                compute_distances(
+                    fresh, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
+                )
+            )
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times["canonical_onepass_local12"] = round(best, 3)
+        spark12.stop()
+
     print(
         json.dumps(
             {
@@ -183,6 +219,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # methodology labels (VERDICT r2 item 8): timings are
+                # warm (worker pool + JIT pre-warmed), best-of-2, on
+                # this master; BASELINE.md's reference numbers are
+                # 12 threads — compare those against
+                # canonical_onepass_local12.
+                "warm": True,
+                "best_of": 2,
+                "master": master,
             }
         )
     )
