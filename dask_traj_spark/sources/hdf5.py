@@ -145,3 +145,53 @@ def load_hdf5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
         )
     topology = _topology_from_json(spark, topo_json) if topo_json else None
     return Trajectory(coords, frames=frames, unitcell=unitcell, topology=topology)
+
+
+def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
+    """Load a legacy MSMBuilder2 "lossy HDF5" (``.lh5``) trajectory
+    (``file_returns['.lh5'] = ['xyz']``, core/dask_traj.py:40).
+
+    Public layout (MDTraj's LH5 format doc): one root dataset
+    ``XYZList`` of int16 with shape (n_frames, n_atoms, 3); physical
+    coordinates in nm are the stored fixed-point values divided by
+    1000. No time, no unit cell. Same chunked h5py read shape as
+    :func:`load_hdf5`; gated on h5py identically."""
+    _require_h5py()
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        n_frames, n_atoms, _ = f["XYZList"].shape
+
+    specs = [
+        (s, min(chunks, n_frames - s)) for s in range(0, n_frames, chunks)
+    ]
+    spec_df = spark.createDataFrame(specs, "start long, count long")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            with h5py.File(path, "r") as f:
+                ds = f["XYZList"]
+                for start, count in zip(pdf["start"], pdf["count"]):
+                    raw = ds[int(start) : int(start + count)]
+                    xyz = raw.astype("float32") / np.float32(1000.0)
+                    nf, na, _ = xyz.shape
+                    flat = xyz.reshape(nf * na, 3)
+                    yield pd.DataFrame(
+                        {
+                            "frame_id": np.repeat(
+                                np.arange(start, start + nf, dtype="int64"), na
+                            ),
+                            "atom_id": np.tile(np.arange(na, dtype="int32"), nf),
+                            "x": flat[:, 0],
+                            "y": flat[:, 1],
+                            "z": flat[:, 2],
+                        }
+                    )
+
+    coords = spec_df.repartition(max(1, len(specs))).mapInPandas(
+        gen, schema=COORDS_SCHEMA
+    )
+    return Trajectory(coords)

@@ -54,9 +54,10 @@ SUPPORTED_EXTENSIONS = {
     ".arc": "arc",
     ".h5": "hdf5",
     ".hdf5": "hdf5",
+    ".lh5": "lh5",
 }
 KNOWN_UNIMPLEMENTED = {
-    ".lh5", ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml",
+    ".pdb", ".pdb.gz", ".xml", ".mol2", ".hoomdxml",
     ".hdf", ".gsd", ".stk", ".dtr", ".tng",
 }
 
@@ -143,6 +144,10 @@ def load(spark_or_path, path: str | None = None, **options) -> Trajectory:
         from dask_traj_spark.sources.hdf5 import load_hdf5
 
         traj = load_hdf5(spark, path, **options)
+    elif kind == "lh5":
+        from dask_traj_spark.sources.hdf5 import load_lh5
+
+        traj = load_lh5(spark, path, **options)
     else:
         raise AssertionError(kind)
     if top is not None:

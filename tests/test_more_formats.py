@@ -248,3 +248,19 @@ def test_truncated_binary_files_raise_cleanly(spark, tmp_path, traj_triclinic):
             t = dts.load(spark, str(cut))
             # force materialization in case indexing alone survives
             t.coords.count()
+
+
+def test_lh5_gated_on_h5py(spark, tmp_path):
+    """.lh5 (legacy MSMBuilder lossy HDF5) routes to a real loader
+    when h5py exists; without it the error names the dependency."""
+    from dask_traj_spark.sources.hdf5 import HAVE_H5PY
+    from dask_traj_spark.sources.loaders import load
+
+    p = str(tmp_path / "t.lh5")
+    open(p, "wb").close()
+    if not HAVE_H5PY:
+        with pytest.raises(NotImplementedError, match="h5py"):
+            load(spark, p)
+    else:  # pragma: no cover - h5py absent in this container
+        with pytest.raises(Exception):
+            load(spark, p)
