@@ -32,11 +32,20 @@ from dask_traj_spark.operators.distance import (
 )
 
 
-def _leg_sql(traj, pairs_df: DataFrame, use_box: bool, out: tuple[str, str, str]) -> DataFrame:
+def _leg_sql(
+    traj,
+    pairs_df: DataFrame,
+    use_box: bool,
+    out: tuple[str, str, str],
+    ids_a=None,
+    ids_b=None,
+) -> DataFrame:
     """Displacement r_b − r_a for a (triplet_id, a, b) table."""
     from dask_traj_spark.operators.distance import _pair_coords_sql
 
-    df = _pair_coords_sql(traj, pairs_df, "a", "b", "triplet_id")
+    df = _pair_coords_sql(
+        traj, pairs_df, "a", "b", "triplet_id", ids_a=ids_a, ids_b=ids_b
+    )
     df = _add_displacement(traj, df, use_box)
     return df.select(
         "frame_id",
@@ -71,8 +80,14 @@ def compute_angles(
     # u-leg: (j -> i), v-leg: (j -> k)
     u_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 0]], axis=1), ["triplet_id", "a", "b"])
     v_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 2]], axis=1), ["triplet_id", "a", "b"])
-    u = _leg_sql(traj, u_pairs, use_box, ("ux", "uy", "uz"))
-    v = _leg_sql(traj, v_pairs, use_box, ("vx", "vy", "vz"))
+    u = _leg_sql(
+        traj, u_pairs, use_box, ("ux", "uy", "uz"),
+        ids_a=arr[:, 1], ids_b=arr[:, 0],
+    )
+    v = _leg_sql(
+        traj, v_pairs, use_box, ("vx", "vy", "vz"),
+        ids_a=arr[:, 1], ids_b=arr[:, 2],
+    )
     j = u.join(v, ["frame_id", "triplet_id"])
     # x*x, not pow(x,2): multiplication is IEEE exact-rounded, pow is
     # not guaranteed — matters for bit-reproducibility vs the oracle

@@ -106,21 +106,54 @@ def _add_displacement(traj, df: DataFrame, use_box: bool) -> DataFrame:
 # ------------------------------------------------------------ SQL forms
 
 
-def _pair_coords_sql(traj, pairs_df: DataFrame, a_col: str, b_col: str, id_col: str) -> DataFrame:
+#: atom selections up to this many distinct ids become LITERAL scan
+#: filters (between + isin) instead of a broadcast semi-join. A
+#: literal predicate pushes below projections/generators all the way
+#: to the source (parquet row-group stats via the between; derived
+#: sources like the oracle's embeddings→explode prune BEFORE the
+#: explode multiplies rows) — a semi-join can never be pushed into
+#: the scan. Larger selections keep the broadcast semi-join.
+_LITERAL_ATOM_FILTER_MAX = 4096
+
+
+def _atom_selection(c: DataFrame, ids) -> DataFrame:
+    ids = sorted({int(i) for i in ids})
+    pred = F.col("atom_id").between(ids[0], ids[-1])
+    if len(ids) < ids[-1] - ids[0] + 1:  # non-contiguous
+        pred = pred & F.col("atom_id").isin(ids)
+    return c.where(pred)
+
+
+def _pair_coords_sql(
+    traj,
+    pairs_df: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    ids_a=None,
+    ids_b=None,
+) -> DataFrame:
     """(frame_id, <id_col>, x1..z1, x2..z2) for every (frame, pair).
 
     Plan shape: coords ⋈ broadcast(pairs twice). The two joins key on
     atom_id (broadcast hash, no shuffle of the fact table), then the
-    1↔2 sides meet on (frame_id, pair) — both sides were semi-filtered
-    to referenced atoms first so the shuffle moves only the atoms the
-    query touches, not the full fact table.
+    1↔2 sides meet on (frame_id, pair) — both sides restricted to
+    referenced atoms first (literal scan filter when the selection is
+    small — see ``_LITERAL_ATOM_FILTER_MAX`` — else broadcast
+    semi-join) so the shuffle moves only the atoms the query touches,
+    not the full fact table.
     """
     p = F.broadcast(pairs_df)
     c = traj.coords
-    atoms_a = F.broadcast(pairs_df.select(F.col(a_col).alias("atom_id")).distinct())
-    atoms_b = F.broadcast(pairs_df.select(F.col(b_col).alias("atom_id")).distinct())
+
+    def restrict(col_name, ids):
+        if ids is not None and len(set(map(int, ids))) <= _LITERAL_ATOM_FILTER_MAX:
+            return _atom_selection(c, ids)
+        sel = F.broadcast(pairs_df.select(F.col(col_name).alias("atom_id")).distinct())
+        return c.join(sel, "atom_id", "left_semi")
+
     c1 = (
-        c.join(atoms_a, "atom_id", "left_semi")
+        restrict(a_col, ids_a)
         .join(p, F.col("atom_id") == F.col(a_col))
         .select(
             "frame_id",
@@ -131,7 +164,7 @@ def _pair_coords_sql(traj, pairs_df: DataFrame, a_col: str, b_col: str, id_col: 
             F.col("z").cast("double").alias("z1"),
         )
     )
-    c2 = c.join(atoms_b, "atom_id", "left_semi").select(
+    c2 = restrict(b_col, ids_b).select(
         "frame_id",
         F.col("atom_id").alias("_other"),
         F.col("x").cast("double").alias("x2"),
@@ -141,9 +174,15 @@ def _pair_coords_sql(traj, pairs_df: DataFrame, a_col: str, b_col: str, id_col: 
     return c1.join(c2, ["frame_id", "_other"]).drop("_other")
 
 
-def _displacements_sql(traj, pairs_df: DataFrame, periodic: bool) -> DataFrame:
+def _displacements_sql(
+    traj, pairs_df: DataFrame, periodic: bool, arr=None
+) -> DataFrame:
     use_box = periodic and traj.have_unitcell
-    df = _pair_coords_sql(traj, pairs_df, "i", "j", "pair_id")
+    ids_a = arr[:, 0] if arr is not None else None
+    ids_b = arr[:, 1] if arr is not None else None
+    df = _pair_coords_sql(
+        traj, pairs_df, "i", "j", "pair_id", ids_a=ids_a, ids_b=ids_b
+    )
     df = _add_displacement(traj, df, use_box)
     return df.select(
         "frame_id",
@@ -343,7 +382,7 @@ def compute_distances(
             traj, arr, periodic, want_vectors=False, wide_output=wide_output
         )
     pairs_df = _pairs_df(traj.spark, arr, ["pair_id", "i", "j"])
-    d = _displacements_sql(traj, pairs_df, periodic)
+    d = _displacements_sql(traj, pairs_df, periodic, arr=arr)
     # x*x, not pow(x,2) — exact-rounded, bit-reproducible vs the oracle
     sq = lambda c: F.col(c).cast("double") * F.col(c).cast("double")  # noqa: E731
     dist = F.sqrt(sq("dx") + sq("dy") + sq("dz"))
@@ -370,7 +409,7 @@ def compute_displacements(
     if form == "vectorized":
         return _vectorized_pair_op(traj, arr, periodic, want_vectors=True)
     pairs_df = _pairs_df(traj.spark, arr, ["pair_id", "i", "j"])
-    return _displacements_sql(traj, pairs_df, periodic)
+    return _displacements_sql(traj, pairs_df, periodic, arr=arr)
 
 
 def compute_center_of_mass(traj, topology: DataFrame | None = None) -> DataFrame:
