@@ -151,6 +151,9 @@ def main() -> None:
     times["canonical_onepass"] = round(min(onepass), 3)
 
     # ---- tier 2: oracle-suite SQL-form operators at sf ----------------
+    # best-of-2 like tier 1 (the "best_of" label applies to every
+    # timed entry): the first iteration pays plan JIT + page-cache
+    # warm-up that round-over-round comparisons shouldn't see.
     registry = q.queries()
     for name in (
         "g1_distances_mic_triclinic",
@@ -163,9 +166,13 @@ def main() -> None:
         "r1_pricing_summary",
         "r2_topk_revenue",
     ):
-        t0 = time.time()
-        _noop(registry[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _noop(registry[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     # vectorized ANN at sf scale (matmul path, not the SQL form)
     from dask_traj_spark.operators.similarity import cosine_topk_vectorized
