@@ -32,30 +32,6 @@ from dask_traj_spark.operators.distance import (
 )
 
 
-def _leg_sql(
-    traj,
-    pairs_df: DataFrame,
-    use_box: bool,
-    out: tuple[str, str, str],
-    ids_a=None,
-    ids_b=None,
-) -> DataFrame:
-    """Displacement r_b − r_a for a (triplet_id, a, b) table."""
-    from dask_traj_spark.operators.distance import _pair_coords_sql
-
-    df = _pair_coords_sql(
-        traj, pairs_df, "a", "b", "triplet_id", ids_a=ids_a, ids_b=ids_b
-    )
-    df = _add_displacement(traj, df, use_box)
-    return df.select(
-        "frame_id",
-        "triplet_id",
-        F.col("_dx").alias(out[0]),
-        F.col("_dy").alias(out[1]),
-        F.col("_dz").alias(out[2]),
-    )
-
-
 def compute_angles(
     traj,
     angle_indices: Iterable,
@@ -66,6 +42,12 @@ def compute_angles(
     """Angle at the middle atom of each (i, j, k) triplet.
 
     Reference driver: geometry/angle.py:58-139.
+
+    SQL plan shape: ONE three-way stitch — broadcast the triplet
+    table onto the mid-atom rows, then join the i- and k-atom rows by
+    (frame_id, atom) — so the coords lineage is scanned three times
+    (once per role), not four as the former two-pair-leg form did,
+    and both MIC applications share a single box join.
     """
     arr = _normalize_indices(angle_indices, 3, n_atoms or traj.n_atoms, "angle_indices")
     if len(arr) == 0:  # empty short-circuit (angle.py:98-99)
@@ -75,20 +57,65 @@ def compute_angles(
     if form == "vectorized":
         return _vectorized_angles(traj, arr, periodic)
 
+    from dask_traj_spark.operators.distance import (
+        _atom_role_restrict,
+        _with_box,
+    )
+    from dask_traj_spark.operators.mic import BOX_COLS, add_mic_displacement
+
     use_box = periodic and traj.have_unitcell
     spark = traj.spark
-    # u-leg: (j -> i), v-leg: (j -> k)
-    u_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 0]], axis=1), ["triplet_id", "a", "b"])
-    v_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 2]], axis=1), ["triplet_id", "a", "b"])
-    u = _leg_sql(
-        traj, u_pairs, use_box, ("ux", "uy", "uz"),
-        ids_a=arr[:, 1], ids_b=arr[:, 0],
+    trip = F.broadcast(
+        _pairs_df(spark, arr, ["triplet_id", "i", "j", "k"])
     )
-    v = _leg_sql(
-        traj, v_pairs, use_box, ("vx", "vy", "vz"),
-        ids_a=arr[:, 1], ids_b=arr[:, 2],
+
+    def role(ids, suffix, frame_col):
+        # unique column names per role: the three sides share one
+        # coords lineage (triple self-join) and Spark re-aliases
+        # duplicate attribute ids, so name-based joins are the only
+        # unambiguous form
+        return _atom_role_restrict(traj.coords, ids).select(
+            F.col("frame_id").alias(frame_col),
+            F.col("atom_id").alias(f"_a{suffix}"),
+            F.col("x").cast("double").alias(f"x{suffix}"),
+            F.col("y").cast("double").alias(f"y{suffix}"),
+            F.col("z").cast("double").alias(f"z{suffix}"),
+        )
+
+    cj = role(arr[:, 1], "j", "frame_id")
+    ci = role(arr[:, 0], "i", "_fi")
+    ck = role(arr[:, 2], "k", "_fk")
+    df = (
+        cj.join(trip, F.col("_aj") == F.col("j"))
+        .join(ci, (F.col("_ai") == F.col("i")) & (F.col("_fi") == F.col("frame_id")))
+        .join(ck, (F.col("_ak") == F.col("k")) & (F.col("_fk") == F.col("frame_id")))
+        .select(
+            "frame_id", "triplet_id",
+            "xi", "yi", "zi", "xj", "yj", "zj", "xk", "yk", "zk",
+        )
     )
-    j = u.join(v, ["frame_id", "triplet_id"])
+    df = df.withColumns(
+        {
+            "ux": F.col("xi") - F.col("xj"),
+            "uy": F.col("yi") - F.col("yj"),
+            "uz": F.col("zi") - F.col("zj"),
+            "vx": F.col("xk") - F.col("xj"),
+            "vy": F.col("yk") - F.col("yj"),
+            "vz": F.col("zk") - F.col("zj"),
+        }
+    )
+    if use_box:
+        df = _with_box(traj, df)
+        df = add_mic_displacement(df, "ux", "uy", "uz", out=("mux", "muy", "muz"))
+        df = add_mic_displacement(df, "vx", "vy", "vz", out=("mvx", "mvy", "mvz"))
+        df = (
+            df.drop("_ortho", *BOX_COLS)
+            .drop("ux", "uy", "uz", "vx", "vy", "vz")
+            .withColumnsRenamed(
+                {"mux": "ux", "muy": "uy", "muz": "uz",
+                 "mvx": "vx", "mvy": "vy", "mvz": "vz"}
+            )
+        )
     # x*x, not pow(x,2): multiplication is IEEE exact-rounded, pow is
     # not guaranteed — matters for bit-reproducibility vs the oracle
     sq = lambda c: F.col(c) * F.col(c)  # noqa: E731
@@ -96,7 +123,7 @@ def compute_angles(
     vn = F.sqrt(sq("vx") + sq("vy") + sq("vz"))
     dot = F.col("ux") * F.col("vx") + F.col("uy") * F.col("vy") + F.col("uz") * F.col("vz")
     cosang = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dot / (un * vn)))
-    return j.select(
+    return df.select(
         "frame_id",
         "triplet_id",
         F.acos(cosang).cast("float").alias("angle_rad"),

@@ -124,6 +124,21 @@ def _atom_selection(c: DataFrame, ids) -> DataFrame:
     return c.where(pred)
 
 
+def _atom_role_restrict(c: DataFrame, ids) -> DataFrame:
+    """Restrict coords to a driver-known atom id set: literal pushdown
+    filter for small sets (see ``_LITERAL_ATOM_FILTER_MAX``), broadcast
+    semi-join beyond."""
+    uniq = np.unique(np.asarray(list(ids), dtype=np.int64))
+    if len(uniq) <= _LITERAL_ATOM_FILTER_MAX:
+        return _atom_selection(c, uniq)
+    sel = F.broadcast(
+        c.sparkSession.createDataFrame(
+            [(int(i),) for i in uniq], "atom_id int"
+        )
+    )
+    return c.join(sel, "atom_id", "left_semi")
+
+
 def _pair_coords_sql(
     traj,
     pairs_df: DataFrame,

@@ -552,22 +552,51 @@ def q_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _angles_double(traj) -> DataFrame:
-    """Engine angle plan, but keeping the final acos in DOUBLE and
-    rounding to 1e-6 rad (transcendental-protection policy)."""
+    """Engine angle plan (the same 3-way stitch compute_angles builds),
+    but keeping the final acos in DOUBLE and rounding to 1e-6 rad
+    (transcendental-protection policy). Leg components round-trip
+    through float32 exactly as the oracle's _F32 wrappers do."""
     import numpy as np
 
-    from dask_traj_spark.operators.angle import _leg_sql
-    from dask_traj_spark.operators.distance import _pairs_df
+    from dask_traj_spark.operators.distance import (
+        _atom_role_restrict,
+        _pairs_df,
+    )
 
     arr = np.asarray(_triplets(N_ANGLE_ATOMS), dtype=np.int32)
     spark = traj.spark
-    u_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 0]], axis=1), ["triplet_id", "a", "b"])
-    v_pairs = _pairs_df(spark, np.stack([arr[:, 1], arr[:, 2]], axis=1), ["triplet_id", "a", "b"])
-    u = _leg_sql(traj, u_pairs, False, ("ux", "uy", "uz"))
-    v = _leg_sql(traj, v_pairs, False, ("vx", "vy", "vz"))
-    # legs come back float32 (engine contract); lift to double exactly
-    j = u.join(v, ["frame_id", "triplet_id"])
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    trip = F.broadcast(_pairs_df(spark, arr, ["triplet_id", "i", "j", "k"]))
+
+    def role(ids, suffix, frame_col):
+        return _atom_role_restrict(traj.coords, ids).select(
+            F.col("frame_id").alias(frame_col),
+            F.col("atom_id").alias(f"_a{suffix}"),
+            F.col("x").cast("double").alias(f"x{suffix}"),
+            F.col("y").cast("double").alias(f"y{suffix}"),
+            F.col("z").cast("double").alias(f"z{suffix}"),
+        )
+
+    cj = role(arr[:, 1], "j", "frame_id")
+    ci = role(arr[:, 0], "i", "_fi")
+    ck = role(arr[:, 2], "k", "_fk")
+    j = (
+        cj.join(trip, F.col("_aj") == F.col("j"))
+        .join(ci, (F.col("_ai") == F.col("i")) & (F.col("_fi") == F.col("frame_id")))
+        .join(ck, (F.col("_ak") == F.col("k")) & (F.col("_fk") == F.col("frame_id")))
+    )
+    # float32 round-trip on each leg component (mirror of oracle _F32)
+    f32 = lambda e: e.cast("float").cast("double")  # noqa: E731
+    j = j.withColumns(
+        {
+            "ux": f32(F.col("xi") - F.col("xj")),
+            "uy": f32(F.col("yi") - F.col("yj")),
+            "uz": f32(F.col("zi") - F.col("zj")),
+            "vx": f32(F.col("xk") - F.col("xj")),
+            "vy": f32(F.col("yk") - F.col("yj")),
+            "vz": f32(F.col("zk") - F.col("zj")),
+        }
+    )
+    d = lambda c: F.col(c)  # noqa: E731
     un = F.sqrt(d("ux") * d("ux") + d("uy") * d("uy") + d("uz") * d("uz"))
     vn = F.sqrt(d("vx") * d("vx") + d("vy") * d("vy") + d("vz") * d("vz"))
     dot = d("ux") * d("vx") + d("uy") * d("vy") + d("uz") * d("vz")
