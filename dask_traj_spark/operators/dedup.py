@@ -273,19 +273,64 @@ def near_duplicates_ngram(
     id_mode: str = "hashed",
     max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Word-bigram (2-gram) Jaccard near-dup pairs: candidates are
-    docs sharing ≥1 shingle whose document frequency is ≤ ``max_df``
-    (a stopword bigram shared by the whole corpus pairs everything
-    with everything); (doc1, doc2, jaccard ≥ threshold). Jaccard
-    verify uses the FULL shingle sets."""
+    """Word-bigram (2-gram) Jaccard near-dup pairs:
+    (doc1, doc2, jaccard ≥ threshold) over the frequency-capped
+    shingle universe.
+
+    Plan: ONE self-join of the capped (doc, shingle) set on shingle
+    id, aggregated straight to per-pair intersection counts, then a
+    sizes join and the threshold filter. No candidate/verify phases:
+    a verify pass that re-joins every candidate against full shingle
+    sets explodes as candidates × |S| (measured on the templated
+    sf0.1 corpus: 10M candidates × 51 shingles ≈ 10× the direct
+    join; 86 s → ~8 s direct).
+
+    Semantics: with ``max_df=None`` this is plain exact Jaccard.
+    With a cap, shingles whose document frequency exceeds ``max_df``
+    are excluded from BOTH intersection and union — Jaccard over the
+    capped feature space. That is the only shape that stays
+    computable at corpus scale: the self-join size is bounded by
+    Σ min(df, max_df)² per shingle, whereas exact Jaccard in the
+    presence of a df=10⁶ boilerplate shingle needs a 10¹²-row join
+    no matter how candidates were generated. The oracle applies the
+    identical cap (HAVING df <= max_df feeding both inter and
+    sizes)."""
     ds = _doc_shingle_ids(docs, text_col, id_mode)
-    ds_cand = _cap_buckets(ds, ["tid"], max_df)
-    s1 = ds_cand.select(F.col("doc_id").alias("doc1"), "tid")
-    s2 = ds_cand.select(F.col("doc_id").alias("doc2"), "tid")
-    cand = (
+    ds_c = _cap_buckets(ds, ["tid"], max_df)
+    # the (doc, shingle) derivation (token self-join + distinct) is
+    # referenced by the sizes aggregate AND both sides of the
+    # intersection self-join; without a persist Spark re-derives it
+    # per reference (4× the token join). MEMORY_AND_DISK spills at
+    # scale; this is the same intermediate a real pipeline would
+    # materialize.
+    from pyspark import StorageLevel
+
+    ds_c = ds_c.persist(StorageLevel.MEMORY_AND_DISK)
+    # set sizes attached per row (doc-partitioned window on the tiny
+    # cached set) so they ride through the intersection join — no
+    # extra per-pair joins on the aggregated output
+    from pyspark.sql import Window
+
+    ds_sz = ds_c.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    s1 = ds_sz.select(F.col("doc_id").alias("doc1"), "tid", F.col("sz").alias("sz1"))
+    s2 = ds_sz.select(F.col("doc_id").alias("doc2"), "tid", F.col("sz").alias("sz2"))
+    inter = (
         s1.join(s2, "tid")
         .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
+        )
     )
-    return _jaccard_verify(cand, ds).where(F.col("jaccard") >= threshold)
+    return inter.select(
+        "doc1",
+        "doc2",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

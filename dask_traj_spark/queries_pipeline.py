@@ -378,17 +378,11 @@ sv AS (
 ds AS (SELECT b.doc_id, s.tid FROM big b JOIN sv s USING (shingle)),
 dok AS (SELECT tid FROM ds GROUP BY tid HAVING count(*) <= {max_df}),
 dsf AS (SELECT ds.* FROM ds JOIN dok USING (tid)),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM dsf a JOIN dsf b ON a.tid = b.tid AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsf GROUP BY doc_id),
 inter AS (
-    SELECT c.doc1, c.doc2, count(*) AS i
-    FROM cand c
-    JOIN ds t1 ON t1.doc_id = c.doc1
-    JOIN ds t2 ON t2.doc_id = c.doc2 AND t2.tid = t1.tid
-    GROUP BY c.doc1, c.doc2
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+    FROM dsf a JOIN dsf b ON a.tid = b.tid AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.doc1, i.doc2,
        CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) AS jaccard
