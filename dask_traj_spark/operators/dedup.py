@@ -109,11 +109,7 @@ def _doc_token_ids(
     raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
 
 
-def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
-) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — k min-aggregations in one groupBy."""
-    dt = _doc_token_ids(docs, text_col, id_mode)
+def _signatures_from(dt: DataFrame) -> DataFrame:
     aggs = []
     for i in range(N_HASHES):
         a, b = _hash_consts(i)
@@ -121,6 +117,13 @@ def minhash_signatures(
             F.min((F.col("tid").cast("long") * a + b) % MINHASH_P).alias(f"h{i}")
         )
     return dt.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — k min-aggregations in one groupBy."""
+    return _signatures_from(_doc_token_ids(docs, text_col, id_mode))
 
 
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
@@ -147,6 +150,10 @@ def lsh_candidate_pairs(
     band bucket (band hash = h_{2b} * mix + h_{2b+1}), after dropping
     degenerate buckets larger than ``max_bucket``."""
     sig = minhash_signatures(docs, text_col, id_mode)
+    return _band_candidates(sig, max_bucket)
+
+
+def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -170,27 +177,31 @@ def lsh_candidate_pairs(
 
 
 def _jaccard_verify(pairs: DataFrame, dt: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs from distinct token sets."""
-    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    t1 = dt.select(F.col("doc_id").alias("doc1"), "tid")
-    t2 = dt.select(F.col("doc_id").alias("doc2"), "tid")
+    """Exact Jaccard for candidate pairs from distinct token sets.
+    Set sizes ride per-row via a doc-partitioned window so the
+    aggregated pair output needs no further joins."""
+    from pyspark.sql import Window
+
+    dtz = dt.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    t1 = dtz.select(F.col("doc_id").alias("doc1"), "tid", F.col("sz").alias("sz1"))
+    t2 = dtz.select(F.col("doc_id").alias("doc2"), "tid", F.col("sz").alias("sz2"))
     inter = (
         pairs.join(t1, "doc1")
         .join(t2, ["doc2", "tid"])
         .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"}), "doc1")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"}), "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
         )
+    )
+    return inter.select(
+        "doc1",
+        "doc2",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
     )
 
 
@@ -205,8 +216,12 @@ def near_duplicates_minhash(
     (doc1, doc2, jaccard) where jaccard ≥ threshold. The Jaccard
     verify always uses the FULL token sets — the cap only bounds
     candidate generation."""
-    dt = _doc_token_ids(docs, text_col, id_mode)
-    cand = lsh_candidate_pairs(docs, text_col, id_mode, max_bucket)
+    from pyspark import StorageLevel
+
+    dt = _doc_token_ids(docs, text_col, id_mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = _band_candidates(_signatures_from(dt), max_bucket)
     return _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
 
 
