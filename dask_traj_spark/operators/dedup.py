@@ -20,10 +20,12 @@ Plan shapes (scale posture):
 - **simhash**: one groupBy producing a 16-bit signature per doc;
   near-dup candidates = equal signatures (or Hamming-adjacent via
   banding the bits).
-- **ngram-jaccard**: bigram shingles → same bucket-join + verify
-  shape as LSH, with shingles as the buckets and ``max_df`` capping
-  shingle document frequency (a stopword bigram like "of_the" occurs
-  in nearly every doc and would pair everything with everything).
+- **ngram-jaccard**: bigram shingles → ONE self-join of the
+  ``max_df``-capped (doc, shingle) set aggregated straight to
+  per-pair intersection counts (no candidate/verify phases — see
+  ``near_duplicates_ngram`` for why that shape explodes on templated
+  corpora). Jaccard is computed over the capped shingle universe; the
+  join is bounded by Σ min(df, max_df)² per shingle.
 
 Token/shingle id assignment (``id_mode``):
 
