@@ -1,0 +1,172 @@
+"""Streaming near-duplicate detection over a document stream.
+
+The batch dedup operators (``operators/dedup.py``) answer "which
+pairs in this corpus are near-dups"; a training-data INGEST pipeline
+needs the incremental form: as documents stream in, flag each
+micro-batch's docs against everything already ingested, then fold the
+batch into the state. This module implements that as a
+``foreachBatch`` loop reusing the batch MinHash/LSH machinery:
+
+per micro-batch
+  1. hashed token ids → minhash signatures → LSH band rows for the
+     NEW docs only (the batch);
+  2. candidates = new band rows ⋈ (stored ∪ new) band rows on
+     (band, bh) — every candidate pair touches ≥1 new doc, so work
+     per batch scales with the batch, not the corpus;
+  3. exact-Jaccard verify against the token-set store (new ∪ old);
+  4. matches land in a results table, and the batch's band rows +
+     token sets are folded into the state store.
+
+Exactly-once: every write (results, band store, token store) is a
+dynamic partition overwrite of that batch's own ``batch_id``
+partition — the same idempotent-replay contract as the bucketed
+coords ingest (``sources/bucketed.py``). A replayed batch replaces
+its own partitions and recomputes the same matches.
+
+Scale posture: the state tables are plain parquet appended one
+partition per batch; at 100 TB you would additionally bucket the
+band store by (band, bh) so step 2's join is co-located, and compact
+partitions out of band — both mechanics exist in
+``sources/bucketed.py`` and apply unchanged. The LSH bucket cap
+bounds degenerate boilerplate buckets exactly as in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dask_traj_spark.operators.dedup import (
+    MAX_BUCKET,
+    _band_candidates,
+    _cap_buckets,
+    _doc_token_ids,
+    _jaccard_verify,
+    _signatures_from,
+)
+from dask_traj_spark.operators.dedup import BAND_MIX, N_BANDS  # noqa: F401
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) rows from a signature table."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"h{2 * b}") * BAND_MIX + F.col(f"h{2 * b + 1}")
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    import glob
+
+    if glob.glob(f"{path}/*"):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def process_neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    results_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_bucket: int | None = MAX_BUCKET,
+) -> None:
+    """One micro-batch of the incremental near-dup loop (the
+    ``foreachBatch`` body — also callable directly on a batch
+    DataFrame for backfills)."""
+    from pyspark import StorageLevel
+
+    spark = batch_df.sparkSession
+    dt_new = (
+        _doc_token_ids(batch_df, text_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands_new = _band_rows(_signatures_from(dt_new)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    bands_old = _read_or_empty(
+        spark, f"{state_dir}/bands", "doc_id long, band int, bh long"
+    ).select("doc_id", "band", "bh")
+    dt_old = _read_or_empty(
+        spark, f"{state_dir}/tokens", "doc_id long, tid long"
+    ).select("doc_id", "tid")
+
+    all_bands = _cap_buckets(
+        bands_old.unionByName(bands_new), ["band", "bh"], max_bucket
+    )
+    n = bands_new.select(F.col("doc_id").alias("doc_new"), "band", "bh")
+    cand = (
+        n.join(all_bands, ["band", "bh"])
+        .where(F.col("doc_new") != F.col("doc_id"))
+        .select(
+            F.least("doc_new", "doc_id").alias("doc1"),
+            F.greatest("doc_new", "doc_id").alias("doc2"),
+        )
+        .distinct()
+    )
+    dt_all = dt_old.unionByName(dt_new.select("doc_id", F.col("tid").cast("long")))
+    matches = _jaccard_verify(cand, dt_all).where(F.col("jaccard") >= threshold)
+
+    _overwrite_batch_partition(matches, results_dir, batch_id)
+    _overwrite_batch_partition(
+        dt_new.select("doc_id", F.col("tid").cast("long")),
+        f"{state_dir}/tokens",
+        batch_id,
+    )
+    _overwrite_batch_partition(bands_new, f"{state_dir}/bands", batch_id)
+
+
+def stream_neardup_minhash(
+    docs_stream: DataFrame,
+    state_dir: str,
+    results_dir: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_bucket: int | None = MAX_BUCKET,
+    available_now: bool = True,
+):
+    """Run the incremental MinHash-LSH near-dup loop over a document
+    stream (``doc_id`` + text column). Returns the StreamingQuery.
+
+    Results land in ``results_dir`` as (doc1, doc2, jaccard,
+    batch_id) — every pair involving ≥1 doc of that batch with
+    Jaccard ≥ threshold against the corpus ingested so far."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process_neardup_batch(
+            batch_df,
+            batch_id,
+            state_dir,
+            results_dir,
+            threshold=threshold,
+            text_col=text_col,
+            max_bucket=max_bucket,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -319,3 +319,23 @@ def test_degenerate_bucket_cap_drops_boilerplate_pairs(spark):
     capped = near_duplicates_ngram(docs, threshold=0.0, max_df=5)
     assert uncapped.count() == 12 * 11 // 2
     assert capped.count() == 0
+
+
+def test_atom_selection_pushes_to_parquet_scan(spark, tmp_path_factory):
+    """The literal atom filter must reach the parquet source as
+    PushedFilters (range + In) — the property that lets a 24-atom
+    query read row groups, not the 100 TB fact table."""
+    from dask_traj_spark.operators.distance import compute_distances
+    from dask_traj_spark.trajectory import Trajectory
+
+    base = str(tmp_path_factory.mktemp("pushdown"))
+    spark.range(300).selectExpr(
+        "id div 30 as frame_id",
+        "cast(id % 30 as int) as atom_id",
+        "cast(id as float) x", "cast(id as float) y", "cast(id as float) z",
+    ).write.parquet(f"{base}/coords")
+    traj = Trajectory(spark.read.parquet(f"{base}/coords"))
+    d = compute_distances(traj, [(0, 1), (2, 5)], periodic=False, form="sql")
+    a = audit(d)
+    pushed = " ".join(a.pushed_filters)
+    assert "atom_id" in pushed, a.pushed_filters

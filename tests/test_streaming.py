@@ -582,3 +582,83 @@ def test_stream_ingest_replays_half_committed_batch_without_dupes(
     assert got.count() == 160, "replayed batch duplicated rows"
     assert got.select("frame_id").distinct().count() == 160
     spark.sql("DROP TABLE IF EXISTS crash_replay_test")
+
+
+def test_stream_neardup_minhash_incremental(spark, tmp_path_factory):
+    """Incremental near-dup: batch 2's doc must be flagged against a
+    batch-1 doc it nearly duplicates, per-batch work scales with the
+    batch (candidates all touch a new doc), and replaying a batch is
+    idempotent."""
+    import glob
+    import shutil
+
+    from dask_traj_spark.streaming.dedup import stream_neardup_minhash
+
+    base = tmp_path_factory.mktemp("neardup_stream")
+    src = str(base / "src")
+    os.makedirs(src)
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_a2 = "the quick brown fox jumps over the lazy dog again and AGAIN2"
+    text_b = "completely unrelated content about spark query planning internals"
+
+    def add_file(name, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = str(base / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        for i, p in enumerate(glob.glob(f"{stage}/*.parquet")):
+            shutil.move(p, f"{src}/{name}_{i}.parquet")
+        shutil.rmtree(stage)
+
+    add_file("b1", [(1, text_a), (2, text_b)])
+    add_file("b2", [(3, text_a2)])
+
+    state = str(base / "state")
+    results = str(base / "results")
+    ckpt = str(base / "ckpt")
+    q = stream_neardup_minhash(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        results,
+        checkpoint=ckpt,
+        threshold=0.5,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    _drain_active_streams(spark)
+
+    got = spark.read.parquet(results)
+    pairs = {(r.doc1, r.doc2) for r in got.collect()}
+    assert (1, 3) in pairs, pairs
+    assert not any(2 in p for p in pairs), pairs
+
+    # crash-replay: drop the newest checkpoint commit and restart —
+    # the batch overwrites its own partitions, results unchanged
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_neardup_minhash(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        results,
+        checkpoint=ckpt,
+        threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    _drain_active_streams(spark)
+
+    again = spark.read.parquet(results)
+    assert {(r.doc1, r.doc2) for r in again.collect()} == pairs
+    # state holds exactly one token partition per batch (no dupes)
+    toks = spark.read.parquet(f"{state}/tokens")
+    assert toks.select("doc_id").distinct().count() == 3
+    assert toks.groupBy("doc_id", "tid").count().where("count > 1").count() == 0
