@@ -362,24 +362,72 @@ def cosine_lsh_buckets(
     return emb.select(F.col(id_col), sig.cast("long").alias("bucket"))
 
 
+def cosine_lsh_bands(
+    emb: DataFrame,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OR-construction hyperplane LSH: ``n_bands`` independent
+    signatures per vector (each from its own seeded plane set) →
+    (id, band, bucket) rows. A pair is a candidate if ANY band
+    collides: recall = 1 − (1 − p^planes)^bands, tunable without
+    touching precision (the exact rerank handles that). All
+    JVM-side aggregate() dot products; one explode, no shuffle."""
+    structs = []
+    for band in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed=42 + band)
+        sig = None
+        for j in range(n_planes):
+            lits = F.array(*[F.lit(float(x)) for x in planes[j]])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), lits, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        structs.append(
+            F.struct(
+                F.lit(band).alias("band"), sig.cast("long").alias("bucket")
+            )
+        )
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("s")
+    ).select(id_col, F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket"))
+
+
 def near_duplicates_embedding_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: bucket-join on LSH
     signatures, exact quantized-cosine rerank inside buckets →
-    (id1, id2, cos ≥ threshold). Recall is bounded by the bucket
-    collision probability — raise n_planes bands (OR-construction)
-    for higher recall; this single-signature form is the demo/spec."""
-    b = cosine_lsh_buckets(emb, n_planes, dim, id_col)
-    l = b.select(F.col(id_col).alias("id1"), "bucket")
-    r = b.select(F.col(id_col).alias("id2"), "bucket")
-    cand = (
-        l.join(r, "bucket").where(F.col("id1") < F.col("id2")).select("id1", "id2")
-    )
+    (id1, id2, cos ≥ threshold).
+
+    ``n_bands=1`` (default — the oracle-gated spec form) is a single
+    signature; recall is bounded by its collision probability.
+    ``n_bands>1`` switches to the OR-construction
+    (``cosine_lsh_bands``): candidates collide in ANY band, recall
+    1 − (1 − p^planes)^bands, precision unchanged (exact rerank).
+    Candidate join stays per-(band, bucket) — no cross-band blowup."""
+    if n_bands > 1:
+        b = cosine_lsh_bands(emb, n_planes, n_bands, dim, id_col)
+        keys = ["band", "bucket"]
+    else:
+        b = cosine_lsh_buckets(emb, n_planes, dim, id_col)
+        keys = ["bucket"]
+    l = b.select(F.col(id_col).alias("id1"), *keys)
+    r = b.select(F.col(id_col).alias("id2"), *keys)
+    cand = l.join(r, keys).where(F.col("id1") < F.col("id2")).select("id1", "id2")
+    if n_bands > 1:
+        # a pair may collide in several bands — dedupe before rerank
+        cand = cand.distinct()
     e1 = _quantized_elements(emb, id_col, "id1")
     e2 = _quantized_elements(emb, id_col, "id2")
     scored = (

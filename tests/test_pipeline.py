@@ -259,3 +259,41 @@ class TestIVFIndex:
         )
         assert pdf["vec_id"].iloc[0] == 1  # near-dup shares the cluster
         assert pdf["cos"].iloc[0] > 0.99
+
+
+def test_embedding_lsh_or_bands_raise_recall(spark):
+    """OR-construction: pairs missed by the single signature are
+    recovered by multi-band candidates, precision untouched (exact
+    rerank); single-band results are a subset of multi-band."""
+    import numpy as np
+
+    from dask_traj_spark.operators.similarity import (
+        near_duplicates_embedding_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate of each: tiny perturbation -> cos ~ 0.999
+        rows.append((1000 + i, [float(x) for x in v + 0.01 * rng.standard_normal(64).astype(np.float32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    single = {
+        (r.id1, r.id2)
+        for r in near_duplicates_embedding_lsh(emb, threshold=0.99).collect()
+    }
+    multi = {
+        (r.id1, r.id2)
+        for r in near_duplicates_embedding_lsh(
+            emb, threshold=0.99, n_bands=4
+        ).collect()
+    }
+    true_pairs = {(i, 1000 + i) for i in range(40)}
+    assert single <= multi
+    assert len(multi & true_pairs) > len(single & true_pairs) or (
+        single & true_pairs == true_pairs
+    )
+    # multi-band should recover (nearly) all true near-dups
+    assert len(multi & true_pairs) >= 38
