@@ -265,9 +265,13 @@ def _doc_shingle_ids(
         .distinct()
     )
     if id_mode == "hashed":
+        # distinct AFTER hashing: a 31-bit collision between two
+        # shingles of one doc must not yield duplicate (doc_id, tid)
+        # rows (they'd double-count in the intersection self-join and
+        # the per-doc size window)
         return big.select(
             "doc_id", token_id_hashed(F.col("shingle")).alias("tid")
-        )
+        ).distinct()
     if id_mode == "sorted":
         from pyspark.sql import Window
 

@@ -116,13 +116,20 @@ def overwrite_coords_bucketed_batch(
     # insertInto is positional — align to the catalog column order
     # (partition column last); dynamic mode overwrites only the batch
     # partition(s) present in this DataFrame.
+    # dynamic partition-overwrite only for THIS insert — restore the
+    # session conf so later mode('overwrite').partitionBy writes keep
+    # their default truncate-table semantics
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    cols = spark.table(table).columns
-    (
-        stamped.select(*cols)
-        .repartition(n_buckets, key)
-        .write.insertInto(table, overwrite=True)
-    )
+    try:
+        cols = spark.table(table).columns
+        (
+            stamped.select(*cols)
+            .repartition(n_buckets, key)
+            .write.insertInto(table, overwrite=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def bucket_file_stats(spark: SparkSession, table: str) -> dict[int, int]:

@@ -61,17 +61,34 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    import glob
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str, before_batch: int
+) -> DataFrame:
+    """Read a ``batch_id``-partitioned state table, keeping only
+    partitions written by batches BEFORE ``before_batch``.
 
-    if glob.glob(f"{path}/*"):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
+    A replayed batch (data files committed, checkpoint commit lost)
+    finds its OWN ``batch_id`` partition already on disk; excluding it
+    makes the state read identical to the pre-crash view, so the
+    recomputed Jaccard values (which count both intersections and
+    set sizes over this state) are bit-identical — the exactly-once
+    contract. Existence is probed by attempting the read, which works
+    on any Hadoop FileSystem URI (hdfs://, s3a://), unlike a local
+    glob."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+    return df.where(
+        F.col("batch_id").cast("long") < int(before_batch)
+    ).drop("batch_id")
 
 
 def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # per-write option only (no session-wide conf mutation): dynamic
+    # mode replaces exactly this batch's partition on replay
     (
         df.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -105,10 +122,10 @@ def process_neardup_batch(
     )
 
     bands_old = _read_or_empty(
-        spark, f"{state_dir}/bands", "doc_id long, band int, bh long"
+        spark, f"{state_dir}/bands", "doc_id long, band int, bh long", batch_id
     ).select("doc_id", "band", "bh")
     dt_old = _read_or_empty(
-        spark, f"{state_dir}/tokens", "doc_id long, tid long"
+        spark, f"{state_dir}/tokens", "doc_id long, tid long", batch_id
     ).select("doc_id", "tid")
 
     all_bands = _cap_buckets(
