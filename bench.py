@@ -151,9 +151,11 @@ def main() -> None:
     times["canonical_onepass"] = round(min(onepass), 3)
 
     # ---- tier 2: oracle-suite SQL-form operators at sf ----------------
-    # best-of-2 like tier 1 (the "best_of" label applies to every
-    # timed entry): the first iteration pays plan JIT + page-cache
-    # warm-up that round-over-round comparisons shouldn't see.
+    # best-of-3: iteration 0 pays plan JIT + codegen + page-cache
+    # warm-up (measured up to 4× the steady state), and machine noise
+    # between runs is ~2× — with only two iterations a single slow
+    # pair mis-reports a regression (BENCH_r03 recorded the triclinic
+    # query at 4.75 s when its steady state was 1.4-2.4 s).
     registry = q.queries()
     for name in (
         "g1_distances_mic_triclinic",
@@ -167,7 +169,7 @@ def main() -> None:
         "r2_topk_revenue",
     ):
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _noop(registry[name](spark, sf_dir))
             dt = time.time() - t0
@@ -227,12 +229,13 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 # methodology labels (VERDICT r2 item 8): timings are
-                # warm (worker pool + JIT pre-warmed), best-of-2, on
-                # this master; BASELINE.md's reference numbers are
-                # 12 threads — compare those against
-                # canonical_onepass_local12.
+                # warm (worker pool + JIT pre-warmed), best-of-2 for
+                # the canonical tier and best-of-3 for the oracle-
+                # suite tier (see tier-2 comment), on this master;
+                # BASELINE.md's reference numbers are 12 threads —
+                # compare those against canonical_onepass_local12.
                 "warm": True,
-                "best_of": 2,
+                "best_of": {"canonical": 2, "oracle_suite": 3},
                 "master": master,
             }
         )

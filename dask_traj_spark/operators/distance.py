@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from dask_traj_spark import schemas
 from dask_traj_spark.operators import kernels
-from dask_traj_spark.operators.mic import add_mic_displacement, orthogonality_expr
+from dask_traj_spark.operators.mic import (
+    add_mic_displacement,
+    add_mic_distance,
+    orthogonality_expr,
+)
 
 _BOX_COLS = ["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]
 _VECTORIZED_THRESHOLD = 512
@@ -397,6 +401,23 @@ def compute_distances(
             traj, arr, periodic, want_vectors=False, wide_output=wide_output
         )
     pairs_df = _pairs_df(traj.spark, arr, ["pair_id", "i", "j"])
+    if periodic and traj.have_unitcell:
+        # distance-only MIC fast path: min(d2) via codegen'd least()
+        # instead of the interpreted 27-image argmin HOF
+        df = _pair_coords_sql(
+            traj, pairs_df, "i", "j", "pair_id",
+            ids_a=arr[:, 0], ids_b=arr[:, 1],
+        ).withColumns(
+            {
+                "_dx": F.col("x2") - F.col("x1"),
+                "_dy": F.col("y2") - F.col("y1"),
+                "_dz": F.col("z2") - F.col("z1"),
+            }
+        )
+        df = add_mic_distance(
+            _with_box(traj, df), "_dx", "_dy", "_dz", out="_dist"
+        )
+        return df.select("frame_id", "pair_id", F.col("_dist").alias("dist"))
     d = _displacements_sql(traj, pairs_df, periodic, arr=arr)
     # x*x, not pow(x,2) — exact-rounded, bit-reproducible vs the oracle
     sq = lambda c: F.col(c).cast("double") * F.col(c).cast("double")  # noqa: E731

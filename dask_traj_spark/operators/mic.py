@@ -60,22 +60,11 @@ def orthogonality_expr(alpha: Column, beta: Column, gamma: Column, tol: float = 
     )
 
 
-def add_mic_displacement(
-    df: DataFrame,
-    dx: str = "dx",
-    dy: str = "dy",
-    dz: str = "dz",
-    out: tuple[str, str, str] = ("mdx", "mdy", "mdz"),
-) -> DataFrame:
-    """Append MIC'd displacement columns ``out`` to a DataFrame that
-    has raw displacement columns (dx,dy,dz), box-vector columns
-    (ax..cz) and the ``_ortho`` predicate column.
-
-    Intermediate columns are dropped before returning.
-    """
+def _stage_deskew(df: DataFrame, dx: str, dy: str, dz: str) -> DataFrame:
+    """Stage the triclinic deskew as named columns (_t1*, _t2*, _rx)
+    so every subexpression is evaluated once — see module docstring
+    item 1. Output reduced displacement is (_rx, _t2y, _t1z)."""
     b = {c: F.col(c) for c in BOX_COLS}
-
-    # --- triclinic deskew, staged so each value is computed once ---
     s3 = F.bround(F.col(dz) / b["cz"], 0)
     df = df.withColumns(
         {
@@ -92,7 +81,27 @@ def add_mic_displacement(
         }
     )
     s1 = F.bround(F.col("_t2x") / b["ax"], 0)
-    df = df.withColumn("_rx", F.col("_t2x") - s1 * b["ax"])
+    return df.withColumn("_rx", F.col("_t2x") - s1 * b["ax"])
+
+
+_DESKEW_COLS = ["_t1x", "_t1y", "_t1z", "_t2x", "_t2y", "_rx"]
+
+
+def add_mic_displacement(
+    df: DataFrame,
+    dx: str = "dx",
+    dy: str = "dy",
+    dz: str = "dz",
+    out: tuple[str, str, str] = ("mdx", "mdy", "mdz"),
+) -> DataFrame:
+    """Append MIC'd displacement columns ``out`` to a DataFrame that
+    has raw displacement columns (dx,dy,dz), box-vector columns
+    (ax..cz) and the ``_ortho`` predicate column.
+
+    Intermediate columns are dropped before returning.
+    """
+    b = {c: F.col(c) for c in BOX_COLS}
+    df = _stage_deskew(df, dx, dy, dz)
 
     # --- 27-image min via ONE aggregate() lambda (see docstring) ---
     # running min by full struct comparison (d2, dx, dy, dz) — the
@@ -139,4 +148,73 @@ def add_mic_displacement(
             out[2]: F.when(F.col("_ortho"), odz).otherwise(F.col("_best.dz")),
         }
     )
-    return df.drop("_t1x", "_t1y", "_t1z", "_t2x", "_t2y", "_rx", "_best")
+    return df.drop(*_DESKEW_COLS, "_best")
+
+
+def add_mic_distance(
+    df: DataFrame,
+    dx: str = "dx",
+    dy: str = "dy",
+    dz: str = "dz",
+    out: str = "_micdist",
+) -> DataFrame:
+    """Append the MIC *distance* (FLOAT) directly — the G1 fast path
+    for callers that don't need displacement components.
+
+    The 27-image argmin in ``add_mic_displacement`` must carry the
+    winning components, which forces per-element struct construction
+    and struct comparison in its ``aggregate`` lambda. A distance
+    only needs ``min(d2)``, so this path runs
+    ``array_min(transform(offsets, d2))`` — still a higher-order
+    function (HOFs evaluate interpreted, which keeps it outside the
+    documented 4.1.2 whole-stage-codegen miscompilation; a flat
+    ``F.least`` over 27 inline scalar expressions was measured to
+    TRIGGER that bug — wrong results on ~1% of rows whenever
+    subexpression elimination and method splitting are both active —
+    and was slower than the struct HOF besides), but with ~3× less
+    per-element work than the struct compare. Measured at sf0.1:
+    1.14 s vs 1.40 s (argmin HOF) vs 0.89 s (no MIC at all) on the
+    gated triclinic query. Differentially tested against the HOF
+    path and the numpy kernel.
+
+    Value contract (mirrored in the DuckDB oracles):
+    - orthorhombic rows: per-axis reduction, components rounded to
+      f32, then f32(sqrt(sum of double squares)) — bit-identical to
+      the component path feeding the same formula.
+    - triclinic rows: f32(sqrt(min_i d2_i)) with d2 in double — no
+      intermediate f32 rounding (there are no winning components to
+      round), no tie-break needed (equal d2 ⇒ equal dist).
+    """
+    b = {c: F.col(c) for c in BOX_COLS}
+    df = _stage_deskew(df, dx, dy, dz)
+    rx, ry, rz = F.col("_rx"), F.col("_t2y"), F.col("_t1z")
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(float(si)).alias("i"),
+                F.lit(float(sj)).alias("j"),
+                F.lit(float(sk)).alias("k"),
+            )
+            for si, sj, sk in IMAGE_OFFSETS
+        ]
+    )
+
+    def _d2(o):
+        # left-to-right, same associativity as the oracle SQL
+        cdx = rx - o["i"] * b["ax"] - o["j"] * b["bx"] - o["k"] * b["cx"]
+        cdy = ry - o["i"] * b["ay"] - o["j"] * b["by"] - o["k"] * b["cy"]
+        cdz = rz - o["i"] * b["az"] - o["j"] * b["bz"] - o["k"] * b["cz"]
+        return cdx * cdx + cdy * cdy + cdz * cdz
+
+    tri_dist = F.sqrt(F.array_min(F.transform(offsets, _d2))).cast("float")
+
+    f32sq = lambda c: c.cast("float").cast("double")  # noqa: E731
+    odx = f32sq(F.col(dx) - b["ax"] * F.bround(F.col(dx) / b["ax"], 0))
+    ody = f32sq(F.col(dy) - b["by"] * F.bround(F.col(dy) / b["by"], 0))
+    odz = f32sq(F.col(dz) - b["cz"] * F.bround(F.col(dz) / b["cz"], 0))
+    ortho_dist = F.sqrt(odx * odx + ody * ody + odz * odz).cast("float")
+
+    df = df.withColumn(
+        out, F.when(F.col("_ortho"), ortho_dist).otherwise(tri_dist)
+    )
+    return df.drop(*_DESKEW_COLS)

@@ -410,17 +410,11 @@ cand AS (
            d.ry - o_i.s*{t['ay']} - o_j.s*{t['by']} - o_k.s*{t['cy']} AS cdy,
            d.rz - o_i.s*{t['az']} - o_j.s*{t['bz']} - o_k.s*{t['cz']} AS cdz
     FROM d5 d, range(-1, 2) o_i(s), range(-1, 2) o_j(s), range(-1, 2) o_k(s)
-),
-scored AS (
-    SELECT frame_id, pair_id, cdx, cdy, cdz,
-           ROW_NUMBER() OVER (
-               PARTITION BY frame_id, pair_id
-               ORDER BY cdx*cdx + cdy*cdy + cdz*cdz, cdx, cdy, cdz
-           ) AS rn
-    FROM cand
 )
-SELECT frame_id, pair_id, {_dist_from_components('cdx', 'cdy', 'cdz')} AS dist
-FROM scored WHERE rn = 1
+SELECT frame_id, pair_id,
+       CAST(CAST(sqrt(MIN(cdx*cdx + cdy*cdy + cdz*cdz)) AS REAL) AS DOUBLE) AS dist
+FROM cand
+GROUP BY frame_id, pair_id
 """
 
 

@@ -119,6 +119,70 @@ def test_triclinic_mic_literal_box_tight(spark):
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+def test_distance_fastpath_agrees_with_component_path(spark):
+    """The distance-only MIC fast path (array_min(transform) over
+    d2) must agree with the displacement argmin HOF on mixed
+    per-frame boxes: bitwise on orthorhombic rows (identical f32
+    value chain) and to f32 tolerance on triclinic rows (fast path
+    skips the intermediate f32 component rounding)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.operators.distance import compute_displacements
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(13)
+    n_frames, n_atoms = 10, 12
+    xyz = rng.uniform(-1.0, 1.0, size=(n_frames, n_atoms, 3)).astype(np.float32)
+    rows = [
+        (int(f), int(a), float(x), float(y), float(z))
+        for f in range(n_frames)
+        for a, (x, y, z) in enumerate(xyz[f])
+    ]
+    coords = spark.createDataFrame(
+        rows, "frame_id bigint, atom_id int, x float, y float, z float"
+    )
+    # even frames orthorhombic, odd frames triclinic
+    tri = dict(
+        ax=0.25, ay=0.0, az=0.0, bx=0.0625, by=0.21875, bz=0.0,
+        cx=0.046875, cy=0.03125, cz=0.1875,
+        a=0.25, b=0.2273, c=0.1938, alpha=76.0, beta=73.0, gamma=74.0,
+    )
+    ort = dict(
+        ax=0.25, ay=0.0, az=0.0, bx=0.0, by=0.21875, bz=0.0,
+        cx=0.0, cy=0.0, cz=0.1875,
+        a=0.25, b=0.21875, c=0.1875, alpha=90.0, beta=90.0, gamma=90.0,
+    )
+    even = F.col("frame_id") % 2 == 0
+    uc = spark.range(n_frames).select(
+        F.col("id").alias("frame_id"),
+        *[
+            F.when(even, F.lit(ort[k])).otherwise(F.lit(tri[k]))
+            .cast("float").alias(k)
+            for k in tri
+        ],
+    )
+    traj = Trajectory(coords, unitcell=uc)
+    pairs = np.array(list(itertools.combinations(range(n_atoms), 2)), dtype=np.int32)
+    fast = (
+        compute_distances(traj, pairs, periodic=True, form="sql")
+        .orderBy("frame_id", "pair_id")
+        .toPandas()
+    )
+    comp = (
+        compute_displacements(traj, pairs, periodic=True, form="sql")
+        .orderBy("frame_id", "pair_id")
+        .toPandas()
+    )
+    d = comp[["dx", "dy", "dz"]].to_numpy().astype(np.float64)
+    want = np.sqrt((d * d).sum(-1)).astype(np.float32)
+    got = fast["dist"].to_numpy()
+    ortho_rows = (fast["frame_id"].to_numpy() % 2) == 0
+    np.testing.assert_array_equal(got[ortho_rows], want[ortho_rows])
+    np.testing.assert_allclose(got[~ortho_rows], want[~ortho_rows], atol=1e-6)
+
+
 def test_empty_pairs(traj_nocell):
     # P4: empty selection short-circuits (reference distance.py:107-108)
     df = compute_distances(traj_nocell, np.empty((0, 2), dtype=np.int32))
