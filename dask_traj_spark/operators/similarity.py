@@ -161,12 +161,38 @@ def ivf_train(
     """Train IVF centroids: seeded k-means on a driver-side sample
     (unit-normalized, spherical k-means). The sample is tiny relative
     to the corpus; at 100 TB you train on ~10^5 sampled rows and the
-    result is a broadcastable (k, dim) float32 matrix."""
-    pdf = emb.select("embedding").limit(sample).toPandas()
+    result is a broadcastable (k, dim) float32 matrix.
+
+    The sample is the ``sample`` smallest rows by a seeded xxhash64 of
+    the id — a deterministic uniform draw that is independent of the
+    corpus's physical order (a bare ``limit(n)`` takes the first n
+    rows, which biases centroids on any sorted/clustered corpus),
+    executed as a distributed TakeOrderedAndProject, not a full
+    sort."""
+    pdf = (
+        emb.select("embedding", id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(sample)
+        .select("embedding")
+        .toPandas()
+    )
     x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    # k-means++ init (greedy, deterministic): each next centroid is
+    # the sample point farthest (in cosine distance) from its nearest
+    # chosen centroid — spreads initial centroids over the data and
+    # makes the final clustering far less sensitive to sample order
+    # than a uniform draw
+    k = min(n_centroids, len(x))
+    first = int(rng.integers(len(x)))
+    chosen = [first]
+    best_sim = x @ x[first]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        np.maximum(best_sim, x @ x[nxt], out=best_sim)
+    cent = x[chosen].copy()
     for _ in range(iters):
         sims = x @ cent.T
         assign = sims.argmax(axis=1)
