@@ -636,34 +636,39 @@ def q_media_stats(spark, sf_dir):
     return media_stats(attach_payload(_docs(spark, sf_dir)))
 
 
-# The decode stub's features are float32(byte_i / 255) of the first
-# 8 payload bytes (multimodal.py:decode_and_featurize), so the bytes
-# are exactly recoverable as round(f*255) — the query gates on
-# integer byte stats (hashable scalars; the raw ARRAY<FLOAT> column
-# crashed the driver's canonicalizer in round 1). DuckDB mirrors the
-# byte extraction with ord(substr(text,i,1)) — the corpus is ASCII,
-# so char offsets == byte offsets (same trick as the m3 oracle).
+# m2 runs the REAL codec path end-to-end: each doc's text bytes are
+# packed into an actual 24-bit BMP (bottom-up rows, padded stride —
+# multimodal.py:encode_bmp), then decode_bmp parses the header,
+# strips the padding and flips the rows back. Decoded width/height/
+# channels come from the BMP header; features are float32(pixel_i /
+# 255) of the first 8 TOP-DOWN pixel bytes, which equal the text's
+# byte head (zero-padded) — so DuckDB can predict the decoded output
+# from the text alone with ord(substr(text,i,1)) (ASCII corpus: char
+# offsets == byte offsets). A decoder that forgot the row flip would
+# surface bytes 22..29 here; one that forgot padding would misalign
+# row 2 — both hash-fail. Bytes gate as integers via round(f*255)
+# (raw ARRAY<FLOAT> crashed the driver's canonicalizer in round 1).
 _M2_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS width,
+           CAST(octet_length(encode(text)) AS INT) AS nb,
            text
     FROM documents
 ), f AS (
-    SELECT doc_id, width,
-           CASE WHEN width >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b1,
-           CASE WHEN width >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b2,
-           CASE WHEN width >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END AS b3,
-           CASE WHEN width >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END AS b4,
-           CASE WHEN width >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END AS b5,
-           CASE WHEN width >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END AS b6,
-           CASE WHEN width >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END AS b7,
-           CASE WHEN width >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END AS b8
+    SELECT doc_id,
+           CASE WHEN nb >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b1,
+           CASE WHEN nb >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b2,
+           CASE WHEN nb >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END AS b3,
+           CASE WHEN nb >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END AS b4,
+           CASE WHEN nb >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END AS b5,
+           CASE WHEN nb >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END AS b6,
+           CASE WHEN nb >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END AS b7,
+           CASE WHEN nb >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END AS b8
     FROM m
 )
 SELECT doc_id,
-       width,
-       CAST(greatest(width // 2, 1) AS INT) AS height,
+       CAST(7 AS INT) AS width,
+       CAST(2 AS INT) AS height,
        CAST(3 AS INT) AS channels,
        CAST(b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) AS feat_sum,
        CAST(least(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_min,
@@ -676,11 +681,13 @@ FROM f
 @register("m2_decode_features", _M2_ORACLE)
 def q_decode_features(spark, sf_dir):
     from dask_traj_spark.operators.multimodal import (
-        attach_payload,
+        attach_payload_bmp,
         decode_and_featurize,
     )
 
-    decoded = decode_and_featurize(attach_payload(_docs(spark, sf_dir)))
+    decoded = decode_and_featurize(
+        attach_payload_bmp(_docs(spark, sf_dir)), strict=True
+    )
     # float32(b/255)*255 rounds back to the exact byte (rel. err
     # <= 2^-24 << 1/510), so these stats are exact integers on both
     # engines; feat_mean divides by the dyadic-free constant 2040 but

@@ -194,14 +194,87 @@ class TestMultimodal:
         want = np.frombuffer(b"the cat ", dtype=np.uint8) / 255.0
         np.testing.assert_allclose(pdf.loc[0, "features"], want, rtol=1e-6)
 
-    def test_real_decode_raises(self, docs):
+    def test_strict_decode_raises_on_stub_kinds(self, docs):
         from dask_traj_spark.operators.multimodal import (
             attach_payload,
             decode_and_featurize,
         )
 
-        with pytest.raises(NotImplementedError):
-            decode_and_featurize(attach_payload(docs), real=True)
+        # fake/utf8 has no real decoder — strict mode must refuse to
+        # silently fall back to the stub (error surfaces at execution)
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError)):
+            decode_and_featurize(attach_payload(docs), strict=True).collect()
+
+    def test_bmp_roundtrip_and_padding(self):
+        from dask_traj_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        # odd width → 21-byte rows padded to 24; bottom-up storage
+        px = bytes(range(42))
+        data = encode_bmp(7, 2, px)
+        assert data[:2] == b"BM" and len(data) == 54 + 48
+        w, h, ch, out = decode_bmp(data)
+        assert (w, h, ch) == (7, 2, 3)
+        # decoder must flip rows back to top-down and strip padding
+        np.testing.assert_array_equal(
+            out, np.frombuffer(px, dtype=np.uint8)
+        )
+        # top-down (negative height) variant decodes identically
+        neg = bytearray(data)
+        import struct as _s
+
+        _s.pack_into("<i", neg, 22, -2)
+        body = data[54:]
+        neg[54:] = body[24:48] + body[:24]  # rows in top-down order
+        w2, h2, ch2, out2 = decode_bmp(bytes(neg))
+        assert (w2, h2, ch2) == (7, 2, 3)
+        np.testing.assert_array_equal(out2, out)
+
+    def test_wav_roundtrip_with_extra_chunk(self):
+        from dask_traj_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        samples = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+        data = encode_wav(samples, sample_rate=16000, n_channels=2)
+        # splice a LIST chunk between fmt and data — the chunk walk
+        # must skip it
+        import struct as _s
+
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + _s.pack("<I", 4) + b"INFO"
+        data = data[:fmt_end] + extra + data[fmt_end:]
+        frames, ch, rate, out = decode_wav(data)
+        assert (frames, ch, rate) == (3, 2, 16000)
+        np.testing.assert_array_equal(out, samples)
+
+    def test_bmp_decode_through_spark_pipeline(self, docs):
+        from dask_traj_spark.operators.multimodal import (
+            BMP_HEIGHT,
+            BMP_WIDTH,
+            attach_payload_bmp,
+            decode_and_featurize,
+        )
+
+        media = attach_payload_bmp(docs)
+        pdf = (
+            decode_and_featurize(media, strict=True)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert (pdf["width"] == BMP_WIDTH).all()
+        assert (pdf["height"] == BMP_HEIGHT).all()
+        assert (pdf["channels"] == 3).all()
+        # real decode: features = first 8 decoded pixel bytes = the
+        # text's byte head
+        want = np.frombuffer(b"the cat ", dtype=np.uint8) / np.float32(255.0)
+        np.testing.assert_allclose(pdf.loc[0, "features"], want, rtol=1e-6)
 
 
 class TestIVFIndex:
