@@ -62,27 +62,33 @@ def register(name: str, oracle: str | None = None):
 #   r1: registration order — r6/r11-r22 beyond the window (unscored).
 #   r2: 13 r1-green geometry/simple queries tailed so the relational
 #       block could be scored → all 13 relational green.
-#   r3 (now): those 13 rotate BACK IN to refresh their evidence on the
-#       post-54cddb5 quantizer, e2-e5 stay in to re-score the events
-#       TIMESTAMP_NTZ fix, and new queries land in the window; the
-#       tail takes r2-green relational queries whose code is untouched
-#       this round.  Keep len(_QUERIES) - len(_SCORING_TAIL) + (new
-#       registrations) == 50 — see test_scoring_window_size.
+#   r3: the 13 r2-tailed geometry queries rotated BACK IN, the tail
+#       took the 14 r2-green relational queries (r3-r16).
+#   r4 (now): r3-r16 rotate back in to refresh their evidence, and
+#       the new x3/sx1 gates must land in the window.  The tail takes
+#       16 queries that are (a) double-confirmed green in r2+r3 and
+#       (b) UNTOUCHED by this round's code changes — everything the
+#       round modified (g1 MIC fast path: mic_ortho/mic_triclinic;
+#       m2 BMP decode; v3/v4 IVF; d2/d4 dedup) stays scored.  Keep
+#       len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
+#       test_scoring_window_size.
 _SCORING_TAIL = [
-    "r3_rollup_acctbal",
-    "r4_running_revenue_window",
-    "r5_semi_anti_join",
-    "r6_intersect_status",
-    "r7_regional_revenue",
-    "r8_cube_quantities",
-    "r9_rich_inactive_customers",
-    "r10_small_qty_revenue",
-    "r11_promo_share_by_month",
-    "r12_shipping_priority",
-    "r13_nation_volume",
-    "r14_supplier_part_variety",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
+    "g1_distances",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g8_orthogonality",
+    "g9_lengths_angles_to_vectors",
+    "g10_vectors_to_lengths_angles",
+    "s8_time_fallback",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    "x1_frame_rmsd",
+    "x2_rmsd_topk",
 ]
 
 

@@ -1019,6 +1019,175 @@ def q_rmsd_topk(spark, sf_dir):
     return rmsd_topk(traj, _RMSD_QFRAME, k=5)
 
 
+def _x3_oracle() -> str:
+    from dask_traj_spark.queries import N_FRAMES
+
+    return f"""
+SELECT CAST(f.frame_id AS BIGINT) AS frame_id,
+       TRUE AS aligned_le_unaligned,
+       TRUE AS rot_invariant,
+       TRUE AS query_self_zero
+FROM range({N_FRAMES}) f(frame_id)
+"""
+
+
+@register("x3_rmsd_aligned_contract", _x3_oracle())
+def q_rmsd_aligned_contract(spark, sf_dir):
+    """Contract gate for rotation-aligned (Kabsch) RMSD — the SVD is
+    not SQL-expressible, so the oracle checks the three invariants
+    that pin the implementation instead (v4-recall style):
+
+    1. aligned ≤ unaligned per frame (the optimal rotation can only
+       lower the residual; identity is in the feasible set);
+    2. rotation invariance: rigidly rotating EVERY frame by a fixed
+       non-axis-aligned rotation leaves the aligned RMSD unchanged
+       (to f32-coordinate tolerance);
+    3. the query frame aligns to itself at zero.
+
+    A kernel that skipped the centering, mishandled the det(U·Vᵀ)
+    reflection correction, or transposed the covariance would break
+    (1) or (2) on generic data."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import (
+        _q,
+        frame_rmsd,
+        frame_rmsd_aligned,
+    )
+    from dask_traj_spark.queries import trajectory_from_embeddings
+    from dask_traj_spark.trajectory import Trajectory
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    # quantize once so the aligned kernel (raw coords) and the
+    # self-quantizing unaligned operator see identical coordinates
+    # (2^-12 dyadics < 8 are exact in f32, so the cast loses nothing)
+    qc = traj.coords.select(
+        "frame_id",
+        "atom_id",
+        _q("x").cast("float").alias("x"),
+        _q("y").cast("float").alias("y"),
+        _q("z").cast("float").alias("z"),
+    )
+    base = Trajectory(qc)
+
+    # fixed proper rotation Rz(0.7)·Rx(1.1), f64 literals
+    ct, st = np.cos(0.7), np.sin(0.7)
+    cp, sp = np.cos(1.1), np.sin(1.1)
+    rz = np.array([[ct, -st, 0.0], [st, ct, 0.0], [0.0, 0.0, 1.0]])
+    rx = np.array([[1.0, 0.0, 0.0], [0.0, cp, -sp], [0.0, sp, cp]])
+    r = rz @ rx
+    rot = lambda row: sum(  # noqa: E731
+        F.lit(float(r[row][c])) * F.col("xyz"[c]).cast("double")
+        for c in range(3)
+    )
+    rc = qc.select(
+        "frame_id",
+        "atom_id",
+        rot(0).cast("float").alias("x"),
+        rot(1).cast("float").alias("y"),
+        rot(2).cast("float").alias("z"),
+    )
+    rotated = Trajectory(rc)
+
+    aligned = frame_rmsd_aligned(base, _RMSD_QFRAME).withColumnRenamed(
+        "rmsd", "al"
+    )
+    aligned_rot = frame_rmsd_aligned(rotated, _RMSD_QFRAME).withColumnRenamed(
+        "rmsd", "al_rot"
+    )
+    unaligned = frame_rmsd(base, _RMSD_QFRAME).withColumnRenamed(
+        "rmsd", "un"
+    )
+    return (
+        aligned.join(aligned_rot, "frame_id")
+        .join(unaligned, "frame_id")
+        .select(
+            "frame_id",
+            (F.col("al") <= F.col("un") + F.lit(1e-9)).alias(
+                "aligned_le_unaligned"
+            ),
+            (F.abs(F.col("al") - F.col("al_rot")) <= F.lit(1e-5)).alias(
+                "rot_invariant"
+            ),
+            (
+                (F.col("frame_id") != F.lit(_RMSD_QFRAME))
+                | (F.col("al") <= F.lit(1e-7))
+            ).alias("query_self_zero"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# streaming MinHash near-dup: batch-twin equivalence gate
+# ---------------------------------------------------------------------
+
+_SX1_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS stream_only_pairs,
+       CAST(0 AS BIGINT) AS batch_only_pairs,
+       TRUE AS jaccard_values_match
+"""
+
+
+@register("sx1_stream_neardup_batch_twin", _SX1_ORACLE)
+def q_stream_neardup_batch_twin(spark, sf_dir):
+    """Equivalence gate for the incremental streaming near-dup loop
+    (streaming/dedup.py): replaying the documents corpus through the
+    foreachBatch body in three deterministic micro-batches
+    (doc_id % 3) must accumulate EXACTLY the batch operator's output
+    — same pairs, bitwise-identical Jaccard values (the token sets
+    are immutable, so a pair's Jaccard is the same whether computed
+    incrementally or in one pass). Uncapped buckets on both sides:
+    the bucket cap is corpus-global in batch but can only see the
+    prefix in streaming, so capped runs legitimately diverge — the
+    cap's own semantics are gated by d2.
+
+    The streamed result set isn't SQL-predictable (hashed token
+    ids), so the oracle asserts the contract row (v4-recall style):
+    zero symmetric difference, zero value drift. Pair-content
+    evidence comes from d2's value-level oracle."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.operators.dedup import near_duplicates_minhash
+    from dask_traj_spark.streaming.dedup import process_neardup_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sx1_batch_twin_")
+    state, results = f"{work}/state", f"{work}/results"
+    try:
+        for b in range(3):
+            process_neardup_batch(
+                docs.where(F.col("doc_id") % 3 == b),
+                b,
+                state,
+                results,
+                threshold=0.9,
+                max_bucket=None,
+            )
+        stream = (
+            spark.read.parquet(results)
+            .select("doc1", "doc2", F.col("jaccard").alias("j_s"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    batch = (
+        near_duplicates_minhash(docs, threshold=0.9, max_bucket=None)
+        .select("doc1", "doc2", F.col("jaccard").alias("j_b"))
+        .toPandas()
+    )
+    merged = stream.merge(batch, on=["doc1", "doc2"], how="outer")
+    stream_only = int(merged["j_b"].isna().sum())
+    batch_only = int(merged["j_s"].isna().sum())
+    both = merged.dropna()
+    values_match = bool((both["j_s"] == both["j_b"]).all())
+    return spark.createDataFrame(
+        [(stream_only, batch_only, values_match)],
+        "stream_only_pairs long, batch_only_pairs long, "
+        "jaccard_values_match boolean",
+    )
+
+
 # ---------------------------------------------------------------------
 # G10: box vectors → lengths/angles (completes the unitcell pair)
 # ---------------------------------------------------------------------

@@ -9,35 +9,48 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 3: the 13 rotated back in to
-# refresh stale r1 evidence, the 4 events queries re-scoring the
-# TIMESTAMP_NTZ fix, and this round's new registrations.
-MUST_SCORE_R3 = [
-    "g1_distances",
+# queries that MUST be scored in round 4: everything this round's
+# code changes touched (g1 MIC fast path, m2 BMP decode, v3/v4 IVF
+# init, d2/d4 dedup distinct fix), the r3-tailed relational block
+# rotating back in, and the two new contract gates.
+MUST_SCORE_R4 = [
     "g1_distances_mic_ortho",
-    "g8_orthogonality",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g9_lengths_angles_to_vectors",
-    "g10_vectors_to_lengths_angles",
-    "s8_time_fallback",
-    "p2_atom_slice",
-    "x1_frame_rmsd",
-    "e2_sessionization",
-    "e3_asof_last_purchase",
-    "e4_session_concurrency",
-    "e5_funnel_completions",
+    "g1_distances_mic_triclinic",
     "g1_distances_vec",
+    "m1_media_stats",
+    "m2_decode_features",
+    "m3_frame_sample",
+    "v1_cosine_topk",
+    "v2_embedding_neardup_lsh",
+    "v3_cosine_topk_ivf",
+    "v4_ann_recall",
+    "d1_exact_dedup",
+    "d2_minhash_lsh_neardup",
+    "d3_simhash",
+    "d4_ngram_jaccard_neardup",
+    "x3_rmsd_aligned_contract",
+    "sx1_stream_neardup_batch_twin",
+    "r3_rollup_acctbal",
+    "r4_running_revenue_window",
+    "r5_semi_anti_join",
+    "r6_intersect_status",
+    "r7_regional_revenue",
+    "r8_cube_quantities",
+    "r9_rich_inactive_customers",
+    "r10_small_qty_revenue",
+    "r11_promo_share_by_month",
+    "r12_shipping_priority",
+    "r13_nation_volume",
+    "r14_supplier_part_variety",
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R3 if n not in window]
+    missing = [n for n in MUST_SCORE_R4 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
