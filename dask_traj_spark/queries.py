@@ -73,6 +73,9 @@ def register(name: str, oracle: str | None = None):
 #       len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
 _SCORING_TAIL = [
+    "t1_doc_stats",
+    "t2_quality_score",
+    "t3_langid",
     "g1_distances",
     "g2_displacements",
     "g3_angles",

@@ -1189,6 +1189,113 @@ def q_stream_neardup_batch_twin(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# corpus curation II: decontamination, data mixing, repetition
+# (operators/curation.py)
+# ---------------------------------------------------------------------
+
+_TRI_CTE = f"""
+{TOK_CTE.strip()},
+tri AS (
+    SELECT DISTINCT t0.doc_id,
+           t0.word || '_' || t1.word || '_' || t2.word AS gram
+    FROM tok t0
+    JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+    JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+)"""
+
+_C2_ORACLE = f"""
+WITH {_TRI_CTE.strip()},
+bench AS (SELECT DISTINCT gram FROM tri WHERE doc_id % 50 = 0),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM tri GROUP BY doc_id),
+hits AS (
+    SELECT t.doc_id, count(*) AS n_contaminated
+    FROM tri t JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(tt.n_grams, 0) AS n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(tt.n_grams, 0) > 0
+            THEN CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                 / CAST(tt.n_grams AS DOUBLE)
+            ELSE 0.0 END AS contamination
+FROM documents d
+LEFT JOIN totals tt ON tt.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+@register("c2_decontamination", _C2_ORACLE)
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination over word trigrams; the "benchmark"
+    is the deterministic doc_id % 50 == 0 slice of the corpus (a
+    stand-in for MMLU-style eval sets — the operator takes any
+    benchmark DataFrame)."""
+    from dask_traj_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
+_C3_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("c3_stratified_sample", _C3_ORACLE)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 5-per-source quota sample (data mixing). The
+    operator default orders by seeded xxhash64; the gated wrapper
+    uses the multiplicative order mode, which ANSI SQL can mirror
+    exactly (same integer arithmetic in both engines)."""
+    from dask_traj_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), quota=5, strata_col="source", order_mode="mult"
+    )
+
+
+_T7_ORACLE = f"""
+WITH {TOK_CTE.strip()},
+big AS (
+    SELECT t0.doc_id, t0.word || '_' || t1.word AS gram
+    FROM tok t0
+    JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+),
+per AS (
+    SELECT doc_id, count(*) AS total_bigrams,
+           count(DISTINCT gram) AS distinct_bigrams
+    FROM big GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.total_bigrams, 0) AS total_bigrams,
+       COALESCE(p.distinct_bigrams, 0) AS distinct_bigrams,
+       CASE WHEN COALESCE(p.total_bigrams, 0) > 0
+            THEN 1.0 - CAST(p.distinct_bigrams AS DOUBLE)
+                       / CAST(p.total_bigrams AS DOUBLE)
+            ELSE 0.0 END AS repetition
+FROM documents d
+LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+@register("t7_repetition_score", _T7_ORACLE)
+def q_repetition_score(spark, sf_dir):
+    from dask_traj_spark.operators.curation import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
 # G10: box vectors → lengths/angles (completes the unitcell pair)
 # ---------------------------------------------------------------------
 

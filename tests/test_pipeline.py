@@ -277,6 +277,74 @@ class TestMultimodal:
         np.testing.assert_allclose(pdf.loc[0, "features"], want, rtol=1e-6)
 
 
+class TestCuration:
+    def test_decontaminate_flags_benchmark_overlap(self, spark, docs):
+        from dask_traj_spark.operators.curation import decontaminate
+
+        bench = docs.where(F.col("doc_id") == 0)
+        pdf = decontaminate(docs, bench, n=3).toPandas().set_index("doc_id")
+        # benchmark member: every trigram overlaps itself
+        assert pdf.loc[0, "contamination"] == 1.0
+        # exact dup of the benchmark doc: fully contaminated
+        assert pdf.loc[1, "contamination"] == 1.0
+        # shares the 5-token prefix "the cat sat on the" with doc 0
+        # → 3 of its 5 trigrams overlap
+        assert pdf.loc[2, "n_contaminated"] == 3
+        # disjoint language: zero overlap
+        assert pdf.loc[3, "contamination"] == 0.0
+        assert pdf.loc[5, "contamination"] == 0.0
+        # plan: the benchmark n-gram side must broadcast, not
+        # sort-merge (it is the small side at any corpus scale)
+        plan = (
+            decontaminate(docs, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_stratified_sample_quota_and_order_independence(self, spark, docs):
+        from dask_traj_spark.operators.curation import stratified_sample
+
+        for mode in ("xxhash", "mult"):
+            got = (
+                stratified_sample(docs, quota=1, order_mode=mode)
+                .toPandas()
+                .sort_values("source")
+            )
+            # one doc per source, rank 1
+            assert list(got["source"]) == ["s0", "s1", "s2"]
+            assert (got["rk"] == 1).all()
+            # physical order must not matter
+            again = (
+                stratified_sample(
+                    docs.repartition(7).sortWithinPartitions(
+                        F.col("doc_id").desc()
+                    ),
+                    quota=1,
+                    order_mode=mode,
+                )
+                .toPandas()
+                .sort_values("source")
+            )
+            assert got["doc_id"].tolist() == again["doc_id"].tolist()
+
+    def test_repetition_score_closed_form(self, spark):
+        from dask_traj_spark.operators.curation import repetition_score
+
+        d = spark.createDataFrame(
+            [(0, "a b a b a b"), (1, "all distinct words here"), (2, "solo")],
+            "doc_id long, text string",
+        )
+        pdf = repetition_score(d).toPandas().set_index("doc_id")
+        # bigrams: a_b b_a a_b b_a a_b → 5 total, 2 distinct
+        assert pdf.loc[0, "total_bigrams"] == 5
+        assert pdf.loc[0, "distinct_bigrams"] == 2
+        assert pdf.loc[0, "repetition"] == 1.0 - 2.0 / 5.0
+        assert pdf.loc[1, "repetition"] == 0.0
+        # single-token doc: no bigrams, defined as 0.0
+        assert pdf.loc[2, "total_bigrams"] == 0
+        assert pdf.loc[2, "repetition"] == 0.0
+
+
 class TestIVFIndex:
     @pytest.fixture(scope="class")
     def emb(self, spark):

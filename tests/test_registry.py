@@ -30,6 +30,9 @@ MUST_SCORE_R4 = [
     "d4_ngram_jaccard_neardup",
     "x3_rmsd_aligned_contract",
     "sx1_stream_neardup_batch_twin",
+    "c2_decontamination",
+    "c3_stratified_sample",
+    "t7_repetition_score",
     "r3_rollup_acctbal",
     "r4_running_revenue_window",
     "r5_semi_anti_join",
