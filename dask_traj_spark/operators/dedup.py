@@ -355,3 +355,63 @@ def near_duplicates_ngram(
             / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def repeated_ngram_docs(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document exact n-gram repetition — the substring-level
+    dedup signal (long verbatim spans shared across documents, the
+    thing doc-level Jaccard under-weights; cf. the train-data
+    dedup literature's exact-substring pass, PAPERS.md).
+
+    For each document: how many of its DISTINCT word ``n``-grams
+    (default 8 — long enough that sharing is verbatim copying, not
+    phrase coincidence) also appear in at least one OTHER document.
+    Returns (doc_id, n_grams, n_shared, shared_frac).
+
+    Plan: distinct (doc, gram) → gram document-frequency (partial+
+    final count, one shuffle on gram) → broadcast-free semi-style
+    join back, per-doc count. Work is linear in corpus token count;
+    no pairwise blow-up (a gram shared by B docs contributes B rows,
+    not B² pairs — per-doc flags are the scale-safe output shape; the
+    pair form is d2/d4's job). At open-vocabulary scale the gram key
+    would be xxhash64-hashed exactly like token ids; the string form
+    is kept for the value-level oracle."""
+    from dask_traj_spark.operators.curation import _word_ngrams
+
+    grams = _word_ngrams(docs, n, text_col)
+    from pyspark import StorageLevel
+
+    # referenced by the df-count AND the join-back AND the totals —
+    # persist or the tokenize+n-way position join re-derives 3×
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dfc = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    shared = (
+        grams.join(dfc, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

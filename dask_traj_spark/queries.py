@@ -76,6 +76,7 @@ _SCORING_TAIL = [
     "t1_doc_stats",
     "t2_quality_score",
     "t3_langid",
+    "t5_source_stats",
     "g1_distances",
     "g2_displacements",
     "g3_angles",

@@ -1295,6 +1295,46 @@ def q_repetition_score(spark, sf_dir):
     return repetition_score(_docs(spark, sf_dir))
 
 
+def _d5_oracle(n: int = 8) -> str:
+    joins = "\n    ".join(
+        f"JOIN tok t{k} ON t{k}.doc_id = t0.doc_id AND t{k}.pos = t0.pos + {k}"
+        for k in range(1, n)
+    )
+    gram = " || '_' || ".join(f"t{k}.word" for k in range(n))
+    return f"""
+WITH {TOK_CTE.strip()},
+grams AS (
+    SELECT DISTINCT t0.doc_id, {gram} AS gram
+    FROM tok t0
+    {joins}
+),
+dfc AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+shared AS (
+    SELECT g.doc_id, count(*) AS n_shared
+    FROM grams g JOIN dfc USING (gram)
+    GROUP BY g.doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(t.n_grams, 0) > 0
+            THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                 / CAST(t.n_grams AS DOUBLE)
+            ELSE 0.0 END AS shared_frac
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN shared s ON s.doc_id = d.doc_id
+"""
+
+
+@register("d5_repeated_ngram_docs", _d5_oracle())
+def q_repeated_ngram_docs(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import repeated_ngram_docs
+
+    return repeated_ngram_docs(_docs(spark, sf_dir), n=8)
+
+
 # ---------------------------------------------------------------------
 # G10: box vectors → lengths/angles (completes the unitcell pair)
 # ---------------------------------------------------------------------

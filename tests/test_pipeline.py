@@ -327,6 +327,27 @@ class TestCuration:
             )
             assert got["doc_id"].tolist() == again["doc_id"].tolist()
 
+    def test_repeated_ngram_docs_flags_verbatim_copy(self, spark):
+        from dask_traj_spark.operators.dedup import repeated_ngram_docs
+
+        span = "one two three four five six seven eight"  # 8 tokens
+        d = spark.createDataFrame(
+            [
+                (0, f"intro {span} tail words here"),
+                (1, f"other prefix {span} ending"),
+                (2, "completely unrelated sentence with many distinct tokens inside"),
+            ],
+            "doc_id long, text string",
+        )
+        pdf = repeated_ngram_docs(d, n=8).toPandas().set_index("doc_id")
+        # both carriers of the verbatim span share exactly the one
+        # full 8-gram; their other 8-grams are unique
+        assert pdf.loc[0, "n_shared"] == 1
+        assert pdf.loc[1, "n_shared"] == 1
+        assert pdf.loc[2, "n_shared"] == 0
+        assert pdf.loc[0, "n_grams"] == 5  # 12 tokens → 5 windows
+        assert pdf.loc[2, "shared_frac"] == 0.0
+
     def test_repetition_score_closed_form(self, spark):
         from dask_traj_spark.operators.curation import repetition_score
 

@@ -33,6 +33,7 @@ MUST_SCORE_R4 = [
     "c2_decontamination",
     "c3_stratified_sample",
     "t7_repetition_score",
+    "d5_repeated_ngram_docs",
     "r3_rollup_acctbal",
     "r4_running_revenue_window",
     "r5_semi_anti_join",
