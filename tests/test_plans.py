@@ -276,7 +276,66 @@ def test_default_dedup_paths_have_no_single_partition_window(spark):
         assert "SinglePartition" not in text, text
 
 
-def test_sorted_mode_matches_hashed_mode_jaccard(spark):
+def test_curation_paths_have_no_single_partition_exchange(spark):
+    """The curation operators (decontamination, stratified sample,
+    repetition, repeated-ngram) must compile without any
+    single-partition exchange: the stratified window partitions by
+    the stratum key, everything else is partial+final aggregation."""
+    from dask_traj_spark.operators.curation import (
+        decontaminate,
+        repetition_score,
+        stratified_sample,
+    )
+    from dask_traj_spark.operators.dedup import repeated_ngram_docs
+
+    from pyspark.sql import functions as F
+
+    docs = _docs_fixture(spark).withColumn(
+        "source", F.concat(F.lit("s"), F.col("doc_id") % 3)
+    )
+    bench = docs.where(F.col("doc_id") == 0)
+    for df in (
+        decontaminate(docs, bench, n=3),
+        stratified_sample(docs, quota=2),
+        repetition_score(docs),
+        repeated_ngram_docs(docs, n=4),
+    ):
+        text = audit(df).text
+        assert "SinglePartition" not in text, text
+
+
+def test_mic_distance_fastpath_stays_interpreted_hof(spark):
+    """The distance-only MIC path must keep its 27-image min inside
+    a higher-order function (interpreted evaluation — the shape that
+    dodges the 4.1.2 codegen miscompilation documented in
+    operators/mic.py); a refactor inlining it as flat scalar
+    expressions would silently reintroduce wrong results."""
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import compute_distances
+    from dask_traj_spark.trajectory import Trajectory
+
+    coords = spark.createDataFrame(
+        [(0, 0, 0.1, 0.2, 0.3), (0, 1, 0.4, 0.5, 0.6)],
+        "frame_id bigint, atom_id int, x float, y float, z float",
+    )
+    from pyspark.sql import functions as F
+
+    vals = dict(
+        ax=0.25, ay=0.0, az=0.0, bx=0.0625, by=0.21875, bz=0.0,
+        cx=0.046875, cy=0.03125, cz=0.1875,
+        a=0.25, b=0.2273, c=0.1938, alpha=76.0, beta=73.0, gamma=74.0,
+    )
+    uc = spark.range(1).select(
+        F.col("id").alias("frame_id"),
+        *[F.lit(v).cast("float").alias(k) for k, v in vals.items()],
+    )
+    traj = Trajectory(coords, unitcell=uc)
+    df = compute_distances(
+        traj, np.array([[0, 1]]), periodic=True, form="sql"
+    )
+    text = audit(df).text
+    assert "array_min" in text and "transform" in text, text
     """Jaccard is invariant under injective id mapping: for pairs both
     modes surface, the values must agree exactly."""
     from dask_traj_spark.operators.dedup import near_duplicates_ngram
