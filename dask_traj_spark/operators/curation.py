@@ -160,3 +160,148 @@ def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("repetition"),
     )
+
+
+def heuristic_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 6.0,
+    max_top_share: float = 0.15,
+) -> DataFrame:
+    """C4-style heuristic cleaning filters (Raffel et al. 2020 §2.2,
+    adapted to a sentence-free corpus): per-document rule flags plus
+    the combined keep decision.
+
+    - ``len_ok``: word count within [min_words, max_words] (C4's
+      too-short/too-long page drop).
+    - ``wlen_ok``: mean word length within a natural-language band
+      (the gibberish/boilerplate signal C4 gets from punctuation
+      rules, which this corpus has none of).
+    - ``rep_ok``: most-frequent-word share ≤ ``max_top_share`` (the
+      repeated-boilerplate drop; complements t7's bigram repetition).
+
+    Pure column expressions + two partial+final aggregations (one on
+    (doc, word) for the mode share, one on doc) — no UDFs, no
+    windows, scale-safe."""
+    tok = tokens(docs, text_col)
+    per_word = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.max("n").alias("top_n"),
+        F.sum(F.length("word") * F.col("n")).alias("n_word_chars"),
+    )
+    mean_wlen = F.col("n_word_chars").cast("double") / F.col("n_words").cast("double")
+    top_share = F.col("top_n").cast("double") / F.col("n_words").cast("double")
+    len_ok = F.col("n_words").between(min_words, max_words)
+    wlen_ok = (mean_wlen >= min_mean_wlen) & (mean_wlen <= max_mean_wlen)
+    rep_ok = top_share <= max_top_share
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(F.coalesce(mean_wlen, F.lit(0.0)), 6).alias("mean_wlen"),
+            F.round(F.coalesce(top_share, F.lit(0.0)), 6).alias("top_share"),
+            F.coalesce(len_ok, F.lit(False)).alias("len_ok"),
+            F.coalesce(wlen_ok, F.lit(False)).alias("wlen_ok"),
+            F.coalesce(rep_ok, F.lit(False)).alias("rep_ok"),
+            F.coalesce(len_ok & wlen_ok & rep_ok, F.lit(False)).alias("keep"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    order_mode: str = "xxhash",
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the training-data
+    step that lays shuffled documents end to end and cuts the stream
+    into fixed ``budget``-token sequences.  Returns one row per doc:
+    (doc_id, n_tokens, start_seq, offset, n_seqs) where ``start_seq``
+    is the sequence index its first token lands in, ``offset`` the
+    position within that sequence, and ``n_seqs`` how many sequences
+    the doc spans.
+
+    The global document order is a seeded hash of doc_id (the
+    reproducible shuffle), and the token prefix-sum over that order
+    is computed as a DISTRIBUTED prefix sum — NOT a single-partition
+    window:
+
+    1. range-repartition on the (hash, doc_id) order key,
+    2. within-partition cumulative sum (window partitioned by the
+       physical partition id — each task sorts only its own range),
+    3. per-partition totals (one tiny aggregate, #partitions rows)
+       collected, prefix-offsets broadcast back, added per row.
+
+    Step 3's collect is #partitions values — driver-side state is
+    O(cluster), not O(data); this is the textbook scan-then-offset
+    prefix sum and survives 100 TB.  ``order_mode='mult'`` uses the
+    SQL-mirrorable multiplicative hash (oracle-gated form);
+    ``xxhash`` is the production default."""
+    from pyspark.sql import Window
+
+    if order_mode == "xxhash":
+        order = F.xxhash64(F.col("doc_id"), F.lit(int(seed)))
+    elif order_mode == "mult":
+        order = (F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)
+    else:
+        raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
+
+    from dask_traj_spark.functions.text import _n_tokens
+
+    base = docs.select(
+        "doc_id",
+        _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+        order.alias("ord"),
+    )
+    spark = docs.sparkSession
+    nparts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = base.repartitionByRange(nparts, "ord", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    # persist: the totals collect and the final plan must see the SAME
+    # range boundaries (re-sampling on recompute would shift offsets)
+    local = local.persist()
+    totals = sorted(
+        local.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: r["pid"],
+    )
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["pid"]] = acc
+        acc += row["t"]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "pid int, part_offset long"
+        )
+    )
+    cum_before = F.col("local_before") + F.col("part_offset")
+    cum_after = cum_before + F.col("n_tokens")
+    return (
+        local.join(off_df, "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before / budget).cast("long").alias("start_seq"),
+            (cum_before % budget).cast("long").alias("offset"),
+            F.when(F.col("n_tokens") > 0,
+                   F.floor((cum_after - 1) / budget) - F.floor(cum_before / budget) + 1)
+            .otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+        )
+    )

@@ -3,11 +3,13 @@ metadata, with Pandas-UDF decode/feature stages.
 
 Beyond-reference capability block. Two decode tiers:
 
-- **Real decoders** (pure stdlib ``struct`` + numpy — the container
-  has no PIL/ffmpeg): uncompressed 24-bit BMP (``decode_bmp``,
-  including bottom-up row order and 4-byte row-stride padding) and
-  PCM WAV (``decode_wav``, RIFF chunk walk). ``decode_and_featurize``
-  routes ``image/bmp`` and ``audio/wav`` payloads through them.
+- **Real decoders** (pure stdlib ``struct``/``zlib`` + numpy — the
+  container has no PIL/ffmpeg): uncompressed 8/24/32-bit BMP
+  (``decode_bmp``, bottom-up row order + 4-byte stride padding),
+  8-bit gray/RGB/RGBA PNG (``decode_png``, zlib inflate + all five
+  scanline filters per spec §9), and PCM WAV (``decode_wav``, RIFF
+  chunk walk). ``decode_and_featurize`` routes ``image/bmp``,
+  ``image/png`` and ``audio/wav`` payloads through them.
 - **Deterministic stub** for every other kind (e.g. the
   ``fake/utf8`` transport-shape fixture): dimensions from byte
   length, features from the byte head — clearly marked, exact-
@@ -110,6 +112,136 @@ def decode_bmp(data: bytes):
     return width, height, channels, np.ascontiguousarray(rows).reshape(-1)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Build a real PNG (8-bit gray/RGB/RGBA, zlib-deflated IDAT).
+    ``pixels`` is the top-down flat row-major byte string; short
+    input is zero-padded.  Rows deliberately CYCLE through filter
+    types 0..4 (None/Sub/Up/Average/Paeth), so a decoder that skips
+    filter reconstruction produces wrong pixels — this is the
+    encoder half of the oracle-checkable codec gate."""
+    import numpy as np
+    import zlib
+
+    row = width * channels
+    need = row * height
+    px = (pixels[:need] + b"\x00" * max(0, need - len(pixels)))
+    img = np.frombuffer(px, dtype=np.uint8).reshape(height, row).astype(np.int16)
+    prev = np.zeros(row, dtype=np.int16)
+    raw = bytearray()
+    for r in range(height):
+        cur = img[r]
+        left = np.concatenate(([0] * channels, cur[:-channels]))
+        upleft = np.concatenate(([0] * channels, prev[:-channels]))
+        ftype = r % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        raw.append(ftype)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Parse an 8-bit gray/RGB/RGBA PNG → (width, height, channels,
+    top-down flat pixel bytes as numpy uint8).  Pure stdlib: walks
+    the chunk list, inflates IDAT with ``zlib``, and reconstructs
+    all five scanline filters (None/Sub/Up/Average/Paeth) per the
+    PNG spec §9 — no PIL."""
+    import numpy as np
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlaced={interlace})")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    row = width * channels
+    if len(raw) != (row + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((height, row), dtype=np.uint8)
+    prev = np.zeros(row, dtype=np.int32)
+    for r in range(height):
+        ftype = raw[r * (row + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             offset=r * (row + 1) + 1, count=row).astype(np.int32)
+        cur = np.zeros(row, dtype=np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel — sequential per pixel-column within the row.
+            for i in range(row):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[i] = (line[i] + pred) & 0xFF
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return width, height, channels, out.reshape(-1)
+
+
 def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
     """Build a PCM 16-bit WAV from an int16 sequence (frames
     interleaved across channels)."""
@@ -199,6 +331,39 @@ def attach_payload_bmp(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+PNG_WIDTH = 5  # 5×3 RGB: row length 15 ≠ BMP's shape, and three
+PNG_HEIGHT = 3  # rows exercise filter types 0 (None), 1 (Sub), 2 (Up)
+
+
+def attach_payload_png(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's UTF-8 bytes as a REAL zlib-deflated PNG
+    (``PNG_WIDTH``×``PNG_HEIGHT`` RGB, pixel bytes = the text's byte
+    head, zero-padded, scanline filters cycling None/Sub/Up) — the
+    PNG twin of ``attach_payload_bmp``: decoded content is
+    predictable from the text, so inflate + filter reconstruction is
+    oracle-checkable end to end."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_png(PNG_WIDTH, PNG_HEIGHT, t.encode("utf-8"))
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/png",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode payloads and extract fixed-dim features, dispatching
     per ``kind``:
@@ -222,6 +387,11 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
         head = np.zeros(FEATURE_DIM, dtype=np.float32)
         if kind == "image/bmp":
             w, h, ch, px = decode_bmp(b)
+            n = min(FEATURE_DIM, len(px))
+            head[:n] = px[:n] / np.float32(255.0)
+            return w, h, ch, head
+        if kind == "image/png":
+            w, h, ch, px = decode_png(b)
             n = min(FEATURE_DIM, len(px))
             head[:n] = px[:n] / np.float32(255.0)
             return w, h, ch, head

@@ -472,3 +472,77 @@ def near_duplicates_embedding_lsh(
         )
     )
     return scored.where(F.col("cos") >= threshold)
+
+
+# --------------------------------------------------------- SemDeDup
+
+
+def signbit_clusters(
+    emb: DataFrame, n_bits: int = 6, id_col: str = "vec_id"
+) -> DataFrame:
+    """Training-free coarse clustering: cluster id = sign bits of the
+    first ``n_bits`` embedding coordinates (axis-aligned hyperplane
+    signature).  Deterministic, no fitted state, exactly mirrorable
+    in ANSI SQL — the 100-TB-safe default for ``semantic_dedup``
+    (the k-means/IVF assignment from ``ivf_assign`` drops in when a
+    trained codebook is worth its shuffle)."""
+    sig = None
+    for j in range(n_bits):
+        bit = F.when(
+            F.element_at(F.col("embedding"), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return emb.select(F.col(id_col), sig.cast("long").alias("cluster"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
+    public arXiv:2303.09540): coarse-cluster the corpus, compare
+    embeddings only *within* a cluster, and drop every vector that
+    has a cosine-``threshold`` neighbor with a smaller id in its
+    cluster.  Unlike ``near_duplicates_embedding_lsh`` (which emits
+    candidate PAIRS), this emits the curation DECISION — one row per
+    vector: (id, cluster, keep).
+
+    The keep rule "drop iff a smaller-id neighbor is within
+    threshold" is deterministic and local to the cluster — no
+    transitive closure, no iteration; exactly one representative
+    (the smallest id) survives from any mutually-similar group.
+
+    Scale posture: the pairwise compare is per-cluster (never
+    all-pairs); clusters come from sign-bit bucketing (no training,
+    no broadcast state); the final decision is one anti-join-shaped
+    aggregate.  Cluster skew is bounded by the same per-bucket cap
+    logic as d2 at the caller's discretion."""
+    clusters = signbit_clusters(emb, n_bits, id_col)
+    l = clusters.select(F.col(id_col).alias("id1"), "cluster")
+    r = clusters.select(F.col(id_col).alias("id2"), "cluster")
+    cand = l.join(r, "cluster").where(F.col("id1") < F.col("id2"))
+    e1 = _quantized_elements(emb, id_col, "id1")
+    e2 = _quantized_elements(emb, id_col, "id2")
+    dup_pairs = (
+        cand.join(e1, "id1")
+        .join(e2, ["id2", "pos"])
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum(F.col("v_id1") * F.col("v_id2")).alias("dot"),
+            F.sum(F.col("v_id1") * F.col("v_id1")).alias("n1"),
+            F.sum(F.col("v_id2") * F.col("v_id2")).alias("n2"),
+        )
+        .where(
+            F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")) >= F.lit(float(threshold))
+        )
+    )
+    dropped = dup_pairs.select(F.col("id2").alias(id_col)).distinct()
+    return clusters.join(dropped, id_col, "left_anti").select(
+        id_col, "cluster", F.lit(True).alias("keep")
+    ).unionByName(
+        clusters.join(dropped, id_col, "left_semi").select(
+            id_col, "cluster", F.lit(False).alias("keep")
+        )
+    )

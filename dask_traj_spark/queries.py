@@ -66,13 +66,33 @@ def register(name: str, oracle: str | None = None):
 #       took the 14 r2-green relational queries (r3-r16).
 #   r4 (now): r3-r16 rotate back in to refresh their evidence, and
 #       the new x3/sx1 gates must land in the window.  The tail takes
-#       16 queries that are (a) double-confirmed green in r2+r3 and
+#       queries that are (a) double-confirmed green in r2+r3 and
 #       (b) UNTOUCHED by this round's code changes — everything the
 #       round modified (g1 MIC fast path: mic_ortho/mic_triclinic;
-#       m2 BMP decode; v3/v4 IVF; d2/d4 dedup) stays scored.  Keep
-#       len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
+#       m2 BMP decode; v3/v4 IVF; d2/d4 dedup) stays scored, plus all
+#       15 queries ADDED this round (r23-r33 TPC-H shapes, t8/c4/d6/
+#       m4 pipeline ops), which need first evidence.  The extra 15
+#       tail slots come from the r3-green flexible set (e-series,
+#       r17-r22, r2, t4, t6, c1) — every one r3-green on untouched
+#       code; r1 (TPC-H Q1 flagship) keeps the spare scored slot.
+#       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
 _SCORING_TAIL = [
+    "c1_corpus_curation",
+    "e1_event_window_counts",
+    "e2_sessionization",
+    "e3_asof_last_purchase",
+    "e4_session_concurrency",
+    "e5_funnel_completions",
+    "r2_topk_revenue",
+    "r17_grouping_sets",
+    "r18_window_functions",
+    "r19_exact_quantiles",
+    "r20_except_status",
+    "r21_min_cost_supplier",
+    "r22_sketch_distinct",
+    "t4_fingerprint",
+    "t6_token_counts",
     "t1_doc_stats",
     "t2_quality_score",
     "t3_langid",
@@ -869,3 +889,4 @@ def q_time_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dask_traj_spark import queries_pipeline  # noqa: E402,F401  (registration side-effect)
 from dask_traj_spark import queries_relational  # noqa: E402,F401  (registration side-effect)
 from dask_traj_spark import queries_relational2  # noqa: E402,F401  (registration side-effect)
+from dask_traj_spark import queries_relational3  # noqa: E402,F401  (registration side-effect)

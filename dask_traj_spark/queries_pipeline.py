@@ -1518,3 +1518,199 @@ def q_funnel(spark, sf_dir):
         .distinct()
     )
     return funnels.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_funnels"))
+
+
+# ---------------------------------------------------------------------
+# round-4 additions: C4-style filters, sequence packing, SemDeDup,
+# PNG decode
+# ---------------------------------------------------------------------
+
+_T8_ORACLE = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+d AS (
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(max(n) AS BIGINT) AS top_n,
+           CAST(sum(length(word) * n) AS BIGINT) AS n_chars
+    FROM c GROUP BY doc_id
+),
+f AS (
+    SELECT doc_id, n_words,
+           CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mw,
+           CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS ts
+    FROM d
+)
+SELECT doc_id, n_words,
+       round(mw, 6) AS mean_wlen,
+       round(ts, 6) AS top_share,
+       CAST(CASE WHEN n_words BETWEEN 25 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+       CAST(CASE WHEN mw >= 3.0 AND mw <= 6.0 THEN 1 ELSE 0 END AS BIGINT) AS wlen_ok,
+       CAST(CASE WHEN ts <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS rep_ok,
+       CAST(CASE WHEN n_words BETWEEN 25 AND 100000 AND mw >= 3.0 AND mw <= 6.0
+                  AND ts <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+"""
+
+
+@register("t8_heuristic_filter", _T8_ORACLE)
+def q_heuristic_filter(spark, sf_dir):
+    from dask_traj_spark.operators.curation import heuristic_filter
+
+    out = heuristic_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "top_share",
+        F.col("len_ok").cast("long").alias("len_ok"),
+        F.col("wlen_ok").cast("long").alias("wlen_ok"),
+        F.col("rep_ok").cast("long").alias("rep_ok"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+_C4_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           (doc_id * 2654435761) % 4294967296 AS ord
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cb // 512 AS BIGINT) AS start_seq,
+       CAST(cb % 512 AS BIGINT) AS "offset",
+       CAST(((cb + n_tokens - 1) // 512) - (cb // 512) + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
+@register("c4_sequence_packing", _C4_ORACLE)
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing via the distributed prefix
+    sum in ``pack_sequences`` (range partition → local cumsum →
+    broadcast partition offsets). The oracle is the single-window
+    formulation — identical math, but the Spark side never builds a
+    global single-partition sort."""
+    from dask_traj_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=512, order_mode="mult"
+    ).select("doc_id", "n_tokens", "start_seq", "offset", "n_seqs")
+
+
+def _d6_oracle(threshold: float, n_bits: int = 6) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+WITH sig AS (
+    SELECT vec_id, CAST({bits} AS BIGINT) AS cluster FROM embeddings
+),
+e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS q
+    FROM embeddings
+),
+cand AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM sig a JOIN sig b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.id1, c.id2,
+           sum(e1.q * e2.q) AS dot, sum(e1.q * e1.q) AS n1, sum(e2.q * e2.q) AS n2
+    FROM cand c
+    JOIN e e1 ON e1.vec_id = c.id1
+    JOIN e e2 ON e2.vec_id = c.id2 AND e2.pos = e1.pos
+    GROUP BY c.id1, c.id2
+),
+dropped AS (
+    SELECT DISTINCT id2 FROM scored
+    WHERE dot / (sqrt(n1) * sqrt(n2)) >= {threshold}
+)
+SELECT s.vec_id AS vec_id, s.cluster AS cluster,
+       CAST(CASE WHEN d.id2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig s LEFT JOIN dropped d ON s.vec_id = d.id2
+"""
+
+
+@register("d6_semantic_dedup", _d6_oracle(0.3))
+def q_semantic_dedup(spark, sf_dir):
+    from dask_traj_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(_emb(spark, sf_dir), threshold=0.3)
+    return out.select(
+        "vec_id", "cluster", F.col("keep").cast("long").alias("keep")
+    )
+
+
+# m4 is m2's twin for the PNG codec path: text bytes → real
+# zlib-deflated 5×3 RGB PNG with per-row scanline filters
+# (None/Sub/Up) → decode_png (inflate + filter reconstruction) →
+# feature head. The oracle predicts the decoded pixels from the text
+# alone; a decoder that skipped un-filtering would corrupt rows 2-3
+# and hash-fail. Feature sum divisor: 8 bytes * 255 = 2040.
+_M4_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS nb,
+           text
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CASE WHEN nb >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b1,
+           CASE WHEN nb >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b2,
+           CASE WHEN nb >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END AS b3,
+           CASE WHEN nb >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END AS b4,
+           CASE WHEN nb >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END AS b5,
+           CASE WHEN nb >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END AS b6,
+           CASE WHEN nb >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END AS b7,
+           CASE WHEN nb >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END AS b8
+    FROM m
+)
+SELECT doc_id,
+       CAST(5 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) AS feat_sum,
+       CAST(least(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_min,
+       CAST(greatest(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_max,
+       CAST(b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) / 2040.0 AS feat_mean
+FROM f
+"""
+
+
+@register("m4_decode_png", _M4_ORACLE)
+def q_decode_png(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_png,
+        decode_and_featurize,
+    )
+
+    decoded = decode_and_featurize(
+        attach_payload_png(_docs(spark, sf_dir)), strict=True
+    )
+    fb = F.transform("features", lambda f: F.round(f * 255, 0).cast("long"))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.aggregate(fb, F.lit(0).cast("long"), lambda a, x: a + x).alias("feat_sum"),
+        F.array_min(fb).alias("feat_min"),
+        F.array_max(fb).alias("feat_max"),
+        (
+            F.aggregate(fb, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+            / F.lit(2040.0)
+        ).alias("feat_mean"),
+    )

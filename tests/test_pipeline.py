@@ -459,3 +459,211 @@ def test_embedding_lsh_or_bands_raise_recall(spark):
     )
     # multi-band should recover (nearly) all true near-dups
     assert len(multi & true_pairs) >= 38
+
+
+class TestPngCodec:
+    def test_roundtrip_all_filters(self):
+        from dask_traj_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        # heights >= 5 cycle through every scanline filter (0..4)
+        for w, h, ch in [(5, 3, 3), (7, 6, 3), (4, 9, 1), (3, 7, 4), (1, 1, 3)]:
+            px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+            ww, hh, cc, out = decode_png(encode_png(w, h, px, ch))
+            assert (ww, hh, cc) == (w, h, ch)
+            assert out.tobytes() == px
+
+    def test_golden_handbuilt_png(self):
+        """Decode a PNG assembled by hand from the spec (not by our
+        encoder): 2x2 grayscale, row 0 filter None, row 1 filter Up —
+        pins inflate + Up reconstruction against an independent
+        byte-level construction."""
+        import struct
+        import zlib
+
+        from dask_traj_spark.operators.multimodal import decode_png
+
+        # pixels: [[10, 20], [30, 255]]; Up filter stores x - up mod 256
+        raw = bytes([0, 10, 20]) + bytes([2, (30 - 10) % 256, (255 - 20) % 256])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        w, h, ch, px = decode_png(data)
+        assert (w, h, ch) == (2, 2, 1)
+        assert list(px) == [10, 20, 30, 255]
+
+    def test_paeth_reference_vectors(self):
+        """Paeth predictor reconstruction against hand-computed spec
+        values: 1x3 RGB row with known left-pixel propagation."""
+        import struct
+        import zlib
+
+        from dask_traj_spark.operators.multimodal import decode_png
+
+        # 3 wide x 1 high RGB, filter 4 (Paeth). prev row = 0, so for
+        # the first pixel pred=0; after that pred=left (b=c=0).
+        pixels = [100, 50, 25, 110, 60, 20, 105, 65, 30]
+        filt = [4]
+        for i, v in enumerate(pixels):
+            left = pixels[i - 3] if i >= 3 else 0
+            filt.append((v - left) % 256)  # Paeth(a,0,0) == a
+        ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filt)))
+            + chunk(b"IEND", b"")
+        )
+        w, h, ch, px = decode_png(data)
+        assert (w, h, ch) == (3, 1, 3)
+        assert list(px) == pixels
+
+    def test_png_through_spark_pipeline(self, docs):
+        from dask_traj_spark.operators.multimodal import (
+            PNG_HEIGHT,
+            PNG_WIDTH,
+            attach_payload_png,
+            decode_and_featurize,
+        )
+
+        out = (
+            decode_and_featurize(attach_payload_png(docs), strict=True)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert (out["width"] == PNG_WIDTH).all()
+        assert (out["height"] == PNG_HEIGHT).all()
+        assert (out["channels"] == 3).all()
+        # features = text byte head / 255
+        feats = np.stack(out.loc[0, "features"])[None, :]
+        expect = np.frombuffer(b"the cat ", dtype=np.uint8) / np.float32(255.0)
+        np.testing.assert_allclose(feats[0], expect, rtol=1e-6)
+
+
+class TestHeuristicFilter:
+    def test_closed_form_flags(self, spark):
+        from dask_traj_spark.operators.curation import heuristic_filter
+
+        rows = [
+            # 30 distinct-ish words, mean len 4 → passes everything
+            (0, " ".join(f"word{i:02d}" for i in range(30))),
+            # too short
+            (1, "tiny doc here"),
+            # heavy repetition: top share 10/30 > 0.15
+            (2, " ".join(["spam"] * 10 + [f"w{i:02d}" for i in range(20)])),
+            # gibberish: mean word length 20 > 6
+            (3, " ".join(["x" * 20 for _ in range(30)])),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pdf = heuristic_filter(docs).toPandas().set_index("doc_id").sort_index()
+        assert bool(pdf.loc[0, "keep"])
+        assert not bool(pdf.loc[1, "len_ok"]) and not bool(pdf.loc[1, "keep"])
+        assert bool(pdf.loc[2, "len_ok"]) and not bool(pdf.loc[2, "rep_ok"])
+        assert not bool(pdf.loc[3, "wlen_ok"]) and not bool(pdf.loc[3, "keep"])
+        assert pdf.loc[2, "n_words"] == 30
+        np.testing.assert_allclose(pdf.loc[2, "top_share"], 10 / 30, atol=1e-6)
+
+
+class TestSequencePacking:
+    @pytest.fixture(scope="class")
+    def pack_docs(self, spark):
+        rng = np.random.default_rng(5)
+        rows = [
+            (int(i), " ".join("tok" for _ in range(int(rng.integers(1, 40)))))
+            for i in range(200)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _reference(self, pdf, budget, seed=0):
+        import pandas as pd
+
+        # single-threaded reference: hash order, running cumsum
+        pdf = pdf.copy()
+        pdf["n_tokens"] = pdf["text"].str.split(" ").str.len()
+        A, M = 2654435761, 2 ** 32
+        pdf["ord"] = (pdf["doc_id"] * A) % M
+        pdf = pdf.sort_values(["ord", "doc_id"]).reset_index(drop=True)
+        cum = pdf["n_tokens"].cumsum().shift(fill_value=0)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "start_seq": cum // budget,
+                "offset": cum % budget,
+                "n_seqs": (cum + pdf["n_tokens"] - 1) // budget - cum // budget + 1,
+            }
+        ).set_index("doc_id").sort_index()
+
+    def test_matches_single_threaded_reference(self, spark, pack_docs):
+        from dask_traj_spark.operators.curation import pack_sequences
+
+        got = (
+            pack_sequences(pack_docs, budget=64, order_mode="mult")
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        ref = self._reference(pack_docs.toPandas(), 64)
+        for col in ["n_tokens", "start_seq", "offset", "n_seqs"]:
+            assert (got[col].to_numpy() == ref[col].to_numpy()).all(), col
+
+    def test_physical_order_independence(self, spark, pack_docs):
+        from dask_traj_spark.operators.curation import pack_sequences
+
+        shuffled = pack_docs.orderBy(F.xxhash64("doc_id", F.lit(99))).repartition(7)
+        a = (
+            pack_sequences(pack_docs, budget=64, order_mode="mult")
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        b = (
+            pack_sequences(shuffled, budget=64, order_mode="mult")
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        assert (a == b).all().all()
+
+    def test_no_single_partition_exchange(self, spark, pack_docs):
+        from dask_traj_spark.operators.curation import pack_sequences
+        from dask_traj_spark.plans.audit import formatted_plan
+
+        plan = formatted_plan(pack_sequences(pack_docs, budget=64, order_mode="mult"))
+        assert "SinglePartition" not in plan
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_drop_higher_id(self, spark):
+        from dask_traj_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal((30, 64)).astype(np.float32)
+        base[7] = base[3]  # exact dup: cosine 1.0, same sign cluster
+        base[19] = base[3] * np.float32(2.0)  # scaled dup, same direction
+        rows = [(int(i), [float(x) for x in base[i]], 0) for i in range(30)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        pdf = semantic_dedup(emb, threshold=0.95).toPandas().set_index("vec_id")
+        assert len(pdf) == 30
+        assert bool(pdf.loc[3, "keep"])  # smallest id survives
+        assert not bool(pdf.loc[7, "keep"])
+        assert not bool(pdf.loc[19, "keep"])
+        # everything else untouched at this threshold
+        assert int((~pdf["keep"]).sum()) == 2

@@ -398,3 +398,46 @@ def test_atom_selection_pushes_to_parquet_scan(spark, tmp_path_factory):
     a = audit(d)
     pushed = " ".join(a.pushed_filters)
     assert "atom_id" in pushed, a.pushed_filters
+
+
+def test_q6_shape_predicates_push_to_scan(spark):
+    """r24 (TPC-H Q6 shape): shipdate/quantity predicates reach the
+    parquet scan; no join; one partial+final aggregate."""
+    from dask_traj_spark.queries_relational3 import q_r24
+
+    a = audit(q_r24(spark, "/root/testdata/sf0.001"))
+    assert any("l_shipdate" in p for p in a.pushed_filters), a.text
+    assert any("l_quantity" in p for p in a.pushed_filters), a.text
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffledhash_joins == 0, a.text
+
+
+def test_q8_shape_broadcasts_every_dimension(spark):
+    """r25 (TPC-H Q8 shape): part/supplier/customer-region all
+    broadcast; only lineitem⋈orders may shuffle."""
+    from dask_traj_spark.queries_relational3 import q_r25
+
+    a = audit(q_r25(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 3, a.text
+    assert a.n_sortmerge_joins + a.n_shuffledhash_joins <= 1, a.text
+
+
+def test_q15_shape_scalar_max_is_broadcast(spark):
+    """r31 (TPC-H Q15 shape): the max-revenue scalar joins back as a
+    broadcast, never a global sort."""
+    from dask_traj_spark.queries_relational3 import q_r31
+
+    a = audit(q_r31(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 2, a.text
+    assert "SinglePartition" not in a.text or "Sort" not in a.text.split("SinglePartition")[0][-200:], a.text
+
+
+def test_q21_shape_no_lineitem_rescan_per_exists(spark):
+    """r33 (TPC-H Q21 shape): the EXISTS/NOT-EXISTS pair is rewritten
+    to orderkey-local aggregates — supplier broadcasts and the join
+    tree stays on the orderkey family (no cartesian, no per-row
+    subquery nodes)."""
+    from dask_traj_spark.queries_relational3 import q_r33
+
+    a = audit(q_r33(spark, "/root/testdata/sf0.001"))
+    assert a.n_broadcast_joins >= 1, a.text
+    assert "CartesianProduct" not in a.text, a.text

@@ -48,6 +48,22 @@ MUST_SCORE_R4 = [
     "r14_supplier_part_variety",
     "r15_large_volume_orders",
     "r16_disjunctive_revenue",
+    # added this round — need first driver evidence
+    "r23_priority_exists",
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    "r27_returned_items",
+    "r28_important_balances",
+    "r29_priority_lineshare",
+    "r30_customer_distribution",
+    "r31_top_supplier",
+    "r32_promo_part_suppliers",
+    "r33_waiting_suppliers",
+    "t8_heuristic_filter",
+    "c4_sequence_packing",
+    "d6_semantic_dedup",
+    "m4_decode_png",
 ]
 
 
