@@ -172,6 +172,10 @@ def main() -> None:
         "t4_fingerprint",
         "r1_pricing_summary",
         "r2_topk_revenue",
+        "r24_forecast_revenue",
+        "t8_heuristic_filter",
+        "c4_sequence_packing",
+        "d6_semantic_dedup",
     ):
         best = None
         for _ in range(3):

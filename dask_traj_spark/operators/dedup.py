@@ -415,3 +415,95 @@ def repeated_ngram_docs(
             .alias("shared_frac"),
         )
     )
+
+
+# ------------------------------------------------------- components
+
+
+def dup_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    step that turns pairwise dedup evidence (d2/d4/d6 emit PAIRS)
+    into duplicate CLUSTERS: every document gets the minimum doc id
+    reachable through the pair graph as its ``component``, and
+    exactly one member per component (the minimum) is flagged
+    ``is_representative`` — the survivor a curation pass keeps.
+
+    Algorithm: min-label propagation WITH pointer doubling.  Each
+    round (a) every node takes ``min(own label, neighbors'
+    labels)`` and (b) labels are path-compressed twice
+    (``label ← label(label(v))`` — each node jumps to its current
+    representative's representative).  Plain propagation alone is
+    O(graph diameter) rounds, which degenerates on the chain-shaped
+    components near-dup graphs actually produce (doc i ≈ doc i+1
+    templated runs); the doubling step compresses chains
+    geometrically, giving O(log n) rounds — the same hybrid the
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", public SoCC'14) and
+    GraphFrames' CC use.  Each round's labels are CHECKPOINTED
+    (``localCheckpoint``), not merely persisted: persistence caches
+    the data but leaves the logical plan growing round over round,
+    and Catalyst re-analysis of the doubling plan goes exponential
+    by round ~3 — checkpointing truncates the lineage so every round
+    optimizes a flat plan.  (On a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-loss resilience; the algorithm is unchanged.)  The
+    driver holds only a changed-row COUNT per round (O(1) state).
+
+    Raises after ``max_iters`` non-converged rounds (with doubling,
+    50 rounds covers components of ~2^50 nodes).
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    def _jump(lbl: DataFrame) -> DataFrame:
+        # label ← label(label(v)): follow each node's pointer one hop
+        ptr = lbl.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        return (
+            lbl.join(ptr, lbl["label"] == ptr["p_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.least("p_label", "label"), F.col("label")).alias("label"),
+            )
+        )
+
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        prop = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = _jump(_jump(prop)).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iters} iterations"
+        )
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_representative"),
+    )

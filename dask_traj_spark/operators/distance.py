@@ -537,3 +537,58 @@ def find_closest_contact(
         )
     )
     return best
+
+
+def compute_radius_of_gyration(traj, topology: DataFrame | None = None) -> DataFrame:
+    """Mass-weighted radius of gyration per frame → (frame_id, rg
+    DOUBLE): Rg² = Σmᵢ|rᵢ−com|²/Σm, computed from sufficient
+    statistics (Σm·r², Σm·r, Σm) so it is ONE partial+final
+    aggregation — no com join-back, no second pass over coords.
+    Beyond-reference (the reference has no Rg; mdtraj's
+    ``compute_rg`` is the public API shape being matched)."""
+    top = topology if topology is not None else traj.topology
+    if top is None:
+        raise ValueError("compute_radius_of_gyration requires a topology with masses")
+    m = F.broadcast(top.select("atom_id", F.col("mass").cast("double").alias("mass")))
+    x, y, z = (F.col(c).cast("double") for c in ("x", "y", "z"))
+    j = traj.coords.join(m, "atom_id")
+    agg = j.groupBy("frame_id").agg(
+        F.sum(F.col("mass") * (x * x + y * y + z * z)).alias("srr"),
+        F.sum(F.col("mass") * x).alias("sx"),
+        F.sum(F.col("mass") * y).alias("sy"),
+        F.sum(F.col("mass") * z).alias("sz"),
+        F.sum("mass").alias("sm"),
+    )
+    cx, cy, cz = (F.col(c) / F.col("sm") for c in ("sx", "sy", "sz"))
+    rg2 = F.col("srr") / F.col("sm") - (cx * cx + cy * cy + cz * cz)
+    return agg.select("frame_id", F.sqrt(F.greatest(rg2, F.lit(0.0))).alias("rg"))
+
+
+def rdf_histogram(
+    traj,
+    atom_pairs: Iterable,
+    bin_width: float = 1.0 / 64.0,
+    periodic: bool = False,
+    n_atoms: int | None = None,
+) -> DataFrame:
+    """Radial distribution histogram: pair distances bucketed into
+    ``bin_width`` shells → (bin BIGINT, r_lo DOUBLE, n_pairs BIGINT),
+    summed over all frames.  The classic MD structure analysis — one
+    distances plan (same operator as G1) plus one partial+final
+    aggregate on the bin id; with a dyadic ``bin_width`` the floor
+    is engine-exact.  Beyond-reference (mdtraj ``compute_rdf`` shape,
+    un-normalized counts — normalization constants are a driver-side
+    multiply)."""
+    d = compute_distances(traj, atom_pairs, periodic=periodic, n_atoms=n_atoms)
+    inv = 1.0 / float(bin_width)
+    b = F.floor(F.col("dist").cast("double") * F.lit(inv)).cast("long")
+    return (
+        d.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * F.lit(float(bin_width))).alias("r_lo"),
+            "n_pairs",
+        )
+    )

@@ -78,6 +78,9 @@ def register(name: str, oracle: str | None = None):
 #       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
 _SCORING_TAIL = [
+    "m1_media_stats",
+    "d3_simhash",
+    "r1_pricing_summary",
     "c1_corpus_curation",
     "e1_event_window_counts",
     "e2_sessionization",

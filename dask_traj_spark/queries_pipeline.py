@@ -1714,3 +1714,126 @@ def q_decode_png(spark, sf_dir):
             / F.lit(2040.0)
         ).alias("feat_mean"),
     )
+
+
+def _d7_oracle(threshold: float) -> str:
+    """Connected components over the d2 near-dup pair graph, as a
+    recursive min-reachability closure (fine at oracle scale; the
+    engine runs iterative min-label propagation instead)."""
+    d2 = _minhash_oracle(threshold)
+    return f"""
+WITH RECURSIVE p AS (SELECT doc1, doc2 FROM ({d2}) d2pairs),
+e AS (
+    SELECT doc1 AS s, doc2 AS d FROM p
+    UNION ALL
+    SELECT doc2 AS s, doc1 AS d FROM p
+),
+r(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.comp FROM r JOIN e ON e.s = r.id
+),
+c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(comp AS BIGINT) AS component,
+       CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM c
+"""
+
+
+@register("d7_dup_components", _d7_oracle(0.9))
+def q_dup_components(spark, sf_dir):
+    """Near-dup clusters: d2's MinHash pair graph → connected
+    components (iterative min-label propagation) → per-doc component
+    id + representative flag. The oracle spells the same closure as
+    a recursive CTE."""
+    from dask_traj_spark.operators.dedup import (
+        MAX_BUCKET,
+        dup_components,
+        near_duplicates_minhash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = near_duplicates_minhash(
+        docs, threshold=0.9, id_mode="sorted", max_bucket=MAX_BUCKET
+    ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    out = dup_components(pairs, docs.select("doc_id"))
+    return out.select(
+        "doc_id",
+        "component",
+        F.col("is_representative").cast("long").alias("is_representative"),
+    )
+
+
+# ---------------------------------------------------------------------
+# x4/x5: radius of gyration + RDF histogram (beyond-reference
+# trajectory analyses on the same deterministic coords derivation)
+# ---------------------------------------------------------------------
+
+
+def _rog_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+top AS (
+    SELECT CAST(vec_id AS INT) AS atom_id,
+           CAST(label + 1 AS DOUBLE) AS mass
+    FROM embeddings
+),
+agg AS (
+    SELECT c.frame_id,
+           sum(t.mass * (c.x*c.x + c.y*c.y + c.z*c.z)) AS srr,
+           sum(t.mass * c.x) AS sx,
+           sum(t.mass * c.y) AS sy,
+           sum(t.mass * c.z) AS sz,
+           sum(t.mass) AS sm
+    FROM coords c JOIN top t USING (atom_id)
+    GROUP BY c.frame_id
+)
+SELECT frame_id,
+       sqrt(greatest(
+           srr/sm - ((sx/sm)*(sx/sm) + (sy/sm)*(sy/sm) + (sz/sm)*(sz/sm)),
+           0.0)) AS rg
+FROM agg
+"""
+
+
+@register("x4_radius_of_gyration", _rog_oracle())
+def q_radius_of_gyration(spark, sf_dir):
+    """Mass-weighted Rg per frame from sufficient statistics — one
+    partial+final aggregation (all sums are exact dyadic
+    accumulations, so partial-agg order cannot perturb the value;
+    the divisions/sqrt are correctly-rounded on identical operands)."""
+    from dask_traj_spark.operators.distance import compute_radius_of_gyration
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return compute_radius_of_gyration(traj)
+
+
+def _rdf_oracle() -> str:
+    from dask_traj_spark.queries import _DIST_ORACLE
+
+    return f"""
+WITH d AS ({_DIST_ORACLE}),
+b AS (SELECT CAST(floor(dist * 64.0) AS BIGINT) AS bin FROM d)
+SELECT bin,
+       CAST(bin AS DOUBLE) * 0.015625 AS r_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM b GROUP BY bin
+"""
+
+
+@register("x5_rdf_histogram", _rdf_oracle())
+def q_rdf_histogram(spark, sf_dir):
+    """Radial distribution histogram over the G1 pair set with a
+    dyadic 1/64 nm bin width (floor is engine-exact on the
+    float32-roundtripped distances)."""
+    from dask_traj_spark.operators.distance import rdf_histogram
+    from dask_traj_spark.queries import N_DIST_ATOMS, _pairs, trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return rdf_histogram(
+        traj, _pairs(N_DIST_ATOMS), bin_width=1.0 / 64.0, n_atoms=N_DIST_ATOMS
+    )

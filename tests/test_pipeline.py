@@ -667,3 +667,89 @@ class TestSemanticDedup:
         assert not bool(pdf.loc[19, "keep"])
         # everything else untouched at this threshold
         assert int((~pdf["keep"]).sum()) == 2
+
+
+class TestDupComponents:
+    def test_chain_and_clique_components(self, spark):
+        from dask_traj_spark.operators.dedup import dup_components
+
+        # component A: chain 0-1-2-3-4 (diameter 4); B: clique {10,11,12};
+        # C: singleton 20
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+            "id1 long, id2 long",
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 20]], "doc_id long"
+        )
+        pdf = dup_components(pairs, nodes).toPandas().set_index("doc_id").sort_index()
+        assert (pdf.loc[[0, 1, 2, 3, 4], "component"] == 0).all()
+        assert (pdf.loc[[10, 11, 12], "component"] == 10).all()
+        assert pdf.loc[20, "component"] == 20
+        reps = pdf[pdf["is_representative"]].index.tolist()
+        assert reps == [0, 10, 20]
+
+    def test_long_chain_converges_fast(self, spark):
+        """Pointer doubling: a 200-node chain must converge well
+        under the plain-propagation bound (its diameter)."""
+        from dask_traj_spark.operators.dedup import dup_components
+
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pdf = dup_components(pairs, nodes, max_iters=15).toPandas()
+        assert (pdf["component"] == 0).all()
+
+
+class TestTrajectoryAnalyses:
+    def test_radius_of_gyration_matches_numpy(self, spark):
+        from dask_traj_spark.operators.distance import compute_radius_of_gyration
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(23)
+        xyz = rng.uniform(0, 3, (4, 50, 3))
+        masses = rng.uniform(1, 16, 50)
+        rows = [
+            (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+            for f in range(4)
+            for a in range(50)
+        ]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        top = spark.createDataFrame(
+            [(a, float(masses[a])) for a in range(50)], "atom_id int, mass double"
+        )
+        traj = Trajectory(coords)
+        got = (
+            compute_radius_of_gyration(traj, topology=top)
+            .toPandas().set_index("frame_id").sort_index()["rg"].to_numpy()
+        )
+        com = (xyz * masses[None, :, None]).sum(1) / masses.sum()
+        d2 = ((xyz - com[:, None, :]) ** 2).sum(-1)
+        want = np.sqrt((d2 * masses[None, :]).sum(1) / masses.sum())
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_rdf_histogram_counts_conserved(self, spark):
+        from dask_traj_spark.operators.distance import rdf_histogram
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(29)
+        rows = [
+            (f, a, *[float(v) for v in rng.uniform(0, 1, 3)])
+            for f in range(3)
+            for a in range(10)
+        ]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        traj = Trajectory(coords)
+        import itertools
+
+        pairs = list(itertools.combinations(range(10), 2))
+        pdf = rdf_histogram(traj, pairs, bin_width=0.125, n_atoms=10).toPandas()
+        assert pdf["n_pairs"].sum() == 3 * len(pairs)  # every distance lands in a bin
+        assert (pdf["r_lo"] == pdf["bin"] * 0.125).all()
+        assert (pdf["bin"] >= 0).all() and (pdf["bin"] <= 14).all()  # max dist < sqrt(3)

@@ -17,7 +17,6 @@ MUST_SCORE_R4 = [
     "g1_distances_mic_ortho",
     "g1_distances_mic_triclinic",
     "g1_distances_vec",
-    "m1_media_stats",
     "m2_decode_features",
     "m3_frame_sample",
     "v1_cosine_topk",
@@ -26,7 +25,6 @@ MUST_SCORE_R4 = [
     "v4_ann_recall",
     "d1_exact_dedup",
     "d2_minhash_lsh_neardup",
-    "d3_simhash",
     "d4_ngram_jaccard_neardup",
     "x3_rmsd_aligned_contract",
     "sx1_stream_neardup_batch_twin",
@@ -64,6 +62,9 @@ MUST_SCORE_R4 = [
     "c4_sequence_packing",
     "d6_semantic_dedup",
     "m4_decode_png",
+    "d7_dup_components",
+    "x4_radius_of_gyration",
+    "x5_rdf_histogram",
 ]
 
 
