@@ -78,6 +78,7 @@ def register(name: str, oracle: str | None = None):
 #       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
 _SCORING_TAIL = [
+    "r3_rollup_acctbal",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -595,3 +595,50 @@ def q_r33(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------- r34
+
+_R34_ORACLE = """
+SELECT 'p25' AS p, CAST(1 AS BIGINT) AS ok
+UNION ALL SELECT 'p50', CAST(1 AS BIGINT)
+UNION ALL SELECT 'p75', CAST(1 AS BIGINT)
+ORDER BY p
+"""
+
+
+@register("r34_approx_quantiles", _R34_ORACLE)
+def q_r34(spark, sf_dir):
+    """Approximate-quantile sketch with a bounded-error CONTRACT gate
+    (the r22-HLL pattern): ``percentile_approx(accuracy=1000)``
+    guarantees rank error ≤ n/accuracy, so each approximate quantile
+    must lie between the EXACT quantiles at p ± 1/accuracy.  The
+    query computes both sides and emits the per-percentile ok flag;
+    the oracle pins the contract (all-true).  Flags — not sketch
+    values — are compared because a mergeable sketch's value may
+    legally vary with partition merge order; the guarantee may not.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    acc = 1000
+    eps = 1.0 / acc
+    rows = []
+    for label, p in [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]:
+        lo_p, hi_p = max(0.0, p - eps), min(1.0, p + eps)
+        rows.append(
+            F.struct(
+                F.lit(label).alias("p"),
+                (
+                    (F.percentile_approx(cents, F.lit(p), F.lit(acc))
+                     >= F.percentile(cents, F.lit(lo_p)))
+                    & (F.percentile_approx(cents, F.lit(p), F.lit(acc))
+                       <= F.percentile(cents, F.lit(hi_p)))
+                ).cast("long").alias("ok"),
+            )
+        )
+    return (
+        li.agg(F.array(*rows).alias("a"))
+        .select(F.explode("a").alias("s"))
+        .select("s.p", "s.ok")
+        .orderBy("p")
+    )
