@@ -592,3 +592,83 @@ def rdf_histogram(
             "n_pairs",
         )
     )
+
+
+def neighbor_pairs(traj, cutoff: float, n_atoms: int | None = None) -> DataFrame:
+    """All atom pairs within ``cutoff`` per frame WITHOUT enumerating
+    the O(n²) pair list — the cell-list spatial self-join every
+    neighbor-search / contact-map workload needs at scale.
+
+    Atoms are binned into cubic cells of edge ``cutoff``; a pair can
+    only be within range if its cells differ by ≤1 in every axis, so
+    one side explodes to its 27 neighboring cells and the join is a
+    plain equi-join on (frame_id, cell).  Each candidate pair matches
+    EXACTLY once (the unique offset = cell_i − cell_j), so no
+    dedup pass is needed; the exact distance filter then trims the
+    shell corners.  Cost is O(n · local density), one shuffle on
+    (frame, cell) — vs the O(n²) broadcast-pairs join of
+    ``compute_distances``, which is the right tool only for a
+    driver-enumerated pair list.
+
+    Returns (frame_id, i, j, dist FLOAT) with i < j, non-periodic
+    (minimum-image neighbor lists additionally shift the 27 offsets
+    by the box vectors; same plan shape).  Value path matches G1:
+    float32 components, float32 final sqrt.
+    """
+    c = traj.coords
+    inv = 1.0 / float(cutoff)
+    cell = lambda col: F.floor(F.col(col).cast("double") * F.lit(inv)).cast("long")  # noqa: E731
+    base = c.select(
+        "frame_id",
+        F.col("atom_id"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        F.col("z").cast("double").alias("z"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+        cell("z").alias("cz"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"), F.lit(dz).alias("oz"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    left = base.select(
+        "frame_id",
+        F.col("atom_id").alias("i"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.col("z").alias("z1"),
+        "cx", "cy", "cz",
+    )
+    right = (
+        base.select(
+            "frame_id",
+            F.col("atom_id").alias("j"),
+            F.col("x").alias("x2"),
+            F.col("y").alias("y2"),
+            F.col("z").alias("z2"),
+            F.explode(offsets).alias("o"),
+            "cx", "cy", "cz",
+        )
+        .select(
+            "frame_id", "j", "x2", "y2", "z2",
+            (F.col("cx") + F.col("o.ox")).alias("cx"),
+            (F.col("cy") + F.col("o.oy")).alias("cy"),
+            (F.col("cz") + F.col("o.oz")).alias("cz"),
+        )
+    )
+    cand = left.join(right, ["frame_id", "cx", "cy", "cz"]).where(
+        F.col("i") < F.col("j")
+    )
+    fx = (F.col("x2") - F.col("x1")).cast("float").cast("double")
+    fy = (F.col("y2") - F.col("y1")).cast("float").cast("double")
+    fz = (F.col("z2") - F.col("z1")).cast("float").cast("double")
+    dist = F.sqrt(fx * fx + fy * fy + fz * fz).cast("float")
+    return (
+        cand.select("frame_id", "i", "j", dist.alias("dist"))
+        .where(F.col("dist") <= F.lit(float(cutoff)).cast("float"))
+    )

@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None = None):
 #       test_scoring_window_size.
 _SCORING_TAIL = [
     "r3_rollup_acctbal",
+    "r4_running_revenue_window",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

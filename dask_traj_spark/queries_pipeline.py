@@ -1837,3 +1837,36 @@ def q_rdf_histogram(spark, sf_dir):
     return rdf_histogram(
         traj, _pairs(N_DIST_ATOMS), bin_width=1.0 / 64.0, n_atoms=N_DIST_ATOMS
     )
+
+
+def _neighbor_oracle(cutoff: float) -> str:
+    from dask_traj_spark.queries import COORDS_CTE, _dist_from_components
+
+    d = _dist_from_components("c2.x-c1.x", "c2.y-c1.y", "c2.z-c1.z")
+    return f"""
+WITH {COORDS_CTE.strip()}
+SELECT c1.frame_id AS frame_id,
+       CAST(c1.atom_id AS INT) AS i,
+       CAST(c2.atom_id AS INT) AS j,
+       {d} AS dist
+FROM coords c1
+JOIN coords c2
+  ON c2.frame_id = c1.frame_id AND c1.atom_id < c2.atom_id
+WHERE {d} <= {cutoff}
+"""
+
+
+@register("x6_neighbor_pairs", _neighbor_oracle(0.0625))
+def q_neighbor_pairs(spark, sf_dir):
+    """Cell-list neighbor search over ALL atoms (no driver pair
+    enumeration): bin to cutoff-sized cells, 27-offset equi-join,
+    exact distance trim. The oracle is the O(n²) brute-force filter —
+    tractable at oracle scale, which is exactly the point: the
+    engine's plan is the one that survives when n² does not."""
+    from dask_traj_spark.operators.distance import neighbor_pairs
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return neighbor_pairs(traj, cutoff=0.0625).select(
+        "frame_id", "i", "j", F.col("dist").cast("double").alias("dist")
+    )

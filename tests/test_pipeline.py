@@ -753,3 +753,71 @@ class TestTrajectoryAnalyses:
         assert pdf["n_pairs"].sum() == 3 * len(pairs)  # every distance lands in a bin
         assert (pdf["r_lo"] == pdf["bin"] * 0.125).all()
         assert (pdf["bin"] >= 0).all() and (pdf["bin"] <= 14).all()  # max dist < sqrt(3)
+
+
+class TestNeighborPairs:
+    def test_matches_brute_force(self, spark):
+        from dask_traj_spark.operators.distance import (
+            compute_distances,
+            neighbor_pairs,
+        )
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(31)
+        n = 40
+        rows = [
+            (f, a, *[float(v) for v in rng.uniform(0, 1.0, 3)])
+            for f in range(3)
+            for a in range(n)
+        ]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x float, y float, z float"
+        )
+        traj = Trajectory(coords)
+        cutoff = 0.25
+        got = neighbor_pairs(traj, cutoff).toPandas()
+        import itertools
+
+        pairs = list(itertools.combinations(range(n), 2))
+        brute = compute_distances(
+            traj, pairs, periodic=False, form="sql", n_atoms=n
+        ).toPandas()
+        brute = brute[brute["dist"] <= np.float32(cutoff)]
+        lut = {p: k for k, p in enumerate(pairs)}
+        got_set = {
+            (int(r.frame_id), lut[(int(r.i), int(r.j))]) for r in got.itertuples()
+        }
+        brute_set = {
+            (int(r.frame_id), int(r.pair_id)) for r in brute.itertuples()
+        }
+        assert got_set == brute_set
+        assert len(got) > 0  # non-degenerate at this density
+
+    def test_no_duplicate_candidates(self, spark):
+        """Each in-range pair must appear exactly once (the offset
+        join matches a pair only at the unique cell delta)."""
+        from dask_traj_spark.operators.distance import neighbor_pairs
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(37)
+        rows = [
+            (0, a, *[float(v) for v in rng.uniform(0, 0.5, 3)]) for a in range(30)
+        ]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x float, y float, z float"
+        )
+        out = neighbor_pairs(Trajectory(coords), 0.3).toPandas()
+        assert not out.duplicated(["frame_id", "i", "j"]).any()
+
+    def test_plan_is_equijoin_no_cartesian(self, spark):
+        from dask_traj_spark.operators.distance import neighbor_pairs
+        from dask_traj_spark.plans.audit import formatted_plan
+        from dask_traj_spark.trajectory import Trajectory
+
+        rows = [(0, a, 0.1 * a, 0.0, 0.0) for a in range(10)]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        plan = formatted_plan(neighbor_pairs(Trajectory(coords), 0.25))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

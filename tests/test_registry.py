@@ -32,7 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r4_running_revenue_window",
     "r5_semi_anti_join",
     "r6_intersect_status",
     "r7_regional_revenue",
@@ -65,6 +64,7 @@ MUST_SCORE_R4 = [
     "x4_radius_of_gyration",
     "x5_rdf_histogram",
     "r34_approx_quantiles",
+    "x6_neighbor_pairs",
 ]
 
 
