@@ -130,3 +130,71 @@ def frame_rmsd_aligned(traj, query_frame: int) -> DataFrame:
             yield pd.DataFrame({"frame_id": fids, "rmsd": out})
 
     return packed.mapInPandas(gen, "frame_id long, rmsd double")
+
+
+def superpose(traj, query_frame: int) -> DataFrame:
+    """Kabsch superposition TRANSFORM: rigidly align every frame onto
+    ``query_frame`` (optimal rotation after centroid removal) and
+    return the transformed coordinates (frame_id, atom_id, x, y, z
+    FLOAT) — the coordinate-mutating counterpart of
+    ``frame_rmsd_aligned`` (same public API shape as mdtraj
+    ``Trajectory.superpose``).  Runs as one Arrow-batched
+    ``mapInPandas`` over packed frames: per frame an SVD of the 3×3
+    covariance, with the det(U·Vᵀ) reflection guard, then one matmul
+    over the frame's atoms.  The query frame maps onto its own
+    centered coordinates.  Contract gate: the plain (unaligned) RMSD
+    of the output against the centered query equals
+    ``frame_rmsd_aligned`` of the input (x7)."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_traj_spark.operators.distance import (
+        _block_arrays,
+        _iter_frame_blocks,
+    )
+
+    qpdf = (
+        traj.coords.where(F.col("frame_id") == query_frame)
+        .orderBy("atom_id")
+        .toPandas()
+    )
+    q = qpdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
+    q = q - q.mean(axis=0, keepdims=True)
+    sc = traj.spark.sparkContext
+    b_q = sc.broadcast(q)
+
+    # frame_packed (not _packed_input): the transform must carry
+    # atom_id through to the emitted coordinates
+    packed = traj.frame_packed().select("frame_id", "atom_id", "x", "y", "z")
+
+    def gen(batches):
+        qc = b_q.value
+        for block in _iter_frame_blocks(batches):
+            fids, xyz, _, _ = _block_arrays(block, None)
+            atom_ids = block["atom_id"].to_numpy().reshape(len(fids), -1)
+            frames_out = []
+            for i in range(len(fids)):
+                p = xyz[i].astype(np.float64)
+                p -= p.mean(axis=0, keepdims=True)
+                h = p.T @ qc
+                u, s, vt = np.linalg.svd(h)
+                d = np.sign(np.linalg.det(u @ vt))
+                corr = np.diag([1.0, 1.0, d])
+                rot = u @ corr @ vt  # maps p onto qc (p @ rot)
+                aligned = (p @ rot).astype(np.float32)
+                frames_out.append(
+                    pd.DataFrame(
+                        {
+                            "frame_id": fids[i],
+                            "atom_id": atom_ids[i],
+                            "x": aligned[:, 0],
+                            "y": aligned[:, 1],
+                            "z": aligned[:, 2],
+                        }
+                    )
+                )
+            yield pd.concat(frames_out, ignore_index=True)
+
+    return packed.mapInPandas(
+        gen, "frame_id long, atom_id int, x float, y float, z float"
+    )

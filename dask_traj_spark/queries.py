@@ -80,6 +80,8 @@ def register(name: str, oracle: str | None = None):
 _SCORING_TAIL = [
     "r3_rollup_acctbal",
     "r4_running_revenue_window",
+    "r5_semi_anti_join",
+    "r6_intersect_status",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -1870,3 +1870,98 @@ def q_neighbor_pairs(spark, sf_dir):
     return neighbor_pairs(traj, cutoff=0.0625).select(
         "frame_id", "i", "j", F.col("dist").cast("double").alias("dist")
     )
+
+
+_X7_ORACLE = f"""
+SELECT CAST(f.frame_id AS BIGINT) AS frame_id, CAST(1 AS BIGINT) AS ok
+FROM range({21}) f(frame_id)
+ORDER BY frame_id
+"""
+
+
+@register("x7_superpose_contract", _X7_ORACLE)
+def q_superpose_contract(spark, sf_dir):
+    """Contract gate for the superpose TRANSFORM: after rigidly
+    aligning every frame onto the query frame, the plain
+    coordinate-space RMSD against the (self-superposed) query must
+    equal frame_rmsd_aligned of the ORIGINAL trajectory — i.e. the
+    emitted coordinates actually realize the optimal rotation, not
+    just its residual. Tolerance 1e-5 absorbs float32 coordinate
+    storage; a wrong rotation/reflection/centering shifts RMSD by
+    ~0.1 and fails every frame."""
+    from dask_traj_spark.operators.rmsd import frame_rmsd_aligned, superpose
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    Q = 5
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    sup = superpose(traj, Q)
+    qref = F.broadcast(
+        sup.where(F.col("frame_id") == Q).select(
+            "atom_id",
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            F.col("z").alias("qz"),
+        )
+    )
+    dx = F.col("x").cast("double") - F.col("qx").cast("double")
+    dy = F.col("y").cast("double") - F.col("qy").cast("double")
+    dz = F.col("z").cast("double") - F.col("qz").cast("double")
+    plain = (
+        sup.join(qref, "atom_id")
+        .groupBy("frame_id")
+        .agg(F.sqrt(F.avg(dx * dx + dy * dy + dz * dz)).alias("rmsd_sup"))
+    )
+    aligned = frame_rmsd_aligned(traj, Q).withColumnRenamed("rmsd", "rmsd_aln")
+    return (
+        plain.join(aligned, "frame_id")
+        .select(
+            "frame_id",
+            (F.abs(F.col("rmsd_sup") - F.col("rmsd_aln")) < 1e-5)
+            .cast("long")
+            .alias("ok"),
+        )
+        .orderBy("frame_id")
+    )
+
+
+_E6_ORACLE = """
+WITH w AS (
+    SELECT user_id,
+           (epoch_us(ts) // 1000000) // 86400 AS wk
+    FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+SELECT CAST(c.cw AS BIGINT) AS cohort_day,
+       CAST(w.wk - c.cw AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM w JOIN cohort c USING (user_id)
+GROUP BY c.cw, w.wk - c.cw
+ORDER BY cohort_day, day_offset
+"""
+
+
+@register("e6_cohort_retention", _E6_ORACLE)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention — the classic event-analytics triangle:
+    users bucketed by first-seen epoch day, distinct active users
+    per (cohort, day offset). Day ids are pure epoch-seconds
+    integer division (no calendar/timezone semantics to disagree
+    on). Two aggregations, both shuffling only on user_id / the
+    tiny (cohort, offset) key."""
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir)
+    w = ev.select(
+        "user_id",
+        (F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("wk"),
+    )
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_day"),
+            (F.col("wk") - F.col("cw")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -32,8 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r5_semi_anti_join",
-    "r6_intersect_status",
     "r7_regional_revenue",
     "r8_cube_quantities",
     "r9_rich_inactive_customers",
@@ -65,6 +63,8 @@ MUST_SCORE_R4 = [
     "x5_rdf_histogram",
     "r34_approx_quantiles",
     "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    "e6_cohort_retention",
 ]
 
 

@@ -82,3 +82,59 @@ def test_aligned_rmsd_invariant_to_rotation(spark):
     assert unaligned[1] > 0.1
     assert aligned[1] < 1e-3
     assert aligned[0] < 1e-6
+
+
+def test_superpose_realizes_aligned_rmsd(spark):
+    """The emitted coordinates must realize the optimal rotation:
+    plain RMSD of superposed frames vs the superposed query equals
+    frame_rmsd_aligned of the original; and superpose is invariant
+    to a rigid rotation of the input."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.operators.rmsd import frame_rmsd_aligned, superpose
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(41)
+    n_f, n_a = 6, 30
+    xyz = rng.uniform(0, 2, (n_f, n_a, 3))
+
+    def mk(x):
+        rows = [
+            (f, a, float(x[f, a, 0]), float(x[f, a, 1]), float(x[f, a, 2]))
+            for f in range(n_f)
+            for a in range(n_a)
+        ]
+        return Trajectory(
+            spark.createDataFrame(
+                rows, "frame_id long, atom_id int, x float, y float, z float"
+            )
+        )
+
+    traj = mk(xyz)
+    sup = superpose(traj, 0).toPandas()
+    qp = sup[sup["frame_id"] == 0].sort_values("atom_id")[["x", "y", "z"]].to_numpy()
+    aligned = (
+        frame_rmsd_aligned(traj, 0)
+        .toPandas().set_index("frame_id").sort_index()["rmsd"].to_numpy()
+    )
+    got = []
+    for f in range(n_f):
+        p = sup[sup["frame_id"] == f].sort_values("atom_id")[["x", "y", "z"]].to_numpy()
+        got.append(np.sqrt(((p - qp) ** 2).sum(axis=1).mean()))
+    np.testing.assert_allclose(got, aligned, atol=1e-5)
+
+    # rigid-rotation EQUIVARIANCE: the output lives in the query
+    # frame's coordinate system, so rotating the whole input rotates
+    # the output identically: superpose(X·Rᵀ) == superpose(X)·Rᵀ
+    th = 0.7
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    sup2 = superpose(mk(xyz @ R.T), 0).toPandas().sort_values(["frame_id", "atom_id"])
+    sup1 = sup.sort_values(["frame_id", "atom_id"])
+    np.testing.assert_allclose(
+        sup1[["x", "y", "z"]].to_numpy() @ R.T,
+        sup2[["x", "y", "z"]].to_numpy(),
+        atol=1e-5,
+    )
