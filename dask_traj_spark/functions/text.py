@@ -179,3 +179,62 @@ def fingerprint(
     )
     term = (F.col("tid").cast("long") + 1) % FP_MOD * w % FP_MOD
     return j.groupBy("doc_id").agg((F.sum(term) % FP_MOD).alias("fp"))
+
+
+#: dyadic grid for per-bigram log-probabilities: ln() is not
+#: guaranteed correctly-rounded (engines may differ by 1 ulp), so the
+#: model's log values are snapped to 2^-20 BEFORE any aggregation —
+#: sums of grid values are exact, making the per-doc average
+#: independent of partial-agg order (the same trick as the coords
+#: QGRID, see queries.py docstring).
+LP_GRID = 1048576.0  # 2^20
+
+
+def char_bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Statistical quality score: per-document mean log-probability
+    of its character bigrams under the corpus's own MLE bigram model
+    (the model-based fluency filter pipelines run when a trained LM
+    is unavailable — gibberish and off-distribution text score far
+    below the corpus mode).
+
+    Two aggregations: (1) the corpus model — bigram counts and
+    first-char totals, at most |alphabet|² rows, broadcast; (2) the
+    per-doc average over quantized log-probs. Bigrams are
+    substring(i, 2) over a JVM-side ``transform(sequence(...))`` —
+    no Python, no explode of a Python UDF.
+
+    Returns (doc_id, n_bigrams, avg_logprob).
+    """
+    t = F.col(text_col)
+    bigrams = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})-1), i -> substring({text_col}, i, 2))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    c1_tot = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n_bg").alias("n_c1")
+    )
+    model = F.broadcast(
+        counts.join(c1_tot, F.substring("bg", 1, 1) == F.col("c1"))
+        .select(
+            "bg",
+            (
+                F.round(
+                    F.log(F.col("n_bg").cast("double") / F.col("n_c1").cast("double"))
+                    * F.lit(LP_GRID),
+                    0,
+                )
+                / F.lit(LP_GRID)
+            ).alias("lp"),
+        )
+    )
+    return (
+        bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )

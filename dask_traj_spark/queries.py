@@ -82,6 +82,7 @@ _SCORING_TAIL = [
     "r4_running_revenue_window",
     "r5_semi_anti_join",
     "r6_intersect_status",
+    "r7_regional_revenue",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -1965,3 +1965,39 @@ def q_cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+_T9_ORACLE = """
+WITH bigrams AS (
+    SELECT d.doc_id, substr(d.text, u.i, 2) AS bg
+    FROM documents d, unnest(generate_series(1, length(d.text) - 1)) AS u(i)
+),
+counts AS (SELECT bg, count(*) AS n_bg FROM bigrams GROUP BY bg),
+c1_tot AS (
+    SELECT substr(bg, 1, 1) AS c1, sum(n_bg) AS n_c1
+    FROM counts GROUP BY substr(bg, 1, 1)
+),
+model AS (
+    SELECT c.bg,
+           round(ln(CAST(c.n_bg AS DOUBLE) / CAST(t.n_c1 AS DOUBLE)) * 1048576.0)
+               / 1048576.0 AS lp
+    FROM counts c JOIN c1_tot t ON substr(c.bg, 1, 1) = t.c1
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(m.lp) / count(*), 6) AS avg_logprob
+FROM bigrams b JOIN model m USING (bg)
+GROUP BY b.doc_id
+"""
+
+
+@register("t9_char_bigram_logprob", _T9_ORACLE)
+def q_char_bigram_logprob(spark, sf_dir):
+    """Corpus-self char-bigram mean log-probability (model-based
+    fluency filter). The model's per-bigram ln values are snapped to
+    the 2^-20 grid before aggregation — ln is not correctly-rounded
+    (engines can differ by an ulp) and the per-doc sum must be
+    order-independent; quantized values sum exactly."""
+    from dask_traj_spark.functions.text import char_bigram_logprob
+
+    return char_bigram_logprob(_docs(spark, sf_dir))

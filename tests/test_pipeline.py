@@ -821,3 +821,46 @@ class TestNeighborPairs:
         plan = formatted_plan(neighbor_pairs(Trajectory(coords), 0.25))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCharBigramLogprob:
+    def test_matches_reference_model(self, spark):
+        from collections import Counter
+
+        from dask_traj_spark.functions.text import LP_GRID, char_bigram_logprob
+
+        rows = [(0, "abab"), (1, "abba"), (2, "zz")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (
+            char_bigram_logprob(docs).toPandas().set_index("doc_id").sort_index()
+        )
+        # reference model over the 3-doc corpus
+        bgs = [t[i : i + 2] for _, t in rows for i in range(len(t) - 1)]
+        nb = Counter(bgs)
+        nc = Counter(b[0] for b in bgs for _ in range(1))
+        nc = Counter()
+        for b, n in nb.items():
+            nc[b[0]] += n
+        lp = {
+            b: round(np.log(n / nc[b[0]]) * LP_GRID) / LP_GRID
+            for b, n in nb.items()
+        }
+        for doc_id, t in rows:
+            doc_bgs = [t[i : i + 2] for i in range(len(t) - 1)]
+            want = round(sum(lp[b] for b in doc_bgs) / len(doc_bgs), 6)
+            assert got.loc[doc_id, "n_bigrams"] == len(doc_bgs)
+            np.testing.assert_allclose(got.loc[doc_id, "avg_logprob"], want, atol=1e-9)
+
+    def test_gibberish_scores_below_fluent(self, spark):
+        """The filter's purpose: in-distribution text scores higher
+        than text made of rare transitions."""
+        from dask_traj_spark.functions.text import char_bigram_logprob
+
+        fluent = "the cat sat on the mat and the dog sat on the rug " * 4
+        rare = "xq zv qx vz jq qj xz zx " * 4
+        docs = spark.createDataFrame(
+            [(0, fluent + rare[:8]), (1, rare + fluent[:8])],
+            "doc_id long, text string",
+        )
+        pdf = char_bigram_logprob(docs).toPandas().set_index("doc_id")
+        assert pdf.loc[0, "avg_logprob"] > pdf.loc[1, "avg_logprob"]
