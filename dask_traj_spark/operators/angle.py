@@ -155,3 +155,164 @@ def _vectorized_angles(traj, arr: np.ndarray, periodic: bool) -> DataFrame:
             )
 
     return packed.mapInPandas(gen, schema=schemas.ANGLES_SCHEMA)
+
+
+def compute_dihedrals(
+    traj,
+    quartets: Iterable,
+    periodic: bool = True,
+    form: str = "auto",
+    n_atoms: int | None = None,
+    _round6_double: bool = False,
+) -> DataFrame:
+    """Signed torsion angle of each (i, j, k, l) quartet →
+    (frame_id, quartet_id, dihedral_rad FLOAT) in (-π, π].
+
+    Beyond-reference (the reference stops at angles; this matches the
+    public mdtraj ``compute_dihedrals`` semantics): with
+    b1 = r_j−r_i, b2 = r_k−r_j, b3 = r_l−r_k (each MIC'd when
+    periodic), dihedral = atan2(|b2|·(b1·(b2×b3)), (b1×b2)·(b2×b3)).
+
+    SQL plan shape: the angles stitch widened to four roles — ONE
+    broadcast of the quartet table onto the j-atom rows, then three
+    (frame, atom) joins; every cross/dot product is a codegen'd
+    column expression (products of dyadic-grid displacement
+    components stay exact, so only the final atan2 is
+    transcendental).  Vectorized form: numpy kernel over packed
+    frame blocks, shuffle-free."""
+    arr = _normalize_indices(quartets, 4, n_atoms or traj.n_atoms, "quartets")
+    if len(arr) == 0:
+        return traj.spark.createDataFrame(
+            [], "frame_id long, quartet_id int, dihedral_rad float"
+        )
+    if form == "auto":
+        form = "vectorized" if len(arr) >= _VECTORIZED_THRESHOLD else "sql"
+    if form == "vectorized":
+        return _vectorized_dihedrals(traj, arr, periodic)
+
+    from dask_traj_spark.operators.distance import _atom_role_restrict, _with_box
+    from dask_traj_spark.operators.mic import BOX_COLS, add_mic_displacement
+
+    use_box = periodic and traj.have_unitcell
+    spark = traj.spark
+    quart = F.broadcast(_pairs_df(spark, arr, ["quartet_id", "i", "j", "k", "l"]))
+
+    def role(ids, suffix, frame_col):
+        return _atom_role_restrict(traj.coords, ids).select(
+            F.col("frame_id").alias(frame_col),
+            F.col("atom_id").alias(f"_a{suffix}"),
+            F.col("x").cast("double").alias(f"x{suffix}"),
+            F.col("y").cast("double").alias(f"y{suffix}"),
+            F.col("z").cast("double").alias(f"z{suffix}"),
+        )
+
+    cj = role(arr[:, 1], "j", "frame_id")
+    ci = role(arr[:, 0], "i", "_fi")
+    ck = role(arr[:, 2], "k", "_fk")
+    cl = role(arr[:, 3], "l", "_fl")
+    df = (
+        cj.join(quart, F.col("_aj") == F.col("j"))
+        .join(ci, (F.col("_ai") == F.col("i")) & (F.col("_fi") == F.col("frame_id")))
+        .join(ck, (F.col("_ak") == F.col("k")) & (F.col("_fk") == F.col("frame_id")))
+        .join(cl, (F.col("_al") == F.col("l")) & (F.col("_fl") == F.col("frame_id")))
+        .select(
+            "frame_id", "quartet_id",
+            "xi", "yi", "zi", "xj", "yj", "zj",
+            "xk", "yk", "zk", "xl", "yl", "zl",
+        )
+    )
+    df = df.withColumns(
+        {
+            "b1x": F.col("xj") - F.col("xi"),
+            "b1y": F.col("yj") - F.col("yi"),
+            "b1z": F.col("zj") - F.col("zi"),
+            "b2x": F.col("xk") - F.col("xj"),
+            "b2y": F.col("yk") - F.col("yj"),
+            "b2z": F.col("zk") - F.col("zj"),
+            "b3x": F.col("xl") - F.col("xk"),
+            "b3y": F.col("yl") - F.col("yk"),
+            "b3z": F.col("zl") - F.col("zk"),
+        }
+    )
+    if use_box:
+        df = _with_box(traj, df)
+        for pre in ("b1", "b2", "b3"):
+            df = add_mic_displacement(
+                df, f"{pre}x", f"{pre}y", f"{pre}z",
+                out=(f"m{pre}x", f"m{pre}y", f"m{pre}z"),
+            )
+        df = df.drop("_ortho", *BOX_COLS)
+        df = df.drop(*[f"{p}{c}" for p in ("b1", "b2", "b3") for c in "xyz"])
+        df = df.withColumnsRenamed(
+            {f"m{p}{c}": f"{p}{c}" for p in ("b1", "b2", "b3") for c in "xyz"}
+        )
+    # cross products as explicit exact-rounded column expressions
+    df = df.withColumns(
+        {
+            # c23 = b2 × b3
+            "c23x": F.col("b2y") * F.col("b3z") - F.col("b2z") * F.col("b3y"),
+            "c23y": F.col("b2z") * F.col("b3x") - F.col("b2x") * F.col("b3z"),
+            "c23z": F.col("b2x") * F.col("b3y") - F.col("b2y") * F.col("b3x"),
+            # c12 = b1 × b2
+            "c12x": F.col("b1y") * F.col("b2z") - F.col("b1z") * F.col("b2y"),
+            "c12y": F.col("b1z") * F.col("b2x") - F.col("b1x") * F.col("b2z"),
+            "c12z": F.col("b1x") * F.col("b2y") - F.col("b1y") * F.col("b2x"),
+        }
+    )
+    sq = lambda c: F.col(c) * F.col(c)  # noqa: E731
+    b2n = F.sqrt(sq("b2x") + sq("b2y") + sq("b2z"))
+    y = b2n * (
+        F.col("b1x") * F.col("c23x")
+        + F.col("b1y") * F.col("c23y")
+        + F.col("b1z") * F.col("c23z")
+    )
+    x = (
+        F.col("c12x") * F.col("c23x")
+        + F.col("c12y") * F.col("c23y")
+        + F.col("c12z") * F.col("c23z")
+    )
+    # public output is float32 (consistent with angles); the oracle-
+    # parity wrapper keeps double + round(6) instead — the standard
+    # transcendental-protection policy (queries.py docstring item 3):
+    # y and x are EXACT doubles (products of dyadic grid values), so
+    # only atan2's last-ulp can differ between engines, and round-6
+    # collapses it.
+    out = (
+        F.round(F.atan2(y, x), 6)
+        if _round6_double
+        else F.atan2(y, x).cast("float")
+    )
+    return df.select(
+        "frame_id",
+        "quartet_id",
+        out.alias("dihedral_rad"),
+    )
+
+
+def _vectorized_dihedrals(traj, arr: np.ndarray, periodic: bool) -> DataFrame:
+    import pandas as pd
+
+    sel = np.unique(arr)
+    packed, lookup = _packed_input(traj, periodic, atoms=sel)
+    sc = traj.spark.sparkContext
+    b = sc.broadcast(np.searchsorted(sel, arr).astype(np.int32))
+    b_lookup = sc.broadcast(lookup)
+
+    def gen(batches):
+        q = b.value
+        qi, qj, qk, ql = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        for block in _iter_frame_blocks(batches):
+            fids, xyz, box, ortho = _block_arrays(block, b_lookup.value)
+            d = kernels.dihedrals_np(xyz, qi, qj, qk, ql, box, ortho)
+            n_q = d.shape[1]
+            yield pd.DataFrame(
+                {
+                    "frame_id": np.repeat(fids, n_q),
+                    "quartet_id": np.tile(np.arange(n_q, dtype=np.int32), len(fids)),
+                    "dihedral_rad": d.reshape(-1),
+                }
+            )
+
+    return packed.mapInPandas(
+        gen, "frame_id long, quartet_id int, dihedral_rad float"
+    )

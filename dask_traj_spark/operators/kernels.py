@@ -109,3 +109,18 @@ def angles_np(xyz, trip_i, trip_j, trip_k, box=None, orthogonal=None) -> np.ndar
 def is_orthogonal_np(angles_deg: np.ndarray, tol: float = 1e-5) -> np.ndarray:
     """(B, 3) degrees → (B,) bool, allclose(angles, 90)."""
     return (np.abs(angles_deg - 90.0) < tol).all(axis=-1)
+
+
+def dihedrals_np(xyz, q_i, q_j, q_k, q_l, box=None, orthogonal=None) -> np.ndarray:
+    """Signed torsion of each (i,j,k,l) quartet → (B, Q) float32
+    radians in (-π, π].  mdtraj-style atan2 formulation (public
+    ``geometry.dihedral``): b1 = r_j−r_i, b2 = r_k−r_j, b3 = r_l−r_k
+    (each MIC'd), angle = atan2(|b2|·(b1·(b2×b3)), (b1×b2)·(b2×b3))."""
+    b1 = displacements_np(xyz, q_i, q_j, box, orthogonal).astype(np.float64)
+    b2 = displacements_np(xyz, q_j, q_k, box, orthogonal).astype(np.float64)
+    b3 = displacements_np(xyz, q_k, q_l, box, orthogonal).astype(np.float64)
+    c23 = np.cross(b2, b3)
+    c12 = np.cross(b1, b2)
+    y = np.sqrt((b2 ** 2).sum(-1)) * (b1 * c23).sum(-1)
+    x = (c12 * c23).sum(-1)
+    return np.arctan2(y, x).astype(np.float32)

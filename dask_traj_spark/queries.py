@@ -83,6 +83,7 @@ _SCORING_TAIL = [
     "r5_semi_anti_join",
     "r6_intersect_status",
     "r7_regional_revenue",
+    "r8_cube_quantities",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -2001,3 +2001,67 @@ def q_char_bigram_logprob(spark, sf_dir):
     from dask_traj_spark.functions.text import char_bigram_logprob
 
     return char_bigram_logprob(_docs(spark, sf_dir))
+
+
+def _dihedral_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    n = 10  # quartets from the first 10 atoms
+    return f"""
+WITH {COORDS_CTE.strip()},
+quartets AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY i.a, j.b, k.c, l.d) - 1 AS INT) AS quartet_id,
+           CAST(i.a AS INT) AS i, CAST(j.b AS INT) AS j,
+           CAST(k.c AS INT) AS k, CAST(l.d AS INT) AS l
+    FROM range({n}) i(a), range({n}) j(b), range({n}) k(c), range({n}) l(d)
+    WHERE i.a < j.b AND j.b < k.c AND k.c < l.d
+),
+c10 AS (SELECT * FROM coords WHERE atom_id < {n}),
+legs AS (
+    SELECT cj.frame_id, q.quartet_id,
+           cj.x - ci.x AS b1x, cj.y - ci.y AS b1y, cj.z - ci.z AS b1z,
+           ck.x - cj.x AS b2x, ck.y - cj.y AS b2y, ck.z - cj.z AS b2z,
+           cl.x - ck.x AS b3x, cl.y - ck.y AS b3y, cl.z - ck.z AS b3z
+    FROM quartets q
+    JOIN c10 ci ON ci.atom_id = q.i
+    JOIN c10 cj ON cj.atom_id = q.j AND cj.frame_id = ci.frame_id
+    JOIN c10 ck ON ck.atom_id = q.k AND ck.frame_id = ci.frame_id
+    JOIN c10 cl ON cl.atom_id = q.l AND cl.frame_id = ci.frame_id
+),
+cr AS (
+    SELECT frame_id, quartet_id, b1x, b1y, b1z, b2x, b2y, b2z,
+           b2y*b3z - b2z*b3y AS c23x,
+           b2z*b3x - b2x*b3z AS c23y,
+           b2x*b3y - b2y*b3x AS c23z,
+           b1y*b2z - b1z*b2y AS c12x,
+           b1z*b2x - b1x*b2z AS c12y,
+           b1x*b2y - b1y*b2x AS c12z
+    FROM legs
+)
+SELECT frame_id, quartet_id,
+       round(atan2(
+           sqrt(b2x*b2x + b2y*b2y + b2z*b2z)
+               * (b1x*c23x + b1y*c23y + b1z*c23z),
+           c12x*c23x + c12y*c23y + c12z*c23z
+       ), 6) AS dihedral_rad
+FROM cr
+"""
+
+
+@register("x8_dihedrals", _dihedral_oracle())
+def q_dihedrals(spark, sf_dir):
+    """Signed torsions over all C(10,4)=210 quartets of the first 10
+    atoms — the angles stitch widened to four roles. Non-periodic;
+    every cross/dot is an exact product of dyadic-grid displacements,
+    so only atan2 is transcendental (round-6 double, policy item 3)."""
+    import itertools
+
+    from dask_traj_spark.operators.angle import compute_dihedrals
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    quartets = list(itertools.combinations(range(10), 4))
+    return compute_dihedrals(
+        traj, quartets, periodic=False, form="sql", n_atoms=10,
+        _round6_double=True,
+    )

@@ -43,3 +43,58 @@ def test_empty_triplets(traj_nocell):
 def test_invalid_triplets_raise(traj_nocell):
     with pytest.raises(ValueError):
         compute_angles(traj_nocell, np.array([[0, 1, 999999]]))
+
+
+class TestDihedrals:
+    def test_known_geometries(self, spark):
+        """cis (eclipsed) = 0, trans (anti) = pi, and the two
+        gauche signs are opposite."""
+        from dask_traj_spark.operators.angle import compute_dihedrals
+        from dask_traj_spark.trajectory import Trajectory
+
+        # frame 0: trans (zig-zag in a plane); frame 1: cis
+        rows = [
+            # trans: i=(0,1,0) j=(0,0,0) k=(1,0,0) l=(1,-1,0)
+            (0, 0, 0.0, 1.0, 0.0), (0, 1, 0.0, 0.0, 0.0),
+            (0, 2, 1.0, 0.0, 0.0), (0, 3, 1.0, -1.0, 0.0),
+            # cis: l up on the same side as i
+            (1, 0, 0.0, 1.0, 0.0), (1, 1, 0.0, 0.0, 0.0),
+            (1, 2, 1.0, 0.0, 0.0), (1, 3, 1.0, 1.0, 0.0),
+            # +gauche: l out of plane
+            (2, 0, 0.0, 1.0, 0.0), (2, 1, 0.0, 0.0, 0.0),
+            (2, 2, 1.0, 0.0, 0.0), (2, 3, 1.0, 0.5, 0.5),
+            # -gauche: mirrored
+            (3, 0, 0.0, 1.0, 0.0), (3, 1, 0.0, 0.0, 0.0),
+            (3, 2, 1.0, 0.0, 0.0), (3, 3, 1.0, 0.5, -0.5),
+        ]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        traj = Trajectory(coords)
+        pdf = (
+            compute_dihedrals(traj, [(0, 1, 2, 3)], periodic=False, form="sql")
+            .toPandas().set_index("frame_id").sort_index()["dihedral_rad"]
+        )
+        assert abs(abs(pdf[0]) - np.pi) < 1e-6  # trans
+        assert abs(pdf[1]) < 1e-6  # cis
+        assert abs(pdf[2] + pdf[3]) < 1e-6 and abs(pdf[2]) > 0.3  # gauche signs
+
+    def test_sql_and_vectorized_agree(self, spark, traj_nocell):
+        import itertools
+
+        from dask_traj_spark.operators.angle import compute_dihedrals
+
+        quartets = list(itertools.combinations(range(8), 4))
+        a = (
+            compute_dihedrals(traj_nocell, quartets, periodic=False, form="sql")
+            .toPandas().sort_values(["frame_id", "quartet_id"])
+        )
+        b = (
+            compute_dihedrals(
+                traj_nocell, quartets, periodic=False, form="vectorized"
+            )
+            .toPandas().sort_values(["frame_id", "quartet_id"])
+        )
+        np.testing.assert_allclose(
+            a["dihedral_rad"].to_numpy(), b["dihedral_rad"].to_numpy(), atol=2e-5
+        )

@@ -32,7 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r8_cube_quantities",
     "r9_rich_inactive_customers",
     "r10_small_qty_revenue",
     "r11_promo_share_by_month",
@@ -65,6 +64,7 @@ MUST_SCORE_R4 = [
     "x7_superpose_contract",
     "e6_cohort_retention",
     "t9_char_bigram_logprob",
+    "x8_dihedrals",
 ]
 
 
