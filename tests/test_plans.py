@@ -441,3 +441,24 @@ def test_q21_shape_no_lineitem_rescan_per_exists(spark):
     a = audit(q_r33(spark, "/root/testdata/sf0.001"))
     assert a.n_broadcast_joins >= 1, a.text
     assert "CartesianProduct" not in a.text, a.text
+
+
+def test_q4_shape_semi_join_carries_range_predicate(spark):
+    """r23 (TPC-H Q4 shape): the EXISTS runs as ONE left-semi join
+    (equality + range in the same join), not a correlated rescan."""
+    from dask_traj_spark.queries_relational3 import q_r23
+
+    a = audit(q_r23(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in a.text, a.text
+    total_joins = a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffledhash_joins
+    assert total_joins == 1, a.text
+
+
+def test_q13_left_join_not_converted_to_inner(spark):
+    """r30 (TPC-H Q13 shape): the non-key predicate lives in the
+    join condition, so zero-order customers must survive — assert
+    the plan keeps an outer join."""
+    from dask_traj_spark.queries_relational3 import q_r30
+
+    a = audit(q_r30(spark, "/root/testdata/sf0.001"))
+    assert "LeftOuter" in a.text or "RightOuter" in a.text, a.text

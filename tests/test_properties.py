@@ -181,3 +181,58 @@ def test_xtc_codec_roundtrip_random_walks(tmp_path_factory, n_atoms, seed, walk)
     q1 = np.round(xyz.astype(np.float64) * 1000).astype(np.int64)
     q2 = np.round(got.astype(np.float64) * 1000).astype(np.int64)
     assert (q1 == q2).all()
+
+
+# ---------------------------------------------------------------- PNG
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2 ** 31),
+)
+def test_png_codec_roundtrip_random(w, h, ch, seed):
+    """encode_png → decode_png is the identity for any 8-bit image
+    shape; heights ≥ 5 exercise every scanline filter type."""
+    from dask_traj_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    ww, hh, cc, out = decode_png(encode_png(w, h, px, ch))
+    assert (ww, hh, cc) == (w, h, ch)
+    assert out.tobytes() == px
+
+
+# ------------------------------------------------------ seq packing
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2 ** 31),
+    n_docs=st.integers(1, 80),
+    budget=st.sampled_from([16, 64, 257]),
+)
+def test_pack_sequences_invariants(spark, seed, n_docs, budget):
+    """Distributed prefix sum == single-threaded reference: contiguous
+    token ranges, bin arithmetic consistent, total conserved."""
+    from dask_traj_spark.operators.curation import pack_sequences
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), " ".join("t" for _ in range(int(rng.integers(1, 3 * budget)))))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = pack_sequences(docs, budget=budget, order_mode="mult").toPandas()
+    A, M = 2654435761, 2 ** 32
+    pdf["ord"] = (pdf["doc_id"] * A) % M
+    pdf = pdf.sort_values(["ord", "doc_id"]).reset_index(drop=True)
+    cum = 0
+    for r in pdf.itertuples():
+        assert r.start_seq == cum // budget
+        assert r.offset == cum % budget
+        assert r.n_seqs == (cum + r.n_tokens - 1) // budget - cum // budget + 1
+        cum += r.n_tokens
+    assert cum == pdf["n_tokens"].sum()
