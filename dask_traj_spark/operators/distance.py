@@ -672,3 +672,51 @@ def neighbor_pairs(traj, cutoff: float, n_atoms: int | None = None) -> DataFrame
         cand.select("frame_id", "i", "j", dist.alias("dist"))
         .where(F.col("dist") <= F.lit(float(cutoff)).cast("float"))
     )
+
+
+def mean_squared_displacement(traj, max_lag: int) -> DataFrame:
+    """MSD(τ) = ⟨|r(t+τ) − r(t)|²⟩ over atoms and start frames, for
+    τ = 1..max_lag → (lag BIGINT, n_samples BIGINT, msd DOUBLE) —
+    the diffusion analysis every MD workflow runs.
+
+    Plan shape: a BANDED time-lag self-join — one side explodes its
+    ``max_lag`` target frames (O(rows·L), L small), the other joins
+    on the (atom_id, frame_id) equi-key; partial+final average per
+    lag.  No per-lag rescan of the trajectory and no all-(t,t')
+    quadratic join — the explode bounds the band exactly like the
+    binned range join in rangejoin.py."""
+    c = traj.coords.select(
+        "atom_id",
+        "frame_id",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        F.col("z").cast("double").alias("z"),
+    )
+    lags = F.sequence(F.lit(1), F.lit(int(max_lag)))
+    origin = c.select(
+        "atom_id",
+        "x", "y", "z",
+        F.explode(lags).alias("lag"),
+        (F.col("frame_id") + F.col("lag")).alias("tf"),
+    )
+    target = c.select(
+        F.col("atom_id").alias("t_atom"),
+        F.col("frame_id").alias("t_frame"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("z").alias("z2"),
+    )
+    dx = F.col("x2") - F.col("x")
+    dy = F.col("y2") - F.col("y")
+    dz = F.col("z2") - F.col("z")
+    return (
+        origin.join(
+            target,
+            (F.col("atom_id") == F.col("t_atom")) & (F.col("tf") == F.col("t_frame")),
+        )
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.avg(dx * dx + dy * dy + dz * dz).alias("msd"),
+        )
+    )

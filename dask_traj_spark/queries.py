@@ -84,6 +84,7 @@ _SCORING_TAIL = [
     "r6_intersect_status",
     "r7_regional_revenue",
     "r8_cube_quantities",
+    "r9_rich_inactive_customers",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -2065,3 +2065,34 @@ def q_dihedrals(spark, sf_dir):
         traj, quartets, periodic=False, form="sql", n_atoms=10,
         _round6_double=True,
     )
+
+
+def _msd_oracle(max_lag: int) -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()}
+SELECT CAST(c2.frame_id - c1.frame_id AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       avg((c2.x-c1.x)*(c2.x-c1.x) + (c2.y-c1.y)*(c2.y-c1.y)
+           + (c2.z-c1.z)*(c2.z-c1.z)) AS msd
+FROM coords c1
+JOIN coords c2 ON c2.atom_id = c1.atom_id
+              AND c2.frame_id > c1.frame_id
+              AND c2.frame_id <= c1.frame_id + {max_lag}
+GROUP BY c2.frame_id - c1.frame_id
+ORDER BY lag
+"""
+
+
+@register("x9_msd", _msd_oracle(8))
+def q_msd(spark, sf_dir):
+    """Mean squared displacement vs time lag (diffusion curve) via
+    the banded time-lag self-join. Squared displacements of dyadic
+    grid coords are exact, so the per-lag average is partial-agg-
+    order independent."""
+    from dask_traj_spark.operators.distance import mean_squared_displacement
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return mean_squared_displacement(traj, max_lag=8).orderBy("lag")

@@ -864,3 +864,28 @@ class TestCharBigramLogprob:
         )
         pdf = char_bigram_logprob(docs).toPandas().set_index("doc_id")
         assert pdf.loc[0, "avg_logprob"] > pdf.loc[1, "avg_logprob"]
+
+
+class TestMSD:
+    def test_linear_drift_quadratic_in_lag(self, spark):
+        """Constant-velocity drift: MSD(τ) = |v|²·τ² exactly."""
+        from dask_traj_spark.operators.distance import mean_squared_displacement
+        from dask_traj_spark.trajectory import Trajectory
+
+        v = np.array([0.5, -0.25, 0.125])
+        rows = [
+            (f, a, float(a + v[0] * f), float(v[1] * f), float(v[2] * f))
+            for f in range(10)
+            for a in range(5)
+        ]
+        coords = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        pdf = (
+            mean_squared_displacement(Trajectory(coords), max_lag=4)
+            .toPandas().set_index("lag").sort_index()
+        )
+        v2 = float((v ** 2).sum())
+        for lag in range(1, 5):
+            np.testing.assert_allclose(pdf.loc[lag, "msd"], v2 * lag * lag, rtol=1e-12)
+            assert pdf.loc[lag, "n_samples"] == 5 * (10 - lag)

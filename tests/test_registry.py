@@ -32,7 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r9_rich_inactive_customers",
     "r10_small_qty_revenue",
     "r11_promo_share_by_month",
     "r12_shipping_priority",
@@ -65,6 +64,7 @@ MUST_SCORE_R4 = [
     "e6_cohort_retention",
     "t9_char_bigram_logprob",
     "x8_dihedrals",
+    "x9_msd",
 ]
 
 
