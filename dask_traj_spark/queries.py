@@ -85,6 +85,7 @@ _SCORING_TAIL = [
     "r7_regional_revenue",
     "r8_cube_quantities",
     "r9_rich_inactive_customers",
+    "r10_small_qty_revenue",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -2096,3 +2096,41 @@ def q_msd(spark, sf_dir):
 
     traj = trajectory_from_embeddings(spark, sf_dir)
     return mean_squared_displacement(traj, max_lag=8).orderBy("lag")
+
+
+@register("sx2_stream_exact_dedup_twin", _D1_ORACLE)
+def q_stream_exact_dedup_twin(spark, sf_dir):
+    """Streaming exact dedup vs the SQL value oracle directly: replay
+    the corpus in three deterministic micro-batches through the
+    foreachBatch body (per-batch mergeable partials, batch_id-
+    partitioned state, dynamic-overwrite replay idempotence) — the
+    merged state must equal d1's full-corpus answer VALUE-FOR-VALUE
+    (not just a contract row; the partial agg is associative, so the
+    stream and the one-pass batch are bit-identical)."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.streaming.dedup import (
+        exact_dedup_state,
+        process_exact_dedup_batch,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sx2_exact_twin_")
+    state = f"{work}/state"
+    try:
+        for b in range(3):
+            process_exact_dedup_batch(
+                docs.where(F.col("doc_id") % 3 == b), b, state
+            )
+        # simulate a crash-replay of the middle batch: the partition
+        # is rewritten in place and the merge must not double-count
+        process_exact_dedup_batch(
+            docs.where(F.col("doc_id") % 3 == 1), 1, state
+        )
+        out = exact_dedup_state(spark, state)
+        # materialize before the tempdir vanishes
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "h string, keep_id long, n long")

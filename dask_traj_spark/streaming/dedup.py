@@ -187,3 +187,36 @@ def stream_neardup_minhash(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------- exact dedup
+
+
+def process_exact_dedup_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str, text_col: str = "text"
+) -> None:
+    """foreachBatch body for incremental EXACT dedup: write this
+    batch's partial groups (h, keep_id, n) into a batch_id-
+    partitioned state table.  The partial depends only on the
+    batch's own rows and dynamic partition overwrite replaces the
+    partition wholesale, so crash-replay is idempotent by
+    construction — a strictly simpler exactly-once story than the
+    near-dup loop above (no cross-batch reads at write time at all).
+    """
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    partial = batch_df.groupBy(h.alias("h")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    _overwrite_batch_partition(partial, state_dir, batch_id)
+
+
+def exact_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Global exact-dedup view over every batch partial: (h, keep_id,
+    n) with keep_id = min over batches, n = sum — the associative
+    merge, identical to running the batch operator over the full
+    corpus (gated by sx2 against d1's value oracle)."""
+    st = spark.read.parquet(state_dir).drop("batch_id")
+    return st.groupBy("h").agg(
+        F.min("keep_id").alias("keep_id"), F.sum("n").alias("n")
+    )

@@ -32,7 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r10_small_qty_revenue",
     "r11_promo_share_by_month",
     "r12_shipping_priority",
     "r13_nation_volume",
@@ -65,6 +64,7 @@ MUST_SCORE_R4 = [
     "t9_char_bigram_logprob",
     "x8_dihedrals",
     "x9_msd",
+    "sx2_stream_exact_dedup_twin",
 ]
 
 

@@ -668,3 +668,35 @@ def test_stream_neardup_minhash_incremental(spark, tmp_path_factory):
     toks = spark.read.parquet(f"{state}/tokens")
     assert toks.select("doc_id").distinct().count() == 3
     assert toks.groupBy("doc_id", "tid").count().where("count > 1").count() == 0
+
+
+def test_stream_exact_dedup_replay_idempotent(spark, tmp_path):
+    """Replaying ANY batch (first, middle, last — even repeatedly)
+    leaves the merged exact-dedup state identical to the one-pass
+    batch answer: the per-batch partial depends only on its own rows
+    and dynamic overwrite replaces the partition wholesale."""
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.operators.dedup import exact_duplicates
+    from dask_traj_spark.streaming.dedup import (
+        exact_dedup_state,
+        process_exact_dedup_batch,
+    )
+
+    rows = [
+        (0, "alpha beta"), (1, "alpha beta"), (2, "gamma"),
+        (3, "delta"), (4, "gamma"), (5, "epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    for b in range(3):
+        process_exact_dedup_batch(docs.where(F.col("doc_id") % 3 == b), b, state)
+    # replay storm: batch 0 twice, batch 2 once more
+    process_exact_dedup_batch(docs.where(F.col("doc_id") % 3 == 0), 0, state)
+    process_exact_dedup_batch(docs.where(F.col("doc_id") % 3 == 0), 0, state)
+    process_exact_dedup_batch(docs.where(F.col("doc_id") % 3 == 2), 2, state)
+
+    got = exact_dedup_state(spark, state).toPandas().set_index("h").sort_index()
+    want = exact_duplicates(docs).toPandas().set_index("h").sort_index()
+    assert (got["keep_id"] == want["keep_id"]).all()
+    assert (got["n"] == want["n"]).all()
