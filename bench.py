@@ -234,7 +234,20 @@ def main() -> None:
         _noop(exact_duplicates(docs10))
         scale["d1_exact_dedup_10x"] = round(time.time() - t0, 3)
 
+        # 10x sequence packing: the distributed prefix sum's scale
+        # evidence (range partition -> local cumsum -> offsets) —
+        # the step that WOULD degenerate if it were a global window
+        from dask_traj_spark.operators.curation import pack_sequences
+
+        t0 = time.time()
+        _noop(pack_sequences(docs10, budget=512, order_mode="mult"))
+        scale["c4_sequence_packing_10x"] = round(time.time() - t0, 3)
+
         scale["linearity"] = {
+            "c4_sequence_packing": round(
+                scale["c4_sequence_packing_10x"]
+                / (10 * times["c4_sequence_packing"]), 2
+            ),
             "canonical_onepass": round(
                 scale["canonical_onepass_10x"] / (10 * times["canonical_onepass"]), 2
             ),
