@@ -483,3 +483,202 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
+
+
+# ------------------------------------------------- real video (AVI)
+
+
+def encode_avi(width: int, height: int, frame_pixels: list, fps: int = 10) -> bytes:
+    """Build a real uncompressed AVI (RIFF 'AVI ' container: LIST
+    hdrl with avih/strh/strf headers, LIST movi with one '00db'
+    raw-DIB chunk per frame).  Each frame's pixels are the TOP-DOWN
+    flat 24-bit byte string; stored bottom-up with 4-byte row stride
+    like any DIB.  Pure ``struct`` — this is the video twin of
+    ``encode_bmp``."""
+    row = width * 3
+    stride = (row + 3) & ~3
+    frame_size = stride * height
+
+    def dib(pixels: bytes) -> bytes:
+        need = row * height
+        px = pixels[:need] + b"\x00" * max(0, need - len(pixels))
+        return b"".join(
+            px[r * row : (r + 1) * row] + b"\x00" * (stride - row)
+            for r in reversed(range(height))
+        )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(frame_pixels)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_size, 0xFFFFFFFF, 0, 0, 0, int(width), int(height),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", dib(p)) for p in frame_pixels))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes):
+    """Parse an uncompressed 24-bit AVI → (width, height, n_frames,
+    list of top-down flat frame pixel arrays).  Walks the RIFF tree
+    properly (LIST recursion, word alignment), reads dimensions from
+    the avih header, and un-DIBs every '00db' chunk (stride strip +
+    row flip) — a REAL container+frame decoder in pure stdlib, the
+    plumbing a PyAV-backed extractor would slot into unchanged."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = None
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", data, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                hdr = struct.unpack_from("<14I", data, body_start)
+                width, height = hdr[8], hdr[9]
+            elif cid == b"00db":
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if width is None or height is None:
+        raise ValueError("AVI missing avih header")
+    row = width * 3
+    stride = (row + 3) & ~3
+    out = []
+    for body in frames:
+        raw = np.frombuffer(body, dtype=np.uint8, count=stride * height).reshape(
+            height, stride
+        )
+        out.append(np.ascontiguousarray(raw[::-1, :row]).reshape(-1))
+    return width, height, len(out), out
+
+
+AVI_WIDTH = 4
+AVI_HEIGHT = 2
+AVI_FRAMES = 3  # 3 frames x (4*3*2) = 72 payload bytes per doc
+
+
+def attach_payload_avi(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's UTF-8 byte head as a REAL 3-frame
+    uncompressed AVI (``AVI_WIDTH``×``AVI_HEIGHT`` 24-bit, frame f's
+    pixels = text bytes [24f, 24f+24), zero-padded) — decoded
+    content predictable from the text, so container walk + frame
+    extraction + DIB decode are oracle-checkable end to end."""
+    import pandas as pd
+
+    per = AVI_WIDTH * 3 * AVI_HEIGHT
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")
+                frames = [
+                    b[f * per : (f + 1) * per] for f in range(AVI_FRAMES)
+                ]
+                payloads.append(encode_avi(AVI_WIDTH, AVI_HEIGHT, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "video/avi",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AVI_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, frame_bytes binary"
+)
+
+
+def decode_avi_frames(media: DataFrame) -> DataFrame:
+    """Real video frame extraction: one output row per decoded frame
+    (top-down raw pixels), Arrow-batched ``mapInPandas`` explode —
+    ``frame_sample``'s plumbing with an actual container/codec in
+    the middle."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_doc, out_idx, out_w, out_h, out_b = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, n, frames = decode_avi(bytes(buf))
+                for f, px in enumerate(frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(f)
+                    out_w.append(w)
+                    out_h.append(h)
+                    out_b.append(px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "width": out_w,
+                    "height": out_h,
+                    "frame_bytes": out_b,
+                }
+            )
+
+    return media.mapInPandas(gen, AVI_FRAMES_SCHEMA)
+
+
+def attach_payload_wav(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's UTF-8 byte head as a REAL PCM-16 WAV
+    (32 mono samples, sample i = (byte_i − 128)·256, zero for
+    missing bytes) — decoded content predictable from the text, the
+    audio twin of ``attach_payload_bmp``."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")[:32]
+                s = np.zeros(32, dtype=np.int16)
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+                s[: len(arr)] = ((arr - 128) * 256).astype(np.int16)
+                payloads.append(encode_wav(s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "audio/wav",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)

@@ -86,6 +86,8 @@ _SCORING_TAIL = [
     "r8_cube_quantities",
     "r9_rich_inactive_customers",
     "r10_small_qty_revenue",
+    "r11_promo_share_by_month",
+    "r12_shipping_priority",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

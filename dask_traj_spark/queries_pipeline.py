@@ -2134,3 +2134,110 @@ def q_stream_exact_dedup_twin(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, "h string, keep_id long, n long")
+
+
+def _m5_oracle() -> str:
+    # per (doc, frame): frame f's pixels are text bytes [24f, 24f+24);
+    # stats over the first 8 of them (0 past end-of-text)
+    b = lambda i: (  # noqa: E731
+        f"CASE WHEN nb >= 24*f.frame_idx + {i} "
+        f"THEN ord(substr(text, 24*f.frame_idx + {i}, 1)) ELSE 0 END"
+    )
+    cols = [b(i) for i in range(1, 9)]
+    total = " + ".join(cols)
+    least = "least(" + ", ".join(cols) + ")"
+    greatest = "greatest(" + ", ".join(cols) + ")"
+    return f"""
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+)
+SELECT m.doc_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+       CAST({total} AS BIGINT) AS head_sum,
+       CAST({least} AS BIGINT) AS head_min,
+       CAST({greatest} AS BIGINT) AS head_max
+FROM m CROSS JOIN range(3) f(frame_idx)
+"""
+
+
+@register("m5_decode_avi_frames", _m5_oracle())
+def q_decode_avi_frames(spark, sf_dir):
+    """REAL video pipeline end to end: text bytes → uncompressed AVI
+    (RIFF container, 3 raw-DIB frames) → container walk + per-frame
+    DIB decode (stride strip, row flip) → per-frame byte-head stats.
+    The oracle predicts every frame's decoded pixels from the text —
+    a decoder that misparsed the RIFF tree or forgot the row flip
+    hash-fails on every frame past the first byte row."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_avi,
+        decode_avi_frames,
+    )
+
+    frames = decode_avi_frames(attach_payload_avi(_docs(spark, sf_dir)))
+    # byte i of the binary column, JVM-side: two hex chars -> BIGINT
+    head = F.expr(
+        "transform(sequence(0, 7), "
+        "i -> CAST(conv(substring(hex(frame_bytes), 2*i + 1, 2), 16, 10) AS BIGINT))"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.aggregate(head, F.lit(0).cast("long"), lambda a, x: a + x).alias("head_sum"),
+        F.array_min(head).alias("head_min"),
+        F.array_max(head).alias("head_max"),
+    )
+
+
+_M6_ORACLE = """
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CASE WHEN nb >= 1 THEN (ord(substr(text, 1, 1)) - 128) * 256 ELSE 0 END AS s1,
+           CASE WHEN nb >= 2 THEN (ord(substr(text, 2, 1)) - 128) * 256 ELSE 0 END AS s2,
+           CASE WHEN nb >= 3 THEN (ord(substr(text, 3, 1)) - 128) * 256 ELSE 0 END AS s3,
+           CASE WHEN nb >= 4 THEN (ord(substr(text, 4, 1)) - 128) * 256 ELSE 0 END AS s4,
+           CASE WHEN nb >= 5 THEN (ord(substr(text, 5, 1)) - 128) * 256 ELSE 0 END AS s5,
+           CASE WHEN nb >= 6 THEN (ord(substr(text, 6, 1)) - 128) * 256 ELSE 0 END AS s6,
+           CASE WHEN nb >= 7 THEN (ord(substr(text, 7, 1)) - 128) * 256 ELSE 0 END AS s7,
+           CASE WHEN nb >= 8 THEN (ord(substr(text, 8, 1)) - 128) * 256 ELSE 0 END AS s8
+    FROM m
+)
+SELECT doc_id,
+       CAST(32 AS INT) AS n_frames,
+       CAST(1 AS INT) AS channels,
+       CAST(s1+s2+s3+s4+s5+s6+s7+s8 AS BIGINT) AS samp_sum,
+       CAST(least(s1,s2,s3,s4,s5,s6,s7,s8) AS BIGINT) AS samp_min,
+       CAST(greatest(s1,s2,s3,s4,s5,s6,s7,s8) AS BIGINT) AS samp_max
+FROM f
+"""
+
+
+@register("m6_decode_wav", _M6_ORACLE)
+def q_decode_wav(spark, sf_dir):
+    """REAL audio path gate: text byte head → PCM-16 WAV (proper
+    RIFF chunks) → decode_wav → sample-head stats. Sample values
+    (b−128)·256 round-trip float32 exactly (|s| ≤ 32512 and the
+    /32768 scaling is dyadic), so the stats are exact integers."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_wav,
+        decode_and_featurize,
+    )
+
+    decoded = decode_and_featurize(
+        attach_payload_wav(_docs(spark, sf_dir)), strict=True
+    )
+    sb = F.transform("features", lambda f: F.round(f * 32768, 0).cast("long"))
+    return decoded.select(
+        "doc_id",
+        F.col("width").alias("n_frames"),
+        "channels",
+        F.aggregate(sb, F.lit(0).cast("long"), lambda a, x: a + x).alias("samp_sum"),
+        F.array_min(sb).alias("samp_min"),
+        F.array_max(sb).alias("samp_max"),
+    )

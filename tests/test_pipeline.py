@@ -889,3 +889,47 @@ class TestMSD:
         for lag in range(1, 5):
             np.testing.assert_allclose(pdf.loc[lag, "msd"], v2 * lag * lag, rtol=1e-12)
             assert pdf.loc[lag, "n_samples"] == 5 * (10 - lag)
+
+
+class TestAviWav:
+    def test_avi_roundtrip_and_padding(self):
+        from dask_traj_spark.operators.multimodal import decode_avi, encode_avi
+
+        rng = np.random.default_rng(43)
+        # odd width -> real stride padding inside each DIB frame
+        frames = [
+            rng.integers(0, 256, size=5 * 3 * 2, dtype=np.uint8).tobytes()
+            for _ in range(4)
+        ]
+        w, h, n, out = decode_avi(encode_avi(5, 2, frames))
+        assert (w, h, n) == (5, 2, 4)
+        for a, b in zip(frames, out):
+            assert a == b.tobytes()
+
+    def test_avi_frames_through_spark(self, docs):
+        from dask_traj_spark.operators.multimodal import (
+            attach_payload_avi,
+            decode_avi_frames,
+        )
+
+        pdf = (
+            decode_avi_frames(attach_payload_avi(docs))
+            .toPandas()
+            .sort_values(["doc_id", "frame_idx"])
+        )
+        assert (pdf.groupby("doc_id").size() == 3).all()
+        f0 = pdf[(pdf["doc_id"] == 0) & (pdf["frame_idx"] == 0)]["frame_bytes"].iloc[0]
+        assert bytes(f0)[:22] == b"the cat sat on the mat"
+
+    def test_wav_payload_samples_match_bytes(self, docs):
+        from dask_traj_spark.operators.multimodal import (
+            attach_payload_wav,
+            decode_wav,
+        )
+
+        media = attach_payload_wav(docs).toPandas().set_index("doc_id")
+        frames, ch, rate, samples = decode_wav(bytes(media.loc[0, "payload"]))
+        assert (frames, ch) == (32, 1)
+        text = b"the cat sat on the mat"
+        want = [(b - 128) * 256 for b in text] + [0] * (32 - len(text))
+        assert list(samples) == want

@@ -32,8 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r11_promo_share_by_month",
-    "r12_shipping_priority",
     "r13_nation_volume",
     "r14_supplier_part_variety",
     "r15_large_volume_orders",
@@ -65,6 +63,8 @@ MUST_SCORE_R4 = [
     "x8_dihedrals",
     "x9_msd",
     "sx2_stream_exact_dedup_twin",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
 ]
 
 
