@@ -546,3 +546,178 @@ def semantic_dedup(
             id_col, "cluster", F.lit(False).alias("keep")
         )
     )
+
+
+# ----------------------------------------------- product quantization
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", public TPAMI 2011):
+    split the (unit-normalized) vector into ``m`` subvectors and run
+    an independent seeded k-means with ``k`` centroids in each
+    subspace.  Returns (m, k, dim/m) float32 — a few KiB, broadcast
+    everywhere.  The memory story at 100 TB: a 64-dim float32 vector
+    (256 B) compresses to ``m`` one-byte codes (8 B, 32×), so the
+    whole corpus's codes fit in cluster RAM while the float vectors
+    stay in parquet for the final rerank.
+
+    Sampling matches ``ivf_train``: the ``sample`` smallest rows by
+    seeded xxhash64(id) — deterministic, physical-order independent,
+    a distributed TakeOrderedAndProject."""
+    pdf = (
+        emb.select("embedding", id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(sample)
+        .select("embedding")
+        .toPandas()
+    )
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, d_sub), dtype=np.float32)
+    for j in range(m):
+        xs = x[:, j * d_sub : (j + 1) * d_sub]
+        # k-means++ -style greedy farthest-point init, deterministic
+        first = int(rng.integers(len(xs)))
+        chosen = [first]
+        best_d = ((xs - xs[first]) ** 2).sum(axis=1)
+        for _ in range(1, min(k, len(xs))):
+            nxt = int(np.argmax(best_d))
+            chosen.append(nxt)
+            np.minimum(best_d, ((xs - xs[nxt]) ** 2).sum(axis=1), out=best_d)
+        cent = xs[chosen].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < k:
+            books[j, len(cent):] = cent[-1]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: np.ndarray, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes ARRAY<INT>) — nearest-centroid code per subspace,
+    vectorized per Arrow batch (one (B, k) distance matrix per
+    subspace). Codes are the 32×-compressed corpus representation."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    b_books = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float32))
+
+    def gen(batches):
+        books = b_books.value
+        m, k, d_sub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * d_sub : (j + 1) * d_sub]
+                d2 = (
+                    (xs ** 2).sum(1, keepdims=True)
+                    - 2 * xs @ books[j].T
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return emb.select(id_col, "embedding").mapInPandas(
+        gen, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query a
+    tiny (m, n_codes) lookup table of subspace distances is built
+    driver-side and broadcast; each corpus vector's approximate
+    distance is ``sum(LUT[j, code_j])`` — a table-gather per row, no
+    float vectors touched after encoding.  Per-batch top-k before
+    the final k-row reduction, like ``cosine_topk_vectorized``.
+    Returns (qid, vec_id, approx_d2) — rerank the survivors with
+    exact cosine when precision matters (v1/v3 machinery)."""
+    import pandas as pd
+
+    books = pq_train(emb, m=m, k=n_codes, seed=seed, id_col=id_col)
+    codes = pq_encode(emb, books, id_col)
+    qpdf = (
+        emb.where(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(id_col, "embedding")
+        .toPandas()
+    )
+    q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True) + 1e-12
+    mm, kk, d_sub = books.shape
+    luts = np.empty((len(q), mm, kk), dtype=np.float32)
+    for j in range(mm):
+        qs = q[:, j * d_sub : (j + 1) * d_sub]
+        luts[:, j, :] = (
+            (qs ** 2).sum(1, keepdims=True)
+            - 2 * qs @ books[j].T
+            + (books[j] ** 2).sum(1)[None, :]
+        )
+    spark = emb.sparkSession
+    b_lut = spark.sparkContext.broadcast(luts)
+    b_qids = spark.sparkContext.broadcast(qpdf[id_col].to_numpy())
+
+    def gen(batches):
+        lut = b_lut.value
+        qids = b_qids.value
+        nq, m_, _ = lut.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            ids = pdf[id_col].to_numpy()
+            # gather: for each query, sum LUT[j, c[:, j]] over j
+            out_q, out_id, out_d = [], [], []
+            for qi in range(nq):
+                d = lut[qi][np.arange(m_)[None, :], c].sum(axis=1)  # (B,)
+                top = np.argsort(d)[: min(len(d), max(k * 4, k))]
+                out_q.extend([int(qids[qi])] * len(top))
+                out_id.extend(ids[top].tolist())
+                out_d.extend(d[top].tolist())
+            yield pd.DataFrame({"qid": out_q, id_col: out_id, "approx_d2": out_d})
+
+    partials = codes.mapInPandas(gen, f"qid long, {id_col} long, approx_d2 double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "approx_d2", "rank")
+    )

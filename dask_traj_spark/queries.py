@@ -88,6 +88,7 @@ _SCORING_TAIL = [
     "r10_small_qty_revenue",
     "r11_promo_share_by_month",
     "r12_shipping_priority",
+    "r13_nation_volume",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -2241,3 +2241,67 @@ def q_decode_wav(spark, sf_dir):
         F.array_min(sb).alias("samp_min"),
         F.array_max(sb).alias("samp_max"),
     )
+
+
+_V5_ORACLE = """
+SELECT CAST(f.qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
+FROM range(10) f(qid)
+ORDER BY qid
+"""
+
+
+@register("v5_pq_recall", _V5_ORACLE)
+def q_pq_recall(spark, sf_dir):
+    """Product-quantization ANN contract (v4 pattern): ADC top-100
+    candidates over 32×-compressed codes (m=16 subspaces × 64
+    centroids) → exact quantized-cosine rerank of just those
+    candidates → top-10 must recover ≥ 60% of the true exact top-10
+    per query. Codebooks are seeded k-means (not SQL-expressible),
+    so the oracle pins the contract flags; value-level cosine
+    evidence comes from v1's oracle."""
+    from dask_traj_spark.operators.similarity import (
+        _quantized_elements,
+        cosine_topk,
+        pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qids = list(range(10))
+    cand = pq_topk(emb, qids, k=100, m=16, n_codes=64).select("qid", "vec_id")
+    e1 = _quantized_elements(
+        emb.where(F.col("vec_id").isin(qids)), "vec_id", "qv"
+    ).withColumnRenamed("qv", "qid")
+    e2 = _quantized_elements(emb, "vec_id", "cv").withColumnRenamed("cv", "vec_id")
+    scored = (
+        cand.join(F.broadcast(e1.withColumnRenamed("v_qv", "vq")), "qid")
+        .join(e2.withColumnRenamed("v_cv", "vc"), ["vec_id", "pos"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("vq") * F.col("vc")).alias("dot"),
+            F.sum(F.col("vq") * F.col("vq")).alias("n1"),
+            F.sum(F.col("vc") * F.col("vc")).alias("n2"),
+        )
+        .select(
+            "qid", "vec_id",
+            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    pq10 = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    exact10 = cosine_topk(emb, qids, k=10).select("qid", "vec_id")
+    hits = (
+        exact10.join(pq10.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        spark.range(10).select(F.col("id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce("n_hit", F.lit(0)) >= 6).cast("long").alias("recall_ok"),
+        )
+        .orderBy("qid")
+    )

@@ -933,3 +933,28 @@ class TestAviWav:
         text = b"the cat sat on the mat"
         want = [(b - 128) * 256 for b in text] + [0] * (32 - len(text))
         assert list(samples) == want
+
+
+class TestProductQuantization:
+    def test_encode_deterministic_and_planted_neighbor_found(self, spark):
+        from dask_traj_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 64)).astype(np.float32)
+        base[1] = base[0] + 0.01 * rng.standard_normal(64).astype(np.float32)
+        rows = [(int(i), [float(x) for x in base[i]], 0) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        books = pq_train(emb, m=8, k=8)
+        a = pq_encode(emb, books).toPandas().set_index("vec_id").sort_index()
+        b = pq_encode(emb, books).toPandas().set_index("vec_id").sort_index()
+        assert all(list(x) == list(y) for x, y in zip(a["codes"], b["codes"]))
+        # exact duplicate directions share every subspace code
+        assert list(a.loc[0, "codes"]) == list(a.loc[1, "codes"])
+        top = pq_topk(emb, [0], k=3, m=8, n_codes=8).toPandas()
+        assert 1 in set(top["vec_id"])  # planted near-dup in top-3 by ADC
