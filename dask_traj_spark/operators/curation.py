@@ -305,3 +305,51 @@ def pack_sequences(
             .otherwise(F.lit(0)).cast("long").alias("n_seqs"),
         )
     )
+
+
+def source_token_mixture(
+    docs: DataFrame,
+    token_budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    order_mode: str = "xxhash",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-source token-budget mixing — the data-mixing step that
+    caps every source's contribution at ``token_budget`` tokens
+    (uniform weights; pass per-source budgets by pre-scaling
+    ``n_tokens`` upstream).  Documents are taken in seeded-hash
+    order within their source until the running token count would
+    reach the budget (a doc is kept while its first token lands
+    inside the budget), so the draw is reproducible and independent
+    of physical order — ``stratified_sample``'s quota semantics
+    lifted from doc counts to token counts.
+
+    One shuffle on the source key; the window is per-source (never
+    SinglePartition).  A pathologically dominant source makes its
+    partition the straggler — the two-phase prefix sum from
+    ``pack_sequences`` drops in per source when that matters.
+
+    Returns (doc_id, source, n_tokens, tok_before) for KEPT docs.
+    """
+    from dask_traj_spark.functions.text import _n_tokens
+
+    if order_mode == "xxhash":
+        order = F.xxhash64(F.col("doc_id"), F.lit(int(seed)))
+    elif order_mode == "mult":
+        order = (F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)
+    else:
+        raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        "doc_id", strata_col, _n_tokens(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        base.withColumn("tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("tok_before") < token_budget)
+        .select("doc_id", strata_col, "n_tokens", "tok_before")
+    )

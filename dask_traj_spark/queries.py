@@ -89,6 +89,7 @@ _SCORING_TAIL = [
     "r11_promo_share_by_month",
     "r12_shipping_priority",
     "r13_nation_volume",
+    "r14_supplier_part_variety",
     "m1_media_stats",
     "d3_simhash",
     "r1_pricing_summary",

@@ -2305,3 +2305,35 @@ def q_pq_recall(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+_C5_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           (doc_id * 2654435761) % 4294967296 AS ord
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+    FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(tok_before AS BIGINT) AS tok_before
+FROM c WHERE tok_before < 400
+"""
+
+
+@register("c5_source_token_mixture", _C5_ORACLE)
+def q_source_token_mixture(spark, sf_dir):
+    """Per-source token-budget mixing (400 tokens/source): seeded
+    hash-order draw until the budget fills — stratified_sample's
+    quota lifted to token counts; the oracle is the identical
+    per-source window."""
+    from dask_traj_spark.operators.curation import source_token_mixture
+
+    return source_token_mixture(
+        _docs(spark, sf_dir), token_budget=400, order_mode="mult"
+    )

@@ -958,3 +958,30 @@ class TestProductQuantization:
         assert list(a.loc[0, "codes"]) == list(a.loc[1, "codes"])
         top = pq_topk(emb, [0], k=3, m=8, n_codes=8).toPandas()
         assert 1 in set(top["vec_id"])  # planted near-dup in top-3 by ADC
+
+
+class TestSourceTokenMixture:
+    def test_budget_boundary_and_order_independence(self, spark):
+        from dask_traj_spark.operators.curation import source_token_mixture
+
+        rows = [
+            (i, " ".join("t" for _ in range(10)), "a") for i in range(6)
+        ] + [
+            (10 + i, " ".join("t" for _ in range(50)), "b") for i in range(3)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = (
+            source_token_mixture(docs, token_budget=25, order_mode="mult")
+            .toPandas().sort_values("doc_id")
+        )
+        # source a: 10-token docs — kept while tok_before < 25 → 3 docs
+        # (0, 10, 20 all < 25; the third crosses the budget but starts
+        # inside it); source b: 50-token docs — only the first
+        assert out.groupby("source").size().to_dict() == {"a": 3, "b": 1}
+        assert out[out["source"] == "a"]["n_tokens"].sum() == 30
+        shuffled = docs.orderBy(F.xxhash64("doc_id", F.lit(5))).repartition(5)
+        out2 = (
+            source_token_mixture(shuffled, token_budget=25, order_mode="mult")
+            .toPandas().sort_values("doc_id")
+        )
+        assert list(out["doc_id"]) == list(out2["doc_id"])

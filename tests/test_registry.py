@@ -32,7 +32,6 @@ MUST_SCORE_R4 = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "r14_supplier_part_variety",
     "r15_large_volume_orders",
     "r16_disjunctive_revenue",
     # added this round — need first driver evidence
@@ -65,6 +64,7 @@ MUST_SCORE_R4 = [
     "m5_decode_avi_frames",
     "m6_decode_wav",
     "v5_pq_recall",
+    "c5_source_token_mixture",
 ]
 
 
