@@ -198,3 +198,39 @@ def superpose(traj, query_frame: int) -> DataFrame:
     return packed.mapInPandas(
         gen, "frame_id long, atom_id int, x float, y float, z float"
     )
+
+
+def compute_rmsf(traj) -> DataFrame:
+    """Per-atom root-mean-square fluctuation about the atom's mean
+    position over all frames → (atom_id, rmsf DOUBLE):
+
+        rmsf_i = sqrt( mean_t |r_i(t) − ⟨r_i⟩|² )
+               = sqrt( E[x²+y²+z²] − (E[x]² + E[y]² + E[z]²) )
+
+    computed from sufficient statistics in ONE partial+final
+    aggregation keyed on atom_id — no mean-position join-back, no
+    second pass over the coords.  With 2^-12-quantized coordinates
+    every aggregated sum is exact in double, so the partial-agg
+    merge order cannot perturb the value (the oracle-gate
+    requirement).  Beyond-reference (the reference has no RMSF;
+    mdtraj's ``compute_rmsf`` is the public API shape matched —
+    reference users escape-hatch through ``to_mdtraj``).
+
+    100-TB posture: shuffle = one hash partial+final agg on atom_id
+    (n_atoms keys ≪ n_rows); no window, no driver collect.
+    """
+    c = traj.coords.select("frame_id", "atom_id", _q("x").alias("x"),
+                           _q("y").alias("y"), _q("z").alias("z"))
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    agg = c.groupBy("atom_id").agg(
+        F.avg(x * x + y * y + z * z).alias("m_rr"),
+        F.avg(x).alias("mx"), F.avg(y).alias("my"), F.avg(z).alias("mz"),
+    )
+    m = F.col("m_rr") - (
+        F.col("mx") * F.col("mx")
+        + F.col("my") * F.col("my")
+        + F.col("mz") * F.col("mz")
+    )
+    return agg.select(
+        "atom_id", F.sqrt(F.greatest(m, F.lit(0.0))).alias("rmsf")
+    )

@@ -128,6 +128,11 @@ _SCORING_TAIL = [
     "u2_content_fingerprint",
     "x1_frame_rmsd",
     "x2_rmsd_topk",
+    # round-4 second-block additions: tailed this round so the 50
+    # first-evidence round-4 queries keep their scored slot; verified
+    # locally via scripts/check_oracle.py (see NOTES_r04), rotate into
+    # the head in round 5.
+    "x10_rmsf",
 ]
 
 

@@ -2337,3 +2337,37 @@ def q_source_token_mixture(spark, sf_dir):
     return source_token_mixture(
         _docs(spark, sf_dir), token_budget=400, order_mode="mult"
     )
+
+
+# ---------------------------------------------------------------------
+# x10: per-atom RMSF (beyond-reference trajectory analysis)
+# ---------------------------------------------------------------------
+
+
+def _rmsf_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+agg AS (
+    SELECT atom_id,
+           avg(x*x + y*y + z*z) AS m_rr,
+           avg(x) AS mx, avg(y) AS my, avg(z) AS mz
+    FROM coords GROUP BY atom_id
+)
+SELECT CAST(atom_id AS INT) AS atom_id,
+       sqrt(greatest(m_rr - (mx*mx + my*my + mz*mz), 0.0)) AS rmsf
+FROM agg
+"""
+
+
+@register("x10_rmsf", _rmsf_oracle())
+def q_rmsf(spark, sf_dir):
+    """Per-atom RMSF from sufficient statistics — one partial+final
+    aggregation keyed on atom_id; exact dyadic sums make the value
+    independent of partial-merge order (mdtraj ``compute_rmsf``
+    API shape; the reference has no RMSF)."""
+    from dask_traj_spark.operators.rmsd import compute_rmsf
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    return compute_rmsf(trajectory_from_embeddings(spark, sf_dir))

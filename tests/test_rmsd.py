@@ -138,3 +138,22 @@ def test_superpose_realizes_aligned_rmsd(spark):
         sup2[["x", "y", "z"]].to_numpy(),
         atol=1e-5,
     )
+
+
+def test_rmsf_matches_numpy_and_zero_for_static(rmsd_traj, spark):
+    from dask_traj_spark.operators.rmsd import compute_rmsf
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    traj, xyz = rmsd_traj
+    out = {r["atom_id"]: r["rmsf"] for r in compute_rmsf(traj).collect()}
+    # golden: quantize to the 2^-12 grid the operator snaps to
+    q = np.round(xyz.astype(np.float64) * 4096.0) / 4096.0
+    mean = q.mean(axis=0, keepdims=True)
+    golden = np.sqrt(((q - mean) ** 2).sum(-1).mean(0))
+    got = np.array([out[i] for i in range(xyz.shape[1])])
+    np.testing.assert_allclose(got, golden, rtol=1e-9, atol=1e-12)
+
+    # a static trajectory has zero fluctuation everywhere
+    static = np.repeat(xyz[:1], 5, axis=0)
+    rows = compute_rmsf(from_wide_pandas(spark, static)).collect()
+    assert all(r["rmsf"] == 0.0 for r in rows)
