@@ -238,3 +238,47 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------- PII
+#: detection patterns shared with the SQL oracle — intersection of
+#: Java-regex (Spark) and RE2 (DuckDB) syntax: explicit character
+#: classes only, no lookaround, no backreferences, so both engines
+#: produce identical non-overlapping leftmost matches.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9._/%-]+",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection + scrubbing → (doc_id, n_emails,
+    n_urls, n_phones, redacted_len, pii_flag).
+
+    ``redacted_len`` is the length after replacing every email, then
+    every URL, then every phone with fixed tokens — the order is part
+    of the function's definition (mirrored in the oracle) because a
+    redaction token could otherwise feed a later pattern.
+
+    All JVM column expressions (``regexp_count``/``regexp_replace``
+    stay inside whole-stage codegen); one narrow projection, no
+    shuffle — at 100 TB this is a map-only scrub pass that fuses
+    with the scan.
+    """
+    t = F.col(text_col)
+    red = t
+    for kind, tok in (("email", "<EMAIL>"), ("url", "<URL>"), ("phone", "<PHONE>")):
+        red = F.regexp_replace(red, F.lit(PII_PATTERNS[kind]), F.lit(tok))
+    n = lambda k: F.regexp_count(t, F.lit(PII_PATTERNS[k]))  # noqa: E731
+    counts = {k: n(k) for k in ("email", "url", "phone")}
+    return df.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["url"].cast("long").alias("n_urls"),
+        counts["phone"].cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        (
+            (counts["email"] + counts["url"] + counts["phone"]) > 0
+        ).cast("long").alias("pii_flag"),
+    )

@@ -133,6 +133,7 @@ _SCORING_TAIL = [
     # locally via scripts/check_oracle.py (see NOTES_r04), rotate into
     # the head in round 5.
     "x10_rmsf",
+    "t10_pii_scrub",
 ]
 
 

@@ -2371,3 +2371,68 @@ def q_rmsf(spark, sf_dir):
     from dask_traj_spark.queries import trajectory_from_embeddings
 
     return compute_rmsf(trajectory_from_embeddings(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# t10: PII detection + scrubbing (training-data pipeline hygiene)
+# ---------------------------------------------------------------------
+
+
+def _t10_oracle() -> str:
+    from dask_traj_spark.functions.text import PII_PATTERNS
+
+    ep, up, pp = PII_PATTERNS["email"], PII_PATTERNS["url"], PII_PATTERNS["phone"]
+    count = "CAST(len(regexp_extract_all(text, '%s')) AS BIGINT)"
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(text, '%s', '<EMAIL>', 'g'),"
+        " '%s', '<URL>', 'g'), '%s', '<PHONE>', 'g')" % (ep, up, pp)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           text ||
+           CASE WHEN doc_id %% 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END ||
+           CASE WHEN doc_id %% 4 = 0 THEN ' see https://docs.example.org/page/' || CAST(doc_id AS VARCHAR) || ' today' ELSE '' END ||
+           CASE WHEN doc_id %% 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id %% 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END
+           AS text
+    FROM documents
+)
+SELECT doc_id,
+       {count % ep} AS n_emails,
+       {count % up} AS n_urls,
+       {count % pp} AS n_phones,
+       CAST(length({red}) AS BIGINT) AS redacted_len,
+       CAST(CASE WHEN len(regexp_extract_all(text, '{ep}'))
+                    + len(regexp_extract_all(text, '{up}'))
+                    + len(regexp_extract_all(text, '{pp}')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS pii_flag
+FROM t
+""".replace("%%", "%")
+
+
+@register("t10_pii_scrub", _t10_oracle())
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over a deterministically PII-enriched
+    corpus (the synthetic documents carry no emails/URLs/phones, so
+    both engines append doc_id-derived PII spans to the text before
+    scanning — the same fixture-synthesis pattern as m2/m5).  The
+    patterns live in ``PII_PATTERNS`` and are restricted to the
+    Java-regex ∩ RE2 syntax intersection so the match spans are
+    engine-identical."""
+    from dask_traj_spark.functions.text import pii_stats
+
+    doc = F.col("doc_id")
+    opt = lambda cond, *parts: F.when(cond, F.concat(*parts)).otherwise(F.lit(""))  # noqa: E731
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            opt(doc % 3 == 0, F.lit(" contact user"), doc.cast("string"),
+                F.lit("@mail.example.com now")),
+            opt(doc % 4 == 0, F.lit(" see https://docs.example.org/page/"),
+                doc.cast("string"), F.lit(" today")),
+            opt(doc % 5 == 0, F.lit(" call 555-867-"),
+                F.lpad((doc % 10000).cast("string"), 4, "0"), F.lit(" now")),
+        ).alias("text"),
+    )
+    return pii_stats(enriched)

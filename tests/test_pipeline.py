@@ -985,3 +985,25 @@ class TestSourceTokenMixture:
             .toPandas().sort_values("doc_id")
         )
         assert list(out["doc_id"]) == list(out2["doc_id"])
+
+
+class TestPIIScrub:
+    def test_counts_and_redaction(self, spark):
+        from dask_traj_spark.functions.text import pii_stats
+
+        rows = [
+            (1, "mail me at a.b+c@sub.example.com or x_1%y@ex.co thanks"),
+            (2, "docs at https://ex.org/a/b_c-d and http://ex.io/x then text"),
+            (3, "call 555-123-4567 and 999-000-1234 now"),
+            (4, "clean text with no personal data at all"),
+            (5, "mixed bob@ex.com https://e.org/p 111-222-3333"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_stats(df).collect()}
+        assert (out[1]["n_emails"], out[1]["n_urls"], out[1]["n_phones"]) == (2, 0, 0)
+        assert (out[2]["n_emails"], out[2]["n_urls"], out[2]["n_phones"]) == (0, 2, 0)
+        assert (out[3]["n_emails"], out[3]["n_urls"], out[3]["n_phones"]) == (0, 0, 2)
+        assert out[4]["pii_flag"] == 0 and out[4]["redacted_len"] == len(rows[3][1])
+        assert out[5]["pii_flag"] == 1
+        # redaction replaces the full span with the fixed tokens
+        assert out[5]["redacted_len"] == len("mixed <EMAIL> <URL> <PHONE>")
