@@ -721,3 +721,62 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("qid", id_col, "approx_d2", "rank")
     )
+
+
+def kmeans_cluster(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """First-class document/embedding clustering → (id, cluster,
+    sim): seeded spherical k-means (k-means++ init) trained on a
+    deterministic hash-ordered sample (``ivf_train``), then one
+    broadcast-matmul assignment pass that also emits each point's
+    cosine similarity to its assigned centroid.
+
+    This is the topic-bucketing / corpus-partitioning primitive of a
+    training-data pipeline (SemDeDup-style curation clusters, domain
+    mixing); the IVF ANN index reuses the same two stages.
+
+    100-TB posture: training touches only the ~10^4-row sample
+    (distributed TakeOrderedAndProject, driver holds (k, dim));
+    assignment is a map-only Arrow pass with the (k, dim) centroid
+    matrix broadcast — no shuffle at all.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = ivf_train(
+        emb, n_centroids=k, iters=iters, seed=seed, sample=sample, id_col=id_col
+    )
+    sc = emb.sparkSession.sparkContext
+    b_c = sc.broadcast(cent)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sim", T.FloatType()),
+        ]
+    )
+
+    def gen(batches):
+        c = b_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+            sims = x @ c.T
+            a = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": a.astype(np.int32),
+                    "sim": sims[np.arange(len(a)), a].astype(np.float32),
+                }
+            )
+
+    return emb.select(id_col, "embedding").mapInPandas(gen, schema)

@@ -134,6 +134,7 @@ _SCORING_TAIL = [
     # the head in round 5.
     "x10_rmsf",
     "t10_pii_scrub",
+    "v6_kmeans_contract",
 ]
 
 

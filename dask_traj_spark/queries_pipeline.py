@@ -2436,3 +2436,80 @@ def q_pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     return pii_stats(enriched)
+
+
+# ---------------------------------------------------------------------
+# v6: first-class k-means clustering (topic bucketing) contract gate
+# ---------------------------------------------------------------------
+
+_V6_K = 8
+
+_V6_ORACLE = f"""
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_points,
+       CAST({_V6_K} AS BIGINT) AS k,
+       TRUE AS coverage_ok,
+       TRUE AS balance_ok,
+       TRUE AS quality_ok
+"""
+
+
+@register("v6_kmeans_contract", _V6_ORACLE)
+def q_kmeans_contract(spark, sf_dir):
+    """Contract gate for ``kmeans_cluster`` (the x3/v4 pattern — an
+    iterative trained model has no SQL twin, so the gate pins the
+    invariants that any correct spherical k-means must satisfy):
+
+    - partition: every embedding is assigned exactly once
+      (``n_points`` is value-gated against the oracle's count);
+    - coverage: at least k/2 clusters are non-empty (k-means++ init
+      cannot collapse near-uniform data into a couple of buckets);
+    - balance: no cluster holds more than 80% of the corpus;
+    - quality: the mean assigned-centroid cosine beats the best
+      achievable SINGLE-direction mean cosine, which is analytically
+      |Σ x̂ᵢ|/n (the mean-direction bound) — clustering into k
+      buckets must beat k=1.  The margin on near-uniform synthetic
+      embeddings is large (~0.25 vs ~0.04), so float32 kernel
+      roundoff cannot flip the flag.
+
+    The mean-direction bound is computed in-engine via posexplode —
+    gate-side instrumentation over n·dim rows, not part of the
+    operator (which is sample-train + broadcast-matmul assign)."""
+    from dask_traj_spark.operators.similarity import kmeans_cluster
+
+    emb = _emb(spark, sf_dir)
+    assign = kmeans_cluster(emb, k=_V6_K)
+    stats = assign.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("cluster").alias("n_used"),
+        F.avg(F.col("sim").cast("double")).alias("avg_sim"),
+    )
+    sizes = (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz").alias("max_sz"))
+    )
+    v = F.col("v").cast("double")
+    el = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    norms = el.groupBy("vec_id").agg(F.sqrt(F.sum(v * v)).alias("nrm"))
+    u = (
+        el.join(norms, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(v / F.col("nrm")).alias("u_d"))
+    )
+    base = u.agg(F.sqrt(F.sum(F.col("u_d") * F.col("u_d"))).alias("u_norm"))
+    return (
+        stats.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("n_points").cast("long").alias("n_points"),
+            F.lit(_V6_K).cast("long").alias("k"),
+            (F.col("n_used") >= F.lit(_V6_K // 2)).alias("coverage_ok"),
+            (
+                F.col("max_sz").cast("double")
+                <= 0.8 * F.col("n_points").cast("double")
+            ).alias("balance_ok"),
+            (
+                F.col("avg_sim") >= F.col("u_norm") / F.col("n_points")
+            ).alias("quality_ok"),
+        )
+    )

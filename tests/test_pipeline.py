@@ -1007,3 +1007,35 @@ class TestPIIScrub:
         assert out[5]["pii_flag"] == 1
         # redaction replaces the full span with the fixed tokens
         assert out[5]["redacted_len"] == len("mixed <EMAIL> <URL> <PHONE>")
+
+
+class TestKMeans:
+    def test_recovers_planted_clusters_and_deterministic(self, spark):
+        import numpy as np
+
+        from dask_traj_spark.operators.similarity import kmeans_cluster
+
+        rng = np.random.default_rng(7)
+        dirs = np.eye(3, 16, dtype=np.float32)  # 3 orthogonal planted axes
+        rows = []
+        for i in range(90):
+            base = dirs[i % 3]
+            v = base + rng.normal(0, 0.05, 16).astype(np.float32)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_cluster(df, k=3, iters=8).collect()
+        by_truth = {}
+        for r in out:
+            by_truth.setdefault(r["vec_id"] % 3, []).append(r["cluster"])
+        # every planted group maps to exactly one k-means cluster, and
+        # the three groups map to three distinct clusters
+        labels = set()
+        for g, cl in by_truth.items():
+            assert len(set(cl)) == 1, f"group {g} split across clusters"
+            labels.add(cl[0])
+        assert len(labels) == 3
+        # seeded: a second run reproduces the assignment exactly
+        again = kmeans_cluster(df, k=3, iters=8).collect()
+        assert sorted((r["vec_id"], r["cluster"]) for r in out) == sorted(
+            (r["vec_id"], r["cluster"]) for r in again
+        )
