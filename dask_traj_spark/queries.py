@@ -135,6 +135,7 @@ _SCORING_TAIL = [
     "x10_rmsf",
     "t10_pii_scrub",
     "v6_kmeans_contract",
+    "m7_resize_bmp",
 ]
 
 

@@ -2513,3 +2513,66 @@ def q_kmeans_contract(spark, sf_dir):
             ).alias("quality_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# m7: nearest-neighbor image resize over REAL decoded BMP pixels
+# ---------------------------------------------------------------------
+
+
+def _m7_oracle() -> str:
+    # (7,2) -> (3,1) under src = floor(dst*src/dst_extent):
+    # xs = [0,2,4], ys = [0]; top-down row 0 = text bytes 1..21
+    # (1-based), so the 9 resized channel bytes sit at text positions
+    # 3x+1..3x+3 for x in {0,2,4}.  A decoder that forgot the BMP
+    # bottom-up row flip would read row 1 (bytes 22..42); a wrong
+    # sampling rule (ceil/round/half-pixel) picks different columns —
+    # either hash-fails the sum below.
+    pos = [p for x in (0, 2, 4) for p in (3 * x + 1, 3 * x + 2, 3 * x + 3)]
+    bytes_sql = ", ".join(
+        f"CASE WHEN nb >= {p} THEN ord(substr(text, {p}, 1)) ELSE 0 END AS b{i}"
+        for i, p in enumerate(pos)
+    )
+    bs = ", ".join(f"b{i}" for i in range(9))
+    return f"""
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+), f AS (
+    SELECT doc_id, {bytes_sql} FROM m
+)
+SELECT doc_id,
+       CAST(3 AS INT) AS width,
+       CAST(1 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(b0 AS BIGINT) AS px_first,
+       CAST(b0+b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) AS px_sum,
+       CAST(least({bs}) AS BIGINT) AS px_min,
+       CAST(greatest({bs}) AS BIGINT) AS px_max
+FROM f
+"""
+
+
+@register("m7_resize_bmp", _m7_oracle())
+def q_resize_bmp(spark, sf_dir):
+    """End-to-end encode→decode→resize: each doc's text bytes become
+    a real 7×2 BMP (padded stride, bottom-up rows), ``resize_images``
+    decodes and nearest-neighbor-resizes to 3×1, and the oracle
+    predicts every resized byte from the text alone."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_bmp,
+        resize_images,
+    )
+
+    out = resize_images(attach_payload_bmp(_docs(spark, sf_dir)), out_w=3, out_h=1)
+    px = F.col("pixels").cast("array<long>")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at(px, 1).alias("px_first"),
+        F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x).alias("px_sum"),
+        F.array_min(px).alias("px_min"),
+        F.array_max(px).alias("px_max"),
+    )

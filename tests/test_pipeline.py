@@ -1039,3 +1039,48 @@ class TestKMeans:
         assert sorted((r["vec_id"], r["cluster"]) for r in out) == sorted(
             (r["vec_id"], r["cluster"]) for r in again
         )
+
+
+class TestResize:
+    def test_nearest_neighbor_identity_and_downscale(self, spark):
+        import numpy as np
+
+        from dask_traj_spark.operators.multimodal import (
+            encode_bmp,
+            resize_images,
+        )
+
+        # 4x2 image with distinct bytes 0..23 (top-down row-major)
+        px = bytes(range(24))
+        payload = encode_bmp(4, 2, px)
+        df = spark.createDataFrame(
+            [(1, "image/bmp", bytearray(payload), len(payload))],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        # identity resize returns the source pixels exactly
+        same = resize_images(df, 4, 2).collect()[0]
+        assert same["pixels"] == list(range(24))
+        # 2x1: xs = [0, 2], ys = [0] -> pixels (0,0) and (2,0)
+        small = resize_images(df, 2, 1).collect()[0]
+        assert (small["width"], small["height"], small["channels"]) == (2, 1, 3)
+        assert small["pixels"] == [0, 1, 2, 6, 7, 8]
+        # upscale 8x2: each source column repeated twice
+        big = resize_images(df, 8, 2).collect()[0]
+        expect = []
+        for y in range(2):
+            for x in range(8):
+                sx = (x * 4) // 8
+                expect += list(px[y * 12 + sx * 3: y * 12 + sx * 3 + 3])
+        assert big["pixels"] == expect
+
+    def test_resize_rejects_undecodable_kind(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import resize_images
+
+        df = spark.createDataFrame(
+            [(1, "image/jpeg", bytearray(b"\xff\xd8"), 2)],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        with _pytest.raises(Exception, match="no real decoder"):
+            resize_images(df, 2, 2).collect()
