@@ -136,6 +136,7 @@ _SCORING_TAIL = [
     "t10_pii_scrub",
     "v6_kmeans_contract",
     "m7_resize_bmp",
+    "sx3_stream_window_counts_twin",
 ]
 
 

@@ -2576,3 +2576,50 @@ def q_resize_bmp(spark, sf_dir):
         F.array_min(px).alias("px_min"),
         F.array_max(px).alias("px_max"),
     )
+
+
+@register("sx3_stream_window_counts_twin", _E1_ORACLE)
+def q_stream_window_counts_twin(spark, sf_dir):
+    """Streaming hourly windowed counts vs e1's SQL value oracle:
+    replay the events corpus in three deterministic micro-batches
+    through the foreachBatch body (batch_id-partitioned mergeable
+    partials), crash-replay the middle batch, and the merged state
+    must equal the one-pass batch aggregation VALUE-FOR-VALUE (the
+    count/sum partial is associative and dynamic overwrite makes
+    replay idempotent)."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.streaming.ingest import (
+        process_window_counts_batch,
+        window_counts_state,
+    )
+
+    ev = events_df(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sx3_window_twin_")
+    state = f"{work}/state"
+    try:
+        for b in range(3):
+            process_window_counts_batch(
+                ev.where(F.col("event_id") % 3 == b), b, state
+            )
+        # crash-replay of the middle batch — partition rewritten in
+        # place, the merge must not double-count
+        process_window_counts_batch(
+            ev.where(F.col("event_id") % 3 == 1), 1, state
+        )
+        out = window_counts_state(spark, state).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_cents",
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "window_start string, event_type string, n long, total_cents long"
+    )

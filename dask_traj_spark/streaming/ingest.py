@@ -439,3 +439,46 @@ def streaming_distances(
     return coords.mapInPandas(
         gen, schema="frame_id long, pair_id int, dist float"
     )
+
+
+# ----------------------------------------------------- incremental
+# windowed event counts (the streaming twin of e1) — per-batch
+# mergeable partials in a batch_id-partitioned state table, the same
+# exactly-once construction as streaming/dedup.py's exact dedup: a
+# partial depends only on its OWN batch's rows and dynamic partition
+# overwrite replaces the partition wholesale on crash-replay.
+
+
+def process_window_counts_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """foreachBatch body for incremental hourly windowed event
+    counts: write this batch's partial (window_start, event_type,
+    n, total_cents) into the ``batch_id`` partition of the state
+    table.  The count/sum partial is associative, so the merged
+    state equals the batch answer regardless of how events were
+    split across micro-batches.
+
+    100-TB posture: each micro-batch does one partial agg keyed on
+    (hour, event_type) — bounded state (windows × types), no
+    per-event state rows; replay rewrites one partition."""
+    from dask_traj_spark.streaming.dedup import _overwrite_batch_partition
+
+    partial = batch_df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+    )
+    _overwrite_batch_partition(partial, state_dir, batch_id)
+
+
+def window_counts_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged windowed-count view over every batch partial —
+    identical to the one-pass batch aggregation (gated by sx3
+    against e1's value oracle)."""
+    st = spark.read.parquet(state_dir).drop("batch_id")
+    return st.groupBy("window_start", "event_type").agg(
+        F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents")
+    )

@@ -700,3 +700,55 @@ def test_stream_exact_dedup_replay_idempotent(spark, tmp_path):
     want = exact_duplicates(docs).toPandas().set_index("h").sort_index()
     assert (got["keep_id"] == want["keep_id"]).all()
     assert (got["n"] == want["n"]).all()
+
+
+def test_stream_window_counts_replay_idempotent(spark, tmp_path):
+    """The windowed-count partials are associative and per-batch
+    self-contained, so any replay storm leaves the merged state
+    equal to the one-pass batch aggregation value-for-value."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.streaming.ingest import (
+        process_window_counts_batch,
+        window_counts_state,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=17 * i), ["click", "buy"][i % 2], 1.25 * i)
+        for i in range(24)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    state = str(tmp_path / "state")
+    for b in range(3):
+        process_window_counts_batch(ev.where(F.col("event_id") % 3 == b), b, state)
+    # replay storm: batch 1 twice more, batch 0 once more
+    for b in (1, 1, 0):
+        process_window_counts_batch(ev.where(F.col("event_id") % 3 == b), b, state)
+
+    got = (
+        window_counts_state(spark, state)
+        .toPandas()
+        .set_index(["window_start", "event_type"])
+        .sort_index()
+    )
+    want = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .toPandas()
+        .set_index(["window_start", "event_type"])
+        .sort_index()
+    )
+    assert (got["n"] == want["n"]).all()
+    assert (got["total_cents"] == want["total_cents"]).all()
