@@ -38,6 +38,7 @@ def compute_angles(
     periodic: bool = True,
     form: str = "auto",
     n_atoms: int | None = None,
+    _round6_double: bool = False,
 ) -> DataFrame:
     """Angle at the middle atom of each (i, j, k) triplet.
 
@@ -52,6 +53,8 @@ def compute_angles(
     arr = _normalize_indices(angle_indices, 3, n_atoms or traj.n_atoms, "angle_indices")
     if len(arr) == 0:  # empty short-circuit (angle.py:98-99)
         return traj.spark.createDataFrame([], schemas.ANGLES_SCHEMA)
+    if _round6_double:
+        form = "sql"  # the rounding knob only exists on the SQL path
     if form == "auto":
         form = "vectorized" if len(arr) >= _VECTORIZED_THRESHOLD else "sql"
     if form == "vectorized":
@@ -123,11 +126,15 @@ def compute_angles(
     vn = F.sqrt(sq("vx") + sq("vy") + sq("vz"))
     dot = F.col("ux") * F.col("vx") + F.col("uy") * F.col("vy") + F.col("uz") * F.col("vz")
     cosang = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dot / (un * vn)))
-    return df.select(
-        "frame_id",
-        "triplet_id",
-        F.acos(cosang).cast("float").alias("angle_rad"),
+    # transcendental-protection option (policy item 3, same knob as
+    # compute_dihedrals): acos kept in DOUBLE and rounded to 1e-6 rad
+    # for oracle-gated callers; public default stays float32
+    ang = (
+        F.round(F.acos(cosang), 6)
+        if _round6_double
+        else F.acos(cosang).cast("float")
     )
+    return df.select("frame_id", "triplet_id", ang.alias("angle_rad"))
 
 
 def _vectorized_angles(traj, arr: np.ndarray, periodic: bool) -> DataFrame:
@@ -315,4 +322,66 @@ def _vectorized_dihedrals(traj, arr: np.ndarray, periodic: bool) -> DataFrame:
 
     return packed.mapInPandas(
         gen, "frame_id long, quartet_id int, dihedral_rad float"
+    )
+
+
+def hydrogen_bonds(
+    traj,
+    triplets: Iterable,
+    dist_cutoff: float = 0.5,
+    angle_min: float = 1.75,
+    periodic: bool = True,
+    n_atoms: int | None = None,
+    _round6_double: bool = False,
+) -> DataFrame:
+    """Geometric hydrogen-bond criterion over (donor, hydrogen,
+    acceptor) triplets → (frame_id, triplet_id, dist, angle_rad,
+    is_hbond): the H···A distance must fall below ``dist_cutoff``
+    AND the D-H···A angle (at the hydrogen) must exceed
+    ``angle_min`` radians — the mdtraj ``baker_hubbard`` geometry
+    test as a composition of the two public primitives
+    (``compute_distances`` on the (h, a) pairs, ``compute_angles``
+    on the triplets), joined on (frame_id, id).
+
+    Beyond-reference (the reference stops at distances/angles; its
+    users run H-bond analysis through ``to_mdtraj``).
+
+    Plan shape: the two primitive plans each scan the coords
+    lineage with role-restricted atom pushdown, then meet in ONE
+    equi-join on (frame_id, triplet_id) — both sides are already
+    hash-partitioned by frame-dominated keys, and the triplet table
+    is broadcast inside each primitive.  Pass dyadic thresholds
+    (0.5, 1.75 are exact in f32/f64) so the flag comparison cannot
+    straddle an engine rounding difference.
+    """
+    from dask_traj_spark.operators.distance import compute_distances
+
+    arr = _normalize_indices(
+        triplets, 3, n_atoms or traj.n_atoms, "triplets"
+    )
+    a = compute_angles(
+        traj, arr, periodic=periodic, form="sql", n_atoms=n_atoms,
+        _round6_double=_round6_double,
+    )
+    d = compute_distances(
+        traj, arr[:, 1:3], periodic=periodic, form="sql", n_atoms=n_atoms
+    ).select(
+        F.col("frame_id").alias("_dfid"),
+        F.col("pair_id").alias("_dpid"),
+        "dist",
+    )
+    j = a.join(
+        d,
+        (F.col("frame_id") == F.col("_dfid"))
+        & (F.col("triplet_id") == F.col("_dpid")),
+    )
+    return j.select(
+        "frame_id",
+        "triplet_id",
+        "dist",
+        "angle_rad",
+        (
+            (F.col("dist") < F.lit(dist_cutoff))
+            & (F.col("angle_rad") > F.lit(angle_min))
+        ).alias("is_hbond"),
     )

@@ -137,6 +137,7 @@ _SCORING_TAIL = [
     "v6_kmeans_contract",
     "m7_resize_bmp",
     "sx3_stream_window_counts_twin",
+    "x11_hbond_geometric",
 ]
 
 

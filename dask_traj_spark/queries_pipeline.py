@@ -2623,3 +2623,73 @@ def q_stream_window_counts_twin(spark, sf_dir):
     return spark.createDataFrame(
         pdf, "window_start string, event_type string, n long, total_cents long"
     )
+
+
+# ---------------------------------------------------------------------
+# x11: geometric hydrogen-bond criterion (G1 x G3 composition)
+# ---------------------------------------------------------------------
+
+_X11_N = 10
+_X11_CUT = 0.5    # dyadic thresholds: exact in f32 and f64, so the
+_X11_AMIN = 1.75  # flag comparison cannot straddle engine rounding
+
+
+def _x11_oracle() -> str:
+    from dask_traj_spark.queries import (
+        COORDS_CTE,
+        TRIPLETS_CTE,
+        _dist_from_components,
+    )
+
+    dist = _dist_from_components("ck.x-cj.x", "ck.y-cj.y", "ck.z-cj.z")
+    ang = """round(acos(greatest(-1.0, least(1.0,
+           (ux*vx + uy*vy + uz*vz) /
+           (sqrt(ux*ux + uy*uy + uz*uz) * sqrt(vx*vx + vy*vy + vz*vz))
+       ))), 6)"""
+    return f"""
+WITH {COORDS_CTE.strip()},
+{TRIPLETS_CTE.format(n=_X11_N).strip()},
+legs AS (
+    SELECT cj.frame_id, t.triplet_id,
+           ci.x-cj.x AS ux, ci.y-cj.y AS uy, ci.z-cj.z AS uz,
+           ck.x-cj.x AS vx, ck.y-cj.y AS vy, ck.z-cj.z AS vz,
+           {dist} AS dist
+    FROM triplets t
+    JOIN coords ci ON ci.atom_id = t.i
+    JOIN coords cj ON cj.atom_id = t.j AND cj.frame_id = ci.frame_id
+    JOIN coords ck ON ck.atom_id = t.k AND ck.frame_id = ci.frame_id
+)
+SELECT frame_id, triplet_id, dist,
+       {ang} AS angle_rad,
+       CAST(CASE WHEN dist < {_X11_CUT} AND {ang} > {_X11_AMIN}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_hbond
+FROM legs
+"""
+
+
+@register("x11_hbond_geometric", _x11_oracle())
+def q_hbond_geometric(spark, sf_dir):
+    """H-bond flags over all C(10,3) (donor, hydrogen, acceptor)
+    triplets: H···A distance below 0.5 nm AND D-H···A angle above
+    1.75 rad — the two public primitives composed through one
+    (frame_id, triplet_id) equi-join (mdtraj ``baker_hubbard``
+    geometry shape; the reference's users escape-hatch through
+    ``to_mdtraj`` for this)."""
+    import itertools
+
+    from dask_traj_spark.operators.angle import hydrogen_bonds
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    trips = list(itertools.combinations(range(_X11_N), 3))
+    out = hydrogen_bonds(
+        traj, trips, dist_cutoff=_X11_CUT, angle_min=_X11_AMIN,
+        periodic=False, n_atoms=_X11_N, _round6_double=True,
+    )
+    return out.select(
+        "frame_id",
+        "triplet_id",
+        F.col("dist").cast("double").alias("dist"),
+        "angle_rad",
+        F.col("is_hbond").cast("long").alias("is_hbond"),
+    )

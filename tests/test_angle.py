@@ -98,3 +98,32 @@ class TestDihedrals:
         np.testing.assert_allclose(
             a["dihedral_rad"].to_numpy(), b["dihedral_rad"].to_numpy(), atol=2e-5
         )
+
+
+def test_hydrogen_bonds_flags_constructed_geometries(spark):
+    import numpy as np
+
+    from dask_traj_spark.operators.angle import hydrogen_bonds
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    # atoms: 0=donor, 1=hydrogen, then three acceptor candidates
+    #   2: linear D-H...A, close      -> H-bond
+    #   3: close but bent (~90 deg)   -> no (angle below threshold)
+    #   4: linear but far             -> no (distance above cutoff)
+    xyz = np.array(
+        [[
+            [0.0, 0.0, 0.0],
+            [0.1, 0.0, 0.0],
+            [0.3, 0.0, 0.0],
+            [0.1, 0.2, 0.0],
+            [1.5, 0.0, 0.0],
+        ]],
+        dtype=np.float32,
+    )
+    traj = from_wide_pandas(spark, xyz)
+    out = hydrogen_bonds(
+        traj, [(0, 1, 2), (0, 1, 3), (0, 1, 4)],
+        dist_cutoff=0.5, angle_min=1.75, periodic=False,
+    )
+    flags = {r["triplet_id"]: r["is_hbond"] for r in out.collect()}
+    assert flags == {0: True, 1: False, 2: False}
