@@ -720,3 +720,66 @@ def mean_squared_displacement(traj, max_lag: int) -> DataFrame:
             F.avg(dx * dx + dy * dy + dz * dz).alias("msd"),
         )
     )
+
+
+def velocity_autocorrelation(traj, max_lag: int) -> DataFrame:
+    """VACF(τ) = ⟨v(t)·v(t+τ)⟩ over atoms and start frames for
+    τ = 0..max_lag → (lag BIGINT, n_samples BIGINT, vacf DOUBLE),
+    with v(t) = r(t+1) − r(t) (forward finite difference — the
+    standard estimator when the source stores only positions).
+
+    Plan shape: ONE window (partition atom_id, order frame_id) builds
+    the velocity series with ``lead`` — a single shuffle keyed on
+    atom_id, each partition a bounded per-atom time series — then the
+    same banded time-lag self-join as ``mean_squared_displacement``
+    (explode ≤max_lag+1 target frames, equi-join, partial+final
+    average).  Velocity components are exact dyadic differences, so
+    their dot products aggregate order-independently (oracle-gate
+    requirement)."""
+    from pyspark.sql import Window
+
+    c = traj.coords.select(
+        "atom_id",
+        "frame_id",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        F.col("z").cast("double").alias("z"),
+    )
+    w = Window.partitionBy("atom_id").orderBy("frame_id")
+    v = c.select(
+        "atom_id",
+        "frame_id",
+        (F.lead("x").over(w) - F.col("x")).alias("vx"),
+        (F.lead("y").over(w) - F.col("y")).alias("vy"),
+        (F.lead("z").over(w) - F.col("z")).alias("vz"),
+    ).where(F.col("vx").isNotNull())
+    lags = F.sequence(F.lit(0), F.lit(int(max_lag)))
+    origin = v.select(
+        "atom_id",
+        "vx", "vy", "vz",
+        F.explode(lags).alias("lag"),
+        (F.col("frame_id") + F.col("lag")).alias("tf"),
+    )
+    target = v.select(
+        F.col("atom_id").alias("t_atom"),
+        F.col("frame_id").alias("t_frame"),
+        F.col("vx").alias("wx"),
+        F.col("vy").alias("wy"),
+        F.col("vz").alias("wz"),
+    )
+    dot = (
+        F.col("vx") * F.col("wx")
+        + F.col("vy") * F.col("wy")
+        + F.col("vz") * F.col("wz")
+    )
+    return (
+        origin.join(
+            target,
+            (F.col("atom_id") == F.col("t_atom")) & (F.col("tf") == F.col("t_frame")),
+        )
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.avg(dot).alias("vacf"),
+        )
+    )

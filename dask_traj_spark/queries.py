@@ -138,6 +138,7 @@ _SCORING_TAIL = [
     "m7_resize_bmp",
     "sx3_stream_window_counts_twin",
     "x11_hbond_geometric",
+    "x12_vacf",
 ]
 
 

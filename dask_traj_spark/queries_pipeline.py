@@ -2693,3 +2693,40 @@ def q_hbond_geometric(spark, sf_dir):
         "angle_rad",
         F.col("is_hbond").cast("long").alias("is_hbond"),
     )
+
+
+def _vacf_oracle(max_lag: int) -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+v AS (
+    SELECT c1.atom_id, c1.frame_id,
+           c2.x - c1.x AS vx, c2.y - c1.y AS vy, c2.z - c1.z AS vz
+    FROM coords c1
+    JOIN coords c2 ON c2.atom_id = c1.atom_id
+                  AND c2.frame_id = c1.frame_id + 1
+)
+SELECT CAST(v2.frame_id - v1.frame_id AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       avg(v1.vx*v2.vx + v1.vy*v2.vy + v1.vz*v2.vz) AS vacf
+FROM v v1
+JOIN v v2 ON v2.atom_id = v1.atom_id
+         AND v2.frame_id >= v1.frame_id
+         AND v2.frame_id <= v1.frame_id + {max_lag}
+GROUP BY v2.frame_id - v1.frame_id
+ORDER BY lag
+"""
+
+
+@register("x12_vacf", _vacf_oracle(6))
+def q_vacf(spark, sf_dir):
+    """Velocity autocorrelation vs time lag (finite-difference
+    velocities): one atom-keyed window builds the velocity series,
+    then the banded time-lag self-join from x9. Dyadic velocity
+    components make every averaged dot product exact."""
+    from dask_traj_spark.operators.distance import velocity_autocorrelation
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return velocity_autocorrelation(traj, max_lag=6).orderBy("lag")

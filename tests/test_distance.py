@@ -271,3 +271,25 @@ def test_half_box_tie_rounding_triclinic_forms_agree(spark):
         compute_displacements(traj, pairs, periodic=True, form="vectorized")
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_vacf_closed_form_constant_velocity(spark):
+    """Atoms moving at constant velocity have VACF(lag) == |v|^2 for
+    every lag (perfect correlation), with n_samples shrinking by
+    n_atoms per unit lag."""
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import velocity_autocorrelation
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    n_frames, n_atoms = 8, 5
+    vel = np.array([[0.25, 0.0, -0.125]] * n_atoms, dtype=np.float32)
+    base = np.arange(n_atoms * 3, dtype=np.float32).reshape(n_atoms, 3) / 16.0
+    xyz = np.stack([base + t * vel for t in range(n_frames)])
+    traj = from_wide_pandas(spark, xyz)
+    out = {r["lag"]: r for r in velocity_autocorrelation(traj, max_lag=3).collect()}
+    v2 = float((vel[0] ** 2).sum())
+    n_v = n_frames - 1  # velocity series length per atom
+    for lag in range(4):
+        assert out[lag]["n_samples"] == n_atoms * (n_v - lag)
+        assert abs(out[lag]["vacf"] - v2) < 1e-12
