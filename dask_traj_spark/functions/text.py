@@ -282,3 +282,39 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             (counts["email"] + counts["url"] + counts["phone"]) > 0
         ).cast("long").alias("pii_flag"),
     )
+
+
+def lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity statistics → (doc_id, n_tokens,
+    n_types, n_hapax, ttr, hapax_ratio): type-token ratio and
+    hapax-legomenon share — the classic boilerplate/repetition
+    signals that complement ``quality_score`` (a templated or
+    keyword-stuffed document has low TTR; natural prose keeps a
+    large hapax share).
+
+    One tokenize → per-(doc, word) count → per-doc aggregate: two
+    partial+final aggregations keyed on (doc_id, word) then doc_id —
+    shuffle-friendly at any corpus size, no windows, no vocabulary
+    state.  Counts are exact integers; the two ratios are one
+    correctly-rounded division each (engine-independent)."""
+    tok = tokens(df, text_col=text_col)
+    per_word = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        (
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("ttr"),
+        (
+            F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("hapax_ratio"),
+    )

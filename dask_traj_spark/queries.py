@@ -139,6 +139,7 @@ _SCORING_TAIL = [
     "sx3_stream_window_counts_twin",
     "x11_hbond_geometric",
     "x12_vacf",
+    "t11_lexical_diversity",
 ]
 
 

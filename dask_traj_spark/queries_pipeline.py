@@ -2730,3 +2730,36 @@ def q_vacf(spark, sf_dir):
 
     traj = trajectory_from_embeddings(spark, sf_dir)
     return velocity_autocorrelation(traj, max_lag=6).orderBy("lag")
+
+
+_T11_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+pw AS (
+    SELECT doc_id, word, count(*) AS n
+    FROM tok GROUP BY doc_id, word
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM pw GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_ratio
+FROM agg
+"""
+
+
+@register("t11_lexical_diversity", _T11_ORACLE)
+def q_lexical_diversity(spark, sf_dir):
+    """Type-token ratio + hapax share per document — two chained
+    partial+final aggregations, exact integer counts, one division
+    per ratio."""
+    from dask_traj_spark.functions.text import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))

@@ -1084,3 +1084,22 @@ class TestResize:
         )
         with _pytest.raises(Exception, match="no real decoder"):
             resize_images(df, 2, 2).collect()
+
+
+class TestLexicalDiversity:
+    def test_known_counts(self, spark):
+        from dask_traj_spark.functions.text import lexical_diversity
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a c a b"),          # 6 tokens, 3 types, 1 hapax (c)
+                (2, "x y z"),                # all hapax
+                (3, "w w w w"),              # one type, zero hapax
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+        assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["n_hapax"]) == (6, 3, 1)
+        assert out[1]["ttr"] == 3 / 6 and out[1]["hapax_ratio"] == 1 / 6
+        assert (out[2]["n_types"], out[2]["n_hapax"]) == (3, 3)
+        assert (out[3]["n_types"], out[3]["n_hapax"]) == (1, 0)
