@@ -752,3 +752,75 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame, window: int = 8) -> DataFrame:
+    """Windowed audio features over REAL decoded PCM samples →
+    (doc_id, window_idx, energy, zero_crossings, peak): the payload
+    is decoded with ``decode_wav``, the int16 sample stream is split
+    into fixed ``window``-sample frames, and each frame reports
+
+    - ``energy`` = Σ s² (exact int64 — int16 squares sum exactly),
+    - ``zero_crossings`` = #{i : sign(sᵢ) ≠ sign(sᵢ₋₁)} with
+      sign(x) := (x < 0) (zeros count as non-negative),
+    - ``peak`` = max |s| —
+
+    the classic VAD/energy-gating front end of an audio curation
+    pipeline.  Non-WAV kinds raise (no stub featurizing).
+
+    100-TB posture: map-only Arrow pass; output is
+    n_windows ≪ n_samples rows per doc, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def one(kind, buf):
+        if kind != "audio/wav":
+            raise NotImplementedError(
+                f"audio_window_features needs PCM WAV payloads, got {kind!r}"
+            )
+        _frames, _ch, _rate, samples = decode_wav(bytes(buf))
+        s = np.asarray(samples, dtype=np.int64)
+        n_win = len(s) // window
+        out = []
+        for w in range(n_win):
+            seg = s[w * window: (w + 1) * window]
+            neg = seg < 0
+            out.append(
+                (
+                    w,
+                    int((seg * seg).sum()),
+                    int((neg[1:] != neg[:-1]).sum()),
+                    int(np.abs(seg).max()) if len(seg) else 0,
+                )
+            )
+        return out
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {"doc_id": [], "window_idx": [], "energy": [],
+                    "zero_crossings": [], "peak": []}
+            for did, kind, buf in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                for w, e, z, p in one(kind, buf):
+                    rows["doc_id"].append(did)
+                    rows["window_idx"].append(w)
+                    rows["energy"].append(e)
+                    rows["zero_crossings"].append(z)
+                    rows["peak"].append(p)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)

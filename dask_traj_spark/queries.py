@@ -140,6 +140,7 @@ _SCORING_TAIL = [
     "x11_hbond_geometric",
     "x12_vacf",
     "t11_lexical_diversity",
+    "m8_audio_window_features",
 ]
 
 

@@ -2763,3 +2763,57 @@ def q_lexical_diversity(spark, sf_dir):
     from dask_traj_spark.functions.text import lexical_diversity
 
     return lexical_diversity(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# m8: windowed audio features over REAL decoded PCM samples
+# ---------------------------------------------------------------------
+
+
+def _m8_oracle() -> str:
+    # sample i (0-based, i < 32) = (byte_{i+1} - 128) * 256, zero past
+    # end-of-text; windows of 8 -> 4 windows per doc.  Zero crossings
+    # via lag() within (doc, window) ordered by position, sign(x) :=
+    # (x < 0) with zeros non-negative — the operator's definition.
+    return """
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+),
+s AS (
+    SELECT doc_id, CAST(w.widx AS INT) AS window_idx, p.pos,
+           CASE WHEN nb >= 8*w.widx + p.pos + 1
+                THEN (ord(substr(text, CAST(8*w.widx + p.pos + 1 AS INT), 1)) - 128) * 256
+                ELSE 0 END AS samp
+    FROM m CROSS JOIN range(4) w(widx) CROSS JOIN range(8) p(pos)
+),
+sl AS (
+    SELECT doc_id, window_idx, pos, samp,
+           lag(samp) OVER (PARTITION BY doc_id, window_idx ORDER BY pos) AS prev
+    FROM s
+)
+SELECT doc_id, window_idx,
+       CAST(sum(samp * samp) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN prev IS NOT NULL
+                      AND (samp < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings,
+       CAST(max(abs(samp)) AS BIGINT) AS peak
+FROM sl
+GROUP BY doc_id, window_idx
+"""
+
+
+@register("m8_audio_window_features", _m8_oracle())
+def q_audio_window_features(spark, sf_dir):
+    """Audio front-end gate: text byte head → PCM-16 WAV →
+    ``decode_wav`` → 8-sample windowed energy / zero-crossings /
+    peak. Sample values (b−128)·256 are exact int16, so every
+    windowed statistic is an exact integer on both engines."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_wav,
+        audio_window_features,
+    )
+
+    return audio_window_features(
+        attach_payload_wav(_docs(spark, sf_dir)), window=8
+    )

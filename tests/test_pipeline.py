@@ -1103,3 +1103,42 @@ class TestLexicalDiversity:
         assert out[1]["ttr"] == 3 / 6 and out[1]["hapax_ratio"] == 1 / 6
         assert (out[2]["n_types"], out[2]["n_hapax"]) == (3, 3)
         assert (out[3]["n_types"], out[3]["n_hapax"]) == (1, 0)
+
+
+class TestAudioWindows:
+    def test_energy_zero_crossings_peak(self, spark):
+        import numpy as np
+
+        from dask_traj_spark.operators.multimodal import (
+            audio_window_features,
+            encode_wav,
+        )
+
+        # 16 samples: window 0 is an alternating square wave (7
+        # crossings), window 1 is silence then a single negative spike
+        s = np.array([100, -100] * 4 + [0] * 5 + [-300, 0, 0], dtype=np.int16)
+        payload = encode_wav(s)
+        df = spark.createDataFrame(
+            [(1, "audio/wav", bytearray(payload), len(payload))],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        out = {r["window_idx"]: r for r in audio_window_features(df, window=8).collect()}
+        assert out[0]["energy"] == 8 * 100 * 100
+        assert out[0]["zero_crossings"] == 7
+        assert out[0]["peak"] == 100
+        assert out[1]["energy"] == 300 * 300
+        # crossings: 0(+),0,0,0,0,-300,0,0 -> into spike and back = 2
+        assert out[1]["zero_crossings"] == 2
+        assert out[1]["peak"] == 300
+
+    def test_rejects_non_wav(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import audio_window_features
+
+        df = spark.createDataFrame(
+            [(1, "audio/mp3", bytearray(b"ID3"), 3)],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        with _pytest.raises(Exception, match="PCM WAV"):
+            audio_window_features(df).collect()
