@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from dask_traj_spark.plans.audit import audit
+from dask_traj_spark.plans.audit import assert_max_shuffles, audit
 
 
 @pytest.fixture(scope="module")
@@ -462,3 +462,49 @@ def test_q13_left_join_not_converted_to_inner(spark):
 
     a = audit(q_r30(spark, "/root/testdata/sf0.001"))
     assert "LeftOuter" in a.text or "RightOuter" in a.text, a.text
+
+
+def test_pii_and_lexical_paths_plan_shapes(spark):
+    """t10 is a map-only scrub (zero shuffles — regex stays inside
+    codegen over the scan); t11 is exactly its two chained partial+
+    final aggregations, never a single-partition exchange."""
+    from dask_traj_spark.functions.text import lexical_diversity, pii_stats
+
+    docs = _docs_fixture(spark)
+    assert_max_shuffles(pii_stats(docs), 0)
+    a = assert_max_shuffles(lexical_diversity(docs), 2)
+    assert "SinglePartition" not in a.text, a.text
+
+
+def test_multimodal_feature_paths_are_map_only(spark):
+    """m7 resize and m8 audio windows are map-only Arrow passes: the
+    payload column never crosses a shuffle boundary."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_bmp,
+        attach_payload_wav,
+        audio_window_features,
+        resize_images,
+    )
+
+    docs = _docs_fixture(spark)
+    assert_max_shuffles(resize_images(attach_payload_bmp(docs), 3, 1), 0)
+    assert_max_shuffles(audio_window_features(attach_payload_wav(docs)), 0)
+
+
+def test_vacf_and_rmsf_shuffle_budgets(spark):
+    """x12: one atom-keyed window shuffle + the banded-join shuffles +
+    the final agg — but never a cartesian or single partition; x10 is
+    one partial+final agg."""
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import velocity_autocorrelation
+    from dask_traj_spark.operators.rmsd import compute_rmsf
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    xyz = np.zeros((4, 6, 3), dtype=np.float32)
+    traj = from_wide_pandas(spark, xyz)
+    a = assert_max_shuffles(compute_rmsf(traj), 1)
+    assert "SinglePartition" not in a.text, a.text
+    v = audit(velocity_autocorrelation(traj, max_lag=2))
+    assert "CartesianProduct" not in v.text, v.text
+    assert "SinglePartition" not in v.text, v.text
