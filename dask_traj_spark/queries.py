@@ -141,6 +141,7 @@ _SCORING_TAIL = [
     "x12_vacf",
     "t11_lexical_diversity",
     "m8_audio_window_features",
+    "sx4_stream_sessionization_twin",
 ]
 
 

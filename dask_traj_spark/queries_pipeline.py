@@ -2817,3 +2817,48 @@ def q_audio_window_features(spark, sf_dir):
     return audio_window_features(
         attach_payload_wav(_docs(spark, sf_dir)), window=8
     )
+
+
+@register("sx4_stream_sessionization_twin", _E2_ORACLE)
+def q_stream_sessionization_twin(spark, sf_dir):
+    """Incremental gap sessionization vs e2's SQL value oracle —
+    the ORDER-DEPENDENT streaming fold (unlike sx2/sx3's associative
+    partials, a batch's first per-user session can merge into the
+    open tail of the previous state version).  The corpus replays
+    in three event-time slices; the middle batch is crash-replayed
+    inside the query; the final view (closed sessions + open tails)
+    must match the one-pass batch sessionization VALUE-FOR-VALUE."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.streaming.ingest import (
+        process_sessions_batch,
+        sessions_final,
+    )
+
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id")
+    lo, hi = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    us = F.unix_micros(F.col("ts"))
+    slices = [
+        ev.where(us < c1),
+        ev.where((us >= c1) & (us < c2)),
+        ev.where(us >= c2),
+    ]
+    work = tempfile.mkdtemp(prefix="sx4_sessions_twin_")
+    state, results = f"{work}/state", f"{work}/results"
+    try:
+        for b, sl in enumerate(slices):
+            process_sessions_batch(sl, b, state, results)
+        # crash-replay of the middle batch: state version 1 and the
+        # batch-1 results partition are rewritten from version 0
+        process_sessions_batch(slices[1], 1, state, results)
+        pdf = sessions_final(spark, state, results, 2).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "user_id long, session_no long, n_events long, duration_s long"
+    )

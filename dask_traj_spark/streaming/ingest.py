@@ -482,3 +482,173 @@ def window_counts_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return st.groupBy("window_start", "event_type").agg(
         F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents")
     )
+
+
+# ----------------------------------------------------- incremental
+# sessionization (the streaming twin of e2) — unlike the associative
+# count/dedup partials above, gap-based sessions are ORDER-DEPENDENT:
+# a micro-batch's first per-user session may merge into the session
+# left open by the previous batch.  The exactly-once story is a
+# VERSIONED state fold: state_N = f(state_{N-1}, batch_N), written as
+# partition batch_id=N — replaying batch N re-reads the untouched
+# state_{N-1} partition and rewrites identical outputs (dynamic
+# partition overwrite), so a crash between commit points cannot
+# double-merge or renumber.  Batches must be event-time-ordered
+# slices (the shape a watermarked stream delivers); equal-timestamp
+# events may split across adjacent slices freely because the merge
+# decision depends only on timestamp gaps.
+
+_SESS_GAP_US = 1_800_000_000  # 30 min, matching e2
+
+
+def _read_session_state(spark: SparkSession, state_dir: str, version: int):
+    schema = (
+        "user_id long, open_no long, p_first long, p_last long, p_n long"
+    )
+    if version < 0:
+        return spark.createDataFrame([], schema)
+    try:
+        st = spark.read.parquet(state_dir)
+    except Exception:
+        return spark.createDataFrame([], schema)
+    return st.where(F.col("batch_id") == version).drop("batch_id")
+
+
+def process_sessions_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    results_dir: str,
+    gap_s: int = 1800,
+) -> None:
+    """One time-sliced micro-batch of incremental gap sessionization:
+    sessionize the batch locally (one user-keyed window), stitch its
+    first per-user session onto the open tail from state version
+    ``batch_id−1`` when the gap allows, emit every session that can
+    no longer grow, and write state version ``batch_id`` (open tail
+    per user, absent users carried forward).
+
+    Close-is-final argument: batches are time-ordered, so a user's
+    earliest event in this batch is the earliest they will EVER have
+    again — if it does not merge into the open tail, no later event
+    can (gaps only grow).  Sessions other than the per-user last one
+    are closed by the session that follows them in-batch.
+
+    100-TB posture: one window + one agg keyed on user_id per batch,
+    state is one row per user (join keyed on user_id); old state
+    versions are replay insurance — prune versions < N−1 on commit
+    in a production loop."""
+    from dask_traj_spark.streaming.dedup import _overwrite_batch_partition
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    gap_us = int(gap_s) * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > gap_us),
+        1,
+    ).otherwise(0)
+    local = batch_df.select("user_id", "ts", "event_id").withColumn(
+        "ls",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    lsess = local.groupBy("user_id", "ls").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wk = Window.partitionBy("user_id")
+    prev = _read_session_state(spark, state_dir, batch_id - 1)
+    j = lsess.withColumn("k_max", F.max("ls").over(wk)).join(
+        prev, "user_id", "left"
+    )
+    has_prev = F.col("open_no").isNotNull()
+    merged1 = F.coalesce(
+        has_prev
+        & (F.col("ls") == 1)
+        & ((F.col("first_us") - F.col("p_last")) <= gap_us),
+        F.lit(False),
+    )
+    adj = j.withColumns(
+        {
+            "m1": merged1,
+            "um": F.coalesce(
+                F.max(merged1.cast("int")).over(wk) == 1, F.lit(False)
+            ),
+            "hp": has_prev,
+        }
+    ).withColumns(
+        {
+            "sess_no": (
+                F.coalesce("open_no", F.lit(0))
+                + F.col("ls")
+                - F.col("um").cast("long")
+            ),
+            "a_first": F.when(F.col("m1"), F.col("p_first")).otherwise(
+                F.col("first_us")
+            ),
+            "a_n": F.when(F.col("m1"), F.col("n") + F.col("p_n")).otherwise(
+                F.col("n")
+            ),
+        }
+    )
+    closed_local = adj.where(F.col("ls") < F.col("k_max")).select(
+        "user_id",
+        "sess_no",
+        F.col("a_first").alias("first_us"),
+        "last_us",
+        F.col("a_n").alias("n"),
+    )
+    prev_closed = adj.where(
+        (F.col("ls") == 1) & F.col("hp") & ~F.col("um")
+    ).select(
+        "user_id",
+        F.col("open_no").alias("sess_no"),
+        F.col("p_first").alias("first_us"),
+        F.col("p_last").alias("last_us"),
+        F.col("p_n").alias("n"),
+    )
+    _overwrite_batch_partition(
+        closed_local.unionByName(prev_closed), results_dir, batch_id
+    )
+    tails = adj.where(F.col("ls") == F.col("k_max")).select(
+        "user_id",
+        F.col("sess_no").alias("open_no"),
+        F.col("a_first").alias("p_first"),
+        F.col("last_us").alias("p_last"),
+        F.col("a_n").alias("p_n"),
+    )
+    carried = prev.join(
+        lsess.select("user_id").distinct(), "user_id", "left_anti"
+    )
+    _overwrite_batch_partition(
+        tails.unionByName(carried), state_dir, batch_id
+    )
+
+
+def sessions_final(
+    spark: SparkSession, state_dir: str, results_dir: str, last_batch_id: int
+) -> DataFrame:
+    """End-of-stream session view: every closed session plus the
+    still-open tails from the last state version — identical to the
+    batch sessionization of the full corpus (gated by sx4 against
+    e2's value oracle)."""
+    closed = spark.read.parquet(results_dir).drop("batch_id")
+    opens = _read_session_state(spark, state_dir, last_batch_id).select(
+        "user_id",
+        F.col("open_no").alias("sess_no"),
+        F.col("p_first").alias("first_us"),
+        F.col("p_last").alias("last_us"),
+        F.col("p_n").alias("n"),
+    )
+    out = closed.unionByName(opens)
+    return out.select(
+        "user_id",
+        F.col("sess_no").alias("session_no"),
+        F.col("n").alias("n_events"),
+        F.expr("(last_us - first_us) div 1000000").alias("duration_s"),
+    )

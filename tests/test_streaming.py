@@ -752,3 +752,90 @@ def test_stream_window_counts_replay_idempotent(spark, tmp_path):
     )
     assert (got["n"] == want["n"]).all()
     assert (got["total_cents"] == want["total_cents"]).all()
+
+
+def test_stream_sessions_merge_across_batches_and_replay(spark, tmp_path):
+    """Sessions that span micro-batch boundaries must stitch onto the
+    open tail; a user absent from a middle batch still merges across
+    it when the time gap allows; and replaying any batch leaves the
+    final view identical to the batch sessionization."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    from dask_traj_spark.streaming.ingest import (
+        process_sessions_batch,
+        sessions_final,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: one long session spanning batch 0/1 boundary, then a
+        # separate late session in batch 2
+        (0, 1, m(0)), (1, 1, m(20)), (2, 1, m(45)), (3, 1, m(60)),
+        (4, 1, m(200)), (5, 1, m(210)),
+        # user 2: session in batch 0 only, gap, session in batch 2
+        (6, 2, m(5)), (7, 2, m(250)),
+        # user 3: absent from batch 1, but gap short enough to merge
+        # across it (batch split at minute 40/160)
+        (8, 3, m(30)), (9, 3, m(50)),
+        # user 4: everything in batch 1
+        (10, 4, m(100)), (11, 4, m(110)),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, ts) for e, u, ts in rows],
+        "event_id long, user_id long, ts timestamp",
+    )
+    state, results = str(tmp_path / "st"), str(tmp_path / "res")
+    cuts = [m(40), m(160)]
+    slices = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    for b, sl in enumerate(slices):
+        process_sessions_batch(sl, b, state, results)
+    # replay storm: middle batch twice, then the last again
+    process_sessions_batch(slices[1], 1, state, results)
+    process_sessions_batch(slices[1], 1, state, results)
+    process_sessions_batch(slices[2], 2, state, results)
+
+    got = (
+        sessions_final(spark, state, results, 2)
+        .toPandas()
+        .set_index(["user_id", "session_no"])
+        .sort_index()
+    )
+    # batch twin
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    want = (
+        ev.withColumn(
+            "session_no",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+            ).alias("duration_s"),
+        )
+        .toPandas()
+        .set_index(["user_id", "session_no"])
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["duration_s"] == want["duration_s"]).all()
+    # the cross-batch merge really happened: user 1 spans 60 minutes
+    assert got.loc[(1, 1), "duration_s"] == 60 * 60
+    assert got.loc[(3, 1), "n_events"] == 2
