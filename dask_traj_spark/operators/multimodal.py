@@ -824,3 +824,57 @@ def audio_window_features(media: DataFrame, window: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)
+
+
+FRAME_DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("diff_sum", T.LongType()),
+        T.StructField("max_px_diff", T.LongType()),
+    ]
+)
+
+
+def frame_diffs(media: DataFrame) -> DataFrame:
+    """Temporal frame differencing over REAL decoded video →
+    (doc_id, frame_idx, diff_sum, max_px_diff), one row per
+    consecutive frame pair (``frame_idx`` names the LATER frame):
+    diff_sum = Σ|pxₜ − pxₜ₋₁| (the L1 motion energy every
+    scene-cut / shot-boundary detector thresholds), max_px_diff =
+    the largest single-channel change.  Exact integers end to end.
+
+    Uncompressed-AVI payloads only (``decode_avi``); other kinds
+    raise — differencing stub-decoded frames would be meaningless.
+
+    100-TB posture: map-only Arrow pass; output is
+    (n_frames−1) ≪ payload_bytes rows per video, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {"doc_id": [], "frame_idx": [], "diff_sum": [],
+                    "max_px_diff": []}
+            for did, kind, buf in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video/avi":
+                    raise NotImplementedError(
+                        f"frame_diffs needs uncompressed AVI payloads, got {kind!r}"
+                    )
+                _w, _h, _n, frames = decode_avi(bytes(buf))
+                for t in range(1, len(frames)):
+                    a = np.asarray(frames[t], dtype=np.int64)
+                    b = np.asarray(frames[t - 1], dtype=np.int64)
+                    d = np.abs(a - b)
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(t)
+                    rows["diff_sum"].append(int(d.sum()))
+                    rows["max_px_diff"].append(int(d.max()) if d.size else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, FRAME_DIFF_SCHEMA)

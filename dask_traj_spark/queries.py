@@ -142,6 +142,7 @@ _SCORING_TAIL = [
     "t11_lexical_diversity",
     "m8_audio_window_features",
     "sx4_stream_sessionization_twin",
+    "m9_frame_diffs",
 ]
 
 

@@ -2862,3 +2862,45 @@ def q_stream_sessionization_twin(spark, sf_dir):
     return spark.createDataFrame(
         pdf, "user_id long, session_no long, n_events long, duration_s long"
     )
+
+
+# ---------------------------------------------------------------------
+# m9: temporal frame differencing (scene-cut signal) over real AVI
+# ---------------------------------------------------------------------
+
+
+def _m9_oracle() -> str:
+    b = lambda f: (  # noqa: E731  (byte of frame expr f at position pos)
+        f"CASE WHEN nb >= 24*({f}) + p.pos + 1 "
+        f"THEN ord(substr(text, CAST(24*({f}) + p.pos + 1 AS INT), 1)) "
+        f"ELSE 0 END"
+    )
+    return f"""
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+),
+d AS (
+    SELECT doc_id, CAST(t.fidx AS INT) AS frame_idx, p.pos,
+           abs(({b('t.fidx')}) - ({b('t.fidx - 1')})) AS ad
+    FROM m CROSS JOIN range(1, 3) t(fidx) CROSS JOIN range(24) p(pos)
+)
+SELECT doc_id, frame_idx,
+       CAST(sum(ad) AS BIGINT) AS diff_sum,
+       CAST(max(ad) AS BIGINT) AS max_px_diff
+FROM d GROUP BY doc_id, frame_idx
+"""
+
+
+@register("m9_frame_diffs", _m9_oracle())
+def q_frame_diffs(spark, sf_dir):
+    """Video motion-energy gate: text bytes → 3-frame uncompressed
+    AVI → decode_avi → per-transition L1 diff + peak channel change.
+    Frame f's decoded pixels are text bytes [24f, 24f+24), so the
+    oracle predicts every difference exactly."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_avi,
+        frame_diffs,
+    )
+
+    return frame_diffs(attach_payload_avi(_docs(spark, sf_dir)))

@@ -1142,3 +1142,34 @@ class TestAudioWindows:
         )
         with _pytest.raises(Exception, match="PCM WAV"):
             audio_window_features(df).collect()
+
+
+class TestFrameDiffs:
+    def test_known_motion_energy(self, spark):
+        from dask_traj_spark.operators.multimodal import encode_avi, frame_diffs
+
+        # 2x1 RGB frames: static, then +10 on every channel, then one
+        # channel jumps by 200
+        f0 = bytes([10, 20, 30, 40, 50, 60])
+        f1 = bytes([20, 30, 40, 50, 60, 70])
+        f2 = bytes([20, 30, 240, 50, 60, 70])
+        payload = encode_avi(2, 1, [f0, f1, f2])
+        df = spark.createDataFrame(
+            [(7, "video/avi", bytearray(payload), len(payload))],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        out = {r["frame_idx"]: r for r in frame_diffs(df).collect()}
+        assert out[1]["diff_sum"] == 60 and out[1]["max_px_diff"] == 10
+        assert out[2]["diff_sum"] == 200 and out[2]["max_px_diff"] == 200
+
+    def test_rejects_non_avi(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import frame_diffs
+
+        df = spark.createDataFrame(
+            [(1, "video/mp4", bytearray(b"\x00"), 1)],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        with _pytest.raises(Exception, match="uncompressed AVI"):
+            frame_diffs(df).collect()
