@@ -143,6 +143,7 @@ _SCORING_TAIL = [
     "m8_audio_window_features",
     "sx4_stream_sessionization_twin",
     "m9_frame_diffs",
+    "e7_burst_detection",
 ]
 
 

@@ -2904,3 +2904,74 @@ def q_frame_diffs(spark, sf_dir):
     )
 
     return frame_diffs(attach_payload_avi(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------
+# e7: rolling-baseline burst detection over hourly event counts
+# ---------------------------------------------------------------------
+
+_E7_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+trail AS (
+    SELECT h, event_type, n,
+           sum(n) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS t_sum,
+           count(n) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS t_n
+    FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(COALESCE(t_sum, 0) AS BIGINT) AS trail_sum,
+       CAST(t_n AS BIGINT) AS trail_n,
+       CAST(CASE WHEN t_n > 0 AND n * t_n > 2 * t_sum
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+FROM trail
+"""
+
+
+@register("e7_burst_detection", _E7_ORACLE)
+def q_burst_detection(spark, sf_dir):
+    """Burst flags per (hour, event_type): the hour's count against
+    the trailing-3-hour baseline, flagged when count exceeds 2× the
+    trailing mean.  The comparison is pure integer cross-
+    multiplication (n·t_n > 2·t_sum) — no division anywhere, so the
+    flag cannot straddle a rounding boundary.  Plan: one partial+
+    final agg, then a window partitioned by event_type (never
+    SinglePartition; at 100 TB the window input is the tiny hourly
+    rollup, not the events)."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.sources.events import events_df
+
+    hourly = (
+        events_df(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, -1)
+    t = hourly.withColumns(
+        {
+            "t_sum": F.coalesce(F.sum("n").over(w), F.lit(0)),
+            "t_n": F.count("n").over(w),
+        }
+    )
+    return t.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("t_sum").cast("long").alias("trail_sum"),
+        F.col("t_n").cast("long").alias("trail_n"),
+        (
+            (F.col("t_n") > 0)
+            & (F.col("n") * F.col("t_n") > 2 * F.col("t_sum"))
+        ).cast("long").alias("is_burst"),
+    )
