@@ -320,7 +320,17 @@ def _packed_input(traj, periodic: bool, atoms: np.ndarray | None = None):
     lookup = _BoxLookup.from_traj(traj) if use_box else None
     feed = traj.frame_packed()
     if atoms is not None:
-        feed = feed.filter(F.col("atom_id").isin([int(a) for a in atoms]))
+        lo, hi = int(atoms[0]), int(atoms[-1])
+        if hi - lo + 1 == len(atoms):
+            # contiguous selection → a BETWEEN range predicate instead
+            # of an N-element IN list: ranges prune parquet row groups
+            # AND in-memory-cache batches via min/max stats (an IN list
+            # is evaluated row-at-a-time on every cached batch), and
+            # the common selections (leading protein atoms, residue
+            # blocks) are contiguous
+            feed = feed.filter(F.col("atom_id").between(lo, hi))
+        else:
+            feed = feed.filter(F.col("atom_id").isin([int(a) for a in atoms]))
     return feed.select("frame_id", "x", "y", "z"), lookup
 
 
