@@ -11,10 +11,22 @@ DuckDB oracle.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _xms_opt(driver_mem: str) -> str:
+    """-Xms at half of the driver heap (see the builder comment).
+    Only simple 'Ng'/'Nm' strings are parsed; anything else skips
+    the option rather than risking -Xms > -Xmx."""
+    m = re.fullmatch(r"(\d+)([gm])", driver_mem.strip().lower())
+    if not m:
+        return ""
+    half = max(int(m.group(1)) // 2, 1)
+    return f"-Xms{half}{m.group(2)}"
 
 
 def get_spark(
@@ -29,6 +41,7 @@ def get_spark(
     parallelism; on a real cluster ``master`` comes from
     spark-submit and these configs still apply.
     """
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -61,7 +74,13 @@ def get_spark(
         # a 1000-executor cluster absorbs comfortably.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        # pre-size the heap to half of -Xmx: measured on the round-4
+        # host, lazy heap expansion made the first ~4 large Arrow
+        # passes 2-3x slower than steady state (each iteration grew
+        # the heap a bit more); with -Xms the session reaches steady-
+        # state throughput from the second iteration
+        .config("spark.driver.extraJavaOptions", _xms_opt(driver_mem))
     )
     if extra_conf:
         for k, v in extra_conf.items():
