@@ -233,7 +233,10 @@ def main() -> None:
         _noop(cosine_topk_vectorized(emb10, list(range(10)), k=10))
         scale["v_cosine_topk_vectorized_10x"] = round(time.time() - t0, 3)
 
-        from dask_traj_spark.operators.dedup import exact_duplicates
+        from dask_traj_spark.operators.dedup import (
+            exact_duplicates,
+            near_duplicates_minhash,
+        )
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         docs10 = docs.select("*", rep).withColumn(
@@ -242,6 +245,17 @@ def main() -> None:
         t0 = time.time()
         _noop(exact_duplicates(docs10))
         scale["d1_exact_dedup_10x"] = round(time.time() - t0, 3)
+
+        # MinHash-LSH near-dup at 1x and 10x: the bucketed-join shape
+        # whose skew caps are the 100-TB posture claim — replicated
+        # ids are the adversarial case (every bucket 10x deeper)
+        t0 = time.time()
+        _noop(near_duplicates_minhash(docs, threshold=0.8))
+        t_d2 = time.time() - t0
+        times["d2_minhash_lsh"] = round(t_d2, 3)
+        t0 = time.time()
+        _noop(near_duplicates_minhash(docs10, threshold=0.8))
+        scale["d2_minhash_lsh_10x"] = round(time.time() - t0, 3)
 
         # 10x sequence packing: the distributed prefix sum's scale
         # evidence (range partition -> local cumsum -> offsets) —
@@ -266,6 +280,9 @@ def main() -> None:
             ),
             "d1_exact_dedup": round(
                 scale["d1_exact_dedup_10x"] / (10 * times["d1_exact_dedup"]), 2
+            ),
+            "d2_minhash_lsh": round(
+                scale["d2_minhash_lsh_10x"] / (10 * times["d2_minhash_lsh"]), 2
             ),
         }
 

@@ -793,3 +793,96 @@ def velocity_autocorrelation(traj, max_lag: int) -> DataFrame:
             F.avg(dot).alias("vacf"),
         )
     )
+
+
+_TWO_PI_3 = 2.0943951023931953  # 2*pi/3, exact double literal both engines
+
+
+def gyration_tensor(traj, topology: DataFrame | None = None,
+                    _round6_double: bool = False) -> DataFrame:
+    """Per-frame gyration-tensor shape analysis → (frame_id, rg2,
+    lambda1, lambda2, lambda3, asphericity, acylindricity):
+    S = (1/M)·Σ mᵢ(rᵢ−com)(rᵢ−com)ᵀ assembled from ONE
+    partial+final aggregation of the 6 second moments + 3 first
+    moments + mass, eigenvalues by the closed-form symmetric-3×3
+    (Cardano) solution — λ₁ ≥ λ₂ ≥ λ₃, asphericity b = λ₁−(λ₂+λ₃)/2,
+    acylindricity c = λ₂−λ₃ (the polymer-physics shape descriptors;
+    mdtraj computes the same tensor in ``compute_gyration_tensor``).
+
+    Everything up to the Cardano angle is exact-or-correctly-rounded
+    arithmetic on dyadic-grid inputs (bit-identical across engines);
+    acos/cos are transcendental, so gated callers pass
+    ``_round6_double`` to round λ₁/λ₃ at 1e-6 (policy item 3) — λ₂
+    is recovered as trace−λ₁−λ₃ so the triple still sums exactly to
+    rg².  Degenerate frames (p = 0: single atom, perfect isotropy)
+    short-circuit to λ = trace/3.
+
+    100-TB posture: one agg keyed on frame_id; the eigen math is 21
+    scalar expressions per frame row, fused in codegen."""
+    top = topology if topology is not None else traj.topology
+    if top is None:
+        raise ValueError("gyration_tensor requires a topology with masses")
+    m = F.broadcast(top.select("atom_id", F.col("mass").cast("double").alias("mass")))
+    x, y, z = (F.col(c).cast("double") for c in ("x", "y", "z"))
+    w = F.col("mass")
+    agg = traj.coords.join(m, "atom_id").groupBy("frame_id").agg(
+        F.sum(w * x * x).alias("sxx"), F.sum(w * y * y).alias("syy"),
+        F.sum(w * z * z).alias("szz"), F.sum(w * x * y).alias("sxy"),
+        F.sum(w * x * z).alias("sxz"), F.sum(w * y * z).alias("syz"),
+        F.sum(w * x).alias("sx"), F.sum(w * y).alias("sy"),
+        F.sum(w * z).alias("sz"), F.sum(w).alias("sm"),
+    )
+    cx, cy, cz = (F.col(c) / F.col("sm") for c in ("sx", "sy", "sz"))
+    df = agg.withColumns(
+        {
+            "s11": F.col("sxx") / F.col("sm") - cx * cx,
+            "s22": F.col("syy") / F.col("sm") - cy * cy,
+            "s33": F.col("szz") / F.col("sm") - cz * cz,
+            "s12": F.col("sxy") / F.col("sm") - cx * cy,
+            "s13": F.col("sxz") / F.col("sm") - cx * cz,
+            "s23": F.col("syz") / F.col("sm") - cy * cz,
+        }
+    )
+    tr = F.col("s11") + F.col("s22") + F.col("s33")
+    mean = tr / 3.0
+    df = df.withColumns(
+        {
+            "b11": F.col("s11") - mean, "b22": F.col("s22") - mean,
+            "b33": F.col("s33") - mean, "tr": tr,
+        }
+    )
+    sq = lambda c: F.col(c) * F.col(c)  # noqa: E731
+    p2 = (
+        sq("b11") + sq("b22") + sq("b33")
+        + 2.0 * (sq("s12") + sq("s13") + sq("s23"))
+    ) / 6.0
+    det_b = (
+        F.col("b11") * (F.col("b22") * F.col("b33") - sq("s23"))
+        - F.col("s12") * (F.col("s12") * F.col("b33") - F.col("s23") * F.col("s13"))
+        + F.col("s13") * (F.col("s12") * F.col("s23") - F.col("b22") * F.col("s13"))
+    )
+    df = df.withColumns({"p2": p2, "detb": det_b})
+    p = F.sqrt(F.col("p2"))
+    q = F.greatest(
+        F.lit(-1.0),
+        F.least(F.lit(1.0), F.col("detb") / (2.0 * F.col("p2") * p)),
+    )
+    phi = F.acos(q) / 3.0
+    rnd = (lambda c: F.round(c, 6)) if _round6_double else (lambda c: c)
+    m3 = F.col("tr") / 3.0
+    l1_raw = m3 + 2.0 * p * F.cos(phi)
+    l3_raw = m3 + 2.0 * p * F.cos(phi + F.lit(_TWO_PI_3))
+    degenerate = F.col("p2") <= F.lit(0.0)
+    l1 = F.when(degenerate, m3).otherwise(rnd(l1_raw))
+    l3 = F.when(degenerate, m3).otherwise(rnd(l3_raw))
+    df = df.withColumns({"l1": l1, "l3": l3})
+    l2 = F.col("tr") - F.col("l1") - F.col("l3")
+    return df.select(
+        "frame_id",
+        F.col("tr").alias("rg2"),
+        F.col("l1").alias("lambda1"),
+        l2.alias("lambda2"),
+        F.col("l3").alias("lambda3"),
+        (F.col("l1") - (l2 + F.col("l3")) / 2.0).alias("asphericity"),
+        (l2 - F.col("l3")).alias("acylindricity"),
+    )

@@ -144,6 +144,7 @@ _SCORING_TAIL = [
     "sx4_stream_sessionization_twin",
     "m9_frame_diffs",
     "e7_burst_detection",
+    "x13_gyration_tensor",
 ]
 
 

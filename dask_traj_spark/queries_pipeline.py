@@ -2975,3 +2975,87 @@ def q_burst_detection(spark, sf_dir):
             & (F.col("n") * F.col("t_n") > 2 * F.col("t_sum"))
         ).cast("long").alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------
+# x13: gyration-tensor shape analysis (Cardano closed-form eigenvalues)
+# ---------------------------------------------------------------------
+
+
+def _x13_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    l1 = "round(tr/3.0 + 2.0*sqrt(p2)*cos(acos(q)/3.0), 6)"
+    l3 = "round(tr/3.0 + 2.0*sqrt(p2)*cos(acos(q)/3.0 + 2.0943951023931953), 6)"
+    return f"""
+WITH {COORDS_CTE.strip()},
+top AS (
+    SELECT CAST(vec_id AS INT) AS atom_id,
+           CAST(label + 1 AS DOUBLE) AS mass
+    FROM embeddings
+),
+agg AS (
+    SELECT c.frame_id,
+           sum(t.mass * c.x * c.x) AS sxx, sum(t.mass * c.y * c.y) AS syy,
+           sum(t.mass * c.z * c.z) AS szz, sum(t.mass * c.x * c.y) AS sxy,
+           sum(t.mass * c.x * c.z) AS sxz, sum(t.mass * c.y * c.z) AS syz,
+           sum(t.mass * c.x) AS sx, sum(t.mass * c.y) AS sy,
+           sum(t.mass * c.z) AS sz, sum(t.mass) AS sm
+    FROM coords c JOIN top t USING (atom_id) GROUP BY c.frame_id
+),
+s AS (
+    SELECT frame_id,
+           sxx/sm - (sx/sm)*(sx/sm) AS s11,
+           syy/sm - (sy/sm)*(sy/sm) AS s22,
+           szz/sm - (sz/sm)*(sz/sm) AS s33,
+           sxy/sm - (sx/sm)*(sy/sm) AS s12,
+           sxz/sm - (sx/sm)*(sz/sm) AS s13,
+           syz/sm - (sy/sm)*(sz/sm) AS s23
+    FROM agg
+),
+t2 AS (
+    SELECT *, s11 + s22 + s33 AS tr FROM s
+),
+b AS (
+    SELECT *, s11 - tr/3.0 AS b11, s22 - tr/3.0 AS b22, s33 - tr/3.0 AS b33
+    FROM t2
+),
+inv AS (
+    SELECT *,
+           (b11*b11 + b22*b22 + b33*b33
+            + 2.0*(s12*s12 + s13*s13 + s23*s23)) / 6.0 AS p2,
+           b11*(b22*b33 - s23*s23) - s12*(s12*b33 - s23*s13)
+               + s13*(s12*s23 - b22*s13) AS detb
+    FROM b
+),
+qv AS (
+    SELECT *, greatest(-1.0, least(1.0, detb / (2.0*p2*sqrt(p2)))) AS q
+    FROM inv
+),
+eig AS (
+    SELECT frame_id, tr,
+           CASE WHEN p2 <= 0.0 THEN tr/3.0 ELSE {l1} END AS l1,
+           CASE WHEN p2 <= 0.0 THEN tr/3.0 ELSE {l3} END AS l3
+    FROM qv
+)
+SELECT frame_id, tr AS rg2,
+       l1 AS lambda1,
+       tr - l1 - l3 AS lambda2,
+       l3 AS lambda3,
+       l1 - ((tr - l1 - l3) + l3)/2.0 AS asphericity,
+       (tr - l1 - l3) - l3 AS acylindricity
+FROM eig
+"""
+
+
+@register("x13_gyration_tensor", _x13_oracle())
+def q_gyration_tensor(spark, sf_dir):
+    """Gyration-tensor principal moments + asphericity/acylindricity
+    per frame — one sufficient-statistics aggregation, closed-form
+    symmetric-3×3 eigenvalues; λ₁/λ₃ round-6 protected (the only
+    transcendental step), λ₂ recovered as trace−λ₁−λ₃."""
+    from dask_traj_spark.operators.distance import gyration_tensor
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return gyration_tensor(traj, _round6_double=True)

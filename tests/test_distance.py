@@ -293,3 +293,47 @@ def test_vacf_closed_form_constant_velocity(spark):
     for lag in range(4):
         assert out[lag]["n_samples"] == n_atoms * (n_v - lag)
         assert abs(out[lag]["vacf"] - v2) < 1e-12
+
+
+def test_gyration_tensor_matches_numpy_eigvalsh(spark):
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import gyration_tensor
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(11)
+    xyz = rng.uniform(0, 2, (3, 12, 3)).astype(np.float32)
+    base = from_wide_pandas(spark, xyz)
+    masses = np.arange(1, 13, dtype=np.float64)
+    top = spark.createDataFrame(
+        [(int(i), float(m)) for i, m in enumerate(masses)],
+        "atom_id int, mass double",
+    )
+    traj = Trajectory(base.coords, unitcell=None, topology=top)
+    out = {r["frame_id"]: r for r in gyration_tensor(traj).collect()}
+    for f in range(3):
+        p = xyz[f].astype(np.float64)
+        com = (masses[:, None] * p).sum(0) / masses.sum()
+        d = p - com
+        S = (masses[:, None, None] * d[:, :, None] * d[:, None, :]).sum(0)
+        S /= masses.sum()
+        lam = np.linalg.eigvalsh(S)[::-1]
+        r = out[f]
+        got = [r["lambda1"], r["lambda2"], r["lambda3"]]
+        np.testing.assert_allclose(got, lam, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(r["rg2"], np.trace(S), rtol=1e-12)
+        assert r["lambda1"] >= r["lambda2"] >= r["lambda3"] >= -1e-9
+
+    # rod along x: lambda2 == lambda3 == 0, asphericity == lambda1
+    rod = np.zeros((1, 5, 3), dtype=np.float32)
+    rod[0, :, 0] = np.arange(5) / 4.0
+    rt = from_wide_pandas(spark, rod)
+    top5 = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "atom_id int, mass double"
+    )
+    r = gyration_tensor(
+        Trajectory(rt.coords, unitcell=None, topology=top5)
+    ).collect()[0]
+    assert abs(r["lambda2"]) < 1e-9 and abs(r["lambda3"]) < 1e-9
+    np.testing.assert_allclose(r["asphericity"], r["lambda1"], rtol=1e-9)
