@@ -353,3 +353,37 @@ def source_token_mixture(
         .where(F.col("tok_before") < token_budget)
         .select("doc_id", strata_col, "n_tokens", "tok_before")
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    fractions: tuple[int, int] = (80, 10),
+    order_mode: str = "xxhash",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic, leak-proof train/val/test assignment →
+    (doc_id, source, split): bucket = seeded hash of doc_id mod 100;
+    bucket < fractions[0] → 'train', < sum(fractions) → 'val', else
+    'test'.  Hash-of-id (never physical position or random()) means
+    the same document lands in the same split on every run, on any
+    cluster size, after any repartition — the property that keeps a
+    held-out set held out across pipeline re-runs.
+
+    ``xxhash`` is the production default; ``mult`` mirrors exactly
+    in ANSI SQL for the oracle gate (same convention as
+    ``stratified_sample``).
+
+    100-TB posture: map-only projection, fused into the scan."""
+    if order_mode == "xxhash":
+        bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(100))
+    elif order_mode == "mult":
+        bucket = ((F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)) % F.lit(100)
+    else:
+        raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
+    train, val = int(fractions[0]), int(fractions[1])
+    split = (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))

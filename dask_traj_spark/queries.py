@@ -145,6 +145,7 @@ _SCORING_TAIL = [
     "m9_frame_diffs",
     "e7_burst_detection",
     "x13_gyration_tensor",
+    "c6_dataset_split",
 ]
 
 

@@ -3059,3 +3059,48 @@ def q_gyration_tensor(spark, sf_dir):
 
     traj = trajectory_from_embeddings(spark, sf_dir)
     return gyration_tensor(traj, _round6_double=True)
+
+
+_C6_ORACLE = """
+WITH b AS (
+    SELECT doc_id, source,
+           ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           n_tokens
+    FROM b
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY split, source
+"""
+
+
+@register("c6_dataset_split", _C6_ORACLE)
+def q_dataset_split(spark, sf_dir):
+    """Leak-proof deterministic train/val/test split (hash-of-id
+    buckets, 80/10/10) summarized per (split, source) with doc and
+    token counts — the assignment is a map-only projection; the
+    rollup is one partial+final agg."""
+    from dask_traj_spark.functions.text import _n_tokens
+    from dask_traj_spark.operators.curation import dataset_split
+
+    docs = _docs(spark, sf_dir)
+    sp = dataset_split(docs, fractions=(80, 10), order_mode="mult")
+    toks = docs.select("doc_id", _n_tokens(F.col("text")).alias("n_tokens"))
+    return (
+        sp.join(toks, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

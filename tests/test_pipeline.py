@@ -1173,3 +1173,28 @@ class TestFrameDiffs:
         )
         with _pytest.raises(Exception, match="uncompressed AVI"):
             frame_diffs(df).collect()
+
+
+class TestDatasetSplit:
+    def test_partition_determinism_and_fractions(self, spark):
+        from dask_traj_spark.operators.curation import dataset_split
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}", "web") for i in range(1000)],
+            "doc_id long, text string, source string",
+        )
+        out = dataset_split(docs).collect()
+        assert len(out) == 1000  # every doc assigned exactly once
+        counts = {}
+        for r in out:
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        # hash buckets approximate 80/10/10
+        assert 700 < counts["train"] < 900
+        assert 50 < counts["val"] < 150
+        assert 50 < counts["test"] < 150
+        # same doc -> same split on a re-run and after repartition
+        again = {
+            r["doc_id"]: r["split"]
+            for r in dataset_split(docs.repartition(7)).collect()
+        }
+        assert all(again[r["doc_id"]] == r["split"] for r in out)
