@@ -886,3 +886,56 @@ def gyration_tensor(traj, topology: DataFrame | None = None,
         (F.col("l1") - (l2 + F.col("l3")) / 2.0).alias("asphericity"),
         (l2 - F.col("l3")).alias("acylindricity"),
     )
+
+
+def native_contact_fraction(
+    traj,
+    atom_pairs: Iterable,
+    r_cut: float = 0.5,
+    lam: float = 1.25,
+    ref_frame: int = 0,
+    periodic: bool = False,
+    n_atoms: int | None = None,
+) -> DataFrame:
+    """Fraction of native contacts Q(t) per frame → (frame_id,
+    n_native, n_formed, q): the reference contact set is every pair
+    closer than ``r_cut`` in ``ref_frame``; a contact counts as
+    formed at frame t when its distance is below ``lam·r_cut``
+    (the simplified Best-Hummer Q — the folding/order-parameter
+    analysis; reference users run it through ``to_mdtraj``).
+
+    Pass dyadic ``r_cut``/``lam·r_cut`` (0.5 and 0.625 by default)
+    so threshold comparisons on float32 distances cannot straddle
+    engine rounding.
+
+    Plan shape: ONE distance computation over all (pair, frame)
+    rows; the reference set is a self-filter of that result
+    broadcast back onto it (pair_id equi-join, no shuffle of the
+    distance stream); one partial+final agg per frame."""
+    d = compute_distances(
+        traj, atom_pairs, periodic=periodic, form="sql", n_atoms=n_atoms
+    )
+    ref = F.broadcast(
+        d.where(
+            (F.col("frame_id") == int(ref_frame))
+            & (F.col("dist") < float(r_cut))
+        ).select("pair_id")
+    )
+    formed = (F.col("dist") < float(lam) * float(r_cut)).cast("long")
+    return (
+        d.join(ref, "pair_id")
+        .groupBy("frame_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_native"),
+            F.sum(formed).alias("n_formed"),
+        )
+        .select(
+            "frame_id",
+            "n_native",
+            "n_formed",
+            (
+                F.col("n_formed").cast("double")
+                / F.col("n_native").cast("double")
+            ).alias("q"),
+        )
+    )

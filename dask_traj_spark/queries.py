@@ -146,6 +146,7 @@ _SCORING_TAIL = [
     "e7_burst_detection",
     "x13_gyration_tensor",
     "c6_dataset_split",
+    "x14_native_contacts",
 ]
 
 

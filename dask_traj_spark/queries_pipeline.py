@@ -3104,3 +3104,38 @@ def q_dataset_split(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def _x14_oracle() -> str:
+    from dask_traj_spark.queries import _DIST_ORACLE
+
+    return f"""
+WITH d AS ({_DIST_ORACLE}),
+ref AS (SELECT pair_id FROM d WHERE frame_id = 0 AND dist < 0.5)
+SELECT d.frame_id,
+       CAST(count(*) AS BIGINT) AS n_native,
+       CAST(sum(CASE WHEN d.dist < 0.625 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_formed,
+       CAST(sum(CASE WHEN d.dist < 0.625 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS q
+FROM d JOIN ref USING (pair_id)
+GROUP BY d.frame_id
+"""
+
+
+@register("x14_native_contacts", _x14_oracle())
+def q_native_contacts(spark, sf_dir):
+    """Best-Hummer-style Q(t): contacts defined at frame 0 under the
+    dyadic 0.5 cutoff, formed-at-t under 1.25x — one distance pass,
+    reference set broadcast back onto it."""
+    from dask_traj_spark.operators.distance import native_contact_fraction
+    from dask_traj_spark.queries import (
+        N_DIST_ATOMS,
+        _pairs,
+        trajectory_from_embeddings,
+    )
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return native_contact_fraction(
+        traj, _pairs(N_DIST_ATOMS), r_cut=0.5, lam=1.25, n_atoms=N_DIST_ATOMS
+    )

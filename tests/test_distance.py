@@ -337,3 +337,28 @@ def test_gyration_tensor_matches_numpy_eigvalsh(spark):
     ).collect()[0]
     assert abs(r["lambda2"]) < 1e-9 and abs(r["lambda3"]) < 1e-9
     np.testing.assert_allclose(r["asphericity"], r["lambda1"], rtol=1e-9)
+
+
+def test_native_contacts_constructed_fold_unfold(spark):
+    """Frame 0 defines three native contacts (0-1, 0-2, and the
+    diagonal 1-2 at ~0.354); frame 1 breaks the two involving atom 2,
+    frame 2 breaks all -> Q = 1.0, 1/3, 0.0."""
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import native_contact_fraction
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    # atoms 0-1 and 0-2 native (dist 0.25); atom 3 far always
+    f0 = [[0, 0, 0], [0.25, 0, 0], [0, 0.25, 0], [5, 5, 5]]
+    f1 = [[0, 0, 0], [0.25, 0, 0], [0, 2.0, 0], [5, 5, 5]]
+    f2 = [[0, 0, 0], [2.0, 0, 0], [0, 2.0, 0], [5, 5, 5]]
+    xyz = np.array([f0, f1, f2], dtype=np.float32)
+    traj = from_wide_pandas(spark, xyz)
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    out = {
+        r["frame_id"]: r
+        for r in native_contact_fraction(traj, pairs, r_cut=0.5).collect()
+    }
+    assert out[0]["n_native"] == 3 and out[0]["q"] == 1.0
+    assert out[1]["n_formed"] == 1 and out[1]["q"] == 1 / 3
+    assert out[2]["n_formed"] == 0 and out[2]["q"] == 0.0
