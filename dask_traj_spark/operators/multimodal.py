@@ -7,9 +7,12 @@ Beyond-reference capability block. Two decode tiers:
   container has no PIL/ffmpeg): uncompressed 8/24/32-bit BMP
   (``decode_bmp``, bottom-up row order + 4-byte stride padding),
   8-bit gray/RGB/RGBA PNG (``decode_png``, zlib inflate + all five
-  scanline filters per spec §9), and PCM WAV (``decode_wav``, RIFF
-  chunk walk). ``decode_and_featurize`` routes ``image/bmp``,
-  ``image/png`` and ``audio/wav`` payloads through them.
+  scanline filters per spec §9), single-strip TIFF (``decode_tiff``,
+  IFD tag walk per the 6.0 spec), uncompressed AVI (``decode_avi``,
+  RIFF tree walk + per-frame raw-DIB decode), and PCM WAV
+  (``decode_wav``, RIFF chunk walk). ``decode_and_featurize``
+  routes ``image/bmp``, ``image/png``, ``image/tiff`` and
+  ``audio/wav`` payloads through them.
 - **Deterministic stub** for every other kind (e.g. the
   ``fake/utf8`` transport-shape fixture): dimensions from byte
   length, features from the byte head — clearly marked, exact-
@@ -395,6 +398,11 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
             n = min(FEATURE_DIM, len(px))
             head[:n] = px[:n] / np.float32(255.0)
             return w, h, ch, head
+        if kind == "image/tiff":
+            w, h, ch, px = decode_tiff(b)
+            n = min(FEATURE_DIM, len(px))
+            head[:n] = px[:n] / np.float32(255.0)
+            return w, h, ch, head
         if kind == "audio/wav":
             frames, ch, _rate, samples = decode_wav(b)
             n = min(FEATURE_DIM, len(samples))
@@ -724,10 +732,12 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             w, h, ch, px = decode_bmp(b)
         elif kind == "image/png":
             w, h, ch, px = decode_png(b)
+        elif kind == "image/tiff":
+            w, h, ch, px = decode_tiff(b)
         else:
             raise NotImplementedError(
                 f"no real decoder for kind={kind!r} — resize supports "
-                "image/bmp and image/png payloads"
+                "image/bmp, image/png and image/tiff payloads"
             )
         img = np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
         ys = (np.arange(out_h) * h) // out_h
@@ -878,3 +888,106 @@ def frame_diffs(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, FRAME_DIFF_SCHEMA)
+
+
+# TIFF: little-endian, one strip, uncompressed — the scientific-
+# imaging format the BMP/PNG/AVI codec tier was missing.  Tag ids
+# per the TIFF 6.0 spec: 256 width, 257 height, 258 bits/sample,
+# 259 compression (1 = none), 262 photometric, 273 strip offset,
+# 277 samples/pixel, 278 rows/strip, 279 strip byte count.
+
+
+def encode_tiff(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Build a minimal valid little-endian TIFF (single uncompressed
+    strip, 8 bits/sample). ``pixels`` is the top-down flat row-major
+    byte string; short input is zero-padded."""
+    need = width * height * channels
+    px = pixels[:need] + b"\x00" * max(0, need - len(pixels))
+    header = struct.pack("<2sHI", b"II", 42, 8)  # IFD at offset 8
+    tags = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 2 if channels >= 3 else 1),
+        (273, 4, 1, 0),       # strip offset patched below
+        (277, 3, 1, channels),
+        (278, 3, 1, height),
+        (279, 4, 1, len(px)),
+    ]
+    ifd_size = 2 + 12 * len(tags) + 4
+    strip_off = 8 + ifd_size
+    body = struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if tag == 273:
+            val = strip_off
+        body += struct.pack("<HHII", tag, typ, cnt, val)
+    body += struct.pack("<I", 0)  # no next IFD
+    return header + body + px
+
+
+def decode_tiff(data: bytes):
+    """Parse a little-endian single-strip uncompressed TIFF →
+    (width, height, channels, top-down flat pixel bytes as numpy
+    uint8).  Walks the IFD tag list per the TIFF 6.0 spec; rejects
+    compressed or multi-strip files rather than guessing."""
+    import numpy as np
+
+    if len(data) < 8 or data[:4] != b"II\x2a\x00":
+        raise ValueError("not a little-endian TIFF payload")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_tags,) = struct.unpack_from("<H", data, ifd_off)
+    tags = {}
+    for i in range(n_tags):
+        tag, typ, cnt, val = struct.unpack_from(
+            "<HHII", data, ifd_off + 2 + 12 * i
+        )
+        if typ == 3:  # SHORT packed into the low bytes of the value
+            val &= 0xFFFF
+        tags[tag] = val
+    width, height = tags.get(256), tags.get(257)
+    if width is None or height is None:
+        raise ValueError("TIFF missing width/height tags")
+    if tags.get(259, 1) != 1:
+        raise ValueError(f"unsupported TIFF compression {tags.get(259)}")
+    if tags.get(258, 8) != 8:
+        raise ValueError(f"unsupported TIFF bits/sample {tags.get(258)}")
+    channels = tags.get(277, 1)
+    off, count = tags[273], tags[279]
+    if count != width * height * channels:
+        raise ValueError("multi-strip or truncated TIFF not supported")
+    px = np.frombuffer(data, dtype=np.uint8, offset=off, count=count)
+    return width, height, channels, px.copy()
+
+
+TIFF_WIDTH = 6
+TIFF_HEIGHT = 2
+
+
+def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's UTF-8 byte head as a REAL single-strip
+    TIFF (``TIFF_WIDTH``×``TIFF_HEIGHT`` RGB, pixel bytes = the
+    text's byte head, zero-padded) — the TIFF twin of
+    ``attach_payload_bmp``: the IFD tag walk is what the gate
+    exercises (wrong strip offset or a misread SHORT tag surfaces
+    immediately as shifted pixels)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_tiff(TIFF_WIDTH, TIFF_HEIGHT, t.encode("utf-8"))
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/tiff",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)

@@ -147,6 +147,7 @@ _SCORING_TAIL = [
     "x13_gyration_tensor",
     "c6_dataset_split",
     "x14_native_contacts",
+    "m10_decode_tiff",
 ]
 
 

@@ -3139,3 +3139,58 @@ def q_native_contacts(spark, sf_dir):
     return native_contact_fraction(
         traj, _pairs(N_DIST_ATOMS), r_cut=0.5, lam=1.25, n_atoms=N_DIST_ATOMS
     )
+
+
+_M10_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS nb,
+           text
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CASE WHEN nb >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b1,
+           CASE WHEN nb >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b2,
+           CASE WHEN nb >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END AS b3,
+           CASE WHEN nb >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END AS b4,
+           CASE WHEN nb >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END AS b5,
+           CASE WHEN nb >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END AS b6,
+           CASE WHEN nb >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END AS b7,
+           CASE WHEN nb >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END AS b8
+    FROM m
+)
+SELECT doc_id,
+       CAST(6 AS INT) AS width,
+       CAST(2 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(b1+b2+b3+b4+b5+b6+b7+b8 AS BIGINT) AS feat_sum,
+       CAST(least(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_min,
+       CAST(greatest(b1,b2,b3,b4,b5,b6,b7,b8) AS BIGINT) AS feat_max
+FROM f
+"""
+
+
+@register("m10_decode_tiff", _M10_ORACLE)
+def q_decode_tiff(spark, sf_dir):
+    """REAL TIFF path gate: text byte head → single-strip TIFF (IFD
+    tag list per the 6.0 spec) → decode_tiff → byte-head stats. A
+    misparsed SHORT tag or wrong strip offset shifts every byte and
+    hash-fails."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_tiff,
+        decode_and_featurize,
+    )
+
+    decoded = decode_and_featurize(
+        attach_payload_tiff(_docs(spark, sf_dir)), strict=True
+    )
+    fb = F.transform("features", lambda f: F.round(f * 255, 0).cast("long"))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.aggregate(fb, F.lit(0).cast("long"), lambda a, x: a + x).alias("feat_sum"),
+        F.array_min(fb).alias("feat_min"),
+        F.array_max(fb).alias("feat_max"),
+    )

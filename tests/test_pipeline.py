@@ -1198,3 +1198,47 @@ class TestDatasetSplit:
             for r in dataset_split(docs.repartition(7)).collect()
         }
         assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+class TestTiffCodec:
+    def test_roundtrip_and_resize_dispatch(self, spark):
+        from dask_traj_spark.operators.multimodal import (
+            decode_tiff,
+            encode_tiff,
+            resize_images,
+        )
+
+        px = bytes(range(36))
+        w, h, ch, got = decode_tiff(encode_tiff(6, 2, px))
+        assert (w, h, ch) == (6, 2, 3) and bytes(got) == px
+        # short input zero-pads
+        _, _, _, padded = decode_tiff(encode_tiff(6, 2, b"\x07"))
+        assert padded[0] == 7 and not padded[1:].any()
+        # resize dispatches on image/tiff
+        payload = encode_tiff(4, 2, bytes(range(24)))
+        df = spark.createDataFrame(
+            [(1, "image/tiff", bytearray(payload), len(payload))],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        out = resize_images(df, 4, 2).collect()[0]
+        assert out["pixels"] == list(range(24))
+
+    def test_rejects_compressed_or_bad_header(self):
+        import struct as _s
+
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import decode_tiff, encode_tiff
+
+        with _pytest.raises(ValueError, match="not a little-endian TIFF"):
+            decode_tiff(b"MM\x00\x2a" + b"\x00" * 16)
+        data = bytearray(encode_tiff(2, 2, bytes(12)))
+        # patch the compression tag (259) value to 5 (LZW)
+        (ifd_off,) = _s.unpack_from("<I", data, 4)
+        (n_tags,) = _s.unpack_from("<H", data, ifd_off)
+        for i in range(n_tags):
+            tag, = _s.unpack_from("<H", data, ifd_off + 2 + 12 * i)
+            if tag == 259:
+                _s.pack_into("<I", data, ifd_off + 2 + 12 * i + 8, 5)
+        with _pytest.raises(ValueError, match="unsupported TIFF compression"):
+            decode_tiff(bytes(data))
