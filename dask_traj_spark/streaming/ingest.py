@@ -652,3 +652,36 @@ def sessions_final(
         F.col("n").alias("n_events"),
         F.expr("(last_us - first_us) div 1000000").alias("duration_s"),
     )
+
+
+def prune_state_versions(
+    spark: SparkSession, state_dir: str, keep_from: int
+) -> int:
+    """Delete state-version partitions older than ``keep_from`` from a
+    versioned fold's state table (the replay-insurance versions the
+    sessionization loop accumulates — see ``process_sessions_batch``).
+    Keeping version N−1 is enough to replay batch N; anything older
+    is dead weight.  Returns the number of versions removed.
+
+    Implemented with the Hadoop FileSystem API (not local glob), so
+    it works on hdfs://, s3a:// and file:// alike — the same
+    portability rule ADVICE r3 flagged for state READS."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 0
+    removed = 0
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            version = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if version < keep_from:
+            fs.delete(status.getPath(), True)
+            removed += 1
+    return removed

@@ -839,3 +839,40 @@ def test_stream_sessions_merge_across_batches_and_replay(spark, tmp_path):
     # the cross-batch merge really happened: user 1 spans 60 minutes
     assert got.loc[(1, 1), "duration_s"] == 60 * 60
     assert got.loc[(3, 1), "n_events"] == 2
+
+
+def test_prune_state_versions_keeps_replay_window(spark, tmp_path):
+    """Pruning to keep_from=N-1 removes older versions but leaves the
+    fold fully replayable: re-running the last batch after pruning
+    still produces the identical final view."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.streaming.ingest import (
+        process_sessions_batch,
+        prune_state_versions,
+        sessions_final,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [(i, i % 3, t0 + dt.timedelta(minutes=11 * i)) for i in range(12)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    state, results = str(tmp_path / "st"), str(tmp_path / "res")
+    slices = [ev.where(F.col("event_id") % 12 < 4),
+              ev.where((F.col("event_id") % 12 >= 4) & (F.col("event_id") % 12 < 8)),
+              ev.where(F.col("event_id") % 12 >= 8)]
+    # event_id increases with ts here, so the %-slices are time-ordered
+    for b, sl in enumerate(slices):
+        process_sessions_batch(sl, b, state, results)
+    before = sessions_final(spark, state, results, 2).toPandas()
+    removed = prune_state_versions(spark, state, keep_from=1)
+    assert removed == 1  # version 0 gone, 1 and 2 kept
+    # batch 2 is still replayable from the surviving version 1
+    process_sessions_batch(slices[2], 2, state, results)
+    after = sessions_final(spark, state, results, 2).toPandas()
+    key = ["user_id", "session_no"]
+    assert before.sort_values(key).reset_index(drop=True).equals(
+        after.sort_values(key).reset_index(drop=True)
+    )
+    assert prune_state_versions(spark, str(tmp_path / "missing"), 1) == 0
