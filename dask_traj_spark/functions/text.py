@@ -318,3 +318,58 @@ def lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double")
         ).alias("hapax_ratio"),
     )
+
+
+#: log-prob floor for bigrams unseen in the training slice — a dyadic
+#: constant (exact in f64) mirrored verbatim in the oracle
+OOV_LOGPROB = -20.0
+
+
+def char_bigram_crossscore(
+    df: DataFrame, train_source: str, text_col: str = "text"
+) -> DataFrame:
+    """Domain-shift scoring: train the MLE character-bigram model on
+    ONE source slice, score EVERY document under it → (doc_id,
+    source, n_bigrams, n_oov, avg_logprob).  In-domain documents
+    score near the training-corpus mode; off-distribution sources
+    score lower and accumulate out-of-vocabulary bigrams (floored at
+    ``OOV_LOGPROB``) — the cross-corpus filter used to detect
+    contamination or domain drift without a trained LM.
+
+    Same two-aggregation shape as ``char_bigram_logprob`` (the model
+    is ≤|alphabet|² rows, broadcast; scoring is one partial+final
+    agg), with a LEFT join so unseen bigrams survive to the floor
+    term instead of dropping out."""
+    t_all = df.select("doc_id", "source", F.col(text_col).alias("text"))
+    bigrams = t_all.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    train = bigrams.where(F.col("source") == train_source)
+    counts = train.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    c1_tot = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n_bg").alias("n_c1")
+    )
+    model = F.broadcast(
+        counts.join(c1_tot, F.substring("bg", 1, 1) == F.col("c1")).select(
+            "bg",
+            (
+                F.round(
+                    F.log(F.col("n_bg").cast("double") / F.col("n_c1").cast("double"))
+                    * F.lit(LP_GRID),
+                    0,
+                )
+                / F.lit(LP_GRID)
+            ).alias("lp"),
+        )
+    )
+    scored = bigrams.join(model, "bg", "left")
+    lp = F.coalesce(F.col("lp"), F.lit(OOV_LOGPROB))
+    return scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("lp").isNull().cast("long")).alias("n_oov"),
+        F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

@@ -148,6 +148,7 @@ _SCORING_TAIL = [
     "c6_dataset_split",
     "x14_native_contacts",
     "m10_decode_tiff",
+    "t12_bigram_crossscore",
 ]
 
 

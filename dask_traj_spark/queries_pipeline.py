@@ -3194,3 +3194,41 @@ def q_decode_tiff(spark, sf_dir):
         F.array_min(fb).alias("feat_min"),
         F.array_max(fb).alias("feat_max"),
     )
+
+
+_T12_ORACLE = """
+WITH bigrams AS (
+    SELECT d.doc_id, d.source, substr(d.text, u.i, 2) AS bg
+    FROM documents d, unnest(generate_series(1, length(d.text) - 1)) AS u(i)
+),
+counts AS (
+    SELECT bg, count(*) AS n_bg FROM bigrams WHERE source = 'src0' GROUP BY bg
+),
+c1_tot AS (
+    SELECT substr(bg, 1, 1) AS c1, sum(n_bg) AS n_c1
+    FROM counts GROUP BY substr(bg, 1, 1)
+),
+model AS (
+    SELECT c.bg,
+           round(ln(CAST(c.n_bg AS DOUBLE) / CAST(t.n_c1 AS DOUBLE)) * 1048576.0)
+               / 1048576.0 AS lp
+    FROM counts c JOIN c1_tot t ON substr(c.bg, 1, 1) = t.c1
+)
+SELECT b.doc_id, b.source,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(COALESCE(m.lp, -20.0)) / count(*), 6) AS avg_logprob
+FROM bigrams b LEFT JOIN model m USING (bg)
+GROUP BY b.doc_id, b.source
+"""
+
+
+@register("t12_bigram_crossscore", _T12_ORACLE)
+def q_bigram_crossscore(spark, sf_dir):
+    """Domain-shift scoring: bigram model trained on the 'src0'
+    slice only, every document scored under it with the dyadic -20
+    OOV floor — in-domain documents cluster near the training mode,
+    off-distribution text accumulates floored bigrams."""
+    from dask_traj_spark.functions.text import char_bigram_crossscore
+
+    return char_bigram_crossscore(_docs(spark, sf_dir), train_source="src0")

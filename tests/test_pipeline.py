@@ -1242,3 +1242,24 @@ class TestTiffCodec:
                 _s.pack_into("<I", data, ifd_off + 2 + 12 * i + 8, 5)
         with _pytest.raises(ValueError, match="unsupported TIFF compression"):
             decode_tiff(bytes(data))
+
+
+class TestBigramCrossScore:
+    def test_oov_floor_and_in_domain_ordering(self, spark):
+        from dask_traj_spark.functions.text import char_bigram_crossscore
+
+        rows = [
+            (1, "abab ababab abab", "train"),
+            (2, "ab abab ba", "train"),
+            (3, "abab ab", "other"),        # in-domain bigrams
+            (4, "xyzzy qqq", "other"),      # fully out-of-domain
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["doc_id"]: r for r in
+               char_bigram_crossscore(df, train_source="train").collect()}
+        # disjoint alphabet -> every bigram floored
+        assert out[4]["n_oov"] == out[4]["n_bigrams"]
+        assert out[4]["avg_logprob"] == -20.0
+        # in-domain doc has no OOV and scores far above the floor
+        assert out[3]["n_oov"] == 0
+        assert out[3]["avg_logprob"] > out[4]["avg_logprob"] + 10
