@@ -128,10 +128,14 @@ _SCORING_TAIL = [
     "u2_content_fingerprint",
     "x1_frame_rmsd",
     "x2_rmsd_topk",
-    # round-4 second-block additions: tailed this round so the 50
-    # first-evidence round-4 queries keep their scored slot; verified
-    # locally via scripts/check_oracle.py (see NOTES_r04), rotate into
-    # the head in round 5.
+    # round-4 late-block additions (x10..t12 below): tailed this round
+    # so the 50 first-evidence round-4 queries keep their scored slot;
+    # every one verified locally via scripts/check_oracle.py at sf0.01
+    # AND sf0.1 (see NOTES_r04 items 28/30/33).  ROUND-5 ROTATION
+    # PLAN: move these 17 into the head for first driver evidence and
+    # tail 17 of the round-4 queries that will then be driver-green
+    # (the r23-r33 TPC-H block + x4/x5/x6/x7/e6 are natural picks —
+    # untouched code, single-purpose shapes).
     "x10_rmsf",
     "t10_pii_scrub",
     "v6_kmeans_contract",
