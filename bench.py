@@ -86,6 +86,25 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_probe() -> float:
+    """Fixed single-thread workload (~0.3 s on an unthrottled core).
+    Run at bench start AND end: the round-4 host throttles ~5× under
+    sustained all-core load and recovers when idle, so a slow tier-2
+    number with end_probe >> start_probe is host throttling, not an
+    engine regression.  The ratio ships in the JSON."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((512, 512), dtype=np.float32)
+    t0 = time.time()
+    for _ in range(40):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     import itertools
 
@@ -99,6 +118,7 @@ def main() -> None:
     from dask_traj_spark.operators.distance import compute_distances
     from dask_traj_spark.session import get_spark
 
+    probe_start = _cpu_probe()
     t_start = time.time()
     spark = get_spark(app_name="dask-traj-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -340,6 +360,14 @@ def main() -> None:
                 "best_of": {"canonical": 3, "oracle_suite": 3, "scale_10x": 1},
                 "master": master,
                 "scale_10x": scale,
+                # host-throttle detector (see _cpu_probe): ratio >> 1
+                # means the host slowed under sustained load partway
+                # through — read slow tier-2/scale numbers with that
+                # in mind
+                "cpu_probe": {
+                    "start_s": probe_start,
+                    "end_s": _cpu_probe(),
+                },
             }
         )
     )
