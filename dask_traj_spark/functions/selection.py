@@ -1,0 +1,172 @@
+"""mdtraj-style atom-selection mini-language → SQL predicate.
+
+The reference stack's selection language is mdtraj's
+``topology.select`` (public docs: "Atom Selection Language" —
+e.g. ``"name CA and resid 1 to 10"``); reference users reach it
+through ``to_mdtraj``.  Here the topology is a table, so a selection
+compiles to a SQL predicate over its columns and runs through
+:meth:`Trajectory.select_atoms` unchanged.
+
+Supported subset (each line maps to the mdtraj construct):
+
+- keywords ``all`` / ``none``
+- fields ``name`` ``resname`` ``resid``/``residue`` ``chainid``
+  ``index`` ``element``/``symbol`` ``mass``
+- implicit equality with value lists: ``name CA CB`` → IN
+- comparisons: ``< <= > >= == !=`` and the word forms
+  ``lt le gt ge eq ne``
+- ranges: ``resid 1 to 10`` → BETWEEN (inclusive, like mdtraj)
+- boolean ``and`` / ``or`` / ``not`` (also ``&& || !``), parentheses
+
+Not supported (raise ValueError rather than misselect): geometric
+``within .. of ..`` (needs coordinates, not topology) and the
+residue-class keywords (``protein``/``water``) whose definitions
+require residue chemistry tables this schema does not carry.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: selection field → topology column (+ whether values are strings)
+_FIELDS: dict[str, tuple[str, bool]] = {
+    "name": ("name", True),
+    "resname": ("residue_name", True),
+    "resid": ("residue_id", False),
+    "residue": ("residue_id", False),
+    "chainid": ("chain_id", False),
+    "index": ("atom_id", False),
+    "element": ("element", True),
+    "symbol": ("element", True),
+    "mass": ("mass", False),
+}
+
+_CMP_WORDS = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=", "eq": "=", "ne": "<>"}
+_CMP_OPS = {"<": "<", "<=": "<=", ">": ">", ">=": ">=", "==": "=", "!=": "<>", "=": "="}
+
+_TOKEN_RE = re.compile(
+    r"\s*(\(|\)|<=|>=|==|!=|&&|\|\||<|>|=|!|'[^']*'|\"[^\"]*\"|[^\s()<>=!&|]+)"
+)
+
+_UNSUPPORTED = {"within", "protein", "water", "waters", "backbone", "sidechain"}
+
+
+def _tokenize(expr: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(expr):
+        m = _TOKEN_RE.match(expr, pos)
+        if not m:
+            raise ValueError(f"cannot tokenize selection at: {expr[pos:]!r}")
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _quote(val: str, is_str: bool) -> str:
+    v = val
+    if v and v[0] in "'\"" and v[-1] == v[0]:
+        v = v[1:-1]
+    if is_str:
+        return "'" + v.replace("'", "''") + "'"
+    try:
+        float(v)
+    except ValueError:
+        raise ValueError(f"field expects a numeric value, got {val!r}") from None
+    return v
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of selection")
+        self.i += 1
+        return t
+
+    # expr := and_expr (OR and_expr)*
+    def expr(self) -> str:
+        parts = [self.and_expr()]
+        while self.peek() in ("or", "||"):
+            self.take()
+            parts.append(self.and_expr())
+        return " OR ".join(parts) if len(parts) > 1 else parts[0]
+
+    def and_expr(self) -> str:
+        parts = [self.unary()]
+        while self.peek() in ("and", "&&"):
+            self.take()
+            parts.append(self.unary())
+        return " AND ".join(parts) if len(parts) > 1 else parts[0]
+
+    def unary(self) -> str:
+        t = self.peek()
+        if t in ("not", "!"):
+            self.take()
+            return f"(NOT {self.unary()})"
+        if t == "(":
+            self.take()
+            inner = self.expr()
+            if self.take() != ")":
+                raise ValueError("unbalanced parenthesis in selection")
+            return f"({inner})"
+        return self.term()
+
+    def term(self) -> str:
+        t = self.take().lower()
+        if t == "all":
+            return "(1 = 1)"
+        if t == "none":
+            return "(1 = 0)"
+        if t in _UNSUPPORTED:
+            raise ValueError(
+                f"selection keyword {t!r} is not supported (geometric/"
+                "chemistry selections need data this topology lacks)"
+            )
+        if t not in _FIELDS:
+            raise ValueError(f"unknown selection field {t!r}")
+        col, is_str = _FIELDS[t]
+        nxt = self.peek()
+        if nxt is None:
+            raise ValueError(f"field {t!r} needs a value")
+        if nxt in _CMP_OPS or nxt in _CMP_WORDS:
+            op = _CMP_OPS.get(self.take()) or _CMP_WORDS[nxt]
+            return f"({col} {op} {_quote(self.take(), is_str)})"
+        # implicit equality: one value, a "to" range, or an IN list
+        vals = [self.take()]
+        if self.peek() == "to":
+            self.take()
+            hi = self.take()
+            return (
+                f"({col} BETWEEN {_quote(vals[0], is_str)}"
+                f" AND {_quote(hi, is_str)})"
+            )
+        stop = {"and", "or", "not", "&&", "||", "!", ")", "to"}
+        while True:
+            nxt = self.peek()
+            if nxt is None or nxt in stop or nxt in _CMP_OPS or nxt in _CMP_WORDS:
+                break
+            vals.append(self.take())
+        if len(vals) == 1:
+            return f"({col} = {_quote(vals[0], is_str)})"
+        lst = ", ".join(_quote(v, is_str) for v in vals)
+        return f"({col} IN ({lst}))"
+
+
+def mdtraj_selection_to_sql(expr: str) -> str:
+    """Compile an mdtraj-style atom selection to a SQL predicate over
+    the topology columns (see module docstring for the subset)."""
+    toks = _tokenize(expr)
+    if not toks:
+        raise ValueError("empty selection")
+    p = _Parser(toks)
+    sql = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"unexpected token {p.peek()!r} in selection")
+    return sql

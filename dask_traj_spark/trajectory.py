@@ -277,6 +277,17 @@ class Trajectory:
             raise ValueError(f"selection {predicate!r} matched no atoms")
         return self.atom_slice(ids)
 
+    def select_atoms_mdtraj(self, selection: str) -> "Trajectory":
+        """``select_atoms`` with mdtraj's selection mini-language —
+        the grammar reference users already write (``"name CA and
+        resid 1 to 10"``), compiled to a SQL predicate over the
+        topology table by
+        :func:`dask_traj_spark.functions.selection.mdtraj_selection_to_sql`
+        (see that module for the supported subset)."""
+        from dask_traj_spark.functions.selection import mdtraj_selection_to_sql
+
+        return self.select_atoms(mdtraj_selection_to_sql(selection))
+
     # ---- concatenation (U1) -----------------------------------------
 
     def join(

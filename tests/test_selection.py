@@ -1,0 +1,78 @@
+"""mdtraj selection mini-language → SQL, and end-to-end select."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dask_traj_spark.functions.selection import mdtraj_selection_to_sql as to_sql
+
+
+@pytest.mark.parametrize(
+    "expr,sql",
+    [
+        ("name CA", "(name = 'CA')"),
+        ("name CA CB N", "(name IN ('CA', 'CB', 'N'))"),
+        ("resid 1 to 10", "(residue_id BETWEEN 1 AND 10)"),
+        ("resid < 5", "(residue_id < 5)"),
+        ("mass ge 12", "(mass >= 12)"),
+        ("index != 0", "(atom_id <> 0)"),
+        ("symbol O", "(element = 'O')"),
+        ("all", "(1 = 1)"),
+        ("none", "(1 = 0)"),
+        (
+            "name CA and not resname HOH",
+            "(name = 'CA') AND (NOT (residue_name = 'HOH'))",
+        ),
+        (
+            "(element C or element N) && resid 0 to 3",
+            "((element = 'C') OR (element = 'N')) AND (residue_id BETWEEN 0 AND 3)",
+        ),
+    ],
+)
+def test_translation(expr, sql):
+    assert to_sql(expr) == sql
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["within 0.5 of name CA", "protein", "frobnicate X", "name", "resid < CA",
+     "(name CA", ""],
+)
+def test_rejects(bad):
+    with pytest.raises(ValueError):
+        to_sql(bad)
+
+
+def test_select_atoms_mdtraj_end_to_end(spark):
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+    from dask_traj_spark.trajectory import Trajectory
+
+    xyz = np.arange(2 * 6 * 3, dtype=np.float32).reshape(2, 6, 3) / 16.0
+    base = from_wide_pandas(spark, xyz)
+    top = spark.createDataFrame(
+        [
+            (0, "N", "N", 14.0, 0, "ALA", 0),
+            (1, "CA", "C", 12.0, 0, "ALA", 0),
+            (2, "C", "C", 12.0, 0, "ALA", 0),
+            (3, "N", "N", 14.0, 1, "GLY", 0),
+            (4, "CA", "C", 12.0, 1, "GLY", 0),
+            (5, "OXT", "O", 16.0, 1, "GLY", 0),
+        ],
+        "atom_id int, name string, element string, mass double,"
+        " residue_id int, residue_name string, chain_id int",
+    )
+    traj = Trajectory(base.coords, unitcell=None, topology=top)
+    ca = traj.select_atoms_mdtraj("name CA")
+    assert ca.n_atoms == 2
+    # renumbered atoms carry the right coordinates (original ids 1, 4)
+    got = sorted(
+        (r["atom_id"], r["x"])
+        for r in ca.coords.where("frame_id = 0").collect()
+    )
+    assert [round(v, 4) for _, v in got] == [
+        round(float(xyz[0, 1, 0]), 4),
+        round(float(xyz[0, 4, 0]), 4),
+    ]
+    gly_heavy = traj.select_atoms_mdtraj("resname GLY and not element O")
+    assert gly_heavy.n_atoms == 2
