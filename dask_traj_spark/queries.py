@@ -153,6 +153,7 @@ _SCORING_TAIL = [
     "x14_native_contacts",
     "m10_decode_tiff",
     "t12_bigram_crossscore",
+    "v7_sq_recall",
 ]
 
 

@@ -3232,3 +3232,66 @@ def q_bigram_crossscore(spark, sf_dir):
     from dask_traj_spark.functions.text import char_bigram_crossscore
 
     return char_bigram_crossscore(_docs(spark, sf_dir), train_source="src0")
+
+
+_V7_ORACLE = """
+SELECT CAST(f.qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
+FROM range(10) f(qid)
+ORDER BY qid
+"""
+
+
+@register("v7_sq_recall", _V7_ORACLE)
+def q_sq_recall(spark, sf_dir):
+    """Scalar-quantization ANN contract (v5 pattern, one notch
+    simpler): int8 codes (4x compression, no codebooks) generate
+    top-100 candidates via integer matmul → exact quantized-cosine
+    rerank → top-10 must recover ≥ 60% of the true exact top-10 per
+    query. int8 keeps ~7 bits/dim, so recall is much higher than
+    PQ's — the contract margin is wide."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.operators.similarity import (
+        _quantized_elements,
+        cosine_topk,
+        sq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qids = list(range(10))
+    cand = sq_topk(emb, qids, k=100).select("qid", "vec_id")
+    e1 = _quantized_elements(
+        emb.where(F.col("vec_id").isin(qids)), "vec_id", "qv"
+    ).withColumnRenamed("qv", "qid")
+    e2 = _quantized_elements(emb, "vec_id", "cv").withColumnRenamed("cv", "vec_id")
+    scored = (
+        cand.join(F.broadcast(e1.withColumnRenamed("v_qv", "vq")), "qid")
+        .join(e2.withColumnRenamed("v_cv", "vc"), ["vec_id", "pos"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("vq") * F.col("vc")).alias("dot"),
+            F.sum(F.col("vq") * F.col("vq")).alias("n1"),
+            F.sum(F.col("vc") * F.col("vc")).alias("n2"),
+        )
+        .select(
+            "qid", "vec_id",
+            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    sq10 = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    exact10 = cosine_topk(emb, qids, k=10).select("qid", "vec_id")
+    hits = (
+        exact10.join(sq10.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        spark.range(10).select(F.col("id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce("n_hit", F.lit(0)) >= 6).cast("long").alias("recall_ok"),
+        )
+        .orderBy("qid")
+    )

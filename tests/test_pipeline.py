@@ -1263,3 +1263,40 @@ class TestBigramCrossScore:
         # in-domain doc has no OOV and scores far above the floor
         assert out[3]["n_oov"] == 0
         assert out[3]["avg_logprob"] > out[4]["avg_logprob"] + 10
+
+
+class TestScalarQuantization:
+    def test_roundtrip_accuracy_and_topk_recall(self, spark):
+        import numpy as np
+
+        from dask_traj_spark.operators.similarity import (
+            cosine_topk,
+            sq_encode,
+            sq_topk,
+            sq_train,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, [float(v) for v in rng.normal(0, 1, 16).astype(np.float32)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        scales = sq_train(df)
+        assert scales.shape == (16,) and (scales > 0).all()
+        codes = {r["vec_id"]: r["codes"] for r in sq_encode(df, scales).collect()}
+        # codes bounded and reconstruct the normalized vector to ~1%
+        v0 = np.array(rows[0][1], dtype=np.float32)
+        v0 /= np.linalg.norm(v0)
+        rec = np.array(codes[0], dtype=np.float32) / 127.0 * scales
+        assert max(abs(c) for c in codes[0]) <= 127
+        assert np.abs(rec - v0).max() < 0.02
+        # int8 keeps enough precision that approx top-10 == exact top-10
+        approx = {
+            (r["qid"], r["vec_id"]) for r in sq_topk(df, [0, 1], k=10).collect()
+        }
+        exact = {
+            (r["qid"], r["vec_id"])
+            for r in cosine_topk(df, [0, 1], k=10).collect()
+        }
+        assert len(approx & exact) >= 16  # >= 80% overlap across both queries
