@@ -33,8 +33,26 @@ from dask_traj_spark.operators.distance import (
     find_closest_contact,
     compute_center_of_mass,
     compute_center_of_geometry,
+    compute_radius_of_gyration,
+    gyration_tensor,
+    mean_squared_displacement,
+    native_contact_fraction,
+    neighbor_pairs,
+    rdf_histogram,
+    velocity_autocorrelation,
 )
-from dask_traj_spark.operators.angle import compute_angles
+from dask_traj_spark.operators.angle import (
+    compute_angles,
+    compute_dihedrals,
+    hydrogen_bonds,
+)
+from dask_traj_spark.operators.rmsd import (
+    compute_rmsf,
+    frame_rmsd,
+    frame_rmsd_aligned,
+    rmsd_topk,
+    superpose,
+)
 from dask_traj_spark.operators.unitcell import (
     lengths_and_angles_to_box_vectors,
     box_vectors_to_lengths_and_angles,
@@ -55,9 +73,23 @@ __all__ = [
     "compute_distances",
     "compute_displacements",
     "compute_angles",
+    "compute_dihedrals",
     "compute_center_of_mass",
     "compute_center_of_geometry",
     "find_closest_contact",
+    "compute_radius_of_gyration",
+    "compute_rmsf",
+    "gyration_tensor",
+    "mean_squared_displacement",
+    "native_contact_fraction",
+    "neighbor_pairs",
+    "rdf_histogram",
+    "velocity_autocorrelation",
+    "hydrogen_bonds",
+    "frame_rmsd",
+    "frame_rmsd_aligned",
+    "rmsd_topk",
+    "superpose",
     "lengths_and_angles_to_box_vectors",
     "box_vectors_to_lengths_and_angles",
     "ensure_type",
