@@ -301,11 +301,15 @@ def ivf_build_index(
     the other directories' files. One shuffle at build time."""
     cent = ivf_train(emb, n_centroids=n_centroids, seed=seed, id_col=id_col)
     assign = ivf_assign(emb, cent, id_col)
+    # batch_id=0 is the initial load; incremental batches append as
+    # higher batch_id partitions (see ivf_append_batch) — queries
+    # prune on cluster only, the batch level rides along harmlessly
     (
         emb.join(assign, id_col)
+        .withColumn("batch_id", F.lit(0))
         .repartition("cluster")
         .write.mode("overwrite")
-        .partitionBy("cluster")
+        .partitionBy("cluster", "batch_id")
         .parquet(f"{directory}/corpus")
     )
     import pandas as pd
@@ -901,4 +905,42 @@ def sq_topk(
         local.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .drop("rk")
+    )
+
+
+def ivf_append_batch(
+    emb_batch: DataFrame,
+    batch_id: int,
+    directory: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF ingest: assign a new micro-batch against the
+    index's FROZEN centroids (read from ``directory/centroids``) and
+    write it into the corpus as ``(cluster, batch_id)`` partitions
+    with dynamic overwrite — replaying a crashed batch rewrites
+    exactly its own partitions, so the index never holds a vector
+    twice (the sx5 gate proves this value-level: the reloaded corpus
+    must reproduce the exact brute-force top-k).
+
+    Centroids are deliberately NOT retrained per batch: stable
+    centroids keep every prior partition's assignment valid, which
+    is what makes appends pure partition-adds.  Re-train + rebuild
+    when drift accumulates (an offline compaction, like the
+    versioned-state pruning in streaming/ingest.py)."""
+    import pandas as pd  # noqa: F401
+
+    spark = emb_batch.sparkSession
+    cent_pdf = (
+        spark.read.parquet(f"{directory}/centroids").toPandas().sort_values("cluster")
+    )
+    cent = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float32)
+    assign = ivf_assign(emb_batch, cent, id_col)
+    (
+        emb_batch.join(assign, id_col)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{directory}/corpus")
     )

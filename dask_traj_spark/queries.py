@@ -154,6 +154,7 @@ _SCORING_TAIL = [
     "m10_decode_tiff",
     "t12_bigram_crossscore",
     "v7_sq_recall",
+    "sx5_incremental_ivf_twin",
 ]
 
 

@@ -3295,3 +3295,48 @@ def q_sq_recall(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+@register("sx5_incremental_ivf_twin", _V1_ORACLE)
+def q_incremental_ivf_twin(spark, sf_dir):
+    """Incremental ANN ingest vs v1's exact value oracle: build the
+    IVF index on a third of the corpus, append the other two thirds
+    as micro-batches against the FROZEN centroids, crash-replay the
+    middle batch (dynamic overwrite of its (cluster, batch_id)
+    partitions), then reload the corpus from the index directories
+    and run the exact SQL top-k over it.  Equality with the
+    brute-force oracle proves the index holds every vector EXACTLY
+    once after appends + replay — a lost partition or a double-write
+    changes the top-k and hash-fails."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.operators.similarity import (
+        cosine_topk,
+        ivf_append_batch,
+        ivf_build_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sx5_ivf_twin_")
+    try:
+        ivf_build_index(
+            emb.where(F.col("vec_id") % 3 == 0), work, n_centroids=8
+        )
+        for b in (1, 2, 1):  # append both, then crash-replay batch 1
+            ivf_append_batch(emb.where(F.col("vec_id") % 3 == b), b, work)
+        corpus = spark.read.parquet(f"{work}/corpus").select(
+            "vec_id", "embedding"
+        )
+        out = cosine_topk(corpus, list(range(_N_QUERIES)), k=_TOPK)
+        pdf = out.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "qid long, vec_id long, cos double, rank int"
+    )

@@ -1300,3 +1300,35 @@ class TestScalarQuantization:
             for r in cosine_topk(df, [0, 1], k=10).collect()
         }
         assert len(approx & exact) >= 16  # >= 80% overlap across both queries
+
+
+class TestIncrementalIVF:
+    def test_append_replay_and_partial_probe(self, spark, tmp_path):
+        import numpy as np
+
+        from dask_traj_spark.operators.similarity import (
+            cosine_topk_ivf_indexed,
+            ivf_append_batch,
+            ivf_build_index,
+        )
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (i, [float(v) for v in rng.normal(0, 1, 8).astype(np.float32)])
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        d = str(tmp_path / "idx")
+        from pyspark.sql import functions as F
+
+        ivf_build_index(df.where(F.col("vec_id") % 3 == 0), d, n_centroids=4)
+        for b in (1, 2, 2, 1):  # replay storm
+            ivf_append_batch(df.where(F.col("vec_id") % 3 == b), b, d)
+        corpus = spark.read.parquet(f"{d}/corpus")
+        # exactly once: every vector present once after the storm
+        assert corpus.count() == 90
+        assert corpus.select("vec_id").distinct().count() == 90
+        # indexed query over the incremental index still works with
+        # partition pruning (full probe == brute force top-1 id set)
+        out = cosine_topk_ivf_indexed(spark, d, [0], k=3, nprobe=4)
+        assert out.count() == 3
