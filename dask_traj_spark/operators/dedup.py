@@ -507,3 +507,54 @@ def dup_components(
         F.col("label").alias("component"),
         (F.col("node") == F.col("label")).alias("is_representative"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: (inner_doc, outer_doc, containment) where
+    containment = |S(inner) ∩ S(outer)| / |S(inner)| ≥ threshold over
+    word-bigram shingles — the quote/superset detector Jaccard
+    misses: a short document fully embedded in a long one has low
+    Jaccard (union is huge) but containment ≈ 1 (Broder's original
+    containment measure, the resemblance/containment pair).
+
+    Plan: identical single intersection self-join as
+    ``near_duplicates_ngram`` (one shuffle on the capped shingle id,
+    bounded by Σ min(df, max_df)²), but DIRECTED — both (a,b)
+    orderings are scored because containment is not symmetric; the
+    denominator is the inner side's set size only.  Same capped-
+    feature-space semantics, mirrored in the oracle."""
+    ds = _doc_shingle_ids(docs, text_col, id_mode)
+    ds_c = _cap_buckets(ds, ["tid"], max_df)
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    ds_c = ds_c.persist(StorageLevel.MEMORY_AND_DISK)
+    ds_sz = ds_c.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    s1 = ds_sz.select(
+        F.col("doc_id").alias("inner_doc"), "tid", F.col("sz").alias("sz_in")
+    )
+    s2 = ds_sz.select(F.col("doc_id").alias("outer_doc"), "tid")
+    inter = (
+        s1.join(s2, "tid")
+        .where(F.col("inner_doc") != F.col("outer_doc"))
+        .groupBy("inner_doc", "outer_doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_in").alias("sz_in"),
+        )
+    )
+    return inter.select(
+        "inner_doc",
+        "outer_doc",
+        (
+            F.col("inter").cast("double") / F.col("sz_in").cast("double")
+        ).alias("containment"),
+    ).where(F.col("containment") >= threshold)

@@ -155,6 +155,7 @@ _SCORING_TAIL = [
     "t12_bigram_crossscore",
     "v7_sq_recall",
     "sx5_incremental_ivf_twin",
+    "d8_containment_neardup",
 ]
 
 

@@ -3340,3 +3340,45 @@ def q_incremental_ivf_twin(spark, sf_dir):
     return spark.createDataFrame(
         pdf, "qid long, vec_id long, cos double, rank int"
     )
+
+
+def _d8_oracle(threshold: float) -> str:
+    from dask_traj_spark.operators.dedup import MAX_SHINGLE_DF as max_df
+
+    return f"""
+WITH {TOK_CTE.strip()},
+big AS (
+    SELECT DISTINCT t1.doc_id, t1.word || '_' || t2.word AS shingle
+    FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+sv AS (
+    SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS INT) AS tid
+    FROM (SELECT DISTINCT shingle FROM big)
+),
+ds AS (SELECT b.doc_id, s.tid FROM big b JOIN sv s USING (shingle)),
+dok AS (SELECT tid FROM ds GROUP BY tid HAVING count(*) <= {max_df}),
+dsf AS (SELECT ds.* FROM ds JOIN dok USING (tid)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, count(*) AS i
+    FROM dsf a JOIN dsf b ON a.tid = b.tid AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.inner_doc, i.outer_doc,
+       CAST(i.i AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+FROM inter i JOIN sizes s ON s.doc_id = i.inner_doc
+WHERE CAST(i.i AS DOUBLE) / CAST(s.sz AS DOUBLE) >= {threshold}
+"""
+
+
+@register("d8_containment_neardup", _d8_oracle(0.9))
+def q_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (Broder containment): the
+    quote/superset signal Jaccard misses — same single capped
+    intersection self-join as d4, directed, inner-size denominator."""
+    from dask_traj_spark.operators.dedup import MAX_SHINGLE_DF, containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), threshold=0.9, id_mode="sorted",
+        max_df=MAX_SHINGLE_DF,
+    )

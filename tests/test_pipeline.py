@@ -1332,3 +1332,21 @@ class TestIncrementalIVF:
         # partition pruning (full probe == brute force top-1 id set)
         out = cosine_topk_ivf_indexed(spark, d, [0], k=3, nprobe=4)
         assert out.count() == 3
+
+
+class TestContainment:
+    def test_quote_detection_is_asymmetric(self, spark):
+        from dask_traj_spark.operators.dedup import containment_pairs
+
+        short = "alpha beta gamma delta"
+        long_doc = short + " epsilon zeta eta theta iota kappa"
+        rows = [(1, short), (2, long_doc), (3, "unrelated words only here")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["inner_doc"], r["outer_doc"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.9, max_df=None).collect()
+        }
+        # the short doc is fully contained in the long one...
+        assert out[(1, 2)] == 1.0
+        # ...but NOT vice versa (asymmetry), and unrelated docs absent
+        assert (2, 1) not in out and not any(3 in k for k in out)
