@@ -939,3 +939,54 @@ def native_contact_fraction(
             ).alias("q"),
         )
     )
+
+
+ACF_GRID = 1048576.0  # 2^-20 snap — products exact, sums order-free
+
+
+def scalar_autocorrelation(
+    series: DataFrame,
+    value_col: str,
+    max_lag: int,
+    key_col: str = "frame_id",
+) -> DataFrame:
+    """Time-autocorrelation SUFFICIENT STATISTICS of a per-frame
+    scalar → (lag, n, sum_ab, sum_a, sum_b) for lag 0..max_lag:
+    the banded lag self-join pattern (x9/x12) applied to a derived
+    series.  Values are snapped to the 2^-20 dyadic grid FIRST, so
+    every product and sum is exact and partial-agg order cannot
+    perturb the result (the t9 trick); the centered ACF
+    (sum_ab − sum_a·sum_b/n) / n follows from the emitted columns.
+
+    100-TB posture: the series is one row per frame (≪ the fact
+    table); the banded join and agg are over n_frames·L rows."""
+    q = (
+        F.round(F.col(value_col).cast("double") * ACF_GRID, 0) / ACF_GRID
+    ).alias("v")
+    s = series.select(F.col(key_col).alias("t"), q)
+    lags = F.sequence(F.lit(0), F.lit(int(max_lag)))
+    origin = s.select(
+        "t", F.col("v").alias("va"),
+        F.explode(lags).alias("lag"),
+        (F.col("t") + F.col("lag")).alias("tt"),
+    )
+    target = s.select(F.col("t").alias("t2"), F.col("v").alias("vb"))
+    return (
+        origin.join(target, F.col("tt") == F.col("t2"))
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va") * F.col("vb")).alias("sum_ab"),
+            F.sum("va").alias("sum_a"),
+            F.sum("vb").alias("sum_b"),
+        )
+    )
+
+
+def rg_autocorrelation(traj, max_lag: int) -> DataFrame:
+    """Autocorrelation statistics of the radius-of-gyration time
+    series — the order-parameter relaxation analysis (how long a
+    conformational size fluctuation persists): x4's one-agg Rg per
+    frame feeds ``scalar_autocorrelation``."""
+    rg = compute_radius_of_gyration(traj)
+    return scalar_autocorrelation(rg, "rg", max_lag)

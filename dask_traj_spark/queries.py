@@ -156,6 +156,7 @@ _SCORING_TAIL = [
     "v7_sq_recall",
     "sx5_incremental_ivf_twin",
     "d8_containment_neardup",
+    "x15_rg_autocorrelation",
 ]
 
 

@@ -3382,3 +3382,51 @@ def q_containment(spark, sf_dir):
         _docs(spark, sf_dir), threshold=0.9, id_mode="sorted",
         max_df=MAX_SHINGLE_DF,
     )
+
+
+def _x15_oracle(max_lag: int) -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+top AS (
+    SELECT CAST(vec_id AS INT) AS atom_id,
+           CAST(label + 1 AS DOUBLE) AS mass
+    FROM embeddings
+),
+agg AS (
+    SELECT c.frame_id,
+           sum(t.mass * (c.x*c.x + c.y*c.y + c.z*c.z)) AS srr,
+           sum(t.mass * c.x) AS sx, sum(t.mass * c.y) AS sy,
+           sum(t.mass * c.z) AS sz, sum(t.mass) AS sm
+    FROM coords c JOIN top t USING (atom_id) GROUP BY c.frame_id
+),
+rg AS (
+    SELECT frame_id AS t,
+           round(sqrt(greatest(
+               srr/sm - ((sx/sm)*(sx/sm) + (sy/sm)*(sy/sm) + (sz/sm)*(sz/sm)),
+               0.0)) * 1048576.0) / 1048576.0 AS v
+    FROM agg
+)
+SELECT CAST(b.t - a.t AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(a.v * b.v) AS sum_ab,
+       sum(a.v) AS sum_a,
+       sum(b.v) AS sum_b
+FROM rg a
+JOIN rg b ON b.t >= a.t AND b.t <= a.t + {max_lag}
+GROUP BY b.t - a.t
+"""
+
+
+@register("x15_rg_autocorrelation", _x15_oracle(6))
+def q_rg_autocorrelation(spark, sf_dir):
+    """Order-parameter relaxation: autocorrelation sufficient
+    statistics of the Rg time series (2^-20-snapped values — exact
+    products/sums, the t9 trick — through the x9 banded lag
+    join)."""
+    from dask_traj_spark.operators.distance import rg_autocorrelation
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return rg_autocorrelation(traj, max_lag=6).orderBy("lag")

@@ -362,3 +362,24 @@ def test_native_contacts_constructed_fold_unfold(spark):
     assert out[0]["n_native"] == 3 and out[0]["q"] == 1.0
     assert out[1]["n_formed"] == 1 and out[1]["q"] == 1 / 3
     assert out[2]["n_formed"] == 0 and out[2]["q"] == 0.0
+
+
+def test_scalar_autocorrelation_closed_form(spark):
+    """A constant series has sum_ab == n*c^2 at every lag; the
+    counts shrink by one per lag step; and the centered ACF derived
+    from the sufficient statistics is exactly zero."""
+    from dask_traj_spark.operators.distance import scalar_autocorrelation
+
+    c = 0.25  # dyadic — survives the 2^-20 snap exactly
+    df = spark.createDataFrame(
+        [(t, c) for t in range(10)], "frame_id long, val double"
+    )
+    out = {r["lag"]: r for r in scalar_autocorrelation(df, "val", 3).collect()}
+    for lag in range(4):
+        n = 10 - lag
+        r = out[lag]
+        assert r["n"] == n
+        assert r["sum_ab"] == n * c * c
+        assert r["sum_a"] == n * c and r["sum_b"] == n * c
+        centered = r["sum_ab"] - r["sum_a"] * r["sum_b"] / r["n"]
+        assert centered == 0.0
