@@ -64,17 +64,18 @@ def register(name: str, oracle: str | None = None):
 #       block could be scored → all 13 relational green.
 #   r3: the 13 r2-tailed geometry queries rotated BACK IN, the tail
 #       took the 14 r2-green relational queries (r3-r16).
-#   r4 (now): r3-r16 rotate back in to refresh their evidence, and
-#       the new x3/sx1 gates must land in the window.  The tail takes
-#       queries that are (a) double-confirmed green in r2+r3 and
-#       (b) UNTOUCHED by this round's code changes — everything the
-#       round modified (g1 MIC fast path: mic_ortho/mic_triclinic;
-#       m2 BMP decode; v3/v4 IVF; d2/d4 dedup) stays scored, plus all
-#       15 queries ADDED this round (r23-r33 TPC-H shapes, t8/c4/d6/
-#       m4 pipeline ops), which need first evidence.  The extra 15
-#       tail slots come from the r3-green flexible set (e-series,
-#       r17-r22, r2, t4, t6, c1) — every one r3-green on untouched
-#       code; r1 (TPC-H Q1 flagship) keeps the spare scored slot.
+#   r4: r3-r16 rotated back in plus first evidence for the 50
+#       round-4 additions; the 21 late-block additions (x10..x15)
+#       were tailed with local sf0.01+sf0.1 sweep evidence only.
+#   r5 (now): execute the written rotation plan — the 21 late-block
+#       round-4 additions move INTO the head for first driver
+#       evidence (they have never appeared in a CORRECTNESS_r*.json).
+#       The tail takes 21 queries that are (a) driver-green in
+#       CORRECTNESS_r04 and (b) untouched by round-5 code changes:
+#       the r15/r16/r23-r34 TPC-H block and the x4-x9/e6 analysis
+#       shapes.  Everything round 5 modifies (d6 semantic-dedup
+#       rework, t9 bigram guard, g1_vec contiguity check, sx4
+#       ingest-state fix) stays scored.
 #       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
 _SCORING_TAIL = [
@@ -128,35 +129,31 @@ _SCORING_TAIL = [
     "u2_content_fingerprint",
     "x1_frame_rmsd",
     "x2_rmsd_topk",
-    # round-4 late-block additions (x10..t12 below): tailed this round
-    # so the 50 first-evidence round-4 queries keep their scored slot;
-    # every one verified locally via scripts/check_oracle.py at sf0.01
-    # AND sf0.1 (see NOTES_r04 items 28/30/33).  ROUND-5 ROTATION
-    # PLAN: move these 17 into the head for first driver evidence and
-    # tail 17 of the round-4 queries that will then be driver-green
-    # (the r23-r33 TPC-H block + x4/x5/x6/x7/e6 are natural picks —
-    # untouched code, single-purpose shapes).
-    "x10_rmsf",
-    "t10_pii_scrub",
-    "v6_kmeans_contract",
-    "m7_resize_bmp",
-    "sx3_stream_window_counts_twin",
-    "x11_hbond_geometric",
-    "x12_vacf",
-    "t11_lexical_diversity",
-    "m8_audio_window_features",
-    "sx4_stream_sessionization_twin",
-    "m9_frame_diffs",
-    "e7_burst_detection",
-    "x13_gyration_tensor",
-    "c6_dataset_split",
-    "x14_native_contacts",
-    "m10_decode_tiff",
-    "t12_bigram_crossscore",
-    "v7_sq_recall",
-    "sx5_incremental_ivf_twin",
-    "d8_containment_neardup",
-    "x15_rg_autocorrelation",
+    # round-5 rotation: the 21 late-block round-4 additions left the
+    # tail for first driver evidence; these 21 take their slots —
+    # every one driver-green in CORRECTNESS_r04 on code untouched by
+    # round 5 (TPC-H shapes r15/r16/r23-r34 + analysis x4-x9/e6).
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
+    "r23_priority_exists",
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    "r27_returned_items",
+    "r28_important_balances",
+    "r29_priority_lineshare",
+    "r30_customer_distribution",
+    "r31_top_supplier",
+    "r32_promo_part_suppliers",
+    "r33_waiting_suppliers",
+    "r34_approx_quantiles",
+    "x4_radius_of_gyration",
+    "x5_rdf_histogram",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    "x8_dihedrals",
+    "x9_msd",
+    "e6_cohort_retention",
 ]
 
 

@@ -9,69 +9,47 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 4: everything this round's
-# code changes touched (g1 MIC fast path, m2 BMP decode, v3/v4 IVF
-# init, d2/d4 dedup distinct fix), the r3-tailed relational block
-# rotating back in, and the two new contract gates.
-MUST_SCORE_R4 = [
-    "g1_distances_mic_ortho",
-    "g1_distances_mic_triclinic",
-    "g1_distances_vec",
-    "m2_decode_features",
-    "m3_frame_sample",
-    "v1_cosine_topk",
-    "v2_embedding_neardup_lsh",
-    "v3_cosine_topk_ivf",
-    "v4_ann_recall",
-    "d1_exact_dedup",
-    "d2_minhash_lsh_neardup",
-    "d4_ngram_jaccard_neardup",
-    "x3_rmsd_aligned_contract",
-    "sx1_stream_neardup_batch_twin",
-    "c2_decontamination",
-    "c3_stratified_sample",
-    "t7_repetition_score",
-    "d5_repeated_ngram_docs",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
-    # added this round — need first driver evidence
-    "r23_priority_exists",
-    "r24_forecast_revenue",
-    "r25_market_share",
-    "r26_profit_by_nation_year",
-    "r27_returned_items",
-    "r28_important_balances",
-    "r29_priority_lineshare",
-    "r30_customer_distribution",
-    "r31_top_supplier",
-    "r32_promo_part_suppliers",
-    "r33_waiting_suppliers",
-    "t8_heuristic_filter",
-    "c4_sequence_packing",
+# queries that MUST be scored in round 5: the 21 late-block round-4
+# additions that have never had driver evidence (rotation plan from
+# NOTES_r04/VERDICT r4 item 1), plus everything round-5 code changes
+# touch (d6 semantic-dedup rework, t9/t12 bigram guard, g1_vec
+# contiguity check, sx4 ingest-state fix, c6 split-seed doc).
+MUST_SCORE_R5 = [
+    # never driver-scored — first evidence this round
+    "x10_rmsf",
+    "t10_pii_scrub",
+    "v6_kmeans_contract",
+    "m7_resize_bmp",
+    "sx3_stream_window_counts_twin",
+    "x11_hbond_geometric",
+    "x12_vacf",
+    "t11_lexical_diversity",
+    "m8_audio_window_features",
+    "sx4_stream_sessionization_twin",
+    "m9_frame_diffs",
+    "e7_burst_detection",
+    "x13_gyration_tensor",
+    "c6_dataset_split",
+    "x14_native_contacts",
+    "m10_decode_tiff",
+    "t12_bigram_crossscore",
+    "v7_sq_recall",
+    "sx5_incremental_ivf_twin",
+    "d8_containment_neardup",
+    "x15_rg_autocorrelation",
+    # touched by round-5 code changes — evidence must stay fresh
     "d6_semantic_dedup",
-    "m4_decode_png",
-    "d7_dup_components",
-    "x4_radius_of_gyration",
-    "x5_rdf_histogram",
-    "r34_approx_quantiles",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
-    "e6_cohort_retention",
     "t9_char_bigram_logprob",
-    "x8_dihedrals",
-    "x9_msd",
+    "g1_distances_vec",
     "sx2_stream_exact_dedup_twin",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
-    "v5_pq_recall",
-    "c5_source_token_mixture",
+    "sx1_stream_neardup_batch_twin",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R4 if n not in window]
+    missing = [n for n in MUST_SCORE_R5 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
