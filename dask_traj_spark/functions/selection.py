@@ -83,6 +83,14 @@ class _Parser:
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
+    def peek_kw(self) -> str | None:
+        # lowercased view of the next token for KEYWORD checks only —
+        # 'name EQ CA' must compile as a comparison, not silently
+        # become (name IN ('EQ', 'CA')) (ADVICE r4).  Quoted tokens
+        # keep their quotes, so 'name "EQ"' still selects the literal.
+        t = self.peek()
+        return t.lower() if t is not None else None
+
     def take(self) -> str:
         t = self.peek()
         if t is None:
@@ -93,20 +101,20 @@ class _Parser:
     # expr := and_expr (OR and_expr)*
     def expr(self) -> str:
         parts = [self.and_expr()]
-        while self.peek() in ("or", "||"):
+        while self.peek_kw() in ("or", "||"):
             self.take()
             parts.append(self.and_expr())
         return " OR ".join(parts) if len(parts) > 1 else parts[0]
 
     def and_expr(self) -> str:
         parts = [self.unary()]
-        while self.peek() in ("and", "&&"):
+        while self.peek_kw() in ("and", "&&"):
             self.take()
             parts.append(self.unary())
         return " AND ".join(parts) if len(parts) > 1 else parts[0]
 
     def unary(self) -> str:
-        t = self.peek()
+        t = self.peek_kw()
         if t in ("not", "!"):
             self.take()
             return f"(NOT {self.unary()})"
@@ -132,15 +140,16 @@ class _Parser:
         if t not in _FIELDS:
             raise ValueError(f"unknown selection field {t!r}")
         col, is_str = _FIELDS[t]
-        nxt = self.peek()
+        nxt = self.peek_kw()
         if nxt is None:
             raise ValueError(f"field {t!r} needs a value")
         if nxt in _CMP_OPS or nxt in _CMP_WORDS:
-            op = _CMP_OPS.get(self.take()) or _CMP_WORDS[nxt]
+            self.take()
+            op = _CMP_OPS.get(nxt) or _CMP_WORDS[nxt]
             return f"({col} {op} {_quote(self.take(), is_str)})"
         # implicit equality: one value, a "to" range, or an IN list
         vals = [self.take()]
-        if self.peek() == "to":
+        if self.peek_kw() == "to":
             self.take()
             hi = self.take()
             return (
@@ -149,7 +158,7 @@ class _Parser:
             )
         stop = {"and", "or", "not", "&&", "||", "!", ")", "to"}
         while True:
-            nxt = self.peek()
+            nxt = self.peek_kw()
             if nxt is None or nxt in stop or nxt in _CMP_OPS or nxt in _CMP_WORDS:
                 break
             vals.append(self.take())

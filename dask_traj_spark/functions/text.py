@@ -205,11 +205,19 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (doc_id, n_bigrams, avg_logprob).
     """
-    t = F.col(text_col)
+    # Guard length < 2: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], which would emit spurious 1-char "bigram" rows, while
+    # the oracle's generate_series(1, 0) is empty (ADVICE r4) — the
+    # empty-array branch makes both engines drop short docs alike.
     bigrams = df.select(
         "doc_id",
         F.explode(
-            F.expr(f"transform(sequence(1, length({text_col})-1), i -> substring({text_col}, i, 2))")
+            F.expr(
+                f"CASE WHEN length({text_col}) >= 2 THEN "
+                f"transform(sequence(1, length({text_col})-1), "
+                f"i -> substring({text_col}, i, 2)) "
+                f"ELSE array() END"
+            )
         ).alias("bg"),
     )
     counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
@@ -341,11 +349,18 @@ def char_bigram_crossscore(
     agg), with a LEFT join so unseen bigrams survive to the floor
     term instead of dropping out."""
     t_all = df.select("doc_id", "source", F.col(text_col).alias("text"))
+    # same length-<2 guard as char_bigram_logprob (ADVICE r4): an
+    # empty array, not a descending sequence, for 0/1-char docs
     bigrams = t_all.select(
         "doc_id",
         "source",
         F.explode(
-            F.expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")
+            F.expr(
+                "CASE WHEN length(text) >= 2 THEN "
+                "transform(sequence(1, length(text)-1), "
+                "i -> substring(text, i, 2)) "
+                "ELSE array() END"
+            )
         ).alias("bg"),
     )
     train = bigrams.where(F.col("source") == train_source)

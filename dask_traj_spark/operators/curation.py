@@ -377,7 +377,14 @@ def dataset_split(
     if order_mode == "xxhash":
         bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(100))
     elif order_mode == "mult":
-        bucket = ((F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)) % F.lit(100)
+        # seed participates in BOTH modes (ADVICE r4: a silently
+        # ignored seed means callers varying it get identical splits).
+        # (doc_id + seed) * A ≡ doc_id * A at seed=0, so the oracle
+        # formula for the default case is unchanged; nonzero seeds
+        # mirror in SQL as ((doc_id + seed) * 2654435761) % 2^32.
+        bucket = (
+            ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        ) % F.lit(100)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     train, val = int(fractions[0]), int(fractions[1])

@@ -321,7 +321,13 @@ def _packed_input(traj, periodic: bool, atoms: np.ndarray | None = None):
     feed = traj.frame_packed()
     if atoms is not None:
         lo, hi = int(atoms[0]), int(atoms[-1])
-        if hi - lo + 1 == len(atoms):
+        # np.array_equal against the full arange, not just a span-size
+        # check: an unsorted or duplicated input whose span happens to
+        # equal its length (e.g. [1, 2, 2, 4]) must NOT take the
+        # BETWEEN path — it would feed extra atoms into the packed
+        # frames and positional reshaping downstream would
+        # misattribute them (ADVICE r4).
+        if np.array_equal(atoms, np.arange(lo, hi + 1)):
             # contiguous selection → a BETWEEN range predicate instead
             # of an N-element IN list: ranges prune parquet row groups
             # AND in-memory-cache batches via min/max stats (an IN list

@@ -507,10 +507,19 @@ def _read_session_state(spark: SparkSession, state_dir: str, version: int):
     )
     if version < 0:
         return spark.createDataFrame([], schema)
-    try:
-        st = spark.read.parquet(state_dir)
-    except Exception:
+    # Probe existence explicitly (Hadoop FS API — works on hdfs/s3a/
+    # file alike, same rule as prune_state_versions).  Only a genuinely
+    # absent state dir means "empty state" (first batch); any OTHER
+    # read failure must propagate — swallowing a transient read error
+    # would silently restart sessionization with no open tails and
+    # corrupt the exactly-once guarantee of the versioned fold
+    # (ADVICE r4 medium).
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return spark.createDataFrame([], schema)
+    st = spark.read.parquet(state_dir)
     return st.where(F.col("batch_id") == version).drop("batch_id")
 
 

@@ -76,3 +76,23 @@ def test_select_atoms_mdtraj_end_to_end(spark):
     ]
     gly_heavy = traj.select_atoms_mdtraj("resname GLY and not element O")
     assert gly_heavy.n_atoms == 2
+
+
+@pytest.mark.parametrize(
+    "expr,sql",
+    [
+        # comparison word-forms and boolean keywords are matched
+        # case-insensitively (ADVICE r4: 'name EQ CA' previously
+        # compiled to (name IN ('EQ', 'CA')) — a wrong selection)
+        ("name EQ CA", "(name = 'CA')"),
+        ("mass GE 12", "(mass >= 12)"),
+        ("name CA AND resid 1 TO 3", "(name = 'CA') AND (residue_id BETWEEN 1 AND 3)"),
+        ("name CA OR name CB", "(name = 'CA') OR (name = 'CB')"),
+        ("NOT name CA", "(NOT (name = 'CA'))"),
+        # quoting is the escape hatch for values that collide with
+        # keywords: a literal atom named EQ stays selectable
+        ('name "EQ"', "(name = 'EQ')"),
+    ],
+)
+def test_keywords_case_insensitive(expr, sql):
+    assert to_sql(expr) == sql
