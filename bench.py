@@ -167,6 +167,7 @@ def main() -> None:
         runs.append(time.time() - t0)
     times["canonical_distances_cold"] = round(runs[0], 3)
     times["canonical_distances"] = round(min(runs), 3)
+    iters_canonical_distances = [round(t, 3) for t in runs]
     traj.frame_packed().unpersist()
 
     # one-pass e2e: generation → atom-filter → kernel fused in a
@@ -183,13 +184,35 @@ def main() -> None:
         )
         onepass.append(time.time() - t0)
     times["canonical_onepass"] = round(min(onepass), 3)
+    iters_canonical_onepass = [round(t, 3) for t in onepass]
+
+    probes = {"start_s": probe_start, "after_tier1_s": _cpu_probe()}
 
     # ---- tier 2: oracle-suite SQL-form operators at sf ----------------
-    # best-of-3: iteration 0 pays plan JIT + codegen + page-cache
-    # warm-up (measured up to 4× the steady state), and machine noise
-    # between runs is ~2× — with only two iterations a single slow
-    # pair mis-reports a regression (BENCH_r03 recorded the triclinic
-    # query at 4.75 s when its steady state was 1.4-2.4 s).
+    # ONE THROWAWAY iteration then best-of-3, with every timed
+    # iteration recorded in the JSON (``iters``): iteration 0 pays
+    # plan JIT + codegen + page-cache warm-up (measured up to 4× the
+    # steady state), and BENCH_r04 proved best-of-3 *including* the
+    # warm-up iteration still catches throttle artifacts for queries
+    # late in the suite order (r2 recorded 4.39 s vs a 1.3-1.6 s
+    # steady state).  The recorded spread lets a reader verify no
+    # entry is >1.5× its own steady state.
+    iters: dict[str, list[float]] = {
+        "canonical_distances": iters_canonical_distances,
+        "canonical_onepass": iters_canonical_onepass,
+    }
+
+    def timed(name: str, fn, n: int = 3, warmup: int = 1) -> None:
+        for _ in range(warmup):
+            fn()
+        its = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            its.append(round(time.time() - t0, 3))
+        iters[name] = its
+        times[name] = min(its)
+
     registry = q.queries()
     for name in (
         "g1_distances_mic_triclinic",
@@ -206,21 +229,28 @@ def main() -> None:
         "c4_sequence_packing",
         "d6_semantic_dedup",
     ):
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            _noop(registry[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        timed(name, lambda name=name: _noop(registry[name](spark, sf_dir)))
 
     # vectorized ANN at sf scale (matmul path, not the SQL form)
-    from dask_traj_spark.operators.similarity import cosine_topk_vectorized
+    from dask_traj_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        semantic_dedup,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.time()
-    _noop(cosine_topk_vectorized(emb, list(range(10)), k=10))
-    times["v_cosine_topk_vectorized"] = round(time.time() - t0, 3)
+    timed(
+        "v_cosine_topk_vectorized",
+        lambda: _noop(cosine_topk_vectorized(emb, list(range(10)), k=10)),
+    )
+
+    # d6 with the AUTO cluster count + mandatory cap (the production
+    # default path — the registry entry above pins n_bits for its
+    # static oracle instead)
+    timed(
+        "d6_semantic_dedup_auto",
+        lambda: _noop(semantic_dedup(emb, threshold=0.3)),
+    )
+    probes["after_tier2_s"] = _cpu_probe()
 
     # ---- tier 3: 10x scale evidence (VERDICT r3 item 2) ---------------
     # Every 100-TB posture claim needs at least one measured scale-up.
@@ -231,7 +261,12 @@ def main() -> None:
     # and the 10x canonical alone is ~35 s of wall time.
     scale = {}
     if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0":
-        # 10x canonical: 12,510 frames x 22,561 atoms, one-pass
+        # 10x canonical: 12,510 frames x 22,561 atoms, one-pass.
+        # Bracketed by its OWN cpu probes (VERDICT r4: the recorded
+        # 10x linearity of 1.35 vs a measured 0.89 could not be
+        # reconciled without knowing whether the host throttled
+        # DURING this specific ~20-40 s workload).
+        scale["probe_before_canonical_s"] = _cpu_probe()
         N_FRAMES = real_frames * 10
         t0 = time.time()
         fresh = _canonical_traj(spark)
@@ -242,6 +277,7 @@ def main() -> None:
         )
         scale["canonical_onepass_10x"] = round(time.time() - t0, 3)
         N_FRAMES = real_frames
+        scale["probe_after_canonical_s"] = _cpu_probe()
 
         # 10x corpus: replicate with disjoint ids (rep 0 = originals,
         # so the query vectors are unchanged)
@@ -286,6 +322,39 @@ def main() -> None:
         _noop(pack_sequences(docs10, budget=512, order_mode="mult"))
         scale["c4_sequence_packing_10x"] = round(time.time() - t0, 3)
 
+        # 10x semantic dedup on the AUTO path: cluster count grows
+        # with the corpus (20k vecs -> more sign bits), so candidate
+        # pairs stay ~n*TARGET/2 — the fix for the r4 "fixed 64-way
+        # fan-out" scale-killer needs measured evidence
+        t0 = time.time()
+        _noop(semantic_dedup(emb10, threshold=0.3))
+        scale["d6_semantic_dedup_auto_10x"] = round(time.time() - t0, 3)
+
+        # SKEWED-corpus MinHash-LSH (VERDICT r4 item 8): 20% of docs
+        # share one boilerplate template, so one band bucket holds
+        # ~20% of the corpus — the adversarial shape MAX_BUCKET's cap
+        # exists for.  Without the cap the bucket join would emit
+        # O((0.2n)²) pairs; with it the excess bucket is dropped and
+        # scaling stays sub-quadratic.
+        boiler = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(
+                    "terms of service apply to all users of this site "
+                    "please read carefully before continuing varies "
+                ),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.col("text"))
+        docs_skew = docs.withColumn("text", boiler)
+        docs10_skew = docs10.withColumn("text", boiler)
+        t0 = time.time()
+        _noop(near_duplicates_minhash(docs_skew, threshold=0.8))
+        times["d2_minhash_lsh_skew"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(near_duplicates_minhash(docs10_skew, threshold=0.8))
+        scale["d2_minhash_lsh_skew_10x"] = round(time.time() - t0, 3)
+
         scale["linearity"] = {
             "c4_sequence_packing": round(
                 scale["c4_sequence_packing_10x"]
@@ -304,7 +373,16 @@ def main() -> None:
             "d2_minhash_lsh": round(
                 scale["d2_minhash_lsh_10x"] / (10 * times["d2_minhash_lsh"]), 2
             ),
+            "d2_minhash_lsh_skew": round(
+                scale["d2_minhash_lsh_skew_10x"]
+                / (10 * times["d2_minhash_lsh_skew"]), 2
+            ),
+            "d6_semantic_dedup_auto": round(
+                scale["d6_semantic_dedup_auto_10x"]
+                / (10 * times["d6_semantic_dedup_auto"]), 2
+            ),
         }
+        probes["after_scale_s"] = _cpu_probe()
 
     master = spark.sparkContext.master
 
@@ -328,7 +406,7 @@ def main() -> None:
             )
         )
         N_FRAMES = real_frames
-        best = None
+        its12 = []
         for _ in range(3):
             t0 = time.time()
             fresh = _canonical_traj(spark12)
@@ -337,9 +415,9 @@ def main() -> None:
                     fresh, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
                 )
             )
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times["canonical_onepass_local12"] = round(best, 3)
+            its12.append(round(time.time() - t0, 3))
+        iters["canonical_onepass_local12"] = its12
+        times["canonical_onepass_local12"] = min(its12)
         spark12.stop()
 
     print(
@@ -357,17 +435,24 @@ def main() -> None:
                 # BASELINE.md's reference numbers are 12 threads —
                 # compare those against canonical_onepass_local12.
                 "warm": True,
-                "best_of": {"canonical": 3, "oracle_suite": 3, "scale_10x": 1},
+                # tier-2 entries: 1 throwaway + best-of-3, per-
+                # iteration times in "iters" so the spread is
+                # auditable (no entry should exceed 1.5x its own
+                # steady state)
+                "best_of": {
+                    "canonical": 3,
+                    "oracle_suite": "warmup1+3",
+                    "scale_10x": 1,
+                },
+                "iters": iters,
                 "master": master,
                 "scale_10x": scale,
-                # host-throttle detector (see _cpu_probe): ratio >> 1
-                # means the host slowed under sustained load partway
-                # through — read slow tier-2/scale numbers with that
-                # in mind
-                "cpu_probe": {
-                    "start_s": probe_start,
-                    "end_s": _cpu_probe(),
-                },
+                # host-throttle detector (see _cpu_probe), now PER
+                # TIER: a slow tier whose bracketing probes diverge
+                # is host throttling, not an engine regression; the
+                # 10x canonical carries its own bracket inside
+                # scale_10x
+                "cpu_probe": {**probes, "end_s": _cpu_probe()},
             }
         )
     )

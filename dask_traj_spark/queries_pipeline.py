@@ -1608,14 +1608,24 @@ def q_sequence_packing(spark, sf_dir):
     ).select("doc_id", "n_tokens", "start_seq", "offset", "n_seqs")
 
 
-def _d6_oracle(threshold: float, n_bits: int = 6) -> str:
+def _d6_oracle(threshold: float, n_bits: int = 6, max_cluster: int = 4096) -> str:
     bits = " + ".join(
         f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(n_bits)
     )
+    # the capped CTE mirrors the engine's mandatory per-cluster cap
+    # (_cap_buckets): members of clusters above max_cluster skip the
+    # pairwise compare and keep=True by construction (d2 playbook)
     return f"""
 WITH sig AS (
     SELECT vec_id, CAST({bits} AS BIGINT) AS cluster FROM embeddings
+),
+sizes AS (
+    SELECT cluster, count(*) AS bsz FROM sig GROUP BY cluster
+),
+capped AS (
+    SELECT s.vec_id, s.cluster
+    FROM sig s JOIN sizes z ON s.cluster = z.cluster AND z.bsz <= {max_cluster}
 ),
 e AS (
     SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -1624,7 +1634,7 @@ e AS (
 ),
 cand AS (
     SELECT a.vec_id AS id1, b.vec_id AS id2
-    FROM sig a JOIN sig b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    FROM capped a JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 ),
 scored AS (
     SELECT c.id1, c.id2,
@@ -1644,11 +1654,17 @@ FROM sig s LEFT JOIN dropped d ON s.vec_id = d.id2
 """
 
 
-@register("d6_semantic_dedup", _d6_oracle(0.3))
+# n_bits pinned at 6 so the static oracle matches at any sf (auto
+# n_bits depends on runtime corpus size); max_cluster=10 deliberately
+# FIRES at sf0.01 (cluster sizes run 2-15 there) so the cap mirror
+# itself is value-gated, not dead SQL.
+@register("d6_semantic_dedup", _d6_oracle(0.3, n_bits=6, max_cluster=10))
 def q_semantic_dedup(spark, sf_dir):
     from dask_traj_spark.operators.similarity import semantic_dedup
 
-    out = semantic_dedup(_emb(spark, sf_dir), threshold=0.3)
+    out = semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.3, n_bits=6, max_cluster=10
+    )
     return out.select(
         "vec_id", "cluster", F.col("keep").cast("long").alias("keep")
     )
