@@ -377,10 +377,13 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
     - ``audio/wav`` → real stdlib WAV decode (``decode_wav``):
       width = frames, height = 1, channels from the fmt chunk,
       features = first FEATURE_DIM samples / 32768.
+    - ``image/jpeg`` → real pure-stdlib baseline JPEG decode
+      (``decode_jpeg``: Huffman + dequant + IDCT).
     - anything else → the DETERMINISTIC stub ("dimensions" from the
       byte length, features from the byte head), unless
       ``strict=True``, which raises NotImplementedError instead of
-      silently faking (JPEG/MP4 etc. need PIL/ffmpeg, absent here).
+      silently faking (MP4/progressive-JPEG need ffmpeg/PIL, absent
+      here).
     """
     import numpy as np
     import pandas as pd
@@ -408,6 +411,12 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
             n = min(FEATURE_DIM, len(samples))
             head[:n] = samples[:n] / np.float32(32768.0)
             return frames, 1, ch, head
+        if kind == "image/jpeg":
+            w, h, ch, px = decode_jpeg(b)
+            raw = np.frombuffer(px, dtype=np.uint8)
+            n = min(FEATURE_DIM, len(raw))
+            head[:n] = raw[:n] / np.float32(255.0)
+            return w, h, ch, head
         if strict:
             raise NotImplementedError(
                 f"no real decoder for kind={kind!r} (needs PIL/ffmpeg); "
@@ -734,10 +743,13 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             w, h, ch, px = decode_png(b)
         elif kind == "image/tiff":
             w, h, ch, px = decode_tiff(b)
+        elif kind == "image/jpeg":
+            w, h, ch, raw = decode_jpeg(b)
+            px = np.frombuffer(raw, dtype=np.uint8)
         else:
             raise NotImplementedError(
                 f"no real decoder for kind={kind!r} — resize supports "
-                "image/bmp, image/png and image/tiff payloads"
+                "image/bmp, image/png, image/tiff and image/jpeg payloads"
             )
         img = np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
         ys = (np.arange(out_h) * h) // out_h
@@ -991,3 +1003,549 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------- baseline JPEG
+# Pure stdlib+numpy baseline JFIF codec (ITU-T T.81 is public).  The
+# DECODER is general baseline sequential: segment walk, 8-bit DQT,
+# SOF0 up to 3 components with 4:4:4 or 4:2:0 sampling, canonical
+# Huffman tables reconstructed from DHT, byte-unstuffed entropy
+# reader, (run,size) AC run-lengths with ZRL/EOB, dequant →
+# de-zigzag → float64 IDCT → level shift → clamp, nearest-neighbor
+# chroma upsample, JFIF YCbCr→RGB.  Progressive (SOF2), arithmetic
+# coding, 12-bit precision and restart intervals raise ValueError —
+# honest gates, not silent wrong pixels.
+# The ENCODER is a fixture-grade baseline writer (Annex K luminance
+# DC table + a flat 9-bit AC table declared in DHT — any canonical
+# table is legal JPEG) used to build oracle-checkable payloads;
+# compression ratio is irrelevant for that purpose.
+
+
+def _jpeg_zigzag():
+    zz = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(max(0, s - 7), min(7, s) + 1)]
+        if s % 2 == 0:
+            diag.reverse()
+        zz.extend(diag)
+    return zz  # 64 (row, col) pairs in zigzag order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_mat():
+    import numpy as np
+
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    c = np.cos((2 * x + 1) * u * np.pi / 16.0)
+    c[0, :] *= np.sqrt(1.0 / 2.0)
+    return c * 0.5  # orthonormal: F = C X C.T, X = C.T F C
+
+
+#: Annex K luminance DC table (public spec): code-length counts and
+#: symbol order — exercised by the decoder alongside the flat AC
+#: table so both canonical-table shapes are covered.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+# DHT's per-length count is a single byte, so a flat table needs a
+# 255/1 split: symbols 0x00-0xFE at 9 bits, 0xFF (never emitted —
+# run 15 × size 15 is not a legal code) at 10.  Kraft sum 0.4995.
+_JPEG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_JPEG_AC_VALS = list(range(256))
+
+
+def _huff_encode_map(bits, vals):
+    code, i, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_encode_block(coefs, dc_map, ac_map, pred, w: "_BitWriter") -> int:
+    diff = int(coefs[0]) - pred
+    s = _jpeg_category(diff)
+    code, length = dc_map[s]
+    w.write(code, length)
+    if s:
+        amp = diff if diff > 0 else diff + (1 << s) - 1
+        w.write(amp, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_map[0xF0]
+            w.write(code, length)
+            run -= 16
+        s = _jpeg_category(v)
+        code, length = ac_map[(run << 4) | s]
+        w.write(code, length)
+        amp = v if v > 0 else v + (1 << s) - 1
+        w.write(amp, s)
+        run = 0
+    if run:
+        code, length = ac_map[0x00]  # EOB
+        w.write(code, length)
+    return int(coefs[0])
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 1,
+    subsampling: str = "444",
+) -> bytes:
+    """Build a real baseline JFIF JPEG.  ``pixels`` is the top-down
+    row-major byte string (gray for channels=1, RGB interleaved for
+    channels=3); short input zero-pads; dims must be block-aligned
+    (multiples of 8, or 16 for luma when subsampling='420').  A flat
+    quantization table of ``quant`` is declared in DQT; with
+    quant=1, blocks whose spatial content is CONSTANT round-trip
+    bit-exactly (their only nonzero coefficient, the DC, is an exact
+    integer) — the property the oracle gate builds on."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and channels == 1:
+        subsampling = "444"
+    align = 16 if subsampling == "420" else 8
+    if width % align or height % align:
+        raise ValueError(f"dims must be multiples of {align}")
+    need = width * height * channels
+    px = pixels[:need] + b"\x00" * max(0, need - len(pixels))
+    img = np.frombuffer(px, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 3:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+    if subsampling == "420" and channels == 3:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                / 4.0
+            )
+    else:
+        samp = [(1, 1)] * channels
+
+    qt = np.full(64, int(quant), dtype=np.int64)
+    c = _jpeg_dct_mat()
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def block_coefs(plane, by, bx):
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        f = c @ blk @ c.T
+        zz = np.array([f[r_, c_] for r_, c_ in _JPEG_ZZ])
+        return np.round(zz / qt).astype(np.int64)
+
+    w = _BitWriter()
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    preds = [0] * channels
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for ci, (hi, vi) in enumerate(samp):
+                for v in range(vi):
+                    for h in range(hi):
+                        coefs = block_coefs(
+                            planes[ci], my * vi + v, mx * hi + h
+                        )
+                        preds[ci] = _jpeg_encode_block(
+                            coefs, dc_map, ac_map, preds[ci], w
+                        )
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci, (hi, vi) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0)
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )
+    out += seg(
+        0xFFC4,
+        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = struct.pack(">B", channels)
+    for ci in range(channels):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed byte
+            elif nxt == 0xD9:  # EOI reached mid-read: spec allows
+                self.pos += 0  # 1-padding; feed 0xFF without consuming
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                self.pos += 0
+                return
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xff{nxt:02x} in entropy data "
+                    "(restart intervals are not supported)"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+
+def _huff_decode_tables(bits, vals):
+    # canonical reconstruction: per length, (mincode, maxcode, first
+    # symbol index) — the T.81 F.2.2.3 DECODE procedure
+    mincode, maxcode, valptr = {}, {}, {}
+    code, i = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = i
+            mincode[length] = code
+            maxcode[length] = code + n - 1
+            code += n
+            i += n
+        else:
+            maxcode[length] = -1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_read(rd: "_BitReader", table) -> int:
+    mincode, maxcode, valptr, vals = table
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bits(1)
+        mx = maxcode.get(length, -1)
+        if mx >= 0 and code <= mx:
+            return vals[valptr[length] + code - mincode[length]]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _receive_extend(rd: "_BitReader", s: int) -> int:
+    if s == 0:
+        return 0
+    v = rd.bits(s)
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def decode_jpeg(data: bytes):
+    """Parse a baseline sequential JFIF JPEG → (width, height,
+    channels, pixels): top-down row-major bytes, gray or RGB
+    interleaved.  General baseline decode — tables and sampling
+    factors come from the stream, not from assumptions about our
+    encoder.  Raises ValueError on progressive/12-bit/arithmetic/
+    restart-interval streams instead of guessing."""
+    import numpy as np
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    sof = None
+    scan_comps = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quantization tables supported")
+                qts[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=bp + 1
+                ).astype(np.int64)
+                bp += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + n])
+                huff[(tc, th)] = _huff_decode_tables(bits, vals)
+                bp += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+            prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (w_, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) are not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            pos += seglen
+            break
+        pos += seglen
+    if sof is None or scan_comps is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    width, height, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any((hmax // c[1]) * c[1] != hmax or (vmax // c[2]) * c[2] != vmax
+           for c in comps):
+        raise ValueError("unsupported sampling-factor combination")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    cmat = _jpeg_dct_mat()
+    zz_r = np.array([r for r, _ in _JPEG_ZZ])
+    zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+    rd = _BitReader(data, pos)
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, dct, act in scan_comps:
+                hi, vi, tq = comp_by_id[cid]
+                for v in range(vi):
+                    for h in range(hi):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        s = _huff_read(rd, huff[(0, dct)])
+                        preds[cid] += _receive_extend(rd, s)
+                        coefs[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(rd, huff[(1, act)])
+                            r_, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r_ == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r_
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coefs[k] = _receive_extend(rd, s)
+                            k += 1
+                        f = np.zeros((8, 8), dtype=np.float64)
+                        f[zz_r, zz_c] = coefs * qts[tq]
+                        blk = cmat.T @ f @ cmat + 128.0
+                        by, bx = (my * vi + v) * 8, (mx * hi + h) * 8
+                        planes[cid][by : by + 8, bx : bx + 8] = blk
+    out_planes = []
+    for cid, hi, vi, tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, px.reshape(-1).tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
+        axis=-1,
+    )
+    return width, height, 3, rgb.reshape(-1).tobytes()
+
+
+JPEG_TILES = 5  # 5 constant 8×8 tiles → 40×8 grayscale
+
+
+def attach_payload_jpeg(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's first ``JPEG_TILES`` UTF-8 bytes as a
+    REAL baseline JPEG: a 40×8 grayscale image of five constant 8×8
+    tiles (tile i's 64 pixels all equal byte i, zero-padded).  With
+    the flat quant=1 table a constant block's only nonzero
+    coefficient is its integer DC, so the file round-trips
+    BIT-EXACTLY — decoded pixels are predictable from the text
+    alone, making Huffman + dequant + IDCT oracle-checkable end to
+    end (the m4/m5 playbook).  Multiple tiles exercise the
+    inter-block DC-predictor chain, not just one DC value."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                tb = (t.encode("utf-8") + b"\x00" * JPEG_TILES)[:JPEG_TILES]
+                row = b"".join(bytes([v]) * 8 for v in tb)
+                payloads.append(
+                    encode_jpeg(8 * JPEG_TILES, 8, row * 8, channels=1, quant=1)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/jpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("px_min", T.LongType(), False),
+        T.StructField("px_max", T.LongType(), False),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Exact integer statistics over EVERY decoded pixel byte →
+    (doc_id, width, height, channels, n_px, px_sum, px_min, px_max).
+    Unlike ``decode_and_featurize`` (a FEATURE_DIM head), this folds
+    the whole image, so a decoder bug anywhere in the frame fails
+    the gate.  Real decoders only; int64 stats are exact.
+
+    100-TB posture: map-only Arrow pass, no shuffle; output is 8
+    scalars per image regardless of image size."""
+    import numpy as np
+    import pandas as pd
+
+    def one(kind, buf):
+        b = bytes(buf)
+        if kind == "image/bmp":
+            w, h, ch, px = decode_bmp(b)
+            raw = np.asarray(px, dtype=np.uint8)
+        elif kind == "image/png":
+            w, h, ch, px = decode_png(b)
+            raw = np.asarray(px, dtype=np.uint8)
+        elif kind == "image/tiff":
+            w, h, ch, px = decode_tiff(b)
+            raw = np.asarray(px, dtype=np.uint8)
+        elif kind == "image/jpeg":
+            w, h, ch, raw_b = decode_jpeg(b)
+            raw = np.frombuffer(raw_b, dtype=np.uint8)
+        else:
+            raise NotImplementedError(
+                f"no real decoder for kind={kind!r} — pixel stats need a "
+                "real decode (image/bmp, image/png, image/tiff, image/jpeg)"
+            )
+        a = raw.astype(np.int64)
+        return w, h, ch, len(a), int(a.sum()), int(a.min()), int(a.max())
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            stats = [
+                one(kind, buf) for kind, buf in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "width": np.array([s[0] for s in stats], dtype=np.int32),
+                    "height": np.array([s[1] for s in stats], dtype=np.int32),
+                    "channels": np.array([s[2] for s in stats], dtype=np.int32),
+                    "n_px": np.array([s[3] for s in stats], dtype=np.int64),
+                    "px_sum": np.array([s[4] for s in stats], dtype=np.int64),
+                    "px_min": np.array([s[5] for s in stats], dtype=np.int64),
+                    "px_max": np.array([s[6] for s in stats], dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(gen, PIXEL_STATS_SCHEMA)

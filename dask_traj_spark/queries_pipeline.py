@@ -3212,6 +3212,56 @@ def q_decode_tiff(spark, sf_dir):
     )
 
 
+# m11 gates the baseline JPEG codec end to end: text's first five
+# bytes → five constant 8×8 tiles in a 40×8 grayscale JFIF (quant=1
+# → bit-exact roundtrip) → decode_jpeg (segment walk, canonical
+# Huffman from DHT, DC-predictor chain across five blocks, dequant +
+# IDCT) → WHOLE-image integer pixel stats.  The oracle predicts
+# every aggregate from the text alone: a wrong Huffman table, a
+# missed DC diff, a transposed IDCT or a dropped tile changes
+# px_sum/min/max and hash-fails.
+_M11_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS nb,
+           text
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CASE WHEN nb >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b1,
+           CASE WHEN nb >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b2,
+           CASE WHEN nb >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END AS b3,
+           CASE WHEN nb >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END AS b4,
+           CASE WHEN nb >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END AS b5
+    FROM m
+)
+SELECT doc_id,
+       CAST(40 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(320 AS BIGINT) AS n_px,
+       CAST(64 * (b1 + b2 + b3 + b4 + b5) AS BIGINT) AS px_sum,
+       CAST(least(b1, b2, b3, b4, b5) AS BIGINT) AS px_min,
+       CAST(greatest(b1, b2, b3, b4, b5) AS BIGINT) AS px_max
+FROM f
+"""
+
+
+@register("m11_decode_jpeg", _M11_ORACLE)
+def q_decode_jpeg(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_jpeg,
+        image_pixel_stats,
+    )
+
+    return image_pixel_stats(
+        attach_payload_jpeg(_docs(spark, sf_dir))
+    ).select(
+        "doc_id", "width", "height", "channels",
+        "n_px", "px_sum", "px_min", "px_max",
+    )
+
+
 _T12_ORACLE = """
 WITH bigrams AS (
     SELECT d.doc_id, d.source, substr(d.text, u.i, 2) AS bg

@@ -1548,3 +1548,197 @@ class TestAdviceR5Regressions:
         (corrupt / "part-00000.parquet").write_bytes(b"not parquet at all")
         with _pytest.raises(Exception):
             _read_session_state(spark, str(corrupt), 3).count()
+
+
+class TestJpegCodec:
+    def _scalar_dct(self, block):
+        """Independent scalar-loop FDCT straight from the T.81
+        formula — deliberately NOT the module's matrix path, so a
+        wrong scale factor or cosine argument there disagrees here."""
+        import math
+
+        out = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += block[x, y] * math.cos(
+                            (2 * x + 1) * u * math.pi / 16
+                        ) * math.cos((2 * y + 1) * v * math.pi / 16)
+                cu = math.sqrt(0.5) if u == 0 else 1.0
+                cv = math.sqrt(0.5) if v == 0 else 1.0
+                out[u, v] = 0.25 * cu * cv * s
+        return out
+
+    def _scalar_idct(self, coefs):
+        import math
+
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = math.sqrt(0.5) if u == 0 else 1.0
+                        cv = math.sqrt(0.5) if v == 0 else 1.0
+                        s += cu * cv * coefs[u, v] * math.cos(
+                            (2 * x + 1) * u * math.pi / 16
+                        ) * math.cos((2 * y + 1) * v * math.pi / 16)
+                out[x, y] = 0.25 * s
+        return out
+
+    def test_constant_tiles_roundtrip_bit_exact(self):
+        from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        tiles = [0, 17, 128, 200, 255]
+        row = b"".join(bytes([t]) * 8 for t in tiles)
+        px = row * 8
+        w, h, ch, out = decode_jpeg(encode_jpeg(40, 8, px, channels=1, quant=1))
+        assert (w, h, ch) == (40, 8, 1)
+        assert out == px  # constant blocks: integer DC only, exact
+
+    def test_transforms_match_spec_formulas(self):
+        """The module's matrix DCT/IDCT vs the scalar T.81 double
+        loop on random integer blocks — a wrong scale factor, cosine
+        argument or transposition diverges by O(1), not 1e-12."""
+        from dask_traj_spark.operators.multimodal import _jpeg_dct_mat
+
+        c = _jpeg_dct_mat()
+        rng = np.random.default_rng(5)
+        blk = rng.integers(-128, 128, (8, 8)).astype(np.float64)
+        np.testing.assert_allclose(c @ blk @ c.T, self._scalar_dct(blk),
+                                   atol=1e-9)
+        coefs = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+        np.testing.assert_allclose(c.T @ coefs @ c, self._scalar_idct(coefs),
+                                   atol=1e-9)
+
+    def test_against_independent_spec_pipeline(self):
+        """Full pipeline vs scalar T.81 reference: encode a
+        non-constant block (AC coefficients + run lengths live), then
+        check decoded pixels equal scalar-FDCT → quantize →
+        scalar-IDCT → round/clamp of the same input.  A ±1 allowance
+        (with most pixels exact) absorbs IEEE tie-tipping when a
+        coefficient or output value lands exactly on a rounding
+        boundary and the two float paths differ by ~1e-13; any REAL
+        decode bug (wrong table, shifted run, transposed IDCT) is
+        off by tens of levels on many pixels."""
+        from dask_traj_spark.operators.multimodal import (
+            _JPEG_ZZ,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        q = 4
+        data = encode_jpeg(8, 8, img.reshape(-1).tobytes(), channels=1, quant=q)
+        _, _, _, out = decode_jpeg(data)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(8, 8).astype(int)
+
+        f = self._scalar_dct(img.astype(np.float64) - 128.0)
+        zz = np.array([f[r, c] for r, c in _JPEG_ZZ])
+        qz = np.round(zz / q)
+        fq = np.zeros((8, 8))
+        for (r, c), v in zip(_JPEG_ZZ, qz * q):
+            fq[r, c] = v
+        want = np.clip(np.round(self._scalar_idct(fq) + 128.0), 0, 255)
+        diff = np.abs(got - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff == 0).mean() >= 0.4
+
+    def test_color_420_matches_transform_chain(self):
+        """4:2:0: 4 luma blocks + subsampled chroma per MCU, nearest
+        upsample, JFIF YCbCr→RGB — expected computed through the same
+        public transform chain, not assumed identity."""
+        from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        rgb = np.array([37, 180, 91], dtype=np.float64)
+        px = bytes(int(v) for v in rgb) * 256  # constant 16×16
+        w, h, ch, out = decode_jpeg(
+            encode_jpeg(16, 16, px, channels=3, subsampling="420", quant=1)
+        )
+        assert (w, h, ch) == (16, 16, 3)
+        r, g, b = rgb
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        want = np.clip(
+            np.round(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(-1, 3)
+        assert (got == want).all()
+
+    def test_noise_near_lossless_at_unit_quant(self):
+        from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, 64 * 64, dtype=np.uint8)
+        _, _, _, out = decode_jpeg(
+            encode_jpeg(64, 64, px.tobytes(), channels=1, quant=1)
+        )
+        err = np.abs(np.frombuffer(out, np.uint8).astype(int) - px.astype(int))
+        assert err.max() <= 1  # DCT roundtrip rounding only
+
+    def test_honest_gates(self):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        data = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with _pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(data))
+        # DRI segment rejected
+        clean = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
+        sos = clean.find(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x08"
+        with _pytest.raises(ValueError, match="restart"):
+            decode_jpeg(bytes(clean[:sos]) + dri + bytes(clean[sos:]))
+        with _pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x00\x01\x02")
+
+    def test_spark_dispatch_and_pixel_stats(self, spark):
+        """image/jpeg flows through decode_and_featurize, resize and
+        image_pixel_stats; stats over a bmp/jpeg mix are exact."""
+        from dask_traj_spark.operators.multimodal import (
+            decode_and_featurize,
+            encode_bmp,
+            encode_jpeg,
+            image_pixel_stats,
+            resize_images,
+        )
+
+        tiles = [9, 30, 60, 120, 250]
+        row = b"".join(bytes([t]) * 8 for t in tiles)
+        jp = encode_jpeg(40, 8, row * 8, channels=1, quant=1)
+        bm = encode_bmp(2, 2, bytes(range(12)))
+        df = spark.createDataFrame(
+            [
+                (1, "image/jpeg", bytearray(jp), len(jp)),
+                (2, "image/bmp", bytearray(bm), len(bm)),
+            ],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        stats = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
+        assert stats[1]["px_sum"] == 64 * sum(tiles)
+        assert stats[1]["px_min"] == min(tiles)
+        assert stats[1]["px_max"] == max(tiles)
+        assert stats[1]["n_px"] == 320
+        assert stats[2]["px_sum"] == sum(range(12))
+        feat = {r["doc_id"]: r for r in decode_and_featurize(df, strict=True).collect()}
+        assert feat[1]["width"] == 40 and feat[1]["channels"] == 1
+        np.testing.assert_allclose(
+            feat[1]["features"], np.float32(tiles[0] / 255.0).repeat(8)
+        )
+        rz = resize_images(df.where("doc_id = 1"), 5, 8).collect()[0]
+        assert rz["pixels"] == [t for t in tiles for _ in (0,)] * 8
