@@ -12,11 +12,18 @@ reference, core/dask_traj.py:32-33) stores root datasets:
 - ``topology``     1-element string dataset, JSON     [optional]
 
 h5py is not installed in every environment (not in this one), so the
-loader is gated: without h5py, :func:`load_hdf5` raises
-``NotImplementedError`` naming the missing dependency. With h5py the
-read path is the same chunked design as the binary sources: frame
-chunks → partitions, per-partition h5py slice reads (HDF5 chunked
-storage makes a frame-range slice an O(range) read, not O(file)).
+loaders carry TWO backends behind one adapter (``_H5File``): h5py
+when importable (full HDF5 — chunked, compressed, any superblock),
+else the vendored pure-``struct`` subset reader
+(:mod:`.hdf5_pure` — v0 superblock, contiguous datasets, the layout
+our own ``.h5`` sink writes).  Either way the read path is the same
+chunked design as the binary sources: frame chunks → partitions,
+per-partition slice reads (contiguous layout makes a frame-range
+slice an O(range) seek+read, not O(file)).
+
+``write_h5_traj`` / ``write_lh5`` are beyond-reference sinks
+emitting the same MDTraj layouts (contiguous, readable by h5py,
+PyTables-free).
 """
 
 from __future__ import annotations
@@ -36,12 +43,47 @@ except ImportError:
     HAVE_H5PY = False
 
 
-def _require_h5py() -> None:
-    if not HAVE_H5PY:
-        raise NotImplementedError(
-            "Reading .h5/.hdf5 (MDTraj HDF5) trajectories requires the "
-            "optional dependency h5py, which is not installed"
-        )
+class _H5File:
+    """Backend adapter: h5py when available, else the vendored
+    pure-struct subset reader (contiguous v0 files only — the
+    vendored reader raises a descriptive ValueError on anything
+    fancier, naming h5py as the way out)."""
+
+    def __init__(self, path: str):
+        if HAVE_H5PY:
+            import h5py as _h5
+
+            self._h = _h5.File(path, "r")
+            self._pure = None
+        else:
+            from dask_traj_spark.sources.hdf5_pure import PureH5
+
+            self._h = None
+            self._pure = PureH5(path)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._h if self._h is not None else name in self._pure
+
+    def shape(self, name: str):
+        if self._h is not None:
+            return self._h[name].shape
+        return self._pure.shape(name)
+
+    def read(self, name: str, start: int = 0, count: int | None = None):
+        if self._h is not None:
+            ds = self._h[name]
+            stop = ds.shape[0] if count is None else start + count
+            return ds[start:stop]
+        return self._pure.read(name, start, count)
+
+    def close(self) -> None:
+        (self._h or self._pure).close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _topology_from_json(spark: SparkSession, topo_json: str):
@@ -73,24 +115,23 @@ def _topology_from_json(spark: SparkSession, topo_json: str):
 def load_hdf5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
     """Load an MDTraj HDF5 trajectory. Frame chunks parallelize via
     ``mapInPandas`` over a chunk-spec DataFrame (each task opens the
-    file and slices its own frame range); h5py must be installed on
-    the executors."""
-    _require_h5py()
-    import h5py
-
-    with h5py.File(path, "r") as f:
-        n_frames, n_atoms, _ = f["coordinates"].shape
+    file and slices its own frame range) through the h5py-or-vendored
+    backend adapter."""
+    with _H5File(path) as f:
+        n_frames, n_atoms, _ = f.shape("coordinates")
         have_time = "time" in f
         have_cell = "cell_lengths" in f and "cell_angles" in f
-        time = f["time"][:].tolist() if have_time else None
+        time = f.read("time").tolist() if have_time else None
         cells = (
-            (f["cell_lengths"][:].tolist(), f["cell_angles"][:].tolist())
+            (f.read("cell_lengths").tolist(), f.read("cell_angles").tolist())
             if have_cell
             else None
         )
         topo_json = None
-        if "topology" in f:
-            raw = f["topology"][0]
+        # string datasets are h5py-only (the vendored subset reader
+        # covers numeric types; topology is optional in the layout)
+        if HAVE_H5PY and "topology" in f:
+            raw = f._h["topology"][0]
             topo_json = raw.decode() if isinstance(raw, bytes) else str(raw)
 
     specs = [
@@ -102,10 +143,9 @@ def load_hdf5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
         import pandas as pd
 
         for pdf in batches:
-            with h5py.File(path, "r") as f:
-                coords = f["coordinates"]
+            with _H5File(path) as f:
                 for start, count in zip(pdf["start"], pdf["count"]):
-                    xyz = coords[int(start) : int(start + count)]
+                    xyz = f.read("coordinates", int(start), int(count))
                     nf, na, _ = xyz.shape
                     flat = xyz.reshape(nf * na, 3)
                     import numpy as np
@@ -154,13 +194,10 @@ def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
     Public layout (MDTraj's LH5 format doc): one root dataset
     ``XYZList`` of int16 with shape (n_frames, n_atoms, 3); physical
     coordinates in nm are the stored fixed-point values divided by
-    1000. No time, no unit cell. Same chunked h5py read shape as
-    :func:`load_hdf5`; gated on h5py identically."""
-    _require_h5py()
-    import h5py
-
-    with h5py.File(path, "r") as f:
-        n_frames, n_atoms, _ = f["XYZList"].shape
+    1000. No time, no unit cell. Same chunked read shape and backend
+    adapter as :func:`load_hdf5`."""
+    with _H5File(path) as f:
+        n_frames, n_atoms, _ = f.shape("XYZList")
 
     specs = [
         (s, min(chunks, n_frames - s)) for s in range(0, n_frames, chunks)
@@ -172,10 +209,9 @@ def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
         import pandas as pd
 
         for pdf in batches:
-            with h5py.File(path, "r") as f:
-                ds = f["XYZList"]
+            with _H5File(path) as f:
                 for start, count in zip(pdf["start"], pdf["count"]):
-                    raw = ds[int(start) : int(start + count)]
+                    raw = f.read("XYZList", int(start), int(count))
                     xyz = raw.astype("float32") / np.float32(1000.0)
                     nf, na, _ = xyz.shape
                     flat = xyz.reshape(nf * na, 3)
@@ -195,3 +231,43 @@ def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
         gen, schema=COORDS_SCHEMA
     )
     return Trajectory(coords)
+
+
+def write_h5_traj(traj: Trajectory, path: str) -> None:
+    """Sink: MDTraj-HDF5 export through the vendored pure-struct
+    writer (contiguous layout — readable by h5py and by
+    :func:`load_hdf5` alike).  Writes ``coordinates`` (f32 nm),
+    ``time`` (f32 ps) and, when the trajectory has a unit cell,
+    ``cell_lengths``/``cell_angles`` (f32)."""
+    import numpy as np
+
+    from dask_traj_spark.sources.hdf5_pure import write_h5
+
+    xyz, time = traj.to_numpy()
+    nf, na, _ = xyz.shape
+    datasets = {
+        "coordinates": ((nf, na, 3), "f32",
+                        np.ascontiguousarray(xyz, dtype="<f4").tobytes()),
+        "time": ((nf,), "f32",
+                 np.ascontiguousarray(time, dtype="<f4").tobytes()),
+    }
+    if traj.have_unitcell:
+        uc = traj.unitcell_lengths_angles.orderBy("frame_id").toPandas()
+        lengths = uc[["a", "b", "c"]].to_numpy("<f4")
+        angles = uc[["alpha", "beta", "gamma"]].to_numpy("<f4")
+        datasets["cell_lengths"] = ((nf, 3), "f32", lengths.tobytes())
+        datasets["cell_angles"] = ((nf, 3), "f32", angles.tobytes())
+    write_h5(path, datasets)
+
+
+def write_lh5(traj: Trajectory, path: str) -> None:
+    """Sink: legacy MSMBuilder2 lossy-HDF5 export — ``XYZList`` int16
+    fixed-point (nm × 1000, rounded), contiguous."""
+    import numpy as np
+
+    from dask_traj_spark.sources.hdf5_pure import write_h5
+
+    xyz, _time = traj.to_numpy()
+    nf, na, _ = xyz.shape
+    fixed = np.clip(np.round(xyz * 1000.0), -32768, 32767).astype("<i2")
+    write_h5(path, {"XYZList": ((nf, na, 3), "i16", fixed.tobytes())})
