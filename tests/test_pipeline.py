@@ -1363,6 +1363,29 @@ class TestBigramCrossScore:
         assert out[3]["avg_logprob"] > out[4]["avg_logprob"] + 10
 
 
+class TestIvfPq:
+    def test_planted_neighbor_found_and_ladder_prunes(self, spark):
+        """IVFPQ composition: a planted near-duplicate must surface
+        as rank 1 with cos ~ 1 even though scoring touches only
+        compressed codes in probed clusters; rank output is exact
+        cosine (rerank), deterministic tie-break."""
+        from dask_traj_spark.operators.similarity import cosine_topk_ivf_pq
+
+        rng = np.random.default_rng(29)
+        base = rng.standard_normal((200, 64)).astype(np.float32)
+        base[150] = base[0] * np.float32(1.5)  # same direction as query 0
+        rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = cosine_topk_ivf_pq(
+            emb, [0], k=5, n_centroids=4, nprobe=2, m=8, n_codes=16,
+            rerank_depth=50,
+        ).toPandas()
+        assert len(out) == 5
+        top = out[out["rank"] == 1].iloc[0]
+        assert top["vec_id"] == 150
+        assert top["cos"] > 0.999
+
+
 class TestScalarQuantization:
     def test_roundtrip_accuracy_and_topk_recall(self, spark):
         import numpy as np
