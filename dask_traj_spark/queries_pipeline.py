@@ -2323,6 +2323,88 @@ def q_pq_recall(spark, sf_dir):
     )
 
 
+# c7 chains the REAL curation operators end to end in ONE plan —
+# the composite a training pipeline actually runs downstream of c1:
+# heuristic filter (t8's C4-style rules) → exact dedup (d1's
+# min-id-per-hash representatives) → leak-proof split (c6's mult
+# bucketing) → per-(split, source) doc/token totals.  Unlike the
+# contract gates this is fully SQL-expressible, so the WHOLE chain
+# is value-gated: a drift in any stage's semantics (a filter
+# threshold, the dedup keep rule, the split hash) shifts the
+# aggregates and hash-fails.
+_C7_ORACLE = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+d AS (
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(max(n) AS BIGINT) AS top_n,
+           CAST(sum(length(word) * n) AS BIGINT) AS n_chars
+    FROM c GROUP BY doc_id
+),
+f AS (
+    SELECT doc_id
+    FROM d
+    WHERE n_words BETWEEN 25 AND 100000
+      AND CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 6.0
+      AND CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.15
+),
+clean AS (
+    SELECT dd.doc_id, dd.source, dd.text
+    FROM documents dd JOIN f ON dd.doc_id = f.doc_id
+),
+rep AS (
+    SELECT doc_id, source, text FROM (
+        SELECT clean.*,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM clean
+    ) WHERE rn = 1
+),
+s AS (
+    SELECT doc_id, source,
+           ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens
+    FROM rep
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("c7_curation_chain", _C7_ORACLE)
+def q_curation_chain(spark, sf_dir):
+    from dask_traj_spark.functions.text import _n_tokens
+    from dask_traj_spark.operators.curation import (
+        dataset_split,
+        heuristic_filter,
+    )
+    from dask_traj_spark.operators.dedup import exact_duplicates
+
+    docs = _docs(spark, sf_dir)
+    flags = heuristic_filter(docs).where(F.col("keep")).select("doc_id")
+    clean = docs.join(flags, "doc_id", "left_semi")
+    keeps = exact_duplicates(clean).select(F.col("keep_id").alias("doc_id"))
+    rep = clean.join(keeps, "doc_id", "left_semi")
+    split = dataset_split(rep, order_mode="mult")
+    toks = rep.select("doc_id", _n_tokens(F.col("text")).alias("n_tokens"))
+    return (
+        split.join(toks, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 _V8_ORACLE = """
 SELECT CAST(f.qid AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
 FROM range(10) f(qid)
