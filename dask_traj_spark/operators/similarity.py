@@ -1151,7 +1151,9 @@ def cosine_topk_ivf_pq(
             )
 
     scored = (
-        survivors.join(emb.select(id_col, "embedding"), id_col)
+        # survivors ≈ rerank_depth × n_queries rows — broadcast them
+        # so the full-width corpus never shuffles for the rerank
+        F.broadcast(survivors).join(emb.select(id_col, "embedding"), id_col)
         .select("qid", id_col, "embedding")
         .mapInPandas(rerank, f"qid long, {id_col} long, cos double")
         .where(F.col("qid") != F.col(id_col))  # self-match excluded,

@@ -508,3 +508,49 @@ def test_vacf_and_rmsf_shuffle_budgets(spark):
     v = audit(velocity_autocorrelation(traj, max_lag=2))
     assert "CartesianProduct" not in v.text, v.text
     assert "SinglePartition" not in v.text, v.text
+
+
+def test_image_pixel_stats_is_map_only(spark):
+    """m11's decode + stats must compile to a zero-shuffle map pass:
+    two mapInPandas stages fused over one scan lineage."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_jpeg,
+        image_pixel_stats,
+    )
+    from dask_traj_spark.plans.audit import formatted_plan
+
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    plan = formatted_plan(image_pixel_stats(attach_payload_jpeg(docs)))
+    assert "Exchange" not in plan
+
+
+def test_ivf_pq_rerank_broadcasts_survivors(spark):
+    """v8's exact-rerank join must broadcast the tiny survivor set —
+    the corpus side must not shuffle after encoding."""
+    import numpy as np
+
+    from dask_traj_spark.operators.similarity import cosine_topk_ivf_pq
+    from dask_traj_spark.plans.audit import formatted_plan
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = formatted_plan(
+        cosine_topk_ivf_pq(emb, [0], k=3, n_centroids=2, nprobe=1, m=4,
+                           n_codes=4, rerank_depth=16)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_chain_no_cartesian(spark):
+    """c7's four-stage chain stays join-keyed end to end."""
+    from dask_traj_spark.plans.audit import formatted_plan
+    from dask_traj_spark.queries_pipeline import q_curation_chain
+
+    plan = formatted_plan(q_curation_chain(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
