@@ -151,11 +151,12 @@ _SCORING_TAIL = [
     "x5_rdf_histogram",
     "x6_neighbor_pairs",
     "x7_superpose_contract",
-    # +3 tail slots for the new m11 JPEG / v8 IVFPQ / c7 chain gates
-    # entering the head
+    # +4 tail slots for the new m11 JPEG / v8 IVFPQ / c7 chain /
+    # e8 asof-tolerance gates entering the head
     "m3_frame_sample",
     "v1_cosine_topk",
     "d1_exact_dedup",
+    "d4_ngram_jaccard_neardup",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

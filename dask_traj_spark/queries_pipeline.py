@@ -834,6 +834,92 @@ FROM filled WHERE side = 1
 """
 
 
+# e8 gates asof_join's TOLERANCE knob (pandas merge_asof's
+# max-staleness semantics): matches older than one hour are nulled
+# out, all payload fields together.  Same union+running-last plan as
+# e3 — the tolerance is a post-fill projection, not another join.
+_E8_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_c, event_type
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts_us, 0 AS side, event_id AS tie,
+         ts_us AS m_ts, event_id AS m_id, value_c AS m_val,
+         CAST(NULL AS BIGINT) AS click_id
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts_us, 1, 0, NULL, NULL, NULL, event_id
+  FROM ev WHERE event_type = 'click'
+),
+filled AS (
+  SELECT user_id, ts_us, side, click_id,
+         last_value(m_ts IGNORE NULLS) OVER w AS purchase_us,
+         last_value(m_id IGNORE NULLS) OVER w AS purchase_id,
+         last_value(m_val IGNORE NULLS) OVER w AS value_c
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tol AS (
+  SELECT user_id, ts_us, side, click_id,
+         CASE WHEN ts_us - purchase_us <= 3600000000 THEN purchase_us END
+             AS purchase_us,
+         CASE WHEN ts_us - purchase_us <= 3600000000 THEN purchase_id END
+             AS purchase_id,
+         CASE WHEN ts_us - purchase_us <= 3600000000 THEN value_c END
+             AS value_c
+  FROM filled
+)
+SELECT user_id, ts_us AS click_us, click_id, purchase_us, purchase_id, value_c
+FROM tol WHERE side = 1
+"""
+
+
+@register("e8_asof_tolerance", _E8_ORACLE)
+def q_asof_tolerance(spark, sf_dir):
+    from dask_traj_spark.operators.asof import asof_join
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("purch_us"),
+        F.col("event_id").alias("purchase_id"),
+        "value_c",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        left_on="click_us",
+        right_on="purch_us",
+        left_by="user_id",
+        right_by="user_id",
+        payload=["purchase_id", "value_c"],
+        tie="purchase_id",
+        tolerance=F.lit(3_600_000_000),  # 1 hour in µs
+    )
+    return out.select(
+        "user_id",
+        "click_us",
+        "click_id",
+        F.col("purch_us_matched").alias("purchase_us"),
+        "purchase_id",
+        "value_c",
+    )
+
+
 @register("e3_asof_last_purchase", _E3_ORACLE)
 def q_asof_last_purchase(spark, sf_dir):
     """Keyed as-of join (point-in-time lookup): every click event
