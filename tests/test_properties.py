@@ -236,3 +236,94 @@ def test_pack_sequences_invariants(spark, seed, n_docs, budget):
         assert r.n_seqs == (cum + r.n_tokens - 1) // budget - cum // budget + 1
         cum += r.n_tokens
     assert cum == pdf["n_tokens"].sum()
+
+
+# ------------------------------------------------------- JPEG codec
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tiles=st.lists(st.integers(0, 255), min_size=1, max_size=6),
+    rows=st.integers(1, 3),
+)
+def test_jpeg_constant_tiles_roundtrip_exact(tiles, rows):
+    """ANY constant-tile grayscale image round-trips bit-exactly at
+    quant=1: each block's only nonzero coefficient is its integer
+    DC.  Random tile values exercise every DC category size and the
+    inter-block diff chain, including sign changes."""
+    from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    w, h = 8 * len(tiles), 8 * rows
+    row = b"".join(bytes([t]) * 8 for t in tiles)
+    px = row * (8 * rows)
+    got_w, got_h, ch, out = decode_jpeg(encode_jpeg(w, h, px, channels=1, quant=1))
+    assert (got_w, got_h, ch) == (w, h, 1)
+    assert out == px
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=64),
+    quant=st.sampled_from([1, 2, 4, 8]),
+)
+def test_jpeg_arbitrary_block_bounded_error(data, quant):
+    """Arbitrary 8×8 content at quant q: decode error is bounded by
+    the quantization step (each coefficient moves at most q/2, IDCT
+    is orthonormal so pixel error ≤ 8·(q/2) in the worst case; in
+    practice ≪).  Guards against run-length or EOB bugs that corrupt
+    whole blocks rather than nudging values."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    px = (data + b"\x00" * 64)[:64]
+    _, _, _, out = decode_jpeg(encode_jpeg(8, 8, px, channels=1, quant=quant))
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert err.max() <= 4 * quant + 1
+
+
+# ------------------------------------------------------- HDF5 subset
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nf=st.integers(1, 12),
+    na=st.integers(1, 9),
+    names=st.sets(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_h5_roundtrip_any_shape_and_names(nf, na, names, seed, tmp_path_factory):
+    """Arbitrary dataset names (heap offsets, SNOD name ordering)
+    and leading-dim shapes round-trip through the vendored
+    writer/reader, including partial-range reads at every offset."""
+    import numpy as np
+
+    from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path_factory.mktemp("h5prop") / "f.h5")
+    data = {}
+    arrays = {}
+    for n in sorted(names):
+        a = rng.standard_normal((nf, na, 3)).astype("<f4")
+        arrays[n] = a
+        data[n] = ((nf, na, 3), "f32", a.tobytes())
+    write_h5(path, data)
+    with PureH5(path) as f:
+        assert sorted(f.datasets) == sorted(names)
+        for n, a in arrays.items():
+            assert f.shape(n) == (nf, na, 3)
+            np.testing.assert_array_equal(f.read(n), a)
+            start = nf // 2
+            np.testing.assert_array_equal(
+                f.read(n, start, nf - start), a[start:]
+            )
