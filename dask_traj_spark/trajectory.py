@@ -313,9 +313,13 @@ class Trajectory:
                 f"Number of atoms differ: {self.n_atoms} vs {other.n_atoms}"
             )
         if check_topology and self.topology is not None and other.topology is not None:
-            diff = self.topology.exceptAll(other.topology)
-            diff2 = other.topology.exceptAll(self.topology)
-            if diff.limit(1).count() > 0 or diff2.limit(1).count() > 0:
+            # one driver action, not two: either direction's surplus
+            # rows prove inequality (symmetric difference is empty iff
+            # the multisets match); unionByName keeps it a single job
+            diff = self.topology.exceptAll(other.topology).unionByName(
+                other.topology.exceptAll(self.topology)
+            )
+            if not diff.isEmpty():
                 raise ValueError("Topologies are not identical")
         if self.have_unitcell != other.have_unitcell:
             raise ValueError(
