@@ -268,14 +268,23 @@ def main() -> None:
         # DURING this specific ~20-40 s workload).
         scale["probe_before_canonical_s"] = _cpu_probe()
         N_FRAMES = real_frames * 10
-        t0 = time.time()
-        fresh = _canonical_traj(spark)
-        _noop(
-            compute_distances(
-                fresh, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
+        # best-of-2 with both iterations recorded: single-shot 10x
+        # numbers swung 0.89-1.39x linearity across runs of identical
+        # code — iteration noise dominates at this duration, and the
+        # linearity headline deserves the same discipline as tier 2
+        its10 = []
+        for _ in range(2):
+            t0 = time.time()
+            fresh = _canonical_traj(spark)
+            _noop(
+                compute_distances(
+                    fresh, pairs, periodic=True, form="vectorized",
+                    n_atoms=N_ATOMS
+                )
             )
-        )
-        scale["canonical_onepass_10x"] = round(time.time() - t0, 3)
+            its10.append(round(time.time() - t0, 3))
+        scale["canonical_onepass_10x_iters"] = its10
+        scale["canonical_onepass_10x"] = min(its10)
         N_FRAMES = real_frames
         scale["probe_after_canonical_s"] = _cpu_probe()
 

@@ -151,12 +151,14 @@ _SCORING_TAIL = [
     "x5_rdf_histogram",
     "x6_neighbor_pairs",
     "x7_superpose_contract",
-    # +4 tail slots for the new m11 JPEG / v8 IVFPQ / c7 chain /
-    # e8 asof-tolerance gates entering the head
+    # +5 tail slots for the new m11 JPEG / v8 IVFPQ / c7 chain /
+    # e8 asof-tolerance / sx6 streaming-SemDeDup gates entering the
+    # head
     "m3_frame_sample",
     "v1_cosine_topk",
     "d1_exact_dedup",
     "d4_ngram_jaccard_neardup",
+    "d5_repeated_ngram_docs",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

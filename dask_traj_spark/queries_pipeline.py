@@ -2238,6 +2238,62 @@ def q_stream_exact_dedup_twin(spark, sf_dir):
     return spark.createDataFrame(pdf, "h string, keep_id long, n long")
 
 
+@register(
+    "sx6_stream_semantic_dedup_twin",
+    _d6_oracle(0.3, n_bits=6, max_cluster=10**9),
+)
+def q_stream_semantic_twin(spark, sf_dir):
+    """Incremental SemDeDup vs d6's value oracle directly: replay
+    the embedding corpus in three ID-ORDERED micro-batches through
+    the foreachBatch body (state = cluster members partitioned by
+    batch, decisions computed against strictly-earlier state — the
+    close-is-final shape), with a crash-replay of the middle batch
+    simulated in-query.  The union of per-batch decisions must
+    equal the one-shot batch operator VALUE-FOR-VALUE (same grid
+    quantization + gram kernel, drop rule quantifies over smaller
+    ids only, all already in state under id ordering).  Uncapped on
+    both sides: the cluster cap is corpus-global in batch but
+    prefix-local in streaming — sx1's documented asymmetry."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.streaming.dedup import (
+        process_semantic_batch,
+        semantic_dedup_results,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    work = tempfile.mkdtemp(prefix="sx6_semantic_twin_")
+    state, results = f"{work}/state", f"{work}/results"
+    try:
+        for b in range(3):
+            process_semantic_batch(
+                emb.where(
+                    (F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1])
+                ),
+                b, state, results, threshold=0.3, n_bits=6,
+            )
+        # crash-replay of the middle batch: both its state and its
+        # decisions partitions are rewritten in place; the state read
+        # excludes the batch's own partition, so the recomputation is
+        # bit-identical
+        process_semantic_batch(
+            emb.where(
+                (F.col("vec_id") >= cuts[1]) & (F.col("vec_id") < cuts[2])
+            ),
+            1, state, results, threshold=0.3, n_bits=6,
+        )
+        out = semantic_dedup_results(spark, results)
+        pdf = out.select(
+            "vec_id", "cluster", F.col("keep").cast("long").alias("keep")
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "vec_id long, cluster long, keep long")
+
+
 def _m5_oracle() -> str:
     # per (doc, frame): frame f's pixels are text bytes [24f, 24f+24);
     # stats over the first 8 of them (0 past end-of-text)

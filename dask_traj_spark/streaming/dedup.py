@@ -220,3 +220,100 @@ def exact_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return st.groupBy("h").agg(
         F.min("keep_id").alias("keep_id"), F.sum("n").alias("n")
     )
+
+
+# ----------------------------------------------- incremental SemDeDup
+
+
+def process_semantic_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    results_dir: str,
+    threshold: float = 0.8,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+) -> None:
+    """One micro-batch of incremental semantic dedup (the streaming
+    twin of d6's SemDeDup): write this batch's cluster members into
+    the batch_id-partitioned state table, then emit THIS batch's
+    keep/drop decisions by comparing its members against every
+    earlier member of the same cluster (state partitions < batch_id
+    — never its own, the ADVICE-r4 crash-replay rule) plus
+    smaller-id members inside the batch.
+
+    Exactly-once: the state partial is a pure function of the
+    batch's own rows; the decisions depend on that partial and the
+    UNTOUCHED earlier partitions; dynamic overwrite replaces both
+    partitions wholesale on replay.
+
+    Close-is-final requires id-ordered batches (each batch's ids all
+    exceed the previous batch's — the shape an id-monotone ingest
+    delivers): a vector's drop rule quantifies over smaller ids
+    only, and all of those are already in state.  Under that
+    ordering the union of per-batch decisions equals the one-shot
+    batch ``semantic_dedup`` BITWISE — same grid quantization, same
+    gram-matrix kernel (gated by sx6 against d6's oracle).
+
+    100-TB posture: state is one row per vector partitioned by
+    batch (append-shaped writes); the compare is per-cluster
+    ``applyInPandas`` with the same bounded-group properties as the
+    batch operator (callers wanting the cap apply ``_cap_buckets``
+    on the state read)."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_traj_spark.operators.similarity import signbit_clusters
+
+    spark = batch_df.sparkSession
+    clusters = signbit_clusters(batch_df, n_bits, id_col)
+    members = clusters.join(batch_df.select(id_col, "embedding"), id_col)
+    _overwrite_batch_partition(
+        members.select("cluster", id_col, "embedding"), state_dir, batch_id
+    )
+
+    prior = _read_or_empty(
+        spark, state_dir,
+        f"cluster long, {id_col} long, embedding array<float>",
+        batch_id,
+    ).withColumn("is_new", F.lit(False))
+    cur = members.select("cluster", id_col, "embedding").withColumn(
+        "is_new", F.lit(True)
+    )
+    thr = float(threshold)
+    idc = id_col
+
+    def decide(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[idc].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        new = pdf["is_new"].to_numpy()[order]
+        v = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        q = np.round(v * 4096.0) / 4096.0
+        g = q @ q.T
+        norms = np.sqrt(np.diag(g))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = g / np.outer(norms, norms)
+        drop = np.any(np.tril(cos >= thr, k=-1), axis=1)
+        keep_new = new  # emit decisions only for this batch's rows
+        return pd.DataFrame(
+            {
+                idc: ids[keep_new],
+                "cluster": pdf["cluster"].iloc[0],
+                "keep": ~drop[keep_new],
+            }
+        )
+
+    decisions = (
+        prior.unionByName(cur)
+        .groupBy("cluster")
+        .applyInPandas(decide, f"{idc} long, cluster long, keep boolean")
+    )
+    _overwrite_batch_partition(decisions, results_dir, batch_id)
+
+
+def semantic_dedup_results(spark: SparkSession, results_dir: str) -> DataFrame:
+    """Union of per-batch SemDeDup decisions — under id-ordered
+    batches, identical to the one-shot batch operator (gated by sx6
+    against d6's value oracle)."""
+    return spark.read.parquet(results_dir).drop("batch_id")

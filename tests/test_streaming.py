@@ -954,3 +954,59 @@ def test_real_stream_crash_replay_exact_dedup(spark, tmp_path):
     assert list(got.index) == list(want.index)
     assert (got["keep_id"] == want["keep_id"]).all()
     assert (got["n"] == want["n"]).all()
+
+
+def test_stream_semantic_dedup_matches_batch_with_replay_storm(spark, tmp_path):
+    """Incremental SemDeDup: id-ordered batches, a replay storm
+    (batch 0 twice, batch 2 once more), and a planted CROSS-BATCH
+    suppression — a batch-2 vector whose only sub-threshold
+    neighbor lives in batch 0 must still drop.  Union of per-batch
+    decisions equals the one-shot batch operator exactly."""
+    import numpy as np
+
+    from dask_traj_spark.operators.similarity import semantic_dedup
+    from dask_traj_spark.streaming.dedup import (
+        process_semantic_batch,
+        semantic_dedup_results,
+    )
+
+    rng = np.random.default_rng(47)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    base[45] = base[3] * np.float32(1.2)   # batch 2 dup of batch 0
+    base[21] = base[20] * np.float32(0.9)  # in-batch dup (batch 1)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    kw = dict(threshold=0.95, n_bits=3)
+    slices = [(0, 20), (20, 40), (40, 60)]
+
+    def run(b):
+        lo, hi = slices[b]
+        process_semantic_batch(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            b, state, results, **kw,
+        )
+
+    for b in range(3):
+        run(b)
+    run(0)  # replay storm
+    run(0)
+    run(2)
+
+    got = (
+        semantic_dedup_results(spark, results)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    want = (
+        semantic_dedup(emb, threshold=0.95, n_bits=3, max_cluster=None)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert len(got) == 60
+    assert (got["keep"] == want["keep"]).all()
+    assert (got["cluster"] == want["cluster"]).all()
+    # the planted cross-batch and in-batch dups actually dropped
+    assert not got.loc[45, "keep"]
+    assert not got.loc[21, "keep"]
+    assert got.loc[3, "keep"] and got.loc[20, "keep"]
