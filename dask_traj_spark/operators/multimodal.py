@@ -1549,3 +1549,45 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(gen, PIXEL_STATS_SCHEMA)
+
+
+def sniff_kind(media: DataFrame) -> DataFrame:
+    """Magic-byte content sniffing → (doc_id, kind, sniffed_kind,
+    match): detect the REAL container format from the payload head
+    (BMP/PNG/JPEG/TIFF/RIFF-WAV/RIFF-AVI) and compare it to the
+    declared ``kind`` column — the mislabeled-asset detector every
+    multimodal ingest runs before trusting upstream metadata.
+
+    100-TB posture: pure JVM-side binary expressions (substring +
+    literal compares inside whole-stage codegen) — no Python, no
+    shuffle; parquet reads only the first payload bytes' pages when
+    the format supports it, and the expression never materializes
+    the tail."""
+    head = lambda off, n: F.expr(  # noqa: E731
+        f"substring(payload, {off}, {n})"
+    )
+    lit = lambda hexs: F.expr(f"X'{hexs}'")  # noqa: E731
+    sniffed = (
+        F.when(head(1, 8) == lit("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(head(1, 3) == lit("FFD8FF"), F.lit("image/jpeg"))
+        .when(head(1, 2) == lit("424D"), F.lit("image/bmp"))
+        .when(
+            (head(1, 4) == lit("49492A00")) | (head(1, 4) == lit("4D4D002A")),
+            F.lit("image/tiff"),
+        )
+        .when(
+            (head(1, 4) == lit("52494646")) & (head(9, 4) == lit("57415645")),
+            F.lit("audio/wav"),
+        )
+        .when(
+            (head(1, 4) == lit("52494646")) & (head(9, 4) == lit("41564920")),
+            F.lit("video/avi"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+    return media.select(
+        "doc_id",
+        "kind",
+        sniffed.alias("sniffed_kind"),
+        (F.col("kind") == sniffed).cast("long").alias("match"),
+    )

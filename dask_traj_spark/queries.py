@@ -159,6 +159,7 @@ _SCORING_TAIL = [
     "d1_exact_dedup",
     "d4_ngram_jaccard_neardup",
     "d5_repeated_ngram_docs",
+    "t7_repetition_score",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

@@ -2294,6 +2294,55 @@ def q_stream_semantic_twin(spark, sf_dir):
     return spark.createDataFrame(pdf, "vec_id long, cluster long, keep long")
 
 
+# m12 gates content sniffing: five payload families built by the
+# real encoders, routed by doc_id % 5, with the %5==4 slice
+# deliberately MISLABELED (BMP bytes declared image/png) — the
+# oracle predicts declared kind, sniffed kind and the match flag
+# from doc_id alone.
+_M12_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'image/bmp'
+            WHEN 1 THEN 'image/png'
+            WHEN 2 THEN 'image/jpeg'
+            WHEN 3 THEN 'audio/wav'
+            ELSE 'image/png' END AS kind,
+       CASE doc_id % 5
+            WHEN 0 THEN 'image/bmp'
+            WHEN 1 THEN 'image/png'
+            WHEN 2 THEN 'image/jpeg'
+            WHEN 3 THEN 'audio/wav'
+            ELSE 'image/bmp' END AS sniffed_kind,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS BIGINT) AS match
+FROM documents
+"""
+
+
+@register("m12_sniff_kind", _M12_ORACLE)
+def q_sniff_kind(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_bmp,
+        attach_payload_jpeg,
+        attach_payload_png,
+        attach_payload_wav,
+        sniff_kind,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pick = lambda r: docs.where(F.col("doc_id") % 5 == r)  # noqa: E731
+    media = (
+        attach_payload_bmp(pick(0))
+        .unionByName(attach_payload_png(pick(1)))
+        .unionByName(attach_payload_jpeg(pick(2)))
+        .unionByName(attach_payload_wav(pick(3)))
+        .unionByName(
+            # mislabeled slice: BMP bytes, PNG label
+            attach_payload_bmp(pick(4)).withColumn("kind", F.lit("image/png"))
+        )
+    )
+    return sniff_kind(media)
+
+
 def _m5_oracle() -> str:
     # per (doc, frame): frame f's pixels are text bytes [24f, 24f+24);
     # stats over the first 8 of them (0 past end-of-text)

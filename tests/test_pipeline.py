@@ -1386,6 +1386,55 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestSniffKind:
+    def test_all_magics_and_mislabels(self, spark):
+        from dask_traj_spark.operators.multimodal import (
+            encode_avi,
+            encode_bmp,
+            encode_jpeg,
+            encode_png,
+            encode_tiff,
+            encode_wav,
+            sniff_kind,
+        )
+
+        rows = [
+            (0, "image/bmp", bytearray(encode_bmp(2, 2, bytes(12)))),
+            (1, "image/png", bytearray(encode_png(2, 2, bytes(12)))),
+            (2, "image/jpeg", bytearray(encode_jpeg(8, 8, bytes(64)))),
+            (3, "image/tiff", bytearray(encode_tiff(2, 2, bytes(12)))),
+            (4, "audio/wav", bytearray(encode_wav([0, 1, -1]))),
+            (5, "video/avi", bytearray(encode_avi(2, 2, [bytes(12)]))),
+            # big-endian TIFF sniffs as tiff even though our decoder
+            # only reads LE — sniffing is container-level
+            (6, "image/tiff", bytearray(b"MM\x00\x2a" + bytes(8))),
+            (7, "image/png", bytearray(encode_bmp(2, 2, bytes(12)))),  # mislabel
+            (8, "what/ever", bytearray(b"\x00\x01\x02\x03" * 4)),
+        ]
+        df = spark.createDataFrame(
+            [(i, k, p, len(p)) for i, k, p in rows],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        got = {r["doc_id"]: r for r in sniff_kind(df).collect()}
+        for i in (0, 1, 2, 3, 4, 5, 6):
+            assert got[i]["match"] == 1, i
+        assert got[7]["sniffed_kind"] == "image/bmp" and got[7]["match"] == 0
+        assert got[8]["sniffed_kind"] == "unknown" and got[8]["match"] == 0
+
+    def test_sniff_is_jvm_side(self, spark):
+        """No Python evaluation and no shuffle in the sniff itself."""
+        from dask_traj_spark.operators.multimodal import sniff_kind
+        from dask_traj_spark.plans.audit import formatted_plan
+
+        df = spark.createDataFrame(
+            [(1, "image/bmp", bytearray(b"BM"), 2)],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        plan = formatted_plan(sniff_kind(df))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestScalarQuantization:
     def test_roundtrip_accuracy_and_topk_recall(self, spark):
         import numpy as np
