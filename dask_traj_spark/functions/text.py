@@ -388,3 +388,52 @@ def char_bigram_crossscore(
         F.sum(F.col("lp").isNull().cast("long")).alias("n_oov"),
         F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+#: classic UTF-8-read-as-cp1252 mojibake artifacts → intended char.
+#: Keys/values are shared verbatim with the SQL oracle (the gate
+#: generates both sides from this table), and every sequence is
+#: printable BMP text so character counting agrees across engines.
+MOJIBAKE_MAP: dict[str, str] = {
+    "Ã©": "é",   # Ã©  → é
+    "Ã¨": "è",   # Ã¨  → è
+    "Ã¼": "ü",   # Ã¼  → ü
+    "Ã±": "ñ",   # Ã±  → ñ
+    "â€™": "'",  # â€™ → '
+    "â€œ": '"',  # â€œ → "
+    "Â°": "°",   # Â°  → °
+}
+
+
+def mojibake_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-damage detection + repair → (doc_id, n_artifacts,
+    flagged, n_chars, n_chars_repaired): count classic
+    UTF-8-decoded-as-cp1252 sequences (``MOJIBAKE_MAP``), flag
+    affected documents, and report the repaired length — the
+    data-cleaning pass that catches double-encoded web text before
+    it poisons a training corpus.
+
+    Counting is EXACT and regex-free: occurrences of artifact ``k``
+    = (length(text) − length(replace(text, k, ''))) / length(k) —
+    integer arithmetic any engine reproduces bit-identically.
+    Repair is the chained replace in map order.
+
+    100-TB posture: pure JVM string expressions in one codegen'd
+    projection — no Python, no shuffle."""
+    t = F.col(text_col)
+    counts = []
+    repaired = t
+    for k in MOJIBAKE_MAP:
+        counts.append(
+            (F.length(t) - F.length(F.replace(t, F.lit(k), F.lit(""))))
+            / F.lit(len(k))
+        )
+        repaired = F.replace(repaired, F.lit(k), F.lit(MOJIBAKE_MAP[k]))
+    n_art = sum(counts[1:], counts[0]).cast("long")
+    return df.select(
+        "doc_id",
+        n_art.alias("n_artifacts"),
+        (n_art > 0).cast("long").alias("flagged"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(repaired).cast("long").alias("n_chars_repaired"),
+    )

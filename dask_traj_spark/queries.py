@@ -160,6 +160,7 @@ _SCORING_TAIL = [
     "d4_ngram_jaccard_neardup",
     "d5_repeated_ngram_docs",
     "t7_repetition_score",
+    "t8_heuristic_filter",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

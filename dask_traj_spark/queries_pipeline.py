@@ -2343,6 +2343,60 @@ def q_sniff_kind(spark, sf_dir):
     return sniff_kind(media)
 
 
+def _t13_oracle() -> str:
+    # generated from MOJIBAKE_MAP so the artifact table and the exact
+    # length-diff counting formula are shared verbatim with the engine
+    from dask_traj_spark.functions.text import MOJIBAKE_MAP
+
+    q = lambda x: x.replace("'", "''")  # noqa: E731
+    counts = " + ".join(
+        f"(length(t) - length(replace(t, '{q(k)}', ''))) / {len(k)}"
+        for k in MOJIBAKE_MAP
+    )
+    repaired = "t"
+    for k, v in MOJIBAKE_MAP.items():
+        repaired = f"replace({repaired}, '{q(k)}', '{q(v)}')"
+    return f"""
+WITH e AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© crÃ¨me' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN ' donâ€™t â€œsay' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' 25Â° Ã¼ber maÃ±ana' ELSE '' END
+               AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST({counts} AS BIGINT) AS n_artifacts,
+       CAST(CASE WHEN {counts} > 0 THEN 1 ELSE 0 END AS BIGINT) AS flagged,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(length({repaired}) AS BIGINT) AS n_chars_repaired
+FROM e
+"""
+
+
+@register("t13_mojibake", _t13_oracle())
+def q_mojibake(spark, sf_dir):
+    """Encoding-damage stats over a deterministically mojibake-
+    enriched corpus (the synthetic documents are clean ASCII, so both
+    engines append doc_id-derived damaged spans before scanning — the
+    t10 fixture-synthesis pattern)."""
+    from dask_traj_spark.functions.text import mojibake_stats
+
+    doc = F.col("doc_id")
+    opt = lambda cond, lit: F.when(cond, F.lit(lit)).otherwise(F.lit(""))  # noqa: E731
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            opt(doc % 3 == 0, " cafÃ© crÃ¨me"),
+            opt(doc % 4 == 0, " donâ€™t â€œsay"),
+            opt(doc % 7 == 0, " 25Â° Ã¼ber maÃ±ana"),
+        ).alias("text"),
+    )
+    return mojibake_stats(enriched)
+
+
 def _m5_oracle() -> str:
     # per (doc, frame): frame f's pixels are text bytes [24f, 24f+24);
     # stats over the first 8 of them (0 past end-of-text)

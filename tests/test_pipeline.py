@@ -1386,6 +1386,42 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestMojibake:
+    def test_counts_repair_and_plan(self, spark):
+        from dask_traj_spark.functions.text import MOJIBAKE_MAP, mojibake_stats
+        from dask_traj_spark.plans.audit import formatted_plan
+
+        rows = [
+            (0, "clean ascii text"),
+            (1, "cafÃ© and crÃ¨me brÃ»lÃ©e"),   # Ã© ×2, Ã¨ ×1 (Ã» unmapped)
+            (2, "donâ€™t â€œquote me"),
+            (3, "25Â° Ã¼ber maÃ±ana Ã©"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in mojibake_stats(df).collect()}
+        assert got[0]["n_artifacts"] == 0 and got[0]["flagged"] == 0
+        assert got[0]["n_chars_repaired"] == got[0]["n_chars"]
+        assert got[1]["n_artifacts"] == 3 and got[1]["flagged"] == 1
+        # each 2-char artifact repairs to 1 char
+        assert got[1]["n_chars_repaired"] == got[1]["n_chars"] - 3
+        assert got[2]["n_artifacts"] == 2
+        # 3-char artifacts repair to 1 char: -2 each
+        assert got[2]["n_chars_repaired"] == got[2]["n_chars"] - 4
+        assert got[3]["n_artifacts"] == 4
+        # a repaired doc re-scanned is clean (repair is idempotent)
+        repaired_text = rows[1][1]
+        for k, v in MOJIBAKE_MAP.items():
+            repaired_text = repaired_text.replace(k, v)
+        again = mojibake_stats(
+            spark.createDataFrame([(9, repaired_text)], "doc_id long, text string")
+        ).collect()[0]
+        assert again["n_artifacts"] == 0
+        # one codegen'd projection: no shuffle, no Python
+        plan = formatted_plan(mojibake_stats(df))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestSniffKind:
     def test_all_magics_and_mislabels(self, spark):
         from dask_traj_spark.operators.multimodal import (
