@@ -558,3 +558,56 @@ def containment_pairs(
             F.col("inter").cast("double") / F.col("sz_in").cast("double")
         ).alias("containment"),
     ).where(F.col("containment") >= threshold)
+
+
+# ------------------------------------------------------ URL dedup
+
+
+def canonicalize_url(url: "Column") -> "Column":
+    """Canonical form of a URL for dedup purposes — the standard
+    web-pipeline normalization chain, as one codegen'd expression:
+
+    1. drop the fragment (``#...``),
+    2. lowercase the scheme://host part (path/query stay
+       case-sensitive),
+    3. strip default ports (``https://h:443``, ``http://h:80``),
+    4. strip tracking query params (``utm_*``, ``fbclid``,
+       ``gclid``) and any dangling ``?``/``&``,
+    5. strip one trailing slash.
+
+    Regexes live in the Java∩RE2 intersection (no lookaround/
+    backrefs in patterns) so the SQL oracle reproduces every step;
+    only the $1-vs-\\1 replacement spelling differs per engine."""
+    u = F.regexp_replace(url, "#.*$", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, "^([^/]+://[^/]+)", 1)),
+        F.regexp_replace(u, "^[^/]+://[^/]+", ""),
+    )
+    u = F.regexp_replace(u, "^(https://[^/:]+):443($|/)", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/:]+):80($|/)", "$1$2")
+    u = F.regexp_replace(u, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, "[?&]$", "")
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_duplicates(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup → (canonical_url, keep_id, n_variants): group
+    documents whose URLs canonicalize identically, keep the smallest
+    id — the crawl-frontier/dedup signal that catches the same page
+    fetched as http/https, with tracking params, fragments or a
+    trailing slash.
+
+    100-TB posture: one codegen'd projection + one hash groupBy on
+    the canonical string — the d1 shape."""
+    return (
+        docs.select(
+            F.col(id_col), canonicalize_url(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -161,6 +161,7 @@ _SCORING_TAIL = [
     "d5_repeated_ngram_docs",
     "t7_repetition_score",
     "t8_heuristic_filter",
+    "v2_embedding_neardup_lsh",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

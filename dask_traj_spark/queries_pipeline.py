@@ -2343,6 +2343,68 @@ def q_sniff_kind(spark, sf_dir):
     return sniff_kind(media)
 
 
+# d9 gates URL-canonicalization dedup: URLs synthesized from doc_id
+# (the corpus has no url column) with deliberate case/port/tracking/
+# fragment/trailing-slash noise; both engines canonicalize with the
+# same regex chain (only the $1-vs-\1 replacement spelling differs)
+# and group.  Variants %4∈{0,2,3} collapse per page; %4==1 keeps a
+# real query param and stays distinct.
+_D9_ORACLE = r"""
+WITH u AS (
+    SELECT doc_id,
+           'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+           || '.COM:443/Page/' || CAST(doc_id // 20 AS VARCHAR)
+           || CASE doc_id % 4
+                WHEN 1 THEN '?utm_source=feed&id=7'
+                WHEN 2 THEN '#section2'
+                WHEN 3 THEN '/'
+                ELSE '' END AS url
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                          '^([^/]+://[^/]+)', 1))
+                     || regexp_replace(regexp_replace(url, '#.*$', ''),
+                                       '^[^/]+://[^/]+', ''),
+                     '^(https://[^/:]+):443($|/)', '\1\2'),
+                   '^(http://[^/:]+):80($|/)', '\1\2'),
+                 '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+               '[?&]$', ''),
+             '/$', '') AS canonical_url
+    FROM u
+)
+SELECT canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM c GROUP BY canonical_url
+"""
+
+
+@register("d9_url_canonical_dedup", _D9_ORACLE)
+def q_url_canonical_dedup(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import url_duplicates
+
+    doc = F.col("doc_id")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"), (doc % 5).cast("string"),
+            F.lit(".COM:443/Page/"), F.floor(doc / 20).cast("long").cast("string"),
+            F.when(doc % 4 == 1, F.lit("?utm_source=feed&id=7"))
+            .when(doc % 4 == 2, F.lit("#section2"))
+            .when(doc % 4 == 3, F.lit("/"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_duplicates(urls)
+
+
 def _t13_oracle() -> str:
     # generated from MOJIBAKE_MAP so the artifact table and the exact
     # length-diff counting formula are shared verbatim with the engine

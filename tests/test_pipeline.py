@@ -1386,6 +1386,53 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestUrlCanonical:
+    def test_canonicalization_rules(self, spark):
+        from dask_traj_spark.operators.dedup import canonicalize_url
+
+        cases = [
+            ("HTTPS://WWW.Ex.COM:443/A/b", "https://www.ex.com/A/b"),
+            ("http://Ex.com:80/", "http://ex.com"),
+            ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default kept
+            ("https://ex.com/p#frag", "https://ex.com/p"),
+            ("https://ex.com/p?utm_source=a&id=7", "https://ex.com/p?id=7"),
+            ("https://ex.com/p?id=7&utm_medium=b", "https://ex.com/p?id=7"),
+            # multiple tracking params: global replace, dangling & cleaned
+            ("https://ex.com/p?utm_a=1&gclid=2&fbclid=3", "https://ex.com/p"),
+            ("https://ex.com/path/", "https://ex.com/path"),
+            # path case preserved, host case folded
+            ("HTTP://HOST.COM/CaseSensitive", "http://host.com/CaseSensitive"),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+        )
+        got = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", canonicalize_url(F.col("url")).alias("c")
+            ).collect()
+        }
+        for i, (u, want) in enumerate(cases):
+            assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+    def test_url_duplicates_groups(self, spark):
+        from dask_traj_spark.operators.dedup import url_duplicates
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/x"),
+                (2, "HTTPS://A.com:443/x/"),
+                (3, "https://a.com/x#f"),
+                (4, "https://a.com/x?id=1"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["canonical_url"]: r for r in url_duplicates(df).collect()}
+        assert out["https://a.com/x"]["keep_id"] == 1
+        assert out["https://a.com/x"]["n_variants"] == 3
+        assert out["https://a.com/x?id=1"]["n_variants"] == 1
+
+
 class TestMojibake:
     def test_counts_repair_and_plan(self, spark):
         from dask_traj_spark.functions.text import MOJIBAKE_MAP, mojibake_stats
