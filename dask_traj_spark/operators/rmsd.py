@@ -234,3 +234,80 @@ def compute_rmsf(traj) -> DataFrame:
     return agg.select(
         "atom_id", F.sqrt(F.greatest(m, F.lit(0.0))).alias("rmsf")
     )
+
+
+def pairwise_rmsd(traj) -> DataFrame:
+    """All-pairs (i < j) centered unaligned frame RMSD → (frame_i,
+    frame_j, rmsd) — the distance matrix trajectory clustering
+    consumes (mdtraj users compute it by looping ``md.rmsd`` over
+    query frames; one relational plan here).
+
+    Formulation: rmsd²(i,j) = (m_ii − |c_i|²) + (m_jj − |c_j|²)
+    − 2(m_ij − c_i·c_j), with per-frame stats from ONE scan and the
+    cross term m_ij from one atom-keyed self-join — all inputs on
+    the 2^-12 grid, so every aggregate is an exact dyadic sum
+    (oracle-matchable bit-for-bit).
+
+    Scale: the self-join shuffles on atom_id once and emits
+    n_frames²/2 aggregates — fine for the usual clustering regime
+    (10³–10⁴ frames).  For ≫10⁴ frames the right physical shape is
+    the blocked gram matmul of ``cosine_topk_vectorized`` (each
+    frame's centered coords as one feature row); this SQL form is
+    the exact-arithmetic reference for it."""
+    c = traj.coords.select(
+        "frame_id", "atom_id",
+        _q("x").alias("x"), _q("y").alias("y"), _q("z").alias("z"),
+    )
+    per = c.groupBy("frame_id").agg(
+        F.avg(F.col("x") * F.col("x") + F.col("y") * F.col("y")
+              + F.col("z") * F.col("z")).alias("m"),
+        F.avg("x").alias("cx"), F.avg("y").alias("cy"), F.avg("z").alias("cz"),
+    )
+    a = c.select(
+        F.col("frame_id").alias("frame_i"), "atom_id",
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("z").alias("az"),
+    )
+    b = c.select(
+        F.col("frame_id").alias("frame_j"), "atom_id",
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("z").alias("bz"),
+    )
+    cross = (
+        a.join(b, "atom_id")
+        .where(F.col("frame_i") < F.col("frame_j"))
+        .groupBy("frame_i", "frame_j")
+        .agg(
+            F.avg(
+                F.col("ax") * F.col("bx") + F.col("ay") * F.col("by")
+                + F.col("az") * F.col("bz")
+            ).alias("m_ij")
+        )
+    )
+    pi = per.select(
+        F.col("frame_id").alias("frame_i"), F.col("m").alias("m_ii"),
+        F.col("cx").alias("cix"), F.col("cy").alias("ciy"), F.col("cz").alias("ciz"),
+    )
+    pj = per.select(
+        F.col("frame_id").alias("frame_j"), F.col("m").alias("m_jj"),
+        F.col("cx").alias("cjx"), F.col("cy").alias("cjy"), F.col("cz").alias("cjz"),
+    )
+    d2 = (
+        F.col("m_ii")
+        - (F.col("cix") * F.col("cix") + F.col("ciy") * F.col("ciy")
+           + F.col("ciz") * F.col("ciz"))
+        + F.col("m_jj")
+        - (F.col("cjx") * F.col("cjx") + F.col("cjy") * F.col("cjy")
+           + F.col("cjz") * F.col("cjz"))
+        - 2 * (
+            F.col("m_ij")
+            - (F.col("cix") * F.col("cjx") + F.col("ciy") * F.col("cjy")
+               + F.col("ciz") * F.col("cjz"))
+        )
+    )
+    return (
+        cross.join(F.broadcast(pi), "frame_i")
+        .join(F.broadcast(pj), "frame_j")
+        .select(
+            "frame_i", "frame_j",
+            F.sqrt(F.greatest(d2, F.lit(0.0))).alias("rmsd"),
+        )
+    )

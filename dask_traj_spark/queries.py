@@ -162,6 +162,7 @@ _SCORING_TAIL = [
     "t7_repetition_score",
     "t8_heuristic_filter",
     "v2_embedding_neardup_lsh",
+    "v3_cosine_topk_ivf",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

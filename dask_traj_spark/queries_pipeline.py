@@ -1083,6 +1083,46 @@ def q_frame_rmsd(spark, sf_dir):
     return frame_rmsd(traj, _RMSD_QFRAME)
 
 
+def _x16_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+per AS (
+    SELECT frame_id,
+           avg(x*x + y*y + z*z) AS m,
+           avg(x) AS cx, avg(y) AS cy, avg(z) AS cz
+    FROM coords GROUP BY frame_id
+),
+cross_t AS (
+    SELECT a.frame_id AS frame_i, b.frame_id AS frame_j,
+           avg(a.x*b.x + a.y*b.y + a.z*b.z) AS m_ij
+    FROM coords a JOIN coords b
+      ON a.atom_id = b.atom_id AND a.frame_id < b.frame_id
+    GROUP BY a.frame_id, b.frame_id
+)
+SELECT c.frame_i, c.frame_j,
+       sqrt(greatest(
+           i.m - (i.cx*i.cx + i.cy*i.cy + i.cz*i.cz)
+           + j.m - (j.cx*j.cx + j.cy*j.cy + j.cz*j.cz)
+           - 2 * (c.m_ij - (i.cx*j.cx + i.cy*j.cy + i.cz*j.cz)), 0.0)) AS rmsd
+FROM cross_t c
+JOIN per i ON i.frame_id = c.frame_i
+JOIN per j ON j.frame_id = c.frame_j
+"""
+
+
+@register("x16_pairwise_rmsd", _x16_oracle())
+def q_pairwise_rmsd(spark, sf_dir):
+    """All-pairs frame-RMSD matrix (trajectory-clustering input):
+    per-frame sufficient statistics from one scan + one atom-keyed
+    cross term, exact dyadic aggregation end to end."""
+    from dask_traj_spark.operators.rmsd import pairwise_rmsd
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    return pairwise_rmsd(trajectory_from_embeddings(spark, sf_dir))
+
+
 def _rmsd_topk_oracle() -> str:
     inner = _rmsd_oracle().strip()
     return f"""

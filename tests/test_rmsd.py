@@ -157,3 +157,40 @@ def test_rmsf_matches_numpy_and_zero_for_static(rmsd_traj, spark):
     static = np.repeat(xyz[:1], 5, axis=0)
     rows = compute_rmsf(from_wide_pandas(spark, static)).collect()
     assert all(r["rmsf"] == 0.0 for r in rows)
+
+
+def test_pairwise_rmsd_consistent_with_frame_rmsd(spark):
+    """Row (q, j) of the all-pairs matrix must equal frame_rmsd(q)'s
+    entry for j bit-for-bit (same dyadic sufficient statistics), and
+    a duplicated frame must sit at exactly zero."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import frame_rmsd, pairwise_rmsd
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(53)
+    nf, na = 8, 30
+    xyz = rng.uniform(0, 2, (nf, na, 3))
+    xyz[6] = xyz[2] + np.array([0.5, -0.25, 0.125])  # translated copy
+    rows = [
+        (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+        for f in range(nf) for a in range(na)
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    mat = {
+        (r["frame_i"], r["frame_j"]): r["rmsd"]
+        for r in pairwise_rmsd(traj).collect()
+    }
+    assert len(mat) == nf * (nf - 1) // 2
+    base = {r["frame_id"]: r["rmsd"] for r in frame_rmsd(traj, 0).collect()}
+    for j in range(1, nf):
+        # 1-ulp tolerance: the two operators sum the same exact
+        # sufficient statistics but in (i,j)-swapped order, and the
+        # final combination of ROUNDED averages is order-sensitive at
+        # the last bit (the x16 oracle mirrors pairwise's order
+        # exactly, so the driver gate stays bitwise)
+        np.testing.assert_allclose(mat[(0, j)], base[j], rtol=1e-12)
+    # centered RMSD is translation-invariant: the copied frame is 0
+    assert mat[(2, 6)] == 0.0
