@@ -170,7 +170,9 @@ def test_pairwise_rmsd_consistent_with_frame_rmsd(spark):
 
     rng = np.random.default_rng(53)
     nf, na = 8, 30
-    xyz = rng.uniform(0, 2, (nf, na, 3))
+    # snap to the 2^-12 grid first so the dyadic translation commutes
+    # exactly with the operators' internal quantization
+    xyz = np.round(rng.uniform(0, 2, (nf, na, 3)) * 4096) / 4096
     xyz[6] = xyz[2] + np.array([0.5, -0.25, 0.125])  # translated copy
     rows = [
         (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
