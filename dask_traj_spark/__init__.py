@@ -50,6 +50,7 @@ from dask_traj_spark.operators.rmsd import (
     compute_rmsf,
     frame_rmsd,
     frame_rmsd_aligned,
+    pairwise_rmsd,
     rmsd_topk,
     superpose,
 )
@@ -88,6 +89,7 @@ __all__ = [
     "hydrogen_bonds",
     "frame_rmsd",
     "frame_rmsd_aligned",
+    "pairwise_rmsd",
     "rmsd_topk",
     "superpose",
     "lengths_and_angles_to_box_vectors",

@@ -996,3 +996,49 @@ def rg_autocorrelation(traj, max_lag: int) -> DataFrame:
     frame feeds ``scalar_autocorrelation``."""
     rg = compute_radius_of_gyration(traj)
     return scalar_autocorrelation(rg, "rg", max_lag)
+
+
+def block_average_stats(
+    series: DataFrame,
+    value_col: str,
+    block_sizes: "list[int]",
+    key_col: str = "frame_id",
+) -> DataFrame:
+    """Block-averaging sufficient statistics (Flyvbjerg & Petersen's
+    error-analysis scheme, public J. Chem. Phys. 1989) →
+    (block_size, n_blocks, sum_m, sum_m2): the 2^-20-snapped series
+    is cut into consecutive blocks of each POWER-OF-TWO size, each
+    complete block contributes its mean m; SEM(B) and the statistical
+    inefficiency follow from the emitted sums driver-side.
+
+    Exactness: block sizes must be powers of two so the block-mean
+    division (sum/2^k) is exact on the dyadic grid — then every
+    emitted aggregate is an exact sum, partial-agg-order independent
+    (the t9/x15 discipline).  Incomplete trailing blocks are
+    dropped, matching the textbook estimator.
+
+    100-TB posture: one explode of the per-frame series (rows =
+    n_frames × |block_sizes|) and two keyed aggs — the series is
+    already ≪ the fact table."""
+    for b in block_sizes:
+        if b < 1 or (b & (b - 1)):
+            raise ValueError(f"block sizes must be powers of two, got {b}")
+    q = (
+        F.round(F.col(value_col).cast("double") * ACF_GRID, 0) / ACF_GRID
+    ).alias("v")
+    s = series.select(F.col(key_col).alias("t"), q)
+    expanded = s.select(
+        "t", "v",
+        F.explode(F.array(*[F.lit(int(b)) for b in block_sizes])).alias("bsz"),
+    )
+    blocks = (
+        expanded.groupBy("bsz", F.floor(F.col("t") / F.col("bsz")).alias("blk"))
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == F.col("bsz"))  # complete blocks only
+        .select("bsz", (F.col("sv") / F.col("bsz")).alias("m"))
+    )
+    return blocks.groupBy(F.col("bsz").cast("long").alias("block_size")).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("m").alias("sum_m"),
+        F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+    )

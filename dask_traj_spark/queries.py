@@ -163,6 +163,7 @@ _SCORING_TAIL = [
     "t8_heuristic_filter",
     "v2_embedding_neardup_lsh",
     "v3_cosine_topk_ivf",
+    "v4_ann_recall",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

@@ -3925,6 +3925,64 @@ def q_containment(spark, sf_dir):
     )
 
 
+def _x17_oracle() -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+top AS (
+    SELECT CAST(vec_id AS INT) AS atom_id,
+           CAST(label + 1 AS DOUBLE) AS mass
+    FROM embeddings
+),
+agg AS (
+    SELECT c.frame_id,
+           sum(t.mass * (c.x*c.x + c.y*c.y + c.z*c.z)) AS srr,
+           sum(t.mass * c.x) AS sx, sum(t.mass * c.y) AS sy,
+           sum(t.mass * c.z) AS sz, sum(t.mass) AS sm
+    FROM coords c JOIN top t USING (atom_id) GROUP BY c.frame_id
+),
+rg AS (
+    SELECT frame_id AS t,
+           round(sqrt(greatest(
+               srr/sm - ((sx/sm)*(sx/sm) + (sy/sm)*(sy/sm) + (sz/sm)*(sz/sm)),
+               0.0)) * 1048576.0) / 1048576.0 AS v
+    FROM agg
+),
+ex AS (
+    SELECT t, v, bsz FROM rg, (VALUES (1), (2), (4)) AS b(bsz)
+),
+blocks AS (
+    SELECT bsz, t // bsz AS blk, sum(v) AS sv, count(*) AS cnt
+    FROM ex GROUP BY bsz, t // bsz
+),
+means AS (
+    SELECT bsz, sv / bsz AS m FROM blocks WHERE cnt = bsz
+)
+SELECT CAST(bsz AS BIGINT) AS block_size,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       sum(m) AS sum_m,
+       sum(m * m) AS sum_m2
+FROM means GROUP BY bsz
+"""
+
+
+@register("x17_rg_block_average", _x17_oracle())
+def q_rg_block_average(spark, sf_dir):
+    """Block-averaging error analysis of the Rg series (Flyvbjerg-
+    Petersen): exact dyadic block means at power-of-two sizes →
+    sufficient statistics for SEM/statistical-inefficiency curves."""
+    from dask_traj_spark.operators.distance import (
+        block_average_stats,
+        compute_radius_of_gyration,
+    )
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    rg = compute_radius_of_gyration(traj)
+    return block_average_stats(rg, "rg", [1, 2, 4]).orderBy("block_size")
+
+
 def _x15_oracle(max_lag: int) -> str:
     from dask_traj_spark.queries import COORDS_CTE
 

@@ -1386,6 +1386,37 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestBlockAverage:
+    def test_closed_forms_and_gates(self, spark):
+        from dask_traj_spark.operators.distance import block_average_stats
+
+        # constant series: every block mean is c exactly
+        c = 0.8125  # dyadic
+        df = spark.createDataFrame(
+            [(t, c) for t in range(10)], "frame_id long, v double"
+        )
+        out = {r["block_size"]: r
+               for r in block_average_stats(df, "v", [1, 2, 4]).collect()}
+        assert out[1]["n_blocks"] == 10 and out[1]["sum_m"] == 10 * c
+        assert out[2]["n_blocks"] == 5 and out[2]["sum_m"] == 5 * c
+        # 10 frames at B=4: trailing 2-frame block dropped
+        assert out[4]["n_blocks"] == 2
+        assert out[4]["sum_m2"] == 2 * c * c
+        # alternating a,b at B=2: every block mean is (a+b)/2 exactly
+        a, b = 0.25, 0.75
+        df2 = spark.createDataFrame(
+            [(t, a if t % 2 == 0 else b) for t in range(8)],
+            "frame_id long, v double",
+        )
+        o2 = {r["block_size"]: r
+              for r in block_average_stats(df2, "v", [2]).collect()}
+        assert o2[2]["sum_m"] == 4 * 0.5 and o2[2]["sum_m2"] == 4 * 0.25
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="powers of two"):
+            block_average_stats(df, "v", [3])
+
+
 class TestUrlCanonical:
     def test_canonicalization_rules(self, spark):
         from dask_traj_spark.operators.dedup import canonicalize_url
