@@ -132,7 +132,15 @@ def test_xtc_write_tiny_uncompressed(spark, tmp_path):
 def test_unknown_format_still_raises(spark):
     import dask_traj_spark as dts
 
+    # .h5 became a real loader in r5 (vendored backend), so the
+    # gated-format probe moved to the permanently-unimplemented .tng
     with pytest.raises(NotImplementedError):
+        dts.load(spark, "/tmp/nope.tng")
+    with pytest.raises(NotImplementedError):
+        dts.load(spark, "/tmp/nope.totally-unknown")
+    # an implemented format with a missing file is a missing FILE,
+    # not a missing format
+    with pytest.raises(FileNotFoundError):
         dts.load(spark, "/tmp/nope.h5")
 
 
