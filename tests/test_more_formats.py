@@ -191,20 +191,20 @@ def test_ncrst_round_trip(spark, tmp_path):
     np.testing.assert_allclose(t, [99.5])
 
 
-def test_hdf5_gated_on_h5py(spark, tmp_path):
-    """.h5 is a real loader when h5py exists; without it the error
-    names the missing dependency (not a bare 'unknown format')."""
-    from dask_traj_spark.sources.hdf5 import HAVE_H5PY
+def test_hdf5_invalid_file_raises(spark, tmp_path):
+    """.h5 is a real loader on EITHER backend since r5 (h5py or the
+    vendored pure-struct reader); an invalid file is a data error
+    naming the problem, not a missing-dependency gate."""
     from dask_traj_spark.sources.loaders import load
 
     p = str(tmp_path / "t.h5")
     open(p, "wb").close()
-    if not HAVE_H5PY:
-        with pytest.raises(NotImplementedError, match="h5py"):
-            load(spark, p)
-    else:  # pragma: no cover - h5py absent in this container
-        with pytest.raises(Exception):
-            load(spark, p)  # empty file is not valid HDF5
+    with pytest.raises(Exception):  # empty file is not valid HDF5
+        load(spark, p)
+    p2 = str(tmp_path / "junk.h5")
+    open(p2, "wb").write(b"this is not hdf5 at all....")
+    with pytest.raises(ValueError, match="signature|HDF"):
+        load(spark, p2)
 
 
 def test_tng_recognized_unimplemented(spark, tmp_path):
@@ -250,20 +250,15 @@ def test_truncated_binary_files_raise_cleanly(spark, tmp_path, traj_triclinic):
             t.coords.count()
 
 
-def test_lh5_gated_on_h5py(spark, tmp_path):
-    """.lh5 (legacy MSMBuilder lossy HDF5) routes to a real loader
-    when h5py exists; without it the error names the dependency."""
-    from dask_traj_spark.sources.hdf5 import HAVE_H5PY
+def test_lh5_invalid_file_raises(spark, tmp_path):
+    """.lh5 (legacy MSMBuilder lossy HDF5) routes to a real loader on
+    either backend since r5; invalid input is a data error."""
     from dask_traj_spark.sources.loaders import load
 
     p = str(tmp_path / "t.lh5")
     open(p, "wb").close()
-    if not HAVE_H5PY:
-        with pytest.raises(NotImplementedError, match="h5py"):
-            load(spark, p)
-    else:  # pragma: no cover - h5py absent in this container
-        with pytest.raises(Exception):
-            load(spark, p)
+    with pytest.raises(Exception):
+        load(spark, p)
 
 
 class TestHdf5Vendored:

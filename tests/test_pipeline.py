@@ -1176,8 +1176,10 @@ class TestResize:
 
         from dask_traj_spark.operators.multimodal import resize_images
 
+        # image/jpeg gained a real decoder in r5 — the reject probe
+        # moves to a kind that genuinely has none
         df = spark.createDataFrame(
-            [(1, "image/jpeg", bytearray(b"\xff\xd8"), 2)],
+            [(1, "video/mp4", bytearray(b"\x00\x00"), 2)],
             "doc_id long, kind string, payload binary, n_bytes long",
         )
         with _pytest.raises(Exception, match="no real decoder"):
