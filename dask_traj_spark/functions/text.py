@@ -437,3 +437,106 @@ def mojibake_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).cast("long").alias("n_chars"),
         F.length(repaired).cast("long").alias("n_chars_repaired"),
     )
+
+
+#: count-min geometry: depth rows (independent seeded hashes) ×
+#: width cells.  The cell table is depth·width rows REGARDLESS of
+#: vocabulary size — that bound is the whole point of the sketch.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+#: per-row multiplicative mixers for the oracle-portable 'mult'
+#: hash mode (public Knuth/xxhash/murmur multipliers)
+CMS_MIX = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def _cms_col(key, row, width: int, id_mode: str):
+    if id_mode == "hashed":
+        return F.pmod(F.xxhash64(key, row), F.lit(int(width)))
+    mix = F.element_at(
+        F.array(*[F.lit(int(m)) for m in CMS_MIX]), (row + 1).cast("int")
+    )
+    return ((key.cast("long") * mix) % F.lit(2 ** 32)) % F.lit(int(width))
+
+
+def count_min_cells(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    id_mode: str = "hashed",
+) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies (Cormode &
+    Muthukrishnan, public J. Algorithms 2005) → (row, col, n): each
+    token increments cell (r, hash_r(token) mod width) for every
+    depth row.  One explode + one bounded groupBy — the shuffle
+    carries at most depth·width distinct keys, so frequency
+    estimation over an unbounded vocabulary costs O(depth·width)
+    state instead of a full-vocab groupBy.  Cells are associative
+    (sums), so partial sketches merge — the same property that makes
+    an incremental/streaming fold trivial."""
+    tok = tokens(df, text_col).select("word")
+    if id_mode == "mult":
+        # oracle-portable mode: sorted-vocab tid × per-row mixer (the
+        # d2/t4 playbook — xxhash64 has no DuckDB twin); production
+        # default stays 'hashed' (no vocab window)
+        tok = tok.join(F.broadcast(vocab(tok)), "word").select(
+            F.col("tid").alias("key")
+        )
+    elif id_mode == "hashed":
+        tok = tok.select(F.col("word").alias("key"))
+    else:
+        raise ValueError(f"id_mode must be 'hashed' or 'mult', got {id_mode!r}")
+    rows = tok.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    )
+    cell = _cms_col(F.col("key"), F.col("row"), width, id_mode)
+    return (
+        rows.groupBy("row", cell.alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    words: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    id_mode: str = "hashed",
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Point-estimate token counts from a count-min sketch →
+    (word, est): est = min over rows of the token's cell count.
+    The sketch NEVER underestimates (every occurrence hashed into
+    every row), and overestimates only by colliding mass — the
+    deterministic half of the CMS guarantee, which the gate checks
+    exactly.  ``words`` is the (small) query set, broadcast; in
+    'mult' mode pass the corpus so the probe keys use the SAME
+    sorted vocabulary the cells were built from."""
+    if id_mode == "mult":
+        if corpus is None:
+            raise ValueError("'mult' mode needs the corpus for the vocab")
+        v = vocab(tokens(corpus, text_col).select("word"))
+        keyed = words.join(F.broadcast(v), "word").select(
+            "word", F.col("tid").alias("key")
+        )
+    else:
+        keyed = words.select("word", F.col("word").alias("key"))
+    probes = keyed.select(
+        "word",
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    ).select(
+        "word",
+        "row",
+        _cms_col(F.col("key"), F.col("row"), width, id_mode).alias("col"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["row", "col"])
+        .groupBy("word")
+        .agg(F.min("n").alias("est"))
+    )

@@ -164,6 +164,7 @@ _SCORING_TAIL = [
     "v2_embedding_neardup_lsh",
     "v3_cosine_topk_ivf",
     "v4_ann_recall",
+    "v5_pq_recall",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

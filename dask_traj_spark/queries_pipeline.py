@@ -2445,6 +2445,80 @@ def q_url_canonical_dedup(spark, sf_dir):
     return url_duplicates(urls)
 
 
+# t14 gates the count-min sketch VALUE-level (not just a contract):
+# both engines build the identical sketch in 'mult' mode (sorted-
+# vocab tid × public multiplicative mixers), probe it for the exact
+# top-10 tokens, and emit (word, true_n, est, never_under).  The
+# oracle reproduces the whole construction, so a wrong cell key, a
+# max instead of min, or a dropped depth row hash-fails — and the
+# deterministic CMS guarantee est ≥ true is value-checked per word.
+_T14_ORACLE = """
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+v AS (
+    SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS tid
+    FROM (SELECT DISTINCT word FROM w)
+),
+keyed AS (SELECT v.tid AS key FROM w JOIN v USING (word)),
+mix(row_id, m) AS (VALUES (0, 2654435761), (1, 2246822519),
+                          (2, 3266489917), (3, 668265263)),
+cells AS (
+    SELECT row_id, ((key * m) % 4294967296) % 1024 AS col,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keyed, mix GROUP BY row_id, ((key * m) % 4294967296) % 1024
+),
+true_counts AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS true_n FROM w GROUP BY word
+),
+top10 AS (
+    SELECT word, true_n FROM true_counts
+    ORDER BY true_n DESC, word ASC LIMIT 10
+),
+probes AS (
+    SELECT t.word, t.true_n, x.row_id,
+           ((v.tid * x.m) % 4294967296) % 1024 AS col
+    FROM top10 t JOIN v USING (word), mix x
+),
+est AS (
+    SELECT p.word, p.true_n, min(c.n) AS est
+    FROM probes p JOIN cells c ON c.row_id = p.row_id AND c.col = p.col
+    GROUP BY p.word, p.true_n
+)
+SELECT word, true_n, est,
+       CAST(CASE WHEN est >= true_n THEN 1 ELSE 0 END AS BIGINT)
+           AS never_under
+FROM est
+"""
+
+
+@register("t14_count_min_heavy_hitters", _T14_ORACLE)
+def q_count_min_heavy_hitters(spark, sf_dir):
+    from dask_traj_spark.functions.text import (
+        count_min_cells,
+        count_min_estimate,
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cells = count_min_cells(docs, id_mode="mult")
+    true_counts = (
+        tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    top10 = true_counts.orderBy(
+        F.col("true_n").desc(), F.col("word").asc()
+    ).limit(10)
+    est = count_min_estimate(
+        cells, top10.select("word"), id_mode="mult", corpus=docs
+    )
+    return top10.join(est, "word").select(
+        "word",
+        "true_n",
+        "est",
+        (F.col("est") >= F.col("true_n")).cast("long").alias("never_under"),
+    )
+
+
 def _t13_oracle() -> str:
     # generated from MOJIBAKE_MAP so the artifact table and the exact
     # length-diff counting formula are shared verbatim with the engine

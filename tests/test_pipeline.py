@@ -1388,6 +1388,57 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestCountMin:
+    def test_sketch_bounds_and_merge(self, spark):
+        """CMS never underestimates; bounded cell table; partial
+        sketches merge by cell-wise sum (associativity — the
+        streaming-fold property)."""
+        from dask_traj_spark.functions.text import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            count_min_cells,
+            count_min_estimate,
+            tokens,
+        )
+
+        rows = [
+            (i, ("alpha " * 30 + "beta " * 10 + f"rare{i} x y z").strip())
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cells = count_min_cells(docs)
+        assert cells.count() <= CMS_DEPTH * CMS_WIDTH
+        true_counts = {
+            r["word"]: r["n"]
+            for r in tokens(docs).groupBy("word").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        words = spark.createDataFrame(
+            [("alpha",), ("beta",), ("rare7",)], "word string"
+        )
+        est = {
+            r["word"]: r["est"]
+            for r in count_min_estimate(cells, words).collect()
+        }
+        for w in ("alpha", "beta", "rare7"):
+            assert est[w] >= true_counts[w]  # deterministic guarantee
+        # heavy hitters dominate their cells: exact at this load factor
+        assert est["alpha"] == true_counts["alpha"] == 1200
+
+        # merge property: sketch(A) + sketch(B) == sketch(A ∪ B)
+        a = count_min_cells(docs.where(F.col("doc_id") < 20))
+        b = count_min_cells(docs.where(F.col("doc_id") >= 20))
+        merged = (
+            a.unionByName(b).groupBy("row", "col").agg(F.sum("n").alias("n"))
+        )
+        full = count_min_cells(docs)
+        diff = merged.join(full, ["row", "col"], "full").where(
+            F.coalesce(merged["n"], F.lit(0)) != F.coalesce(full["n"], F.lit(0))
+        )
+        assert diff.count() == 0
+
+
 class TestBlockAverage:
     def test_closed_forms_and_gates(self, spark):
         from dask_traj_spark.operators.distance import block_average_stats
