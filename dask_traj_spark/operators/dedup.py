@@ -611,3 +611,63 @@ def url_duplicates(
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    k: int = 3,
+    id_mode: str = "hashed",
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS within Hamming distance ``k``
+    (Manku, Jain & Sarma's block-permutation scheme, public WWW
+    2007): split each signature into ``k+1`` equal bit blocks — two
+    signatures within Hamming ``k`` must agree on at least one block
+    (pigeonhole) — bucket-join on (block, value), then verify with
+    an exact ``bit_count(sh1 XOR sh2) <= k``.
+
+    Returns (doc1, doc2, hamming), doc1 < doc2, each pair once.
+
+    Scale posture: candidate generation is the bucketed-join shape
+    of d2 with the same mandatory ``_cap_buckets`` skew insurance;
+    verification is one codegen'd XOR/popcount per candidate.  At
+    real corpus scale use ``bits=64`` (wider blocks → sparser
+    buckets); the 16-bit default matches ``simhash``'s gate
+    geometry."""
+    nblocks = k + 1
+    if bits % nblocks:
+        raise ValueError(f"bits={bits} not divisible by k+1={nblocks} blocks")
+    bw = bits // nblocks
+    sh = simhash(docs, text_col, bits, id_mode)
+    blocks = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("sh"), b * bw) % F.lit(1 << bw))
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
+    blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
+    l = blocks.select(
+        F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"), "blk", "bv"
+    )
+    r = blocks.select(
+        F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"), "blk", "bv"
+    )
+    cand = (
+        l.join(r, ["blk", "bv"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sh1", "sh2")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sh1 ^ sh2"))
+    return (
+        cand.where(ham <= k)
+        .select("doc1", "doc2", ham.cast("long").alias("hamming"))
+    )

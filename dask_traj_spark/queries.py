@@ -165,6 +165,7 @@ _SCORING_TAIL = [
     "v3_cosine_topk_ivf",
     "v4_ann_recall",
     "v5_pq_recall",
+    "c2_decontamination",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

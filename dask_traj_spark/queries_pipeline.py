@@ -4057,6 +4057,59 @@ def q_rg_block_average(spark, sf_dir):
     return block_average_stats(rg, "rg", [1, 2, 4]).orderBy("block_size")
 
 
+# d10 gates the Manku-style Hamming-ball near-dup: the oracle
+# rebuilds the sorted-id SimHash (d3's formula), enumerates pairs by
+# the same block-agreement rule, and verifies bit_count(xor) <= k —
+# uncapped on both sides at oracle scale.
+_D10_ORACLE = """
+WITH w AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+v AS (
+    SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS tid
+    FROM (SELECT DISTINCT word FROM w)
+),
+dt AS (SELECT w.doc_id, v.tid FROM w JOIN v USING (word)),
+h AS (
+    SELECT doc_id, (tid * 1103515245 + 12345) % 2147483648 AS hv FROM dt
+),
+bitsum AS (
+    SELECT doc_id, b.j,
+           sum(((hv // (1 << b.j)) % 2) * 2 - 1) AS s
+    FROM h, (SELECT unnest(generate_series(0, 15)) AS j) b
+    GROUP BY doc_id, b.j
+),
+sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS sh
+    FROM bitsum GROUP BY doc_id
+),
+blocks AS (
+    SELECT doc_id, sh, b.blk, (sh // (1 << (b.blk * 4))) % 16 AS bv
+    FROM sig, (SELECT unnest(generate_series(0, 3)) AS blk) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+                    l.sh AS sh1, r.sh AS sh2
+    FROM blocks l JOIN blocks r
+      ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT doc1, doc2,
+       CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
+"""
+
+
+@register("d10_simhash_hamming_pairs", _D10_ORACLE)
+def q_simhash_hamming_pairs(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _docs(spark, sf_dir), bits=16, k=3, id_mode="sorted", max_bucket=None
+    )
+
+
 def _x15_oracle(max_lag: int) -> str:
     from dask_traj_spark.queries import COORDS_CTE
 

@@ -1388,6 +1388,35 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestSimhashHamming:
+    def test_pigeonhole_complete_vs_brute_force(self, spark):
+        """The block-agreement candidate rule must be COMPLETE for
+        Hamming <= k (pigeonhole): compare against the brute-force
+        all-pairs verify on a small corpus."""
+        from dask_traj_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+        rows = [(i, f"tok{i} tok{i+1} tok{i+2} shared common words") for i in range(30)]
+        rows.append((100, rows[3][1]))  # identical twin of doc 3
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc1"], r["doc2"]): r["hamming"]
+            for r in simhash_neardup_pairs(
+                docs, k=3, id_mode="sorted", max_bucket=None
+            ).collect()
+        }
+        sigs = {r["doc_id"]: r["sh"]
+                for r in simhash(docs, id_mode="sorted").collect()}
+        ids = sorted(sigs)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+        assert got == want  # complete AND exact hamming values
+        assert got[(3, 100)] == 0  # the identical twin
+
+
 class TestCountMin:
     def test_sketch_bounds_and_merge(self, spark):
         """CMS never underestimates; bounded cell table; partial
