@@ -466,6 +466,7 @@ def count_min_cells(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     id_mode: str = "hashed",
+    vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """Count-min sketch of the corpus token frequencies (Cormode &
     Muthukrishnan, public J. Algorithms 2005) → (row, col, n): each
@@ -480,10 +481,14 @@ def count_min_cells(
     if id_mode == "mult":
         # oracle-portable mode: sorted-vocab tid × per-row mixer (the
         # d2/t4 playbook — xxhash64 has no DuckDB twin); production
-        # default stays 'hashed' (no vocab window)
-        tok = tok.join(F.broadcast(vocab(tok)), "word").select(
-            F.col("tid").alias("key")
-        )
+        # default stays 'hashed' (no vocab window).  ``vocab_df``
+        # overrides the vocabulary source — the streaming twin keys
+        # each micro-batch against the corpus vocab, mirroring how
+        # hashed keys are naturally batch-independent.
+        tok = tok.join(
+            F.broadcast(vocab_df if vocab_df is not None else vocab(tok)),
+            "word",
+        ).select(F.col("tid").alias("key"))
     elif id_mode == "hashed":
         tok = tok.select(F.col("word").alias("key"))
     else:

@@ -166,6 +166,7 @@ _SCORING_TAIL = [
     "v4_ann_recall",
     "v5_pq_recall",
     "c2_decontamination",
+    "c3_stratified_sample",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

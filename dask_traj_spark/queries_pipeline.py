@@ -2519,6 +2519,73 @@ def q_count_min_heavy_hitters(spark, sf_dir):
     )
 
 
+# sx7 gates the STREAMING count-min fold value-level: three
+# micro-batch partials + a crash-replay of the middle batch, merged
+# by cell-wise sum, must equal the one-pass corpus sketch the oracle
+# rebuilds (cells are associative — the sx2 class of exactly-once).
+_SX7_ORACLE = """
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+v AS (
+    SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS tid
+    FROM (SELECT DISTINCT word FROM w)
+),
+keyed AS (SELECT v.tid AS key FROM w JOIN v USING (word)),
+mix(row_id, m) AS (VALUES (0, 2654435761), (1, 2246822519),
+                          (2, 3266489917), (3, 668265263))
+SELECT CAST(row_id AS BIGINT) AS row,
+       CAST(((key * m) % 4294967296) % 1024 AS BIGINT) AS col,
+       CAST(count(*) AS BIGINT) AS n
+FROM keyed, mix GROUP BY row_id, ((key * m) % 4294967296) % 1024
+"""
+
+
+@register("sx7_stream_count_min_twin", _SX7_ORACLE)
+def q_stream_count_min_twin(spark, sf_dir):
+    """Incremental count-min vs the one-pass sketch: per-batch cell
+    partials are pure functions of their own rows (associative
+    sums), so the merged state equals the batch sketch regardless of
+    batch order or replay — simulated here with a middle-batch
+    crash-replay.  Keys use the corpus vocab in 'mult' mode only for
+    oracle portability; production 'hashed' keys are
+    batch-independent by construction."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.functions.text import tokens, vocab
+    from dask_traj_spark.streaming.dedup import cms_state, process_cms_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    vdf = vocab(tokens(docs).select("word"))
+    work = tempfile.mkdtemp(prefix="sx7_cms_twin_")
+    state = f"{work}/state"
+    try:
+        for b in range(3):
+            process_cms_batch(
+                docs.where(F.col("doc_id") % 3 == b), b, state,
+                id_mode="mult", vocab_df=vdf,
+            )
+        # crash-replay of the middle batch: its partition is
+        # rewritten identically, the merge must not double-count
+        process_cms_batch(
+            docs.where(F.col("doc_id") % 3 == 1), 1, state,
+            id_mode="mult", vocab_df=vdf,
+        )
+        pdf = (
+            cms_state(spark, state)
+            .select(
+                F.col("row").cast("long").alias("row"),
+                F.col("col").cast("long").alias("col"),
+                F.col("n").cast("long").alias("n"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "row long, col long, n long")
+
+
 def _t13_oracle() -> str:
     # generated from MOJIBAKE_MAP so the artifact table and the exact
     # length-diff counting formula are shared verbatim with the engine

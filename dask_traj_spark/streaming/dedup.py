@@ -317,3 +317,37 @@ def semantic_dedup_results(spark: SparkSession, results_dir: str) -> DataFrame:
     batches, identical to the one-shot batch operator (gated by sx6
     against d6's value oracle)."""
     return spark.read.parquet(results_dir).drop("batch_id")
+
+
+# ------------------------------------------------ incremental count-min
+
+
+def process_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+    vocab_df: DataFrame | None = None,
+) -> None:
+    """One micro-batch of the incremental count-min sketch: the
+    batch's OWN cell partial (a pure function of its rows — cells
+    are associative sums) written as partition ``batch_id`` —
+    replay-idempotent by construction, the sx2 class.  In production
+    ('hashed') keys are xxhash64 of the word, naturally
+    batch-independent; the oracle-gated twin passes a corpus
+    ``vocab_df`` for its 'mult' keys."""
+    from dask_traj_spark.functions.text import count_min_cells
+
+    partial = count_min_cells(
+        batch_df, text_col, id_mode=id_mode, vocab_df=vocab_df
+    )
+    _overwrite_batch_partition(partial, state_dir, batch_id)
+
+
+def cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged sketch over every batch partial: cell-wise sum —
+    identical to the one-pass batch sketch (gated by sx7 against
+    t14's oracle construction)."""
+    st = spark.read.parquet(state_dir).drop("batch_id")
+    return st.groupBy("row", "col").agg(F.sum("n").alias("n"))
