@@ -39,6 +39,7 @@ from dask_traj_spark.operators.distance import (
     native_contact_fraction,
     neighbor_pairs,
     rdf_histogram,
+    sasa_exposure,
     velocity_autocorrelation,
 )
 from dask_traj_spark.operators.angle import (
@@ -85,6 +86,7 @@ __all__ = [
     "native_contact_fraction",
     "neighbor_pairs",
     "rdf_histogram",
+    "sasa_exposure",
     "velocity_autocorrelation",
     "hydrogen_bonds",
     "frame_rmsd",

@@ -1042,3 +1042,97 @@ def block_average_stats(
         F.sum("m").alias("sum_m"),
         F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
     )
+
+
+def _sasa_sphere_offsets(radius: float, n_points: int):
+    """Deterministic golden-spiral unit-sphere points scaled by
+    ``radius`` and snapped to the 2^-12 grid — dyadic constants, so
+    point positions (atom + offset) and all occlusion distances stay
+    exact in both engines."""
+    import math
+
+    pts = []
+    phi = math.pi * (3.0 - math.sqrt(5.0))
+    for k in range(n_points):
+        y = 1.0 - 2.0 * (k + 0.5) / n_points
+        r = math.sqrt(max(0.0, 1.0 - y * y))
+        th = phi * k
+        pts.append((math.cos(th) * r, y, math.sin(th) * r))
+    q = lambda v: round(v * float(radius) * 4096.0) / 4096.0  # noqa: E731
+    return [(i, q(x), q(y), q(z)) for i, (x, y, z) in enumerate(pts)]
+
+
+def sasa_exposure(
+    traj, radius: float = 0.03125, n_points: int = 32
+) -> DataFrame:
+    """Shrake–Rupley-style solvent-exposure counting (public
+    Shrake & Rupley, J. Mol. Biol. 1973 — mdtraj's
+    ``shrake_rupley``) → (frame_id, atom_id, n_points, n_exposed):
+    place ``n_points`` sphere points at ``radius`` around every
+    atom; a point is EXPOSED iff no other atom's center lies
+    strictly within ``radius`` of it.  Exposed fraction × sphere
+    area is the per-atom SASA; emitting integer COUNTS keeps the
+    gate exact (π never enters the compared values).
+
+    Exactness: sphere offsets are 2^-12-grid constants, so point
+    positions and every occlusion d² are exact dyadic values —
+    the strict `<` comparison is engine-identical.
+
+    Scale posture: occluders are pruned with the cell-list
+    ``neighbor_pairs`` at cutoff 2·radius (triangle inequality: a
+    center ≥ 2r away can never reach a point strictly within r), so
+    cost is O(n_atoms · n_points · local density) — never the
+    O(n²·points) brute force the oracle runs at gate scale."""
+    rr = float(radius)
+    pts = _sasa_sphere_offsets(rr, n_points)
+    spark = traj.coords.sparkSession
+    pdf = F.broadcast(
+        spark.createDataFrame(pts, "pt int, ox double, oy double, oz double")
+    )
+    q = lambda c: F.round(F.col(c).cast("double") * 4096, 0) / 4096  # noqa: E731
+    atoms = traj.coords.select(
+        "frame_id", "atom_id", q("x").alias("x"), q("y").alias("y"),
+        q("z").alias("z"),
+    )
+    nb = neighbor_pairs(traj, cutoff=2.0 * rr)
+    # symmetric neighbor list (i sees j AND j sees i)
+    nbs = nb.select(
+        "frame_id", F.col("i").alias("atom_id"), F.col("j").alias("nbid")
+    ).unionByName(
+        nb.select("frame_id", F.col("j").alias("atom_id"), F.col("i").alias("nbid"))
+    )
+    nb_coords = nbs.join(
+        atoms.select(
+            "frame_id", F.col("atom_id").alias("nbid"),
+            F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("z").alias("nz"),
+        ),
+        ["frame_id", "nbid"],
+    )
+    ap = atoms.join(pdf).select(
+        "frame_id", "atom_id", "pt",
+        (F.col("x") + F.col("ox")).alias("px"),
+        (F.col("y") + F.col("oy")).alias("py"),
+        (F.col("z") + F.col("oz")).alias("pz"),
+    )
+    r2 = rr * rr
+    d2 = (
+        (F.col("px") - F.col("nx")) * (F.col("px") - F.col("nx"))
+        + (F.col("py") - F.col("ny")) * (F.col("py") - F.col("ny"))
+        + (F.col("pz") - F.col("nz")) * (F.col("pz") - F.col("nz"))
+    )
+    occluded = (
+        ap.join(nb_coords, ["frame_id", "atom_id"])
+        .where(d2 < F.lit(r2))
+        .select("frame_id", "atom_id", "pt")
+        .distinct()
+    )
+    per_point = ap.select("frame_id", "atom_id", "pt").join(
+        occluded.withColumn("_occ", F.lit(1)), ["frame_id", "atom_id", "pt"],
+        "left",
+    )
+    return per_point.groupBy("frame_id", "atom_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(
+            F.when(F.col("_occ").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_exposed"),
+    )

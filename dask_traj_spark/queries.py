@@ -167,6 +167,7 @@ _SCORING_TAIL = [
     "v5_pq_recall",
     "c2_decontamination",
     "c3_stratified_sample",
+    "c5_source_token_mixture",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

@@ -4177,6 +4177,53 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     )
 
 
+def _x18_oracle(radius: float, n_points: int) -> str:
+    from dask_traj_spark.operators.distance import _sasa_sphere_offsets
+    from dask_traj_spark.queries import COORDS_CTE
+
+    pts = _sasa_sphere_offsets(radius, n_points)
+    # grid offsets have terminating decimal expansions — exact literals
+    values = ", ".join(f"({i}, {ox!r}, {oy!r}, {oz!r})" for i, ox, oy, oz in pts)
+    r2 = radius * radius
+    return f"""
+WITH {COORDS_CTE.strip()},
+pts(pt, ox, oy, oz) AS (VALUES {values}),
+ap AS (
+    SELECT c.frame_id, c.atom_id, p.pt,
+           c.x + p.ox AS px, c.y + p.oy AS py, c.z + p.oz AS pz
+    FROM coords c, pts p
+),
+occ AS (
+    SELECT DISTINCT a.frame_id, a.atom_id, a.pt
+    FROM ap a JOIN coords o
+      ON o.frame_id = a.frame_id AND o.atom_id <> a.atom_id
+    WHERE (a.px - o.x)*(a.px - o.x) + (a.py - o.y)*(a.py - o.y)
+          + (a.pz - o.z)*(a.pz - o.z) < {r2!r}
+)
+SELECT a.frame_id, a.atom_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN c.pt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exposed
+FROM ap a
+LEFT JOIN occ c
+  ON c.frame_id = a.frame_id AND c.atom_id = a.atom_id AND c.pt = a.pt
+GROUP BY a.frame_id, a.atom_id
+"""
+
+
+@register("x18_sasa_exposure", _x18_oracle(0.03125, 32))
+def q_sasa_exposure(spark, sf_dir):
+    """Shrake-Rupley solvent-exposure counts: the engine prunes
+    occluders with the cell-list neighbor join; the oracle
+    brute-forces every (point, other-atom) pair — the pruning is
+    exactly what the value gate verifies."""
+    from dask_traj_spark.operators.distance import sasa_exposure
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return sasa_exposure(traj, radius=0.03125, n_points=32)
+
+
 def _x15_oracle(max_lag: int) -> str:
     from dask_traj_spark.queries import COORDS_CTE
 

@@ -1388,6 +1388,51 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestSasaExposure:
+    def test_closed_forms(self, spark):
+        from dask_traj_spark.operators.distance import sasa_exposure
+        from dask_traj_spark.trajectory import Trajectory
+
+        R = 0.03125
+        rows = [
+            # frame 0: one isolated atom -> fully exposed
+            (0, 0, 0.0, 0.0, 0.0),
+            (0, 1, 10.0, 10.0, 10.0),  # far away, also isolated
+            # frame 1: two atoms touching (distance R) -> symmetric
+            # partial occlusion
+            (1, 0, 0.0, 0.0, 0.0),
+            (1, 1, R, 0.0, 0.0),
+            # frame 2: atom 0 caged by 6 face neighbors at R/2 -> the
+            # cage occludes every sphere point
+            (2, 0, 0.0, 0.0, 0.0),
+            *[
+                (2, k + 1, float(dx) * R / 2, float(dy) * R / 2,
+                 float(dz) * R / 2)
+                for k, (dx, dy, dz) in enumerate(
+                    [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                     (0, 0, 1), (0, 0, -1)]
+                )
+            ],
+        ]
+        traj = Trajectory(spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        ))
+        out = {
+            (r["frame_id"], r["atom_id"]): r
+            for r in sasa_exposure(traj, radius=R, n_points=32).collect()
+        }
+        assert out[(0, 0)]["n_exposed"] == 32
+        assert out[(0, 1)]["n_exposed"] == 32
+        # touching pair: some points occluded on each side; the fixed
+        # spiral point set is not mirror-symmetric, so the two counts
+        # may differ by a point or two (standard Shrake-Rupley
+        # behavior), but both lose roughly the same cap
+        e0, e1 = out[(1, 0)]["n_exposed"], out[(1, 1)]["n_exposed"]
+        assert 0 < e0 < 32 and 0 < e1 < 32 and abs(e0 - e1) <= 2
+        # caged atom: every point strictly within R of a cage center
+        assert out[(2, 0)]["n_exposed"] == 0
+
+
 class TestSimhashHamming:
     def test_pigeonhole_complete_vs_brute_force(self, spark):
         """The block-agreement candidate rule must be COMPLETE for
