@@ -554,3 +554,73 @@ def test_curation_chain_no_cartesian(spark):
     plan = formatted_plan(q_curation_chain(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pairwise_rmsd_no_cartesian(spark):
+    """x16: the cross term must be an atom-keyed equi-join, the
+    per-frame stat joins broadcast."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import pairwise_rmsd
+    from dask_traj_spark.plans.audit import formatted_plan
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f, a, float(v[0]), float(v[1]), float(v[2]))
+        for f in range(4) for a, v in enumerate(rng.uniform(0, 1, (6, 3)))
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    plan = formatted_plan(pairwise_rmsd(traj))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # per-frame stats broadcast
+
+
+def test_count_min_no_python_and_bounded_shuffle(spark):
+    """t14: the sketch is pure SQL (no Python eval); the cell
+    groupBy is the only wide operation."""
+    from dask_traj_spark.functions.text import count_min_cells
+    from dask_traj_spark.plans.audit import formatted_plan
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = formatted_plan(count_min_cells(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_no_cartesian(spark):
+    """d10: candidates come from the (block, value) equi-join."""
+    from dask_traj_spark.operators.dedup import simhash_neardup_pairs
+    from dask_traj_spark.plans.audit import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plan = formatted_plan(simhash_neardup_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sasa_join_shapes(spark):
+    """x18: the only unconditioned join is the broadcast of the
+    constant 32-row sphere-point table; occluder candidates come
+    from the cell-list equi-join (no CartesianProduct anywhere)."""
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import sasa_exposure
+    from dask_traj_spark.plans.audit import formatted_plan
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (0, a, float(v[0]), float(v[1]), float(v[2]))
+        for a, v in enumerate(rng.uniform(0, 1, (8, 3)))
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    plan = formatted_plan(sasa_exposure(traj))
+    assert "CartesianProduct" not in plan
