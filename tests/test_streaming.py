@@ -1010,3 +1010,125 @@ def test_stream_semantic_dedup_matches_batch_with_replay_storm(spark, tmp_path):
     assert not got.loc[45, "keep"]
     assert not got.loc[21, "keep"]
     assert got.loc[3, "keep"] and got.loc[20, "keep"]
+
+
+def test_real_stream_crash_replay_sessionization(spark, tmp_path):
+    """The ORDER-DEPENDENT versioned fold under Spark's own recovery:
+    a real readStream → foreachBatch → checkpoint sessionization
+    pipeline crashes after batch 1 wrote its state AND results
+    partitions but before the epoch committed.  Restart replays the
+    epoch with the same batch_id; the fold re-reads the untouched
+    version-0 state and rewrites identical partitions, so the final
+    sessions equal the single-pass reference — the strongest
+    exactly-once evidence for the sx4 design (sx2's twin covered the
+    associative case; this is the state_N = f(state_{N-1}, batch_N)
+    case)."""
+    import glob
+    import shutil
+
+    from dask_traj_spark.streaming.ingest import (
+        process_sessions_batch,
+        sessions_final,
+    )
+
+    gap_s = 30
+    # two users, sessions deliberately spanning the batch boundaries:
+    # user 1: events at 0,10,20 | 40,120 | 210   (batch splits at 100/200)
+    #   gaps: 20→40 merge (20s), 40→120 split (80s), 120→210 split (90s)
+    # user 2: events at 90 | 110, 250
+    #   90→110 merge (20s), 110→250 split (140s)
+    ev = [
+        (1, 0), (1, 10), (1, 20), (1, 40), (1, 120), (1, 210),
+        (2, 90), (2, 110), (2, 250),
+    ]
+    rows = [
+        (uid, i, f"1970-01-01 00:{t // 60:02d}:{t % 60:02d}")
+        for i, (uid, t) in enumerate(ev)
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_s"])
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(i, lo, hi):
+        part = pdf[(pdf.index >= 0)]
+        sel = [
+            (int(r.user_id), int(r.event_id), r.ts_s)
+            for _, r in pdf.iterrows()
+            if lo <= ev[int(r.event_id)][1] < hi
+        ]
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            sel, "user_id long, event_id long, ts_s string"
+        ).select(
+            "user_id", "event_id", F.to_timestamp("ts_s").alias("ts")
+        ).coalesce(1).write.parquet(staged)
+        p = glob.glob(os.path.join(staged, "*.parquet"))[0]
+        shutil.move(p, str(src / f"f{i}.parquet"))
+        shutil.rmtree(staged)
+
+    add_file(0, 0, 100)
+    add_file(1, 100, 200)
+    add_file(2, 200, 10_000)
+
+    crash = {"armed": True}
+
+    def body(batch_df, batch_id):
+        process_sessions_batch(batch_df, batch_id, state, results, gap_s=gap_s)
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected crash: fold written, epoch uncommitted")
+
+    def start():
+        return (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert not crash["armed"]
+
+    q2 = start()
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    got = (
+        sessions_final(spark, state, results, last_batch_id=2)
+        .toPandas()
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    # single-pass reference: gap sessionization per user
+    want = []
+    for uid in (1, 2):
+        times = sorted(t for u, t in ev if u == uid)
+        sess = [[times[0]]]
+        for t in times[1:]:
+            if t - sess[-1][-1] <= gap_s:
+                sess[-1].append(t)
+            else:
+                sess.append([t])
+        for no, ts in enumerate(sess, start=1):
+            want.append((uid, no, len(ts), ts[-1] - ts[0]))
+    wdf = (
+        pd.DataFrame(
+            want,
+            columns=["user_id", "session_no", "n_events", "duration_s"],
+        )
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    got = got[wdf.columns].astype("int64")
+    assert got.equals(wdf.astype("int64")), f"\n{got}\nvs\n{wdf}"
