@@ -268,12 +268,16 @@ def main() -> None:
         # DURING this specific ~20-40 s workload).
         scale["probe_before_canonical_s"] = _cpu_probe()
         N_FRAMES = real_frames * 10
-        # best-of-2 with both iterations recorded: single-shot 10x
+        # best-of-3 with every iteration recorded: single-shot 10x
         # numbers swung 0.89-1.39x linearity across runs of identical
         # code — iteration noise dominates at this duration, and the
-        # linearity headline deserves the same discipline as tier 2
+        # linearity headline deserves the same discipline as tier 2.
+        # Ground truth from an isolated fresh-session experiment
+        # (3 iters per tier, clean probes): 1x 2.4-2.6 s, 10x
+        # 17.6-20.1 s -> linearity 0.74, genuinely SUB-linear (625
+        # tasks load-balance better than 64).
         its10 = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fresh = _canonical_traj(spark)
             _noop(
