@@ -119,7 +119,12 @@ def stratified_sample(
     if order_mode == "xxhash":
         order = F.xxhash64(F.col("doc_id"), F.lit(int(seed)))
     elif order_mode == "mult":
-        order = (F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        # seed participates in both modes (the dataset_split ADVICE-r4
+        # rule applied uniformly): (doc_id + seed) * A ≡ doc_id * A at
+        # seed=0, so the seed-0 oracle formula is unchanged
+        order = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(
+            _MIX_M
+        )
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col("doc_id").asc())
@@ -251,7 +256,12 @@ def pack_sequences(
     if order_mode == "xxhash":
         order = F.xxhash64(F.col("doc_id"), F.lit(int(seed)))
     elif order_mode == "mult":
-        order = (F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        # seed participates in both modes (the dataset_split ADVICE-r4
+        # rule applied uniformly): (doc_id + seed) * A ≡ doc_id * A at
+        # seed=0, so the seed-0 oracle formula is unchanged
+        order = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(
+            _MIX_M
+        )
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
 
@@ -337,7 +347,12 @@ def source_token_mixture(
     if order_mode == "xxhash":
         order = F.xxhash64(F.col("doc_id"), F.lit(int(seed)))
     elif order_mode == "mult":
-        order = (F.col("doc_id") * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        # seed participates in both modes (the dataset_split ADVICE-r4
+        # rule applied uniformly): (doc_id + seed) * A ≡ doc_id * A at
+        # seed=0, so the seed-0 oracle formula is unchanged
+        order = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(
+            _MIX_M
+        )
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     w = (
