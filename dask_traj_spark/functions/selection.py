@@ -18,10 +18,12 @@ Supported subset (each line maps to the mdtraj construct):
 - ranges: ``resid 1 to 10`` → BETWEEN (inclusive, like mdtraj)
 - boolean ``and`` / ``or`` / ``not`` (also ``&& || !``), parentheses
 
-Not supported (raise ValueError rather than misselect): geometric
-``within .. of ..`` (needs coordinates, not topology) and the
-residue-class keywords (``protein``/``water``) whose definitions
-require residue chemistry tables this schema does not carry.
+- residue-class keywords ``protein`` ``water`` ``backbone``
+  ``sidechain`` (r5) — compiled against the public PDB/mdtraj
+  residue vocabularies over the ``residue_name``/``name`` columns
+
+Not supported (raises ValueError rather than misselect): geometric
+``within .. of ..``, which needs coordinates, not topology.
 """
 
 from __future__ import annotations
@@ -48,7 +50,37 @@ _TOKEN_RE = re.compile(
     r"\s*(\(|\)|<=|>=|==|!=|&&|\|\||<|>|=|!|'[^']*'|\"[^\"]*\"|[^\s()<>=!&|]+)"
 )
 
-_UNSUPPORTED = {"within", "protein", "water", "waters", "backbone", "sidechain"}
+_UNSUPPORTED = {"within"}  # geometric selections need coordinates
+
+#: standard residue-class vocabularies (public: the PDB chemical
+#: component dictionary / mdtraj's residue tables) — what makes
+#: ``protein`` / ``water`` / ``backbone`` / ``sidechain`` compile.
+PROTEIN_RESIDUES = (
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS",
+    "ILE", "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP",
+    "TYR", "VAL",
+    # common protonation/terminal variants mdtraj also classes as protein
+    "HID", "HIE", "HIP", "HSD", "HSE", "HSP", "CYX", "CYM", "ASH", "GLH", "LYN",
+)
+WATER_RESIDUES = ("HOH", "WAT", "TIP3", "TIP4", "TIP5", "SPC", "SOL", "H2O")
+BACKBONE_ATOMS = ("N", "CA", "C", "O", "OXT")
+
+
+def _residue_class_sql(keyword: str) -> str:
+    quote = lambda vals: ", ".join(f"'{v}'" for v in vals)  # noqa: E731
+    if keyword in ("water", "waters"):
+        return f"(upper(residue_name) IN ({quote(WATER_RESIDUES)}))"
+    protein = f"(upper(residue_name) IN ({quote(PROTEIN_RESIDUES)}))"
+    if keyword == "protein":
+        return protein
+    backbone = (
+        f"({protein} AND upper(name) IN ({quote(BACKBONE_ATOMS)}))"
+    )
+    if keyword == "backbone":
+        return backbone
+    if keyword == "sidechain":
+        return f"({protein} AND NOT upper(name) IN ({quote(BACKBONE_ATOMS)}))"
+    raise ValueError(f"unknown residue-class keyword {keyword!r}")
 
 
 def _tokenize(expr: str) -> list[str]:
@@ -132,6 +164,8 @@ class _Parser:
             return "(1 = 1)"
         if t == "none":
             return "(1 = 0)"
+        if t in ("protein", "water", "waters", "backbone", "sidechain"):
+            return _residue_class_sql(t)
         if t in _UNSUPPORTED:
             raise ValueError(
                 f"selection keyword {t!r} is not supported (geometric/"

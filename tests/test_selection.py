@@ -36,7 +36,7 @@ def test_translation(expr, sql):
 
 @pytest.mark.parametrize(
     "bad",
-    ["within 0.5 of name CA", "protein", "frobnicate X", "name", "resid < CA",
+    ["within 0.5 of name CA", "frobnicate X", "name", "resid < CA",
      "(name CA", ""],
 )
 def test_rejects(bad):
@@ -96,3 +96,52 @@ def test_select_atoms_mdtraj_end_to_end(spark):
 )
 def test_keywords_case_insensitive(expr, sql):
     assert to_sql(expr) == sql
+
+
+
+def test_residue_class_keywords_compile():
+    """protein/water/backbone/sidechain (r5): the most-used mdtraj
+    selections, compiled against the public residue vocabularies."""
+    assert "residue_name" in to_sql("protein")
+    assert "'HOH'" in to_sql("water")
+    assert to_sql("waters") == to_sql("water")
+    bb = to_sql("backbone")
+    assert "'CA'" in bb and "residue_name" in bb
+    sc = to_sql("sidechain")
+    assert "NOT upper(name)" in sc
+    # composes with the rest of the grammar
+    assert " AND " in to_sql("protein and not water")
+
+
+def test_residue_classes_on_reference_fixture(spark):
+    """End-to-end on the reference's real PDB topology: protein and
+    water partition the system (with ions as the remainder), and
+    backbone + sidechain partition the protein."""
+    import os
+
+    import dask_traj_spark as dts
+
+    XTC = "/root/reference/dask_traj/tests/test.xtc"
+    PDB = "/root/reference/dask_traj/tests/test.pdb"
+    if not os.path.exists(XTC):
+        pytest.skip("reference fixture not present")
+    traj = dts.load(spark, XTC, chunks=101, top=PDB)
+    n_all = traj.n_atoms
+    # the fixture is solvent-stripped: protein + GTP ligand + CL/MG/NA
+    n_prot = traj.select_atoms_mdtraj("protein").n_atoms
+    assert 0 < n_prot < n_all
+    n_nonprot = traj.select_atoms_mdtraj("not protein").n_atoms
+    assert n_prot + n_nonprot == n_all
+    # GTP + ions are exactly the non-protein remainder
+    n_other = traj.select_atoms_mdtraj("resname GTP CL MG NA").n_atoms
+    assert n_other == n_nonprot
+    # no waters in this system: the honest outcome is an empty-match
+    # error, not a silent wrong selection
+    with pytest.raises(ValueError, match="matched no atoms"):
+        traj.select_atoms_mdtraj("water")
+    n_bb = traj.select_atoms_mdtraj("backbone").n_atoms
+    n_sc = traj.select_atoms_mdtraj("sidechain").n_atoms
+    assert n_bb + n_sc == n_prot
+    # CA atoms are a subset of the backbone, one per protein residue
+    n_ca = traj.select_atoms_mdtraj("name CA and protein").n_atoms
+    assert 0 < n_ca <= n_bb
