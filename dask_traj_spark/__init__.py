@@ -29,6 +29,7 @@ from dask_traj_spark.sources.loaders import (
 )
 from dask_traj_spark.operators.distance import (
     compute_distances,
+    compute_neighbors,
     compute_displacements,
     find_closest_contact,
     compute_center_of_mass,
@@ -73,6 +74,7 @@ __all__ = [
     "save_tables",
     "from_wide_pandas",
     "compute_distances",
+    "compute_neighbors",
     "compute_displacements",
     "compute_angles",
     "compute_dihedrals",

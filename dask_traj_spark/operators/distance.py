@@ -1136,3 +1136,71 @@ def sasa_exposure(
             F.when(F.col("_occ").isNull(), F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("n_exposed"),
     )
+
+
+def compute_neighbors(
+    traj, cutoff: float, query_indices, haystack_indices=None
+) -> DataFrame:
+    """Per-frame atoms within ``cutoff`` of ANY query atom → DISTINCT
+    (frame_id, atom_id) — mdtraj ``compute_neighbors`` parity
+    (geometry/neighbors, public API; the geometric "within X of
+    selection" every solvation/binding-site analysis starts with).
+    The query atoms themselves are excluded; ``haystack_indices``
+    restricts the searched side (default: all atoms).
+
+    Plan: the ``neighbor_pairs`` cell-list shape, asymmetric — the
+    (tiny) query side explodes its 27 neighbor cells and the
+    haystack joins on (frame_id, cell); cost O((|query|·27 +
+    n_haystack) · local density), never the O(n·|query|) brute
+    force the oracle runs at gate scale."""
+    qset = sorted({int(i) for i in query_indices})
+    if not qset:
+        raise ValueError("query_indices must be non-empty")
+    c = traj.coords
+    inv = 1.0 / float(cutoff)
+    cell = lambda col: F.floor(F.col(col).cast("double") * F.lit(inv)).cast("long")  # noqa: E731
+    base = c.select(
+        "frame_id",
+        "atom_id",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        F.col("z").cast("double").alias("z"),
+        cell("x").alias("cx"), cell("y").alias("cy"), cell("z").alias("cz"),
+    )
+    hay = base
+    if haystack_indices is not None:
+        hay = _atom_role_restrict(base, haystack_indices)
+    q = _atom_role_restrict(base, qset)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"),
+                     F.lit(dz).alias("oz"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    qx = q.select(
+        "frame_id",
+        F.col("atom_id").alias("qid"),
+        F.col("x").alias("qx"), F.col("y").alias("qy"), F.col("z").alias("qz"),
+        F.explode(offsets).alias("o"),
+        "cx", "cy", "cz",
+    ).select(
+        "frame_id", "qid", "qx", "qy", "qz",
+        (F.col("cx") + F.col("o.ox")).alias("cx"),
+        (F.col("cy") + F.col("o.oy")).alias("cy"),
+        (F.col("cz") + F.col("o.oz")).alias("cz"),
+    )
+    d2 = (
+        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+        + (F.col("z") - F.col("qz")) * (F.col("z") - F.col("qz"))
+    )
+    r2 = float(cutoff) * float(cutoff)
+    return (
+        hay.join(qx, ["frame_id", "cx", "cy", "cz"])
+        .where((F.col("atom_id") != F.col("qid")) & (d2 <= F.lit(r2)))
+        .select("frame_id", "atom_id")
+        .distinct()
+    )

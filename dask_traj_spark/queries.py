@@ -168,6 +168,7 @@ _SCORING_TAIL = [
     "c2_decontamination",
     "c3_stratified_sample",
     "c5_source_token_mixture",
+    "m4_decode_png",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

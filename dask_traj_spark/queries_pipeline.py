@@ -1998,6 +1998,39 @@ WHERE {d} <= {cutoff}
 """
 
 
+_X19_QUERY_ATOMS = (0, 7, 42)
+
+
+def _x19_oracle(cutoff: float) -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    qs = ", ".join(str(a) for a in _X19_QUERY_ATOMS)
+    r2 = cutoff * cutoff
+    return f"""
+WITH {COORDS_CTE.strip()}
+SELECT DISTINCT h.frame_id, h.atom_id
+FROM coords h JOIN coords q
+  ON q.frame_id = h.frame_id AND q.atom_id IN ({qs})
+ AND h.atom_id <> q.atom_id
+WHERE (h.x - q.x)*(h.x - q.x) + (h.y - q.y)*(h.y - q.y)
+      + (h.z - q.z)*(h.z - q.z) <= {r2!r}
+"""
+
+
+@register("x19_compute_neighbors", _x19_oracle(0.0625))
+def q_compute_neighbors(spark, sf_dir):
+    """mdtraj compute_neighbors parity: atoms within the cutoff of
+    any query atom, per frame — cell-list pruned in the engine,
+    brute-forced by the oracle (the pruning is what the gate
+    verifies, the x6/x18 pattern)."""
+    from dask_traj_spark.operators.distance import compute_neighbors
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    return compute_neighbors(traj, cutoff=0.0625,
+                             query_indices=_X19_QUERY_ATOMS)
+
+
 @register("x6_neighbor_pairs", _neighbor_oracle(0.0625))
 def q_neighbor_pairs(spark, sf_dir):
     """Cell-list neighbor search over ALL atoms (no driver pair

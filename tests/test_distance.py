@@ -383,3 +383,42 @@ def test_scalar_autocorrelation_closed_form(spark):
         assert r["sum_a"] == n * c and r["sum_b"] == n * c
         centered = r["sum_ab"] - r["sum_a"] * r["sum_b"] / r["n"]
         assert centered == 0.0
+
+
+def test_compute_neighbors_matches_brute_force(spark):
+    """Cell-list compute_neighbors vs the O(n·|query|) brute force,
+    including the haystack restriction and self-exclusion."""
+    import numpy as np
+
+    from dask_traj_spark.operators.distance import compute_neighbors
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(61)
+    nf, na, cutoff = 3, 40, 0.3
+    xyz = rng.uniform(0, 1.5, (nf, na, 3))
+    rows = [
+        (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+        for f in range(nf) for a in range(na)
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    qs = [0, 5, 11]
+    got = {
+        (r["frame_id"], r["atom_id"])
+        for r in compute_neighbors(traj, cutoff, qs).collect()
+    }
+    want = set()
+    for f in range(nf):
+        for a in range(na):
+            for q in qs:
+                if a != q and np.linalg.norm(xyz[f, a] - xyz[f, q]) <= cutoff:
+                    want.add((f, a))
+    assert got == want
+    # haystack restriction: only even atoms searchable
+    hay = [a for a in range(na) if a % 2 == 0]
+    got2 = {
+        (r["frame_id"], r["atom_id"])
+        for r in compute_neighbors(traj, cutoff, qs, haystack_indices=hay).collect()
+    }
+    assert got2 == {(f, a) for f, a in want if a % 2 == 0}
