@@ -56,6 +56,11 @@ from dask_traj_spark.operators.rmsd import (
     rmsd_topk,
     superpose,
 )
+from dask_traj_spark.operators.pca import (
+    pca_fit,
+    pca_project,
+    principal_components,
+)
 from dask_traj_spark.operators.unitcell import (
     lengths_and_angles_to_box_vectors,
     box_vectors_to_lengths_and_angles,
@@ -96,6 +101,9 @@ __all__ = [
     "pairwise_rmsd",
     "rmsd_topk",
     "superpose",
+    "pca_fit",
+    "pca_project",
+    "principal_components",
     "lengths_and_angles_to_box_vectors",
     "box_vectors_to_lengths_and_angles",
     "ensure_type",

@@ -169,6 +169,7 @@ _SCORING_TAIL = [
     "c3_stratified_sample",
     "c5_source_token_mixture",
     "m4_decode_png",
+    "m5_decode_avi_frames",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

@@ -1998,6 +1998,63 @@ WHERE {d} <= {cutoff}
 """
 
 
+_X20_ORACLE = """
+SELECT CAST(f.pc AS BIGINT) AS pc,
+       CAST(1 AS BIGINT) AS ortho_ok,
+       CAST(1 AS BIGINT) AS var_ok,
+       CAST(1 AS BIGINT) AS order_ok,
+       CAST(1 AS BIGINT) AS sign_ok
+FROM range(3) f(pc)
+ORDER BY pc
+"""
+
+
+@register("x20_pca_contract", _X20_ORACLE)
+def q_pca_contract(spark, sf_dir):
+    """Conformational-PCA contract (x3/v4 pattern — eigh is not
+    SQL-expressible, so the gate pins the invariants that force a
+    correct covariance + decomposition): orthonormal basis,
+    per-PC projection variance equal to the eigenvalue (the defining
+    property of a principal axis), non-increasing eigenvalues, and
+    the deterministic sign convention."""
+    import numpy as np
+
+    from dask_traj_spark.operators.pca import pca_fit, pca_project
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    atoms = list(range(24))
+    mean, comps, eigvals, n = pca_fit(traj, atoms, k=3)
+    gram = comps @ comps.T
+    ortho = np.abs(gram - np.eye(len(comps))).max() < 1e-9
+    order = bool(np.all(np.diff(eigvals) <= 1e-12))
+    sign = all(
+        comps[i, int(np.argmax(np.abs(comps[i])))] > 0
+        for i in range(len(comps))
+    )
+    proj = pca_project(traj, atoms, mean, comps)
+    stats = proj.select(
+        *[
+            F.element_at("pc", i + 1).alias(f"p{i}")
+            for i in range(len(comps))
+        ]
+    ).agg(
+        *[F.avg(F.col(f"p{i}") * F.col(f"p{i}")).alias(f"m2_{i}")
+          for i in range(len(comps))],
+        *[F.avg(f"p{i}").alias(f"m1_{i}") for i in range(len(comps))],
+    ).first()
+    rows = []
+    for i in range(len(comps)):
+        var = stats[f"m2_{i}"] - stats[f"m1_{i}"] ** 2
+        var_ok = abs(var - eigvals[i]) <= 1e-6 * max(eigvals[0], 1e-12)
+        rows.append(
+            (i, int(ortho), int(var_ok), int(order), int(sign))
+        )
+    return spark.createDataFrame(
+        rows, "pc long, ortho_ok long, var_ok long, order_ok long, sign_ok long"
+    )
+
+
 _X19_QUERY_ATOMS = (0, 7, 42)
 
 

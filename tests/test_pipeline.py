@@ -1388,6 +1388,77 @@ class TestIvfPq:
         assert top["cos"] > 0.999
 
 
+class TestPca:
+    def test_planted_dominant_motion_recovered(self, spark):
+        """A trajectory whose only large motion is along a known
+        direction: PC1 must align with it, eigenvalues must match
+        numpy's full-batch PCA, and projections must reproduce the
+        planted amplitudes."""
+        import numpy as np
+
+        from dask_traj_spark.operators.pca import pca_fit, pca_project
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(71)
+        nf, na = 40, 6
+        dim = 3 * na
+        base = rng.uniform(0, 2, (na, 3))
+        direction = np.zeros(dim)
+        direction[0] = 3.0 / 5.0  # atom 0 x
+        direction[4] = 4.0 / 5.0  # atom 1 y  (unit vector)
+        amps = np.sin(np.linspace(0, 6, nf)) * 0.5
+        noise = rng.standard_normal((nf, dim)) * 1e-3
+        frames = base.reshape(-1)[None, :] + amps[:, None] * direction[None, :] + noise
+        rows = [
+            (f, a, float(frames[f, 3 * a]), float(frames[f, 3 * a + 1]),
+             float(frames[f, 3 * a + 2]))
+            for f in range(nf) for a in range(na)
+        ]
+        traj = Trajectory(spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        ))
+        mean, comps, eigvals, n = pca_fit(traj, list(range(na)), k=2)
+        assert n == nf
+        # PC1 aligned with the planted direction (sign-fixed)
+        assert abs(abs(comps[0] @ direction) - 1.0) < 1e-3
+        # eigvals match a full-batch numpy reference (f32 input path)
+        x = frames.astype(np.float32).astype(np.float64)
+        c = np.cov(x.T, bias=True)
+        w = np.sort(np.linalg.eigvalsh(c))[::-1][:2]
+        np.testing.assert_allclose(eigvals, w, rtol=1e-6, atol=1e-12)
+        # projections reproduce the planted amplitudes (centered)
+        proj = {
+            r["frame_id"]: r["pc"][0]
+            for r in pca_project(traj, list(range(na)), mean, comps).collect()
+        }
+        got = np.array([proj[f] for f in range(nf)])
+        want = amps - amps.mean()
+        sign = np.sign(got @ want) or 1.0
+        np.testing.assert_allclose(sign * got, want, atol=5e-3)
+
+    def test_partitioning_invariance(self, spark):
+        """The sufficient-statistics fit is independent of physical
+        partitioning (partials merge associatively)."""
+        import numpy as np
+
+        from dask_traj_spark.operators.pca import pca_fit
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(73)
+        rows = [
+            (f, a, *[float(v) for v in rng.uniform(0, 1, 3)])
+            for f in range(20) for a in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        m1, c1, w1, _ = pca_fit(Trajectory(df), range(4), k=2)
+        m2, c2, w2, _ = pca_fit(Trajectory(df.repartition(7)), range(4), k=2)
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+        np.testing.assert_allclose(w1, w2, atol=1e-12)
+        np.testing.assert_allclose(c1, c2, atol=1e-9)
+
+
 class TestSasaExposure:
     def test_closed_forms(self, spark):
         from dask_traj_spark.operators.distance import sasa_exposure
