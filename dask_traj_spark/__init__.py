@@ -60,6 +60,7 @@ from dask_traj_spark.operators.pca import (
     pca_fit,
     pca_project,
     principal_components,
+    tica_fit,
 )
 from dask_traj_spark.operators.unitcell import (
     lengths_and_angles_to_box_vectors,
@@ -104,6 +105,7 @@ __all__ = [
     "pca_fit",
     "pca_project",
     "principal_components",
+    "tica_fit",
     "lengths_and_angles_to_box_vectors",
     "box_vectors_to_lengths_and_angles",
     "ensure_type",

@@ -170,6 +170,7 @@ _SCORING_TAIL = [
     "c5_source_token_mixture",
     "m4_decode_png",
     "m5_decode_avi_frames",
+    "m6_decode_wav",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

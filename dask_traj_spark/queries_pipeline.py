@@ -2055,6 +2055,60 @@ def q_pca_contract(spark, sf_dir):
     )
 
 
+_X21_ORACLE = """
+SELECT CAST(f.ic AS BIGINT) AS ic,
+       CAST(1 AS BIGINT) AS bounded_ok,
+       CAST(1 AS BIGINT) AS order_ok,
+       CAST(1 AS BIGINT) AS unit_var_ok,
+       CAST(1 AS BIGINT) AS autocorr_ok
+FROM range(3) f(ic)
+ORDER BY ic
+"""
+
+
+@register("x21_tica_contract", _X21_ORACLE)
+def q_tica_contract(spark, sf_dir):
+    """tICA contract (x20 pattern): eigenvalues are lag-τ
+    autocorrelations (|λ| ≤ 1, non-increasing); components are
+    C00-orthonormal, so each projection has UNIT variance over the
+    pair set; and the projections' empirical lag-τ autocorrelation
+    reproduces λ — the defining property of a tICA basis."""
+    import numpy as np
+
+    from dask_traj_spark.operators.pca import pca_project, tica_fit
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    atoms = list(range(24))
+    lag = 2
+    mu, comps, lam, n = tica_fit(traj, atoms, lag=lag, k=3)
+    proj = (
+        pca_project(traj, atoms, mu, comps)
+        .orderBy("frame_id")
+        .collect()
+    )
+    y = np.array([r["pc"] for r in proj])  # (n_frames, k)
+    a, b = y[:-lag], y[lag:]
+    rows = []
+    for i in range(len(comps)):
+        pa, pb = a[:, i], b[:, i]
+        ma = (pa.mean() + pb.mean()) / 2.0
+        var = ((pa - ma) ** 2).mean() / 2.0 + ((pb - ma) ** 2).mean() / 2.0
+        ac = ((pa - ma) * (pb - ma)).mean() / var
+        rows.append((
+            i,
+            int(abs(lam[i]) <= 1.0 + 1e-9),
+            int(i == 0 or lam[i] <= lam[i - 1] + 1e-12),
+            int(abs(var - 1.0) <= 1e-6),
+            int(abs(ac - lam[i]) <= 1e-6),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "ic long, bounded_ok long, order_ok long, unit_var_ok long, "
+        "autocorr_ok long",
+    )
+
+
 _X19_QUERY_ATOMS = (0, 7, 42)
 
 

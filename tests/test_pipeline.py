@@ -1459,6 +1459,77 @@ class TestPca:
         np.testing.assert_allclose(c1, c2, atol=1e-9)
 
 
+class TestTica:
+    def test_slow_mode_beats_high_variance_noise(self, spark):
+        """The classic tICA demo: a SLOW low-variance mode vs fast
+        high-variance noise.  PCA1 picks the big-variance noise;
+        tICA1 must pick the slow direction — the kinetics-aware
+        discrimination that motivates the operator."""
+        import numpy as np
+
+        from dask_traj_spark.operators.pca import pca_fit, tica_fit
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(79)
+        nf, na = 400, 4
+        dim = 3 * na
+        slow_dir = np.zeros(dim); slow_dir[0] = 1.0    # atom0 x: slow
+        fast_dir = np.zeros(dim); fast_dir[4] = 1.0    # atom1 y: fast
+        # AR(1) with phi=0.97 (slow), small amplitude
+        slow = np.zeros(nf)
+        for t in range(1, nf):
+            slow[t] = 0.97 * slow[t - 1] + rng.standard_normal() * 0.05
+        fast = rng.standard_normal(nf) * 2.0  # iid, large variance
+        base = rng.uniform(0, 2, dim)
+        x = (base[None, :] + slow[:, None] * slow_dir[None, :]
+             + fast[:, None] * fast_dir[None, :]
+             + rng.standard_normal((nf, dim)) * 1e-3)
+        rows = [
+            (f, a, float(x[f, 3 * a]), float(x[f, 3 * a + 1]),
+             float(x[f, 3 * a + 2]))
+            for f in range(nf) for a in range(na)
+        ]
+        traj = Trajectory(spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        ))
+        _, pcomps, _, _ = pca_fit(traj, range(na), k=1)
+        assert abs(pcomps[0] @ fast_dir) > 0.99  # PCA finds variance
+        mu, tcomps, lam, n = tica_fit(traj, range(na), lag=5, k=1)
+        assert n == nf - 5
+        # the component WEIGHTS live in whitened space (each direction
+        # scaled by 1/sigma, so near-null noise dims dominate the raw
+        # vector) — the meaningful check is the extracted SIGNAL: the
+        # tIC-1 projection must be the slow series, not the fast one
+        y = ((x - mu) @ tcomps[0])
+        corr_slow = abs(np.corrcoef(y, slow)[0, 1])
+        corr_fast = abs(np.corrcoef(y, fast)[0, 1])
+        assert corr_slow > 0.95 and corr_fast < 0.2
+        assert 0.5 < lam[0] <= 1.0 + 1e-9  # slow autocorrelation at lag 5
+
+    def test_partitioning_invariance(self, spark):
+        import numpy as np
+
+        from dask_traj_spark.operators.pca import tica_fit
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(83)
+        rows = [
+            (f, a, *[float(v) for v in rng.uniform(0, 1, 3)])
+            for f in range(30) for a in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x double, y double, z double"
+        )
+        m1, c1, w1, n1 = tica_fit(Trajectory(df), range(3), lag=2, k=2)
+        m2, c2, w2, n2 = tica_fit(
+            Trajectory(df.repartition(5)), range(3), lag=2, k=2
+        )
+        assert n1 == n2 == 28
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+        np.testing.assert_allclose(w1, w2, atol=1e-10)
+        np.testing.assert_allclose(c1, c2, atol=1e-8)
+
+
 class TestSasaExposure:
     def test_closed_forms(self, spark):
         from dask_traj_spark.operators.distance import sasa_exposure
