@@ -1204,3 +1204,37 @@ def compute_neighbors(
         .select("frame_id", "atom_id")
         .distinct()
     )
+
+
+def transition_counts(
+    series: DataFrame,
+    value_col: str,
+    bin_width: float,
+    lag: int = 1,
+    key_col: str = "frame_id",
+) -> DataFrame:
+    """Markov-state-model transition counting over a binned order
+    parameter → (from_state, to_state, n): frames are assigned to
+    states by flooring the (2^-20-snapped) scalar into
+    ``bin_width``-wide bins, and every (t, t+lag) pair increments its
+    state-pair count — the count matrix row-normalized downstream is
+    the MSM transition matrix (Prinz et al. 2011, public JCP).
+
+    Exactness: dyadic ``bin_width`` makes the state assignment an
+    exact integer floor on grid values — engine-identical; counts are
+    integers.  One lag equi-join on the per-frame series + one
+    bounded groupBy (states², not frames)."""
+    bw = float(bin_width)
+    q = F.round(F.col(value_col).cast("double") * ACF_GRID, 0) / ACF_GRID
+    st = series.select(
+        F.col(key_col).alias("t"),
+        F.floor(q / F.lit(bw)).cast("long").alias("state"),
+    )
+    a = st.select((F.col("t") + int(lag)).alias("tt"),
+                  F.col("state").alias("from_state"))
+    b = st.select(F.col("t").alias("tt"), F.col("state").alias("to_state"))
+    return (
+        a.join(b, "tt")
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

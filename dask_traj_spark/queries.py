@@ -171,6 +171,7 @@ _SCORING_TAIL = [
     "m4_decode_png",
     "m5_decode_avi_frames",
     "m6_decode_wav",
+    "d2_minhash_lsh_neardup",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

@@ -2055,6 +2055,55 @@ def q_pca_contract(spark, sf_dir):
     )
 
 
+def _x22_oracle(bin_width: float, lag: int) -> str:
+    from dask_traj_spark.queries import COORDS_CTE
+
+    return f"""
+WITH {COORDS_CTE.strip()},
+top AS (
+    SELECT CAST(vec_id AS INT) AS atom_id,
+           CAST(label + 1 AS DOUBLE) AS mass
+    FROM embeddings
+),
+agg AS (
+    SELECT c.frame_id,
+           sum(t.mass * (c.x*c.x + c.y*c.y + c.z*c.z)) AS srr,
+           sum(t.mass * c.x) AS sx, sum(t.mass * c.y) AS sy,
+           sum(t.mass * c.z) AS sz, sum(t.mass) AS sm
+    FROM coords c JOIN top t USING (atom_id) GROUP BY c.frame_id
+),
+rg AS (
+    SELECT frame_id AS t,
+           round(sqrt(greatest(
+               srr/sm - ((sx/sm)*(sx/sm) + (sy/sm)*(sy/sm) + (sz/sm)*(sz/sm)),
+               0.0)) * 1048576.0) / 1048576.0 AS v
+    FROM agg
+),
+st AS (SELECT t, CAST(floor(v / {bin_width!r}) AS BIGINT) AS state FROM rg)
+SELECT a.state AS from_state, b.state AS to_state,
+       CAST(count(*) AS BIGINT) AS n
+FROM st a JOIN st b ON b.t = a.t + {lag}
+GROUP BY a.state, b.state
+"""
+
+
+@register("x22_msm_transition_counts", _x22_oracle(0.015625, 2))
+def q_msm_transition_counts(spark, sf_dir):
+    """MSM transition counting on the Rg order parameter: dyadic
+    1/64-wide state bins (exact integer assignment on the snapped
+    grid), lag-2 pair counts — the count matrix a Markov state model
+    row-normalizes."""
+    from dask_traj_spark.operators.distance import (
+        compute_radius_of_gyration,
+        transition_counts,
+    )
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    rg = compute_radius_of_gyration(traj)
+    return transition_counts(rg, "rg", bin_width=0.015625, lag=2)
+
+
 _X21_ORACLE = """
 SELECT CAST(f.ic AS BIGINT) AS ic,
        CAST(1 AS BIGINT) AS bounded_ok,

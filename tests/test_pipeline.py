@@ -1459,6 +1459,31 @@ class TestPca:
         np.testing.assert_allclose(c1, c2, atol=1e-9)
 
 
+class TestTransitionCounts:
+    def test_known_chain(self, spark):
+        """Deterministic 3-state cycle: every lag-1 transition known
+        in advance; total count = n_frames - lag; diagonal = 0 for a
+        strict cycle and = total for a constant series."""
+        from dask_traj_spark.operators.distance import transition_counts
+
+        # states 0,1,2,0,1,2,... with bin width 1.0 over values 0/1/2
+        df = spark.createDataFrame(
+            [(t, float(t % 3)) for t in range(12)], "frame_id long, v double"
+        )
+        got = {
+            (r["from_state"], r["to_state"]): r["n"]
+            for r in transition_counts(df, "v", 1.0, lag=1).collect()
+        }
+        assert got == {(0, 1): 4, (1, 2): 4, (2, 0): 3}
+        # constant series: everything on the diagonal
+        cd = spark.createDataFrame(
+            [(t, 0.25) for t in range(8)], "frame_id long, v double"
+        )
+        got2 = transition_counts(cd, "v", 0.5, lag=3).collect()
+        assert len(got2) == 1 and got2[0]["n"] == 5
+        assert got2[0]["from_state"] == got2[0]["to_state"] == 0
+
+
 class TestTica:
     def test_slow_mode_beats_high_variance_noise(self, spark):
         """The classic tICA demo: a SLOW low-variance mode vs fast
