@@ -172,6 +172,7 @@ _SCORING_TAIL = [
     "m5_decode_avi_frames",
     "m6_decode_wav",
     "d2_minhash_lsh_neardup",
+    "d7_dup_components",
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",

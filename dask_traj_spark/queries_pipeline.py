@@ -2104,6 +2104,60 @@ def q_msm_transition_counts(spark, sf_dir):
     return transition_counts(rg, "rg", bin_width=0.015625, lag=2)
 
 
+@register("sx8_stream_transition_counts_twin", _x22_oracle(0.015625, 2))
+def q_stream_transition_counts_twin(spark, sf_dir):
+    """Incremental MSM counting vs the one-pass oracle: the Rg
+    series replayed in three TIME-ORDERED batches through the
+    boundary-carrying fold (each pair counted by the batch owning
+    its later frame; earlier frames read from strictly-earlier
+    state), with a crash-replay of the middle batch — merged counts
+    must equal x22's full-series answer exactly."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.operators.distance import compute_radius_of_gyration
+    from dask_traj_spark.queries import trajectory_from_embeddings
+    from dask_traj_spark.streaming.dedup import (
+        process_transition_batch,
+        transition_counts_state,
+    )
+
+    traj = trajectory_from_embeddings(spark, sf_dir)
+    rg = compute_radius_of_gyration(traj).select(
+        F.col("frame_id"), F.col("rg").alias("v")
+    )
+    hi = rg.agg(F.max("frame_id")).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    work = tempfile.mkdtemp(prefix="sx8_msm_twin_")
+    state, results = f"{work}/state", f"{work}/results"
+    try:
+        for bno in range(3):
+            process_transition_batch(
+                rg.where(
+                    (F.col("frame_id") >= cuts[bno])
+                    & (F.col("frame_id") < cuts[bno + 1])
+                ),
+                bno, state, results, bin_width=0.015625, lag=2,
+            )
+        # crash-replay of the middle batch: its state and results
+        # partitions are rewritten; the earlier-state read excludes
+        # its own partition, so the recount is identical
+        process_transition_batch(
+            rg.where(
+                (F.col("frame_id") >= cuts[1]) & (F.col("frame_id") < cuts[2])
+            ),
+            1, state, results, bin_width=0.015625, lag=2,
+        )
+        pdf = (
+            transition_counts_state(spark, results)
+            .select("from_state", "to_state", F.col("n").cast("long").alias("n"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "from_state long, to_state long, n long")
+
+
 _X21_ORACLE = """
 SELECT CAST(f.ic AS BIGINT) AS ic,
        CAST(1 AS BIGINT) AS bounded_ok,

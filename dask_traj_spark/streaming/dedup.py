@@ -351,3 +351,61 @@ def cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
     t14's oracle construction)."""
     st = spark.read.parquet(state_dir).drop("batch_id")
     return st.groupBy("row", "col").agg(F.sum("n").alias("n"))
+
+
+# ------------------------------------------- incremental MSM counting
+
+
+def process_transition_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    results_dir: str,
+    value_col: str = "v",
+    bin_width: float = 0.015625,
+    lag: int = 1,
+    key_col: str = "frame_id",
+) -> None:
+    """One micro-batch of incremental MSM transition counting — the
+    THIRD exactly-once shape after the associative (sx2/sx3/sx7) and
+    versioned-fold (sx4) classes: lag pairs SPAN batch boundaries,
+    so each batch persists its own (t, state) rows as state and
+    counts exactly the pairs whose LATER frame lands in this batch —
+    earlier frames come from strictly-earlier state partitions
+    (never its own — crash-replay reads the pre-crash view) or from
+    the batch itself.  Each (t, t+lag) pair is counted by exactly
+    one batch, and both writes are idempotent partition overwrites.
+
+    Requires time-ordered batches (each batch's frame ids exceed the
+    previous batch's), the same close-is-final shape as
+    sessionization/sx6."""
+    from dask_traj_spark.operators.distance import ACF_GRID
+
+    spark = batch_df.sparkSession
+    bw = float(bin_width)
+    q = F.round(F.col(value_col).cast("double") * ACF_GRID, 0) / ACF_GRID
+    st = batch_df.select(
+        F.col(key_col).alias("t"),
+        F.floor(q / F.lit(bw)).cast("long").alias("state"),
+    )
+    _overwrite_batch_partition(st, state_dir, batch_id)
+
+    prior = _read_or_empty(spark, state_dir, "t long, state long", batch_id)
+    earlier = prior.unionByName(st)
+    a = earlier.select((F.col("t") + int(lag)).alias("tt"),
+                       F.col("state").alias("from_state"))
+    b = st.select(F.col("t").alias("tt"), F.col("state").alias("to_state"))
+    partial = (
+        a.join(b, "tt")
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _overwrite_batch_partition(partial, results_dir, batch_id)
+
+
+def transition_counts_state(spark: SparkSession, results_dir: str) -> DataFrame:
+    """Merged transition-count view: per-batch partials sum — under
+    time-ordered batches identical to the one-pass batch operator
+    (gated by sx8 against x22's value oracle)."""
+    st = spark.read.parquet(results_dir).drop("batch_id")
+    return st.groupBy("from_state", "to_state").agg(F.sum("n").alias("n"))

@@ -1132,3 +1132,45 @@ def test_real_stream_crash_replay_sessionization(spark, tmp_path):
     )
     got = got[wdf.columns].astype("int64")
     assert got.equals(wdf.astype("int64")), f"\n{got}\nvs\n{wdf}"
+
+
+def test_stream_transition_counts_boundary_pairs(spark, tmp_path):
+    """The boundary-carrying fold: pairs spanning the batch cut must
+    be counted exactly once (by the batch owning the later frame),
+    through a replay storm."""
+    from dask_traj_spark.operators.distance import transition_counts
+    from dask_traj_spark.streaming.dedup import (
+        process_transition_batch,
+        transition_counts_state,
+    )
+
+    # states 0,1,2 cycling over 10 frames, lag 2; batch cut at 4/7
+    df = spark.createDataFrame(
+        [(t, float(t % 3)) for t in range(10)], "frame_id long, v double"
+    )
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+
+    def run(b, lo, hi):
+        process_transition_batch(
+            df.where((F.col("frame_id") >= lo) & (F.col("frame_id") < hi)),
+            b, state, results, bin_width=1.0, lag=2,
+        )
+
+    run(0, 0, 4)
+    run(1, 4, 7)
+    run(2, 7, 10)
+    run(1, 4, 7)  # replay storm: middle batch again
+    run(0, 0, 4)  # and the first — its pairs are batch-local anyway
+
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts_state(spark, results).collect()
+    }
+    want = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(df, "v", 1.0, lag=2).collect()
+    }
+    assert got == want
+    # sanity: the lag-2 pairs crossing the 4- and 7-frame cuts exist
+    assert sum(got.values()) == 8
