@@ -78,6 +78,13 @@ def register(name: str, oracle: str | None = None):
 #       ingest-state fix) stays scored.
 #       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
+#   ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the 21 new
+#       round-5 gates (m11, m12, v8, c7, e8, sx6, sx7, sx8, t13,
+#       t14, d9, d10, x16-x22) will be driver-green — tail them and
+#       rotate back in the 21 queries tailed during round 5 (m3-m6,
+#       v1-v5, c2/c3/c5, d1/d2/d4/d5/d7, t7/t8) so their evidence
+#       stays ≤2 rounds old; the late-block r4 additions (x10-x15
+#       etc.) can tail after their first driver evidence this round.
 _SCORING_TAIL = [
     "r3_rollup_acctbal",
     "r4_running_revenue_window",
