@@ -312,18 +312,19 @@ def ivf_build_index(
         .partitionBy("cluster", "batch_id")
         .parquet(f"{directory}/corpus")
     )
-    import pandas as pd
-
     spark = emb.sparkSession
-    cent_pdf = pd.DataFrame(
-        {
-            "cluster": np.arange(len(cent), dtype=np.int32),
-            "centroid": list(cent.astype(np.float32)),
-        }
-    )
-    spark.createDataFrame(cent_pdf).coalesce(1).write.mode("overwrite").parquet(
-        f"{directory}/centroids"
-    )
+    # Plain-Python rows + an explicit schema: correctness must not
+    # depend on the session's Arrow config.  A pandas frame holding
+    # numpy arrays only converts when arrow.pyspark.enabled=true;
+    # with it off Spark falls back to _inferSchemaFromList and dies
+    # with CANNOT_INFER_TYPE_FOR_FIELD (seen in the driver session).
+    cent_rows = [
+        (int(c), [float(v) for v in vec])
+        for c, vec in enumerate(cent.astype(np.float32))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{directory}/centroids")
     return cent
 
 

@@ -377,7 +377,13 @@ def from_wide_pandas(
         )
         from dask_traj_spark.operators.unitcell import with_box_vectors
 
-        unitcell = with_box_vectors(spark.createDataFrame(uc_pdf))
+        unitcell = with_box_vectors(
+            spark.createDataFrame(
+                uc_pdf,
+                schema="frame_id long, a float, b float, c float, "
+                "alpha float, beta float, gamma float",
+            )
+        )
 
     topology = None
     if topology_rows is not None:
