@@ -539,9 +539,14 @@ def count_min_estimate(
         "row",
         _cms_col(F.col("key"), F.col("row"), width, id_mode).alias("col"),
     )
+    # LEFT join so absent (never-incremented) cells participate as 0:
+    # an inner join would drop them from the min, giving a never-seen
+    # word the colliding cells' mass (or no output row at all) instead
+    # of the correct CMS estimate 0.  The cell table is depth·width
+    # rows by construction — broadcast THAT side (left-outer streams
+    # the preserved left, so the broadcast must be the right).
     return (
-        F.broadcast(probes)
-        .join(cells, ["row", "col"])
+        probes.join(F.broadcast(cells), ["row", "col"], "left")
         .groupBy("word")
-        .agg(F.min("n").alias("est"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )

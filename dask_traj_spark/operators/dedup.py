@@ -233,10 +233,17 @@ def simhash(
     bits: int = 16,
     id_mode: str = "hashed",
 ) -> DataFrame:
-    """(doc_id, sh) 16-bit SimHash over the distinct token set:
+    """(doc_id, sh) SimHash over the distinct token set:
     bit j set iff sum over tokens of (2·bit_j(h(tid)) − 1) > 0,
     h(t) = (1103515245·t + 12345) mod 2^31. With 31-bit hashed ids,
-    tid·1103515245 < 2^62 — BIGINT-exact."""
+    tid·1103515245 < 2^62 — BIGINT-exact.
+
+    ``bits`` is capped at 31: h() only has 31 hash bits, so any
+    higher bit would be constantly unset (and a 64-bit signature
+    would additionally overflow the ``1 << j`` LongType literal at
+    j=63 — verified NumberFormatException on Spark)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31] (h() is mod 2^31), got {bits}")
     dt = _doc_token_ids(docs, text_col, id_mode)
     h = (F.col("tid").cast("long") * 1103515245 + 12345) % (2 ** 31)
     bit_sums = [
@@ -585,7 +592,11 @@ def canonicalize_url(url: "Column") -> "Column":
     )
     u = F.regexp_replace(u, "^(https://[^/:]+):443($|/)", "$1$2")
     u = F.regexp_replace(u, "^(http://[^/:]+):80($|/)", "$1$2")
-    u = F.regexp_replace(u, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    # anchored to a ?/& separator: an unanchored match would fire
+    # mid-token ('?xutm_source=1' → '?x') and inside path segments,
+    # silently merging genuinely different URLs
+    u = F.regexp_replace(u, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    u = F.regexp_replace(u, "([?&])&+", "$1")
     u = F.regexp_replace(u, "[?&]$", "")
     return F.regexp_replace(u, "/$", "")
 
@@ -633,9 +644,10 @@ def simhash_neardup_pairs(
     Scale posture: candidate generation is the bucketed-join shape
     of d2 with the same mandatory ``_cap_buckets`` skew insurance;
     verification is one codegen'd XOR/popcount per candidate.  At
-    real corpus scale use ``bits=64`` (wider blocks → sparser
-    buckets); the 16-bit default matches ``simhash``'s gate
-    geometry."""
+    real corpus scale use ``bits=28`` with ``k=3`` (the widest
+    (k+1)-divisible signature under ``simhash``'s 31-hash-bit cap;
+    wider blocks → sparser buckets); the 16-bit default matches
+    ``simhash``'s gate geometry."""
     nblocks = k + 1
     if bits % nblocks:
         raise ValueError(f"bits={bits} not divisible by k+1={nblocks} blocks")

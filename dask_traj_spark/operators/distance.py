@@ -1094,7 +1094,14 @@ def sasa_exposure(
         "frame_id", "atom_id", q("x").alias("x"), q("y").alias("y"),
         q("z").alias("z"),
     )
-    nb = neighbor_pairs(traj, cutoff=2.0 * rr)
+    # padded prune cutoff (ADVICE r5): the grid-snapped offsets can
+    # reach |offset| ≤ r + √3/8192, so the triangle-inequality bound
+    # is 2r + √3/8192, not 2r — an occluder in that band (or one
+    # nudged across the cutoff by float32 rounding in the cell-list
+    # distance) would be wrongly pruned and overcount n_exposed.
+    # √3/4096 doubles the band: inclusion is always safe, the exact
+    # dyadic d² < r² test below decides.
+    nb = neighbor_pairs(traj, cutoff=2.0 * rr + 3.0 ** 0.5 / 4096.0)
     # symmetric neighbor list (i sees j AND j sees i)
     nbs = nb.select(
         "frame_id", F.col("i").alias("atom_id"), F.col("j").alias("nbid")

@@ -2634,8 +2634,9 @@ def q_sniff_kind(spark, sf_dir):
 # (the corpus has no url column) with deliberate case/port/tracking/
 # fragment/trailing-slash noise; both engines canonicalize with the
 # same regex chain (only the $1-vs-\1 replacement spelling differs)
-# and group.  Variants %4∈{0,2,3} collapse per page; %4==1 keeps a
-# real query param and stays distinct.
+# and group.  Variants %4∈{2,3} collapse per page; %4==1 keeps a real
+# query param and %4==0 a mid-token-'utm_' param (anchoring test) —
+# both stay distinct.
 _D9_ORACLE = r"""
 WITH u AS (
     SELECT doc_id,
@@ -2645,7 +2646,7 @@ WITH u AS (
                 WHEN 1 THEN '?utm_source=feed&id=7'
                 WHEN 2 THEN '#section2'
                 WHEN 3 THEN '/'
-                ELSE '' END AS url
+                ELSE '?xutm_source=keep' END AS url
     FROM documents
 ),
 c AS (
@@ -2655,13 +2656,15 @@ c AS (
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-                                          '^([^/]+://[^/]+)', 1))
-                     || regexp_replace(regexp_replace(url, '#.*$', ''),
-                                       '^[^/]+://[^/]+', ''),
-                     '^(https://[^/:]+):443($|/)', '\1\2'),
-                   '^(http://[^/:]+):80($|/)', '\1\2'),
-                 '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                     regexp_replace(
+                       lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                            '^([^/]+://[^/]+)', 1))
+                       || regexp_replace(regexp_replace(url, '#.*$', ''),
+                                         '^[^/]+://[^/]+', ''),
+                       '^(https://[^/:]+):443($|/)', '\1\2'),
+                     '^(http://[^/:]+):80($|/)', '\1\2'),
+                   '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+                 '([?&])&+', '\1', 'g'),
                '[?&]$', ''),
              '/$', '') AS canonical_url
     FROM u
@@ -2683,10 +2686,13 @@ def q_url_canonical_dedup(spark, sf_dir):
         F.concat(
             F.lit("HTTPS://WWW.Example"), (doc % 5).cast("string"),
             F.lit(".COM:443/Page/"), F.floor(doc / 20).cast("long").cast("string"),
+            # %4==0 carries a mid-token 'utm_' that must be KEPT —
+            # the unanchored-regex regression case (ADVICE r5): an
+            # unanchored strip collapses it to '?x' and hash-fails
             F.when(doc % 4 == 1, F.lit("?utm_source=feed&id=7"))
             .when(doc % 4 == 2, F.lit("#section2"))
             .when(doc % 4 == 3, F.lit("/"))
-            .otherwise(F.lit("")),
+            .otherwise(F.lit("?xutm_source=keep")),
         ).alias("url"),
     )
     return url_duplicates(urls)
@@ -2728,8 +2734,11 @@ probes AS (
     FROM top10 t JOIN v USING (word), mix x
 ),
 est AS (
-    SELECT p.word, p.true_n, min(c.n) AS est
-    FROM probes p JOIN cells c ON c.row_id = p.row_id AND c.col = p.col
+    -- LEFT join: an empty (never-incremented) cell counts as 0 in
+    -- the min — same semantics as count_min_estimate
+    SELECT p.word, p.true_n, min(coalesce(c.n, 0)) AS est
+    FROM probes p LEFT JOIN cells c
+      ON c.row_id = p.row_id AND c.col = p.col
     GROUP BY p.word, p.true_n
 )
 SELECT word, true_n, est,

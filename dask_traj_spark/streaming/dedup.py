@@ -378,7 +378,16 @@ def process_transition_batch(
 
     Requires time-ordered batches (each batch's frame ids exceed the
     previous batch's), the same close-is-final shape as
-    sessionization/sx6."""
+    sessionization/sx6.
+
+    Carry-state bound: only frames within ``lag`` of a batch's END
+    can ever pair with a later batch (time-ordered batches ⇒ a frame
+    needed by batch k satisfies t ≥ start_k − lag > max_t_j − lag for
+    every earlier batch j), so each batch persists just its trailing
+    ``lag`` frames — per-batch state is O(lag), and the per-batch
+    read is O(lag · #batches) rows instead of the whole stream
+    history (which made cumulative cost O(n²)).  The merged counts
+    are unchanged; replay still rewrites the same carry partition."""
     from dask_traj_spark.operators.distance import ACF_GRID
 
     spark = batch_df.sparkSession
@@ -388,7 +397,11 @@ def process_transition_batch(
         F.col(key_col).alias("t"),
         F.floor(q / F.lit(bw)).cast("long").alias("state"),
     )
-    _overwrite_batch_partition(st, state_dir, batch_id)
+    # one scalar job per micro-batch (driver state O(1)) to find the
+    # batch end; the carry is the trailing-lag slice only
+    mx = st.agg(F.max("t").alias("mx")).first()["mx"]
+    carry = st if mx is None else st.where(F.col("t") > int(mx) - int(lag))
+    _overwrite_batch_partition(carry, state_dir, batch_id)
 
     prior = _read_or_empty(spark, state_dir, "t long, state long", batch_id)
     earlier = prior.unionByName(st)
