@@ -433,42 +433,56 @@ def main() -> None:
         times["canonical_onepass_local12"] = min(its12)
         spark12.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "canonical_e2e",
-                "value": times["canonical_onepass"],
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # methodology labels (VERDICT r2 item 8): timings are
-                # warm (worker pool + JIT pre-warmed), best-of-2 for
-                # the canonical tier and best-of-3 for the oracle-
-                # suite tier (see tier-2 comment), on this master;
-                # BASELINE.md's reference numbers are 12 threads —
-                # compare those against canonical_onepass_local12.
-                "warm": True,
-                # tier-2 entries: 1 throwaway + best-of-3, per-
-                # iteration times in "iters" so the spread is
-                # auditable (no entry should exceed 1.5x its own
-                # steady state)
-                "best_of": {
-                    "canonical": 3,
-                    "oracle_suite": "warmup1+3",
-                    "scale_10x": 1,
-                },
-                "iters": iters,
-                "master": master,
-                "scale_10x": scale,
-                # host-throttle detector (see _cpu_probe), now PER
-                # TIER: a slow tier whose bracketing probes diverge
-                # is host throttling, not an engine regression; the
-                # 10x canonical carries its own bracket inside
-                # scale_10x
-                "cpu_probe": {**probes, "end_s": _cpu_probe()},
-            }
-        )
+    probes["end_s"] = _cpu_probe()
+
+    # ---- output contract (VERDICT r5 item 3) --------------------------
+    # The driver tail-captures stdout and parses the LAST line as the
+    # bench JSON; the r5 line (with per-iteration arrays inlined) grew
+    # past its capture window and round 5 lost its parsed bench.  So:
+    # full per-iteration detail + probe brackets go to a side artifact
+    # (bench_detail.json, committed per round as evidence), and stdout
+    # gets ONE compact headline line, printed last, holding only the
+    # scalar numbers of record (best-of times, 10x scale-ups,
+    # linearity ratios, throttle-probe summary).
+    headline = {
+        "metric": "canonical_e2e",
+        "value": times["canonical_onepass"],
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        # methodology: warm session (worker pool + JIT pre-warmed);
+        # canonical tier best-of-3, oracle-suite tier 1 throwaway +
+        # best-of-3, 10x tier best-of-3 for canonical / single-shot
+        # for the rest.  BASELINE.md's reference numbers are 12
+        # threads — compare those against canonical_onepass_local12.
+        # Per-iteration spreads + per-tier cpu-probe brackets are in
+        # bench_detail.json.
+        "warm": True,
+        "master": master,
+        "scale_10x": {k: v for k, v in scale.items() if not k.endswith("_iters")},
+        "cpu_probe": probes,
+        "detail": "bench_detail.json",
+    }
+    detail = {
+        "iters": iters,
+        "scale_10x": scale,
+        "cpu_probe": probes,
+        "best_of": {
+            "canonical": 3,
+            "oracle_suite": "warmup1+3",
+            "scale_10x": "canonical 3, others 1",
+        },
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the headline line still carries the record
+    sys.stdout.flush()
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

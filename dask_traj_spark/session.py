@@ -74,6 +74,10 @@ def get_spark(
         # a 1000-executor cluster absorbs comfortably.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # no \r progress spam on stdout — a tool capturing the tail
+        # of the output (the driver's bench parser) must see clean
+        # line-oriented text
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_mem)
         # pre-size the heap to half of -Xmx: measured on the round-4
         # host, lazy heap expansion made the first ~4 large Arrow
