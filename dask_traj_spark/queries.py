@@ -67,7 +67,7 @@ def register(name: str, oracle: str | None = None):
 #   r4: r3-r16 rotated back in plus first evidence for the 50
 #       round-4 additions; the 21 late-block additions (x10..x15)
 #       were tailed with local sf0.01+sf0.1 sweep evidence only.
-#   r5 (now): execute the written rotation plan — the 21 late-block
+#   r5: execute the written rotation plan — the 21 late-block
 #       round-4 additions move INTO the head for first driver
 #       evidence (they have never appeared in a CORRECTNESS_r*.json).
 #       The tail takes 21 queries that are (a) driver-green in
@@ -78,18 +78,95 @@ def register(name: str, oracle: str | None = None):
 #       ingest-state fix) stays scored.
 #       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
-#   ROUND-6 ROTATION PLAN: after CORRECTNESS_r05 lands, the 21 new
-#       round-5 gates (m11, m12, v8, c7, e8, sx6, sx7, sx8, t13,
-#       t14, d9, d10, x16-x22) will be driver-green — tail them and
-#       rotate back in the 21 queries tailed during round 5 (m3-m6,
-#       v1-v5, c2/c3/c5, d1/d2/d4/d5/d7, t7/t8) so their evidence
-#       stays ≤2 rounds old; the late-block r4 additions (x10-x15
-#       etc.) can tail after their first driver evidence this round.
+#   r6 (now): VERDICT r5 item 4 amended the written plan — the §2
+#       geometry core (last green r3) outranks everything but the
+#       touched set.  Head = 22 returning r5-tailed extension queries
+#       (r4-green, untouched) + the 16-query §2 core block (g1 plain,
+#       g2, g3, g5-g10, s8, p1/p2, u1/u2, x1/x2 — last green r3) +
+#       the 8 queries round-6 code changes touch (sx5 schema fix,
+#       d9 URL-regex anchor, t14/sx7 count-min left-join, x18 SASA
+#       prune pad, sx8 carry-state bound, d3/d10 simhash bits guard)
+#       + the 4 stalest relational shapes (r3-r6, last green ROUND
+#       r2 — staler than the geometry block).  Tail = every r5-green
+#       gate + the remaining r2/r4-green relational/analysis shapes.
+#
+# STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
+# not age past 2 rounds without re-entering the head — hard bound
+# for §2-core operators, best-effort (stalest-first) for extension
+# queries once the touched set and never-scored queries are seated.
+# Current debt to seat in ROUND 7: relational r7-r14 (last green
+# round 2), r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 (round 3), then
+# x4-x7, r15/r16, r23-r34 (round 4).
 _SCORING_TAIL = [
-    "r3_rollup_acctbal",
-    "r4_running_revenue_window",
-    "r5_semi_anti_join",
-    "r6_intersect_status",
+    # r5-green geometry/vector forms (scored r5, fresh)
+    "g1_distances_vec",
+    "g1_distances_mic_ortho",
+    "g1_distances_mic_triclinic",
+    # r3-green text/curation/event block — ROUND-7 debt
+    "t1_doc_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_source_stats",
+    "t6_token_counts",
+    "c1_corpus_curation",
+    "m1_media_stats",
+    "e1_event_window_counts",
+    "e2_sessionization",
+    "e3_asof_last_purchase",
+    "e4_session_concurrency",
+    "e5_funnel_completions",
+    # r5-green gates (scored r5, fresh)
+    "m2_decode_features",
+    "e8_asof_tolerance",
+    "x16_pairwise_rmsd",
+    "x3_rmsd_aligned_contract",
+    "sx1_stream_neardup_batch_twin",
+    "c4_sequence_packing",
+    "d6_semantic_dedup",
+    "x20_pca_contract",
+    "x22_msm_transition_counts",
+    "x21_tica_contract",
+    "x19_compute_neighbors",
+    "t9_char_bigram_logprob",
+    "sx2_stream_exact_dedup_twin",
+    "sx6_stream_semantic_dedup_twin",
+    "m12_sniff_kind",
+    "t13_mojibake",
+    "c7_curation_chain",
+    "v8_ivf_pq_recall",
+    "x10_rmsf",
+    "t10_pii_scrub",
+    "v6_kmeans_contract",
+    "m7_resize_bmp",
+    "sx3_stream_window_counts_twin",
+    "x11_hbond_geometric",
+    "x12_vacf",
+    "t11_lexical_diversity",
+    "m8_audio_window_features",
+    "sx4_stream_sessionization_twin",
+    "m9_frame_diffs",
+    "e7_burst_detection",
+    "x13_gyration_tensor",
+    "c6_dataset_split",
+    "x14_native_contacts",
+    "m10_decode_tiff",
+    "m11_decode_jpeg",
+    "t12_bigram_crossscore",
+    "v7_sq_recall",
+    "d8_containment_neardup",
+    "x17_rg_block_average",
+    "x15_rg_autocorrelation",
+    # r4-green analysis shapes — ROUND-7 debt
+    "x4_radius_of_gyration",
+    "x5_rdf_histogram",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    # relational block: r1/r2/r17-r22 last green r3, r7-r14 last
+    # green ROUND 2, r15/r16/r23-r34 r4 — ROUND-7 debt (r3-r6, the
+    # four stalest, are in the r6 head)
+    "r1_pricing_summary",
+    "r2_topk_revenue",
     "r7_regional_revenue",
     "r8_cube_quantities",
     "r9_rich_inactive_customers",
@@ -98,50 +175,14 @@ _SCORING_TAIL = [
     "r12_shipping_priority",
     "r13_nation_volume",
     "r14_supplier_part_variety",
-    "m1_media_stats",
-    "d3_simhash",
-    "r1_pricing_summary",
-    "c1_corpus_curation",
-    "e1_event_window_counts",
-    "e2_sessionization",
-    "e3_asof_last_purchase",
-    "e4_session_concurrency",
-    "e5_funnel_completions",
-    "r2_topk_revenue",
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
     "r17_grouping_sets",
     "r18_window_functions",
     "r19_exact_quantiles",
     "r20_except_status",
     "r21_min_cost_supplier",
     "r22_sketch_distinct",
-    "t4_fingerprint",
-    "t6_token_counts",
-    "t1_doc_stats",
-    "t2_quality_score",
-    "t3_langid",
-    "t5_source_stats",
-    "g1_distances",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g8_orthogonality",
-    "g9_lengths_angles_to_vectors",
-    "g10_vectors_to_lengths_angles",
-    "s8_time_fallback",
-    "p1_frame_slice_stride_reverse",
-    "p2_atom_slice",
-    "u1_concat_overlap_discard",
-    "u2_content_fingerprint",
-    "x1_frame_rmsd",
-    "x2_rmsd_topk",
-    # round-5 rotation: the 21 late-block round-4 additions left the
-    # tail for first driver evidence; these 21 take their slots —
-    # every one driver-green in CORRECTNESS_r04 on code untouched by
-    # round 5 (TPC-H shapes r15/r16/r23-r34 + analysis x4-x9/e6).
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
     "r23_priority_exists",
     "r24_forecast_revenue",
     "r25_market_share",
@@ -154,35 +195,6 @@ _SCORING_TAIL = [
     "r32_promo_part_suppliers",
     "r33_waiting_suppliers",
     "r34_approx_quantiles",
-    "x4_radius_of_gyration",
-    "x5_rdf_histogram",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
-    # +5 tail slots for the new m11 JPEG / v8 IVFPQ / c7 chain /
-    # e8 asof-tolerance / sx6 streaming-SemDeDup gates entering the
-    # head
-    "m3_frame_sample",
-    "v1_cosine_topk",
-    "d1_exact_dedup",
-    "d4_ngram_jaccard_neardup",
-    "d5_repeated_ngram_docs",
-    "t7_repetition_score",
-    "t8_heuristic_filter",
-    "v2_embedding_neardup_lsh",
-    "v3_cosine_topk_ivf",
-    "v4_ann_recall",
-    "v5_pq_recall",
-    "c2_decontamination",
-    "c3_stratified_sample",
-    "c5_source_token_mixture",
-    "m4_decode_png",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
-    "d2_minhash_lsh_neardup",
-    "d7_dup_components",
-    "x8_dihedrals",
-    "x9_msd",
-    "e6_cohort_retention",
 ]
 
 

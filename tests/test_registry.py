@@ -9,47 +9,74 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 5: the 21 late-block round-4
-# additions that have never had driver evidence (rotation plan from
-# NOTES_r04/VERDICT r4 item 1), plus everything round-5 code changes
-# touch (d6 semantic-dedup rework, t9/t12 bigram guard, g1_vec
-# contiguity check, sx4 ingest-state fix, c6 split-seed doc).
-MUST_SCORE_R5 = [
-    # never driver-scored — first evidence this round
-    "x10_rmsf",
-    "t10_pii_scrub",
-    "v6_kmeans_contract",
-    "m7_resize_bmp",
-    "sx3_stream_window_counts_twin",
-    "x11_hbond_geometric",
-    "x12_vacf",
-    "t11_lexical_diversity",
-    "m8_audio_window_features",
-    "sx4_stream_sessionization_twin",
-    "m9_frame_diffs",
-    "e7_burst_detection",
-    "x13_gyration_tensor",
-    "c6_dataset_split",
-    "x14_native_contacts",
-    "m10_decode_tiff",
-    "t12_bigram_crossscore",
-    "v7_sq_recall",
+# queries that MUST be scored in round 6 (VERDICT r5 items 1, 4, 7):
+# sx5 (never driver-green — schema fix this round), everything
+# round-6 code changes touch, the §2-core geometry block whose
+# evidence is stale since round 3, and the 22 r5-tailed extension
+# queries returning per the written rotation plan.
+MUST_SCORE_R6 = [
+    # never driver-green — the round-6 fix (explicit centroid schema)
     "sx5_incremental_ivf_twin",
-    "d8_containment_neardup",
-    "x15_rg_autocorrelation",
-    # touched by round-5 code changes — evidence must stay fresh
-    "d6_semantic_dedup",
-    "t9_char_bigram_logprob",
-    "g1_distances_vec",
-    "sx2_stream_exact_dedup_twin",
-    "sx1_stream_neardup_batch_twin",
+    # touched by round-6 code changes — evidence must stay fresh
+    "d9_url_canonical_dedup",
+    "t14_count_min_heavy_hitters",
+    "sx7_stream_count_min_twin",
+    "x18_sasa_exposure",
+    "sx8_stream_transition_counts_twin",
+    "d3_simhash",
+    "d10_simhash_hamming_pairs",
+    # §2-core block, last green r3 — hard ≤2-round staleness bound
+    "g1_distances",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g8_orthogonality",
+    "g9_lengths_angles_to_vectors",
+    "g10_vectors_to_lengths_angles",
+    "s8_time_fallback",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    "x1_frame_rmsd",
+    "x2_rmsd_topk",
+    # returning r5-tailed extension queries (r4-green, untouched)
+    "m3_frame_sample",
+    "m4_decode_png",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
+    "v1_cosine_topk",
+    "v2_embedding_neardup_lsh",
+    "v3_cosine_topk_ivf",
+    "v4_ann_recall",
+    "v5_pq_recall",
+    "c2_decontamination",
+    "c3_stratified_sample",
+    "c5_source_token_mixture",
+    "d1_exact_dedup",
+    "d2_minhash_lsh_neardup",
+    "d4_ngram_jaccard_neardup",
+    "d5_repeated_ngram_docs",
+    "d7_dup_components",
+    "t7_repetition_score",
+    "t8_heuristic_filter",
+    "x8_dihedrals",
+    "x9_msd",
+    "e6_cohort_retention",
+    # the 4 stalest relational shapes (last green round 2)
+    "r3_rollup_acctbal",
+    "r4_running_revenue_window",
+    "r5_semi_anti_join",
+    "r6_intersect_status",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R5 if n not in window]
+    missing = [n for n in MUST_SCORE_R6 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
