@@ -13,13 +13,15 @@ reference, core/dask_traj.py:32-33) stores root datasets:
 
 h5py is not installed in every environment (not in this one), so the
 loaders carry TWO backends behind one adapter (``_H5File``): h5py
-when importable (full HDF5 — chunked, compressed, any superblock),
-else the vendored pure-``struct`` subset reader
-(:mod:`.hdf5_pure` — v0 superblock, contiguous datasets, the layout
-our own ``.h5`` sink writes).  Either way the read path is the same
-chunked design as the binary sources: frame chunks → partitions,
-per-partition slice reads (contiguous layout makes a frame-range
-slice an O(range) seek+read, not O(file)).
+when importable (full HDF5 — any superblock, any filter), else the
+vendored pure-``struct`` subset reader (:mod:`.hdf5_pure` — v0
+superblock, contiguous AND chunked layouts with shuffle/deflate/
+fletcher32 filters, i.e. the layout h5py/mdtraj actually write for
+trajectories; szip/v2-superblock still need h5py).  Either way the
+read path is the same chunked design as the binary sources: frame
+chunks → partitions, per-partition slice reads (both layouts make a
+frame-range slice an O(range) read — contiguous by seek, chunked by
+touching only the overlapping chunks via the B-tree index).
 
 ``write_h5_traj`` / ``write_lh5`` are beyond-reference sinks
 emitting the same MDTraj layouts (contiguous, readable by h5py,
@@ -45,9 +47,10 @@ except ImportError:
 
 class _H5File:
     """Backend adapter: h5py when available, else the vendored
-    pure-struct subset reader (contiguous v0 files only — the
-    vendored reader raises a descriptive ValueError on anything
-    fancier, naming h5py as the way out)."""
+    pure-struct subset reader (v0 files, contiguous or chunked with
+    shuffle/deflate/fletcher32 — the vendored reader raises a
+    descriptive ValueError on anything fancier, naming h5py as the
+    way out)."""
 
     def __init__(self, path: str):
         if HAVE_H5PY:
@@ -233,12 +236,18 @@ def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
     return Trajectory(coords)
 
 
-def write_h5_traj(traj: Trajectory, path: str) -> None:
+def write_h5_traj(
+    traj: Trajectory, path: str, chunk_frames: int | None = None,
+    gzip: bool = False,
+) -> None:
     """Sink: MDTraj-HDF5 export through the vendored pure-struct
-    writer (contiguous layout — readable by h5py and by
-    :func:`load_hdf5` alike).  Writes ``coordinates`` (f32 nm),
-    ``time`` (f32 ps) and, when the trajectory has a unit cell,
-    ``cell_lengths``/``cell_angles`` (f32)."""
+    writer (readable by h5py and by :func:`load_hdf5` alike).
+    Writes ``coordinates`` (f32 nm), ``time`` (f32 ps) and, when the
+    trajectory has a unit cell, ``cell_lengths``/``cell_angles``
+    (f32).  ``chunk_frames`` switches the coordinate dataset to
+    CHUNKED layout (that many frames per chunk); ``gzip`` adds the
+    shuffle+deflate pipeline h5py/mdtraj write by default — the
+    layout real ``.h5`` trajectories actually use."""
     import numpy as np
 
     from dask_traj_spark.sources.hdf5_pure import write_h5
@@ -257,7 +266,14 @@ def write_h5_traj(traj: Trajectory, path: str) -> None:
         angles = uc[["alpha", "beta", "gamma"]].to_numpy("<f4")
         datasets["cell_lengths"] = ((nf, 3), "f32", lengths.tobytes())
         datasets["cell_angles"] = ((nf, 3), "f32", angles.tobytes())
-    write_h5(path, datasets)
+    chunks = filters = None
+    if gzip and chunk_frames is None:
+        chunk_frames = max(1, min(nf, 64))
+    if chunk_frames is not None:
+        chunks = {"coordinates": int(chunk_frames)}
+        if gzip:
+            filters = {"coordinates": ["shuffle", "gzip"]}
+    write_h5(path, datasets, chunks=chunks, filters=filters)
 
 
 def write_lh5(traj: Trajectory, path: str) -> None:

@@ -11,15 +11,23 @@ hdfgroup.org) that the MDTraj layout actually needs:
 - the symbol-table root group: v1 B-tree ("TREE", group nodes) →
   symbol table nodes ("SNOD") → local heap ("HEAP") link names,
 - version-1 object headers with Dataspace (0x0001), Datatype
-  (0x0003) and Data Layout (0x0008, class 1 = CONTIGUOUS) messages,
+  (0x0003), Data Layout (0x0008, class 1 = CONTIGUOUS and class 2 =
+  CHUNKED) and Filter Pipeline (0x000B) messages,
+- chunked data indexed by the v1 raw-data B-tree (node type 1,
+  spec section III.A.1), leaf and internal levels,
+- filters: deflate (id 1, zlib — the spec's required filter) and
+  shuffle (id 2, byte de-interleave), the pair h5py/mdtraj write
+  by default for trajectories; fletcher32 checksums (id 3) are
+  verified-and-stripped,
 - datatypes: IEEE float32/float64 little-endian and signed int16
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: superblock v2/v3, chunked/compact layouts, non-LE or
-unsupported datatype classes.  Real-world chunked/compressed HDF5
-still needs h5py — the loaders prefer h5py when importable and fall
-back to this reader otherwise.
+of guessing: superblock v2/v3, compact layouts, szip/unknown
+filters, non-LE or unsupported datatype classes.  The loaders
+prefer h5py when importable and fall back to this reader otherwise;
+with this module the no-h5py gate narrows to szip/v2-superblock
+files.
 
 The writer exists to build spec-derived fixtures (and doubles as a
 beyond-reference ``.h5`` sink for contiguous trajectories): both
@@ -39,6 +47,32 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 
 def _align8(n: int) -> int:
     return (n + 7) & ~7
+
+
+def _fletcher32(data: bytes) -> int:
+    """The HDF5 library's fletcher32 variant (H5_checksum_fletcher32):
+    16-bit BIG-endian words, 360-word inner blocks, an odd trailing
+    byte treated as the high byte of a final word."""
+    sum1 = sum2 = 0
+    n = len(data) // 2
+    p = 0
+    while n:
+        t = min(n, 360)
+        n -= t
+        for _ in range(t):
+            sum1 += (data[p] << 8) | data[p + 1]
+            sum2 += sum1
+            p += 2
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xFFFFFFFF
 
 
 # --------------------------------------------------------------- write
@@ -82,29 +116,125 @@ def _object_header(messages: list[bytes]) -> bytes:
     )
 
 
-def _dataset_header(shape: tuple[int, ...], kind: str, data_addr: int) -> bytes:
-    nbytes = _DT_SIZE[kind]
+def _filter_pipeline_message(filters: list[str], elem_size: int, level: int) -> bytes:
+    """Filter Pipeline message (0x000B) v1 body.  ``filters`` is the
+    WRITE-order list; readers apply the reverse."""
+    body = struct.pack("<BB", 1, len(filters)) + b"\x00" * 6
+    for f in filters:
+        if f == "shuffle":
+            fid, cd = 2, [elem_size]
+        elif f == "gzip":
+            fid, cd = 1, [level]
+        else:
+            raise ValueError(f"unsupported write filter {f!r}")
+        # id, name length (0: ids < 256 need no name), flags, n client
+        body += struct.pack("<HHHH", fid, 0, 0, len(cd))
+        body += b"".join(struct.pack("<I", v) for v in cd)
+        if len(cd) % 2:
+            body += b"\x00" * 4  # pad client data to an 8-byte multiple
+    return body
+
+
+def _encode_chunk(raw: bytes, filters: list[str], elem_size: int, level: int) -> bytes:
+    for f in filters:
+        if f == "shuffle":
+            import numpy as np
+
+            raw = (
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(-1, elem_size)
+                .T.tobytes()
+            )
+        elif f == "gzip":
+            import zlib
+
+            raw = zlib.compress(raw, level)
+    return raw
+
+
+def _dataset_header(
+    shape: tuple[int, ...],
+    kind: str,
+    data_addr: int,
+    chunk0: int | None = None,
+    filters: list[str] | None = None,
+    level: int = 6,
+) -> bytes:
+    """Object header for one dataset.  ``chunk0`` is the leading-dim
+    chunk size: None → contiguous layout (class 1), else chunked
+    (class 2) with ``data_addr`` pointing at the chunk B-tree."""
+    elem = _DT_SIZE[kind]
+    nbytes = elem
     for d in shape:
         nbytes *= d
     space = struct.pack("<BBBBBBBB", 1, len(shape), 0, 0, 0, 0, 0, 0)
     space += b"".join(struct.pack("<Q", d) for d in shape)
-    layout = struct.pack("<BBQQ", 3, 1, data_addr, nbytes)  # v3, contiguous
-    return _object_header(
-        [
-            _message(0x0001, space),
-            _message(0x0003, _dt_message(kind)),
-            _message(0x0008, layout),
-        ]
-    )
+    if chunk0 is None:
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, nbytes)  # v3, contiguous
+    else:
+        cdims = (chunk0,) + tuple(shape[1:])
+        layout = struct.pack("<BBB", 3, 2, len(shape) + 1)
+        layout += struct.pack("<Q", data_addr)
+        layout += b"".join(struct.pack("<I", d) for d in cdims)
+        layout += struct.pack("<I", elem)  # element size, the +1 dim
+    msgs = [
+        _message(0x0001, space),
+        _message(0x0003, _dt_message(kind)),
+        _message(0x0008, layout),
+    ]
+    if filters:
+        msgs.append(
+            _message(0x000B, _filter_pipeline_message(filters, elem, level))
+        )
+    return _object_header(msgs)
 
 
-def write_h5(path: str, datasets: dict[str, tuple[tuple[int, ...], str, bytes]]) -> None:
+def _chunk_btree_node(
+    rank: int, chunk0: int, chunks: list[tuple[int, int]]
+) -> bytes:
+    """Single-leaf v1 raw-data B-tree (node type 1, level 0).
+    ``chunks`` is [(stored_nbytes, data_addr)] in leading-dim order.
+    Key i carries (nbytes, filter mask 0, offsets (i·chunk0, 0…, 0));
+    the final key is the one-past-the-end chunk offset, as the spec
+    requires."""
+    ndims = rank + 1
+    node = b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
+    node += struct.pack("<QQ", UNDEF, UNDEF)  # siblings
+
+    def key(i: int, nbytes: int) -> bytes:
+        return struct.pack("<II", nbytes, 0) + struct.pack(
+            "<Q", i * chunk0
+        ) + b"\x00" * 8 * (ndims - 1)
+
+    for i, (nb, addr) in enumerate(chunks):
+        node += key(i, nb) + struct.pack("<Q", addr)
+    node += key(len(chunks), 0)
+    return node
+
+
+def write_h5(
+    path: str,
+    datasets: dict[str, tuple[tuple[int, ...], str, bytes]],
+    chunks: dict[str, int] | None = None,
+    filters: dict[str, list[str]] | None = None,
+    level: int = 6,
+) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
     ``datasets`` maps name → (shape, kind in {f32,f64,i16}, raw
-    little-endian bytes, row-major).  Layout in file order:
-    superblock → local heap → SNOD → B-tree → per-dataset object
-    headers → root object header → raw data blocks."""
+    little-endian bytes, row-major).  ``chunks[name]`` switches that
+    dataset to CHUNKED layout with the given leading-dim chunk rows
+    (edge chunks zero-padded to full size, as the spec stores them);
+    ``filters[name]`` is a write-order filter list from {"shuffle",
+    "gzip"} (requires chunked — HDF5 only filters chunked data).
+    Layout in file order: superblock → local heap → SNOD → B-tree →
+    per-dataset object headers → root object header → per-chunked-
+    dataset (chunk B-tree → chunk blobs) → contiguous raw blocks."""
+    chunks = chunks or {}
+    filters = filters or {}
+    for n in filters:
+        if n not in chunks:
+            raise ValueError(f"dataset {n!r}: filters require chunked layout")
     names = sorted(datasets)  # SNOD entries must be name-ordered
     # local heap data segment: offset 0 is the empty string, then
     # each name at an 8-byte-aligned offset
@@ -127,12 +257,35 @@ def write_h5(path: str, datasets: dict[str, tuple[tuple[int, ...], str, bytes]])
     btree_size = 24 + 8 * (2 * 1 + 1)  # 1 child: key0, child0, key1
     pos = _align8(btree_addr + btree_size)
 
+    # encode chunked payloads up front (compressed sizes drive layout)
+    enc_chunks: dict[str, list[bytes]] = {}
+    for n in names:
+        if n not in chunks:
+            continue
+        shape, kind, raw = datasets[n]
+        elem = _DT_SIZE[kind]
+        row = elem
+        for d in shape[1:]:
+            row *= d
+        c0 = int(chunks[n])
+        csize = c0 * row
+        blobs = []
+        for s in range(0, max(shape[0], 1), c0):
+            blk = raw[s * row : (s + c0) * row]
+            if len(blk) < csize:  # edge chunk: stored full-size, padded
+                blk = blk + b"\x00" * (csize - len(blk))
+            blobs.append(_encode_chunk(blk, filters.get(n, []), elem, level))
+        enc_chunks[n] = blobs
+
     ds_hdrs: dict[str, bytes] = {}
     ds_hdr_addr: dict[str, int] = {}
-    # object headers first (size depends only on rank), then data
+    # object headers first (size depends only on rank + filter list,
+    # not on addresses), then data
     for n in names:
         shape, kind, _ = datasets[n]
-        hdr = _dataset_header(shape, kind, 0)  # placeholder address
+        hdr = _dataset_header(
+            shape, kind, 0, chunks.get(n), filters.get(n), level
+        )  # placeholder address
         ds_hdr_addr[n] = pos
         ds_hdrs[n] = hdr
         pos = _align8(pos + len(hdr))
@@ -141,17 +294,43 @@ def write_h5(path: str, datasets: dict[str, tuple[tuple[int, ...], str, bytes]])
         [_message(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
     )
     pos = _align8(pos + len(root_oh))
+    # chunked datasets: B-tree node, then that dataset's chunk blobs
+    cb_addr: dict[str, int] = {}
+    chunk_addrs: dict[str, list[int]] = {}
+    for n in names:
+        if n not in chunks:
+            continue
+        shape = datasets[n][0]
+        nch = len(enc_chunks[n])
+        keysz = 8 + 8 * (len(shape) + 1)
+        node_size = 24 + (nch + 1) * keysz + nch * 8
+        cb_addr[n] = pos
+        pos = _align8(pos + node_size)
+        addrs = []
+        for blob in enc_chunks[n]:
+            addrs.append(pos)
+            pos = _align8(pos + len(blob))
+        chunk_addrs[n] = addrs
     data_addr = {}
     for n in names:
+        if n in chunks:
+            continue
         shape, kind, raw = datasets[n]
         data_addr[n] = pos
         pos = _align8(pos + len(raw))
     eof = pos
 
-    # re-render dataset headers with real data addresses
+    # re-render dataset headers with real data/B-tree addresses
     for n in names:
         shape, kind, _ = datasets[n]
-        ds_hdrs[n] = _dataset_header(shape, kind, data_addr[n])
+        ds_hdrs[n] = _dataset_header(
+            shape,
+            kind,
+            cb_addr[n] if n in chunks else data_addr[n],
+            chunks.get(n),
+            filters.get(n),
+            level,
+        )
 
     out = bytearray()
     out += _SIG
@@ -187,7 +366,22 @@ def write_h5(path: str, datasets: dict[str, tuple[tuple[int, ...], str, bytes]])
         put(ds_hdr_addr[n], ds_hdrs[n])
     put(root_oh_addr, root_oh)
     for n in names:
-        put(data_addr[n], datasets[n][2])
+        if n in chunks:
+            put(
+                cb_addr[n],
+                _chunk_btree_node(
+                    len(datasets[n][0]),
+                    int(chunks[n]),
+                    [
+                        (len(b), a)
+                        for b, a in zip(enc_chunks[n], chunk_addrs[n])
+                    ],
+                ),
+            )
+            for blob, a in zip(enc_chunks[n], chunk_addrs[n]):
+                put(a, blob)
+        else:
+            put(data_addr[n], datasets[n][2])
     if len(out) < eof:
         out.extend(b"\x00" * (eof - len(out)))
 
@@ -229,7 +423,9 @@ class PureH5:
         else:
             btree_addr, heap_addr = self._symbol_table_message(root_oh)
         self._heap_data = self._parse_heap(heap_addr)
-        self.datasets: dict[str, tuple[tuple[int, ...], str, int]] = {}
+        # name → (shape, kind, addr, chunk_dims|None, filters)
+        self.datasets: dict[str, tuple] = {}
+        self._chunk_index: dict[str, dict[int, tuple[int, int, int]]] = {}
         for name, oh_addr in self._walk_btree(btree_addr):
             self.datasets[name] = self._parse_dataset(oh_addr, name)
 
@@ -322,7 +518,8 @@ class PureH5:
         return out
 
     def _parse_dataset(self, oh_addr: int, name: str):
-        shape = kind = addr = None
+        shape = kind = addr = chunk_dims = None
+        filters: list[tuple[int, tuple[int, ...]]] = []
         for mtype, body in self._messages(oh_addr):
             if mtype == 0x0001:  # dataspace
                 ver, rank = body[0], body[1]
@@ -353,16 +550,52 @@ class PureH5:
                     )
             elif mtype == 0x0008:  # layout
                 ver, lclass = body[0], body[1]
-                if ver != 3 or lclass != 1:
+                if ver != 3 or lclass not in (1, 2):
                     raise ValueError(
-                        f"dataset {name!r}: only data layout v3 class 1 "
-                        "(contiguous) is supported — chunked/compressed "
-                        "files need h5py"
+                        f"dataset {name!r}: only data layout v3 class 1/2 "
+                        "(contiguous/chunked) is supported — install h5py "
+                        "for this file"
                     )
-                (addr,) = struct.unpack_from("<Q", body, 2)
+                if lclass == 1:
+                    (addr,) = struct.unpack_from("<Q", body, 2)
+                else:  # chunked: dimensionality, B-tree addr, chunk dims
+                    ndims = body[2]
+                    (addr,) = struct.unpack_from("<Q", body, 3)
+                    dims = struct.unpack_from(f"<{ndims}I", body, 11)
+                    chunk_dims = tuple(dims[:-1])  # last = element size
+            elif mtype == 0x000B:  # filter pipeline
+                filters = self._parse_filter_pipeline(body, name)
         if shape is None or kind is None or addr is None:
             raise ValueError(f"dataset {name!r}: incomplete object header")
-        return shape, kind, addr
+        if filters and chunk_dims is None:
+            raise ValueError(f"dataset {name!r}: filters without chunking")
+        return shape, kind, addr, chunk_dims, filters
+
+    def _parse_filter_pipeline(self, body: bytes, name: str) -> list[tuple[int, tuple[int, ...]]]:
+        """→ write-order [(filter_id, client_data)].  Deflate (1),
+        shuffle (2) and fletcher32 (3) are understood; anything else
+        (szip 4, nbit 5, scaleoffset 6, registered ids) raises."""
+        ver, nf = body[0], body[1]
+        if ver != 1:
+            raise ValueError(
+                f"dataset {name!r}: filter pipeline v{ver} is not "
+                "supported (v1 only) — install h5py for this file"
+            )
+        p = 8  # 2-byte header + 6 reserved
+        out = []
+        for _ in range(nf):
+            fid, namelen, _flags, ncd = struct.unpack_from("<HHHH", body, p)
+            p += 8
+            p += _align8(namelen)  # v1 names are 8-byte padded
+            cd = struct.unpack_from(f"<{ncd}I", body, p)
+            p += 4 * ncd + (4 if ncd % 2 else 0)
+            if fid not in (1, 2, 3):
+                raise ValueError(
+                    f"dataset {name!r}: unsupported filter id {fid} — "
+                    "only deflate/shuffle/fletcher32 are implemented"
+                )
+            out.append((fid, cd))
+        return out
 
     # -- data access
 
@@ -375,13 +608,119 @@ class PureH5:
     def read(self, name: str, start: int = 0, count: int | None = None):
         import numpy as np
 
-        shape, kind, addr = self.datasets[name]
+        shape, kind, addr, chunk_dims, filters = self.datasets[name]
         n = shape[0] if shape else 1
         if count is None:
             count = n - start
         row = _DT_SIZE[kind]
         for d in shape[1:]:
             row *= d
-        raw = self._at(addr + start * row, count * row)
-        arr = np.frombuffer(raw, dtype=_DT_NUMPY[kind])
-        return arr.reshape((count,) + tuple(shape[1:]))
+        if chunk_dims is None:
+            raw = self._at(addr + start * row, count * row)
+            return np.frombuffer(raw, dtype=_DT_NUMPY[kind]).reshape(
+                (count,) + tuple(shape[1:])
+            )
+        # chunked: touch only the chunks overlapping [start, start+count)
+        # on the leading dim — still O(range), never O(file)
+        if tuple(chunk_dims[1:]) != tuple(shape[1:]):
+            raise ValueError(
+                f"dataset {name!r}: chunks split non-leading dimensions "
+                f"({chunk_dims} vs {shape}) — install h5py for this file"
+            )
+        c0 = chunk_dims[0]
+        if name not in self._chunk_index:
+            idx: dict[int, tuple[int, int, int]] = {}
+            self._walk_chunk_btree(addr, len(shape) + 1, idx)
+            self._chunk_index[name] = idx
+        index = self._chunk_index[name]
+        elem = _DT_SIZE[kind]
+        csize = c0 * row
+        out = bytearray()
+        pos = start
+        end = start + count
+        while pos < end:
+            coff = (pos // c0) * c0
+            entry = index.get(coff)
+            if entry is None:
+                raise ValueError(
+                    f"dataset {name!r}: chunk at offset {coff} missing "
+                    "from the B-tree index"
+                )
+            nbytes, caddr, mask = entry
+            blk = self._decode_chunk(
+                self._at(caddr, nbytes), filters, elem, mask, csize, name
+            )
+            lo = pos - coff
+            hi = min(end - coff, c0)
+            out += blk[lo * row : hi * row]
+            pos = coff + hi
+        return np.frombuffer(bytes(out), dtype=_DT_NUMPY[kind]).reshape(
+            (count,) + tuple(shape[1:])
+        )
+
+    def _walk_chunk_btree(
+        self, addr: int, ndims: int, out: dict[int, tuple[int, int, int]]
+    ) -> None:
+        """v1 raw-data B-tree (node type 1) → {leading-dim chunk
+        offset: (stored nbytes, data addr, filter mask)}."""
+        head = self._at(addr, 24)
+        if head[:4] != b"TREE":
+            raise ValueError("bad chunk B-tree node signature")
+        ntype, level, used = struct.unpack_from("<BBH", head, 4)
+        if ntype != 1:
+            raise ValueError("expected a raw-data (type 1) B-tree node")
+        keysz = 8 + 8 * ndims
+        body = self._at(addr + 24, (used + 1) * keysz + used * 8)
+        p = 0
+        for _ in range(used):
+            nbytes, mask = struct.unpack_from("<II", body, p)
+            (off0,) = struct.unpack_from("<Q", body, p + 8)
+            (child,) = struct.unpack_from("<Q", body, p + keysz)
+            if level > 0:
+                self._walk_chunk_btree(child, ndims, out)
+            else:
+                out[off0] = (nbytes, child, mask)
+            p += keysz + 8
+
+    def _decode_chunk(
+        self,
+        blob: bytes,
+        filters: list[tuple[int, tuple[int, ...]]],
+        elem: int,
+        mask: int,
+        csize: int,
+        name: str,
+    ) -> bytes:
+        """Undo the filter pipeline (write-order list, applied in
+        reverse; mask bit i set ⇒ filter i was skipped for this
+        chunk)."""
+        import numpy as np
+
+        for i in range(len(filters) - 1, -1, -1):
+            if mask & (1 << i):
+                continue
+            fid, cd = filters[i]
+            if fid == 1:  # deflate
+                import zlib
+
+                blob = zlib.decompress(blob)
+            elif fid == 2:  # shuffle: byte de-interleave
+                sz = cd[0] if cd else elem
+                blob = (
+                    np.frombuffer(blob, dtype=np.uint8)
+                    .reshape(sz, -1)
+                    .T.tobytes()
+                )
+            elif fid == 3:  # fletcher32: verify + strip the checksum
+                data, (stored,) = blob[:-4], struct.unpack("<I", blob[-4:])
+                if _fletcher32(data) != stored:
+                    raise ValueError(
+                        f"dataset {name!r}: fletcher32 checksum mismatch"
+                    )
+                blob = data
+        if len(blob) != csize:
+            raise ValueError(
+                f"dataset {name!r}: decoded chunk is {len(blob)} bytes, "
+                f"expected {csize}"
+            )
+        return blob

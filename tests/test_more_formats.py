@@ -362,16 +362,162 @@ class TestHdf5Vendored:
         p2.write_bytes(bytes(bad))
         with _pytest.raises(ValueError, match="h5py"):
             PureH5(str(p2))
-        # chunked layout (class 2) → refusal
+        # COMPACT layout (class 0) → refusal naming h5py (chunked,
+        # class 2, is supported since round 6)
         i = bytes(raw).find(_s.pack("<BB", 3, 1), 96)  # layout v3 class 1
         bad2 = bytearray(raw)
-        bad2[i + 1] = 2
-        p3 = tmp_path / "chunked.h5"
+        bad2[i + 1] = 0
+        p3 = tmp_path / "compact.h5"
         p3.write_bytes(bytes(bad2))
-        with _pytest.raises(ValueError, match="contiguous"):
+        with _pytest.raises(ValueError, match="h5py"):
             PureH5(str(p3))
         # not an HDF5 file
         with _pytest.raises(ValueError, match="signature"):
             p4 = tmp_path / "junk.h5"
             p4.write_bytes(b"junkjunkjunk")
             PureH5(str(p4))
+
+    def test_chunked_deflate_roundtrip(self, tmp_path):
+        """Chunked + shuffle/deflate read-write (VERDICT r5 item 5):
+        v1 raw-data B-tree chunk index + the filter pipeline, both
+        from the public spec — the layout h5py/mdtraj actually write
+        for real trajectories."""
+        import numpy as np
+
+        from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+        rng = np.random.default_rng(29)
+        a = rng.standard_normal((17, 5, 3)).astype("<f4")
+        b = (rng.standard_normal((23,)) * 100).astype("<f8")
+        c = rng.integers(-1000, 1000, (9, 4)).astype("<i2")
+        path = str(tmp_path / "c.h5")
+        write_h5(
+            path,
+            {
+                "plain": (a.shape, "f32", a.tobytes()),
+                "gz": (b.shape, "f64", b.tobytes()),
+                "shgz": (c.shape, "i16", c.tobytes()),
+            },
+            chunks={"plain": 4, "gz": 7, "shgz": 9},
+            filters={"gz": ["gzip"], "shgz": ["shuffle", "gzip"]},
+        )
+        with PureH5(path) as f:
+            np.testing.assert_array_equal(f.read("plain"), a)
+            np.testing.assert_array_equal(f.read("gz"), b)
+            np.testing.assert_array_equal(f.read("shgz"), c)
+            # partial reads: chunk-interior, boundary-crossing, edge
+            np.testing.assert_array_equal(f.read("plain", 3, 9), a[3:12])
+            np.testing.assert_array_equal(f.read("gz", 6, 10), b[6:16])
+            np.testing.assert_array_equal(f.read("plain", 16, 1), a[16:17])
+
+    def test_chunked_golden_bytes(self, tmp_path):
+        """Spec-pinned bytes for the chunked structures: layout
+        message v3 class 2 with the element size as the trailing
+        dimension, a type-1 B-tree node, and a filter pipeline v1
+        with deflate id 1 — a writer+reader agreeing on a WRONG
+        layout would still fail here."""
+        import struct as _s
+
+        import numpy as np
+
+        from dask_traj_spark.sources.hdf5_pure import write_h5
+
+        path = str(tmp_path / "g2.h5")
+        data = np.arange(24, dtype="<f4")
+        write_h5(
+            path, {"d": ((8, 3), "f32", data.tobytes())},
+            chunks={"d": 4}, filters={"d": ["gzip"]}, level=6,
+        )
+        raw = open(path, "rb").read()
+        # layout message: version 3, class 2 (chunked), ndims=rank+1,
+        # then after the 8-byte B-tree address: chunk dims (4, 3) and
+        # element size 4 as u32s
+        i = raw.find(_s.pack("<BBB", 3, 2, 3), 96)
+        assert i > 0
+        assert _s.unpack_from("<III", raw, i + 11) == (4, 3, 4)
+        # exactly one type-1 (raw data) B-tree node, level 0
+        nodes = [
+            j for j in range(len(raw) - 8)
+            if raw[j:j + 4] == b"TREE" and raw[j + 4] == 1
+        ]
+        assert len(nodes) == 1
+        assert raw[nodes[0] + 5] == 0  # leaf
+        assert _s.unpack_from("<H", raw, nodes[0] + 6)[0] == 2  # 2 chunks
+        # filter pipeline v1 with one filter, id 1 (deflate), level 6
+        fp = raw.find(_s.pack("<HHHH", 1, 0, 0, 1), 96)
+        assert fp > 0
+        assert _s.unpack_from("<I", raw, fp + 8)[0] == 6
+
+    def test_fletcher32_verify_and_gates(self, tmp_path):
+        """fletcher32 decode (verify+strip, the HDF5 library's
+        big-endian-word variant) and the honest gates: unknown
+        filter ids and filter-pipeline tampering raise descriptive
+        errors instead of guessing."""
+        import struct as _s
+
+        import numpy as np
+        import pytest as _pytest
+
+        from dask_traj_spark.sources.hdf5_pure import (
+            PureH5,
+            _fletcher32,
+            write_h5,
+        )
+
+        # decode path: synthetic chunk with a stored checksum
+        payload = np.arange(6, dtype="<f4").tobytes()
+        blob = payload + _s.pack("<I", _fletcher32(payload))
+        path = str(tmp_path / "f.h5")
+        write_h5(
+            path, {"d": ((6,), "f32", payload)}, chunks={"d": 6},
+        )
+        with PureH5(path) as f:
+            ok = f._decode_chunk(blob, [(3, ())], 4, 0, len(payload), "d")
+            assert ok == payload
+            with _pytest.raises(ValueError, match="fletcher32"):
+                f._decode_chunk(
+                    blob[:-1] + b"\xff", [(3, ())], 4, 0, len(payload), "d"
+                )
+        # szip (id 4) in the pipeline → descriptive refusal
+        raw = bytearray(open(path, "rb").read())
+        pgz = str(tmp_path / "gz.h5")
+        write_h5(
+            pgz, {"d": ((6,), "f32", payload)}, chunks={"d": 6},
+            filters={"d": ["gzip"]},
+        )
+        graw = bytearray(open(pgz, "rb").read())
+        fp = bytes(graw).find(_s.pack("<HHHH", 1, 0, 0, 1), 96)
+        graw[fp:fp + 2] = _s.pack("<H", 4)  # deflate → szip
+        psz = tmp_path / "szip.h5"
+        psz.write_bytes(bytes(graw))
+        with _pytest.raises(ValueError, match="filter id 4"):
+            PureH5(str(psz))
+
+    def test_h5_sink_chunked_gzip_load(self, spark, tmp_path):
+        """End-to-end: the .h5 sink writing CHUNKED+shuffle+deflate
+        coordinates, loaded back through the public extension
+        dispatch — the exact shape a real mdtraj-written .h5 file
+        has."""
+        import numpy as np
+
+        from dask_traj_spark.sources.hdf5 import write_h5_traj
+        from dask_traj_spark.sources.loaders import load
+        from dask_traj_spark.trajectory import Trajectory
+
+        rng = np.random.default_rng(31)
+        nf, na = 11, 5
+        xyz = rng.uniform(0, 2, (nf, na, 3)).astype(np.float32)
+        rows = [
+            (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+            for f in range(nf) for a in range(na)
+        ]
+        traj = Trajectory(spark.createDataFrame(
+            rows, "frame_id long, atom_id int, x float, y float, z float"
+        ))
+        path = str(tmp_path / "traj_gz.h5")
+        write_h5_traj(traj, path, chunk_frames=3, gzip=True)
+        back = load(path, chunks=4)
+        got = back.coords.orderBy("frame_id", "atom_id").toPandas()
+        np.testing.assert_array_equal(
+            got[["x", "y", "z"]].to_numpy(np.float32), xyz.reshape(-1, 3)
+        )
