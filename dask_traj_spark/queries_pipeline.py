@@ -1123,6 +1123,22 @@ def q_pairwise_rmsd(spark, sf_dir):
     return pairwise_rmsd(trajectory_from_embeddings(spark, sf_dir))
 
 
+@register("x16b_pairwise_rmsd_blocked", _x16_oracle())
+def q_pairwise_rmsd_blocked(spark, sf_dir):
+    """The ≫10⁴-frame physical shape of x16 — blocked-gram matmul
+    (tile-pair tasks, dense float64 gram per task) — value-gated
+    against the SAME brute-force oracle as the SQL form.  block=8
+    splits the 21-frame gate corpus into 3 tiles / 6 tile pairs, so
+    the tile-pair plumbing (broadcast pair table, two-sided row
+    shipping, diagonal-tile i<j masking) is all exercised."""
+    from dask_traj_spark.operators.rmsd import pairwise_rmsd_blocked
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    return pairwise_rmsd_blocked(
+        trajectory_from_embeddings(spark, sf_dir), block=8
+    )
+
+
 def _rmsd_topk_oracle() -> str:
     inner = _rmsd_oracle().strip()
     return f"""

@@ -579,6 +579,32 @@ def test_pairwise_rmsd_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan  # per-frame stats broadcast
 
 
+def test_pairwise_rmsd_blocked_plan(spark):
+    """x16b: rows reach the tile-pair gram through BROADCAST joins
+    with the tiny pair table (never a row-level cartesian/shuffle
+    join), and the only wide exchange feeds the applyInPandas
+    gram — the blocked-matmul 100-TB shape."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import pairwise_rmsd_blocked
+    from dask_traj_spark.plans.audit import formatted_plan
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f, a, float(v[0]), float(v[1]), float(v[2]))
+        for f in range(9) for a, v in enumerate(rng.uniform(0, 1, (6, 3)))
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    plan = formatted_plan(pairwise_rmsd_blocked(traj, block=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # coords × tiny tile-pair table
+    assert "FlatMapGroupsInPandas" in plan  # the tile-pair gram
+
+
 def test_count_min_no_python_and_bounded_shuffle(spark):
     """t14: the sketch is pure SQL (no Python eval); the cell
     groupBy is the only wide operation."""

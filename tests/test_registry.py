@@ -65,11 +65,13 @@ MUST_SCORE_R6 = [
     "x8_dihedrals",
     "x9_msd",
     "e6_cohort_retention",
-    # the 4 stalest relational shapes (last green round 2)
+    # new this round — never scored, first evidence now
+    "x16b_pairwise_rmsd_blocked",
+    # the 3 stalest relational shapes (last green round 2; r6 gave
+    # its slot to x16b and heads the round-7 debt list)
     "r3_rollup_acctbal",
     "r4_running_revenue_window",
     "r5_semi_anti_join",
-    "r6_intersect_status",
 ]
 
 

@@ -200,3 +200,48 @@ def test_pairwise_rmsd_consistent_with_frame_rmsd(spark):
     # — still engine-identical, which is what the gate checks
     assert mat[(2, 6)] < 1e-7
 
+
+
+def test_rmsd_blocked_matches_sql(spark):
+    """The blocked-gram matmul path must reproduce the SQL
+    sufficient-statistics form BIT-FOR-BIT: its matmul sums are
+    exact dyadic values and the post-division expression mirrors the
+    SQL operation order, so any deviation is a real plumbing bug
+    (lost tile, frame double-shipped, wrong i<j mask), not noise.
+    block=3 on 10 frames exercises interior, diagonal and ragged
+    edge tiles."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import (
+        pairwise_rmsd,
+        pairwise_rmsd_blocked,
+    )
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(59)
+    nf, na = 10, 30
+    xyz = np.round(rng.uniform(0, 2, (nf, na, 3)) * 4096) / 4096
+    rows = [
+        (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+        for f in range(nf) for a in range(na)
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    want = {
+        (r["frame_i"], r["frame_j"]): r["rmsd"]
+        for r in pairwise_rmsd(traj).collect()
+    }
+    got = {
+        (r["frame_i"], r["frame_j"]): r["rmsd"]
+        for r in pairwise_rmsd_blocked(traj, block=3).collect()
+    }
+    assert set(got) == set(want) and len(got) == nf * (nf - 1) // 2
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    # one-tile degenerate case (block > n_frames) must also agree
+    got1 = {
+        (r["frame_i"], r["frame_j"]): r["rmsd"]
+        for r in pairwise_rmsd_blocked(traj, block=64).collect()
+    }
+    assert got1 == want
