@@ -317,14 +317,27 @@ def main() -> None:
 
         # MinHash-LSH near-dup at 1x and 10x: the bucketed-join shape
         # whose skew caps are the 100-TB posture claim — replicated
-        # ids are the adversarial case (every bucket 10x deeper)
-        t0 = time.time()
-        _noop(near_duplicates_minhash(docs, threshold=0.8))
-        t_d2 = time.time() - t0
-        times["d2_minhash_lsh"] = round(t_d2, 3)
-        t0 = time.time()
-        _noop(near_duplicates_minhash(docs10, threshold=0.8))
-        scale["d2_minhash_lsh_10x"] = round(time.time() - t0, 3)
+        # ids are the adversarial case (every bucket 10x deeper).
+        # Best-of-3 with recorded iterations AND its own cpu-probe
+        # bracket (VERDICT r5 item 3: the single-shot r5 numbers
+        # regressed 3-6x on a visibly throttling host and could not
+        # be adjudicated without per-iteration + probe evidence).
+        scale["probe_before_d2_s"] = _cpu_probe()
+        its_d2 = []
+        for _ in range(3):
+            t0 = time.time()
+            _noop(near_duplicates_minhash(docs, threshold=0.8))
+            its_d2.append(round(time.time() - t0, 3))
+        iters["d2_minhash_lsh"] = its_d2
+        times["d2_minhash_lsh"] = min(its_d2)
+        its_d2_10 = []
+        for _ in range(3):
+            t0 = time.time()
+            _noop(near_duplicates_minhash(docs10, threshold=0.8))
+            its_d2_10.append(round(time.time() - t0, 3))
+        scale["d2_minhash_lsh_10x_iters"] = its_d2_10
+        scale["d2_minhash_lsh_10x"] = min(its_d2_10)
+        scale["probe_after_d2_s"] = _cpu_probe()
 
         # 10x sequence packing: the distributed prefix sum's scale
         # evidence (range partition -> local cumsum -> offsets) —

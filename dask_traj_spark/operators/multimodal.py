@@ -377,13 +377,13 @@ def decode_and_featurize(media: DataFrame, strict: bool = False) -> DataFrame:
     - ``audio/wav`` → real stdlib WAV decode (``decode_wav``):
       width = frames, height = 1, channels from the fmt chunk,
       features = first FEATURE_DIM samples / 32768.
-    - ``image/jpeg`` → real pure-stdlib baseline JPEG decode
-      (``decode_jpeg``: Huffman + dequant + IDCT).
+    - ``image/jpeg`` → real pure-stdlib JPEG decode (``decode_jpeg``:
+      Huffman + dequant + IDCT; baseline AND progressive, with
+      restart intervals).
     - anything else → the DETERMINISTIC stub ("dimensions" from the
       byte length, features from the byte head), unless
       ``strict=True``, which raises NotImplementedError instead of
-      silently faking (MP4/progressive-JPEG need ffmpeg/PIL, absent
-      here).
+      silently faking (MP4 video needs ffmpeg, absent here).
     """
     import numpy as np
     import pandas as pd
@@ -1008,12 +1008,15 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ----------------------------------------------------- baseline JPEG
 # Pure stdlib+numpy baseline JFIF codec (ITU-T T.81 is public).  The
 # DECODER is general baseline sequential: segment walk, 8-bit DQT,
-# SOF0 up to 3 components with 4:4:4 or 4:2:0 sampling, canonical
-# Huffman tables reconstructed from DHT, byte-unstuffed entropy
-# reader, (run,size) AC run-lengths with ZRL/EOB, dequant →
-# de-zigzag → float64 IDCT → level shift → clamp, nearest-neighbor
-# chroma upsample, JFIF YCbCr→RGB.  Progressive (SOF2), arithmetic
-# coding, 12-bit precision and restart intervals raise ValueError —
+# SOF0/1 AND progressive SOF2 up to 3 components with 4:4:4 or
+# 4:2:0 sampling, canonical Huffman tables reconstructed from DHT
+# (snapshotted per scan), byte-unstuffed entropy reader, (run,size)
+# AC run-lengths with ZRL/EOB, the four progressive scan classes
+# (DC/AC × first/refinement, EOBn runs — T.81 Annex G), restart
+# intervals (DRI/RSTn) in both modes, dequant → de-zigzag →
+# vectorized float64 IDCT → level shift → clamp, nearest-neighbor
+# chroma upsample, JFIF YCbCr→RGB.  Arithmetic coding, 12-bit
+# precision, lossless and hierarchical modes raise ValueError —
 # honest gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
@@ -1087,6 +1090,13 @@ class _BitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1s per spec
         return bytes(self.buf)
 
+    def restart(self, idx: int) -> None:
+        """Close a restart interval: 1-pad to a byte boundary, then
+        emit RST(idx mod 8) directly (markers are never stuffed)."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _jpeg_category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -1122,22 +1132,9 @@ def _jpeg_encode_block(coefs, dc_map, ac_map, pred, w: "_BitWriter") -> int:
     return int(coefs[0])
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 1,
-    quant: int = 1,
-    subsampling: str = "444",
-) -> bytes:
-    """Build a real baseline JFIF JPEG.  ``pixels`` is the top-down
-    row-major byte string (gray for channels=1, RGB interleaved for
-    channels=3); short input zero-pads; dims must be block-aligned
-    (multiples of 8, or 16 for luma when subsampling='420').  A flat
-    quantization table of ``quant`` is declared in DQT; with
-    quant=1, blocks whose spatial content is CONSTANT round-trip
-    bit-exactly (their only nonzero coefficient, the DC, is an exact
-    integer) — the property the oracle gate builds on."""
+def _jpeg_prepare(width, height, pixels, channels, subsampling):
+    """Shared encoder front half: validate dims, RGB→YCbCr, chroma
+    subsample → (planes, samp)."""
     import numpy as np
 
     if channels not in (1, 3):
@@ -1172,7 +1169,76 @@ def encode_jpeg(
             )
     else:
         samp = [(1, 1)] * channels
+    return planes, samp
 
+
+def _jpeg_block_coefs(planes, samp, qt):
+    """Quantized zigzag DCT coefficients for every 8×8 block of every
+    plane → list of (bh, bw, 64) int arrays."""
+    import numpy as np
+
+    c = _jpeg_dct_mat()
+    out = []
+    for plane in planes:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f = c @ blk @ c.T
+                zz = np.array([f[r_, c_] for r_, c_ in _JPEG_ZZ])
+                arr[by, bx] = np.round(zz / qt).astype(np.int64)
+        out.append(arr)
+    return out
+
+
+def _jpeg_headers(width, height, channels, samp, qt, sof_marker):
+    """SOI → APP0 → DQT → SOF → DHT×2 prefix shared by the baseline
+    and progressive encoders."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci, (hi, vi) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0)
+    out += seg(sof_marker, sof)
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )
+    out += seg(
+        0xFFC4,
+        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    return out, seg
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 1,
+    subsampling: str = "444",
+    restart_mcus: int = 0,
+) -> bytes:
+    """Build a real baseline JFIF JPEG.  ``pixels`` is the top-down
+    row-major byte string (gray for channels=1, RGB interleaved for
+    channels=3); short input zero-pads; dims must be block-aligned
+    (multiples of 8, or 16 for luma when subsampling='420').  A flat
+    quantization table of ``quant`` is declared in DQT; with
+    quant=1, blocks whose spatial content is CONSTANT round-trip
+    bit-exactly (their only nonzero coefficient, the DC, is an exact
+    integer) — the property the oracle gate builds on.
+    ``restart_mcus`` > 0 declares a DRI restart interval and emits
+    RSTn markers (with DC-predictor resets) every that many MCUs."""
+    import numpy as np
+
+    planes, samp = _jpeg_prepare(width, height, pixels, channels, subsampling)
     qt = np.full(64, int(quant), dtype=np.int64)
     c = _jpeg_dct_mat()
     dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -1188,8 +1254,15 @@ def encode_jpeg(
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
     preds = [0] * channels
+    nmcu = 0
+    rst = 0
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
+            if restart_mcus and nmcu and nmcu % restart_mcus == 0:
+                w.restart(rst)
+                rst += 1
+                preds = [0] * channels
+            nmcu += 1
             for ci, (hi, vi) in enumerate(samp):
                 for v in range(vi):
                     for h in range(hi):
@@ -1201,30 +1274,137 @@ def encode_jpeg(
                         )
     scan = w.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for ci, (hi, vi) in enumerate(samp):
-        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0)
-    out += seg(0xFFC0, sof)
-    out += seg(
-        0xFFC4,
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
-    )
-    out += seg(
-        0xFFC4,
-        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
+    out, seg = _jpeg_headers(width, height, channels, samp, qt, 0xFFC0)
+    if restart_mcus:
+        out += seg(0xFFDD, struct.pack(">H", restart_mcus))
     sos = struct.pack(">B", channels)
     for ci in range(channels):
         sos += struct.pack(">BB", ci + 1, 0x00)
     sos += b"\x00\x3f\x00"
     out += seg(0xFFDA, sos)
     out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 1,
+    subsampling: str = "444",
+    dc_split: bool = False,
+) -> bytes:
+    """Fixture-grade PROGRESSIVE (SOF2) JFIF encoder: one interleaved
+    DC scan, then one full-band AC scan (Ss=1..63) per component —
+    the minimal legal spectral-selection progression.  ``dc_split``
+    additionally exercises successive approximation: the DC scan
+    carries the values >> 1 (Al=1) and a second DC scan (Ah=1)
+    refines the low bit, one raw bit per block.  Same flat-DQT /
+    block-aligned contract as :func:`encode_jpeg`; decoded output is
+    identical to the baseline encoding of the same pixels (the
+    progression reorders bits, not information)."""
+    import numpy as np
+
+    planes, samp = _jpeg_prepare(width, height, pixels, channels, subsampling)
+    qt = np.full(64, int(quant), dtype=np.int64)
+    coefs = _jpeg_block_coefs(planes, samp, qt)
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = width // (8 * hmax)
+    mcuy = height // (8 * vmax)
+    al0 = 1 if dc_split else 0
+
+    def dc_blocks():
+        """DC-scan block order: interleaved MCU order for ns>1, the
+        component's own raster order for ns==1 (T.81 A.2.2)."""
+        if channels == 1:
+            bh, bw = coefs[0].shape[:2]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield 0, by, bx
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hi, vi) in enumerate(samp):
+                        for v in range(vi):
+                            for h in range(hi):
+                                yield ci, my * vi + v, mx * hi + h
+
+    # scan 1: DC first (Ah=0, Al=al0) — huffman diffs of dc >> al0
+    w = _BitWriter()
+    preds = [0] * channels
+    for ci, by, bx in dc_blocks():
+        dc = int(coefs[ci][by, bx, 0]) >> al0
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = _jpeg_category(diff)
+        code, length = dc_map[s]
+        w.write(code, length)
+        if s:
+            amp = diff if diff > 0 else diff + (1 << s) - 1
+            w.write(amp, s)
+    dc_first = w.flush()
+
+    dc_refine = None
+    if dc_split:  # scan 2: DC refinement (Ah=1, Al=0), raw bits
+        w = _BitWriter()
+        for ci, by, bx in dc_blocks():
+            w.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+        dc_refine = w.flush()
+
+    # per-component AC scans (Ss=1..63, Ah=Al=0): baseline AC
+    # run-length coding, EOB doubling as the EOB1 run code
+    ac_scans = []
+    for ci in range(channels):
+        w = _BitWriter()
+        bh, bw = coefs[ci].shape[:2]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coefs[ci][by, bx]
+                run = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_map[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    s = _jpeg_category(v)
+                    code, length = ac_map[(run << 4) | s]
+                    w.write(code, length)
+                    amp = v if v > 0 else v + (1 << s) - 1
+                    w.write(amp, s)
+                    run = 0
+                if run:
+                    code, length = ac_map[0x00]  # EOB run of 1
+                    w.write(code, length)
+        ac_scans.append(w.flush())
+
+    out, seg = _jpeg_headers(width, height, channels, samp, qt, 0xFFC2)
+    sos = struct.pack(">B", channels)
+    for ci in range(channels):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += bytes([0, 0, al0])  # Ss=0 Se=0 Ah=0 Al=al0
+    out += seg(0xFFDA, sos)
+    out += dc_first
+    if dc_refine is not None:
+        sos = struct.pack(">B", channels)
+        for ci in range(channels):
+            sos += struct.pack(">BB", ci + 1, 0x00)
+        sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+        out += seg(0xFFDA, sos)
+        out += dc_refine
+    for ci in range(channels):
+        sos = struct.pack(">B", 1) + struct.pack(">BB", ci + 1, 0x00)
+        sos += bytes([1, 63, 0])  # Ss=1 Se=63 Ah=0 Al=0
+        out += seg(0xFFDA, sos)
+        out += ac_scans[ci]
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1242,17 +1422,13 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed byte
-            elif nxt == 0xD9:  # EOI reached mid-read: spec allows
-                self.pos += 0  # 1-padding; feed 0xFF without consuming
+            else:  # any marker mid-read (EOI, RSTn, next-scan SOS …):
+                # feed 1-padding without consuming — the spec pads the
+                # tail of an entropy segment with 1 bits, and restart
+                # boundaries are consumed explicitly via restart()
                 self.acc = (self.acc << 8) | 0xFF
                 self.n += 8
-                self.pos += 0
                 return
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xff{nxt:02x} in entropy data "
-                    "(restart intervals are not supported)"
-                )
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
@@ -1264,6 +1440,19 @@ class _BitReader:
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
         return v
+
+    def restart(self) -> None:
+        """Byte-align, drop buffered pad bits and consume the RSTn
+        marker that terminates a restart interval."""
+        self.acc = 0
+        self.n = 0
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and 0xD0 <= self.data[p + 1] <= 0xD7:
+                self.pos = p + 2
+                return
+            p += 1
+        raise ValueError("missing restart marker in entropy data")
 
 
 def _huff_decode_tables(bits, vals):
@@ -1305,13 +1494,126 @@ def _receive_extend(rd: "_BitReader", s: int) -> int:
     return v
 
 
+def _jpeg_scan_end(data: bytes, p: int) -> int:
+    """First byte of the next marker after an entropy-coded segment
+    (skipping stuffed 0xFF00 and restart markers)."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _jpeg_decode_dc_first(rd, coefs, preds, cid, dct_tab, al):
+    s = _huff_read(rd, dct_tab)
+    preds[cid] += _receive_extend(rd, s)
+    coefs[0] = preds[cid] << al
+
+
+def _jpeg_decode_ac_first(rd, coefs, act_tab, ss, se, al, eobrun):
+    """T.81 G.1.2.2: AC first scan of a spectral band — baseline
+    run-length coding plus EOBn run codes.  Returns the EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(rd, act_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.bits(r)
+                break
+            k += 16
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            coefs[k] = _receive_extend(rd, s) << al
+            k += 1
+    return eobrun
+
+
+def _jpeg_decode_ac_refine(rd, coefs, act_tab, ss, se, al, eobrun):
+    """T.81 G.1.2.3 (the libjpeg decode_mcu_AC_refine shape):
+    correction bits for already-nonzero coefficients, newly
+    significant coefficients at ±2^Al, EOB runs carrying correction
+    bits through the rest of the band.  Returns the EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_read(rd, act_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # r == 15: run of 16 zero-history positions, s stays 0
+                new = 0
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement amplitude")
+                new = p1 if rd.bits(1) else m1
+            while k <= se:
+                if coefs[k] != 0:
+                    if rd.bits(1) and (coefs[k] & p1) == 0:
+                        coefs[k] += p1 if coefs[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new and k <= se:
+                coefs[k] = new
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                if rd.bits(1) and (coefs[k] & p1) == 0:
+                    coefs[k] += p1 if coefs[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_baseline_block(rd, coefs, preds, cid, dct_tab, act_tab):
+    s = _huff_read(rd, dct_tab)
+    preds[cid] += _receive_extend(rd, s)
+    coefs[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = _huff_read(rd, act_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        coefs[k] = _receive_extend(rd, s)
+        k += 1
+
+
 def decode_jpeg(data: bytes):
-    """Parse a baseline sequential JFIF JPEG → (width, height,
-    channels, pixels): top-down row-major bytes, gray or RGB
-    interleaved.  General baseline decode — tables and sampling
-    factors come from the stream, not from assumptions about our
-    encoder.  Raises ValueError on progressive/12-bit/arithmetic/
-    restart-interval streams instead of guessing."""
+    """Parse a JFIF JPEG → (width, height, channels, pixels):
+    top-down row-major bytes, gray or RGB interleaved.  Supports
+    baseline sequential (SOF0/SOF1) and PROGRESSIVE (SOF2 — DC
+    first/refinement and AC first/refinement scans with EOBn runs,
+    T.81 Annex G), with restart intervals (DRI + RSTn) in both
+    modes.  Tables and sampling factors come from the stream, and
+    Huffman tables are snapshotted per scan (progressive streams
+    redefine them between scans).  Raises ValueError on
+    lossless/12-bit/arithmetic/hierarchical streams instead of
+    guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -1320,10 +1622,14 @@ def decode_jpeg(data: bytes):
     qts: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], tuple] = {}
     sof = None
-    scan_comps = None
+    progressive = False
+    dri = 0
+    scans = []  # (scan_comps, ss, se, ah, al, entropy_start, tables, dri)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at offset {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker are legal
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1349,7 +1655,8 @@ def decode_jpeg(data: bytes):
                 vals = list(body[bp + 17 : bp + 17 + n])
                 huff[(tc, th)] = _huff_decode_tables(bits, vals)
                 bp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -1358,23 +1665,35 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             sof = (w_, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG "
+                "are supported"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) are not supported")
+        elif marker == 0xDD:  # DRI — restart interval (may change)
+            (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            pos += seglen
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            if progressive and (ss == 0) != (se == 0):
+                raise ValueError(
+                    "invalid progressive spectral selection (a scan is "
+                    "either DC-only Ss=Se=0 or an AC band Ss>=1)"
+                )
+            start = pos + seglen
+            scans.append(
+                (scan_comps, ss, se, a >> 4, a & 0x0F, start, dict(huff), dri)
+            )
+            pos = _jpeg_scan_end(data, start)
+            continue
         pos += seglen
-    if sof is None or scan_comps is None:
+    if sof is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
     width, height, comps = sof
@@ -1385,47 +1704,100 @@ def decode_jpeg(data: bytes):
         raise ValueError("unsupported sampling-factor combination")
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    # full MCU-padded coefficient store per component; non-interleaved
+    # scans cover only the ceil(comp_dim/8) sub-grid of it
+    coef = {
+        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for cid, hi, vi, tq in comps
+    }
+
+    for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
+        rd = _BitReader(data, start)
+        preds = {cid: 0 for cid, _, _, _ in comps}
+        eobrun = 0
+        if len(scomps) == 1:
+            # non-interleaved: MCU = one data unit, grid is the
+            # component's own ceil grid (T.81 A.2.2)
+            cid, dct, act = scomps[0]
+            hi, vi, _tq = comp_by_id[cid]
+            cw = -(-width * hi // hmax)
+            chh = -(-height * vi // vmax)
+            bw = -(-cw // 8)
+            bh = -(-chh // 8)
+            nunit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri_scan and nunit and nunit % dri_scan == 0:
+                        rd.restart()
+                        preds = {c_: 0 for c_ in preds}
+                        eobrun = 0
+                    nunit += 1
+                    blk = coef[cid][by, bx]
+                    if not progressive:
+                        _jpeg_decode_baseline_block(
+                            rd, blk, preds, cid, htabs[(0, dct)],
+                            htabs[(1, act)],
+                        )
+                    elif ss == 0 and ah == 0:
+                        _jpeg_decode_dc_first(
+                            rd, blk, preds, cid, htabs[(0, dct)], al
+                        )
+                    elif ss == 0:
+                        if rd.bits(1):
+                            blk[0] |= 1 << al
+                    elif ah == 0:
+                        eobrun = _jpeg_decode_ac_first(
+                            rd, blk, htabs[(1, act)], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _jpeg_decode_ac_refine(
+                            rd, blk, htabs[(1, act)], ss, se, al, eobrun
+                        )
+        else:
+            if progressive and ss != 0:
+                raise ValueError("interleaved AC progressive scan is illegal")
+            nunit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri_scan and nunit and nunit % dri_scan == 0:
+                        rd.restart()
+                        preds = {c_: 0 for c_ in preds}
+                        eobrun = 0
+                    nunit += 1
+                    for cid, dct, act in scomps:
+                        hi, vi, _tq = comp_by_id[cid]
+                        for v in range(vi):
+                            for h in range(hi):
+                                blk = coef[cid][my * vi + v, mx * hi + h]
+                                if not progressive:
+                                    _jpeg_decode_baseline_block(
+                                        rd, blk, preds, cid,
+                                        htabs[(0, dct)], htabs[(1, act)],
+                                    )
+                                elif ah == 0:
+                                    _jpeg_decode_dc_first(
+                                        rd, blk, preds, cid,
+                                        htabs[(0, dct)], al,
+                                    )
+                                else:
+                                    if rd.bits(1):
+                                        blk[0] |= 1 << al
+
+    # reconstruction: dequant → de-zigzag → vectorized IDCT over the
+    # whole block grid per component
     cmat = _jpeg_dct_mat()
     zz_r = np.array([r for r, _ in _JPEG_ZZ])
     zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
-    planes = {}
-    for cid, hi, vi, tq in comps:
-        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-    rd = _BitReader(data, pos)
-    preds = {cid: 0 for cid, _, _, _ in comps}
-    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, dct, act in scan_comps:
-                hi, vi, tq = comp_by_id[cid]
-                for v in range(vi):
-                    for h in range(hi):
-                        coefs = np.zeros(64, dtype=np.int64)
-                        s = _huff_read(rd, huff[(0, dct)])
-                        preds[cid] += _receive_extend(rd, s)
-                        coefs[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_read(rd, huff[(1, act)])
-                            r_, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r_ == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r_
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            coefs[k] = _receive_extend(rd, s)
-                            k += 1
-                        f = np.zeros((8, 8), dtype=np.float64)
-                        f[zz_r, zz_c] = coefs * qts[tq]
-                        blk = cmat.T @ f @ cmat + 128.0
-                        by, bx = (my * vi + v) * 8, (mx * hi + h) * 8
-                        planes[cid][by : by + 8, bx : bx + 8] = blk
     out_planes = []
     for cid, hi, vi, tq in comps:
-        p = planes[cid]
+        cz = coef[cid].astype(np.float64) * qts[tq][None, None, :]
+        f = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
+        f[:, :, zz_r, zz_c] = cz
+        blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + 128.0
+        p = blocks.transpose(0, 2, 1, 3).reshape(
+            cz.shape[0] * 8, cz.shape[1] * 8
+        )
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(p[:height, :width])
     if len(out_planes) == 1:

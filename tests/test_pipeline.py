@@ -2175,15 +2175,16 @@ class TestJpegCodec:
 
         data = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
         sof = data.find(b"\xff\xc0")
-        data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with _pytest.raises(ValueError, match="baseline"):
+        # SOF2 is SUPPORTED since round 6, but a baseline-shaped scan
+        # header (Ss=0, Se=63) under it is an illegal progression —
+        # the decoder must refuse rather than misparse
+        data[sof + 1] = 0xC2
+        with _pytest.raises(ValueError, match="spectral"):
             decode_jpeg(bytes(data))
-        # DRI segment rejected
-        clean = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
-        sos = clean.find(b"\xff\xda")
-        dri = b"\xff\xdd\x00\x04\x00\x08"
-        with _pytest.raises(ValueError, match="restart"):
-            decode_jpeg(bytes(clean[:sos]) + dri + bytes(clean[sos:]))
+        # lossless SOF3 still refused
+        data[sof + 1] = 0xC3
+        with _pytest.raises(ValueError, match="SOF"):
+            decode_jpeg(bytes(data))
         with _pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x00\x01\x02")
 
@@ -2222,3 +2223,166 @@ class TestJpegCodec:
         )
         rz = resize_images(df.where("doc_id = 1"), 5, 8).collect()[0]
         assert rz["pixels"] == [t for t in tiles for _ in (0,)] * 8
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) and restart-interval decode — VERDICT r5
+    missing #3.  The progression reorders bits, not information, so
+    every progressive encoding must decode IDENTICALLY to the
+    baseline encoding of the same pixels."""
+
+    def _block_img(self, w, h, ch, seed):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 255, (h // 8, w // 8, ch))
+        return (
+            np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+            .astype(np.uint8)
+            .tobytes()
+        )
+
+    def test_spectral_selection_matches_baseline(self):
+        from dask_traj_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for (w, h, ch, sub) in [
+            (16, 16, 1, "444"), (32, 16, 3, "444"), (32, 32, 3, "420"),
+        ]:
+            px = self._block_img(w, h, ch, seed=w + ch)
+            base = decode_jpeg(encode_jpeg(w, h, px, ch, 1, sub))
+            prog = decode_jpeg(encode_jpeg_progressive(w, h, px, ch, 1, sub))
+            assert prog == base, (w, h, ch, sub)
+
+    def test_dc_successive_approximation(self):
+        """dc_split=True routes through BOTH the DC-first (Al=1) and
+        DC-refinement (Ah=1) decode paths, including negative DC
+        low-bit handling."""
+        from dask_traj_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for (w, h, ch) in [(16, 16, 1), (16, 16, 3)]:
+            px = self._block_img(w, h, ch, seed=71 + ch)
+            base = decode_jpeg(encode_jpeg(w, h, px, ch, 1))
+            split = decode_jpeg(
+                encode_jpeg_progressive(w, h, px, ch, 1, dc_split=True)
+            )
+            assert split == base
+
+    def test_restart_intervals_baseline(self):
+        """DRI/RSTn: the decoder resets DC predictors at each RSTn
+        and realigns; output matches the restartless encoding, and
+        the markers genuinely appear (modulo-8 indexed)."""
+        from dask_traj_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = self._block_img(64, 8, 1, seed=13)
+        want = decode_jpeg(encode_jpeg(64, 8, px, 1, 1))
+        for rst in (1, 2, 3):
+            b = encode_jpeg(64, 8, px, 1, 1, restart_mcus=rst)
+            n_markers = sum(
+                1 for i in range(len(b) - 1)
+                if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+            )
+            assert n_markers == (8 + rst - 1) // rst - 1
+            assert decode_jpeg(b) == want
+
+    def test_ac_refinement_handcrafted_stream(self):
+        """AC successive-approximation refinement (T.81 G.1.2.3) via
+        a hand-built three-scan stream: DC first, AC first at Al=1
+        (coefficients land doubled), AC refine at Ah=1 whose EOB-run
+        correction bits restore the exact values — checked against an
+        independent IDCT of the intended coefficients."""
+        import struct
+
+        from dask_traj_spark.operators.multimodal import (
+            _JPEG_AC_BITS,
+            _JPEG_AC_VALS,
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+            _JPEG_ZZ,
+            _BitWriter,
+            _huff_encode_map,
+            _jpeg_dct_mat,
+            decode_jpeg,
+        )
+
+        dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        out += seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0),
+        )
+        out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        sos1 = struct.pack(">B", 1) + struct.pack(">BB", 1, 0)
+        # scan 1: DC first, diff 0
+        w = _BitWriter()
+        c, l = dc_map[0]
+        w.write(c, l)
+        out += seg(0xFFDA, sos1 + bytes([0, 0, 0])) + w.flush()
+        # scan 2: AC first Al=1 — zigzag 1 := 3>>1 = 1, zigzag 5 := -2>>1 = -1
+        w = _BitWriter()
+        c, l = ac_map[(0 << 4) | 1]
+        w.write(c, l)
+        w.write(1, 1)  # +1
+        c, l = ac_map[(3 << 4) | 1]
+        w.write(c, l)
+        w.write(0, 1)  # -1
+        c, l = ac_map[0x00]
+        w.write(c, l)
+        out += seg(0xFFDA, sos1 + bytes([1, 63, 0x01])) + w.flush()
+        # scan 3: AC refine Ah=1 — EOB1 then correction bits 1 (2→3), 0 (−2 stays)
+        w = _BitWriter()
+        c, l = ac_map[0x00]
+        w.write(c, l)
+        w.write(1, 1)
+        w.write(0, 1)
+        out += seg(0xFFDA, sos1 + bytes([1, 63, 0x10])) + w.flush()
+        out += b"\xff\xd9"
+
+        wd, hd, ch, px = decode_jpeg(bytes(out))
+        got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8)
+        cmat = _jpeg_dct_mat()
+        F = np.zeros((8, 8))
+        for k, v in [(1, 3), (5, -2)]:
+            r, c_ = _JPEG_ZZ[k]
+            F[r, c_] = v
+        want = np.clip(np.round(cmat.T @ F @ cmat + 128.0), 0, 255).astype(
+            np.uint8
+        )
+        assert (wd, hd, ch) == (8, 8, 1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_unsupported_modes_still_refuse(self):
+        """Lossless (SOF3) and arithmetic (SOF9) still raise, and a
+        progressive stream is no longer refused."""
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        px = self._block_img(8, 8, 1, seed=3)
+        good = bytearray(encode_jpeg_progressive(8, 8, px, 1, 1))
+        decode_jpeg(bytes(good))  # sanity: progressive decodes now
+        i = bytes(good).find(b"\xff\xc2")
+        for bad_sof in (0xC3, 0xC9):
+            bad = bytearray(good)
+            bad[i + 1] = bad_sof
+            with _pytest.raises(ValueError, match="SOF"):
+                decode_jpeg(bytes(bad))
