@@ -85,19 +85,20 @@ def register(name: str, oracle: str | None = None):
 #       g2, g3, g5-g10, s8, p1/p2, u1/u2, x1/x2 — last green r3) +
 #       the 8 queries round-6 code changes touch (sx5 schema fix,
 #       d9 URL-regex anchor, t14/sx7 count-min left-join, x18 SASA
-#       prune pad, sx8 carry-state bound, d3/d10 simhash bits guard)
-#       + the NEW x16b blocked-gram twin (never scored — new queries
-#       outrank re-scores) + 3 of the 4 stalest relational shapes
-#       (r3-r5, last green ROUND 2 — staler than the geometry
-#       block; r6 yielded its slot to x16b and heads the r7 debt).
-#       Tail = every r5-green gate + the remaining r2/r4-green
-#       relational/analysis shapes.
+#       prune pad, sx8 carry-state bound, d3/d10 simhash bits guard,
+#       m12 sniff gaining the ISO-BMFF family) + the NEW x16b
+#       blocked-gram and m13 mp4-demux gates (never scored — new
+#       queries outrank re-scores) + the single stalest relational
+#       shape (r3, last green ROUND 2 — staler than the geometry
+#       block; r4-r6 yielded their slots to x16b/m12/m13 and head
+#       the r7 debt).  Tail = every r5-green gate + the remaining
+#       r2/r4-green relational/analysis shapes.
 #
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
-# Current debt to seat in ROUND 7: relational r6-r14 (last green
+# Current debt to seat in ROUND 7: relational r4-r14 (last green
 # round 2), r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 (round 3), then
 # x4-x7, r15/r16, r23-r34 (round 4).
 _SCORING_TAIL = [
@@ -134,7 +135,6 @@ _SCORING_TAIL = [
     "t9_char_bigram_logprob",
     "sx2_stream_exact_dedup_twin",
     "sx6_stream_semantic_dedup_twin",
-    "m12_sniff_kind",
     "t13_mojibake",
     "c7_curation_chain",
     "v8_ivf_pq_recall",
@@ -165,11 +165,14 @@ _SCORING_TAIL = [
     "x5_rdf_histogram",
     "x6_neighbor_pairs",
     "x7_superpose_contract",
-    # relational block: r1/r2/r17-r22 last green r3, r6-r14 last
-    # green ROUND 2, r15/r16/r23-r34 r4 — ROUND-7 debt (r3-r5, the
-    # stalest, are in the r6 head; r6 gave its slot to x16b)
+    # relational block: r1/r2/r17-r22 last green r3, r4-r14 last
+    # green ROUND 2, r15/r16/r23-r34 r4 — ROUND-7 debt (r3, the
+    # stalest, is in the r6 head; r4/r5/r6 gave their slots to the
+    # never-scored x16b/m13 and the touched m12)
     "r1_pricing_summary",
     "r2_topk_revenue",
+    "r4_running_revenue_window",
+    "r5_semi_anti_join",
     "r6_intersect_status",
     "r7_regional_revenue",
     "r8_cube_quantities",

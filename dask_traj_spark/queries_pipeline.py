@@ -2597,26 +2597,29 @@ def q_stream_semantic_twin(spark, sf_dir):
     return spark.createDataFrame(pdf, "vec_id long, cluster long, keep long")
 
 
-# m12 gates content sniffing: five payload families built by the
-# real encoders, routed by doc_id % 5, with the %5==4 slice
+# m12 gates content sniffing: six payload families built by the
+# real encoders, routed by doc_id % 6 (r6: the ISO-BMFF family
+# joined when the mp4 sniff branch landed), with the %6==4 slice
 # deliberately MISLABELED (BMP bytes declared image/png) — the
 # oracle predicts declared kind, sniffed kind and the match flag
 # from doc_id alone.
 _M12_ORACLE = """
 SELECT doc_id,
-       CASE doc_id % 5
+       CASE doc_id % 6
             WHEN 0 THEN 'image/bmp'
             WHEN 1 THEN 'image/png'
             WHEN 2 THEN 'image/jpeg'
             WHEN 3 THEN 'audio/wav'
+            WHEN 5 THEN 'video/mp4'
             ELSE 'image/png' END AS kind,
-       CASE doc_id % 5
+       CASE doc_id % 6
             WHEN 0 THEN 'image/bmp'
             WHEN 1 THEN 'image/png'
             WHEN 2 THEN 'image/jpeg'
             WHEN 3 THEN 'audio/wav'
+            WHEN 5 THEN 'video/mp4'
             ELSE 'image/bmp' END AS sniffed_kind,
-       CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS BIGINT) AS match
+       CAST(CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 END AS BIGINT) AS match
 FROM documents
 """
 
@@ -2626,13 +2629,14 @@ def q_sniff_kind(spark, sf_dir):
     from dask_traj_spark.operators.multimodal import (
         attach_payload_bmp,
         attach_payload_jpeg,
+        attach_payload_mp4,
         attach_payload_png,
         attach_payload_wav,
         sniff_kind,
     )
 
     docs = _docs(spark, sf_dir)
-    pick = lambda r: docs.where(F.col("doc_id") % 5 == r)  # noqa: E731
+    pick = lambda r: docs.where(F.col("doc_id") % 6 == r)  # noqa: E731
     media = (
         attach_payload_bmp(pick(0))
         .unionByName(attach_payload_png(pick(1)))
@@ -2642,8 +2646,40 @@ def q_sniff_kind(spark, sf_dir):
             # mislabeled slice: BMP bytes, PNG label
             attach_payload_bmp(pick(4)).withColumn("kind", F.lit("image/png"))
         )
+        .unionByName(attach_payload_mp4(pick(5)))
     )
     return sniff_kind(media)
+
+
+# m13 gates the ISO-BMFF demux value-level: every field the box walk
+# produces (tkhd dimensions, stsd codec, mdhd/mvhd timing, stsz/stsc/
+# stco-resolved sample byte ranges) is closed-form in doc_id, and
+# s0_head_sum proves the resolved offsets land on the actual sample
+# bytes in mdat — a wrong chunk offset or size table shifts the sum.
+_M13_ORACLE = f"""
+SELECT doc_id,
+       'mp4' AS container,
+       'avc1' AS codec,
+       CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+       CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+       CAST(2 + doc_id % 3 AS INT) AS n_samples,
+       CAST(10 AS BIGINT) AS timescale,
+       CAST(2 + doc_id % 3 AS BIGINT) AS duration_ticks,
+       CAST(8 * (2 + doc_id % 3) AS BIGINT) AS total_sample_bytes,
+       CAST({' + '.join(f'(31 * doc_id + {j}) % 256' for j in range(8))}
+            AS BIGINT) AS s0_head_sum
+FROM documents
+"""
+
+
+@register("m13_video_container_stats", _M13_ORACLE)
+def q_video_container_stats(spark, sf_dir):
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_mp4,
+        video_container_stats,
+    )
+
+    return video_container_stats(attach_payload_mp4(_docs(spark, sf_dir)))
 
 
 # d9 gates URL-canonicalization dedup: URLs synthesized from doc_id

@@ -67,11 +67,13 @@ MUST_SCORE_R6 = [
     "e6_cohort_retention",
     # new this round — never scored, first evidence now
     "x16b_pairwise_rmsd_blocked",
-    # the 3 stalest relational shapes (last green round 2; r6 gave
-    # its slot to x16b and heads the round-7 debt list)
+    "m13_video_container_stats",
+    # touched this round: sniff_kind gained the ISO-BMFF branch and
+    # the m12 gate corpus an mp4 family
+    "m12_sniff_kind",
+    # the stalest relational shape (last green round 2; r4-r6 gave
+    # their slots to x16b/m12/m13 and head the round-7 debt list)
     "r3_rollup_acctbal",
-    "r4_running_revenue_window",
-    "r5_semi_anti_join",
 ]
 
 
