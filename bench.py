@@ -339,6 +339,48 @@ def main() -> None:
         scale["d2_minhash_lsh_10x"] = min(its_d2_10)
         scale["probe_after_d2_s"] = _cpu_probe()
 
+        # pairwise-RMSD crossover: the x16 SQL sufficient-statistics
+        # form vs the x16b blocked-gram matmul on the SAME synthetic
+        # 1000-frame x 100-atom trajectory.  The SQL form's atom-
+        # keyed self-join emits n²/2 aggregate groups from a 100x
+        # row-amplified join (~50M intermediate rows here); the
+        # blocked form does (n/block)²/2 dense matmuls.  Recording
+        # both is the measured basis for the documented >10^4-frame
+        # routing advice.
+        from dask_traj_spark.operators.rmsd import (
+            pairwise_rmsd,
+            pairwise_rmsd_blocked,
+        )
+        from dask_traj_spark.trajectory import Trajectory
+
+        PW_FRAMES, PW_ATOMS = 1000, 100
+        gidp = F.col("frame_id") * PW_ATOMS + F.col("atom_id")
+        pw_coords = (
+            spark.range(PW_FRAMES, numPartitions=32)
+            .select(
+                F.col("id").alias("frame_id"),
+                F.explode(F.sequence(F.lit(0), F.lit(PW_ATOMS - 1))).alias(
+                    "atom_id"
+                ),
+            )
+            .select(
+                "frame_id",
+                F.col("atom_id").cast("int").alias("atom_id"),
+                *[
+                    (F.pmod(F.xxhash64(gidp, F.lit(s)), F.lit(4096)) / 2048.0)
+                    .cast("double").alias(ax)
+                    for s, ax in ((11, "x"), (12, "y"), (13, "z"))
+                ],
+            )
+        )
+        pw_traj = Trajectory(pw_coords)
+        t0 = time.time()
+        _noop(pairwise_rmsd(pw_traj))
+        scale["x16_pairwise_sql_1k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(pairwise_rmsd_blocked(pw_traj, block=256))
+        scale["x16b_pairwise_blocked_1k"] = round(time.time() - t0, 3)
+
         # 10x sequence packing: the distributed prefix sum's scale
         # evidence (range partition -> local cumsum -> offsets) —
         # the step that WOULD degenerate if it were a global window
