@@ -327,3 +327,102 @@ def test_h5_roundtrip_any_shape_and_names(nf, na, names, seed, tmp_path_factory)
             np.testing.assert_array_equal(
                 f.read(n, start, nf - start), a[start:]
             )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 3),
+    channels=st.sampled_from([1, 3]),
+    dc_split=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_jpeg_equals_baseline(bw, bh, channels, dc_split, seed):
+    """For ANY image, the progressive encoding (spectral selection,
+    optionally DC successive approximation) must decode bit-
+    identically to the baseline encoding of the same pixels — the
+    progression reorders bits, not information."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    w, h = bw * 8, bh * 8
+    px = rng.integers(0, 256, (h, w, channels)).astype(np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, px, channels, quant=1))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(w, h, px, channels, quant=1, dc_split=dc_split)
+    )
+    assert prog == base
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 64), min_size=1, max_size=12),
+    w=st.integers(1, 4096),
+    h=st.integers(1, 4096),
+    fps=st.integers(1, 120),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_demux_any_sample_layout(sizes, w, h, fps, seed):
+    """Arbitrary sample counts/sizes (including empty samples)
+    round-trip through the BMFF writer/demuxer with byte-exact
+    offset resolution."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        demux_mp4,
+        encode_mp4,
+        mp4_sample,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = [rng.integers(0, 256, s).astype(np.uint8).tobytes() for s in sizes]
+    b = encode_mp4(w, h, samples, fps=fps)
+    info = demux_mp4(b)
+    assert (info["width"], info["height"]) == (w, h)
+    assert (info["timescale"], info["duration"]) == (fps, len(samples))
+    assert info["sample_sizes"] == [len(s) for s in samples]
+    for i, s in enumerate(samples):
+        assert mp4_sample(b, info, i) == s
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    nf=st.integers(1, 40),
+    chunk=st.integers(1, 12),
+    filt=st.sampled_from([None, ["gzip"], ["shuffle", "gzip"]]),
+    kind=st.sampled_from(["f32", "f64", "i16"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_h5_chunked_any_geometry(nf, chunk, filt, kind, seed, tmp_path_factory):
+    """Any (frames, chunk size, filter pipeline, dtype) combination
+    round-trips through the chunked writer/reader, including reads
+    at every possible start offset (edge-chunk padding must never
+    leak)."""
+    import numpy as np
+
+    from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+    rng = np.random.default_rng(seed)
+    dt = {"f32": "<f4", "f64": "<f8", "i16": "<i2"}[kind]
+    if kind == "i16":
+        a = rng.integers(-30000, 30000, (nf, 3)).astype(dt)
+    else:
+        a = rng.standard_normal((nf, 3)).astype(dt)
+    path = str(tmp_path_factory.mktemp("h5chunk") / "c.h5")
+    write_h5(
+        path, {"d": ((nf, 3), kind, a.tobytes())},
+        chunks={"d": chunk},
+        filters={"d": filt} if filt else None,
+    )
+    with PureH5(path) as f:
+        np.testing.assert_array_equal(f.read("d"), a)
+        for start in range(0, nf, max(1, nf // 5)):
+            np.testing.assert_array_equal(
+                f.read("d", start, nf - start), a[start:]
+            )
