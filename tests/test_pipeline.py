@@ -2469,3 +2469,59 @@ class TestMp4Demux:
             assert r["duration_ticks"] == n
             assert r["total_sample_bytes"] == 8 * n
             assert r["s0_head_sum"] == sum((31 * d + j) % 256 for j in range(8))
+
+    def test_multi_chunk_stsc_walk(self):
+        """Hand-assembled two-chunk BMFF: stsc carries DIFFERENT
+        samples-per-chunk entries ((1,2),(2,3)) so the general
+        first_chunk→per mapping is exercised, not just the
+        single-chunk layout the writer emits."""
+        import struct
+
+        from dask_traj_spark.operators.multimodal import (
+            _mp4_box,
+            demux_mp4,
+            mp4_sample,
+        )
+
+        samples = [b"aa", b"bbb", b"c", b"dddd", b"ee"]
+        ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512))
+        # chunk 1 = samples 0-1, chunk 2 = samples 2-4, with 4 junk
+        # bytes between the chunks (offsets must be followed, not
+        # assumed contiguous)
+        c1 = b"".join(samples[:2])
+        c2 = b"".join(samples[2:])
+        mdat = _mp4_box(b"mdat", c1 + b"JUNK" + c2)
+        off1 = len(ftyp) + 8
+        off2 = off1 + len(c1) + 4
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x7, 0, 0, 1, 0, 5)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", 32 << 16, 24 << 16),
+        )
+        stsz = _mp4_box(
+            b"stsz",
+            struct.pack(">III", 0, 0, 5)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        stsc = _mp4_box(
+            b"stsc",
+            struct.pack(">II", 0, 2)
+            + struct.pack(">III", 1, 2, 1)
+            + struct.pack(">III", 2, 3, 1),
+        )
+        stco = _mp4_box(b"stco", struct.pack(">IIII", 0, 2, off1, off2))
+        stbl = _mp4_box(b"stbl", stsz + stsc + stco)
+        moov = _mp4_box(
+            b"moov",
+            _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", _mp4_box(
+                b"minf", stbl))),
+        )
+        data = ftyp + mdat + moov
+        info = demux_mp4(data)
+        assert (info["width"], info["height"]) == (32, 24)
+        assert info["sample_sizes"] == [2, 3, 1, 4, 2]
+        for i, s in enumerate(samples):
+            assert mp4_sample(data, info, i) == s
