@@ -2152,6 +2152,50 @@ def attach_payload_jpeg(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def attach_payload_jpeg_variants(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The :func:`attach_payload_jpeg` tiles re-encoded through the
+    round-6 decoder paths, cycling by doc_id % 3: PROGRESSIVE
+    (spectral selection), progressive with DC successive
+    approximation, and baseline with a 2-MCU restart interval.
+    Every variant decodes to the identical pixels, so the SAME
+    closed-form oracle gates all three scan machineries at driver
+    level."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for d, t in zip(pdf["doc_id"], pdf[text_col]):
+                tb = (t.encode("utf-8") + b"\x00" * JPEG_TILES)[:JPEG_TILES]
+                row = b"".join(bytes([v]) * 8 for v in tb)
+                px = row * 8
+                w = 8 * JPEG_TILES
+                v = int(d) % 3
+                if v == 0:
+                    p = encode_jpeg_progressive(w, 8, px, 1, quant=1)
+                elif v == 1:
+                    p = encode_jpeg_progressive(
+                        w, 8, px, 1, quant=1, dc_split=True
+                    )
+                else:
+                    p = encode_jpeg(w, 8, px, 1, quant=1, restart_mcus=2)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/jpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -98,9 +98,10 @@ def register(name: str, oracle: str | None = None):
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
-# Current debt to seat in ROUND 7: relational r4-r14 (last green
-# round 2), r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 (round 3), then
-# x4-x7, r15/r16, r23-r34 (round 4).
+# Current debt to seat in ROUND 7, in order: m11b (new in r6,
+# never scored — local sweep + pytest evidence only), relational
+# r4-r14 (last green round 2), r1/r2/r17-r22, t1-t6, c1, m1, e1-e5
+# (round 3), then x4-x7, r15/r16, r23-r34 (round 4).
 _SCORING_TAIL = [
     # r5-green geometry/vector forms (scored r5, fresh)
     "g1_distances_vec",
@@ -155,6 +156,11 @@ _SCORING_TAIL = [
     "x14_native_contacts",
     "m10_decode_tiff",
     "m11_decode_jpeg",
+    # new in r6, tailed under the staleness rule (never-scored new
+    # queries seat FIRST in r7; this round's two head slots for new
+    # queries went to x16b/m13) — local sf0.01 hash-green + the
+    # progressive==baseline property test carry it until then
+    "m11b_decode_jpeg_progressive",
     "t12_bigram_crossscore",
     "v7_sq_recall",
     "d8_containment_neardup",

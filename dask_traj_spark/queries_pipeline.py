@@ -4186,6 +4186,27 @@ def q_decode_jpeg(spark, sf_dir):
     )
 
 
+@register("m11b_decode_jpeg_progressive", _M11_ORACLE)
+def q_decode_jpeg_progressive(spark, sf_dir):
+    """m11's tiles through the round-6 scan machineries (doc_id % 3
+    cycles progressive / progressive+DC-successive-approximation /
+    baseline+restart-intervals).  The progression reorders bits, not
+    information, so the SAME closed-form oracle applies — a broken
+    EOB run, refinement bit or restart reset changes px_sum and
+    hash-fails."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_jpeg_variants,
+        image_pixel_stats,
+    )
+
+    return image_pixel_stats(
+        attach_payload_jpeg_variants(_docs(spark, sf_dir))
+    ).select(
+        "doc_id", "width", "height", "channels",
+        "n_px", "px_sum", "px_min", "px_max",
+    )
+
+
 _T12_ORACLE = """
 WITH bigrams AS (
     SELECT d.doc_id, d.source, substr(d.text, u.i, 2) AS bg
