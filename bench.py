@@ -354,26 +354,31 @@ def main() -> None:
         from dask_traj_spark.trajectory import Trajectory
 
         PW_FRAMES, PW_ATOMS = 1000, 100
-        gidp = F.col("frame_id") * PW_ATOMS + F.col("atom_id")
-        pw_coords = (
-            spark.range(PW_FRAMES, numPartitions=32)
-            .select(
-                F.col("id").alias("frame_id"),
-                F.explode(F.sequence(F.lit(0), F.lit(PW_ATOMS - 1))).alias(
-                    "atom_id"
-                ),
+
+        def _pw_traj(n_frames: int, n_parts: int) -> "Trajectory":
+            gidp = F.col("frame_id") * PW_ATOMS + F.col("atom_id")
+            return Trajectory(
+                spark.range(n_frames, numPartitions=n_parts)
+                .select(
+                    F.col("id").alias("frame_id"),
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(PW_ATOMS - 1))
+                    ).alias("atom_id"),
+                )
+                .select(
+                    "frame_id",
+                    F.col("atom_id").cast("int").alias("atom_id"),
+                    *[
+                        (
+                            F.pmod(F.xxhash64(gidp, F.lit(s)), F.lit(4096))
+                            / 2048.0
+                        ).cast("double").alias(ax)
+                        for s, ax in ((11, "x"), (12, "y"), (13, "z"))
+                    ],
+                )
             )
-            .select(
-                "frame_id",
-                F.col("atom_id").cast("int").alias("atom_id"),
-                *[
-                    (F.pmod(F.xxhash64(gidp, F.lit(s)), F.lit(4096)) / 2048.0)
-                    .cast("double").alias(ax)
-                    for s, ax in ((11, "x"), (12, "y"), (13, "z"))
-                ],
-            )
-        )
-        pw_traj = Trajectory(pw_coords)
+
+        pw_traj = _pw_traj(PW_FRAMES, 32)
         t0 = time.time()
         _noop(pairwise_rmsd(pw_traj))
         scale["x16_pairwise_sql_1k"] = round(time.time() - t0, 3)
@@ -387,28 +392,8 @@ def main() -> None:
         # only the blocked side is re-measured here and the SQL
         # number stands as the recorded ground truth for the
         # routing advice.
-        PW4 = PW_FRAMES * 4
-        gid4 = F.col("frame_id") * PW_ATOMS + F.col("atom_id")
-        pw4 = (
-            spark.range(PW4, numPartitions=64)
-            .select(
-                F.col("id").alias("frame_id"),
-                F.explode(F.sequence(F.lit(0), F.lit(PW_ATOMS - 1))).alias(
-                    "atom_id"
-                ),
-            )
-            .select(
-                "frame_id",
-                F.col("atom_id").cast("int").alias("atom_id"),
-                *[
-                    (F.pmod(F.xxhash64(gid4, F.lit(s)), F.lit(4096)) / 2048.0)
-                    .cast("double").alias(ax)
-                    for s, ax in ((11, "x"), (12, "y"), (13, "z"))
-                ],
-            )
-        )
         t0 = time.time()
-        _noop(pairwise_rmsd_blocked(Trajectory(pw4), block=512))
+        _noop(pairwise_rmsd_blocked(_pw_traj(PW_FRAMES * 4, 64), block=512))
         scale["x16b_pairwise_blocked_4k"] = round(time.time() - t0, 3)
         scale["x16_pairwise_sql_4k_recorded_once"] = 230.9
 
@@ -538,7 +523,8 @@ def main() -> None:
         "sf": sf,
         # methodology: warm session (worker pool + JIT pre-warmed);
         # canonical tier best-of-3, oracle-suite tier 1 throwaway +
-        # best-of-3, 10x tier best-of-3 for canonical / single-shot
+        # best-of-3, 10x tier best-of-3 for canonical AND the probe-
+        # bracketed d2 MinHash entries (plain 1x/10x) / single-shot
         # for the rest.  BASELINE.md's reference numbers are 12
         # threads — compare those against canonical_onepass_local12.
         # Per-iteration spreads + per-tier cpu-probe brackets are in
@@ -556,7 +542,7 @@ def main() -> None:
         "best_of": {
             "canonical": 3,
             "oracle_suite": "warmup1+3",
-            "scale_10x": "canonical 3, others 1",
+            "scale_10x": "canonical 3, d2 (plain 1x/10x) 3, others 1",
         },
     }
     detail_path = os.path.join(

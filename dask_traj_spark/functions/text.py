@@ -525,7 +525,13 @@ def count_min_estimate(
         if corpus is None:
             raise ValueError("'mult' mode needs the corpus for the vocab")
         v = vocab(tokens(corpus, text_col).select("word"))
-        keyed = words.join(F.broadcast(v), "word").select(
+        # LEFT join: a query word absent from the corpus vocabulary
+        # has no tid, but its correct CMS estimate is 0 (it was never
+        # inserted) — an inner join would drop it from the output
+        # entirely, diverging from 'hashed' mode's behavior.  The
+        # NULL key joins no cells below, so every probe row coalesces
+        # to 0.
+        keyed = words.join(F.broadcast(v), "word", "left").select(
             "word", F.col("tid").alias("key")
         )
     else:

@@ -596,23 +596,36 @@ def demux_mp4(data: bytes) -> dict:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF (mp4) payload")
     info: dict = {}
+    traks: list = []  # per-trak dicts; the video trak is selected
 
     def boxes(pos: int, end: int):
         while pos + 8 <= end:
             size, btype = struct.unpack_from(">I4s", data, pos)
             if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated mp4 largesize box")
                 (size,) = struct.unpack_from(">Q", data, pos + 8)
+                if size < 16:  # would not advance → corrupt, not EOF
+                    raise ValueError("corrupt mp4 box (largesize < 16)")
                 yield btype, pos + 16, pos + size
             else:
                 if size == 0:
                     size = end - pos
+                if size < 8:
+                    raise ValueError("corrupt mp4 box (size < 8)")
                 yield btype, pos + 8, pos + size
             pos += size
 
-    def walk(pos: int, end: int):
+    def walk(pos: int, end: int, info: dict):
         for btype, b0, b1 in boxes(pos, end):
-            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(b0, b1)
+            if btype == b"trak":
+                t: dict = {}
+                traks.append(t)
+                walk(b0, b1, t)
+            elif btype in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(b0, b1, info)
+            elif btype == b"hdlr":
+                info["handler"] = data[b0 + 8 : b0 + 12]
             elif btype == b"mvhd":
                 ver = data[b0]
                 if ver == 0:
@@ -656,15 +669,26 @@ def demux_mp4(data: bytes) -> dict:
                     for i in range(cnt)
                 ]
 
-    walk(0, len(data))
+    walk(0, len(data), info)
+    # select the VIDEO trak explicitly: a normal video+audio file has
+    # two traks, and flattening them would silently return the last
+    # trak's (audio) metadata.  A single trak without an hdlr box is
+    # accepted as-is (minimal fixtures); anything else without a
+    # 'vide' handler raises.
+    video = [t for t in traks if t.get("handler") == b"vide"]
+    if not video and len(traks) == 1 and "handler" not in traks[0]:
+        video = traks
+    if not video:
+        raise ValueError("mp4 has no video (hdlr 'vide') trak")
+    trk = video[0]
     for need in ("width", "sample_sizes", "chunk_offsets", "stsc"):
-        if need not in info:
+        if need not in trk:
             raise ValueError(f"mp4 missing required box for {need!r}")
     # resolve per-sample file offsets through the stsc chunk map
-    sizes = info["sample_sizes"]
+    sizes = trk["sample_sizes"]
     offsets = []
-    stsc = info["stsc"]
-    chunks = info["chunk_offsets"]
+    stsc = trk["stsc"]
+    chunks = trk["chunk_offsets"]
     si = 0
     for ci, coff in enumerate(chunks, start=1):
         spc = 0
@@ -681,10 +705,10 @@ def demux_mp4(data: bytes) -> dict:
     if si != len(sizes):
         raise ValueError("mp4 sample tables are inconsistent")
     return {
-        "width": info["width"],
-        "height": info.get("height", 0),
-        "codec": info.get("codec", ""),
-        "timescale": info.get("timescale", 0),
+        "width": trk["width"],
+        "height": trk.get("height", 0),
+        "codec": trk.get("codec", ""),
+        "timescale": info.get("timescale", 0),  # mvhd is movie-level
         "duration": info.get("duration", 0),
         "n_samples": len(sizes),
         "sample_sizes": sizes,
@@ -1925,74 +1949,86 @@ def decode_jpeg(data: bytes):
     progressive = False
     dri = 0
     scans = []  # (scan_comps, ss, se, ah, al, entropy_start, tables, dri)
-    while pos < len(data):
-        if data[pos] != 0xFF:
-            raise ValueError(f"marker sync lost at offset {pos}")
-        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
-            pos += 1  # 0xFF fill bytes before a marker are legal
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack_from(">H", data, pos)
-        body = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT (possibly several tables)
-            bp = 0
-            while bp < len(body):
-                pq, tq = body[bp] >> 4, body[bp] & 0x0F
-                if pq != 0:
-                    raise ValueError("only 8-bit quantization tables supported")
-                qts[tq] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=bp + 1
-                ).astype(np.int64)
-                bp += 65
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            bp = 0
-            while bp < len(body):
-                tc, th = body[bp] >> 4, body[bp] & 0x0F
-                bits = list(body[bp + 1 : bp + 17])
-                n = sum(bits)
-                vals = list(body[bp + 17 : bp + 17 + n])
-                huff[(tc, th)] = _huff_decode_tables(bits, vals)
-                bp += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
-            progressive = marker == 0xC2
-            prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
-            comps = []
-            for ci in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            sof = (w_, h, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                "only baseline (SOF0/1) and progressive (SOF2) JPEG "
-                "are supported"
-            )
-        elif marker == 0xDD:  # DRI — restart interval (may change)
-            (dri,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
-            ns = body[0]
-            scan_comps = [
-                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
-                for i in range(ns)
-            ]
-            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
-            a = body[3 + 2 * ns]
-            if progressive and (ss == 0) != (se == 0):
+    try:
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"marker sync lost at offset {pos}")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1  # 0xFF fill bytes before a marker are legal
+            if pos + 1 >= len(data):
+                raise ValueError("truncated JPEG (stream ends mid-marker)")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG (missing segment length)")
+            (seglen,) = struct.unpack_from(">H", data, pos)
+            if pos + seglen > len(data) or seglen < 2:
+                raise ValueError("truncated JPEG (segment exceeds stream)")
+            body = data[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                bp = 0
+                while bp < len(body):
+                    pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                    if pq != 0:
+                        raise ValueError("only 8-bit quantization tables supported")
+                    qts[tq] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=bp + 1
+                    ).astype(np.int64)
+                    bp += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                bp = 0
+                while bp < len(body):
+                    tc, th = body[bp] >> 4, body[bp] & 0x0F
+                    bits = list(body[bp + 1 : bp + 17])
+                    n = sum(bits)
+                    vals = list(body[bp + 17 : bp + 17 + n])
+                    huff[(tc, th)] = _huff_decode_tables(bits, vals)
+                    bp += 17 + n
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+                progressive = marker == 0xC2
+                prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                sof = (w_, h, comps)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "invalid progressive spectral selection (a scan is "
-                    "either DC-only Ss=Se=0 or an AC band Ss>=1)"
+                    "only baseline (SOF0/1) and progressive (SOF2) JPEG "
+                    "are supported"
                 )
-            start = pos + seglen
-            scans.append(
-                (scan_comps, ss, se, a >> 4, a & 0x0F, start, dict(huff), dri)
-            )
-            pos = _jpeg_scan_end(data, start)
-            continue
-        pos += seglen
+            elif marker == 0xDD:  # DRI — restart interval (may change)
+                (dri,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = body[0]
+                scan_comps = [
+                    (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                    for i in range(ns)
+                ]
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                if progressive and (ss == 0) != (se == 0):
+                    raise ValueError(
+                        "invalid progressive spectral selection (a scan is "
+                        "either DC-only Ss=Se=0 or an AC band Ss>=1)"
+                    )
+                start = pos + seglen
+                scans.append(
+                    (scan_comps, ss, se, a >> 4, a & 0x0F, start, dict(huff), dri)
+                )
+                pos = _jpeg_scan_end(data, start)
+                continue
+            pos += seglen
+    except (struct.error, IndexError) as e:
+        # lying segment lengths / truncated tables: the documented
+        # contract is ValueError on malformed streams, never a raw
+        # struct/index crash inside a Spark task
+        raise ValueError(f"malformed JPEG stream: {e}") from e
     if sof is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 

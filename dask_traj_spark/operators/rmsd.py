@@ -377,15 +377,33 @@ def pairwise_rmsd_blocked(traj, block: int = 1024) -> DataFrame:
         for side in ("a", "b"):
             part = pdf[pdf["side"] == side].sort_values(["frame_id", "atom_id"])
             fids = part["frame_id"].unique()
-            n_at = len(part) // max(len(fids), 1)
+            # ragged frames must FAIL LOUDLY: a uniform atom count is
+            # what lets rows pivot into a dense matrix — a frame with
+            # missing atoms would either crash the reshape or, when
+            # counts conspire to divide evenly, silently misalign
+            # every row after it
+            per = part.groupby("frame_id").size()
+            if len(per) and per.nunique() != 1:
+                raise ValueError(
+                    "pairwise_rmsd_blocked requires a uniform atom count "
+                    f"per frame; got counts {sorted(per.unique())}"
+                )
+            n_at = int(per.iloc[0]) if len(per) else 0
             mat = (
                 part[["x", "y", "z"]]
                 .to_numpy(np.float64)
-                .reshape(len(fids), 3 * n_at)
+                .reshape(len(fids), 3 * max(n_at, 1))
+                if n_at
+                else np.zeros((0, 3))
             )
             sides[side] = (fids, mat, n_at)
         fi, A, n = sides["a"]
-        fj, B, _ = sides["b"]
+        fj, B, nb = sides["b"]
+        if n and nb and n != nb:
+            raise ValueError(
+                "pairwise_rmsd_blocked: tile atom counts disagree "
+                f"({n} vs {nb})"
+            )
         if len(fi) and len(fj):
             g = (A @ B.T) / n                       # m_ij, exact sums
             ca = A.reshape(len(fi), n, 3).sum(axis=1) / n   # centroids

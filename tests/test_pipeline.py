@@ -2421,10 +2421,10 @@ class TestMp4Demux:
 
         with _pytest.raises(ValueError, match="BMFF"):
             demux_mp4(b"RIFF....AVI ....")
-        # truncating moov away leaves no sample tables
+        # truncating moov away leaves no trak at all
         b = encode_mp4(16, 16, [b"abcd"])
         moov = b.find(b"moov") - 4
-        with _pytest.raises(ValueError, match="missing"):
+        with _pytest.raises(ValueError, match="trak"):
             demux_mp4(b[:moov])
 
     def test_sniff_kind_detects_bmff(self, spark):
@@ -2525,3 +2525,54 @@ class TestMp4Demux:
         assert info["sample_sizes"] == [2, 3, 1, 4, 2]
         for i, s in enumerate(samples):
             assert mp4_sample(data, info, i) == s
+
+    def test_corrupt_box_and_multi_trak(self):
+        """Review findings: a zero/undersized largesize box must raise
+        (not spin forever), and a video+audio two-trak file must
+        return the VIDEO trak's metadata, not the last trak's."""
+        import struct
+
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import (
+            _mp4_box,
+            demux_mp4,
+            encode_mp4,
+        )
+
+        # largesize == 0 would never advance the walker
+        ftyp = _mp4_box(b"ftyp", b"isom")
+        evil = struct.pack(">I4sQ", 1, b"free", 0)
+        with _pytest.raises(ValueError, match="largesize"):
+            demux_mp4(ftyp + evil)
+        with _pytest.raises(ValueError, match="size"):
+            demux_mp4(ftyp + struct.pack(">I4s", 3, b"free"))
+
+        # video trak first, then an audio trak with different tables:
+        # splice a second trak (hdlr 'soun') into a real file
+        good = encode_mp4(64, 48, [b"vvvv", b"ww"], fps=10)
+        info = demux_mp4(good)
+        assert info["codec"] == "avc1" and info["width"] == 64
+        # rebuild with an extra audio trak appended inside moov
+        i = good.find(b"moov")
+        moov_size = struct.unpack_from(">I", good, i - 4)[0]
+        moov_body = good[i + 4 : i - 4 + moov_size]
+        audio_stbl = _mp4_box(
+            b"stbl",
+            _mp4_box(b"stsz", struct.pack(">IIII", 0, 0, 1, 2))
+            + _mp4_box(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
+            + _mp4_box(b"stco", struct.pack(">III", 0, 1, 16)),
+        )
+        audio_trak = _mp4_box(
+            b"trak",
+            _mp4_box(b"mdia", _mp4_box(
+                b"hdlr",
+                struct.pack(">II", 0, 0) + b"soun" + b"\x00" * 13,
+            ) + _mp4_box(b"minf", audio_stbl)),
+        )
+        new_moov = _mp4_box(b"moov", moov_body + audio_trak)
+        two = good[: i - 4] + new_moov
+        info2 = demux_mp4(two)
+        assert info2["codec"] == "avc1"
+        assert (info2["width"], info2["height"]) == (64, 48)
+        assert info2["sample_sizes"] == [4, 2]

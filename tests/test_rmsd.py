@@ -245,3 +245,25 @@ def test_rmsd_blocked_matches_sql(spark):
         for r in pairwise_rmsd_blocked(traj, block=64).collect()
     }
     assert got1 == want
+
+
+def test_rmsd_blocked_rejects_ragged_frames(spark):
+    """Review finding: a frame with a missing atom must fail loudly
+    (uniform atom count is what lets rows pivot into a dense
+    matrix), never silently misalign."""
+    import numpy as np
+    import pytest
+
+    from dask_traj_spark.operators.rmsd import pairwise_rmsd_blocked
+    from dask_traj_spark.trajectory import Trajectory
+
+    rows = [
+        (f, a, float(f + a), 0.0, 0.0)
+        for f in range(4) for a in range(6)
+        if not (f == 2 and a == 5)  # frame 2 is short one atom
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    with pytest.raises(Exception, match="uniform atom count"):
+        pairwise_rmsd_blocked(traj, block=2).collect()
