@@ -94,13 +94,35 @@ def compare(name: str, spdf: pd.DataFrame, dpdf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --plain-session: replicate the DRIVER's environment — a bare
+    # SparkSession.builder with NO tuned configs (Arrow off, default
+    # shuffle partitions, AQE defaults).  Query correctness must not
+    # depend on session config: sx5 was broken for five rounds by an
+    # Arrow-dependent createDataFrame that the tuned local sweep
+    # could never catch.  Run the head sweep in BOTH modes.
+    plain = "--plain-session" in args
+    args = [a for a in args if a != "--plain-session"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from dask_traj_spark.queries import oracle_sql, queries
-    from dask_traj_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from dask_traj_spark.session import get_spark
+
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     qs, os_ = queries(), oracle_sql()
 
