@@ -1619,6 +1619,7 @@ def encode_jpeg_progressive(
     quant: int = 1,
     subsampling: str = "444",
     dc_split: bool = False,
+    restart_units: int = 0,
 ) -> bytes:
     """Fixture-grade PROGRESSIVE (SOF2) JFIF encoder: one interleaved
     DC scan, then one full-band AC scan (Ss=1..63) per component —
@@ -1628,7 +1629,10 @@ def encode_jpeg_progressive(
     refines the low bit, one raw bit per block.  Same flat-DQT /
     block-aligned contract as :func:`encode_jpeg`; decoded output is
     identical to the baseline encoding of the same pixels (the
-    progression reorders bits, not information)."""
+    progression reorders bits, not information).  ``restart_units``
+    > 0 declares a DRI interval and emits RSTn markers every that
+    many MCUs (DC scans) / blocks (non-interleaved scans), with the
+    per-scan predictor resets the decoder must mirror."""
     import numpy as np
 
     planes, samp = _jpeg_prepare(width, height, pixels, channels, subsampling)
@@ -1643,25 +1647,37 @@ def encode_jpeg_progressive(
     al0 = 1 if dc_split else 0
 
     def dc_blocks():
-        """DC-scan block order: interleaved MCU order for ns>1, the
-        component's own raster order for ns==1 (T.81 A.2.2)."""
+        """DC-scan block order with restart-unit index: interleaved
+        MCU order for ns>1 (unit = MCU), the component's own raster
+        order for ns==1 (unit = block; T.81 A.2.2)."""
         if channels == 1:
             bh, bw = coefs[0].shape[:2]
+            u = 0
             for by in range(bh):
                 for bx in range(bw):
-                    yield 0, by, bx
+                    yield u, 0, by, bx
+                    u += 1
         else:
+            u = 0
             for my in range(mcuy):
                 for mx in range(mcux):
                     for ci, (hi, vi) in enumerate(samp):
                         for v in range(vi):
                             for h in range(hi):
-                                yield ci, my * vi + v, mx * hi + h
+                                yield u, ci, my * vi + v, mx * hi + h
+                    u += 1
 
     # scan 1: DC first (Ah=0, Al=al0) — huffman diffs of dc >> al0
     w = _BitWriter()
     preds = [0] * channels
-    for ci, by, bx in dc_blocks():
+    rst = 0
+    last_u = -1
+    for u, ci, by, bx in dc_blocks():
+        if restart_units and u != last_u and u and u % restart_units == 0:
+            w.restart(rst)
+            rst += 1
+            preds = [0] * channels
+        last_u = u
         dc = int(coefs[ci][by, bx, 0]) >> al0
         diff = dc - preds[ci]
         preds[ci] = dc
@@ -1676,7 +1692,13 @@ def encode_jpeg_progressive(
     dc_refine = None
     if dc_split:  # scan 2: DC refinement (Ah=1, Al=0), raw bits
         w = _BitWriter()
-        for ci, by, bx in dc_blocks():
+        rst = 0
+        last_u = -1
+        for u, ci, by, bx in dc_blocks():
+            if restart_units and u != last_u and u and u % restart_units == 0:
+                w.restart(rst)
+                rst += 1
+            last_u = u
             w.write(int(coefs[ci][by, bx, 0]) & 1, 1)
         dc_refine = w.flush()
 
@@ -1686,8 +1708,14 @@ def encode_jpeg_progressive(
     for ci in range(channels):
         w = _BitWriter()
         bh, bw = coefs[ci].shape[:2]
+        rst = 0
+        u = 0
         for by in range(bh):
             for bx in range(bw):
+                if restart_units and u and u % restart_units == 0:
+                    w.restart(rst)
+                    rst += 1
+                u += 1
                 blk = coefs[ci][by, bx]
                 run = 0
                 for k in range(1, 64):
@@ -1711,6 +1739,8 @@ def encode_jpeg_progressive(
         ac_scans.append(w.flush())
 
     out, seg = _jpeg_headers(width, height, channels, samp, qt, 0xFFC2)
+    if restart_units:
+        out += seg(0xFFDD, struct.pack(">H", restart_units))
     sos = struct.pack(">B", channels)
     for ci in range(channels):
         sos += struct.pack(">BB", ci + 1, 0x00)
@@ -2192,12 +2222,13 @@ def attach_payload_jpeg_variants(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """The :func:`attach_payload_jpeg` tiles re-encoded through the
-    round-6 decoder paths, cycling by doc_id % 3: PROGRESSIVE
+    round-6 decoder paths, cycling by doc_id % 4: PROGRESSIVE
     (spectral selection), progressive with DC successive
-    approximation, and baseline with a 2-MCU restart interval.
-    Every variant decodes to the identical pixels, so the SAME
-    closed-form oracle gates all three scan machineries at driver
-    level."""
+    approximation, baseline with a 2-MCU restart interval, and
+    progressive WITH restart intervals (the per-scan predictor/EOB-
+    run reset path).  Every variant decodes to the identical pixels,
+    so the SAME closed-form oracle gates all four scan machineries
+    at driver level."""
     import pandas as pd
 
     def gen(batches):
@@ -2210,15 +2241,20 @@ def attach_payload_jpeg_variants(
                 row = b"".join(bytes([v]) * 8 for v in tb)
                 px = row * 8
                 w = 8 * JPEG_TILES
-                v = int(d) % 3
+                v = int(d) % 4
                 if v == 0:
                     p = encode_jpeg_progressive(w, 8, px, 1, quant=1)
                 elif v == 1:
                     p = encode_jpeg_progressive(
                         w, 8, px, 1, quant=1, dc_split=True
                     )
-                else:
+                elif v == 2:
                     p = encode_jpeg(w, 8, px, 1, quant=1, restart_mcus=2)
+                else:
+                    p = encode_jpeg_progressive(
+                        w, 8, px, 1, quant=1, dc_split=True,
+                        restart_units=2,
+                    )
                 payloads.append(p)
             yield pd.DataFrame(
                 {

@@ -4188,9 +4188,10 @@ def q_decode_jpeg(spark, sf_dir):
 
 @register("m11b_decode_jpeg_progressive", _M11_ORACLE)
 def q_decode_jpeg_progressive(spark, sf_dir):
-    """m11's tiles through the round-6 scan machineries (doc_id % 3
+    """m11's tiles through the round-6 scan machineries (doc_id % 4
     cycles progressive / progressive+DC-successive-approximation /
-    baseline+restart-intervals).  The progression reorders bits, not
+    baseline+restart-intervals / progressive+restart-intervals).
+    The progression reorders bits, not
     information, so the SAME closed-form oracle applies — a broken
     EOB run, refinement bit or restart reset changes px_sum and
     hash-fails."""

@@ -2576,3 +2576,32 @@ class TestMp4Demux:
         assert info2["codec"] == "avc1"
         assert (info2["width"], info2["height"]) == (64, 48)
         assert info2["sample_sizes"] == [4, 2]
+
+
+class TestJpegProgressiveRestart:
+    def test_progressive_restart_matches_baseline(self):
+        """Restart intervals inside PROGRESSIVE scans: the decoder
+        must reset DC predictors and EOB runs at each RSTn in every
+        scan class, including MCU-unit restarts in the interleaved
+        4:2:0 DC scan."""
+        import numpy as np
+
+        from dask_traj_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(83)
+        for (w, h, ch, sub) in [
+            (32, 16, 1, "444"), (32, 32, 3, "420"), (24, 16, 3, "444"),
+        ]:
+            px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8).tobytes()
+            base = decode_jpeg(encode_jpeg(w, h, px, ch, 1, sub))
+            for ru in (1, 2, 3):
+                for split in (False, True):
+                    got = decode_jpeg(encode_jpeg_progressive(
+                        w, h, px, ch, 1, sub,
+                        dc_split=split, restart_units=ru,
+                    ))
+                    assert got == base, (w, h, ch, sub, ru, split)
