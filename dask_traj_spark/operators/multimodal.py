@@ -669,7 +669,12 @@ def demux_mp4(data: bytes) -> dict:
                     for i in range(cnt)
                 ]
 
-    walk(0, len(data), info)
+    try:
+        walk(0, len(data), info)
+    except (struct.error, IndexError) as e:
+        # truncated/lying sample tables must surface as the
+        # documented ValueError, never a raw struct crash
+        raise ValueError(f"malformed mp4 box tree: {e}") from e
     # select the VIDEO trak explicitly: a normal video+audio file has
     # two traks, and flattening them would silently return the last
     # trak's (audio) metadata.  A single trak without an hdlr box is
@@ -2062,122 +2067,138 @@ def decode_jpeg(data: bytes):
     if sof is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
-    width, height, comps = sof
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if any((hmax // c[1]) * c[1] != hmax or (vmax // c[2]) * c[2] != vmax
-           for c in comps):
-        raise ValueError("unsupported sampling-factor combination")
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    # full MCU-padded coefficient store per component; non-interleaved
-    # scans cover only the ceil(comp_dim/8) sub-grid of it
-    coef = {
-        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
-        for cid, hi, vi, tq in comps
-    }
-
-    for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
-        rd = _BitReader(data, start)
-        preds = {cid: 0 for cid, _, _, _ in comps}
-        eobrun = 0
-        if len(scomps) == 1:
-            # non-interleaved: MCU = one data unit, grid is the
-            # component's own ceil grid (T.81 A.2.2)
-            cid, dct, act = scomps[0]
-            hi, vi, _tq = comp_by_id[cid]
-            cw = -(-width * hi // hmax)
-            chh = -(-height * vi // vmax)
-            bw = -(-cw // 8)
-            bh = -(-chh // 8)
-            nunit = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    if dri_scan and nunit and nunit % dri_scan == 0:
-                        rd.restart()
-                        preds = {c_: 0 for c_ in preds}
-                        eobrun = 0
-                    nunit += 1
-                    blk = coef[cid][by, bx]
-                    if not progressive:
-                        _jpeg_decode_baseline_block(
-                            rd, blk, preds, cid, htabs[(0, dct)],
-                            htabs[(1, act)],
-                        )
-                    elif ss == 0 and ah == 0:
-                        _jpeg_decode_dc_first(
-                            rd, blk, preds, cid, htabs[(0, dct)], al
-                        )
-                    elif ss == 0:
-                        if rd.bits(1):
-                            blk[0] |= 1 << al
-                    elif ah == 0:
-                        eobrun = _jpeg_decode_ac_first(
-                            rd, blk, htabs[(1, act)], ss, se, al, eobrun
-                        )
-                    else:
-                        eobrun = _jpeg_decode_ac_refine(
-                            rd, blk, htabs[(1, act)], ss, se, al, eobrun
-                        )
-        else:
-            if progressive and ss != 0:
-                raise ValueError("interleaved AC progressive scan is illegal")
-            nunit = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if dri_scan and nunit and nunit % dri_scan == 0:
-                        rd.restart()
-                        preds = {c_: 0 for c_ in preds}
-                        eobrun = 0
-                    nunit += 1
-                    for cid, dct, act in scomps:
-                        hi, vi, _tq = comp_by_id[cid]
-                        for v in range(vi):
-                            for h in range(hi):
-                                blk = coef[cid][my * vi + v, mx * hi + h]
-                                if not progressive:
-                                    _jpeg_decode_baseline_block(
-                                        rd, blk, preds, cid,
-                                        htabs[(0, dct)], htabs[(1, act)],
-                                    )
-                                elif ah == 0:
-                                    _jpeg_decode_dc_first(
-                                        rd, blk, preds, cid,
-                                        htabs[(0, dct)], al,
-                                    )
-                                else:
-                                    if rd.bits(1):
-                                        blk[0] |= 1 << al
-
-    # reconstruction: dequant → de-zigzag → vectorized IDCT over the
-    # whole block grid per component
-    cmat = _jpeg_dct_mat()
-    zz_r = np.array([r for r, _ in _JPEG_ZZ])
-    zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
-    out_planes = []
-    for cid, hi, vi, tq in comps:
-        cz = coef[cid].astype(np.float64) * qts[tq][None, None, :]
-        f = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
-        f[:, :, zz_r, zz_c] = cz
-        blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + 128.0
-        p = blocks.transpose(0, 2, 1, 3).reshape(
-            cz.shape[0] * 8, cz.shape[1] * 8
+    width, height, _comps_peek = sof
+    if width * height > (1 << 26):
+        # honest cap for the fixture-grade decoder: a mutated SOF can
+        # declare 65535x65535 (34 GB of planes) — refuse decode bombs
+        # instead of MemoryErroring the executor
+        raise ValueError(
+            f"image {width}x{height} exceeds the vendored decoder's "
+            "64M-pixel cap"
         )
-        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        out_planes.append(p[:height, :width])
-    if len(out_planes) == 1:
-        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return width, height, 1, px.reshape(-1).tobytes()
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack(
-        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
-        axis=-1,
-    )
-    return width, height, 3, rgb.reshape(-1).tobytes()
+
+    try:
+        width, height, comps = sof
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if any((hmax // c[1]) * c[1] != hmax or (vmax // c[2]) * c[2] != vmax
+               for c in comps):
+            raise ValueError("unsupported sampling-factor combination")
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+        # full MCU-padded coefficient store per component; non-interleaved
+        # scans cover only the ceil(comp_dim/8) sub-grid of it
+        coef = {
+            cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+            for cid, hi, vi, tq in comps
+        }
+
+        for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
+            rd = _BitReader(data, start)
+            preds = {cid: 0 for cid, _, _, _ in comps}
+            eobrun = 0
+            if len(scomps) == 1:
+                # non-interleaved: MCU = one data unit, grid is the
+                # component's own ceil grid (T.81 A.2.2)
+                cid, dct, act = scomps[0]
+                hi, vi, _tq = comp_by_id[cid]
+                cw = -(-width * hi // hmax)
+                chh = -(-height * vi // vmax)
+                bw = -(-cw // 8)
+                bh = -(-chh // 8)
+                nunit = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if dri_scan and nunit and nunit % dri_scan == 0:
+                            rd.restart()
+                            preds = {c_: 0 for c_ in preds}
+                            eobrun = 0
+                        nunit += 1
+                        blk = coef[cid][by, bx]
+                        if not progressive:
+                            _jpeg_decode_baseline_block(
+                                rd, blk, preds, cid, htabs[(0, dct)],
+                                htabs[(1, act)],
+                            )
+                        elif ss == 0 and ah == 0:
+                            _jpeg_decode_dc_first(
+                                rd, blk, preds, cid, htabs[(0, dct)], al
+                            )
+                        elif ss == 0:
+                            if rd.bits(1):
+                                blk[0] |= 1 << al
+                        elif ah == 0:
+                            eobrun = _jpeg_decode_ac_first(
+                                rd, blk, htabs[(1, act)], ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _jpeg_decode_ac_refine(
+                                rd, blk, htabs[(1, act)], ss, se, al, eobrun
+                            )
+            else:
+                if progressive and ss != 0:
+                    raise ValueError("interleaved AC progressive scan is illegal")
+                nunit = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if dri_scan and nunit and nunit % dri_scan == 0:
+                            rd.restart()
+                            preds = {c_: 0 for c_ in preds}
+                            eobrun = 0
+                        nunit += 1
+                        for cid, dct, act in scomps:
+                            hi, vi, _tq = comp_by_id[cid]
+                            for v in range(vi):
+                                for h in range(hi):
+                                    blk = coef[cid][my * vi + v, mx * hi + h]
+                                    if not progressive:
+                                        _jpeg_decode_baseline_block(
+                                            rd, blk, preds, cid,
+                                            htabs[(0, dct)], htabs[(1, act)],
+                                        )
+                                    elif ah == 0:
+                                        _jpeg_decode_dc_first(
+                                            rd, blk, preds, cid,
+                                            htabs[(0, dct)], al,
+                                        )
+                                    else:
+                                        if rd.bits(1):
+                                            blk[0] |= 1 << al
+
+        # reconstruction: dequant → de-zigzag → vectorized IDCT over the
+        # whole block grid per component
+        cmat = _jpeg_dct_mat()
+        zz_r = np.array([r for r, _ in _JPEG_ZZ])
+        zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
+        out_planes = []
+        for cid, hi, vi, tq in comps:
+            cz = coef[cid].astype(np.float64) * qts[tq][None, None, :]
+            f = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
+            f[:, :, zz_r, zz_c] = cz
+            blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + 128.0
+            p = blocks.transpose(0, 2, 1, 3).reshape(
+                cz.shape[0] * 8, cz.shape[1] * 8
+            )
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+            out_planes.append(p[:height, :width])
+        if len(out_planes) == 1:
+            px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+            return width, height, 1, px.reshape(-1).tobytes()
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
+            axis=-1,
+        )
+        return width, height, 3, rgb.reshape(-1).tobytes()
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        # corrupt entropy data / missing Huffman tables / mutated
+        # dims must surface as the documented ValueError, never a
+        # raw internal error out of a Spark task
+        raise ValueError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
 
 
 JPEG_TILES = 5  # 5 constant 8×8 tiles → 40×8 grayscale

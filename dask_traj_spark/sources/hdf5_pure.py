@@ -401,11 +401,16 @@ class PureH5:
     """
 
     def __init__(self, path: str):
+        import os
+
         self.path = path
         self._f = open(path, "rb")
+        self._size = os.fstat(self._f.fileno()).st_size
         b = self._at(0, 96)
         if b[:8] != _SIG:
             raise ValueError("not an HDF5 file (bad signature)")
+        if len(b) < 96:
+            raise ValueError("truncated HDF5 file (incomplete superblock)")
         ver = b[8]
         if ver != 0:
             raise ValueError(
@@ -414,20 +419,25 @@ class PureH5:
             )
         if b[13] != 8 or b[14] != 8:
             raise ValueError("only 8-byte offsets/lengths are supported")
-        # root symbol table entry sits after the 24-byte fixed part
-        # + 32 bytes of addresses
-        entry = 24 + 32
-        _, root_oh, cache = struct.unpack_from("<QQI", b, entry)
-        if cache == 1:
-            btree_addr, heap_addr = struct.unpack_from("<QQ", b, entry + 24)
-        else:
-            btree_addr, heap_addr = self._symbol_table_message(root_oh)
-        self._heap_data = self._parse_heap(heap_addr)
-        # name → (shape, kind, addr, chunk_dims|None, filters)
-        self.datasets: dict[str, tuple] = {}
-        self._chunk_index: dict[str, dict[int, tuple[int, int, int]]] = {}
-        for name, oh_addr in self._walk_btree(btree_addr):
-            self.datasets[name] = self._parse_dataset(oh_addr, name)
+        try:
+            # root symbol table entry sits after the 24-byte fixed
+            # part + 32 bytes of addresses
+            entry = 24 + 32
+            _, root_oh, cache = struct.unpack_from("<QQI", b, entry)
+            if cache == 1:
+                btree_addr, heap_addr = struct.unpack_from("<QQ", b, entry + 24)
+            else:
+                btree_addr, heap_addr = self._symbol_table_message(root_oh)
+            self._heap_data = self._parse_heap(heap_addr)
+            # name → (shape, kind, addr, chunk_dims|None, filters)
+            self.datasets: dict[str, tuple] = {}
+            self._chunk_index: dict[str, dict[int, tuple[int, int, int]]] = {}
+            for name, oh_addr in self._walk_btree(btree_addr):
+                self.datasets[name] = self._parse_dataset(oh_addr, name)
+        except (struct.error, IndexError) as e:
+            # corrupt structures must surface as the documented
+            # ValueError, never a raw struct/index crash
+            raise ValueError(f"corrupt HDF5 structure: {e}") from e
 
     def close(self) -> None:
         self._f.close()
@@ -442,7 +452,16 @@ class PureH5:
 
     def _at(self, addr: int, size: int) -> bytes:
         # seek-based access: tasks read only the headers plus their
-        # own data range — O(range), never O(file)
+        # own data range — O(range), never O(file).  Bounds-check
+        # every parsed address: a corrupt file can carry a negative
+        # or giant offset/length, which must raise the documented
+        # ValueError (not OSError from a bad seek, and never a
+        # multi-GB read allocation).
+        if addr < 0 or size < 0 or addr + size > self._size + 96:
+            raise ValueError(
+                f"corrupt HDF5: address range [{addr}, {addr + size}) "
+                f"outside the {self._size}-byte file"
+            )
         self._f.seek(addr)
         return self._f.read(size)
 
@@ -606,6 +625,12 @@ class PureH5:
         return name in self.datasets
 
     def read(self, name: str, start: int = 0, count: int | None = None):
+        try:
+            return self._read(name, start, count)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt HDF5 data structure: {e}") from e
+
+    def _read(self, name: str, start: int = 0, count: int | None = None):
         import numpy as np
 
         shape, kind, addr, chunk_dims, filters = self.datasets[name]

@@ -426,3 +426,59 @@ def test_h5_chunked_any_geometry(nf, chunk, filt, kind, seed, tmp_path_factory):
             np.testing.assert_array_equal(
                 f.read("d", start, nf - start), a[start:]
             )
+
+
+def test_decoder_exception_contract_under_mutation(tmp_path_factory):
+    """Untrusted-bytes contract: single-byte mutations and
+    truncations of valid JPEG/BMFF/HDF5 payloads may only raise the
+    documented error classes (ValueError; zlib.error for corrupt
+    deflate bodies) — never struct.error / IndexError / KeyError /
+    OverflowError / MemoryError out of a Spark task."""
+    import os
+    import zlib
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        demux_mp4,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_mp4,
+    )
+    from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+    rng = np.random.default_rng(97)
+    jp = encode_jpeg(16, 16, bytes(256), 1)
+    jpp = encode_jpeg_progressive(
+        16, 16, bytes(256), 1, dc_split=True, restart_units=2
+    )
+    mp = encode_mp4(16, 16, [b"abcd", b"ef"])
+    td = tmp_path_factory.mktemp("fuzz")
+    h5p = str(td / "f.h5")
+    a = np.arange(60, dtype="<f4")
+    write_h5(
+        h5p, {"d": ((20, 3), "f32", a.tobytes())}, chunks={"d": 6},
+        filters={"d": ["shuffle", "gzip"]},
+    )
+    h5 = open(h5p, "rb").read()
+
+    def h5probe(payload):
+        p2 = str(td / "m.h5")
+        open(p2, "wb").write(payload)
+        with PureH5(p2) as f:
+            f.read("d")
+
+    allowed = (ValueError, zlib.error, KeyError)
+    for src, fn in [(jp, decode_jpeg), (jpp, decode_jpeg),
+                    (mp, demux_mp4), (h5, h5probe)]:
+        for _ in range(150):
+            b = bytearray(src)
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            try:
+                fn(bytes(b))
+            except allowed:
+                pass
+        for cut in range(1, len(src), max(1, len(src) // 40)):
+            try:
+                fn(src[:cut])
+            except allowed:
+                pass
