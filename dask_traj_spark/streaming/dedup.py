@@ -109,7 +109,15 @@ def process_neardup_batch(
 ) -> None:
     """One micro-batch of the incremental near-dup loop (the
     ``foreachBatch`` body — also callable directly on a batch
-    DataFrame for backfills)."""
+    DataFrame for backfills).
+
+    State posture: unlike the lag-BOUNDED MSM carry
+    (:func:`process_transition_batch`), near-dup state is inherently
+    GLOBAL — a new document can collide with any earlier one, so the
+    band join must see every prior band row.  The per-batch cost is
+    one bucketed join against the full band table (not all-pairs);
+    at 100 TB the state tables would additionally be bucketed by
+    (band, bh) on disk so the join co-locates without a shuffle."""
     from pyspark import StorageLevel
 
     spark = batch_df.sparkSession
