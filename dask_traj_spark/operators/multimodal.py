@@ -617,13 +617,27 @@ def demux_mp4(data: bytes) -> dict:
             pos += size
 
     def walk(pos: int, end: int, info: dict):
+        # explicit FIFO work list, not recursion: ~8 KB of crafted
+        # nested moov headers would otherwise RecursionError out of a
+        # Spark task instead of the documented ValueError.  FIFO
+        # preserves document order; the node cap bounds crafted trees.
+        work: list[tuple[int, int, dict]] = [(pos, end, info)]
+        wi = 0
+        while wi < len(work):
+            if len(work) > 1_000_000:
+                raise ValueError("mp4 box tree exceeds 1e6 nodes")
+            pos, end, info = work[wi]
+            wi += 1
+            _walk_one(pos, end, info, work)
+
+    def _walk_one(pos: int, end: int, info: dict, work: list):
         for btype, b0, b1 in boxes(pos, end):
             if btype == b"trak":
                 t: dict = {}
                 traks.append(t)
-                walk(b0, b1, t)
+                work.append((b0, b1, t))
             elif btype in (b"moov", b"mdia", b"minf", b"stbl"):
-                walk(b0, b1, info)
+                work.append((b0, b1, info))
             elif btype == b"hdlr":
                 info["handler"] = data[b0 + 8 : b0 + 12]
             elif btype == b"mvhd":
@@ -2029,7 +2043,15 @@ def decode_jpeg(data: bytes):
                 comps = []
                 for ci in range(nc):
                     cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
-                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if hi == 0 or vi == 0:
+                        # T.81 B.2.2: Hi/Vi are 1..4; a zero nibble in a
+                        # mutated SOF would ZeroDivisionError downstream
+                        raise ValueError(
+                            f"invalid SOF sampling factor {hi}x{vi} "
+                            f"for component {cid}"
+                        )
+                    comps.append((cid, hi, vi, tq))
                 sof = (w_, h, comps)
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
@@ -2194,7 +2216,8 @@ def decode_jpeg(data: bytes):
             axis=-1,
         )
         return width, height, 3, rgb.reshape(-1).tobytes()
-    except (struct.error, IndexError, KeyError, OverflowError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError) as e:
         # corrupt entropy data / missing Huffman tables / mutated
         # dims must surface as the documented ValueError, never a
         # raw internal error out of a Spark task

@@ -582,6 +582,13 @@ class PureH5:
                     (addr,) = struct.unpack_from("<Q", body, 3)
                     dims = struct.unpack_from(f"<{ndims}I", body, 11)
                     chunk_dims = tuple(dims[:-1])  # last = element size
+                    if not chunk_dims or any(d == 0 for d in chunk_dims):
+                        # a zero chunk dimension in a corrupt header
+                        # would ZeroDivisionError in _read's chunk math
+                        raise ValueError(
+                            f"dataset {name!r}: invalid chunk dims "
+                            f"{chunk_dims}"
+                        )
             elif mtype == 0x000B:  # filter pipeline
                 filters = self._parse_filter_pipeline(body, name)
         if shape is None or kind is None or addr is None:
@@ -687,25 +694,41 @@ class PureH5:
         self, addr: int, ndims: int, out: dict[int, tuple[int, int, int]]
     ) -> None:
         """v1 raw-data B-tree (node type 1) → {leading-dim chunk
-        offset: (stored nbytes, data addr, filter mask)}."""
-        head = self._at(addr, 24)
-        if head[:4] != b"TREE":
-            raise ValueError("bad chunk B-tree node signature")
-        ntype, level, used = struct.unpack_from("<BBH", head, 4)
-        if ntype != 1:
-            raise ValueError("expected a raw-data (type 1) B-tree node")
-        keysz = 8 + 8 * ndims
-        body = self._at(addr + 24, (used + 1) * keysz + used * 8)
-        p = 0
-        for _ in range(used):
-            nbytes, mask = struct.unpack_from("<II", body, p)
-            (off0,) = struct.unpack_from("<Q", body, p + 8)
-            (child,) = struct.unpack_from("<Q", body, p + keysz)
-            if level > 0:
-                self._walk_chunk_btree(child, ndims, out)
-            else:
-                out[off0] = (nbytes, child, mask)
-            p += keysz + 8
+        offset: (stored nbytes, data addr, filter mask)}.
+
+        Iterative with a visited set: a crafted self-referential or
+        pathologically deep tree must surface as the documented
+        ValueError, never a RecursionError out of a Spark task.
+        """
+        seen: set[int] = set()
+        stack = [addr]
+        while stack:
+            node = stack.pop()
+            if node in seen:
+                raise ValueError("cyclic chunk B-tree (corrupt file)")
+            seen.add(node)
+            if len(seen) > 1_000_000:
+                raise ValueError(
+                    "chunk B-tree exceeds 1e6 nodes (corrupt file)"
+                )
+            head = self._at(node, 24)
+            if head[:4] != b"TREE":
+                raise ValueError("bad chunk B-tree node signature")
+            ntype, level, used = struct.unpack_from("<BBH", head, 4)
+            if ntype != 1:
+                raise ValueError("expected a raw-data (type 1) B-tree node")
+            keysz = 8 + 8 * ndims
+            body = self._at(node + 24, (used + 1) * keysz + used * 8)
+            p = 0
+            for _ in range(used):
+                nbytes, mask = struct.unpack_from("<II", body, p)
+                (off0,) = struct.unpack_from("<Q", body, p + 8)
+                (child,) = struct.unpack_from("<Q", body, p + keysz)
+                if level > 0:
+                    stack.append(child)
+                else:
+                    out[off0] = (nbytes, child, mask)
+                p += keysz + 8
 
     def _decode_chunk(
         self,

@@ -467,9 +467,18 @@ def test_decoder_exception_contract_under_mutation(tmp_path_factory):
         with PureH5(p2) as f:
             f.read("d")
 
-    allowed = (ValueError, zlib.error, KeyError)
+    # KeyError is allowed ONLY for h5probe (a mutated header can drop
+    # the dataset name, and dict-lookup KeyError on a missing dataset
+    # is the documented PureH5 contract).  The codec decoders document
+    # ValueError only — a blanket KeyError allowance would mask
+    # exactly the escape class this test exists to catch.
     for src, fn in [(jp, decode_jpeg), (jpp, decode_jpeg),
                     (mp, demux_mp4), (h5, h5probe)]:
+        allowed = (
+            (ValueError, zlib.error, KeyError)
+            if fn is h5probe
+            else (ValueError, zlib.error)
+        )
         for _ in range(150):
             b = bytearray(src)
             b[rng.integers(0, len(b))] = rng.integers(0, 256)
@@ -482,3 +491,128 @@ def test_decoder_exception_contract_under_mutation(tmp_path_factory):
                 fn(src[:cut])
             except allowed:
                 pass
+
+
+# ---------------------------------------------------------------------
+# targeted reproductions of the round-7 review (ADVICE) findings:
+# each crafted corrupt input previously escaped the documented
+# ValueError contract (ZeroDivisionError / RecursionError out of a
+# Spark task).  These pin the fixes.
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_zero_sampling_factor_raises_valueerror():
+    """A mutated SOF whose sampling-factor nibble is 0 must raise the
+    documented ValueError, not ZeroDivisionError (ADVICE r7 #1)."""
+    import struct
+
+    import pytest
+
+    from dask_traj_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    jp = bytearray(encode_jpeg(16, 16, bytes(256), 1))
+    sof = jp.find(b"\xff\xc0")
+    assert sof >= 0
+    # SOF0 body: prec(1) h(2) w(2) nc(1), then cid(1) hv(1) tq(1);
+    # hv byte of component 0 sits at sof + 4 (marker+len) + 6 + 1
+    hv_off = sof + 4 + 6 + 1
+    for hv in (0x10, 0x01, 0x00):  # vi=0, hi=0, both 0
+        jp[hv_off] = hv
+        with pytest.raises(ValueError, match="sampling factor"):
+            decode_jpeg(bytes(jp))
+
+
+def test_h5_zero_chunk_dim_raises_valueerror(tmp_path_factory):
+    """A corrupt layout message with a zero chunk dimension must raise
+    ValueError at parse time, not ZeroDivisionError in the chunk math
+    (ADVICE r7 #2)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+    td = tmp_path_factory.mktemp("h5zero")
+    p = str(td / "f.h5")
+    a = np.arange(60, dtype="<f4")
+    write_h5(p, {"d": ((20, 3), "f32", a.tobytes())}, chunks={"d": 6})
+    raw = bytearray(open(p, "rb").read())
+    # chunked layout v3 class 2 stores dims as <I: (6, 3, elem_size=4)
+    pat = struct.pack("<3I", 6, 3, 4)
+    i = raw.find(pat)
+    assert i >= 0 and raw.find(pat, i + 1) == -1, "chunk-dims pattern not unique"
+    raw[i : i + 4] = struct.pack("<I", 0)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="chunk dims"):
+        with PureH5(p) as f:
+            f.read("d")
+
+
+def test_h5_cyclic_chunk_btree_raises_valueerror(tmp_path_factory):
+    """A self-referential chunk B-tree node must raise ValueError, not
+    recurse to RecursionError (ADVICE r7 #3)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+    td = tmp_path_factory.mktemp("h5cycle")
+    p = str(td / "f.h5")
+    a = np.arange(60, dtype="<f4")
+    write_h5(p, {"d": ((20, 3), "f32", a.tobytes())}, chunks={"d": 6})
+    raw = bytearray(open(p, "rb").read())
+    # the chunk B-tree is the TREE node of type 1 (byte 4 == 1);
+    # the symbol-table B-tree (type 0) also matches b"TREE"
+    node = -1
+    j = raw.find(b"TREE")
+    while j >= 0:
+        if raw[j + 4] == 1:
+            node = j
+            break
+        j = raw.find(b"TREE", j + 1)
+    assert node >= 0, "no raw-data B-tree node found"
+    raw[node + 5] = 1  # level 0 → 1: entries become child pointers
+    # first child pointer follows the first key; key size = 8 + 8*ndims,
+    # ndims = rank+1 = 3 → child addr at node + 24 + 32
+    raw[node + 56 : node + 64] = struct.pack("<Q", node)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="cyclic|B-tree|signature"):
+        with PureH5(p) as f:
+            f.read("d")
+
+
+def test_mp4_deeply_nested_boxes_no_recursionerror():
+    """~8 KB of crafted nested container boxes must surface as the
+    documented ValueError, never RecursionError (ADVICE r7 #4)."""
+    import struct
+
+    import pytest
+
+    from dask_traj_spark.operators.multimodal import demux_mp4
+
+    payload = b""
+    for _ in range(3000):  # far past CPython's default recursion limit
+        payload = struct.pack(">I", len(payload) + 8) + b"moov" + payload
+    data = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + payload
+    with pytest.raises(ValueError):
+        demux_mp4(data)
+
+
+def test_mp4_deeply_nested_traks_no_recursionerror():
+    """Nested trak boxes exercise the per-trak target-dict path of the
+    iterative walker."""
+    import struct
+
+    import pytest
+
+    from dask_traj_spark.operators.multimodal import demux_mp4
+
+    payload = b""
+    for _ in range(3000):
+        payload = struct.pack(">I", len(payload) + 8) + b"trak" + payload
+    data = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + payload
+    with pytest.raises(ValueError):
+        demux_mp4(data)
