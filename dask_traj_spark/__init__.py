@@ -53,6 +53,8 @@ from dask_traj_spark.operators.rmsd import (
     frame_rmsd,
     frame_rmsd_aligned,
     pairwise_rmsd,
+    pairwise_rmsd_auto,
+    pairwise_rmsd_blocked,
     rmsd_topk,
     superpose,
 )
@@ -100,6 +102,8 @@ __all__ = [
     "frame_rmsd",
     "frame_rmsd_aligned",
     "pairwise_rmsd",
+    "pairwise_rmsd_auto",
+    "pairwise_rmsd_blocked",
     "rmsd_topk",
     "superpose",
     "pca_fit",

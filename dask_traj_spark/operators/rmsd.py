@@ -439,3 +439,36 @@ def pairwise_rmsd_blocked(traj, block: int = 1024) -> DataFrame:
         .groupBy("bi", "bj")
         .applyInPandas(gram, "frame_i long, frame_j long, rmsd double")
     )
+
+
+# measured crossover between the SQL and blocked pairwise forms
+# (idle local[32], 100 atoms; bench_detail.json r7/r8): the SQL
+# self-join wins at 1k frames (15.7 s vs 18.3 s — fixed Python/Arrow
+# overheads dominate the blocked form there), the blocked gram wins
+# 10-20x at 4k (20.6 s vs 230.9 s) and the gap grows quadratically.
+# The two forms agree bit-for-bit, so the switch point only trades
+# constants; 2048 sits inside the measured 2-3k crossover band.
+PAIRWISE_RMSD_CROSSOVER = 2048
+
+
+def pairwise_rmsd_auto(
+    traj, block: int = 1024, crossover: int = PAIRWISE_RMSD_CROSSOVER
+) -> DataFrame:
+    """All-pairs centered unaligned frame RMSD, auto-dispatching
+    between the exact-arithmetic SQL self-join (:func:`pairwise_rmsd`)
+    and the blocked-gram matmul (:func:`pairwise_rmsd_blocked`) on
+    ``traj.n_frames`` — the form a user should reach for unless they
+    are pinning a physical plan on purpose.
+
+    Both forms produce BIT-IDENTICAL values (pinned by
+    test_rmsd_blocked_matches_sql), so the dispatch threshold is a
+    pure performance knob: below ``crossover`` frames the SQL form's
+    single atom-keyed shuffle beats the blocked form's fixed
+    Python/Arrow overheads; at and above it the quadratic join
+    row-amplification loses to embarrassingly parallel dense matmuls.
+    ``n_frames`` is one distinct-count over the frame column (cached
+    on the Trajectory) — negligible next to the O(n²) work either
+    branch does."""
+    if traj.n_frames < crossover:
+        return pairwise_rmsd(traj)
+    return pairwise_rmsd_blocked(traj, block=block)

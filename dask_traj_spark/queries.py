@@ -78,7 +78,7 @@ def register(name: str, oracle: str | None = None):
 #       ingest-state fix) stays scored.
 #       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
 #       test_scoring_window_size.
-#   r6 (now): VERDICT r5 item 4 amended the written plan — the §2
+#   r6: VERDICT r5 item 4 amended the written plan — the §2
 #       geometry core (last green r3) outranks everything but the
 #       touched set.  Head = 22 returning r5-tailed extension queries
 #       (r4-green, untouched) + the 16-query §2 core block (g1 plain,
@@ -94,34 +94,83 @@ def register(name: str, oracle: str | None = None):
 #       the r7 debt).  Tail = every r5-green gate + the remaining
 #       r2/r4-green relational/analysis shapes.
 #
+#   r7: NO builder session ran — the head stayed byte-identical to
+#       r6 (CORRECTNESS_r07 re-scored the same 50, all green); the
+#       planned r7 seating below became round-8 debt.
+#   r8 (now): execute the carried-over rotation.  Head = the two
+#       never-scored gates (m11b progressive JPEG — new in r6; x16c
+#       pairwise-RMSD auto-dispatcher — new this round) + the two
+#       gates round-8 code changes touch (m11 decode_jpeg
+#       sampling-factor guard, m13 demux_mp4 iterative walk) + the
+#       full r2/r3-stale debt (r4-r14 last green ROUND 2; r1/r2/
+#       r17-r22, t1-t6, c1, m1, e1-e5 round 3) + the three §2-core
+#       g1 vec/MIC forms at the 2-round boundary (last green r5) +
+#       eleven round-4-stale shapes (x4-x7, r15/r16, r23-r27) in
+#       stalest-first order.  Tail = the 49 r7-green gates + the
+#       remaining r4/r5-green shapes (r28-r34 seat first in r9).
+#
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
-# Current debt to seat in ROUND 7, in order: m11b (new in r6,
-# never scored — local sweep + pytest evidence only), relational
-# r4-r14 (last green round 2), r1/r2/r17-r22, t1-t6, c1, m1, e1-e5
-# (round 3), then x4-x7, r15/r16, r23-r34 (round 4).
+# Remaining debt to seat in ROUND 9, in order: r28-r34 (last green
+# round 4), then the r5-green block (x10-x22, t9-t13, v6-v8, c4/c6/
+# c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the r7-green
+# set ages back in.
 _SCORING_TAIL = [
-    # r5-green geometry/vector forms (scored r5, fresh)
-    "g1_distances_vec",
-    "g1_distances_mic_ortho",
-    "g1_distances_mic_triclinic",
-    # r3-green text/curation/event block — ROUND-7 debt
-    "t1_doc_stats",
-    "t2_quality_score",
-    "t3_langid",
-    "t4_fingerprint",
-    "t5_source_stats",
-    "t6_token_counts",
-    "c1_corpus_curation",
-    "m1_media_stats",
-    "e1_event_window_counts",
-    "e2_sessionization",
-    "e3_asof_last_purchase",
-    "e4_session_concurrency",
-    "e5_funnel_completions",
-    # r5-green gates (scored r5, fresh)
+    # last green ROUND 7 (fresh — scored in CORRECTNESS_r07)
+    "g1_distances",
+    "g8_orthogonality",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g9_lengths_angles_to_vectors",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    "s8_time_fallback",
+    "d1_exact_dedup",
+    "d2_minhash_lsh_neardup",
+    "d3_simhash",
+    "d4_ngram_jaccard_neardup",
+    "v1_cosine_topk",
+    "v3_cosine_topk_ivf",
+    "v4_ann_recall",
+    "v2_embedding_neardup_lsh",
+    "x1_frame_rmsd",
+    "x16b_pairwise_rmsd_blocked",
+    "x2_rmsd_topk",
+    "c2_decontamination",
+    "c3_stratified_sample",
+    "t7_repetition_score",
+    "d5_repeated_ngram_docs",
+    "g10_vectors_to_lengths_angles",
+    "m3_frame_sample",
+    "t8_heuristic_filter",
+    "m4_decode_png",
+    "d7_dup_components",
+    "sx8_stream_transition_counts_twin",
+    "e6_cohort_retention",
+    "x8_dihedrals",
+    "x9_msd",
+    "m12_sniff_kind",
+    "d9_url_canonical_dedup",
+    "t14_count_min_heavy_hitters",
+    "sx7_stream_count_min_twin",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
+    "v5_pq_recall",
+    "c5_source_token_mixture",
+    "sx5_incremental_ivf_twin",
+    "d10_simhash_hamming_pairs",
+    "x18_sasa_exposure",
+    "r3_rollup_acctbal",
+    # last green round 5 (or round 4 where noted) — next in the
+    # stalest-first order once the r8 head's debt clears; r28-r34
+    # (round 4) are the first to seat in round 9
     "m2_decode_features",
     "e8_asof_tolerance",
     "x16_pairwise_rmsd",
@@ -155,52 +204,11 @@ _SCORING_TAIL = [
     "c6_dataset_split",
     "x14_native_contacts",
     "m10_decode_tiff",
-    "m11_decode_jpeg",
-    # new in r6, tailed under the staleness rule (never-scored new
-    # queries seat FIRST in r7; this round's two head slots for new
-    # queries went to x16b/m13) — local sf0.01 hash-green + the
-    # progressive==baseline property test carry it until then
-    "m11b_decode_jpeg_progressive",
     "t12_bigram_crossscore",
     "v7_sq_recall",
     "d8_containment_neardup",
     "x17_rg_block_average",
     "x15_rg_autocorrelation",
-    # r4-green analysis shapes — ROUND-7 debt
-    "x4_radius_of_gyration",
-    "x5_rdf_histogram",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
-    # relational block: r1/r2/r17-r22 last green r3, r4-r14 last
-    # green ROUND 2, r15/r16/r23-r34 r4 — ROUND-7 debt (r3, the
-    # stalest, is in the r6 head; r4/r5/r6 gave their slots to the
-    # never-scored x16b/m13 and the touched m12)
-    "r1_pricing_summary",
-    "r2_topk_revenue",
-    "r4_running_revenue_window",
-    "r5_semi_anti_join",
-    "r6_intersect_status",
-    "r7_regional_revenue",
-    "r8_cube_quantities",
-    "r9_rich_inactive_customers",
-    "r10_small_qty_revenue",
-    "r11_promo_share_by_month",
-    "r12_shipping_priority",
-    "r13_nation_volume",
-    "r14_supplier_part_variety",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
-    "r17_grouping_sets",
-    "r18_window_functions",
-    "r19_exact_quantiles",
-    "r20_except_status",
-    "r21_min_cost_supplier",
-    "r22_sketch_distinct",
-    "r23_priority_exists",
-    "r24_forecast_revenue",
-    "r25_market_share",
-    "r26_profit_by_nation_year",
-    "r27_returned_items",
     "r28_important_balances",
     "r29_priority_lineshare",
     "r30_customer_distribution",

@@ -1139,6 +1139,25 @@ def q_pairwise_rmsd_blocked(spark, sf_dir):
     )
 
 
+@register("x16c_pairwise_rmsd_auto", _x16_oracle())
+def q_pairwise_rmsd_auto(spark, sf_dir):
+    """The user-facing dispatched form of x16: pairwise_rmsd_auto
+    picks the SQL self-join below the measured ~2k-frame crossover
+    and the blocked gram above it (both bit-identical, so the same
+    brute-force oracle gates whichever branch fires).  crossover=16
+    forces the BLOCKED branch on the 21-frame gate corpus — the
+    branch the default would not take here — so this gate plus x16
+    (always SQL) covers both dispatch targets with driver evidence;
+    the dispatch decision itself is pinned by
+    test_pairwise_rmsd_auto_dispatch."""
+    from dask_traj_spark.operators.rmsd import pairwise_rmsd_auto
+    from dask_traj_spark.queries import trajectory_from_embeddings
+
+    return pairwise_rmsd_auto(
+        trajectory_from_embeddings(spark, sf_dir), block=8, crossover=16
+    )
+
+
 def _rmsd_topk_oracle() -> str:
     inner = _rmsd_oracle().strip()
     return f"""

@@ -9,78 +9,70 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 6 (VERDICT r5 items 1, 4, 7):
-# sx5 (never driver-green — schema fix this round), everything
-# round-6 code changes touch, the §2-core geometry block whose
-# evidence is stale since round 3, and the 22 r5-tailed extension
-# queries returning per the written rotation plan.
-MUST_SCORE_R6 = [
-    # never driver-green — the round-6 fix (explicit centroid schema)
-    "sx5_incremental_ivf_twin",
-    # touched by round-6 code changes — evidence must stay fresh
-    "d9_url_canonical_dedup",
-    "t14_count_min_heavy_hitters",
-    "sx7_stream_count_min_twin",
-    "x18_sasa_exposure",
-    "sx8_stream_transition_counts_twin",
-    "d3_simhash",
-    "d10_simhash_hamming_pairs",
-    # §2-core block, last green r3 — hard ≤2-round staleness bound
-    "g1_distances",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g8_orthogonality",
-    "g9_lengths_angles_to_vectors",
-    "g10_vectors_to_lengths_angles",
-    "s8_time_fallback",
-    "p1_frame_slice_stride_reverse",
-    "p2_atom_slice",
-    "u1_concat_overlap_discard",
-    "u2_content_fingerprint",
-    "x1_frame_rmsd",
-    "x2_rmsd_topk",
-    # returning r5-tailed extension queries (r4-green, untouched)
-    "m3_frame_sample",
-    "m4_decode_png",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
-    "v1_cosine_topk",
-    "v2_embedding_neardup_lsh",
-    "v3_cosine_topk_ivf",
-    "v4_ann_recall",
-    "v5_pq_recall",
-    "c2_decontamination",
-    "c3_stratified_sample",
-    "c5_source_token_mixture",
-    "d1_exact_dedup",
-    "d2_minhash_lsh_neardup",
-    "d4_ngram_jaccard_neardup",
-    "d5_repeated_ngram_docs",
-    "d7_dup_components",
-    "t7_repetition_score",
-    "t8_heuristic_filter",
-    "x8_dihedrals",
-    "x9_msd",
-    "e6_cohort_retention",
-    # new this round — never scored, first evidence now
-    "x16b_pairwise_rmsd_blocked",
+# queries that MUST be scored in round 8 (VERDICT r7 items 1, 5, 6):
+# the never-scored gates (m11b, x16c), the gates round-8 code changes
+# touch (m11, m13), the r2/r3-stale debt (r4-r14 last green ROUND 2;
+# r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 round 3), the three SS2-core g1
+# vec/MIC forms at the 2-round staleness boundary, and eleven
+# round-4-stale shapes (x4-x7, r15/r16, r23-r27) stalest-first.
+MUST_SCORE_R8 = [
+    "m11b_decode_jpeg_progressive",
+    "x16c_pairwise_rmsd_auto",
+    "m11_decode_jpeg",
     "m13_video_container_stats",
-    # touched this round: sniff_kind gained the ISO-BMFF branch and
-    # the m12 gate corpus an mp4 family
-    "m12_sniff_kind",
-    # the stalest relational shape (last green round 2; r4-r6 gave
-    # their slots to x16b/m12/m13 and head the round-7 debt list)
-    "r3_rollup_acctbal",
+    "r4_running_revenue_window",
+    "r5_semi_anti_join",
+    "r6_intersect_status",
+    "r7_regional_revenue",
+    "r8_cube_quantities",
+    "r9_rich_inactive_customers",
+    "r10_small_qty_revenue",
+    "r11_promo_share_by_month",
+    "r12_shipping_priority",
+    "r13_nation_volume",
+    "r14_supplier_part_variety",
+    "r1_pricing_summary",
+    "r2_topk_revenue",
+    "r17_grouping_sets",
+    "r18_window_functions",
+    "r19_exact_quantiles",
+    "r20_except_status",
+    "r21_min_cost_supplier",
+    "r22_sketch_distinct",
+    "t1_doc_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_source_stats",
+    "t6_token_counts",
+    "c1_corpus_curation",
+    "m1_media_stats",
+    "e1_event_window_counts",
+    "e2_sessionization",
+    "e3_asof_last_purchase",
+    "e4_session_concurrency",
+    "e5_funnel_completions",
+    "g1_distances_vec",
+    "g1_distances_mic_ortho",
+    "g1_distances_mic_triclinic",
+    "x4_radius_of_gyration",
+    "x5_rdf_histogram",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
+    "r23_priority_exists",
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    "r27_returned_items",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R6 if n not in window]
+    missing = [n for n in MUST_SCORE_R8 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 

@@ -267,3 +267,48 @@ def test_rmsd_blocked_rejects_ragged_frames(spark):
     ))
     with pytest.raises(Exception, match="uniform atom count"):
         pairwise_rmsd_blocked(traj, block=2).collect()
+
+
+def test_pairwise_rmsd_auto_dispatch(spark):
+    """pairwise_rmsd_auto must pick the SQL self-join below the
+    measured crossover and the blocked-gram applyInPandas at/above
+    it — pinned via the physical plan (the blocked form is the only
+    one with a FlatMapGroupsInPandas node), plus the default
+    threshold sitting inside the measured 1k<SQL-wins, 4k<blocked-
+    wins band (bench_detail.json: SQL 15.7 s vs blocked 18.3 s at
+    1k; blocked 20.6 s vs SQL 230.9 s at 4k)."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import (
+        PAIRWISE_RMSD_CROSSOVER,
+        pairwise_rmsd_auto,
+    )
+    from dask_traj_spark.trajectory import Trajectory
+
+    assert 1000 < PAIRWISE_RMSD_CROSSOVER <= 4000
+
+    rng = np.random.default_rng(61)
+    nf, na = 8, 12
+    xyz = np.round(rng.uniform(0, 2, (nf, na, 3)) * 4096) / 4096
+    rows = [
+        (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+        for f in range(nf) for a in range(na)
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+
+    # n_frames=8 < crossover=9 → SQL form (no Pandas-group node)
+    sql_df = pairwise_rmsd_auto(traj, crossover=9)
+    assert "FlatMapGroupsInPandas" not in sql_df._jdf.queryExecution().toString()
+    # n_frames=8 ≥ crossover=8 → blocked form
+    blk_df = pairwise_rmsd_auto(traj, block=3, crossover=8)
+    assert "FlatMapGroupsInPandas" in blk_df._jdf.queryExecution().toString()
+
+    # both dispatch targets agree bit-for-bit (the auto form adds no
+    # arithmetic of its own)
+    want = {(r["frame_i"], r["frame_j"]): r["rmsd"] for r in sql_df.collect()}
+    got = {(r["frame_i"], r["frame_j"]): r["rmsd"] for r in blk_df.collect()}
+    assert want.keys() == got.keys() and len(want) == nf * (nf - 1) // 2
+    for k in want:
+        assert want[k] == got[k], k
