@@ -11,8 +11,9 @@ hdfgroup.org) that the MDTraj layout actually needs:
 - the symbol-table root group: v1 B-tree ("TREE", group nodes) →
   symbol table nodes ("SNOD") → local heap ("HEAP") link names,
 - version-1 object headers with Dataspace (0x0001), Datatype
-  (0x0003), Data Layout (0x0008, class 1 = CONTIGUOUS and class 2 =
-  CHUNKED) and Filter Pipeline (0x000B) messages,
+  (0x0003), Data Layout (0x0008, class 0 = COMPACT with the data
+  inline in the header, class 1 = CONTIGUOUS, class 2 = CHUNKED)
+  and Filter Pipeline (0x000B) messages,
 - chunked data indexed by the v1 raw-data B-tree (node type 1,
   spec section III.A.1), leaf and internal levels,
 - filters: deflate (id 1, zlib — the spec's required filter) and
@@ -23,11 +24,10 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: superblock v2/v3, compact layouts, szip/unknown
-filters, non-LE or unsupported datatype classes.  The loaders
-prefer h5py when importable and fall back to this reader otherwise;
-with this module the no-h5py gate narrows to szip/v2-superblock
-files.
+of guessing: superblock v2/v3, szip/unknown filters, non-LE or
+unsupported datatype classes.  The loaders prefer h5py when
+importable and fall back to this reader otherwise; with this module
+the no-h5py gate narrows to szip and v2-superblock files.
 
 The writer exists to build spec-derived fixtures (and doubles as a
 beyond-reference ``.h5`` sink for contiguous trajectories): both
@@ -159,17 +159,29 @@ def _dataset_header(
     chunk0: int | None = None,
     filters: list[str] | None = None,
     level: int = 6,
+    compact_data: bytes | None = None,
 ) -> bytes:
     """Object header for one dataset.  ``chunk0`` is the leading-dim
     chunk size: None → contiguous layout (class 1), else chunked
-    (class 2) with ``data_addr`` pointing at the chunk B-tree."""
+    (class 2) with ``data_addr`` pointing at the chunk B-tree.
+    ``compact_data`` switches to compact layout (class 0) with the
+    raw bytes inline in the header (spec cap: 64 KiB)."""
     elem = _DT_SIZE[kind]
     nbytes = elem
     for d in shape:
         nbytes *= d
     space = struct.pack("<BBBBBBBB", 1, len(shape), 0, 0, 0, 0, 0, 0)
     space += b"".join(struct.pack("<Q", d) for d in shape)
-    if chunk0 is None:
+    if compact_data is not None:
+        if chunk0 is not None or filters:
+            raise ValueError("compact layout cannot be chunked or filtered")
+        if len(compact_data) > 0xFFFF:
+            raise ValueError(
+                f"compact layout caps at 64 KiB (got {len(compact_data)} "
+                "bytes) — use contiguous or chunked"
+            )
+        layout = struct.pack("<BBH", 3, 0, len(compact_data)) + compact_data
+    elif chunk0 is None:
         layout = struct.pack("<BBQQ", 3, 1, data_addr, nbytes)  # v3, contiguous
     else:
         cdims = (chunk0,) + tuple(shape[1:])
@@ -218,6 +230,7 @@ def write_h5(
     chunks: dict[str, int] | None = None,
     filters: dict[str, list[str]] | None = None,
     level: int = 6,
+    compact: set[str] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
@@ -226,15 +239,22 @@ def write_h5(
     dataset to CHUNKED layout with the given leading-dim chunk rows
     (edge chunks zero-padded to full size, as the spec stores them);
     ``filters[name]`` is a write-order filter list from {"shuffle",
-    "gzip"} (requires chunked — HDF5 only filters chunked data).
+    "gzip"} (requires chunked — HDF5 only filters chunked data);
+    ``compact`` names datasets stored COMPACT (layout class 0, data
+    inline in the object header, ≤64 KiB — what h5py emits for tiny
+    arrays under ``compact=True``).
     Layout in file order: superblock → local heap → SNOD → B-tree →
     per-dataset object headers → root object header → per-chunked-
     dataset (chunk B-tree → chunk blobs) → contiguous raw blocks."""
     chunks = chunks or {}
     filters = filters or {}
+    compact = compact or set()
     for n in filters:
         if n not in chunks:
             raise ValueError(f"dataset {n!r}: filters require chunked layout")
+    for n in compact:
+        if n in chunks:
+            raise ValueError(f"dataset {n!r}: compact layout cannot be chunked")
     names = sorted(datasets)  # SNOD entries must be name-ordered
     # local heap data segment: offset 0 is the empty string, then
     # each name at an 8-byte-aligned offset
@@ -284,7 +304,8 @@ def write_h5(
     for n in names:
         shape, kind, _ = datasets[n]
         hdr = _dataset_header(
-            shape, kind, 0, chunks.get(n), filters.get(n), level
+            shape, kind, 0, chunks.get(n), filters.get(n), level,
+            compact_data=datasets[n][2] if n in compact else None,
         )  # placeholder address
         ds_hdr_addr[n] = pos
         ds_hdrs[n] = hdr
@@ -313,7 +334,7 @@ def write_h5(
         chunk_addrs[n] = addrs
     data_addr = {}
     for n in names:
-        if n in chunks:
+        if n in chunks or n in compact:  # compact data lives in its header
             continue
         shape, kind, raw = datasets[n]
         data_addr[n] = pos
@@ -326,10 +347,11 @@ def write_h5(
         ds_hdrs[n] = _dataset_header(
             shape,
             kind,
-            cb_addr[n] if n in chunks else data_addr[n],
+            cb_addr[n] if n in chunks else data_addr.get(n, 0),
             chunks.get(n),
             filters.get(n),
             level,
+            compact_data=datasets[n][2] if n in compact else None,
         )
 
     out = bytearray()
@@ -380,7 +402,7 @@ def write_h5(
             )
             for blob, a in zip(enc_chunks[n], chunk_addrs[n]):
                 put(a, blob)
-        else:
+        elif n not in compact:
             put(data_addr[n], datasets[n][2])
     if len(out) < eof:
         out.extend(b"\x00" * (eof - len(out)))
@@ -569,13 +591,24 @@ class PureH5:
                     )
             elif mtype == 0x0008:  # layout
                 ver, lclass = body[0], body[1]
-                if ver != 3 or lclass not in (1, 2):
+                if ver != 3 or lclass not in (0, 1, 2):
                     raise ValueError(
-                        f"dataset {name!r}: only data layout v3 class 1/2 "
-                        "(contiguous/chunked) is supported — install h5py "
-                        "for this file"
+                        f"dataset {name!r}: only data layout v3 class 0/1/2 "
+                        "(compact/contiguous/chunked) is supported — "
+                        "install h5py for this file"
                     )
-                if lclass == 1:
+                if lclass == 0:
+                    # compact: the raw data lives inline in the object
+                    # header (u16 size, spec-capped at 64 KiB); stash
+                    # the bytes themselves where contiguous stores the
+                    # file offset
+                    (csize,) = struct.unpack_from("<H", body, 2)
+                    if len(body) < 4 + csize:
+                        raise ValueError(
+                            f"dataset {name!r}: truncated compact layout"
+                        )
+                    addr = bytes(body[4 : 4 + csize])
+                elif lclass == 1:
                     (addr,) = struct.unpack_from("<Q", body, 2)
                 else:  # chunked: dimensionality, B-tree addr, chunk dims
                     ndims = body[2]
@@ -648,7 +681,15 @@ class PureH5:
         for d in shape[1:]:
             row *= d
         if chunk_dims is None:
-            raw = self._at(addr + start * row, count * row)
+            if isinstance(addr, bytes):  # compact: data inline in header
+                raw = addr[start * row : (start + count) * row]
+                if len(raw) < count * row:
+                    raise ValueError(
+                        f"dataset {name!r}: compact data shorter than "
+                        "its dataspace"
+                    )
+            else:
+                raw = self._at(addr + start * row, count * row)
             return np.frombuffer(raw, dtype=_DT_NUMPY[kind]).reshape(
                 (count,) + tuple(shape[1:])
             )

@@ -362,12 +362,12 @@ class TestHdf5Vendored:
         p2.write_bytes(bytes(bad))
         with _pytest.raises(ValueError, match="h5py"):
             PureH5(str(p2))
-        # COMPACT layout (class 0) → refusal naming h5py (chunked,
-        # class 2, is supported since round 6)
+        # VIRTUAL layout (class 3) → refusal naming h5py (compact/
+        # contiguous/chunked — classes 0/1/2 — are all supported now)
         i = bytes(raw).find(_s.pack("<BB", 3, 1), 96)  # layout v3 class 1
         bad2 = bytearray(raw)
-        bad2[i + 1] = 0
-        p3 = tmp_path / "compact.h5"
+        bad2[i + 1] = 3
+        p3 = tmp_path / "virtual.h5"
         p3.write_bytes(bytes(bad2))
         with _pytest.raises(ValueError, match="h5py"):
             PureH5(str(p3))
@@ -521,3 +521,72 @@ class TestHdf5Vendored:
         np.testing.assert_array_equal(
             got[["x", "y", "z"]].to_numpy(np.float32), xyz.reshape(-1, 3)
         )
+
+    def test_compact_layout_roundtrip_and_golden(self, tmp_path):
+        """COMPACT layout (class 0 — data inline in the object
+        header, what h5py emits for tiny arrays): write → read
+        roundtrip, partial reads, the golden layout-class byte, the
+        64 KiB spec cap, and the truncated-inline-data gate."""
+        import struct as _s
+
+        import numpy as np
+        import pytest as _pytest
+
+        from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
+
+        a = np.arange(60, dtype="<f4")
+        path = str(tmp_path / "c.h5")
+        write_h5(
+            path,
+            {"d": ((20, 3), "f32", a.tobytes()),
+             "t": ((20,), "f64", np.arange(20, dtype="<f8").tobytes())},
+            compact={"d", "t"},
+        )
+        with PureH5(path) as f:
+            np.testing.assert_array_equal(f.read("d"), a.reshape(20, 3))
+            np.testing.assert_array_equal(
+                f.read("d", 7, 5), a.reshape(20, 3)[7:12]
+            )
+            np.testing.assert_array_equal(
+                f.read("t"), np.arange(20, dtype="<f8")
+            )
+        # golden: the layout message body must be v3 class 0 with the
+        # raw f32 bytes inline right after the u16 size
+        raw = open(path, "rb").read()
+        probe = _s.pack("<BBH", 3, 0, 240) + a.tobytes()[:16]
+        assert probe in raw, "compact layout message not found inline"
+        # mixed layouts in one file still work
+        p2 = str(tmp_path / "m.h5")
+        write_h5(
+            p2,
+            {"c": ((20, 3), "f32", a.tobytes()),
+             "k": ((20, 3), "f32", a.tobytes())},
+            chunks={"k": 6},
+            compact={"c"},
+        )
+        with PureH5(p2) as f:
+            np.testing.assert_array_equal(f.read("c"), f.read("k"))
+        # spec cap: > 64 KiB refuses at write time
+        big = np.zeros(20000, dtype="<f4")
+        with _pytest.raises(ValueError, match="64 KiB"):
+            write_h5(
+                str(tmp_path / "big.h5"),
+                {"d": ((20000,), "f32", big.tobytes())},
+                compact={"d"},
+            )
+        # compact + chunked is contradictory
+        with _pytest.raises(ValueError, match="compact"):
+            write_h5(
+                str(tmp_path / "x.h5"),
+                {"d": ((20, 3), "f32", a.tobytes())},
+                chunks={"d": 6}, compact={"d"},
+            )
+        # truncated inline data (lying u16 size) → documented ValueError
+        mraw = bytearray(raw)
+        i = mraw.find(_s.pack("<BBH", 3, 0, 240))
+        mraw[i + 2 : i + 4] = _s.pack("<H", 0xFFFF)
+        pt = tmp_path / "trunc.h5"
+        pt.write_bytes(bytes(mraw))
+        with _pytest.raises(ValueError, match="compact"):
+            with PureH5(str(pt)) as f:
+                f.read("d")
