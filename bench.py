@@ -261,6 +261,16 @@ def main() -> None:
     # and the 10x canonical alone is ~35 s of wall time.
     scale = {}
     if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0":
+        # tier boundary hygiene: tier 2's shuffle-heavy suite leaves
+        # shuffle/broadcast references that ContextCleaner only frees
+        # on a JVM GC, and with a 48g heap none happens naturally —
+        # measured r8 (idle local[32]): 10x canonical right after a
+        # MinHash suite ran 73/42/34 s vs 25/18 s after a forced GC
+        # (and the r7 bench recorded 110/76/46 s for the same code).
+        # One explicit GC here makes the scale tier measure the
+        # OPERATOR's scaling, not tier-2's retained garbage; the
+        # session-level periodicGC (5 min) is the production analog.
+        spark.sparkContext._jvm.System.gc()
         # 10x canonical: 12,510 frames x 22,561 atoms, one-pass.
         # Bracketed by its OWN cpu probes (VERDICT r4: the recorded
         # 10x linearity of 1.35 vs a measured 0.89 could not be
@@ -396,6 +406,14 @@ def main() -> None:
         _noop(pairwise_rmsd_blocked(_pw_traj(PW_FRAMES * 4, 64), block=512))
         scale["x16b_pairwise_blocked_4k"] = round(time.time() - t0, 3)
         scale["x16_pairwise_sql_4k_recorded_once"] = 230.9
+        # the auto-dispatcher at 4k frames must land on the blocked
+        # side of the crossover — its wall time should track
+        # x16b_pairwise_blocked_4k, not the SQL form's 230.9 s
+        from dask_traj_spark.operators.rmsd import pairwise_rmsd_auto
+
+        t0 = time.time()
+        _noop(pairwise_rmsd_auto(_pw_traj(PW_FRAMES * 4, 64), block=512))
+        scale["x16c_pairwise_auto_4k"] = round(time.time() - t0, 3)
 
         # 10x sequence packing: the distributed prefix sum's scale
         # evidence (range partition -> local cumsum -> offsets) —

@@ -85,6 +85,15 @@ def get_spark(
         # the heap a bit more); with -Xms the session reaches steady-
         # state throughput from the second iteration
         .config("spark.driver.extraJavaOptions", _xms_opt(driver_mem))
+        # ContextCleaner reclaims shuffle files / broadcasts only when
+        # the JVM GCs their references; a big heap under no allocation
+        # pressure can go 30+ min (the default interval) without one,
+        # and the retained state throttles later Arrow-heavy stages.
+        # Measured (round 8, idle local[32]): a 10x canonical pass
+        # right after a shuffle-heavy MinHash suite ran 73/42/34 s vs
+        # 25/18 s immediately after a forced GC.  5 min matches the
+        # long-running-cluster guidance for shuffle-heavy apps.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     if extra_conf:
         for k, v in extra_conf.items():
