@@ -193,7 +193,12 @@ def decode_png(data: bytes):
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                # a mutated chunk-length field can shrink the slice;
+                # spec says IHDR is exactly 13 bytes — surface the
+                # documented ValueError, not struct.error
+                raise ValueError("truncated PNG IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -276,6 +281,10 @@ def decode_wav(data: bytes):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # mutated chunk length: documented contract is
+                # ValueError, not struct.error
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             pcm = body
@@ -285,7 +294,9 @@ def decode_wav(data: bytes):
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit")
-    samples = np.frombuffer(pcm, dtype="<i2")
+    if n_channels == 0:
+        raise ValueError("WAV declares zero channels")
+    samples = np.frombuffer(pcm, dtype="<i2")  # odd length → ValueError
     return len(samples) // n_channels, n_channels, sample_rate, samples
 
 
@@ -909,21 +920,31 @@ def decode_avi(data: bytes):
     width = height = None
     frames = []
 
-    def walk(pos: int, end: int):
-        nonlocal width, height
+    # explicit FIFO work list, not recursion: crafted nested LIST
+    # chunks must surface as the documented ValueError, never a
+    # RecursionError out of a Spark task (same posture as demux_mp4)
+    work = [(12, len(data))]
+    wi = 0
+    while wi < len(work):
+        if len(work) > 1_000_000:
+            raise ValueError("AVI chunk tree exceeds 1e6 nodes")
+        pos, end = work[wi]
+        wi += 1
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size)
+                # clamp to the buffer: a lying size must end the walk
+                # at EOF, not drive unpack_from past it
+                work.append((body_start + 4, min(body_start + size, len(data))))
             elif cid == b"avih":
+                if body_start + 56 > len(data):
+                    raise ValueError("truncated AVI avih header")
                 hdr = struct.unpack_from("<14I", data, body_start)
                 width, height = hdr[8], hdr[9]
             elif cid == b"00db":
                 frames.append(data[body_start : body_start + size])
             pos = body_start + size + (size & 1)
-
-    walk(12, len(data))
     if width is None or height is None:
         raise ValueError("AVI missing avih header")
     row = width * 3
@@ -1290,16 +1311,21 @@ def decode_tiff(data: bytes):
 
     if len(data) < 8 or data[:4] != b"II\x2a\x00":
         raise ValueError("not a little-endian TIFF payload")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
-    (n_tags,) = struct.unpack_from("<H", data, ifd_off)
-    tags = {}
-    for i in range(n_tags):
-        tag, typ, cnt, val = struct.unpack_from(
-            "<HHII", data, ifd_off + 2 + 12 * i
-        )
-        if typ == 3:  # SHORT packed into the low bytes of the value
-            val &= 0xFFFF
-        tags[tag] = val
+    try:
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (n_tags,) = struct.unpack_from("<H", data, ifd_off)
+        tags = {}
+        for i in range(n_tags):
+            tag, typ, cnt, val = struct.unpack_from(
+                "<HHII", data, ifd_off + 2 + 12 * i
+            )
+            if typ == 3:  # SHORT packed into the low bytes of the value
+                val &= 0xFFFF
+            tags[tag] = val
+    except struct.error as e:
+        # a mutated IFD offset / tag count walks past the buffer: the
+        # documented contract is ValueError on malformed streams
+        raise ValueError(f"malformed TIFF IFD: {e}") from e
     width, height = tags.get(256), tags.get(257)
     if width is None or height is None:
         raise ValueError("TIFF missing width/height tags")
@@ -1308,9 +1334,13 @@ def decode_tiff(data: bytes):
     if tags.get(258, 8) != 8:
         raise ValueError(f"unsupported TIFF bits/sample {tags.get(258)}")
     channels = tags.get(277, 1)
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing strip offset/byte-count tags")
     off, count = tags[273], tags[279]
     if count != width * height * channels:
         raise ValueError("multi-strip or truncated TIFF not supported")
+    if off + count > len(data):
+        raise ValueError("TIFF strip extends past end of payload")
     px = np.frombuffer(data, dtype=np.uint8, offset=off, count=count)
     return width, height, channels, px.copy()
 

@@ -99,15 +99,17 @@ def register(name: str, oracle: str | None = None):
 #       planned r7 seating below became round-8 debt.
 #   r8 (now): execute the carried-over rotation.  Head = the two
 #       never-scored gates (m11b progressive JPEG — new in r6; x16c
-#       pairwise-RMSD auto-dispatcher — new this round) + the two
+#       pairwise-RMSD auto-dispatcher — new this round) + the six
 #       gates round-8 code changes touch (m11 decode_jpeg
-#       sampling-factor guard, m13 demux_mp4 iterative walk) + the
-#       full r2/r3-stale debt (r4-r14 last green ROUND 2; r1/r2/
-#       r17-r22, t1-t6, c1, m1, e1-e5 round 3) + the three §2-core
-#       g1 vec/MIC forms at the 2-round boundary (last green r5) +
-#       eleven round-4-stale shapes (x4-x7, r15/r16, r23-r27) in
-#       stalest-first order.  Tail = the 49 r7-green gates + the
-#       remaining r4/r5-green shapes (r28-r34 seat first in r9).
+#       sampling-factor guard, m13 demux_mp4 iterative walk, and
+#       m4/m5/m6/m10 for the PNG/AVI/WAV/TIFF corrupt-input guards
+#       from the extended fuzz pass) + the full r2/r3-stale debt
+#       (r4-r14 last green ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1,
+#       e1-e5 round 3) + the three §2-core g1 vec/MIC forms at the
+#       2-round boundary (last green r5) + seven round-4-stale
+#       shapes (x4-x7, r15/r16, r23) in stalest-first order.  Tail =
+#       the remaining r7-green gates + the rest of the r4/r5-green
+#       shapes (r24-r34 seat first in r9).
 #
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
@@ -150,7 +152,6 @@ _SCORING_TAIL = [
     "g10_vectors_to_lengths_angles",
     "m3_frame_sample",
     "t8_heuristic_filter",
-    "m4_decode_png",
     "d7_dup_components",
     "sx8_stream_transition_counts_twin",
     "e6_cohort_retention",
@@ -160,14 +161,20 @@ _SCORING_TAIL = [
     "d9_url_canonical_dedup",
     "t14_count_min_heavy_hitters",
     "sx7_stream_count_min_twin",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
     "v5_pq_recall",
     "c5_source_token_mixture",
     "sx5_incremental_ivf_twin",
     "d10_simhash_hamming_pairs",
     "x18_sasa_exposure",
     "r3_rollup_acctbal",
+    # last green round 4 — yielded their r8 head seats to the four
+    # decoder gates this round's corrupt-input guards touch
+    # (m4/m5/m6/m10, touched-set rule); first to seat in round 9
+    # alongside r28-r34
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    "r27_returned_items",
     # last green round 5 (or round 4 where noted) — next in the
     # stalest-first order once the r8 head's debt clears; r28-r34
     # (round 4) are the first to seat in round 9
@@ -203,7 +210,6 @@ _SCORING_TAIL = [
     "x13_gyration_tensor",
     "c6_dataset_split",
     "x14_native_contacts",
-    "m10_decode_tiff",
     "t12_bigram_crossscore",
     "v7_sq_recall",
     "d8_containment_neardup",

@@ -430,19 +430,30 @@ def test_h5_chunked_any_geometry(nf, chunk, filt, kind, seed, tmp_path_factory):
 
 def test_decoder_exception_contract_under_mutation(tmp_path_factory):
     """Untrusted-bytes contract: single-byte mutations and
-    truncations of valid JPEG/BMFF/HDF5 payloads may only raise the
-    documented error classes (ValueError; zlib.error for corrupt
-    deflate bodies) — never struct.error / IndexError / KeyError /
-    OverflowError / MemoryError out of a Spark task."""
+    truncations of valid JPEG/BMFF/PNG/TIFF/BMP/WAV/AVI/HDF5
+    payloads may only raise the documented error classes
+    (ValueError; zlib.error for corrupt deflate bodies) — never
+    struct.error / IndexError / KeyError / OverflowError /
+    MemoryError / RecursionError out of a Spark task."""
     import os
     import zlib
 
     from dask_traj_spark.operators.multimodal import (
+        decode_avi,
+        decode_bmp,
         decode_jpeg,
+        decode_png,
+        decode_tiff,
+        decode_wav,
         demux_mp4,
+        encode_avi,
+        encode_bmp,
         encode_jpeg,
         encode_jpeg_progressive,
         encode_mp4,
+        encode_png,
+        encode_tiff,
+        encode_wav,
     )
     from dask_traj_spark.sources.hdf5_pure import PureH5, write_h5
 
@@ -452,6 +463,11 @@ def test_decoder_exception_contract_under_mutation(tmp_path_factory):
         16, 16, bytes(256), 1, dc_split=True, restart_units=2
     )
     mp = encode_mp4(16, 16, [b"abcd", b"ef"])
+    png = encode_png(9, 7, bytes(189), 3)
+    tif = encode_tiff(8, 6, bytes(144), 3)
+    bmp = encode_bmp(6, 5, bytes(90))
+    wav = encode_wav(list(range(-50, 50)), 8000, 2)
+    avi = encode_avi(8, 6, [bytes(48), bytes(range(48))], 5)
     td = tmp_path_factory.mktemp("fuzz")
     h5p = str(td / "f.h5")
     a = np.arange(60, dtype="<f4")
@@ -473,7 +489,10 @@ def test_decoder_exception_contract_under_mutation(tmp_path_factory):
     # ValueError only — a blanket KeyError allowance would mask
     # exactly the escape class this test exists to catch.
     for src, fn in [(jp, decode_jpeg), (jpp, decode_jpeg),
-                    (mp, demux_mp4), (h5, h5probe)]:
+                    (mp, demux_mp4), (png, decode_png),
+                    (tif, decode_tiff), (bmp, decode_bmp),
+                    (wav, decode_wav), (avi, decode_avi),
+                    (h5, h5probe)]:
         allowed = (
             (ValueError, zlib.error, KeyError)
             if fn is h5probe

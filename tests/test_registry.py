@@ -11,10 +11,11 @@ WINDOW = 50
 
 # queries that MUST be scored in round 8 (VERDICT r7 items 1, 5, 6):
 # the never-scored gates (m11b, x16c), the gates round-8 code changes
-# touch (m11, m13), the r2/r3-stale debt (r4-r14 last green ROUND 2;
-# r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 round 3), the three SS2-core g1
-# vec/MIC forms at the 2-round staleness boundary, and eleven
-# round-4-stale shapes (x4-x7, r15/r16, r23-r27) stalest-first.
+# touch (m11, m13, and m4/m5/m6/m10 for the PNG/AVI/WAV/TIFF
+# corrupt-input guards), the r2/r3-stale debt (r4-r14 last green
+# ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 round 3), the three
+# SS2-core g1 vec/MIC forms at the 2-round staleness boundary, and
+# seven round-4-stale shapes (x4-x7, r15/r16, r23) stalest-first.
 MUST_SCORE_R8 = [
     "m11b_decode_jpeg_progressive",
     "x16c_pairwise_rmsd_auto",
@@ -62,10 +63,10 @@ MUST_SCORE_R8 = [
     "r15_large_volume_orders",
     "r16_disjunctive_revenue",
     "r23_priority_exists",
-    "r24_forecast_revenue",
-    "r25_market_share",
-    "r26_profit_by_nation_year",
-    "r27_returned_items",
+    "m4_decode_png",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
+    "m10_decode_tiff",
 ]
 
 
