@@ -34,9 +34,11 @@ ANGSTROM_TO_NM = 0.1
 def read_restart(path: str):
     """→ (xyz (1, n, 3) nm f32, time|None, box (a,b,c,al,be,ga)|None
     in nm/deg)."""
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         f.readline()  # title
         head = f.readline().split()
+        if not head:
+            raise ValueError("truncated AMBER restart (missing atom count)")
         n = int(head[0])
         time = float(head[1]) if len(head) > 1 else None
         vals = []
@@ -144,7 +146,7 @@ def _decode_frames(path: str, n_atoms: int, has_box: bool, specs):
             f.seek(off)
             vals: list[float] = []
             for _ in range(coord_lines):
-                s = f.readline().decode()
+                s = f.readline().decode(errors="replace")
                 s = s.rstrip("\n")
                 vals.extend(
                     float(s[i : i + 8]) for i in range(0, len(s), 8) if s[i : i + 8].strip()

@@ -68,6 +68,12 @@ def _decode_frame_arrays(path: str, specs):
             rows = []
             for _ in range(n):
                 parts = f.readline().split()
+                if len(parts) < 5:
+                    # short/truncated atom line: documented contract is
+                    # ValueError, not IndexError out of a Spark task
+                    raise ValueError(
+                        f"malformed ARC atom line in frame {fid}"
+                    )
                 rows.append((parts[2], parts[3], parts[4]))
             xyz = (np.array(rows, dtype=np.float64) * ANGSTROM_TO_NM).astype(
                 np.float32

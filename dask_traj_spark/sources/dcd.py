@@ -49,30 +49,53 @@ class DCDInfo:
         self.frame_size = frame_size
 
 
+def _must_read(f, n: int, what: str) -> bytes:
+    b = f.read(n)
+    if len(b) < n:
+        # the documented corrupt-file contract is ValueError, never a
+        # raw struct.error out of a Spark task
+        raise ValueError(f"truncated DCD file (short {what})")
+    return b
+
+
 def read_info(path: str) -> DCDInfo:
+    import os
+
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        rl = struct.unpack("<i", f.read(4))[0]
+        rl = struct.unpack("<i", _must_read(f, 4, "header record length"))[0]
         if rl != 84:
             raise ValueError(f"not a DCD file (header record {rl} != 84)")
         magic = f.read(4)
         if magic != b"CORD":
             raise ValueError(f"not a DCD file (magic {magic!r})")
-        icntrl = struct.unpack("<20i", f.read(80))
+        icntrl = struct.unpack("<20i", _must_read(f, 80, "icntrl block"))
         f.read(4)  # trailing reclen
-        n_frames = icntrl[0]
+        hdr_frames = icntrl[0]
         has_cell = icntrl[10] == 1
         # title record
-        trl = struct.unpack("<i", f.read(4))[0]
+        trl = struct.unpack("<i", _must_read(f, 4, "title record length"))[0]
+        if trl < 0 or trl > size:
+            raise ValueError(f"corrupt DCD title record length {trl}")
         f.seek(trl, 1)
         f.read(4)
         # natoms record
         f.read(4)
-        n_atoms = struct.unpack("<i", f.read(4))[0]
+        n_atoms = struct.unpack("<i", _must_read(f, 4, "atom count"))[0]
+        if n_atoms <= 0:
+            raise ValueError(f"corrupt DCD atom count {n_atoms}")
         f.read(4)
         data_offset = f.tell()
         coord_block = 4 + 4 * n_atoms + 4
         cell_block = (4 + 48 + 4) if has_cell else 0
         frame_size = cell_block + 3 * coord_block
+        # bound the frame count by what the file can actually hold:
+        # simulations killed mid-write leave a stale header count
+        # (reading by file size is the ecosystem convention), and a
+        # CORRUPT header claiming 2^31 frames would otherwise turn
+        # any full-file read into a multi-hour empty-read spin
+        avail = max(0, (size - data_offset) // frame_size)
+        n_frames = avail if hdr_frames <= 0 else min(hdr_frames, avail)
         return DCDInfo(n_frames, n_atoms, has_cell, data_offset, frame_size)
 
 
@@ -87,7 +110,8 @@ def _read_frames(path: str, info: DCDInfo, start: int, count: int):
             cols = []
             for _ in range(3):
                 f.seek(4, 1)
-                cols.append(np.frombuffer(f.read(4 * info.n_atoms), dtype="<f4"))
+                raw = _must_read(f, 4 * info.n_atoms, "coordinate block")
+                cols.append(np.frombuffer(raw, dtype="<f4"))
                 f.seek(4, 1)
             xyz = np.stack(cols, axis=-1) * np.float32(ANGSTROM_TO_NM)
             yield fid, xyz
@@ -112,7 +136,7 @@ def read_cells(path: str) -> list[tuple[int, float, float, float, float, float, 
     with open(path, "rb") as f:
         for fid in range(info.n_frames):
             f.seek(info.data_offset + fid * info.frame_size + 4)
-            a, g_, b, b_, a_, c = struct.unpack("<6d", f.read(48))
+            a, g_, b, b_, a_, c = struct.unpack("<6d", _must_read(f, 48, "cell record"))
             if all(abs(v) <= 1.0 for v in (g_, b_, a_)):
                 conv = lambda x: math.degrees(  # noqa: E731
                     math.acos(max(-1.0, min(1.0, x)))

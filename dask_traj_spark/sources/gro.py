@@ -39,6 +39,10 @@ def _parse_time(title: str) -> float | None:
 def _parse_box(line: str) -> np.ndarray:
     """GROMACS box line → (3,3) row-vector matrix."""
     v = [float(x) for x in line.split()]
+    if len(v) < 3:
+        # truncated box line: documented contract is ValueError, not
+        # an IndexError out of a Spark task
+        raise ValueError(f"malformed GRO box line {line.strip()!r}")
     m = np.zeros((3, 3))
     m[0, 0], m[1, 1], m[2, 2] = v[0], v[1], v[2]
     if len(v) >= 9:
@@ -62,7 +66,7 @@ def index_gro(path: str) -> list[tuple[int, int, int, float | None, np.ndarray]]
             n = int(f.readline().strip())
             for _ in range(n):
                 f.readline()
-            box = _parse_box(f.readline().decode())
+            box = _parse_box(f.readline().decode(errors="replace"))
             t = _parse_time(title.decode(errors="replace"))
             frames.append((fid, start, n, t, box))
             fid += 1
@@ -80,6 +84,10 @@ def _decode_frame_arrays(path: str, specs):
             rows = []
             for _ in range(n):
                 line = f.readline()
+                if len(line) < 44:
+                    raise ValueError(
+                        f"malformed GRO atom line in frame {fid}"
+                    )
                 rows.append((line[20:28], line[28:36], line[36:44]))
             xyz = np.array(rows, dtype=np.float64).astype(np.float32)
             yield fid, xyz

@@ -62,9 +62,17 @@ def index_lammpstrj(path: str):
             if not line.startswith(b"ITEM: TIMESTEP"):
                 raise ValueError(f"expected ITEM: TIMESTEP, got {line!r}")
             step = int(f.readline())
-            assert f.readline().startswith(b"ITEM: NUMBER OF ATOMS")
+            nline = f.readline()
+            if not nline.startswith(b"ITEM: NUMBER OF ATOMS"):
+                # explicit ValueError, not a bare assert: asserts
+                # vanish under -O and are not the documented contract
+                raise ValueError(
+                    f"expected ITEM: NUMBER OF ATOMS, got {nline!r}"
+                )
             n = int(f.readline())
-            bline = f.readline().decode()
+            if n < 0:
+                raise ValueError(f"negative LAMMPS atom count {n}")
+            bline = f.readline().decode(errors="replace")
             if not bline.startswith("ITEM: BOX BOUNDS"):
                 raise ValueError(f"expected ITEM: BOX BOUNDS, got {bline!r}")
             tilted = " xy " in bline or bline.rstrip().endswith("xy xz yz")
@@ -75,7 +83,7 @@ def index_lammpstrj(path: str):
                 bounds[d] = vals[:2]
                 if tilted and len(vals) > 2:
                     tilts[d] = vals[2]
-            aline = f.readline().decode()
+            aline = f.readline().decode(errors="replace")
             cols = aline.split()[2:]  # after 'ITEM: ATOMS'
             atoms_offset = f.tell()
             for _ in range(n):
@@ -116,8 +124,13 @@ def _decode_frame_arrays(path: str, specs):
             f.seek(offset)
             ids = np.empty(n, dtype=np.int64)
             xyz = np.empty((n, 3), dtype=np.float64)
+            need = max(idi, xi, yi, zi) + 1
             for r in range(n):
                 parts = f.readline().split()
+                if len(parts) < need:
+                    raise ValueError(
+                        f"malformed LAMMPS atom line in frame {fid}"
+                    )
                 ids[r] = int(parts[idi]) if idi >= 0 else r
                 xyz[r, 0] = float(parts[xi])
                 xyz[r, 1] = float(parts[yi])

@@ -114,7 +114,7 @@ class NC3File:
     @classmethod
     def _name(cls, f) -> str:
         n = cls._u32(f)
-        s = f.read(n).decode()
+        s = f.read(n).decode(errors="replace")
         f.read((-n) % 4)  # pad
         return s
 

@@ -42,6 +42,15 @@ class TRRInfo:
         self.box_size = box_size
 
 
+def _must_read(f, n: int, what: str) -> bytes:
+    b = f.read(n)
+    if len(b) < n:
+        # the documented corrupt-file contract is ValueError, never a
+        # raw struct.error out of a Spark task
+        raise ValueError(f"truncated TRR file (short {what})")
+    return b
+
+
 def _read_header(f):
     """Parse one frame header at the current position → dict or None
     at EOF."""
@@ -51,13 +60,23 @@ def _read_header(f):
     magic = struct.unpack(">i", head)[0]
     if magic != MAGIC:
         raise ValueError(f"not a TRR frame (magic {magic})")
-    slen = struct.unpack(">i", f.read(4))[0]
+    slen = struct.unpack(">i", _must_read(f, 4, "title length"))[0]
+    if slen < 0:
+        raise ValueError(f"corrupt TRR title length {slen}")
     f.read((slen + 3) // 4 * 4)  # title bytes, padded
-    (ir, e, box, vir, pres, top, sym, x, v, ffs) = struct.unpack(">10i", f.read(40))
-    natoms, step, nre = struct.unpack(">3i", f.read(12))
+    (ir, e, box, vir, pres, top, sym, x, v, ffs) = struct.unpack(
+        ">10i", _must_read(f, 40, "section sizes")
+    )
+    if min(ir, e, box, vir, pres, top, sym, x, v, ffs) < 0:
+        raise ValueError("corrupt TRR header (negative section size)")
+    natoms, step, nre = struct.unpack(">3i", _must_read(f, 12, "atom count"))
+    if natoms < 0:
+        raise ValueError(f"corrupt TRR atom count {natoms}")
     double = box == 72 or (natoms > 0 and x == natoms * 24)
     fw = 8 if double else 4
-    t, lam = struct.unpack(">2d" if double else ">2f", f.read(2 * fw))
+    t, lam = struct.unpack(
+        ">2d" if double else ">2f", _must_read(f, 2 * fw, "time/lambda")
+    )
     return {
         "ir": ir, "e": e, "box": box, "vir": vir, "pres": pres,
         "top": top, "sym": sym, "x": x, "v": v, "f": ffs,
@@ -74,6 +93,8 @@ def read_info(path: str) -> TRRInfo:
         start = 0
         data = h["box"] + h["vir"] + h["pres"] + h["x"] + h["v"] + h["f"]
         frame_size = (h["data_start"] - start) + data
+        if frame_size <= 0:
+            raise ValueError("corrupt TRR header (non-positive frame size)")
         import os
 
         n_frames = os.path.getsize(path) // frame_size
@@ -94,15 +115,21 @@ def _read_frames(path: str, info: TRRInfo, start: int, count: int):
         for fid in range(start, min(start + count, info.n_frames)):
             f.seek(fid * info.frame_size)
             h = _read_header(f)
+            if h is None:
+                raise ValueError(f"truncated TRR file (missing frame {fid})")
             fw = 8 if h["double"] else 4
             dt = ">9d" if h["double"] else ">9f"
             box = np.zeros((3, 3))
             if h["box"]:
-                box = np.array(struct.unpack(dt, f.read(9 * fw))).reshape(3, 3)
+                box = np.array(
+                    struct.unpack(dt, _must_read(f, 9 * fw, "box record"))
+                ).reshape(3, 3)
             f.seek(h["vir"] + h["pres"], 1)
             n = h["natoms"]
             xdtype = ">f8" if h["double"] else ">f4"
-            xyz = np.frombuffer(f.read(3 * n * fw), dtype=xdtype).reshape(n, 3)
+            xyz = np.frombuffer(
+                _must_read(f, 3 * n * fw, "coordinate block"), dtype=xdtype
+            ).reshape(n, 3)
             yield fid, h["step"], h["t"], box, xyz.astype(np.float32)
 
 
@@ -113,11 +140,15 @@ def _read_meta(path: str, info: TRRInfo):
         for fid in range(info.n_frames):
             f.seek(fid * info.frame_size)
             h = _read_header(f)
+            if h is None:
+                raise ValueError(f"truncated TRR file (missing frame {fid})")
             fw = 8 if h["double"] else 4
             box = np.zeros((3, 3))
             if h["box"]:
                 dt = ">9d" if h["double"] else ">9f"
-                box = np.array(struct.unpack(dt, f.read(9 * fw))).reshape(3, 3)
+                box = np.array(
+                    struct.unpack(dt, _must_read(f, 9 * fw, "box record"))
+                ).reshape(3, 3)
             yield fid, h["step"], h["t"], box
 
 

@@ -112,11 +112,19 @@ class _BitReader:
 
 
 def _read_xdr_int(f) -> int:
-    return struct.unpack(">i", f.read(4))[0]
+    b = f.read(4)
+    if len(b) < 4:
+        # the documented corrupt-file contract is ValueError, never a
+        # raw struct.error out of a Spark task
+        raise ValueError("truncated XTC stream")
+    return struct.unpack(">i", b)[0]
 
 
 def _read_xdr_float(f) -> float:
-    return struct.unpack(">f", f.read(4))[0]
+    b = f.read(4)
+    if len(b) < 4:
+        raise ValueError("truncated XTC stream")
+    return struct.unpack(">f", b)[0]
 
 
 class XTCFrameInfo:
@@ -149,12 +157,16 @@ def index_xtc(path: str) -> list[XTCFrameInfo]:
             box = np.array(
                 [[_read_xdr_float(f) for _ in range(3)] for _ in range(3)]
             )
+            if natoms < 0:
+                raise ValueError(f"negative XTC atom count {natoms}")
             if natoms <= 9:
                 f.seek(4 + 12 * natoms, 1)  # natoms + plain floats
             else:
                 f.seek(4 + 4, 1)  # natoms again + precision
                 f.seek(4 * 6 + 4, 1)  # minint, maxint, smallidx
                 nbytes = _read_xdr_int(f)
+                if nbytes < 0:
+                    raise ValueError(f"negative XTC payload size {nbytes}")
                 f.seek((nbytes + 3) // 4 * 4, 1)
             frames.append(XTCFrameInfo(fid, offset, natoms, step, time, box))
             fid += 1
@@ -174,16 +186,40 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
     size2 = _read_xdr_int(f)
     if size2 != natoms:
         raise ValueError("natoms mismatch in coordinate block")
+    if natoms < 0:
+        raise ValueError(f"negative XTC atom count {natoms}")
     if natoms <= 9:
-        flat = struct.unpack(f">{3 * natoms}f", f.read(12 * natoms))
+        raw = f.read(12 * natoms)
+        if len(raw) < 12 * natoms:
+            raise ValueError("truncated XTC coordinate block")
+        flat = struct.unpack(f">{3 * natoms}f", raw)
         return step, time, box, np.array(flat, dtype=np.float32).reshape(-1, 3)
 
     precision = _read_xdr_float(f)
     minint = [_read_xdr_int(f) for _ in range(3)]
     maxint = [_read_xdr_int(f) for _ in range(3)]
     smallidx = _read_xdr_int(f)
+    if not (FIRSTIDX <= smallidx < len(MAGICINTS)):
+        # xdrfile's own bound; a mutated index would IndexError below
+        raise ValueError(f"XTC smallidx {smallidx} out of range")
     nbytes = _read_xdr_int(f)
-    data = f.read((nbytes + 3) // 4 * 4)
+    if nbytes < 0:
+        raise ValueError(f"negative XTC payload size {nbytes}")
+    if natoms > 8 * nbytes + 64:
+        # each atom triple consumes >= 1 bit of payload even in the
+        # densest run-length encoding; a header that declares vastly
+        # more atoms than the payload can hold is corrupt, and the
+        # decode loop below would otherwise spin natoms times (a
+        # multi-minute CPU bomb on a 2^31 count) before failing
+        raise ValueError(
+            f"XTC atom count {natoms} impossible for {nbytes}-byte payload"
+        )
+    want = (nbytes + 3) // 4 * 4
+    data = f.read(want)
+    if len(data) < nbytes:
+        # mid-frame truncation: the bit reader below would otherwise
+        # IndexError off the short buffer inside a Spark task
+        raise ValueError("truncated XTC coordinate payload")
 
     sizeint = [maxint[d] - minint[d] + 1 for d in range(3)]
     if any(s > 0xFFFFFF for s in sizeint):
@@ -201,89 +237,43 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
     # state in locals — ~5× fewer Python-level calls than the class
     # form; this loop decodes ~275k atoms/s and is the hot path of
     # every partition scan).
-    buf = data
-    cnt = 0
-    lastbyte = 0
-    lastbits = 0
-    inv = 1.0 / precision
-    vals: list[int] = []  # interleaved integer x,y,z per emitted atom
-    append = vals.append
-    minx, miny, minz = minint
-    sy, sz = sizeint[1], sizeint[2]
-    b0, b1, b2 = bitsizeint
-    i = 0
-    run = 0
-    while i < natoms:
-        # ---- whole-range triple --------------------------------------
-        if bitsize == 0:
-            trip = []
-            for nb in (b0, b1, b2):
-                num = 0
-                while nb >= 8:
-                    lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
-                    cnt += 1
-                    num |= ((lastbyte >> lastbits) & 0xFF) << (nb - 8)
-                    nb -= 8
-                if nb > 0:
-                    if lastbits < nb:
-                        lastbits += 8
+    try:
+        buf = data
+        cnt = 0
+        lastbyte = 0
+        lastbits = 0
+        inv = 1.0 / precision
+        vals: list[int] = []  # interleaved integer x,y,z per emitted atom
+        append = vals.append
+        minx, miny, minz = minint
+        sy, sz = sizeint[1], sizeint[2]
+        b0, b1, b2 = bitsizeint
+        i = 0
+        run = 0
+        while i < natoms:
+            # ---- whole-range triple --------------------------------------
+            if bitsize == 0:
+                trip = []
+                for nb in (b0, b1, b2):
+                    num = 0
+                    while nb >= 8:
                         lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
                         cnt += 1
-                    lastbits -= nb
-                    num |= (lastbyte >> lastbits) & ((1 << nb) - 1)
-                trip.append(num)
-            x0, y0, z0 = trip
-        else:
-            big = 0
-            shift = 0
-            nb = bitsize
-            while nb > 8:
-                lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
-                cnt += 1
-                big |= ((lastbyte >> lastbits) & 0xFF) << shift
-                shift += 8
-                nb -= 8
-            if nb > 0:
-                if lastbits < nb:
-                    lastbits += 8
-                    lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
-                    cnt += 1
-                lastbits -= nb
-                big |= ((lastbyte >> lastbits) & ((1 << nb) - 1)) << shift
-            z0 = big % sz
-            big //= sz
-            y0 = big % sy
-            x0 = big // sy
-        i += 1
-        px = x0 + minx
-        py = y0 + miny
-        pz = z0 + minz
-
-        # ---- run flag (1 bit) + optional 5-bit run header ------------
-        if lastbits < 1:
-            lastbits += 8
-            lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
-            cnt += 1
-        lastbits -= 1
-        flag = (lastbyte >> lastbits) & 1
-        is_smaller = 0
-        if flag:
-            nb = 5
-            if lastbits < nb:
-                lastbits += 8
-                lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
-                cnt += 1
-            lastbits -= nb
-            run = (lastbyte >> lastbits) & 0x1F
-            is_smaller = run % 3
-            run -= is_smaller
-            is_smaller -= 1
-        if run > 0:
-            for k in range(0, run, 3):
-                # small-delta triple: smallidx bits, sizes (s,s,s)
+                        num |= ((lastbyte >> lastbits) & 0xFF) << (nb - 8)
+                        nb -= 8
+                    if nb > 0:
+                        if lastbits < nb:
+                            lastbits += 8
+                            lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+                            cnt += 1
+                        lastbits -= nb
+                        num |= (lastbyte >> lastbits) & ((1 << nb) - 1)
+                    trip.append(num)
+                x0, y0, z0 = trip
+            else:
                 big = 0
                 shift = 0
-                nb = smallidx
+                nb = bitsize
                 while nb > 8:
                     lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
                     cnt += 1
@@ -297,47 +287,99 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
                         cnt += 1
                     lastbits -= nb
                     big |= ((lastbyte >> lastbits) & ((1 << nb) - 1)) << shift
-                dz = big % ssmall
-                big //= ssmall
-                dy = big % ssmall
-                dx = big // ssmall
-                i += 1
-                dx += px - small
-                dy += py - small
-                dz += pz - small
-                if k == 0:
-                    # water-optimization interchange: the first small
-                    # atom is emitted before the whole-range atom
-                    append(dx)
-                    append(dy)
-                    append(dz)
-                    append(px)
-                    append(py)
-                    append(pz)
-                else:
-                    append(dx)
-                    append(dy)
-                    append(dz)
-                # deltas chain off the last DECODED small atom (the
-                # emit-order interchange does not change the chain)
-                px, py, pz = dx, dy, dz
-        else:
-            append(px)
-            append(py)
-            append(pz)
+                z0 = big % sz
+                big //= sz
+                y0 = big % sy
+                x0 = big // sy
+            i += 1
+            px = x0 + minx
+            py = y0 + miny
+            pz = z0 + minz
 
-        smallidx += is_smaller
-        if is_smaller < 0:
-            small = smaller
-            smaller = MAGICINTS[smallidx - 1] // 2 if smallidx > FIRSTIDX else 0
-        elif is_smaller > 0:
-            smaller = small
-            small = MAGICINTS[smallidx] // 2
-        ssmall = MAGICINTS[smallidx]
+            # ---- run flag (1 bit) + optional 5-bit run header ------------
+            if lastbits < 1:
+                lastbits += 8
+                lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+                cnt += 1
+            lastbits -= 1
+            flag = (lastbyte >> lastbits) & 1
+            is_smaller = 0
+            if flag:
+                nb = 5
+                if lastbits < nb:
+                    lastbits += 8
+                    lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+                    cnt += 1
+                lastbits -= nb
+                run = (lastbyte >> lastbits) & 0x1F
+                is_smaller = run % 3
+                run -= is_smaller
+                is_smaller -= 1
+            if run > 0:
+                for k in range(0, run, 3):
+                    # small-delta triple: smallidx bits, sizes (s,s,s)
+                    big = 0
+                    shift = 0
+                    nb = smallidx
+                    while nb > 8:
+                        lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+                        cnt += 1
+                        big |= ((lastbyte >> lastbits) & 0xFF) << shift
+                        shift += 8
+                        nb -= 8
+                    if nb > 0:
+                        if lastbits < nb:
+                            lastbits += 8
+                            lastbyte = ((lastbyte << 8) | buf[cnt]) & 0xFFFFFFFF
+                            cnt += 1
+                        lastbits -= nb
+                        big |= ((lastbyte >> lastbits) & ((1 << nb) - 1)) << shift
+                    dz = big % ssmall
+                    big //= ssmall
+                    dy = big % ssmall
+                    dx = big // ssmall
+                    i += 1
+                    dx += px - small
+                    dy += py - small
+                    dz += pz - small
+                    if k == 0:
+                        # water-optimization interchange: the first small
+                        # atom is emitted before the whole-range atom
+                        append(dx)
+                        append(dy)
+                        append(dz)
+                        append(px)
+                        append(py)
+                        append(pz)
+                    else:
+                        append(dx)
+                        append(dy)
+                        append(dz)
+                    # deltas chain off the last DECODED small atom (the
+                    # emit-order interchange does not change the chain)
+                    px, py, pz = dx, dy, dz
+            else:
+                append(px)
+                append(py)
+                append(pz)
 
-    out = (np.array(vals, dtype=np.int64).reshape(natoms, 3) * inv).astype(
-        np.float32
-    )
+            smallidx += is_smaller
+            if is_smaller < 0:
+                small = smaller
+                smaller = MAGICINTS[smallidx - 1] // 2 if smallidx > FIRSTIDX else 0
+            elif is_smaller > 0:
+                smaller = small
+                small = MAGICINTS[smallidx] // 2
+            ssmall = MAGICINTS[smallidx]
+
+        out = (np.array(vals, dtype=np.int64).reshape(natoms, 3) * inv).astype(
+            np.float32
+        )
+    except IndexError as e:
+        # a corrupt bit stream can claim runs that consume more
+        # bytes than the payload holds; the documented contract
+        # is ValueError, never IndexError out of a Spark task
+        raise ValueError("corrupt XTC coordinate payload") from e
     return step, time, box, out
 
 

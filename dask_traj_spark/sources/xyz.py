@@ -72,7 +72,18 @@ def _decode_frame_arrays(path: str, specs: list[tuple[int, int, int]], scale: fl
             f.seek(offset)
             f.readline()  # n_atoms
             f.readline()  # comment
-            rows = [f.readline().split()[1:4] for _ in range(n)]
+            rows = []
+            for _ in range(n):
+                parts = f.readline().split()
+                if len(parts) < 4:
+                    # short/truncated atom line: the documented
+                    # corrupt-file contract is ValueError, and a
+                    # ragged row list would otherwise IndexError (or
+                    # silently mis-shape) downstream
+                    raise ValueError(
+                        f"malformed XYZ atom line in frame {fid}"
+                    )
+                rows.append(parts[1:4])
             # parse + scale in float64 then narrow, matching the
             # row-path semantics (f64 product cast to FLOAT on ingest)
             xyz = (np.array(rows, dtype=np.float64) * scale).astype(np.float32)

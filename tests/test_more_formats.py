@@ -238,16 +238,37 @@ def test_truncated_binary_files_raise_cleanly(spark, tmp_path, traj_triclinic):
     from dask_traj_spark.sources.xtc import write_xtc
 
     sub = traj_triclinic.slice_frames(0, 5).atom_slice(list(range(30)))
-    for name, writer in (("t.xtc", write_xtc), ("t.dcd", write_dcd)):
-        full = tmp_path / name
-        writer(sub, str(full))
-        data = full.read_bytes()
-        cut = tmp_path / f"cut_{name}"
-        cut.write_bytes(data[: int(len(data) * 0.7)])
-        with pytest.raises((ValueError, EOFError, Exception)):
-            t = dts.load(spark, str(cut))
-            # force materialization in case indexing alone survives
-            t.coords.count()
+    # XTC has no frame index to clamp against — a mid-frame cut must
+    # raise at index/decode time
+    full = tmp_path / "t.xtc"
+    write_xtc(sub, str(full))
+    data = full.read_bytes()
+    cut = tmp_path / "cut_t.xtc"
+    cut.write_bytes(data[: int(len(data) * 0.7)])
+    with pytest.raises((ValueError, EOFError, Exception)):
+        t = dts.load(spark, str(cut))
+        # force materialization in case indexing alone survives
+        t.coords.count()
+    # DCD frame extent is computable from the header, so the reader
+    # follows the ecosystem convention (VMD/mdtraj): a truncated file
+    # yields exactly the COMPLETE frames it holds — never garbage,
+    # never a multi-hour spin on a stale/corrupt header frame count
+    fulld = tmp_path / "t.dcd"
+    write_dcd(sub, str(fulld))
+    datad = fulld.read_bytes()
+    cutd = tmp_path / "cut_t.dcd"
+    cutd.write_bytes(datad[: int(len(datad) * 0.7)])
+    td = dts.load(spark, str(cutd))
+    got_frames = td.coords.select("frame_id").distinct().count()
+    assert 0 < got_frames < 5
+    # and the frames it does return are bit-identical to the full file
+    want = (
+        dts.load(spark, str(fulld)).coords
+        .filter(f"frame_id < {got_frames}")
+        .orderBy("frame_id", "atom_id").collect()
+    )
+    got = td.coords.orderBy("frame_id", "atom_id").collect()
+    assert got == want
 
 
 def test_lh5_invalid_file_raises(spark, tmp_path):
