@@ -102,14 +102,14 @@ def register(name: str, oracle: str | None = None):
 #       pairwise-RMSD auto-dispatcher — new this round) + the six
 #       gates round-8 code changes touch (m11 decode_jpeg
 #       sampling-factor guard, m13 demux_mp4 iterative walk, and
-#       m4/m5/m6/m10 for the PNG/AVI/WAV/TIFF corrupt-input guards
-#       from the extended fuzz pass) + the full r2/r3-stale debt
-#       (r4-r14 last green ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1,
-#       e1-e5 round 3) + the three §2-core g1 vec/MIC forms at the
-#       2-round boundary (last green r5) + seven round-4-stale
-#       shapes (x4-x7, r15/r16, r23) in stalest-first order.  Tail =
-#       the remaining r7-green gates + the rest of the r4/r5-green
-#       shapes (r24-r34 seat first in r9).
+#       every gate consuming the PNG/AVI/WAV/TIFF decoders the
+#       extended fuzz pass hardened: m4/m5/m6/m10 + m2/m8/m9) + the
+#       full r2/r3-stale debt (r4-r14 last green ROUND 2; r1/r2/
+#       r17-r22, t1-t6, c1, m1, e1-e5 round 3) + the three §2-core
+#       g1 vec/MIC forms at the 2-round boundary (last green r5) +
+#       four round-4-stale shapes (x4-x7) in stalest-first order.
+#       Tail = the remaining r7-green gates + the rest of the
+#       r4/r5-green shapes (r15/r16/r23-r34 seat first in r9).
 #
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
@@ -167,10 +167,13 @@ _SCORING_TAIL = [
     "d10_simhash_hamming_pairs",
     "x18_sasa_exposure",
     "r3_rollup_acctbal",
-    # last green round 4 — yielded their r8 head seats to the four
-    # decoder gates this round's corrupt-input guards touch
-    # (m4/m5/m6/m10, touched-set rule); first to seat in round 9
-    # alongside r28-r34
+    # last green round 4 — yielded their r8 head seats to the seven
+    # decoder-consuming gates this round's corrupt-input guards touch
+    # (m4/m5/m6/m10 + m2/m8/m9, touched-set rule); first to seat in
+    # round 9 alongside r28-r34
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
+    "r23_priority_exists",
     "r24_forecast_revenue",
     "r25_market_share",
     "r26_profit_by_nation_year",
@@ -178,7 +181,6 @@ _SCORING_TAIL = [
     # last green round 5 (or round 4 where noted) — next in the
     # stalest-first order once the r8 head's debt clears; r28-r34
     # (round 4) are the first to seat in round 9
-    "m2_decode_features",
     "e8_asof_tolerance",
     "x16_pairwise_rmsd",
     "x3_rmsd_aligned_contract",
@@ -203,9 +205,7 @@ _SCORING_TAIL = [
     "x11_hbond_geometric",
     "x12_vacf",
     "t11_lexical_diversity",
-    "m8_audio_window_features",
     "sx4_stream_sessionization_twin",
-    "m9_frame_diffs",
     "e7_burst_detection",
     "x13_gyration_tensor",
     "c6_dataset_split",

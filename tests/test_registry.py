@@ -11,11 +11,12 @@ WINDOW = 50
 
 # queries that MUST be scored in round 8 (VERDICT r7 items 1, 5, 6):
 # the never-scored gates (m11b, x16c), the gates round-8 code changes
-# touch (m11, m13, and m4/m5/m6/m10 for the PNG/AVI/WAV/TIFF
-# corrupt-input guards), the r2/r3-stale debt (r4-r14 last green
-# ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1, e1-e5 round 3), the three
-# SS2-core g1 vec/MIC forms at the 2-round staleness boundary, and
-# seven round-4-stale shapes (x4-x7, r15/r16, r23) stalest-first.
+# touch (m11, m13, and every consumer of the hardened PNG/AVI/WAV/
+# TIFF decoders: m4/m5/m6/m10 + m2/m8/m9), the r2/r3-stale debt
+# (r4-r14 last green ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1, e1-e5
+# round 3), the three SS2-core g1 vec/MIC forms at the 2-round
+# staleness boundary, and four round-4-stale shapes (x4-x7)
+# stalest-first.
 MUST_SCORE_R8 = [
     "m11b_decode_jpeg_progressive",
     "x16c_pairwise_rmsd_auto",
@@ -60,9 +61,9 @@ MUST_SCORE_R8 = [
     "x5_rdf_histogram",
     "x6_neighbor_pairs",
     "x7_superpose_contract",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
-    "r23_priority_exists",
+    "m2_decode_features",
+    "m8_audio_window_features",
+    "m9_frame_diffs",
     "m4_decode_png",
     "m5_decode_avi_frames",
     "m6_decode_wav",
