@@ -130,14 +130,25 @@ def minhash_signatures(
 
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     """Drop rows whose bucket (group on ``keys``) exceeds ``cap``
-    members. One extra shuffle on the same keys the downstream
-    self-join uses (AQE co-locates them); at scale this is what keeps
-    a boilerplate bucket from emitting O(B²) candidate pairs."""
+    members — at scale this is what keeps a boilerplate bucket from
+    emitting O(B²) candidate pairs.
+
+    Implemented as a keyed window count (never SinglePartition): ONE
+    shuffle on ``keys`` versus the groupBy-sizes + semi-join form's
+    two, and the output comes back hash-partitioned on exactly the
+    keys the downstream bucket self-join needs, so that join reuses
+    the window's exchange instead of re-shuffling the full bands
+    table (measured r8, sf0.1 d2: ~18% end-to-end; at 100 TB the
+    bands table is bands×corpus rows, so the saved shuffle is the
+    big one)."""
     if cap is None:
         return df
-    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
     return (
-        df.join(sizes.where(F.col("_bsz") <= cap), keys)
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= cap)
         .drop("_bsz")
     )
 

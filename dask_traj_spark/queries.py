@@ -107,9 +107,14 @@ def register(name: str, oracle: str | None = None):
 #       full r2/r3-stale debt (r4-r14 last green ROUND 2; r1/r2/
 #       r17-r22, t1-t6, c1, m1, e1-e5 round 3) + the three §2-core
 #       g1 vec/MIC forms at the 2-round boundary (last green r5) +
-#       four round-4-stale shapes (x4-x7) in stalest-first order.
-#       Tail = the remaining r7-green gates + the rest of the
-#       r4/r5-green shapes (r15/r16/r23-r34 seat first in r9).
+#       the three heaviest consumers of the round-8 window-count
+#       bucket-cap rewrite (d2/d6/d7 — their physical plan changed;
+#       the lighter cap consumers d4/d8/d10/sx1/sx6 carry r8 local
+#       plain-session sweep evidence, NOTES_r08, and seat in r9) +
+#       the stalest round-4 shape (x4).  Tail = the remaining
+#       r7-green gates + the rest of the r4/r5-green shapes
+#       (x5-x7, r15/r16, r23-r34 seat first in r9 with the cap
+#       consumers).
 #
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
@@ -135,7 +140,6 @@ _SCORING_TAIL = [
     "u2_content_fingerprint",
     "s8_time_fallback",
     "d1_exact_dedup",
-    "d2_minhash_lsh_neardup",
     "d3_simhash",
     "d4_ngram_jaccard_neardup",
     "v1_cosine_topk",
@@ -152,7 +156,6 @@ _SCORING_TAIL = [
     "g10_vectors_to_lengths_angles",
     "m3_frame_sample",
     "t8_heuristic_filter",
-    "d7_dup_components",
     "sx8_stream_transition_counts_twin",
     "e6_cohort_retention",
     "x8_dihedrals",
@@ -171,6 +174,9 @@ _SCORING_TAIL = [
     # decoder-consuming gates this round's corrupt-input guards touch
     # (m4/m5/m6/m10 + m2/m8/m9, touched-set rule); first to seat in
     # round 9 alongside r28-r34
+    "x5_rdf_histogram",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
     "r15_large_volume_orders",
     "r16_disjunctive_revenue",
     "r23_priority_exists",
@@ -186,7 +192,6 @@ _SCORING_TAIL = [
     "x3_rmsd_aligned_contract",
     "sx1_stream_neardup_batch_twin",
     "c4_sequence_packing",
-    "d6_semantic_dedup",
     "x20_pca_contract",
     "x22_msm_transition_counts",
     "x21_tica_contract",

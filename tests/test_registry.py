@@ -15,8 +15,9 @@ WINDOW = 50
 # TIFF decoders: m4/m5/m6/m10 + m2/m8/m9), the r2/r3-stale debt
 # (r4-r14 last green ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1, e1-e5
 # round 3), the three SS2-core g1 vec/MIC forms at the 2-round
-# staleness boundary, and four round-4-stale shapes (x4-x7)
-# stalest-first.
+# staleness boundary, the three heaviest consumers of the r8
+# window-count bucket-cap rewrite (d2/d6/d7), and the stalest
+# round-4 shape (x4).
 MUST_SCORE_R8 = [
     "m11b_decode_jpeg_progressive",
     "x16c_pairwise_rmsd_auto",
@@ -58,9 +59,9 @@ MUST_SCORE_R8 = [
     "g1_distances_mic_ortho",
     "g1_distances_mic_triclinic",
     "x4_radius_of_gyration",
-    "x5_rdf_histogram",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
+    "d2_minhash_lsh_neardup",
+    "d6_semantic_dedup",
+    "d7_dup_components",
     "m2_decode_features",
     "m8_audio_window_features",
     "m9_frame_diffs",
