@@ -14,10 +14,14 @@ reference, core/dask_traj.py:32-33) stores root datasets:
 h5py is not installed in every environment (not in this one), so the
 loaders carry TWO backends behind one adapter (``_H5File``): h5py
 when importable (full HDF5 — any superblock, any filter), else the
-vendored pure-``struct`` subset reader (:mod:`.hdf5_pure` — v0
-superblock, contiguous AND chunked layouts with shuffle/deflate/
-fletcher32 filters, i.e. the layout h5py/mdtraj actually write for
-trajectories; szip/v2-superblock still need h5py).  Either way the
+vendored pure-``struct`` subset reader (:mod:`.hdf5_pure` — v0 AND
+v2/v3 superblocks, v1/v2 object headers, contiguous and chunked
+layouts (v1 B-tree plus the v4 single-chunk/implicit/fixed-array
+indexes) with shuffle/deflate/fletcher32 filters, i.e. the layouts
+h5py/mdtraj actually write for trajectories under both the default
+and the ``libver='latest'`` file format; szip, extensible-array/
+v2-B-tree chunk indexes and dense links still need h5py).  Either
+way the
 read path is the same chunked design as the binary sources: frame
 chunks → partitions, per-partition slice reads (both layouts make a
 frame-range slice an O(range) read — contiguous by seek, chunked by
@@ -47,10 +51,10 @@ except ImportError:
 
 class _H5File:
     """Backend adapter: h5py when available, else the vendored
-    pure-struct subset reader (v0 files, contiguous or chunked with
-    shuffle/deflate/fletcher32 — the vendored reader raises a
-    descriptive ValueError on anything fancier, naming h5py as the
-    way out)."""
+    pure-struct subset reader (v0/v2/v3-superblock files, contiguous
+    or chunked with shuffle/deflate/fletcher32 — the vendored reader
+    raises a descriptive ValueError on anything fancier, naming h5py
+    as the way out)."""
 
     def __init__(self, path: str):
         if HAVE_H5PY:
@@ -238,7 +242,7 @@ def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
 
 def write_h5_traj(
     traj: Trajectory, path: str, chunk_frames: int | None = None,
-    gzip: bool = False,
+    gzip: bool = False, fmt_version: int = 0,
 ) -> None:
     """Sink: MDTraj-HDF5 export through the vendored pure-struct
     writer (readable by h5py and by :func:`load_hdf5` alike).
@@ -247,7 +251,10 @@ def write_h5_traj(
     (f32).  ``chunk_frames`` switches the coordinate dataset to
     CHUNKED layout (that many frames per chunk); ``gzip`` adds the
     shuffle+deflate pipeline h5py/mdtraj write by default — the
-    layout real ``.h5`` trajectories actually use."""
+    layout real ``.h5`` trajectories actually use.
+    ``fmt_version=2`` writes the ``libver='latest'`` new file format
+    (v3 superblock, OHDR headers, layout-v4 chunk indexes) instead
+    of the library-default old format."""
     import numpy as np
 
     from dask_traj_spark.sources.hdf5_pure import write_h5
@@ -273,7 +280,8 @@ def write_h5_traj(
         chunks = {"coordinates": int(chunk_frames)}
         if gzip:
             filters = {"coordinates": ["shuffle", "gzip"]}
-    write_h5(path, datasets, chunks=chunks, filters=filters)
+    write_h5(path, datasets, chunks=chunks, filters=filters,
+             fmt_version=fmt_version)
 
 
 def write_lh5(traj: Trajectory, path: str) -> None:

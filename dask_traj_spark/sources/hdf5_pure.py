@@ -7,15 +7,24 @@ module implements the subset of the PUBLIC HDF5 file format
 specification ("HDF5 File Format Specification Version 1.0",
 hdfgroup.org) that the MDTraj layout actually needs:
 
-- superblock version 0 (8-byte offsets/lengths),
+- superblock versions 0 (the library default) and 2/3 (what
+  ``libver='latest'`` writes, Jenkins-lookup3-checksummed),
 - the symbol-table root group: v1 B-tree ("TREE", group nodes) →
   symbol table nodes ("SNOD") → local heap ("HEAP") link names,
-- version-1 object headers with Dataspace (0x0001), Datatype
-  (0x0003), Data Layout (0x0008, class 0 = COMPACT with the data
-  inline in the header, class 1 = CONTIGUOUS, class 2 = CHUNKED)
-  and Filter Pipeline (0x000B) messages,
+- the new-style root group: version-2 object headers ("OHDR",
+  checksummed, with "OCHK" continuation blocks) carrying compact
+  Link messages (0x0006); dense link storage (Link Info pointing
+  at a fractal heap) raises,
+- version-1 object headers (incl. 0x0010 continuation blocks) and
+  version-2 object headers, with Dataspace (0x0001, v1 and v2),
+  Datatype (0x0003, v1–v3 atomic), Data Layout (0x0008, v3 and
+  v4; class 0 = COMPACT with the data inline in the header,
+  class 1 = CONTIGUOUS, class 2 = CHUNKED) and Filter Pipeline
+  (0x000B) messages,
 - chunked data indexed by the v1 raw-data B-tree (node type 1,
-  spec section III.A.1), leaf and internal levels,
+  spec section III.A.1, leaf and internal levels) for layout v3,
+  and by the v4 Single Chunk / Implicit / Fixed Array ("FAHD" /
+  "FADB", non-paged) indexes for layout v4,
 - filters: deflate (id 1, zlib — the spec's required filter) and
   shuffle (id 2, byte de-interleave), the pair h5py/mdtraj write
   by default for trajectories; fletcher32 checksums (id 3) are
@@ -24,10 +33,12 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: superblock v2/v3, szip/unknown filters, non-LE or
-unsupported datatype classes.  The loaders prefer h5py when
-importable and fall back to this reader otherwise; with this module
-the no-h5py gate narrows to szip and v2-superblock files.
+of guessing: szip/unknown filters, Extensible Array / v2-B-tree
+chunk indexes (what libhdf5 picks for unlimited-maxshape datasets
+under the latest file format), paged Fixed Arrays, dense links,
+non-LE or unsupported datatype classes.  The loaders prefer h5py
+when importable and fall back to this reader otherwise; with this
+module the no-h5py gate narrows to those exotics.
 
 The writer exists to build spec-derived fixtures (and doubles as a
 beyond-reference ``.h5`` sink for contiguous trajectories): both
@@ -73,6 +84,50 @@ def _fletcher32(data: bytes) -> int:
     sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
     sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
     return ((sum2 << 16) | sum1) & 0xFFFFFFFF
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` — the checksum HDF5 uses
+    for v2/v3 superblocks, v2 object headers and the v4 chunk-index
+    structures (H5_checksum_lookup3 == hashlittle(data, len, 0)).
+    Public-domain algorithm; known vectors pinned in tests."""
+    M = 0xFFFFFFFF
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & M
+
+    a = b = c = (0xDEADBEEF + len(data) + init) & M
+    p, n = 0, len(data)
+    while n > 12:
+        a = (a + int.from_bytes(data[p : p + 4], "little")) & M
+        b = (b + int.from_bytes(data[p + 4 : p + 8], "little")) & M
+        c = (c + int.from_bytes(data[p + 8 : p + 12], "little")) & M
+        # mix()
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        p += 12
+        n -= 12
+    if n == 0:
+        return c  # zero trailing bytes: skip final()
+    # the reference switch adds the 1..12 remaining bytes little-
+    # endian into a/b/c — identical to zero-padded 4-byte reads
+    tail = data[p:] + b"\x00" * (12 - n)
+    a = (a + int.from_bytes(tail[0:4], "little")) & M
+    b = (b + int.from_bytes(tail[4:8], "little")) & M
+    c = (c + int.from_bytes(tail[8:12], "little")) & M
+    # final()
+    c ^= b; c = (c - rot(b, 14)) & M
+    a ^= c; a = (a - rot(c, 11)) & M
+    b ^= a; b = (b - rot(a, 25)) & M
+    c ^= b; c = (c - rot(b, 16)) & M
+    a ^= c; a = (a - rot(c, 4)) & M
+    b ^= a; b = (b - rot(a, 14)) & M
+    c ^= b; c = (c - rot(b, 24)) & M
+    return c
 
 
 # --------------------------------------------------------------- write
@@ -224,6 +279,247 @@ def _chunk_btree_node(
     return node
 
 
+def _object_header_v2(messages: list[tuple[int, bytes]]) -> bytes:
+    """Version-2 object header: "OHDR" + version + flags (0x02 → the
+    size-of-chunk-0 field is 4 bytes; no times, no phase-change, no
+    attribute creation order) + u32 chunk-0 size + unaligned
+    (type u8, size u16, flags u8, body) messages + lookup3 checksum
+    over the whole chunk."""
+    body = b"".join(
+        struct.pack("<BHB", t, len(m), 0) + m for t, m in messages
+    )
+    blob = b"OHDR" + struct.pack("<BBI", 2, 0x02, len(body)) + body
+    return blob + struct.pack("<I", _lookup3(blob))
+
+
+def _link_message(name: str, oh_addr: int) -> bytes:
+    """Compact hard-Link message (0x0006) v1 body: flags 0 → 1-byte
+    name length, no creation order / link type / charset fields."""
+    nb = name.encode()
+    if len(nb) > 255:
+        raise ValueError(f"link name {name!r} longer than 255 bytes")
+    return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", oh_addr)
+
+
+def _dataset_header_v2(
+    shape: tuple[int, ...],
+    kind: str,
+    layout_body: bytes,
+    filters: list[str] | None,
+    level: int,
+) -> bytes:
+    elem = _DT_SIZE[kind]
+    space = struct.pack("<BBBB", 2, len(shape), 0, 1)  # v2, simple
+    space += b"".join(struct.pack("<Q", d) for d in shape)
+    msgs = [(0x0001, space), (0x0003, _dt_message(kind)), (0x0008, layout_body)]
+    if filters:
+        msgs.append((0x000B, _filter_pipeline_message(filters, elem, level)))
+    return _object_header_v2(msgs)
+
+
+def _layout_v4_chunked(
+    shape: tuple[int, ...],
+    elem: int,
+    chunk0: int,
+    index_type: int,
+    index_data: bytes,
+    addr: int,
+    flags: int = 0,
+) -> bytes:
+    """Data Layout message v4, class 2 (chunked).  Dims follow the
+    library convention of rank+1 entries with the element size last
+    (same as v3's chunk dims)."""
+    cdims = (chunk0,) + tuple(shape[1:]) + (elem,)
+    body = struct.pack("<BBBBB", 4, 2, flags, len(cdims), 8)
+    body += b"".join(struct.pack("<Q", d) for d in cdims)
+    body += struct.pack("<B", index_type) + index_data
+    body += struct.pack("<Q", addr)
+    return body
+
+
+def _fixed_array_blobs(
+    entries: list[tuple[int, int, int]], header_addr: int, dblk_addr: int
+) -> tuple[bytes, bytes]:
+    """(FAHD header, FADB data block) for a non-paged filtered-chunk
+    Fixed Array.  ``entries`` = [(addr, nbytes, mask)]; element
+    layout: u64 address + u64 chunk size + u32 filter mask → entry
+    size 20, client id 1 (filtered dataset chunks)."""
+    page_bits = 10
+    if len(entries) > (1 << page_bits):
+        raise ValueError(
+            f"fixed-array writer caps at {1 << page_bits} chunks "
+            "(paged data blocks are not implemented)"
+        )
+    hdr = b"FAHD" + struct.pack("<BBBB", 0, 1, 20, page_bits)
+    hdr += struct.pack("<QQ", len(entries), dblk_addr)
+    hdr += struct.pack("<I", _lookup3(hdr))
+    dblk = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", header_addr)
+    for a, nb, mask in entries:
+        dblk += struct.pack("<QQI", a, nb, mask)
+    dblk += struct.pack("<I", _lookup3(dblk))
+    return hdr, dblk
+
+
+def _write_h5_v2(
+    path: str,
+    datasets: dict[str, tuple[tuple[int, ...], str, bytes]],
+    chunks: dict[str, int],
+    filters: dict[str, list[str]],
+    level: int,
+    compact: set[str],
+) -> None:
+    """New-file-format (``libver='latest'``-style) writer half:
+    v3 superblock, OHDR object headers, compact Link messages,
+    dataspace v2, layout v4 with Single Chunk / Implicit / Fixed
+    Array chunk indexes.  File order: superblock → dataset OHDRs →
+    root OHDR → per-dataset chunk structures → contiguous blocks."""
+    names = sorted(datasets)
+    sb_size = 8 + 4 + 8 * 4 + 4  # sig + 4 fields + 4 addrs + checksum
+    pos = sb_size
+
+    enc_chunks: dict[str, list[bytes]] = {}
+    for n in names:
+        if n not in chunks:
+            continue
+        shape, kind, raw = datasets[n]
+        elem = _DT_SIZE[kind]
+        row = elem
+        for d in shape[1:]:
+            row *= d
+        c0 = int(chunks[n])
+        csize = c0 * row
+        blobs = []
+        for s in range(0, max(shape[0], 1), c0):
+            blk = raw[s * row : (s + c0) * row]
+            if len(blk) < csize:
+                blk = blk + b"\x00" * (csize - len(blk))
+            blobs.append(_encode_chunk(blk, filters.get(n, []), elem, level))
+        enc_chunks[n] = blobs
+
+    def ds_header(n: str, layout_addr: int) -> bytes:
+        shape, kind, raw = datasets[n]
+        elem = _DT_SIZE[kind]
+        nbytes = elem
+        for d in shape:
+            nbytes *= d
+        if n in compact:
+            if len(raw) > 0xFFFF:
+                raise ValueError(
+                    f"compact layout caps at 64 KiB (got {len(raw)} bytes)"
+                )
+            layout = struct.pack("<BBH", 4, 0, len(raw)) + raw
+        elif n not in chunks:
+            layout = struct.pack("<BBQQ", 4, 1, layout_addr, nbytes)
+        else:
+            c0 = int(chunks[n])
+            flist = filters.get(n, [])
+            blobs = enc_chunks[n]
+            if len(blobs) == 1:
+                idata = (
+                    struct.pack("<QI", len(blobs[0]), 0) if flist else b""
+                )
+                layout = _layout_v4_chunked(
+                    shape, elem, c0, 1, idata, layout_addr,
+                    flags=0x02 if flist else 0,
+                )
+            elif not flist:
+                layout = _layout_v4_chunked(shape, elem, c0, 2, b"", layout_addr)
+            else:
+                layout = _layout_v4_chunked(
+                    shape, elem, c0, 3, struct.pack("<B", 10), layout_addr
+                )
+        return _dataset_header_v2(shape, kind, layout, filters.get(n), level)
+
+    # pass 1: placeholder addresses (header sizes don't depend on them)
+    ds_hdr_addr: dict[str, int] = {}
+    for n in names:
+        hdr = ds_header(n, 0)
+        ds_hdr_addr[n] = pos
+        pos = _align8(pos + len(hdr))
+    root_oh_addr = pos
+    root_oh = _object_header_v2(
+        [(0x0006, _link_message(n, ds_hdr_addr[n])) for n in names]
+    )
+    pos = _align8(pos + len(root_oh))
+
+    # chunk structures + raw data
+    layout_addr: dict[str, int] = {}
+    fa_parts: dict[str, tuple[int, bytes, bytes]] = {}
+    chunk_at: dict[str, list[int]] = {}
+    for n in names:
+        if n not in chunks:
+            continue
+        blobs = enc_chunks[n]
+        flist = filters.get(n, [])
+        if len(blobs) == 1:
+            layout_addr[n] = pos
+            chunk_at[n] = [pos]
+            pos = _align8(pos + len(blobs[0]))
+        elif not flist:
+            # implicit index: chunks back-to-back at addr + i*csize
+            layout_addr[n] = pos
+            addrs = []
+            for b in blobs:
+                addrs.append(pos)
+                pos += len(b)
+            chunk_at[n] = addrs
+            pos = _align8(pos)
+        else:
+            fa_hdr_addr = pos
+            hdr_size = 28
+            dblk_addr = _align8(fa_hdr_addr + hdr_size)
+            dblk_size = 4 + 2 + 8 + 20 * len(blobs) + 4
+            pos = _align8(dblk_addr + dblk_size)
+            addrs = []
+            for b in blobs:
+                addrs.append(pos)
+                pos = _align8(pos + len(b))
+            chunk_at[n] = addrs
+            layout_addr[n] = fa_hdr_addr
+            entries = [(a, len(b), 0) for a, b in zip(addrs, blobs)]
+            fa_parts[n] = (dblk_addr, *_fixed_array_blobs(
+                entries, fa_hdr_addr, dblk_addr
+            ))
+    data_addr: dict[str, int] = {}
+    for n in names:
+        if n in chunks or n in compact:
+            continue
+        data_addr[n] = pos
+        pos = _align8(pos + len(datasets[n][2]))
+    eof = pos
+
+    out = bytearray()
+    out += _SIG
+    # superblock v3: version, offset size, length size, flags
+    out += struct.pack("<BBBB", 3, 8, 8, 0)
+    out += struct.pack("<QQQQ", 0, UNDEF, eof, root_oh_addr)
+    out += struct.pack("<I", _lookup3(bytes(out)))
+    assert len(out) == sb_size
+
+    def put(addr: int, blob: bytes) -> None:
+        if len(out) < addr:
+            out.extend(b"\x00" * (addr - len(out)))
+        out[addr : addr + len(blob)] = blob
+
+    for n in names:
+        put(ds_hdr_addr[n], ds_header(n, layout_addr.get(n, data_addr.get(n, 0))))
+    put(root_oh_addr, root_oh)
+    for n in names:
+        if n in chunks:
+            if n in fa_parts:
+                dblk_addr, fahd, fadb = fa_parts[n]
+                put(layout_addr[n], fahd)
+                put(dblk_addr, fadb)
+            for a, b in zip(chunk_at[n], enc_chunks[n]):
+                put(a, b)
+        elif n not in compact:
+            put(data_addr[n], datasets[n][2])
+    if len(out) < eof:
+        out.extend(b"\x00" * (eof - len(out)))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def write_h5(
     path: str,
     datasets: dict[str, tuple[tuple[int, ...], str, bytes]],
@@ -231,6 +527,7 @@ def write_h5(
     filters: dict[str, list[str]] | None = None,
     level: int = 6,
     compact: set[str] | None = None,
+    fmt_version: int = 0,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
@@ -242,10 +539,16 @@ def write_h5(
     "gzip"} (requires chunked — HDF5 only filters chunked data);
     ``compact`` names datasets stored COMPACT (layout class 0, data
     inline in the object header, ≤64 KiB — what h5py emits for tiny
-    arrays under ``compact=True``).
-    Layout in file order: superblock → local heap → SNOD → B-tree →
-    per-dataset object headers → root object header → per-chunked-
-    dataset (chunk B-tree → chunk blobs) → contiguous raw blocks."""
+    arrays under ``compact=True``).  ``fmt_version=0`` (default)
+    writes the library-default old format (v0 superblock, symbol-
+    table root group, v1 object headers, v1 chunk B-trees);
+    ``fmt_version=2`` writes the ``libver='latest'`` new format
+    (v3 superblock, OHDR headers, Link messages, layout v4 with
+    Single Chunk / Implicit / Fixed Array chunk indexes).
+    Layout in file order (v0): superblock → local heap → SNOD →
+    B-tree → per-dataset object headers → root object header →
+    per-chunked-dataset (chunk B-tree → chunk blobs) → contiguous
+    raw blocks."""
     chunks = chunks or {}
     filters = filters or {}
     compact = compact or set()
@@ -255,6 +558,12 @@ def write_h5(
     for n in compact:
         if n in chunks:
             raise ValueError(f"dataset {n!r}: compact layout cannot be chunked")
+    if fmt_version == 2:
+        return _write_h5_v2(path, datasets, chunks, filters, level, compact)
+    if fmt_version != 0:
+        raise ValueError(
+            f"fmt_version must be 0 or 2, got {fmt_version}"
+        )
     names = sorted(datasets)  # SNOD entries must be name-ordered
     # local heap data segment: offset 0 is the empty string, then
     # each name at an 8-byte-aligned offset
@@ -434,27 +743,49 @@ class PureH5:
         if len(b) < 96:
             raise ValueError("truncated HDF5 file (incomplete superblock)")
         ver = b[8]
-        if ver != 0:
+        if ver not in (0, 2, 3):
             raise ValueError(
                 f"superblock version {ver} is not supported by the "
-                "vendored reader (v0 only) — install h5py for this file"
+                "vendored reader (v0/v2/v3 only) — install h5py for "
+                "this file"
             )
-        if b[13] != 8 or b[14] != 8:
-            raise ValueError("only 8-byte offsets/lengths are supported")
         try:
-            # root symbol table entry sits after the 24-byte fixed
-            # part + 32 bytes of addresses
-            entry = 24 + 32
-            _, root_oh, cache = struct.unpack_from("<QQI", b, entry)
-            if cache == 1:
-                btree_addr, heap_addr = struct.unpack_from("<QQ", b, entry + 24)
+            if ver == 0:
+                if b[13] != 8 or b[14] != 8:
+                    raise ValueError(
+                        "only 8-byte offsets/lengths are supported"
+                    )
+                # root symbol table entry sits after the 24-byte
+                # fixed part + 32 bytes of addresses
+                entry = 24 + 32
+                _, root_oh, cache = struct.unpack_from("<QQI", b, entry)
+                if cache == 1:
+                    btree_addr, heap_addr = struct.unpack_from(
+                        "<QQ", b, entry + 24
+                    )
+                else:
+                    btree_addr, heap_addr = self._symbol_table_message(root_oh)
+                self._heap_data = self._parse_heap(heap_addr)
+                links = self._walk_btree(btree_addr)
             else:
-                btree_addr, heap_addr = self._symbol_table_message(root_oh)
-            self._heap_data = self._parse_heap(heap_addr)
+                # v2/v3: sig, version, offset size, length size,
+                # flags, then base / extension / EOF / root-OH
+                # addresses and a lookup3 checksum of bytes [0, 44)
+                if b[9] != 8 or b[10] != 8:
+                    raise ValueError(
+                        "only 8-byte offsets/lengths are supported"
+                    )
+                root_oh = struct.unpack_from("<Q", b, 36)[0]
+                (stored,) = struct.unpack_from("<I", b, 44)
+                if _lookup3(b[:44]) != stored:
+                    raise ValueError(
+                        "superblock checksum mismatch (corrupt file)"
+                    )
+                links = self._group_links_v2(root_oh)
             # name → (shape, kind, addr, chunk_dims|None, filters)
             self.datasets: dict[str, tuple] = {}
             self._chunk_index: dict[str, dict[int, tuple[int, int, int]]] = {}
-            for name, oh_addr in self._walk_btree(btree_addr):
+            for name, oh_addr in links:
                 self.datasets[name] = self._parse_dataset(oh_addr, name)
         except (struct.error, IndexError) as e:
             # corrupt structures must surface as the documented
@@ -532,31 +863,169 @@ class PureH5:
         return out
 
     def _messages(self, oh_addr: int):
+        if self._at(oh_addr, 4) == b"OHDR":
+            return self._messages_v2(oh_addr)
+        return self._messages_v1(oh_addr)
+
+    def _messages_v1(self, oh_addr: int):
         hdr = self._at(oh_addr, 16)
         ver = hdr[0]
         if ver != 1:
             raise ValueError(
-                f"object header version {ver} is not supported (v1 only)"
+                f"object header version {ver} is not supported (v1/v2 only)"
             )
         (nmsgs,) = struct.unpack_from("<H", hdr, 2)
         (hsize,) = struct.unpack_from("<I", hdr, 8)
-        b = self._at(oh_addr + 16, hsize)
-        p = 0
-        end = hsize
+        # messages may span continuation blocks (0x0010); the count
+        # in the prefix covers all blocks.  Guard against crafted
+        # continuation cycles with a visited set.
+        blocks = [self._at(oh_addr + 16, hsize)]
+        seen_cont: set[int] = set()
         out = []
-        for _ in range(nmsgs):
-            if p >= end:
-                break
-            mtype, msize = struct.unpack_from("<HH", b, p)
-            body = b[p + 8 : p + 8 + msize]
-            if mtype == 0x0010:  # continuation block
-                caddr, clen = struct.unpack_from("<QQ", body, 0)
-                raise ValueError(
-                    "object header continuation blocks are not supported"
-                )
-            out.append((mtype, body))
-            p += 8 + msize
+        parsed = 0
+        while blocks and parsed < nmsgs:
+            b = blocks.pop(0)
+            p = 0
+            while parsed < nmsgs and p + 8 <= len(b):
+                mtype, msize = struct.unpack_from("<HH", b, p)
+                body = b[p + 8 : p + 8 + msize]
+                if len(body) < msize:
+                    raise ValueError("truncated object header message")
+                if mtype == 0x0010:  # continuation block
+                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    if caddr in seen_cont:
+                        raise ValueError(
+                            "cyclic object header continuation (corrupt file)"
+                        )
+                    seen_cont.add(caddr)
+                    if len(seen_cont) > 10_000:
+                        raise ValueError(
+                            "object header exceeds 1e4 continuation blocks"
+                        )
+                    blocks.append(self._at(caddr, clen))
+                else:
+                    out.append((mtype, body))
+                parsed += 1
+                p += 8 + msize
         return out
+
+    def _messages_v2(self, oh_addr: int):
+        """Version-2 ("OHDR") object header: checksummed chunks,
+        unaligned (type u8, size u16, flags u8[, order u16]) message
+        headers, "OCHK" continuation chunks."""
+        pre = self._at(oh_addr, 6)
+        ver, flags = pre[4], pre[5]
+        if ver != 2:
+            raise ValueError(
+                f"OHDR version {ver} is not supported (v2 only)"
+            )
+        off = 6
+        if flags & 0x20:  # access/mod/change/birth times stored
+            off += 16
+        if flags & 0x10:  # non-default attr storage phase change
+            off += 4
+        w = 1 << (flags & 0x3)  # width of the size-of-chunk-0 field
+        c0 = int.from_bytes(self._at(oh_addr + off, w), "little")
+        off += w
+        chunk = self._at(oh_addr, off + c0)
+        (stored,) = struct.unpack_from("<I", self._at(oh_addr + off + c0, 4))
+        if _lookup3(chunk) != stored:
+            raise ValueError("object header checksum mismatch (corrupt file)")
+        mh = 6 if flags & 0x04 else 4  # +2 creation-order bytes
+        blocks = [chunk[off:]]
+        seen_cont: set[int] = set()
+        out = []
+        while blocks:
+            b = blocks.pop(0)
+            p = 0
+            # trailing space smaller than a message header is a gap
+            while p + mh <= len(b):
+                mtype = b[p]
+                (msize,) = struct.unpack_from("<H", b, p + 1)
+                body = b[p + mh : p + mh + msize]
+                if len(body) < msize:
+                    raise ValueError("truncated object header message")
+                if mtype == 0x10:  # continuation → OCHK chunk
+                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    if caddr in seen_cont:
+                        raise ValueError(
+                            "cyclic object header continuation (corrupt file)"
+                        )
+                    seen_cont.add(caddr)
+                    if len(seen_cont) > 10_000:
+                        raise ValueError(
+                            "object header exceeds 1e4 continuation blocks"
+                        )
+                    if clen < 8:
+                        raise ValueError("OCHK block shorter than 8 bytes")
+                    blk = self._at(caddr, clen)
+                    if blk[:4] != b"OCHK":
+                        raise ValueError("bad OCHK continuation signature")
+                    (cstored,) = struct.unpack_from("<I", blk, clen - 4)
+                    if _lookup3(blk[: clen - 4]) != cstored:
+                        raise ValueError(
+                            "OCHK checksum mismatch (corrupt file)"
+                        )
+                    blocks.append(blk[4 : clen - 4])
+                else:
+                    out.append((mtype, body))
+                p += mh + msize
+        return out
+
+    def _group_links_v2(self, oh_addr: int):
+        """Root-group links from a new-format object header: compact
+        Link messages (0x0006); a Link Info message (0x0002) with a
+        fractal heap means dense storage, which raises.  A new-format
+        file may still carry an old-style (symbol table) root group —
+        route that through the v1 B-tree walker."""
+        links = []
+        for mtype, body in self._messages(oh_addr):
+            if mtype == 0x0011:  # old-style group in a v2+ superblock
+                btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+                self._heap_data = self._parse_heap(heap_addr)
+                return self._walk_btree(btree_addr)
+            if mtype == 0x0002:  # link info
+                fl = body[1]
+                p = 2 + (8 if fl & 0x01 else 0)
+                (fheap,) = struct.unpack_from("<Q", body, p)
+                if fheap != UNDEF:
+                    raise ValueError(
+                        "dense link storage (fractal heap) is not "
+                        "supported — install h5py for this file"
+                    )
+            elif mtype == 0x0006:
+                links.append(self._parse_link(body))
+        return links
+
+    @staticmethod
+    def _parse_link(body: bytes) -> tuple[str, int]:
+        """Link message (0x0006) v1 → (name, object header address).
+        Only hard links are meaningful here; soft/external links
+        raise."""
+        if body[0] != 1:
+            raise ValueError(f"link message version {body[0]} (v1 only)")
+        flags = body[1]
+        p = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[p]
+            p += 1
+        if flags & 0x04:  # creation order
+            p += 8
+        if flags & 0x10:  # charset
+            p += 1
+        w = 1 << (flags & 0x3)
+        namelen = int.from_bytes(body[p : p + w], "little")
+        p += w
+        name = body[p : p + namelen].decode(errors="replace")
+        p += namelen
+        if ltype != 0:
+            raise ValueError(
+                f"link {name!r}: only hard links are supported "
+                f"(got link type {ltype})"
+            )
+        (addr,) = struct.unpack_from("<Q", body, p)
+        return name, addr
 
     def _parse_dataset(self, oh_addr: int, name: str):
         shape = kind = addr = chunk_dims = None
@@ -564,19 +1033,27 @@ class PureH5:
         for mtype, body in self._messages(oh_addr):
             if mtype == 0x0001:  # dataspace
                 ver, rank = body[0], body[1]
-                if ver != 1:
-                    raise ValueError("only dataspace v1 is supported")
+                if ver == 1:
+                    doff = 8
+                elif ver == 2:
+                    doff = 4
+                else:
+                    raise ValueError(
+                        f"dataspace v{ver} is not supported (v1/v2 only)"
+                    )
                 shape = tuple(
-                    struct.unpack_from("<Q", body, 8 + 8 * i)[0]
+                    struct.unpack_from("<Q", body, doff + 8 * i)[0]
                     for i in range(rank)
                 )
             elif mtype == 0x0003:  # datatype
                 cv, bf0 = body[0], body[1]
                 dclass, dver = cv & 0x0F, cv >> 4
                 (dsize,) = struct.unpack_from("<I", body, 4)
-                if dver != 1 or (bf0 & 0x01):
+                # versions 1-3 lay out atomic (fixed/float) types
+                # identically; the version only gates compound rules
+                if dver not in (1, 2, 3) or (bf0 & 0x01):
                     raise ValueError(
-                        "only v1 little-endian datatypes are supported"
+                        "only v1-v3 little-endian datatypes are supported"
                     )
                 if dclass == 1 and dsize == 4:
                     kind = "f32"
@@ -591,17 +1068,17 @@ class PureH5:
                     )
             elif mtype == 0x0008:  # layout
                 ver, lclass = body[0], body[1]
-                if ver != 3 or lclass not in (0, 1, 2):
+                if ver not in (3, 4) or lclass not in (0, 1, 2):
                     raise ValueError(
-                        f"dataset {name!r}: only data layout v3 class 0/1/2 "
-                        "(compact/contiguous/chunked) is supported — "
-                        "install h5py for this file"
+                        f"dataset {name!r}: only data layout v3/v4 class "
+                        "0/1/2 (compact/contiguous/chunked) is supported "
+                        "— install h5py for this file"
                     )
                 if lclass == 0:
                     # compact: the raw data lives inline in the object
                     # header (u16 size, spec-capped at 64 KiB); stash
                     # the bytes themselves where contiguous stores the
-                    # file offset
+                    # file offset.  v3 and v4 share the field layout.
                     (csize,) = struct.unpack_from("<H", body, 2)
                     if len(body) < 4 + csize:
                         raise ValueError(
@@ -610,25 +1087,83 @@ class PureH5:
                     addr = bytes(body[4 : 4 + csize])
                 elif lclass == 1:
                     (addr,) = struct.unpack_from("<Q", body, 2)
-                else:  # chunked: dimensionality, B-tree addr, chunk dims
+                elif ver == 3:  # chunked v3: dims, v1-B-tree address
                     ndims = body[2]
-                    (addr,) = struct.unpack_from("<Q", body, 3)
+                    (baddr,) = struct.unpack_from("<Q", body, 3)
                     dims = struct.unpack_from(f"<{ndims}I", body, 11)
                     chunk_dims = tuple(dims[:-1])  # last = element size
-                    if not chunk_dims or any(d == 0 for d in chunk_dims):
-                        # a zero chunk dimension in a corrupt header
-                        # would ZeroDivisionError in _read's chunk math
-                        raise ValueError(
-                            f"dataset {name!r}: invalid chunk dims "
-                            f"{chunk_dims}"
-                        )
+                    addr = ("btree1", baddr)
+                else:  # chunked v4: sized dims, one of 5 index types
+                    addr, chunk_dims = self._parse_layout4_chunked(
+                        body, name
+                    )
+                if chunk_dims is not None and (
+                    not chunk_dims or any(d == 0 for d in chunk_dims)
+                ):
+                    # a zero chunk dimension in a corrupt header
+                    # would ZeroDivisionError in _read's chunk math
+                    raise ValueError(
+                        f"dataset {name!r}: invalid chunk dims {chunk_dims}"
+                    )
             elif mtype == 0x000B:  # filter pipeline
                 filters = self._parse_filter_pipeline(body, name)
         if shape is None or kind is None or addr is None:
             raise ValueError(f"dataset {name!r}: incomplete object header")
         if filters and chunk_dims is None:
             raise ValueError(f"dataset {name!r}: filters without chunking")
+        if chunk_dims is not None and shape is not None:
+            # v4 stores rank+1 dims (element size last, the library
+            # convention v3 also uses); tolerate a writer that stored
+            # the bare rank
+            if len(chunk_dims) == len(shape) + 1:
+                chunk_dims = chunk_dims[:-1]
+            elif len(chunk_dims) != len(shape):
+                raise ValueError(
+                    f"dataset {name!r}: chunk rank {len(chunk_dims)} "
+                    f"does not match dataspace rank {len(shape)}"
+                )
         return shape, kind, addr, chunk_dims, filters
+
+    @staticmethod
+    def _parse_layout4_chunked(body: bytes, name: str):
+        """Data Layout v4 class 2 → ((index kind, ...), raw chunk
+        dims incl. the trailing element-size entry).  Single Chunk
+        (1), Implicit (2) and Fixed Array (3) indexes are supported;
+        Extensible Array (4) and v2 B-tree (5) — what libhdf5 picks
+        for unlimited-maxshape datasets — raise, naming h5py."""
+        flags4, ndims, enc = body[2], body[3], body[4]
+        if enc not in (1, 2, 4, 8):
+            raise ValueError(
+                f"dataset {name!r}: bad chunk-dim encoding width {enc}"
+            )
+        p = 5
+        dims = tuple(
+            int.from_bytes(body[p + i * enc : p + (i + 1) * enc], "little")
+            for i in range(ndims)
+        )
+        p += ndims * enc
+        itype = body[p]
+        p += 1
+        if itype == 1:  # single chunk
+            if flags4 & 0x02:  # filtered: stored size + filter mask
+                nbytes, mask = struct.unpack_from("<QI", body, p)
+                p += 12
+            else:
+                nbytes, mask = None, 0
+            (a,) = struct.unpack_from("<Q", body, p)
+            return ("single", a, nbytes, mask), dims
+        if itype == 2:  # implicit: chunks at addr + i*chunk_nbytes
+            (a,) = struct.unpack_from("<Q", body, p)
+            return ("implicit", a), dims
+        if itype == 3:  # fixed array: page bits, then header address
+            p += 1
+            (a,) = struct.unpack_from("<Q", body, p)
+            return ("farr", a), dims
+        raise ValueError(
+            f"dataset {name!r}: chunk index type {itype} "
+            "(extensible array / v2 B-tree) is not supported — "
+            "install h5py for this file"
+        )
 
     def _parse_filter_pipeline(self, body: bytes, name: str) -> list[tuple[int, tuple[int, ...]]]:
         """→ write-order [(filter_id, client_data)].  Deflate (1),
@@ -701,13 +1236,27 @@ class PureH5:
                 f"({chunk_dims} vs {shape}) — install h5py for this file"
             )
         c0 = chunk_dims[0]
-        if name not in self._chunk_index:
-            idx: dict[int, tuple[int, int, int]] = {}
-            self._walk_chunk_btree(addr, len(shape) + 1, idx)
-            self._chunk_index[name] = idx
-        index = self._chunk_index[name]
         elem = _DT_SIZE[kind]
         csize = c0 * row
+        if name not in self._chunk_index:
+            idx: dict[int, tuple[int, int, int]] = {}
+            ikind = addr[0]
+            if ikind == "btree1":
+                self._walk_chunk_btree(addr[1], len(shape) + 1, idx)
+            elif ikind == "single":
+                _, a, nbytes, mask = addr
+                idx[0] = (csize if nbytes is None else nbytes, a, mask)
+            elif ikind == "implicit":
+                # unfiltered chunks laid out back-to-back, row-major
+                nch = max(1, -(-max(shape[0], 1) // c0))
+                for i in range(nch):
+                    idx[i * c0] = (csize, addr[1] + i * csize, 0)
+            elif ikind == "farr":
+                self._parse_fixed_array(addr[1], idx, c0, csize, filters, name)
+            else:  # pragma: no cover - parse never produces others
+                raise ValueError(f"unknown chunk index kind {ikind!r}")
+            self._chunk_index[name] = idx
+        index = self._chunk_index[name]
         out = bytearray()
         pos = start
         end = start + count
@@ -770,6 +1319,66 @@ class PureH5:
                 else:
                     out[off0] = (nbytes, child, mask)
                 p += keysz + 8
+
+    def _parse_fixed_array(
+        self,
+        addr: int,
+        out: dict[int, tuple[int, int, int]],
+        c0: int,
+        csize: int,
+        filters: list,
+        name: str,
+    ) -> None:
+        """v4 Fixed Array chunk index: "FAHD" header → "FADB" data
+        block holding one element per chunk in leading-dim order.
+        Non-paged only (nelmts ≤ 2^page_bits); both structures are
+        lookup3-checksummed.  Element layout: u64 address for
+        unfiltered chunks (client 0), u64 address + sized chunk
+        length + u32 filter mask for filtered chunks (client 1)."""
+        b = self._at(addr, 28)
+        if b[:4] != b"FAHD":
+            raise ValueError(f"dataset {name!r}: bad FAHD signature")
+        ver, client, entry_size, page_bits = b[4], b[5], b[6], b[7]
+        nelmts, dblk = struct.unpack_from("<QQ", b, 8)
+        (stored,) = struct.unpack_from("<I", b, 24)
+        if _lookup3(b[:24]) != stored:
+            raise ValueError(
+                f"dataset {name!r}: FAHD checksum mismatch (corrupt file)"
+            )
+        if ver != 0:
+            raise ValueError(f"dataset {name!r}: FAHD version {ver}")
+        if page_bits > 30 or nelmts > (1 << page_bits):
+            raise ValueError(
+                f"dataset {name!r}: paged fixed-array data blocks are "
+                "not supported — install h5py for this file"
+            )
+        if (client == 0) != (not filters) or entry_size < 8:
+            raise ValueError(
+                f"dataset {name!r}: fixed-array client id {client} does "
+                "not match the filter pipeline"
+            )
+        pre = 4 + 2 + 8  # sig + version/client + header address
+        size = pre + nelmts * entry_size + 4
+        d = self._at(dblk, size)
+        if d[:4] != b"FADB":
+            raise ValueError(f"dataset {name!r}: bad FADB signature")
+        (dstored,) = struct.unpack_from("<I", d, size - 4)
+        if _lookup3(d[: size - 4]) != dstored:
+            raise ValueError(
+                f"dataset {name!r}: FADB checksum mismatch (corrupt file)"
+            )
+        p = pre
+        for i in range(nelmts):
+            (a,) = struct.unpack_from("<Q", d, p)
+            if client == 0 or entry_size == 8:
+                nb, mask = csize, 0
+            else:
+                w = entry_size - 12
+                nb = int.from_bytes(d[p + 8 : p + 8 + w], "little")
+                (mask,) = struct.unpack_from("<I", d, p + 8 + w)
+            if a != UNDEF:
+                out[i * c0] = (nb, a, mask)
+            p += entry_size
 
     def _decode_chunk(
         self,

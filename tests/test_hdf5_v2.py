@@ -1,0 +1,231 @@
+"""New-file-format (``libver='latest'``-style) HDF5 support in the
+vendored pure-struct backend: v3 superblocks, OHDR object headers,
+compact Link messages, layout-v4 chunk indexes (Single Chunk /
+Implicit / Fixed Array), and the Jenkins-lookup3 checksums that
+guard all of them.
+
+Both halves (writer and reader) are written independently from the
+public HDF5 File Format Specification; the golden tests below pin
+raw byte offsets and the public lookup3 vectors so a writer+reader
+pair that agreed on a WRONG layout would still fail.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from dask_traj_spark.sources.hdf5_pure import PureH5, _lookup3, write_h5
+
+
+def _mk(path, chunks=None, filters=None, compact=None, nf=11, na=5):
+    rng = np.random.default_rng(7)
+    xyz = rng.standard_normal((nf, na, 3)).astype("<f4")
+    t = np.arange(nf, dtype="<f8")
+    small = np.arange(6, dtype="<i2")
+    write_h5(
+        str(path),
+        {
+            "coordinates": ((nf, na, 3), "f32", xyz.tobytes()),
+            "time": ((nf,), "f64", t.tobytes()),
+            "small": ((6,), "i16", small.tobytes()),
+        },
+        chunks=chunks, filters=filters, compact=compact, fmt_version=2,
+    )
+    return xyz, t, small
+
+
+def test_lookup3_public_vectors():
+    """hashlittle() vectors from Bob Jenkins' public-domain
+    lookup3.c driver comments — HDF5's H5_checksum_lookup3 is
+    hashlittle(data, len, 0)."""
+    assert _lookup3(b"") == 0xDEADBEEF
+    assert _lookup3(b"Four score and seven years ago") == 0x17770551
+    assert _lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+@pytest.mark.parametrize(
+    "label,chunks,filters,compact",
+    [
+        ("contiguous", None, None, None),
+        ("single_chunk", {"coordinates": 16}, None, None),
+        ("single_chunk_filtered", {"coordinates": 16},
+         {"coordinates": ["shuffle", "gzip"]}, None),
+        ("implicit", {"coordinates": 3}, None, None),
+        ("fixed_array", {"coordinates": 3},
+         {"coordinates": ["shuffle", "gzip"]}, None),
+        ("compact", None, None, {"small"}),
+    ],
+)
+def test_v2_roundtrip_all_index_kinds(tmp_path, label, chunks, filters,
+                                      compact):
+    p = tmp_path / f"{label}.h5"
+    xyz, t, small = _mk(p, chunks, filters, compact)
+    with PureH5(str(p)) as f:
+        assert f.shape("coordinates") == (11, 5, 3)
+        np.testing.assert_array_equal(f.read("coordinates"), xyz)
+        np.testing.assert_array_equal(f.read("time"), t)
+        np.testing.assert_array_equal(f.read("small"), small)
+        # partial leading-dim reads exercise every chunk-index kind's
+        # O(range) slicing, including a non-chunk-aligned window
+        np.testing.assert_array_equal(f.read("coordinates", 4, 5), xyz[4:9])
+        np.testing.assert_array_equal(f.read("time", 10, 1), t[10:11])
+
+
+def test_v3_superblock_golden_bytes(tmp_path):
+    """Spec-pinned superblock v3: signature, version/offset-size
+    bytes, and the lookup3 checksum of bytes [0, 44) stored at 44."""
+    p = tmp_path / "g.h5"
+    _mk(p)
+    b = open(p, "rb").read()
+    assert b[:8] == b"\x89HDF\r\n\x1a\n"
+    assert b[8] == 3          # superblock version
+    assert b[9] == 8 and b[10] == 8  # offset / length sizes
+    (eof,) = struct.unpack_from("<Q", b, 28)
+    assert eof == len(b)
+    (root_oh,) = struct.unpack_from("<Q", b, 36)
+    assert b[root_oh : root_oh + 4] == b"OHDR"
+    (stored,) = struct.unpack_from("<I", b, 44)
+    assert _lookup3(b[:44]) == stored
+
+
+def test_fixed_array_golden_signatures(tmp_path):
+    p = tmp_path / "fa.h5"
+    _mk(p, chunks={"coordinates": 3},
+        filters={"coordinates": ["shuffle", "gzip"]})
+    b = open(p, "rb").read()
+    assert b"FAHD" in b and b"FADB" in b
+    fa = b.index(b"FAHD")
+    assert b[fa + 5] == 1   # client id: filtered dataset chunks
+    assert b[fa + 6] == 20  # entry: u64 addr + u64 size + u32 mask
+    (stored,) = struct.unpack_from("<I", b, fa + 24)
+    assert _lookup3(b[fa : fa + 24]) == stored
+
+
+def test_superblock_checksum_detects_corruption(tmp_path):
+    p = tmp_path / "c.h5"
+    _mk(p)
+    b = bytearray(open(p, "rb").read())
+    b[30] ^= 0xFF  # EOF field → checksum must catch it
+    p2 = tmp_path / "c2.h5"
+    open(p2, "wb").write(bytes(b))
+    with pytest.raises(ValueError, match="checksum|corrupt"):
+        PureH5(str(p2))
+
+
+def test_ohdr_checksum_detects_corruption(tmp_path):
+    p = tmp_path / "o.h5"
+    _mk(p)
+    b = bytearray(open(p, "rb").read())
+    b[b.index(b"OHDR") + 10] ^= 0xFF  # inside the first header chunk
+    p2 = tmp_path / "o2.h5"
+    open(p2, "wb").write(bytes(b))
+    with pytest.raises(ValueError, match="checksum|corrupt|truncated"):
+        PureH5(str(p2))
+
+
+def test_extensible_array_index_raises_naming_h5py():
+    """Chunk index types 4/5 (extensible array / v2 B-tree — what
+    libhdf5 picks for unlimited-maxshape datasets) are honest gates,
+    not guesses."""
+    # layout v4, class 2, flags 0, ndims 2, 8-byte dims, index type 4
+    body = struct.pack("<BBBBB", 4, 2, 0, 2, 8)
+    body += struct.pack("<QQ", 3, 4) + struct.pack("<B", 4)
+    body += struct.pack("<Q", 0)
+    with pytest.raises(ValueError, match="h5py"):
+        PureH5._parse_layout4_chunked(body, "d")
+
+
+def test_paged_fixed_array_raises(tmp_path):
+    """nelmts > 2^page_bits means a paged data block, which the
+    reader gates instead of misreading; the patched header carries a
+    VALID checksum so the page gate itself is what fires."""
+    p = tmp_path / "pg.h5"
+    _mk(p, chunks={"coordinates": 3},
+        filters={"coordinates": ["shuffle", "gzip"]})
+    b = bytearray(open(p, "rb").read())
+    fa = b.index(b"FAHD")
+    b[fa + 7] = 1  # page_bits 10 → 1 (4 chunks > 2 elements/page)
+    struct.pack_into("<I", b, fa + 24, _lookup3(bytes(b[fa : fa + 24])))
+    p2 = tmp_path / "pg2.h5"
+    open(p2, "wb").write(bytes(b))
+    with PureH5(str(p2)) as f:
+        with pytest.raises(ValueError, match="paged"):
+            f.read("coordinates")
+
+
+def test_truncated_v2_file_raises(tmp_path):
+    p = tmp_path / "t.h5"
+    _mk(p, chunks={"coordinates": 3})
+    b = open(p, "rb").read()
+    for cut in (10, 47, 60, len(b) // 2):
+        p2 = tmp_path / f"t{cut}.h5"
+        open(p2, "wb").write(b[:cut])
+        with pytest.raises(ValueError):
+            with PureH5(str(p2)) as f:
+                f.read("coordinates")
+
+
+def test_v2_sink_load_end_to_end(spark, tmp_path):
+    """write_h5_traj(fmt_version=2) → public load() dispatch: the
+    new-format file round-trips through the same chunked Spark read
+    path as the old format (chunked+gzip → Fixed Array index)."""
+    from dask_traj_spark.sources.hdf5 import write_h5_traj
+    from dask_traj_spark.sources.loaders import load
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(43)
+    nf, na = 10, 6
+    xyz = rng.uniform(0, 2, (nf, na, 3)).astype(np.float32)
+    rows = [
+        (f, a, float(xyz[f, a, 0]), float(xyz[f, a, 1]), float(xyz[f, a, 2]))
+        for f in range(nf) for a in range(na)
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x float, y float, z float"
+    ))
+    path = str(tmp_path / "traj_v2.h5")
+    write_h5_traj(traj, path, chunk_frames=3, gzip=True, fmt_version=2)
+    back = load(path, chunks=4)
+    got = back.coords.orderBy("frame_id", "atom_id").toPandas()
+    np.testing.assert_array_equal(
+        got[["x", "y", "z"]].to_numpy(np.float32), xyz.reshape(-1, 3)
+    )
+
+
+def test_v2_fuzz_valueerror_contract(tmp_path):
+    """Single-byte mutations and truncations of a new-format file
+    must surface as the documented ValueError family, never
+    struct.error / IndexError / RecursionError / ZeroDivisionError —
+    the same contract the v0 path is fuzzed under."""
+    import zlib
+
+    p = tmp_path / "f.h5"
+    _mk(p, chunks={"coordinates": 3},
+        filters={"coordinates": ["shuffle", "gzip"]})
+    src = open(p, "rb").read()
+    rng = np.random.default_rng(11)
+
+    def probe(payload):
+        p2 = str(tmp_path / "m.h5")
+        open(p2, "wb").write(payload)
+        with PureH5(p2) as f:
+            f.read("coordinates")
+            f.read("time")
+
+    # KeyError allowed: a mutated link name can drop the dataset,
+    # and dict-lookup KeyError on a missing name is the documented
+    # PureH5 contract (same allowance as the v0 h5probe target).
+    allowed = (ValueError, zlib.error, KeyError)
+    for _ in range(200):
+        b = bytearray(src)
+        b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            probe(bytes(b))
+        except allowed:
+            pass
+    for cut in range(1, len(src), max(1, len(src) // 50)):
+        try:
+            probe(src[:cut])
+        except allowed:
+            pass

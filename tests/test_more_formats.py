@@ -376,13 +376,23 @@ class TestHdf5Vendored:
             np.testing.assert_array_equal(
                 f.read("coordinates").reshape(-1), data
             )
-        # superblock v2 → descriptive refusal naming h5py
+        # superblock v4 (doesn't exist) → descriptive refusal naming
+        # h5py; v2/v3 are supported now, so a v0 file with the
+        # version byte flipped to 2 parses as new-format and fails
+        # its lookup3 checksum instead (corruption detection)
         bad = bytearray(raw)
-        bad[8] = 2
-        p2 = tmp_path / "v2.h5"
+        bad[8] = 4
+        p2 = tmp_path / "v4.h5"
         p2.write_bytes(bytes(bad))
         with _pytest.raises(ValueError, match="h5py"):
             PureH5(str(p2))
+        bad[8] = 2
+        p2b = tmp_path / "v2flip.h5"
+        p2b.write_bytes(bytes(bad))
+        # parsed as new-format: v0's zero at byte 9 fails the v2
+        # offset-size field check before the checksum is even read
+        with _pytest.raises(ValueError, match="offsets|checksum|corrupt"):
+            PureH5(str(p2b))
         # VIRTUAL layout (class 3) → refusal naming h5py (compact/
         # contiguous/chunked — classes 0/1/2 — are all supported now)
         i = bytes(raw).find(_s.pack("<BB", 3, 1), 96)  # layout v3 class 1
