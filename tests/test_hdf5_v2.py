@@ -193,6 +193,101 @@ def test_v2_sink_load_end_to_end(spark, tmp_path):
     )
 
 
+def _craft_v1_continuation(raw: bytearray) -> tuple[bytearray, int, int]:
+    """Relocate the last (layout) message of the first dataset's v1
+    object header into an appended continuation block — the exact
+    structure libhdf5 emits when a header outgrows its first block.
+    Returns (patched file, continuation-message offset, header
+    block size) for further corruption."""
+    (btree_addr,) = struct.unpack_from("<Q", raw, 80)
+    (child,) = struct.unpack_from("<Q", raw, btree_addr + 24 + 8)
+    assert raw[child : child + 4] == b"SNOD"
+    (oh_addr,) = struct.unpack_from("<Q", raw, child + 16)
+    (nmsgs,) = struct.unpack_from("<H", raw, oh_addr + 2)
+    (hsize,) = struct.unpack_from("<I", raw, oh_addr + 8)
+    pos = oh_addr + 16
+    for _ in range(nmsgs):
+        mtype, msize = struct.unpack_from("<HH", raw, pos)
+        last = (mtype, msize, pos)
+        pos += 8 + msize
+    mtype, msize, mpos = last
+    assert mtype == 0x0008  # layout is the writer's last message
+    total = 8 + msize
+    cont_addr = len(raw)
+    raw += raw[mpos : mpos + total]
+    cont = struct.pack("<HHBBBB", 0x0010, 16, 0, 0, 0, 0)
+    cont += struct.pack("<QQ", cont_addr, total)
+    nil_body = total - 24 - 8
+    nil = struct.pack("<HHBBBB", 0, nil_body, 0, 0, 0, 0) + b"\x00" * nil_body
+    raw[mpos : mpos + total] = cont + nil
+    struct.pack_into("<H", raw, oh_addr + 2, nmsgs + 2)
+    return raw, mpos, hsize
+
+
+def test_v1_header_continuation_block(tmp_path):
+    """v1 object-header continuation blocks (0x0010): the layout
+    message relocated to an appended block still round-trips, and a
+    crafted continuation cycle raises the documented ValueError
+    instead of looping."""
+    p = tmp_path / "c.h5"
+    data = np.arange(12, dtype="<f4")
+    write_h5(str(p), {"d": ((4, 3), "f32", data.tobytes())})
+    raw, mpos, hsize = _craft_v1_continuation(bytearray(open(p, "rb").read()))
+    p2 = tmp_path / "cont.h5"
+    p2.write_bytes(bytes(raw))
+    with PureH5(str(p2)) as f:
+        np.testing.assert_array_equal(f.read("d"), data.reshape(4, 3))
+
+    # point the continuation back at the header block and claim a
+    # huge message count: the visited-set guard must fire
+    (btree_addr,) = struct.unpack_from("<Q", raw, 80)
+    (child,) = struct.unpack_from("<Q", raw, btree_addr + 24 + 8)
+    (oh_addr,) = struct.unpack_from("<Q", raw, child + 16)
+    bad = bytearray(raw)
+    struct.pack_into("<QQ", bad, mpos + 8, oh_addr + 16, hsize)
+    struct.pack_into("<H", bad, oh_addr + 2, 0xFFFF)
+    p3 = tmp_path / "cyc.h5"
+    p3.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="cyclic|corrupt"):
+        PureH5(str(p3))
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        nf=st.integers(1, 40),
+        ncol=st.integers(1, 7),
+        kind=st.sampled_from(["f32", "f64", "i16"]),
+        chunk0=st.one_of(st.none(), st.integers(1, 50)),
+        filt=st.sampled_from([None, ["gzip"], ["shuffle", "gzip"], ["shuffle"]]),
+        start_frac=st.floats(0, 1),
+    )
+    def test_v2_roundtrip_property(tmp_path_factory, nf, ncol, kind,
+                                   chunk0, filt, start_frac):
+        """Any (shape, dtype, chunking, filter, slice) combination
+        round-trips bit-exactly through the new-format writer+reader,
+        including edge chunks and non-aligned partial reads."""
+        dt = {"f32": "<f4", "f64": "<f8", "i16": "<i2"}[kind]
+        arr = (np.arange(nf * ncol) % 251).astype(dt).reshape(nf, ncol)
+        td = tmp_path_factory.mktemp("h5prop")
+        p = str(td / "p.h5")
+        chunks = {"d": chunk0} if chunk0 else None
+        filters = {"d": filt} if (filt and chunk0) else None
+        write_h5(p, {"d": ((nf, ncol), kind, arr.tobytes())},
+                 chunks=chunks, filters=filters, fmt_version=2)
+        start = int(start_frac * (nf - 1))
+        count = nf - start
+        with PureH5(p) as f:
+            np.testing.assert_array_equal(f.read("d"), arr)
+            np.testing.assert_array_equal(
+                f.read("d", start, count), arr[start : start + count]
+            )
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_v2_fuzz_valueerror_contract(tmp_path):
     """Single-byte mutations and truncations of a new-format file
     must surface as the documented ValueError family, never
