@@ -288,6 +288,28 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def test_v3_superblock_with_symbol_table_root(tmp_path):
+    """Mixed-format file: a v3 superblock whose root object header
+    is an old-style (v1, symbol-table-message) group — legal per the
+    spec's per-object version bounds, routed through the v1 B-tree
+    walker."""
+    p = tmp_path / "mix.h5"
+    data = np.arange(12, dtype="<f4")
+    write_h5(str(p), {"d": ((4, 3), "f32", data.tobytes())})
+    raw = bytearray(open(p, "rb").read())
+    # v0 root symbol-table entry at 56: link name offset, OH address
+    (root_oh,) = struct.unpack_from("<Q", raw, 56 + 8)
+    sb = bytearray(b"\x89HDF\r\n\x1a\n")
+    sb += struct.pack("<BBBB", 3, 8, 8, 0)
+    sb += struct.pack("<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, len(raw), root_oh)
+    sb += struct.pack("<I", _lookup3(bytes(sb)))
+    raw[: len(sb)] = sb
+    p2 = tmp_path / "mix2.h5"
+    p2.write_bytes(bytes(raw))
+    with PureH5(str(p2)) as f:
+        np.testing.assert_array_equal(f.read("d"), data.reshape(4, 3))
+
+
 def test_v2_fuzz_valueerror_contract(tmp_path):
     """Single-byte mutations and truncations of a new-format file
     must surface as the documented ValueError family, never
