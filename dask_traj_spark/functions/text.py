@@ -451,6 +451,57 @@ CMS_WIDTH = 1024
 CMS_MIX = (2654435761, 2246822519, 3266489917, 668265263)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by tf-idf —
+    the classic curation/analytics primitive (what does this doc
+    talk about that the corpus doesn't?).
+
+    Scored with the RAW-RATIO idf variant, score = tf · N / df,
+    deliberately instead of tf · ln(N/df): tf·N is an exact int64
+    and one correctly-rounded IEEE division makes the ranking key
+    bit-identical across engines (the module discipline), whereas
+    ln() ties the result to libm ulp behavior.  ln is monotonic but
+    tf·ln(N/df) is NOT order-equivalent to tf·N/df across terms, so
+    the emitted score column names the variant.  Ties break on the
+    term itself.
+
+    Plan (100-TB posture): two partial-agg shuffles (term frequency
+    per doc, document frequency per term), one shuffle join on the
+    term key (vocabulary-sized — too big to broadcast at corpus
+    scale; AQE handles stop-word skew), a broadcast of the 1-row
+    corpus count (its SinglePartition exchange carries one partial
+    count per input partition, not data), and one window shuffle on
+    the document key.  No collect, no UDF."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = tok.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    s = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), "word")
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("s", s)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            F.col("word").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("s", 6).alias("tfidf_ratio_q6"),
+        )
+    )
+
+
 def _cms_col(key, row, width: int, id_mode: str):
     if id_mode == "hashed":
         return F.pmod(F.xxhash64(key, row), F.lit(int(width)))

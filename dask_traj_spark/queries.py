@@ -120,11 +120,16 @@ def register(name: str, oracle: str | None = None):
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
-# Remaining debt to seat in ROUND 9, in order: r28-r34 (last green
-# round 4), then the r5-green block (x10-x22, t9-t13, v6-v8, c4/c6/
-# c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the r7-green
-# set ages back in.
+# Remaining debt to seat in ROUND 9, in order: t15 (NEW this round,
+# never scored — new queries outrank re-scores), then r28-r34 (last
+# green round 4), then the r5-green block (x10-x22, t9-t13, v6-v8,
+# c4/c6/c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the
+# r7-green set ages back in.
 _SCORING_TAIL = [
+    # NEW this round, registered after the r8 head was finalized and
+    # locally swept — seats FIRST in round 9 (new-query-first rule);
+    # carries r8 local sweep evidence (NOTES_r08)
+    "t15_tfidf_top_terms",
     # last green ROUND 7 (fresh — scored in CORRECTNESS_r07)
     "g1_distances",
     "g8_orthogonality",

@@ -1580,6 +1580,47 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+_T15_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM tok WHERE word <> '' GROUP BY doc_id, word),
+dfreq AS (
+    SELECT word, count(DISTINCT doc_id) AS df
+    FROM tok WHERE word <> '' GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS s
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+ranked AS (
+    SELECT doc_id, word, tf, df, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, word) AS rnk
+    FROM scored)
+SELECT doc_id,
+       CAST(rnk AS INT) AS rank,
+       word AS term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       round(s, 6) AS tfidf_ratio_q6
+FROM ranked
+WHERE rnk <= 3
+"""
+
+
+@register("t15_tfidf_top_terms", _T15_ORACLE)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 most distinctive terms per document by tf-idf; see
+    :func:`dask_traj_spark.functions.text.tfidf_top_terms` for the
+    raw-ratio-idf rationale and the 100-TB plan posture."""
+    from dask_traj_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 # this DuckDB build cannot slice BLOBs; the corpus is ASCII so
 # byte offsets == char offsets and encode(substring(text)) is the
 # same bytes as slicing encode(text)

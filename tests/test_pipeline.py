@@ -51,6 +51,31 @@ class TestText:
         assert pdf.loc[3, "pred_lang"] == "de"  # der/und/die
         assert pdf.loc[4, "pred_lang"] == "fr"  # le/la/et
 
+    def test_tfidf_top_terms_hand_computed(self, spark):
+        from dask_traj_spark.functions.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(0, "apple apple banana"),
+             (1, "banana cherry"),
+             (2, "cherry cherry cherry durian")],
+            "doc_id long, text string",
+        )
+        # N=3; df: apple 1, banana 2, cherry 2, durian 1
+        # scores tf*N/df — doc0: apple 6, banana 1.5; doc1: banana
+        # 1.5 == cherry 1.5 (tie → term asc); doc2: cherry 4.5,
+        # durian 3
+        pdf = (
+            tfidf_top_terms(docs, k=2)
+            .toPandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(pdf["term"]) == [
+            "apple", "banana", "banana", "cherry", "cherry", "durian"
+        ]
+        assert list(pdf["tfidf_ratio_q6"]) == [6.0, 1.5, 1.5, 1.5, 4.5, 3.0]
+        assert list(pdf["rank"]) == [1, 2, 1, 2, 1, 2]
+
     def test_fingerprint_deterministic_and_discriminating(self, docs):
         from dask_traj_spark.functions.text import fingerprint
 

@@ -276,6 +276,19 @@ def test_default_dedup_paths_have_no_single_partition_window(spark):
         assert "SinglePartition" not in text, text
 
 
+def test_tfidf_single_partition_only_for_corpus_count(spark):
+    """tfidf_top_terms may carry exactly ONE SinglePartition
+    exchange — the 1-row corpus count (one partial count per input
+    partition, not data).  The ranking window must partition by the
+    document key, and everything stays JVM-side."""
+    from dask_traj_spark.functions.text import tfidf_top_terms
+
+    text = audit(tfidf_top_terms(_docs_fixture(spark))).text
+    assert text.count("SinglePartition") == 1, text
+    assert "hashpartitioning(doc_id" in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
 def test_curation_paths_have_no_single_partition_exchange(spark):
     """The curation operators (decontamination, stratified sample,
     repetition, repeated-ngram) must compile without any
