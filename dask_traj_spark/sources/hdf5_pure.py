@@ -1352,10 +1352,19 @@ class PureH5:
                 f"dataset {name!r}: paged fixed-array data blocks are "
                 "not supported — install h5py for this file"
             )
-        if (client == 0) != (not filters) or entry_size < 8:
+        if (client == 0) != (not filters):
             raise ValueError(
                 f"dataset {name!r}: fixed-array client id {client} does "
                 "not match the filter pipeline"
+            )
+        # client 0 elements are exactly a u64 address; client 1 adds a
+        # >=0-byte chunk size + u32 mask, so 12 is the floor — anything
+        # between 9 and 11 would make the size width negative and
+        # silently decode overlapping fields instead of erroring
+        if (client == 0 and entry_size != 8) or (client == 1 and entry_size < 12):
+            raise ValueError(
+                f"dataset {name!r}: fixed-array entry size {entry_size} "
+                f"invalid for client {client} (corrupt file)"
             )
         pre = 4 + 2 + 8  # sig + version/client + header address
         size = pre + nelmts * entry_size + 4

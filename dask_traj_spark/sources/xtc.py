@@ -222,6 +222,14 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
         raise ValueError("truncated XTC coordinate payload")
 
     sizeint = [maxint[d] - minint[d] + 1 for d in range(3)]
+    if not (precision > 0):
+        # NaN fails this comparison too; inv = 1/precision below would
+        # otherwise ZeroDivisionError out of a Spark task
+        raise ValueError(f"XTC precision {precision} must be positive")
+    if any(s < 1 for s in sizeint):
+        # maxint < minint makes a sizeint 0/negative and `big % sz`
+        # below would ZeroDivisionError; xdrfile rejects this too
+        raise ValueError(f"XTC corrupt integer ranges {sizeint}")
     if any(s > 0xFFFFFF for s in sizeint):
         bitsizeint = [s.bit_length() for s in sizeint]
         bitsize = 0
@@ -364,6 +372,13 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
                 append(pz)
 
             smallidx += is_smaller
+            if not (FIRSTIDX <= smallidx < len(MAGICINTS)):
+                # repeated is_smaller updates on a corrupt stream can
+                # drift smallidx into MAGICINTS' leading-zero region
+                # (ssmall=0 → ZeroDivisionError) or negative, where
+                # Python indexing silently reads MAGICINTS[-1] and
+                # decodes garbage; xdrfile errors when sizesmall==0
+                raise ValueError(f"XTC smallidx {smallidx} drifted out of range")
             if is_smaller < 0:
                 small = smaller
                 smaller = MAGICINTS[smallidx - 1] // 2 if smallidx > FIRSTIDX else 0
@@ -375,10 +390,12 @@ def decode_frame(f) -> tuple[int, float, np.ndarray, np.ndarray]:
         out = (np.array(vals, dtype=np.int64).reshape(natoms, 3) * inv).astype(
             np.float32
         )
-    except IndexError as e:
+    except (IndexError, ZeroDivisionError) as e:
         # a corrupt bit stream can claim runs that consume more
-        # bytes than the payload holds; the documented contract
-        # is ValueError, never IndexError out of a Spark task
+        # bytes than the payload holds (IndexError) or degenerate
+        # divisors the guards above didn't anticipate; the documented
+        # contract is ValueError, never a raw internal error out of
+        # a Spark task
         raise ValueError("corrupt XTC coordinate payload") from e
     return step, time, box, out
 

@@ -635,3 +635,123 @@ def test_mp4_deeply_nested_traks_no_recursionerror():
     data = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + payload
     with pytest.raises(ValueError):
         demux_mp4(data)
+
+
+# ---------------------------------------------------------------------
+# targeted reproductions of the round-8 review (ADVICE) findings:
+# corrupt XTC headers/payloads and a corrupt fixed-array entry size
+# that previously escaped the documented ValueError contract.
+# ---------------------------------------------------------------------
+
+
+def _xtc_compressed_frame(
+    natoms=12,
+    precision=1000.0,
+    minint=(0, 0, 0),
+    maxint=(7, 7, 7),
+    smallidx=10,
+    payload=b"\x00" * 24,
+):
+    """A syntactically-valid compressed XTC frame header + payload."""
+    import struct
+
+    from dask_traj_spark.sources import xtc as X
+
+    hdr = struct.pack(">iiif", X.MAGIC, natoms, 0, 0.0)
+    hdr += struct.pack(">9f", 1, 0, 0, 0, 1, 0, 0, 0, 1)
+    hdr += struct.pack(">i", natoms)
+    hdr += struct.pack(">f", precision)
+    hdr += struct.pack(">3i", *minint) + struct.pack(">3i", *maxint)
+    hdr += struct.pack(">ii", smallidx, len(payload))
+    pad = -len(payload) % 4
+    return hdr + payload + b"\x00" * pad
+
+
+def test_xtc_zero_precision_raises_valueerror():
+    """precision == 0.0 (or negative/NaN) must raise the documented
+    ValueError, not ZeroDivisionError at inv = 1/precision
+    (ADVICE r8 #1)."""
+    import io
+
+    import pytest
+
+    from dask_traj_spark.sources.xtc import decode_frame
+
+    for bad in (0.0, -1.0, float("nan")):
+        with pytest.raises(ValueError, match="precision"):
+            decode_frame(io.BytesIO(_xtc_compressed_frame(precision=bad)))
+
+
+def test_xtc_inverted_int_range_raises_valueerror():
+    """maxint < minint makes sizeint <= 0; `big % sz` must not
+    ZeroDivisionError out of a Spark task (ADVICE r8 #1)."""
+    import io
+
+    import pytest
+
+    from dask_traj_spark.sources.xtc import decode_frame
+
+    for mx in ((-1, 7, 7), (7, -2, 7), (7, 7, -9)):
+        with pytest.raises(ValueError, match="integer ranges"):
+            decode_frame(io.BytesIO(_xtc_compressed_frame(maxint=mx)))
+
+
+def test_xtc_smallidx_drift_raises_valueerror():
+    """A payload of run headers that repeatedly decrement smallidx
+    must raise ValueError when the index leaves [FIRSTIDX, len) —
+    previously ssmall=0 ZeroDivisionError (uncaught) or silent
+    negative indexing decoding garbage (ADVICE r8 #2)."""
+    import io
+
+    import pytest
+
+    from dask_traj_spark.sources import xtc as X
+
+    # sizeint (8,8,8) -> bitsize 10.  Each atom: one 10-bit whole-range
+    # triple, flag bit 1, 5-bit run header 0 (run=0, is_smaller=-1).
+    # Starting at FIRSTIDX+1 the second decrement leaves the table.
+    w = X._BitWriter()
+    for _ in range(3):
+        w.ints([0, 0, 0], 10, (8, 8, 8))
+        w.bits(1, 1)
+        w.bits(0, 5)
+    payload = w.finish() + b"\x00" * 16
+    frame = _xtc_compressed_frame(smallidx=X.FIRSTIDX + 1, payload=payload)
+    with pytest.raises(ValueError, match="drifted"):
+        X.decode_frame(io.BytesIO(frame))
+
+
+def test_h5_fixed_array_short_filtered_entry_raises(tmp_path):
+    """A filtered (client 1) FAHD whose entry_size is 9-11 previously
+    made the size width negative and silently decoded chunk size 0
+    from an empty slice; it must raise the documented ValueError
+    (ADVICE r8 #3).  The patched header carries a VALID checksum so
+    the entry-size gate itself is what fires."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dask_traj_spark.sources.hdf5_pure import PureH5, _lookup3, write_h5
+
+    p = str(tmp_path / "fa_short.h5")
+    a = np.arange(60, dtype="<f4")
+    write_h5(
+        p,
+        {"d": ((20, 3), "f32", a.tobytes())},
+        chunks={"d": 5},
+        filters={"d": ["shuffle", "gzip"]},
+        fmt_version=2,
+    )
+    base = open(p, "rb").read()
+    fa = base.index(b"FAHD")
+    assert base[fa + 5] == 1 and base[fa + 6] == 20
+    for bad in (9, 10, 11):
+        b = bytearray(base)
+        b[fa + 6] = bad
+        struct.pack_into("<I", b, fa + 24, _lookup3(bytes(b[fa : fa + 24])))
+        p2 = str(tmp_path / f"fa_{bad}.h5")
+        open(p2, "wb").write(bytes(b))
+        with PureH5(p2) as f:
+            with pytest.raises(ValueError, match="entry size"):
+                f.read("d")
