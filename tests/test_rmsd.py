@@ -312,3 +312,50 @@ def test_pairwise_rmsd_auto_dispatch(spark):
     assert want.keys() == got.keys() and len(want) == nf * (nf - 1) // 2
     for k in want:
         assert want[k] == got[k], k
+
+
+def test_frame_count_hint_cheap_paths(spark):
+    """_frame_count_hint must (a) reuse a cached n_frames, (b) count
+    the tiny frames dimension when present and seed the cache, and
+    (c) fall back to the min/max span — an upper bound on sparse ids
+    that biases dispatch toward the blocked (scale-safe) branch,
+    never a distinct-count scan of coords."""
+    import numpy as np
+
+    from dask_traj_spark.operators.rmsd import (
+        _frame_count_hint,
+        pairwise_rmsd_auto,
+    )
+    from dask_traj_spark.trajectory import Trajectory
+
+    rng = np.random.default_rng(62)
+    # sparse frame ids: 4 actual frames spanning [0, 40]
+    fids = [0, 7, 21, 40]
+    rows = [
+        (f, a, *(float(v) for v in np.round(rng.uniform(0, 2, 3) * 4096) / 4096))
+        for f in fids for a in range(5)
+    ]
+    traj = Trajectory(spark.createDataFrame(
+        rows, "frame_id long, atom_id int, x double, y double, z double"
+    ))
+    # span fallback: upper bound 41, not the exact 4
+    assert _frame_count_hint(traj) == 41
+    # the over-estimate routes to blocked at crossover=10 even though
+    # the exact count (4) would have picked SQL — documented bias
+    blk = pairwise_rmsd_auto(traj, block=16, crossover=10)
+    assert "FlatMapGroupsInPandas" in blk._jdf.queryExecution().toString()
+    # blocked output is still exact: 4 frames -> 6 pairs
+    assert blk.count() == 6
+
+    # cached n_frames wins over everything
+    traj.__dict__["n_frames"] = 4
+    assert _frame_count_hint(traj) == 4
+
+    # frames dimension table: counted and seeded into the cache
+    frames_df = spark.createDataFrame(
+        [(f, float(f), f) for f in fids],
+        "frame_id long, time double, step long",
+    )
+    traj2 = Trajectory(traj.coords, frames=frames_df)
+    assert _frame_count_hint(traj2) == 4
+    assert traj2.__dict__["n_frames"] == 4
