@@ -116,6 +116,20 @@ def register(name: str, oracle: str | None = None):
 #       (x5-x7, r15/r16, r23-r34 seat first in r9 with the cap
 #       consumers).
 #
+#
+#   r9 (now): execute the written rotation.  Head = t15 (NEW in r8,
+#       never driver-scored — new-query-first) + x16c (r8-green but
+#       TOUCHED: round 9 replaces its n_frames distinct-count with
+#       _frame_count_hint) + the full round-4-stale block (x5-x7,
+#       r15/r16, r23-r34 — the oldest evidence in the registry) +
+#       the five bucket-cap consumers whose r8 re-verification was
+#       local-only (d4/d8/d10/sx1/sx6) + the 14-query §2-core block
+#       at the 2-round hard bound (g1 plain, g2, g3, g5-g10, p1/p2,
+#       s8, u1/u2 — last green r7) + the 12 stalest r5-green shapes
+#       (e8, x16, x3, c4, x19-x22, t9, t13, sx2, c7).  Tail = the
+#       49 r8-green gates + the remaining r7-green extension set
+#       (x1/x2/x16b hit the best-effort boundary in r10) + the 18
+#       remaining r5-green shapes (head the r10 order).
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
@@ -126,27 +140,62 @@ def register(name: str, oracle: str | None = None):
 # c4/c6/c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the
 # r7-green set ages back in.
 _SCORING_TAIL = [
-    # NEW this round, registered after the r8 head was finalized and
-    # locally swept — seats FIRST in round 9 (new-query-first rule);
-    # carries r8 local sweep evidence (NOTES_r08)
-    "t15_tfidf_top_terms",
-    # last green ROUND 7 (fresh — scored in CORRECTNESS_r07)
-    "g1_distances",
-    "g8_orthogonality",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g9_lengths_angles_to_vectors",
-    "p1_frame_slice_stride_reverse",
-    "p2_atom_slice",
-    "u1_concat_overlap_discard",
-    "u2_content_fingerprint",
-    "s8_time_fallback",
+    # last green ROUND 8 (fresh — scored in CORRECTNESS_r08; x16c was
+    # also r8-green but re-seats under the touched-set rule: the
+    # round-9 _frame_count_hint change is on its dispatch path)
+    "g1_distances_vec",
+    "g1_distances_mic_ortho",
+    "g1_distances_mic_triclinic",
+    "t1_doc_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_source_stats",
+    "c1_corpus_curation",
+    "d2_minhash_lsh_neardup",
+    "m1_media_stats",
+    "m2_decode_features",
+    "e1_event_window_counts",
+    "e2_sessionization",
+    "e3_asof_last_purchase",
+    "e4_session_concurrency",
+    "t6_token_counts",
+    "e5_funnel_completions",
+    "d6_semantic_dedup",
+    "m4_decode_png",
+    "d7_dup_components",
+    "x4_radius_of_gyration",
+    "m13_video_container_stats",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
+    "m8_audio_window_features",
+    "m9_frame_diffs",
+    "m10_decode_tiff",
+    "m11_decode_jpeg",
+    "m11b_decode_jpeg_progressive",
+    "r1_pricing_summary",
+    "r2_topk_revenue",
+    "r4_running_revenue_window",
+    "r5_semi_anti_join",
+    "r7_regional_revenue",
+    "r8_cube_quantities",
+    "r9_rich_inactive_customers",
+    "r10_small_qty_revenue",
+    "r11_promo_share_by_month",
+    "r6_intersect_status",
+    "r12_shipping_priority",
+    "r13_nation_volume",
+    "r14_supplier_part_variety",
+    "r17_grouping_sets",
+    "r18_window_functions",
+    "r19_exact_quantiles",
+    "r20_except_status",
+    "r21_min_cost_supplier",
+    "r22_sketch_distinct",
+    # last green ROUND 7 — ages to the best-effort boundary in r10;
+    # first to re-seat next round after any touched/never-scored set
     "d1_exact_dedup",
     "d3_simhash",
-    "d4_ngram_jaccard_neardup",
     "v1_cosine_topk",
     "v3_cosine_topk_ivf",
     "v4_ann_recall",
@@ -158,7 +207,6 @@ _SCORING_TAIL = [
     "c3_stratified_sample",
     "t7_repetition_score",
     "d5_repeated_ngram_docs",
-    "g10_vectors_to_lengths_angles",
     "m3_frame_sample",
     "t8_heuristic_filter",
     "sx8_stream_transition_counts_twin",
@@ -172,40 +220,11 @@ _SCORING_TAIL = [
     "v5_pq_recall",
     "c5_source_token_mixture",
     "sx5_incremental_ivf_twin",
-    "d10_simhash_hamming_pairs",
     "x18_sasa_exposure",
     "r3_rollup_acctbal",
-    # last green round 4 — yielded their r8 head seats to the seven
-    # decoder-consuming gates this round's corrupt-input guards touch
-    # (m4/m5/m6/m10 + m2/m8/m9, touched-set rule); first to seat in
-    # round 9 alongside r28-r34
-    "x5_rdf_histogram",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
-    "r23_priority_exists",
-    "r24_forecast_revenue",
-    "r25_market_share",
-    "r26_profit_by_nation_year",
-    "r27_returned_items",
-    # last green round 5 (or round 4 where noted) — next in the
-    # stalest-first order once the r8 head's debt clears; r28-r34
-    # (round 4) are the first to seat in round 9
-    "e8_asof_tolerance",
-    "x16_pairwise_rmsd",
-    "x3_rmsd_aligned_contract",
-    "sx1_stream_neardup_batch_twin",
-    "c4_sequence_packing",
-    "x20_pca_contract",
-    "x22_msm_transition_counts",
-    "x21_tica_contract",
-    "x19_compute_neighbors",
-    "t9_char_bigram_logprob",
-    "sx2_stream_exact_dedup_twin",
-    "sx6_stream_semantic_dedup_twin",
-    "t13_mojibake",
-    "c7_curation_chain",
+    # last green round 5 — the 12 stalest of this block seated in the
+    # r9 head; these remaining 18 are the oldest evidence left and
+    # head the r10 seating order
     "v8_ivf_pq_recall",
     "x10_rmsf",
     "t10_pii_scrub",
@@ -222,16 +241,8 @@ _SCORING_TAIL = [
     "x14_native_contacts",
     "t12_bigram_crossscore",
     "v7_sq_recall",
-    "d8_containment_neardup",
     "x17_rg_block_average",
     "x15_rg_autocorrelation",
-    "r28_important_balances",
-    "r29_priority_lineshare",
-    "r30_customer_distribution",
-    "r31_top_supplier",
-    "r32_promo_part_suppliers",
-    "r33_waiting_suppliers",
-    "r34_approx_quantiles",
 ]
 
 
