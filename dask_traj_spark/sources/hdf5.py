@@ -243,6 +243,7 @@ def load_lh5(spark: SparkSession, path: str, chunks: int = 100) -> Trajectory:
 def write_h5_traj(
     traj: Trajectory, path: str, chunk_frames: int | None = None,
     gzip: bool = False, fmt_version: int = 0,
+    extensible: bool = False,
 ) -> None:
     """Sink: MDTraj-HDF5 export through the vendored pure-struct
     writer (readable by h5py and by :func:`load_hdf5` alike).
@@ -254,7 +255,10 @@ def write_h5_traj(
     layout real ``.h5`` trajectories actually use.
     ``fmt_version=2`` writes the ``libver='latest'`` new file format
     (v3 superblock, OHDR headers, layout-v4 chunk indexes) instead
-    of the library-default old format."""
+    of the library-default old format.  ``extensible=True`` (requires
+    ``fmt_version=2`` and chunking) indexes the coordinates with the
+    Extensible Array — the on-disk shape libhdf5 emits for
+    unlimited-maxshape (append-mode) trajectory files."""
     import numpy as np
 
     from dask_traj_spark.sources.hdf5_pure import write_h5
@@ -274,6 +278,8 @@ def write_h5_traj(
         datasets["cell_lengths"] = ((nf, 3), "f32", lengths.tobytes())
         datasets["cell_angles"] = ((nf, 3), "f32", angles.tobytes())
     chunks = filters = None
+    if extensible and chunk_frames is None:
+        chunk_frames = max(1, min(nf, 64))
     if gzip and chunk_frames is None:
         chunk_frames = max(1, min(nf, 64))
     if chunk_frames is not None:
@@ -281,7 +287,8 @@ def write_h5_traj(
         if gzip:
             filters = {"coordinates": ["shuffle", "gzip"]}
     write_h5(path, datasets, chunks=chunks, filters=filters,
-             fmt_version=fmt_version)
+             fmt_version=fmt_version,
+             chunk_index={"coordinates": "earr"} if extensible else None)
 
 
 def write_lh5(traj: Trajectory, path: str) -> None:

@@ -24,7 +24,9 @@ hdfgroup.org) that the MDTraj layout actually needs:
 - chunked data indexed by the v1 raw-data B-tree (node type 1,
   spec section III.A.1, leaf and internal levels) for layout v3,
   and by the v4 Single Chunk / Implicit / Fixed Array ("FAHD" /
-  "FADB", non-paged) indexes for layout v4,
+  "FADB", non-paged) / Extensible Array ("EAHD"/"EAIB"/"EASB"/
+  "EADB", non-paged — the index libhdf5 picks for unlimited-
+  maxshape append-mode datasets) indexes for layout v4,
 - filters: deflate (id 1, zlib — the spec's required filter) and
   shuffle (id 2, byte de-interleave), the pair h5py/mdtraj write
   by default for trajectories; fletcher32 checksums (id 3) are
@@ -33,10 +35,9 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: szip/unknown filters, Extensible Array / v2-B-tree
-chunk indexes (what libhdf5 picks for unlimited-maxshape datasets
-under the latest file format), paged Fixed Arrays, dense links,
-non-LE or unsupported datatype classes.  The loaders prefer h5py
+of guessing: szip/unknown filters, v2-B-tree chunk indexes, paged
+Fixed/Extensible Array structures, dense links, non-LE or
+unsupported datatype classes.  The loaders prefer h5py
 when importable and fall back to this reader otherwise; with this
 module the no-h5py gate narrows to those exotics.
 
@@ -360,6 +361,154 @@ def _fixed_array_blobs(
     return hdr, dblk
 
 
+# libhdf5's H5D_EARRAY chunk-index creation parameters (H5Dearray):
+# max_nelmts_bits=32, idx_blk_elmts=4, sup_blk_min_data_ptrs=4,
+# data_blk_min_elmts=16, max_dblk_page_nelmts_bits=10
+_EA_DEFAULT_PARAMS = (32, 4, 4, 16, 10)
+
+
+def _ea_sblk_info(nsblks: int, dmin: int) -> list[tuple[int, int, int, int]]:
+    """(start_elem, start_dblk, ndblks, dblk_nelmts) per super block:
+    super block u holds 2^(u//2) data blocks of 2^((u+1)//2)*dmin
+    elements — capacity doubles every other super block."""
+    info = []
+    se = sd = 0
+    for u in range(nsblks):
+        nd = 1 << (u // 2)
+        dn = (1 << ((u + 1) // 2)) * dmin
+        info.append((se, sd, nd, dn))
+        se += nd * dn
+        sd += nd
+    return info
+
+
+def _extensible_array_parts(
+    entries: list[tuple[int, int, int]],
+    hdr_addr: int,
+    client: int,
+    params: tuple[int, int, int, int, int] = _EA_DEFAULT_PARAMS,
+) -> tuple[list[tuple[int, bytes]], int]:
+    """([(addr, blob)], end) for an Extensible Array chunk index laid
+    out contiguously from ``hdr_addr``: EAHD → EAIB → EADB data
+    blocks → EASB super blocks.  ``entries`` = [(addr, nbytes, mask)]
+    per chunk in leading-dim order; client 0 encodes u64 addresses,
+    client 1 u64 + u64 size + u32 mask (element size 20, matching the
+    Fixed Array writer).  Unrealized element slots encode as UNDEF."""
+    max_bits, idx_elmts, smin, dmin, page_bits = params
+    elmt = 8 if client == 0 else 20
+    n = len(entries)
+    nsblks = 1 + max_bits - (dmin.bit_length() - 1)
+    ib_nsblks = 2 * (smin.bit_length() - 1)
+    ndblk_addrs = 2 * (smin - 1)
+    nsblk_addrs = nsblks - ib_nsblks
+    info = _ea_sblk_info(nsblks, dmin)
+    pre = 4 + 1 + 1 + 8
+    arr_off = (max_bits + 7) // 8
+
+    def enc(i: int) -> bytes:
+        if i >= n:
+            return (
+                struct.pack("<Q", UNDEF)
+                if client == 0
+                else struct.pack("<QQI", UNDEF, 0, 0)
+            )
+        a, nb, mask = entries[i]
+        return (
+            struct.pack("<Q", a)
+            if client == 0
+            else struct.pack("<QQI", a, nb, mask)
+        )
+
+    # ---- placement ----------------------------------------------------
+    ib_addr = _align8(hdr_addr + 72)
+    ib_size = pre + idx_elmts * elmt + (ndblk_addrs + nsblk_addrs) * 8 + 4
+    pos = _align8(ib_addr + ib_size)
+    # data blocks needed: every (u, di) whose first element index < n
+    dblocks: list[tuple[int, int, int]] = []  # (u, di, addr)
+    for u, (se, sd, nd, dn) in enumerate(info):
+        if dn > (1 << page_bits):
+            if idx_elmts + se >= n:
+                break
+            raise ValueError(
+                f"extensible-array writer caps at data blocks of "
+                f"{1 << page_bits} elements (paged data blocks are "
+                "not implemented)"
+            )
+        for di in range(nd):
+            if idx_elmts + se + di * dn >= n:
+                break
+            dblocks.append((u, di, pos))
+            pos = _align8(pos + pre + arr_off + dn * elmt + 4)
+    sblocks: list[tuple[int, int]] = []  # (u, addr)
+    for u in sorted({u for u, _, _ in dblocks if u >= ib_nsblks}):
+        nd = info[u][2]
+        sblocks.append((u, pos))
+        pos = _align8(pos + pre + arr_off + nd * 8 + 4)
+    end = pos
+    dblk_addr = {(u, di): a for u, di, a in dblocks}
+    sblk_addr = dict(sblocks)
+
+    # ---- bytes ---------------------------------------------------------
+    parts: list[tuple[int, bytes]] = []
+    dblk_bytes_total = 0
+    for u, di, a in dblocks:
+        se, sd, nd, dn = info[u]
+        start = idx_elmts + se + di * dn
+        blk = b"EADB" + struct.pack("<BB", 0, client)
+        blk += struct.pack("<Q", hdr_addr)
+        blk += start.to_bytes(arr_off, "little")
+        blk += b"".join(enc(start + k) for k in range(dn))
+        blk += struct.pack("<I", _lookup3(blk))
+        parts.append((a, blk))
+        dblk_bytes_total += len(blk)
+    sblk_bytes_total = 0
+    for u, a in sblocks:
+        se, sd, nd, dn = info[u]
+        blk = b"EASB" + struct.pack("<BB", 0, client)
+        blk += struct.pack("<Q", hdr_addr)
+        blk += (idx_elmts + se).to_bytes(arr_off, "little")
+        blk += b"".join(
+            struct.pack("<Q", dblk_addr.get((u, di), UNDEF))
+            for di in range(nd)
+        )
+        blk += struct.pack("<I", _lookup3(blk))
+        parts.append((a, blk))
+        sblk_bytes_total += len(blk)
+    ib = b"EAIB" + struct.pack("<BB", 0, client) + struct.pack("<Q", hdr_addr)
+    ib += b"".join(enc(i) for i in range(idx_elmts))
+    direct: list[int] = []
+    for u in range(ib_nsblks):
+        for di in range(info[u][2]):
+            direct.append(dblk_addr.get((u, di), UNDEF))
+    assert len(direct) == ndblk_addrs
+    ib += b"".join(struct.pack("<Q", a) for a in direct)
+    ib += b"".join(
+        struct.pack("<Q", sblk_addr.get(u, UNDEF))
+        for u in range(ib_nsblks, nsblks)
+    )
+    ib += struct.pack("<I", _lookup3(ib))
+    assert len(ib) == ib_size
+    parts.append((ib_addr, ib))
+    hdr = b"EAHD" + struct.pack(
+        "<BBBBBBBB", 0, client, elmt, max_bits, idx_elmts, dmin, smin,
+        page_bits,
+    )
+    hdr += struct.pack(
+        "<6Q",
+        len(sblocks),
+        sblk_bytes_total,
+        len(dblocks),
+        dblk_bytes_total,
+        n,
+        n,
+    )
+    hdr += struct.pack("<Q", ib_addr)
+    hdr += struct.pack("<I", _lookup3(hdr))
+    assert len(hdr) == 72
+    parts.append((hdr_addr, hdr))
+    return parts, end
+
+
 def _write_h5_v2(
     path: str,
     datasets: dict[str, tuple[tuple[int, ...], str, bytes]],
@@ -367,6 +516,7 @@ def _write_h5_v2(
     filters: dict[str, list[str]],
     level: int,
     compact: set[str],
+    chunk_index: dict[str, str] | None = None,
 ) -> None:
     """New-file-format (``libver='latest'``-style) writer half:
     v3 superblock, OHDR object headers, compact Link messages,
@@ -414,7 +564,14 @@ def _write_h5_v2(
             c0 = int(chunks[n])
             flist = filters.get(n, [])
             blobs = enc_chunks[n]
-            if len(blobs) == 1:
+            if (chunk_index or {}).get(n) == "earr":
+                mb, ie, sm, dm, pb = _EA_DEFAULT_PARAMS
+                layout = _layout_v4_chunked(
+                    shape, elem, c0, 4,
+                    struct.pack("<5B", mb, ie, sm, dm, pb),
+                    layout_addr,
+                )
+            elif len(blobs) == 1:
                 idata = (
                     struct.pack("<QI", len(blobs[0]), 0) if flist else b""
                 )
@@ -446,12 +603,30 @@ def _write_h5_v2(
     layout_addr: dict[str, int] = {}
     fa_parts: dict[str, tuple[int, bytes, bytes]] = {}
     chunk_at: dict[str, list[int]] = {}
+    ea_parts: dict[str, list[tuple[int, bytes]]] = {}
     for n in names:
         if n not in chunks:
             continue
         blobs = enc_chunks[n]
         flist = filters.get(n, [])
-        if len(blobs) == 1:
+        if (chunk_index or {}).get(n) == "earr":
+            hdr_addr = pos
+            client = 1 if flist else 0
+            # the structure layout depends only on the entry COUNT, so
+            # a dry run sizes it, chunks are placed after, and the
+            # final pass encodes the real addresses
+            dummy = [(0, len(b), 0) for b in blobs]
+            _, end = _extensible_array_parts(dummy, hdr_addr, client)
+            pos = end
+            addrs = []
+            for b in blobs:
+                addrs.append(pos)
+                pos = _align8(pos + len(b))
+            chunk_at[n] = addrs
+            layout_addr[n] = hdr_addr
+            entries = [(a, len(b), 0) for a, b in zip(addrs, blobs)]
+            ea_parts[n], _ = _extensible_array_parts(entries, hdr_addr, client)
+        elif len(blobs) == 1:
             layout_addr[n] = pos
             chunk_at[n] = [pos]
             pos = _align8(pos + len(blobs[0]))
@@ -510,6 +685,8 @@ def _write_h5_v2(
                 dblk_addr, fahd, fadb = fa_parts[n]
                 put(layout_addr[n], fahd)
                 put(dblk_addr, fadb)
+            for a, blob in ea_parts.get(n, []):
+                put(a, blob)
             for a, b in zip(chunk_at[n], enc_chunks[n]):
                 put(a, b)
         elif n not in compact:
@@ -528,6 +705,7 @@ def write_h5(
     level: int = 6,
     compact: set[str] | None = None,
     fmt_version: int = 0,
+    chunk_index: dict[str, str] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
@@ -558,11 +736,24 @@ def write_h5(
     for n in compact:
         if n in chunks:
             raise ValueError(f"dataset {n!r}: compact layout cannot be chunked")
+    for n in chunk_index or {}:
+        if chunk_index[n] != "earr" or n not in chunks:
+            raise ValueError(
+                f"dataset {n!r}: chunk_index supports only 'earr' on a "
+                "chunked dataset"
+            )
     if fmt_version == 2:
-        return _write_h5_v2(path, datasets, chunks, filters, level, compact)
+        return _write_h5_v2(
+            path, datasets, chunks, filters, level, compact, chunk_index
+        )
     if fmt_version != 0:
         raise ValueError(
             f"fmt_version must be 0 or 2, got {fmt_version}"
+        )
+    if chunk_index:
+        raise ValueError(
+            "chunk_index='earr' (extensible array) requires the new "
+            "file format: fmt_version=2"
         )
     names = sorted(datasets)  # SNOD entries must be name-ordered
     # local heap data segment: offset 0 is the empty string, then
@@ -1159,10 +1350,18 @@ class PureH5:
             p += 1
             (a,) = struct.unpack_from("<Q", body, p)
             return ("farr", a), dims
+        if itype == 4:  # extensible array (unlimited-maxshape datasets)
+            # creation parameters: max bits, index elements, min
+            # pointers, min elements, page bits — one byte each (spec
+            # IV.A.2.i).  The EAHD header re-states every parameter,
+            # so the authoritative copy is read there; only the
+            # header address is taken from the layout message.
+            p += 5
+            (a,) = struct.unpack_from("<Q", body, p)
+            return ("earr", a), dims
         raise ValueError(
             f"dataset {name!r}: chunk index type {itype} "
-            "(extensible array / v2 B-tree) is not supported — "
-            "install h5py for this file"
+            "(v2 B-tree) is not supported — install h5py for this file"
         )
 
     def _parse_filter_pipeline(self, body: bytes, name: str) -> list[tuple[int, tuple[int, ...]]]:
@@ -1253,6 +1452,11 @@ class PureH5:
                     idx[i * c0] = (csize, addr[1] + i * csize, 0)
             elif ikind == "farr":
                 self._parse_fixed_array(addr[1], idx, c0, csize, filters, name)
+            elif ikind == "earr":
+                nch = max(1, -(-max(shape[0], 1) // c0))
+                self._parse_extensible_array(
+                    addr[1], idx, c0, csize, filters, name, nch
+                )
             else:  # pragma: no cover - parse never produces others
                 raise ValueError(f"unknown chunk index kind {ikind!r}")
             self._chunk_index[name] = idx
@@ -1388,6 +1592,247 @@ class PureH5:
             if a != UNDEF:
                 out[i * c0] = (nb, a, mask)
             p += entry_size
+
+    def _parse_extensible_array(
+        self,
+        addr: int,
+        out: dict[int, tuple[int, int, int]],
+        c0: int,
+        csize: int,
+        filters: list,
+        name: str,
+        nchunks: int,
+    ) -> None:
+        """v4 Extensible Array chunk index — what libhdf5 picks for
+        unlimited-maxshape (append-mode) datasets.
+
+        Structure (HDF5 format spec III.B, Disk Format Level 1H):
+        "EAHD" header (creation parameters + stats + index-block
+        address) → "EAIB" index block (the first ``idx_blk_elmts``
+        elements inline, then direct data-block addresses for the
+        first ``2·log2(sup_blk_min_data_ptrs)`` super blocks, then
+        super-block addresses) → "EASB" super blocks (data-block
+        address arrays) → "EADB" data blocks (elements).  Super block
+        u holds 2^(u//2) data blocks of 2^((u+1)//2)·data_blk_min_elmts
+        elements each — capacity doubles every other super block.
+        Everything is Jenkins-lookup3 checksummed.  Element layout
+        matches the Fixed Array client encodings: u64 address
+        (client 0, unfiltered) / u64 address + sized chunk size + u32
+        filter mask (client 1, filtered).
+
+        Paged structures (data blocks larger than 2^page_bits
+        elements) raise the documented gate instead of guessing."""
+        hsz = 12 + 6 * 8 + 8 + 4
+        b = self._at(addr, hsz)
+        if b[:4] != b"EAHD":
+            raise ValueError(f"dataset {name!r}: bad EAHD signature")
+        (stored,) = struct.unpack_from("<I", b, hsz - 4)
+        if _lookup3(b[: hsz - 4]) != stored:
+            raise ValueError(
+                f"dataset {name!r}: EAHD checksum mismatch (corrupt file)"
+            )
+        ver, client = b[4], b[5]
+        elmt_size, max_bits, idx_elmts, dmin, smin, page_bits = b[6:12]
+        max_idx_set = struct.unpack_from("<Q", b, 12 + 4 * 8)[0]
+        (ib_addr,) = struct.unpack_from("<Q", b, 12 + 6 * 8)
+        if ver != 0:
+            raise ValueError(f"dataset {name!r}: EAHD version {ver}")
+        if (client == 0) != (not filters):
+            raise ValueError(
+                f"dataset {name!r}: extensible-array client id {client} "
+                "does not match the filter pipeline"
+            )
+        if (client == 0 and elmt_size != 8) or (
+            client == 1 and not (12 <= elmt_size <= 64)
+        ):
+            raise ValueError(
+                f"dataset {name!r}: extensible-array element size "
+                f"{elmt_size} invalid for client {client} (corrupt file)"
+            )
+        # dmin/smin must be powers of two >= 2 for the block geometry
+        # to be well-defined (libhdf5 enforces the same at creation)
+        if not (2 <= dmin <= 128 and dmin & (dmin - 1) == 0):
+            raise ValueError(
+                f"dataset {name!r}: EA data_blk_min_elmts {dmin} invalid"
+            )
+        if not (2 <= smin <= 128 and smin & (smin - 1) == 0):
+            raise ValueError(
+                f"dataset {name!r}: EA sup_blk_min_data_ptrs {smin} invalid"
+            )
+        if not (1 <= max_bits <= 64) or page_bits > 30 or idx_elmts > 64:
+            raise ValueError(
+                f"dataset {name!r}: EA parameters out of range "
+                f"(max_bits={max_bits}, page_bits={page_bits}, "
+                f"idx_blk_elmts={idx_elmts})"
+            )
+        nsblks = 1 + max_bits - (dmin.bit_length() - 1)
+        ib_nsblks = 2 * (smin.bit_length() - 1)
+        if nsblks < ib_nsblks:
+            raise ValueError(
+                f"dataset {name!r}: EA super-block count {nsblks} below "
+                f"the index block's {ib_nsblks} (corrupt parameters)"
+            )
+        ndblk_addrs = 2 * (smin - 1)
+        nsblk_addrs = nsblks - ib_nsblks
+        # super-block geometry table: (start_elem, start_dblk, ndblks,
+        # dblk_nelmts) — capacity doubles every other super block
+        sblk_info = []
+        start_elem = 0
+        start_dblk = 0
+        for u in range(nsblks):
+            nd = 1 << (u // 2)
+            dn = (1 << ((u + 1) // 2)) * dmin
+            sblk_info.append((start_elem, start_dblk, nd, dn))
+            start_elem += nd * dn
+            start_dblk += nd
+        arr_off = (max_bits + 7) // 8
+
+        # ---- index block ---------------------------------------------
+        pre = 4 + 1 + 1 + 8
+        ib_size = (
+            pre + idx_elmts * elmt_size + (ndblk_addrs + nsblk_addrs) * 8 + 4
+        )
+        d = self._at(ib_addr, ib_size)
+        if d[:4] != b"EAIB":
+            raise ValueError(f"dataset {name!r}: bad EAIB signature")
+        (istored,) = struct.unpack_from("<I", d, ib_size - 4)
+        if _lookup3(d[: ib_size - 4]) != istored:
+            raise ValueError(
+                f"dataset {name!r}: EAIB checksum mismatch (corrupt file)"
+            )
+        if d[4] != 0 or d[5] != client:
+            raise ValueError(f"dataset {name!r}: EAIB version/client mismatch")
+        (back,) = struct.unpack_from("<Q", d, 6)
+        if back != addr:
+            raise ValueError(
+                f"dataset {name!r}: EAIB header back-pointer mismatch"
+            )
+        ib_elems = d[pre : pre + idx_elmts * elmt_size]
+        q = pre + idx_elmts * elmt_size
+        dblk_addrs = struct.unpack_from(f"<{ndblk_addrs}Q", d, q)
+        q += ndblk_addrs * 8
+        sblk_addrs = struct.unpack_from(f"<{nsblk_addrs}Q", d, q)
+
+        def decode_elem(buf: bytes, off: int) -> tuple[int, int, int] | None:
+            (a,) = struct.unpack_from("<Q", buf, off)
+            if a == UNDEF:
+                return None
+            if client == 0:
+                return (csize, a, 0)
+            w = elmt_size - 12
+            nb = int.from_bytes(buf[off + 8 : off + 8 + w], "little")
+            (mask,) = struct.unpack_from("<I", buf, off + 8 + w)
+            return (nb, a, mask)
+
+        # data-block element cache: dblk address -> raw element bytes
+        dblk_cache: dict[int, bytes] = {}
+
+        def dblk_elems(daddr: int, nelmts: int, blk_off: int) -> bytes:
+            got = dblk_cache.get(daddr)
+            if got is not None:
+                return got
+            if nelmts > (1 << page_bits):
+                raise ValueError(
+                    f"dataset {name!r}: paged extensible-array data "
+                    "blocks are not supported — install h5py for this file"
+                )
+            size = pre + arr_off + nelmts * elmt_size + 4
+            blk = self._at(daddr, size)
+            if blk[:4] != b"EADB":
+                raise ValueError(f"dataset {name!r}: bad EADB signature")
+            (cstored,) = struct.unpack_from("<I", blk, size - 4)
+            if _lookup3(blk[: size - 4]) != cstored:
+                raise ValueError(
+                    f"dataset {name!r}: EADB checksum mismatch (corrupt file)"
+                )
+            if blk[4] != 0 or blk[5] != client:
+                raise ValueError(
+                    f"dataset {name!r}: EADB version/client mismatch"
+                )
+            (dback,) = struct.unpack_from("<Q", blk, 6)
+            off_stored = int.from_bytes(blk[pre : pre + arr_off], "little")
+            if dback != addr or off_stored != blk_off:
+                raise ValueError(
+                    f"dataset {name!r}: EADB back-pointer/offset mismatch"
+                )
+            elems = blk[pre + arr_off : pre + arr_off + nelmts * elmt_size]
+            dblk_cache[daddr] = elems
+            return elems
+
+        # super-block data-block-address cache: sblk index -> tuple
+        sblk_cache: dict[int, tuple[int, ...]] = {}
+
+        def sblk_dblk_addrs(u: int) -> tuple[int, ...]:
+            got = sblk_cache.get(u)
+            if got is not None:
+                return got
+            saddr = sblk_addrs[u - ib_nsblks]
+            _, _, nd, dn = sblk_info[u]
+            if saddr == UNDEF:
+                addrs: tuple[int, ...] = (UNDEF,) * nd
+                sblk_cache[u] = addrs
+                return addrs
+            if dn > (1 << page_bits):
+                raise ValueError(
+                    f"dataset {name!r}: paged extensible-array data "
+                    "blocks are not supported — install h5py for this file"
+                )
+            size = pre + arr_off + nd * 8 + 4
+            blk = self._at(saddr, size)
+            if blk[:4] != b"EASB":
+                raise ValueError(f"dataset {name!r}: bad EASB signature")
+            (sstored,) = struct.unpack_from("<I", blk, size - 4)
+            if _lookup3(blk[: size - 4]) != sstored:
+                raise ValueError(
+                    f"dataset {name!r}: EASB checksum mismatch (corrupt file)"
+                )
+            if blk[4] != 0 or blk[5] != client:
+                raise ValueError(
+                    f"dataset {name!r}: EASB version/client mismatch"
+                )
+            (sback,) = struct.unpack_from("<Q", blk, 6)
+            off_stored = int.from_bytes(blk[pre : pre + arr_off], "little")
+            if sback != addr or off_stored != idx_elmts + sblk_info[u][0]:
+                raise ValueError(
+                    f"dataset {name!r}: EASB back-pointer/offset mismatch"
+                )
+            addrs = struct.unpack_from(f"<{nd}Q", blk, pre + arr_off)
+            sblk_cache[u] = addrs
+            return addrs
+
+        if max_idx_set > (1 << 48):
+            raise ValueError(
+                f"dataset {name!r}: EA max-index-set {max_idx_set} "
+                "implausible (corrupt file)"
+            )
+        # walk exactly the elements this dataspace needs; anything the
+        # array never stored decodes as absent (UNDEF) and is simply
+        # not indexed — _read reports the missing chunk with context
+        for i in range(min(nchunks, max_idx_set)):
+            if i < idx_elmts:
+                entry = decode_elem(ib_elems, i * elmt_size)
+            else:
+                r = i - idx_elmts
+                for u, (se, sd, nd, dn) in enumerate(sblk_info):
+                    if r < se + nd * dn:
+                        break
+                else:
+                    raise ValueError(
+                        f"dataset {name!r}: element {i} beyond EA "
+                        "addressable range (corrupt file)"
+                    )
+                j = r - se
+                di, off_in = divmod(j, dn)
+                if u < ib_nsblks:
+                    daddr = dblk_addrs[sd + di]
+                else:
+                    daddr = sblk_dblk_addrs(u)[di]
+                if daddr == UNDEF:
+                    continue
+                elems = dblk_elems(daddr, dn, idx_elmts + se + di * dn)
+                entry = decode_elem(elems, off_in * elmt_size)
+            if entry is not None:
+                out[i * c0] = entry
 
     def _decode_chunk(
         self,

@@ -124,16 +124,25 @@ def test_ohdr_checksum_detects_corruption(tmp_path):
         PureH5(str(p2))
 
 
-def test_extensible_array_index_raises_naming_h5py():
-    """Chunk index types 4/5 (extensible array / v2 B-tree — what
-    libhdf5 picks for unlimited-maxshape datasets) are honest gates,
-    not guesses."""
-    # layout v4, class 2, flags 0, ndims 2, 8-byte dims, index type 4
+def test_layout4_index_type_dispatch():
+    """Index type 4 (extensible array) now parses — the 5 creation-
+    parameter bytes are skipped (the EAHD restates them) and the
+    header address read; type 5 (v2 B-tree) stays an honest gate."""
+    # layout v4, class 2, flags 0, ndims 2, 8-byte dims, index type 4,
+    # cparams (max bits, idx elmts, min ptrs, min elmts, page bits),
+    # header address
     body = struct.pack("<BBBBB", 4, 2, 0, 2, 8)
     body += struct.pack("<QQ", 3, 4) + struct.pack("<B", 4)
-    body += struct.pack("<Q", 0)
+    body += struct.pack("<5B", 32, 4, 4, 16, 10)
+    body += struct.pack("<Q", 0x1234)
+    (kind, a), dims = PureH5._parse_layout4_chunked(body, "d")
+    assert kind == "earr" and a == 0x1234 and dims == (3, 4)
+
+    body5 = struct.pack("<BBBBB", 4, 2, 0, 2, 8)
+    body5 += struct.pack("<QQ", 3, 4) + struct.pack("<B", 5)
+    body5 += struct.pack("<Q", 0)
     with pytest.raises(ValueError, match="h5py"):
-        PureH5._parse_layout4_chunked(body, "d")
+        PureH5._parse_layout4_chunked(body5, "d")
 
 
 def test_paged_fixed_array_raises(tmp_path):
@@ -342,6 +351,222 @@ def test_v2_fuzz_valueerror_contract(tmp_path):
         except allowed:
             pass
     for cut in range(1, len(src), max(1, len(src) // 50)):
+        try:
+            probe(src[:cut])
+        except allowed:
+            pass
+
+
+# ---------------------------------------------------------------------
+# Extensible Array chunk index ("EAHD"/"EAIB"/"EASB"/"EADB") — the
+# layout-v4 index libhdf5 picks for unlimited-maxshape (append-mode)
+# datasets.  Writer and reader are independent implementations of the
+# public HDF5 File Format Specification section on extensible arrays;
+# the golden test re-derives every byte offset by hand from the spec
+# field list so a writer+reader pair sharing a WRONG layout fails.
+# ---------------------------------------------------------------------
+
+
+def _mk_ea(path, nrows=20, c0=3, filters=None):
+    a = (np.arange(nrows * 3, dtype="<f4") * 0.25).reshape(nrows, 3)
+    write_h5(
+        str(path),
+        {"d": ((nrows, 3), "f32", a.tobytes())},
+        chunks={"d": c0},
+        filters={"d": filters} if filters else None,
+        fmt_version=2,
+        chunk_index={"d": "earr"},
+    )
+    return a
+
+
+@pytest.mark.parametrize(
+    "label,nrows,c0,filters",
+    [
+        # 7 chunks: 4 in the index block + 3 in direct data blocks
+        ("direct_unfiltered", 20, 3, None),
+        ("direct_filtered", 20, 3, ["shuffle", "gzip"]),
+        # 1 chunk larger than idx_blk_elmts=4? no — 1 chunk, iblock only
+        ("iblock_only", 3, 8, None),
+        # 300 chunks: exhausts the 6 direct data blocks (capacity 244
+        # elements with the libhdf5 default cparams) and allocates the
+        # first EASB super block
+        ("superblock_unfiltered", 300, 1, None),
+        ("superblock_filtered", 300, 1, ["gzip"]),
+    ],
+)
+def test_ea_roundtrip(tmp_path, label, nrows, c0, filters):
+    p = tmp_path / f"{label}.h5"
+    a = _mk_ea(p, nrows, c0, filters)
+    b = open(p, "rb").read()
+    assert b"EAHD" in b and b"EAIB" in b
+    if label.startswith("superblock"):
+        assert b"EASB" in b
+    with PureH5(str(p)) as f:
+        np.testing.assert_array_equal(f.read("d"), a)
+        # O(range) partial reads through every region of the index
+        k = min(4, nrows - 1)
+        np.testing.assert_array_equal(f.read("d", 1, k), a[1 : 1 + k])
+        np.testing.assert_array_equal(
+            f.read("d", nrows - 2, 2), a[nrows - 2 :]
+        )
+
+
+def test_ea_golden_bytes(tmp_path):
+    """Hand-derived spec offsets for the EA header and index block.
+
+    HDF5 File Format Specification, 'Extensible Array Header':
+    signature(4) version(1) client-id(1) element-size(1)
+    max-nelmts-bits(1) index-blk-elmts(1) data-blk-min-elmts(1)
+    secondary-blk-min-data-ptrs(1) max-dblk-page-nelmts-bits(1)
+    6×length stats, index-block address(8), lookup3 checksum(4) = 72.
+    'Extensible Array Index Block': signature(4) version(1)
+    client-id(1) header-address(8), idx_blk_elmts inline elements,
+    2·(min_ptrs−1) data-block addresses, (nsblks − 2·log2(min_ptrs))
+    super-block addresses, checksum."""
+    p = tmp_path / "g.h5"
+    _mk_ea(p, nrows=20, c0=3, filters=["shuffle", "gzip"])  # 7 chunks
+    b = open(p, "rb").read()
+    ea = b.index(b"EAHD")
+    assert b[ea + 4] == 0          # version
+    assert b[ea + 5] == 1          # client: filtered dataset chunks
+    assert b[ea + 6] == 20         # element: u64 addr + u64 size + u32 mask
+    assert b[ea + 7] == 32         # max nelmts bits (libhdf5 default)
+    assert b[ea + 8] == 4          # index block elements
+    assert b[ea + 9] == 16         # data block min elements
+    assert b[ea + 10] == 4         # secondary block min data pointers
+    assert b[ea + 11] == 10        # max data-block-page nelmts bits
+    stats = struct.unpack_from("<6Q", b, ea + 12)
+    assert stats[4] == 7 and stats[5] == 7  # max index set / nelmts
+    (ib_addr,) = struct.unpack_from("<Q", b, ea + 60)
+    (stored,) = struct.unpack_from("<I", b, ea + 68)
+    assert _lookup3(b[ea : ea + 68]) == stored
+
+    assert b[ib_addr : ib_addr + 4] == b"EAIB"
+    assert b[ib_addr + 4] == 0 and b[ib_addr + 5] == 1
+    (back,) = struct.unpack_from("<Q", b, ib_addr + 6)
+    assert back == ea
+    # index block size: 14 + 4·20 elements + (6+25)·8 addresses + 4
+    # (nsblks = 1 + 32 − log2(16) = 29; direct = 2·log2(4) = 4 super
+    # blocks ⇒ 2·(4−1) = 6 data-block addrs; 29 − 4 = 25 sblk addrs)
+    ib_size = 14 + 4 * 20 + 31 * 8 + 4
+    (ib_stored,) = struct.unpack_from("<I", b, ib_addr + ib_size - 4)
+    assert _lookup3(b[ib_addr : ib_addr + ib_size - 4]) == ib_stored
+    # inline element 0 = chunk 0: u64 addr + u64 nbytes + u32 mask,
+    # all pointing at a real gzip blob in this file
+    a0, nb0, m0 = struct.unpack_from("<QQI", b, ib_addr + 14)
+    assert m0 == 0 and 0 < nb0 < len(b) and a0 + nb0 <= len(b)
+    import zlib
+    first = np.frombuffer(
+        zlib.decompress(b[a0 : a0 + nb0]), dtype="<f4"
+    ).copy()
+    # shuffle filter: de-interleave bytes back before comparing
+    raw = zlib.decompress(b[a0 : a0 + nb0])
+    n = len(raw) // 4
+    de = bytes(raw[j * n + i] for i in range(n) for j in range(4))
+    first = np.frombuffer(de, dtype="<f4")
+    np.testing.assert_array_equal(
+        first, (np.arange(9, dtype="<f4") * 0.25).ravel()
+    )
+    # the three direct data blocks hold chunks 4..6; super-block
+    # addresses are all UNDEF for 7 elements
+    q = ib_addr + 14 + 4 * 20
+    dblks = struct.unpack_from("<6Q", b, q)
+    assert dblks[0] != 0xFFFFFFFFFFFFFFFF  # sblk 0's single data block
+    sblks = struct.unpack_from("<25Q", b, q + 48)
+    assert all(s == 0xFFFFFFFFFFFFFFFF for s in sblks)
+    # the allocated data block: spec prefix + 4-byte block offset
+    # (⌈max_bits/8⌉ = 4) + 16 elements + checksum
+    da = dblks[0]
+    assert b[da : da + 4] == b"EADB"
+    assert b[da + 4] == 0 and b[da + 5] == 1
+    (dback,) = struct.unpack_from("<Q", b, da + 6)
+    assert dback == ea
+    assert int.from_bytes(b[da + 14 : da + 18], "little") == 4  # block off
+    dsize = 14 + 4 + 16 * 20 + 4
+    (dstored,) = struct.unpack_from("<I", b, da + dsize - 4)
+    assert _lookup3(b[da : da + dsize - 4]) == dstored
+
+
+def test_ea_checksum_detects_corruption(tmp_path):
+    p = tmp_path / "c.h5"
+    _mk_ea(p, nrows=300, c0=1, filters=["gzip"])
+    base = open(p, "rb").read()
+    for sig in (b"EAHD", b"EAIB", b"EADB", b"EASB"):
+        i = base.index(sig)
+        mut = bytearray(base)
+        mut[i + 9] ^= 0xFF  # inside the checksummed region, not the sig
+        p2 = str(p) + sig.decode() + ".h5"
+        open(p2, "wb").write(bytes(mut))
+        with pytest.raises(ValueError, match="checksum|corrupt|invalid|mismatch"):
+            with PureH5(p2) as f:
+                f.read("d")
+
+
+def test_ea_paged_gate(tmp_path):
+    """max_dblk_page_nelmts_bits smaller than a data block's element
+    count means paged data blocks — gated with a clear error, not
+    misread.  The patched header carries a VALID checksum so the page
+    gate itself is what fires."""
+    p = tmp_path / "pg.h5"
+    _mk_ea(p, nrows=20, c0=3)
+    b = bytearray(open(p, "rb").read())
+    ea = b.index(b"EAHD")
+    b[ea + 11] = 3  # 2^3 = 8 < 16-element data blocks
+    struct.pack_into("<I", b, ea + 68, _lookup3(bytes(b[ea : ea + 68])))
+    p2 = str(p) + ".pg"
+    open(p2, "wb").write(bytes(b))
+    with PureH5(p2) as f:
+        with pytest.raises(ValueError, match="paged"):
+            f.read("d")
+
+
+def test_ea_sink_load_end_to_end(spark, tmp_path):
+    """write_h5_traj(extensible=True) → public load(): the full
+    unlimited-maxshape on-disk shape drives through the Trajectory
+    surface."""
+    import dask_traj_spark as dts
+    from dask_traj_spark.sources.hdf5 import write_h5_traj
+    from dask_traj_spark.sources.loaders import from_wide_pandas
+
+    rng = np.random.default_rng(17)
+    xyz = rng.uniform(0, 3, size=(9, 7, 3)).astype(np.float32)
+    traj = from_wide_pandas(spark, xyz, time=np.arange(9, dtype=np.float64))
+    p = str(tmp_path / "ea_traj.h5")
+    write_h5_traj(traj, p, chunk_frames=2, gzip=True, fmt_version=2,
+                  extensible=True)
+    assert b"EAHD" in open(p, "rb").read()
+    t2 = dts.load(p)
+    got, _t = t2.to_numpy()
+    np.testing.assert_allclose(got, xyz, atol=1e-6)
+
+
+def test_ea_fuzz_valueerror_contract(tmp_path):
+    """Single-byte mutations and truncations of an EA-indexed file
+    must surface as the documented ValueError family — the same
+    contract every other chunk index is fuzzed under."""
+    import zlib
+
+    p = tmp_path / "f.h5"
+    _mk_ea(p, nrows=300, c0=1, filters=["gzip"])  # iblock+direct+EASB
+    src = open(p, "rb").read()
+    rng = np.random.default_rng(13)
+
+    def probe(payload):
+        p2 = str(tmp_path / "m.h5")
+        open(p2, "wb").write(payload)
+        with PureH5(p2) as f:
+            f.read("d")
+
+    allowed = (ValueError, zlib.error, KeyError)
+    for _ in range(300):
+        b = bytearray(src)
+        b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            probe(bytes(b))
+        except allowed:
+            pass
+    for cut in range(1, len(src), max(1, len(src) // 60)):
         try:
             probe(src[:cut])
         except allowed:
