@@ -456,6 +456,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf: str = "ratio",
 ) -> DataFrame:
     """Top-``k`` most distinctive terms per document by tf-idf —
     the classic curation/analytics primitive (what does this doc
@@ -470,6 +471,14 @@ def tfidf_top_terms(
     the emitted score column names the variant.  Ties break on the
     term itself.
 
+    ``idf="ln"`` switches to the textbook score tf · ln(N/df) for
+    users expecting standard tf-idf values (score column
+    ``tfidf_ln_q6``); the raw-ratio form stays the oracle-gated
+    default because the two rankings differ and only the ratio form
+    is engine-portable bit-for-bit.  Note ln(N/df) = 0 when a term
+    appears in every document, so ubiquitous terms rank by tie-break
+    alone under "ln" — the standard behavior.
+
     Plan (100-TB posture): two partial-agg shuffles (term frequency
     per doc, document frequency per term), one shuffle join on the
     term key (vocabulary-sized — too big to broadcast at corpus
@@ -480,10 +489,19 @@ def tfidf_top_terms(
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
+    if idf not in ("ratio", "ln"):
+        raise ValueError(f"idf must be 'ratio' or 'ln', got {idf!r}")
     tf = tok.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
-    s = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    if idf == "ratio":
+        s = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        score_alias = "tfidf_ratio_q6"
+    else:
+        s = F.col("tf").cast("double") * F.log(
+            F.col("n_docs").cast("double") / F.col("df")
+        )
+        score_alias = "tfidf_ln_q6"
     w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), "word")
     return (
         tf.join(dfreq, "word")
@@ -497,7 +515,7 @@ def tfidf_top_terms(
             F.col("word").alias("term"),
             F.col("tf").cast("long").alias("tf"),
             F.col("df").cast("long").alias("df"),
-            F.round("s", 6).alias("tfidf_ratio_q6"),
+            F.round("s", 6).alias(score_alias),
         )
     )
 

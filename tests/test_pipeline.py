@@ -76,6 +76,59 @@ class TestText:
         assert list(pdf["tfidf_ratio_q6"]) == [6.0, 1.5, 1.5, 1.5, 4.5, 3.0]
         assert list(pdf["rank"]) == [1, 2, 1, 2, 1, 2]
 
+    def test_tfidf_top_terms_ln_variant(self, spark):
+        """idf='ln' gives the textbook tf·ln(N/df) scores, pinned
+        against hand-computed values, including the ln-only behavior
+        where a term present in every document scores exactly 0."""
+        import math
+
+        from dask_traj_spark.functions.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(0, "apple banana banana cherry cherry cherry"),
+             (1, "banana x"),
+             (2, "cherry y"),
+             (3, "apple z")],
+            "doc_id long, text string",
+        )
+        # N=4; df: apple 2, banana 2, cherry 2, x/y/z 1
+        # doc0 ratio: apple 1*4/2=2, banana 2*4/2=4, cherry 3*4/2=6
+        # doc0 ln:    apple ln(2)=0.693147, banana 2ln2=1.386294,
+        #             cherry 3ln2=2.079442 — same order here; the
+        #             value contract is what this test pins
+        pdf = (
+            tfidf_top_terms(docs, k=3, idf="ln")
+            .toPandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        d0 = pdf[pdf["doc_id"] == 0]
+        assert list(d0["term"]) == ["cherry", "banana", "apple"]
+        for got, tf in zip(d0["tfidf_ln_q6"], (3, 2, 1)):
+            assert got == round(tf * math.log(2.0), 6)
+        # a term present in EVERY doc scores 0 under ln (ranked only
+        # by tie-break) but N/df=1 ≠ 0 under ratio — the documented
+        # non-equivalence of the two variants
+        docs2 = spark.createDataFrame(
+            [(0, "common common rare"), (1, "common"), (2, "common")],
+            "doc_id long, text string",
+        )
+        ln0 = (
+            tfidf_top_terms(docs2, k=2, idf="ln")
+            .where("doc_id = 0").toPandas().sort_values("rank")
+        )
+        assert list(ln0["term"]) == ["rare", "common"]
+        assert list(ln0["tfidf_ln_q6"]) == [round(math.log(3.0), 6), 0.0]
+        ratio0 = (
+            tfidf_top_terms(docs2, k=2, idf="ratio")
+            .where("doc_id = 0").toPandas().sort_values("rank")
+        )
+        assert list(ratio0["tfidf_ratio_q6"]) == [3.0, 2.0]  # rare 1*3/1, common 2*3/3
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="idf"):
+            tfidf_top_terms(docs2, idf="log10")
+
     def test_fingerprint_deterministic_and_discriminating(self, docs):
         from dask_traj_spark.functions.text import fingerprint
 
