@@ -338,26 +338,58 @@ def _layout_v4_chunked(
     return body
 
 
+def _fixed_array_dblk_size(n: int, page_bits: int = 10, entry: int = 20) -> int:
+    """On-disk FADB size for ``n`` elements: flat past the prefix when
+    n ≤ 2^page_bits, else prefix + page-init bitmap + checksum, with
+    full-stride pages (elements + 4-byte checksum) following and the
+    last page holding only the remainder."""
+    pn = 1 << page_bits
+    if n <= pn:
+        return 14 + n * entry + 4
+    npages = -(-n // pn)
+    last = n - (npages - 1) * pn
+    return 14 + (npages + 7) // 8 + 4 + (npages - 1) * (pn * entry + 4) + (
+        last * entry + 4
+    )
+
+
 def _fixed_array_blobs(
-    entries: list[tuple[int, int, int]], header_addr: int, dblk_addr: int
+    entries: list[tuple[int, int, int]],
+    header_addr: int,
+    dblk_addr: int,
+    page_bits: int = 10,
 ) -> tuple[bytes, bytes]:
-    """(FAHD header, FADB data block) for a non-paged filtered-chunk
+    """(FAHD header, FADB data block incl. pages) for a filtered-chunk
     Fixed Array.  ``entries`` = [(addr, nbytes, mask)]; element
     layout: u64 address + u64 chunk size + u32 filter mask → entry
-    size 20, client id 1 (filtered dataset chunks)."""
-    page_bits = 10
-    if len(entries) > (1 << page_bits):
-        raise ValueError(
-            f"fixed-array writer caps at {1 << page_bits} chunks "
-            "(paged data blocks are not implemented)"
-        )
+    size 20, client id 1 (filtered dataset chunks).  Past 2^page_bits
+    entries the data block is PAGED: prefix + all-set page-init
+    bitmap (every chunk written) + checksum, then per-page element
+    runs each with their own lookup3 checksum."""
+    n = len(entries)
+    pn = 1 << page_bits
     hdr = b"FAHD" + struct.pack("<BBBB", 0, 1, 20, page_bits)
-    hdr += struct.pack("<QQ", len(entries), dblk_addr)
+    hdr += struct.pack("<QQ", n, dblk_addr)
     hdr += struct.pack("<I", _lookup3(hdr))
-    dblk = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", header_addr)
-    for a, nb, mask in entries:
-        dblk += struct.pack("<QQI", a, nb, mask)
+    pre = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", header_addr)
+    if n <= pn:
+        dblk = pre
+        for a, nb, mask in entries:
+            dblk += struct.pack("<QQI", a, nb, mask)
+        dblk += struct.pack("<I", _lookup3(dblk))
+        return hdr, dblk
+    npages = -(-n // pn)
+    bitmap = bytearray((npages + 7) // 8)
+    for pg in range(npages):  # MSB-first within each byte, no pad bits
+        bitmap[pg >> 3] |= 1 << (7 - (pg & 7))
+    dblk = pre + bytes(bitmap)
     dblk += struct.pack("<I", _lookup3(dblk))
+    for pg in range(npages):
+        page = b"".join(
+            struct.pack("<QQI", a, nb, mask)
+            for a, nb, mask in entries[pg * pn : (pg + 1) * pn]
+        )
+        dblk += page + struct.pack("<I", _lookup3(page))
     return hdr, dblk
 
 
@@ -423,27 +455,39 @@ def _extensible_array_parts(
     ib_addr = _align8(hdr_addr + 72)
     ib_size = pre + idx_elmts * elmt + (ndblk_addrs + nsblk_addrs) * 8 + 4
     pos = _align8(ib_addr + ib_size)
-    # data blocks needed: every (u, di) whose first element index < n
+    page_nelmts = 1 << page_bits
+    # data blocks needed: every (u, di) whose first element index < n.
+    # Blocks past 2^page_bits elements are PAGED: prefix + checksum,
+    # then full-size pages each with their own checksum (dn is a power
+    # of two, so every page is full).  Paged blocks may only hang off
+    # super blocks — the page-init bits live in the EASB.
     dblocks: list[tuple[int, int, int]] = []  # (u, di, addr)
     for u, (se, sd, nd, dn) in enumerate(info):
-        if dn > (1 << page_bits):
-            if idx_elmts + se >= n:
-                break
+        paged = dn > page_nelmts
+        if paged and u < ib_nsblks and idx_elmts + se < n:
             raise ValueError(
-                f"extensible-array writer caps at data blocks of "
-                f"{1 << page_bits} elements (paged data blocks are "
-                "not implemented)"
+                "extensible-array parameters would page an index-block "
+                "data block; raise page_bits or sup_blk_min_data_ptrs"
             )
         for di in range(nd):
             if idx_elmts + se + di * dn >= n:
                 break
             dblocks.append((u, di, pos))
-            pos = _align8(pos + pre + arr_off + dn * elmt + 4)
+            if paged:
+                npages = dn // page_nelmts
+                size = (pre + arr_off + 4) + npages * (
+                    page_nelmts * elmt + 4
+                )
+            else:
+                size = pre + arr_off + dn * elmt + 4
+            pos = _align8(pos + size)
     sblocks: list[tuple[int, int]] = []  # (u, addr)
     for u in sorted({u for u, _, _ in dblocks if u >= ib_nsblks}):
-        nd = info[u][2]
+        se, sd, nd, dn = info[u]
+        npages = dn // page_nelmts if dn > page_nelmts else 0
+        bs = (nd * npages + 7) // 8 if npages else 0
         sblocks.append((u, pos))
-        pos = _align8(pos + pre + arr_off + nd * 8 + 4)
+        pos = _align8(pos + pre + arr_off + bs + nd * 8 + 4)
     end = pos
     dblk_addr = {(u, di): a for u, di, a in dblocks}
     sblk_addr = dict(sblocks)
@@ -457,8 +501,17 @@ def _extensible_array_parts(
         blk = b"EADB" + struct.pack("<BB", 0, client)
         blk += struct.pack("<Q", hdr_addr)
         blk += start.to_bytes(arr_off, "little")
-        blk += b"".join(enc(start + k) for k in range(dn))
-        blk += struct.pack("<I", _lookup3(blk))
+        if dn > page_nelmts:
+            blk += struct.pack("<I", _lookup3(blk))
+            for pg in range(dn // page_nelmts):
+                page = b"".join(
+                    enc(start + pg * page_nelmts + k)
+                    for k in range(page_nelmts)
+                )
+                blk += page + struct.pack("<I", _lookup3(page))
+        else:
+            blk += b"".join(enc(start + k) for k in range(dn))
+            blk += struct.pack("<I", _lookup3(blk))
         parts.append((a, blk))
         dblk_bytes_total += len(blk)
     sblk_bytes_total = 0
@@ -467,6 +520,15 @@ def _extensible_array_parts(
         blk = b"EASB" + struct.pack("<BB", 0, client)
         blk += struct.pack("<Q", hdr_addr)
         blk += (idx_elmts + se).to_bytes(arr_off, "little")
+        npages = dn // page_nelmts if dn > page_nelmts else 0
+        if npages:
+            bitmap = bytearray((nd * npages + 7) // 8)
+            for di in range(nd):
+                if (u, di) in dblk_addr:  # every page of a written
+                    for pg in range(npages):  # block is initialized
+                        bit = di * npages + pg
+                        bitmap[bit >> 3] |= 1 << (7 - (bit & 7))
+            blk += bytes(bitmap)
         blk += b"".join(
             struct.pack("<Q", dblk_addr.get((u, di), UNDEF))
             for di in range(nd)
@@ -517,6 +579,7 @@ def _write_h5_v2(
     level: int,
     compact: set[str],
     chunk_index: dict[str, str] | None = None,
+    ea_params: tuple[int, int, int, int, int] = _EA_DEFAULT_PARAMS,
 ) -> None:
     """New-file-format (``libver='latest'``-style) writer half:
     v3 superblock, OHDR object headers, compact Link messages,
@@ -565,7 +628,7 @@ def _write_h5_v2(
             flist = filters.get(n, [])
             blobs = enc_chunks[n]
             if (chunk_index or {}).get(n) == "earr":
-                mb, ie, sm, dm, pb = _EA_DEFAULT_PARAMS
+                mb, ie, sm, dm, pb = ea_params
                 layout = _layout_v4_chunked(
                     shape, elem, c0, 4,
                     struct.pack("<5B", mb, ie, sm, dm, pb),
@@ -616,7 +679,7 @@ def _write_h5_v2(
             # a dry run sizes it, chunks are placed after, and the
             # final pass encodes the real addresses
             dummy = [(0, len(b), 0) for b in blobs]
-            _, end = _extensible_array_parts(dummy, hdr_addr, client)
+            _, end = _extensible_array_parts(dummy, hdr_addr, client, ea_params)
             pos = end
             addrs = []
             for b in blobs:
@@ -625,7 +688,9 @@ def _write_h5_v2(
             chunk_at[n] = addrs
             layout_addr[n] = hdr_addr
             entries = [(a, len(b), 0) for a, b in zip(addrs, blobs)]
-            ea_parts[n], _ = _extensible_array_parts(entries, hdr_addr, client)
+            ea_parts[n], _ = _extensible_array_parts(
+                entries, hdr_addr, client, ea_params
+            )
         elif len(blobs) == 1:
             layout_addr[n] = pos
             chunk_at[n] = [pos]
@@ -643,8 +708,7 @@ def _write_h5_v2(
             fa_hdr_addr = pos
             hdr_size = 28
             dblk_addr = _align8(fa_hdr_addr + hdr_size)
-            dblk_size = 4 + 2 + 8 + 20 * len(blobs) + 4
-            pos = _align8(dblk_addr + dblk_size)
+            pos = _align8(dblk_addr + _fixed_array_dblk_size(len(blobs)))
             addrs = []
             for b in blobs:
                 addrs.append(pos)
@@ -706,6 +770,7 @@ def write_h5(
     compact: set[str] | None = None,
     fmt_version: int = 0,
     chunk_index: dict[str, str] | None = None,
+    ea_params: tuple[int, int, int, int, int] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
@@ -744,7 +809,8 @@ def write_h5(
             )
     if fmt_version == 2:
         return _write_h5_v2(
-            path, datasets, chunks, filters, level, compact, chunk_index
+            path, datasets, chunks, filters, level, compact, chunk_index,
+            ea_params or _EA_DEFAULT_PARAMS,
         )
     if fmt_version != 0:
         raise ValueError(
@@ -1535,10 +1601,19 @@ class PureH5:
     ) -> None:
         """v4 Fixed Array chunk index: "FAHD" header → "FADB" data
         block holding one element per chunk in leading-dim order.
-        Non-paged only (nelmts ≤ 2^page_bits); both structures are
-        lookup3-checksummed.  Element layout: u64 address for
-        unfiltered chunks (client 0), u64 address + sized chunk
-        length + u32 filter mask for filtered chunks (client 1)."""
+        Everything is lookup3-checksummed.  Element layout: u64
+        address for unfiltered chunks (client 0), u64 address + sized
+        chunk length + u32 filter mask for filtered chunks (client 1).
+
+        Past 2^page_bits elements the data block is PAGED: the FADB
+        carries only a page-init bitmap (checksummed with the prefix)
+        and pages of 2^page_bits elements + their own checksum follow
+        at fixed strides, the last page holding the remainder.  Bits
+        are read MSB-first within each bitmap byte (libhdf5's H5VM bit
+        order); a fully-written dataset sets every bit, so the order
+        only matters for sparse third-party files — and a mismatch
+        surfaces as an explicit missing-chunk error, never as silently
+        wrong data."""
         b = self._at(addr, 28)
         if b[:4] != b"FAHD":
             raise ValueError(f"dataset {name!r}: bad FAHD signature")
@@ -1551,10 +1626,10 @@ class PureH5:
             )
         if ver != 0:
             raise ValueError(f"dataset {name!r}: FAHD version {ver}")
-        if page_bits > 30 or nelmts > (1 << page_bits):
+        if page_bits > 30 or page_bits < 1 or nelmts > (1 << 48):
             raise ValueError(
-                f"dataset {name!r}: paged fixed-array data blocks are "
-                "not supported — install h5py for this file"
+                f"dataset {name!r}: fixed-array geometry out of range "
+                f"(page_bits={page_bits}, nelmts={nelmts})"
             )
         if (client == 0) != (not filters):
             raise ValueError(
@@ -1571,27 +1646,64 @@ class PureH5:
                 f"invalid for client {client} (corrupt file)"
             )
         pre = 4 + 2 + 8  # sig + version/client + header address
-        size = pre + nelmts * entry_size + 4
-        d = self._at(dblk, size)
+
+        def decode(buf: bytes, p: int, count: int, i0: int) -> None:
+            for i in range(count):
+                (a,) = struct.unpack_from("<Q", buf, p)
+                if client == 0 or entry_size == 8:
+                    nb, mask = csize, 0
+                else:
+                    w = entry_size - 12
+                    nb = int.from_bytes(buf[p + 8 : p + 8 + w], "little")
+                    (mask,) = struct.unpack_from("<I", buf, p + 8 + w)
+                if a != UNDEF:
+                    out[(i0 + i) * c0] = (nb, a, mask)
+                p += entry_size
+
+        page_nelmts = 1 << page_bits
+        if nelmts <= page_nelmts:
+            size = pre + nelmts * entry_size + 4
+            d = self._at(dblk, size)
+            if d[:4] != b"FADB":
+                raise ValueError(f"dataset {name!r}: bad FADB signature")
+            (dstored,) = struct.unpack_from("<I", d, size - 4)
+            if _lookup3(d[: size - 4]) != dstored:
+                raise ValueError(
+                    f"dataset {name!r}: FADB checksum mismatch (corrupt file)"
+                )
+            decode(d, pre, nelmts, 0)
+            return
+        # paged: FADB = prefix + page-init bitmap (+ checksum of both),
+        # then npages pages of full page_nelmts elements (+4-byte
+        # checksum each) at fixed strides; the LAST page stores only
+        # the remainder but the stride stays full-size
+        npages = -(-nelmts // page_nelmts)
+        bs = (npages + 7) // 8
+        hsize = pre + bs + 4
+        d = self._at(dblk, hsize)
         if d[:4] != b"FADB":
             raise ValueError(f"dataset {name!r}: bad FADB signature")
-        (dstored,) = struct.unpack_from("<I", d, size - 4)
-        if _lookup3(d[: size - 4]) != dstored:
+        (dstored,) = struct.unpack_from("<I", d, hsize - 4)
+        if _lookup3(d[: hsize - 4]) != dstored:
             raise ValueError(
                 f"dataset {name!r}: FADB checksum mismatch (corrupt file)"
             )
-        p = pre
-        for i in range(nelmts):
-            (a,) = struct.unpack_from("<Q", d, p)
-            if client == 0 or entry_size == 8:
-                nb, mask = csize, 0
-            else:
-                w = entry_size - 12
-                nb = int.from_bytes(d[p + 8 : p + 8 + w], "little")
-                (mask,) = struct.unpack_from("<I", d, p + 8 + w)
-            if a != UNDEF:
-                out[i * c0] = (nb, a, mask)
-            p += entry_size
+        bitmap = d[pre : pre + bs]
+        stride = page_nelmts * entry_size + 4
+        base = dblk + hsize
+        for pg in range(npages):
+            if not (bitmap[pg >> 3] >> (7 - (pg & 7))) & 1:
+                continue  # uninitialized page: all its chunks absent
+            n_in = min(page_nelmts, nelmts - pg * page_nelmts)
+            psize = n_in * entry_size + 4
+            pd = self._at(base + pg * stride, psize)
+            (pstored,) = struct.unpack_from("<I", pd, psize - 4)
+            if _lookup3(pd[: psize - 4]) != pstored:
+                raise ValueError(
+                    f"dataset {name!r}: fixed-array page {pg} checksum "
+                    "mismatch (corrupt file)"
+                )
+            decode(pd, 0, n_in, pg * page_nelmts)
 
     def _parse_extensible_array(
         self,
@@ -1724,81 +1836,101 @@ class PureH5:
             (mask,) = struct.unpack_from("<I", buf, off + 8 + w)
             return (nb, a, mask)
 
+        page_nelmts = 1 << page_bits
+
+        def check_prefix(blk: bytes, sig: bytes, blk_off: int) -> None:
+            if blk[:4] != sig:
+                raise ValueError(
+                    f"dataset {name!r}: bad {sig.decode()} signature"
+                )
+            if blk[4] != 0 or blk[5] != client:
+                raise ValueError(
+                    f"dataset {name!r}: {sig.decode()} version/client "
+                    "mismatch"
+                )
+            (back,) = struct.unpack_from("<Q", blk, 6)
+            off_stored = int.from_bytes(blk[pre : pre + arr_off], "little")
+            if back != addr or off_stored != blk_off:
+                raise ValueError(
+                    f"dataset {name!r}: {sig.decode()} back-pointer/offset "
+                    "mismatch"
+                )
+
         # data-block element cache: dblk address -> raw element bytes
-        dblk_cache: dict[int, bytes] = {}
+        # (non-paged blocks whole; paged blocks one page at a time)
+        dblk_cache: dict[tuple[int, int], bytes] = {}
 
         def dblk_elems(daddr: int, nelmts: int, blk_off: int) -> bytes:
-            got = dblk_cache.get(daddr)
+            got = dblk_cache.get((daddr, -1))
             if got is not None:
                 return got
-            if nelmts > (1 << page_bits):
-                raise ValueError(
-                    f"dataset {name!r}: paged extensible-array data "
-                    "blocks are not supported — install h5py for this file"
-                )
             size = pre + arr_off + nelmts * elmt_size + 4
             blk = self._at(daddr, size)
-            if blk[:4] != b"EADB":
-                raise ValueError(f"dataset {name!r}: bad EADB signature")
             (cstored,) = struct.unpack_from("<I", blk, size - 4)
             if _lookup3(blk[: size - 4]) != cstored:
                 raise ValueError(
                     f"dataset {name!r}: EADB checksum mismatch (corrupt file)"
                 )
-            if blk[4] != 0 or blk[5] != client:
-                raise ValueError(
-                    f"dataset {name!r}: EADB version/client mismatch"
-                )
-            (dback,) = struct.unpack_from("<Q", blk, 6)
-            off_stored = int.from_bytes(blk[pre : pre + arr_off], "little")
-            if dback != addr or off_stored != blk_off:
-                raise ValueError(
-                    f"dataset {name!r}: EADB back-pointer/offset mismatch"
-                )
+            check_prefix(blk, b"EADB", blk_off)
             elems = blk[pre + arr_off : pre + arr_off + nelmts * elmt_size]
-            dblk_cache[daddr] = elems
+            dblk_cache[(daddr, -1)] = elems
             return elems
 
-        # super-block data-block-address cache: sblk index -> tuple
-        sblk_cache: dict[int, tuple[int, ...]] = {}
+        def dblk_page(daddr: int, pg: int, blk_off: int) -> bytes:
+            """One page of a PAGED data block: the EADB itself carries
+            only the checksummed prefix; full-size pages (elements +
+            own checksum) follow at fixed strides."""
+            got = dblk_cache.get((daddr, pg))
+            if got is not None:
+                return got
+            hsize = pre + arr_off + 4
+            blk = self._at(daddr, hsize)
+            (cstored,) = struct.unpack_from("<I", blk, hsize - 4)
+            if _lookup3(blk[: hsize - 4]) != cstored:
+                raise ValueError(
+                    f"dataset {name!r}: EADB checksum mismatch (corrupt file)"
+                )
+            check_prefix(blk, b"EADB", blk_off)
+            psize = page_nelmts * elmt_size + 4
+            pd = self._at(daddr + hsize + pg * psize, psize)
+            (pstored,) = struct.unpack_from("<I", pd, psize - 4)
+            if _lookup3(pd[: psize - 4]) != pstored:
+                raise ValueError(
+                    f"dataset {name!r}: extensible-array page {pg} "
+                    "checksum mismatch (corrupt file)"
+                )
+            elems = pd[: psize - 4]
+            dblk_cache[(daddr, pg)] = elems
+            return elems
 
-        def sblk_dblk_addrs(u: int) -> tuple[int, ...]:
+        # super-block cache: sblk index -> (dblk addrs, page-init bits)
+        sblk_cache: dict[int, tuple[tuple[int, ...], bytes]] = {}
+
+        def sblk_parts(u: int) -> tuple[tuple[int, ...], bytes]:
             got = sblk_cache.get(u)
             if got is not None:
                 return got
             saddr = sblk_addrs[u - ib_nsblks]
-            _, _, nd, dn = sblk_info[u]
+            se, _, nd, dn = sblk_info[u]
+            npages = dn // page_nelmts if dn > page_nelmts else 0
+            bs = (nd * npages + 7) // 8 if npages else 0
             if saddr == UNDEF:
-                addrs: tuple[int, ...] = (UNDEF,) * nd
-                sblk_cache[u] = addrs
-                return addrs
-            if dn > (1 << page_bits):
-                raise ValueError(
-                    f"dataset {name!r}: paged extensible-array data "
-                    "blocks are not supported — install h5py for this file"
-                )
-            size = pre + arr_off + nd * 8 + 4
+                parts = ((UNDEF,) * nd, b"")
+                sblk_cache[u] = parts
+                return parts
+            size = pre + arr_off + bs + nd * 8 + 4
             blk = self._at(saddr, size)
-            if blk[:4] != b"EASB":
-                raise ValueError(f"dataset {name!r}: bad EASB signature")
             (sstored,) = struct.unpack_from("<I", blk, size - 4)
             if _lookup3(blk[: size - 4]) != sstored:
                 raise ValueError(
                     f"dataset {name!r}: EASB checksum mismatch (corrupt file)"
                 )
-            if blk[4] != 0 or blk[5] != client:
-                raise ValueError(
-                    f"dataset {name!r}: EASB version/client mismatch"
-                )
-            (sback,) = struct.unpack_from("<Q", blk, 6)
-            off_stored = int.from_bytes(blk[pre : pre + arr_off], "little")
-            if sback != addr or off_stored != idx_elmts + sblk_info[u][0]:
-                raise ValueError(
-                    f"dataset {name!r}: EASB back-pointer/offset mismatch"
-                )
-            addrs = struct.unpack_from(f"<{nd}Q", blk, pre + arr_off)
-            sblk_cache[u] = addrs
-            return addrs
+            check_prefix(blk, b"EASB", idx_elmts + se)
+            bitmap = blk[pre + arr_off : pre + arr_off + bs]
+            addrs = struct.unpack_from(f"<{nd}Q", blk, pre + arr_off + bs)
+            parts = (addrs, bitmap)
+            sblk_cache[u] = parts
+            return parts
 
         if max_idx_set > (1 << 48):
             raise ValueError(
@@ -1824,13 +1956,35 @@ class PureH5:
                 j = r - se
                 di, off_in = divmod(j, dn)
                 if u < ib_nsblks:
+                    if dn > page_nelmts:
+                        # libhdf5 never pages an index-block-attached
+                        # data block (the page-init bits live in the
+                        # super block); parameters implying one are
+                        # corrupt
+                        raise ValueError(
+                            f"dataset {name!r}: paged data block "
+                            "attached to the EA index block (corrupt "
+                            "parameters)"
+                        )
                     daddr = dblk_addrs[sd + di]
+                    bitmap = b""
                 else:
-                    daddr = sblk_dblk_addrs(u)[di]
+                    daddr, bitmap = sblk_parts(u)
+                    daddr = daddr[di]
                 if daddr == UNDEF:
                     continue
-                elems = dblk_elems(daddr, dn, idx_elmts + se + di * dn)
-                entry = decode_elem(elems, off_in * elmt_size)
+                blk_off = idx_elmts + se + di * dn
+                if dn <= page_nelmts:
+                    elems = dblk_elems(daddr, dn, blk_off)
+                    entry = decode_elem(elems, off_in * elmt_size)
+                else:
+                    npages = dn // page_nelmts
+                    pg, off_pg = divmod(off_in, page_nelmts)
+                    bit = di * npages + pg
+                    if not (bitmap[bit >> 3] >> (7 - (bit & 7))) & 1:
+                        continue  # uninitialized page: chunk absent
+                    elems = dblk_page(daddr, pg, blk_off)
+                    entry = decode_elem(elems, off_pg * elmt_size)
             if entry is not None:
                 out[i * c0] = entry
 

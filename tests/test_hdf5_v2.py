@@ -145,22 +145,56 @@ def test_layout4_index_type_dispatch():
         PureH5._parse_layout4_chunked(body5, "d")
 
 
-def test_paged_fixed_array_raises(tmp_path):
-    """nelmts > 2^page_bits means a paged data block, which the
-    reader gates instead of misreading; the patched header carries a
-    VALID checksum so the page gate itself is what fires."""
+def test_paged_fixed_array_roundtrip(tmp_path):
+    """1030 single-row chunks push the Fixed Array past 2^10 elements
+    — through the PUBLIC path with libhdf5's default page_bits, so
+    the FADB carries a page-init bitmap + per-page checksummed pages
+    rather than a flat element run."""
     p = tmp_path / "pg.h5"
-    _mk(p, chunks={"coordinates": 3},
-        filters={"coordinates": ["shuffle", "gzip"]})
+    nrows = 1030
+    a = (np.arange(nrows * 2, dtype="<f4") * 0.5).reshape(nrows, 2)
+    write_h5(str(p), {"d": ((nrows, 2), "f32", a.tobytes())},
+             chunks={"d": 1}, filters={"d": ["gzip"]}, fmt_version=2)
+    with PureH5(str(p)) as f:
+        np.testing.assert_array_equal(f.read("d"), a)
+        # page-boundary window: elements 1023/1024 live on pages 0/1
+        np.testing.assert_array_equal(f.read("d", 1023, 2), a[1023:1025])
+        np.testing.assert_array_equal(f.read("d", 1020, 10), a[1020:])
+
+
+def test_paged_fixed_array_uninit_page_and_geometry_gate(tmp_path):
+    """An uninitialized page (bitmap bit 0) makes its chunks absent —
+    reads into it report the missing chunk by offset; a zero
+    page_bits is a geometry error, not a crash.  The patched FADB
+    carries a VALID checksum so the bitmap itself is what decides."""
+    p = tmp_path / "pg.h5"
+    nrows = 1030
+    a = np.arange(nrows * 2, dtype="<f4").reshape(nrows, 2)
+    write_h5(str(p), {"d": ((nrows, 2), "f32", a.tobytes())},
+             chunks={"d": 1}, filters={"d": ["gzip"]}, fmt_version=2)
     b = bytearray(open(p, "rb").read())
-    fa = b.index(b"FAHD")
-    b[fa + 7] = 1  # page_bits 10 → 1 (4 chunks > 2 elements/page)
-    struct.pack_into("<I", b, fa + 24, _lookup3(bytes(b[fa : fa + 24])))
+    fadb = b.index(b"FADB")
+    # prefix = sig(4)+ver/client(2)+hdr addr(8); bitmap byte 0 holds
+    # pages 0-7 MSB-first → clearing bit 6 kills page 1 (chunks 1024+)
+    b[fadb + 14] &= ~(1 << 6)
+    # re-checksum prefix+bitmap (2 pages → 1 bitmap byte)
+    struct.pack_into("<I", b, fadb + 15, _lookup3(bytes(b[fadb : fadb + 15])))
     p2 = tmp_path / "pg2.h5"
     open(p2, "wb").write(bytes(b))
     with PureH5(str(p2)) as f:
-        with pytest.raises(ValueError, match="paged"):
-            f.read("coordinates")
+        np.testing.assert_array_equal(f.read("d", 0, 1024), a[:1024])
+        with pytest.raises(ValueError, match="missing"):
+            f.read("d", 1024, 1)
+
+    b2 = bytearray(open(p, "rb").read())
+    fa = b2.index(b"FAHD")
+    b2[fa + 7] = 0  # page_bits 0: geometry gate
+    struct.pack_into("<I", b2, fa + 24, _lookup3(bytes(b2[fa : fa + 24])))
+    p3 = tmp_path / "pg3.h5"
+    open(p3, "wb").write(bytes(b2))
+    with PureH5(str(p3)) as f:
+        with pytest.raises(ValueError, match="geometry"):
+            f.read("d")
 
 
 def test_truncated_v2_file_raises(tmp_path):
@@ -571,3 +605,104 @@ def test_ea_fuzz_valueerror_contract(tmp_path):
             probe(src[:cut])
         except allowed:
             pass
+
+
+def test_paged_extensible_array_roundtrip(tmp_path):
+    """Paged EA data blocks: with cparams (max_bits=16, idx=4, min
+    ptrs=4, min elmts=4, page_bits=4), super block 5's data blocks
+    hold 32 elements = 2 pages of 16 — the EASB carries the page-init
+    bitmap and each page its own checksum.  140 single-row chunks
+    reach that region; reads cross the page boundary."""
+    params = (16, 4, 4, 4, 4)
+    for filt in (None, ["gzip"]):
+        nrows = 140
+        a = (np.arange(nrows * 2, dtype="<f4") * 0.25).reshape(nrows, 2)
+        p = tmp_path / f"eapg_{bool(filt)}.h5"
+        write_h5(str(p), {"d": ((nrows, 2), "f32", a.tobytes())},
+                 chunks={"d": 1}, filters={"d": filt} if filt else None,
+                 fmt_version=2, chunk_index={"d": "earr"}, ea_params=params)
+        with PureH5(str(p)) as f:
+            np.testing.assert_array_equal(f.read("d"), a)
+            np.testing.assert_array_equal(f.read("d", 100, 40), a[100:])
+            np.testing.assert_array_equal(f.read("d", 95, 10), a[95:105])
+
+
+def test_paged_ea_uninit_page_and_iblock_gate(tmp_path):
+    """Clearing a page-init bit in the EASB makes that page's chunks
+    absent (missing-chunk error, never garbage); parameters that
+    would page an index-block data block are rejected by writer AND
+    reader."""
+    params = (16, 4, 4, 4, 4)
+    nrows = 140
+    a = np.arange(nrows * 2, dtype="<f4").reshape(nrows, 2)
+    p = tmp_path / "eapg.h5"
+    write_h5(str(p), {"d": ((nrows, 2), "f32", a.tobytes())},
+             chunks={"d": 1}, fmt_version=2, chunk_index={"d": "earr"},
+             ea_params=params)
+    b = bytearray(open(p, "rb").read())
+    # super block 5 is the paged one (dn=32 > 2^4): block offset =
+    # idx_elmts(4) + start_elem(124) = 128; its page-init bitmap byte
+    # sits after sig(4)+ver/client(2)+hdr(8)+arr_off(2, max_bits=16)
+    off = b.index(b"EASB")
+    while int.from_bytes(b[off + 14 : off + 16], "little") != 128:
+        off = b.index(b"EASB", off + 1)
+    # sblk 5: nd=4 dblocks × 2 pages = 8 bits; clear bit 0 (dblock 0
+    # page 0 → elements 128..143 → the file's chunks 128..139)
+    b[off + 16] &= 0x7F
+    nd = 4
+    size = 14 + 2 + 1 + nd * 8 + 4
+    struct.pack_into(
+        "<I", b, off + size - 4, _lookup3(bytes(b[off : off + size - 4]))
+    )
+    p2 = tmp_path / "eapg2.h5"
+    open(p2, "wb").write(bytes(b))
+    with PureH5(str(p2)) as f:
+        np.testing.assert_array_equal(f.read("d", 0, 128), a[:128])
+        with pytest.raises(ValueError, match="missing"):
+            f.read("d", 130, 1)
+
+    # writer-side gate: smin so small the index block would own a
+    # paged data block
+    with pytest.raises(ValueError, match="index-block"):
+        write_h5(str(tmp_path / "bad.h5"),
+                 {"d": ((40, 2), "f32", a[:40].tobytes())},
+                 chunks={"d": 1}, fmt_version=2,
+                 chunk_index={"d": "earr"}, ea_params=(16, 2, 2, 4, 2))
+
+
+def test_paged_structures_fuzz_regression(tmp_path):
+    """Compact regression of the out-of-suite paged-FA/EA fuzz (~8k
+    probes, zero escapes): mutations + truncations on paged seed
+    layouts stay inside the documented ValueError family."""
+    import zlib
+
+    a = np.arange(1030 * 2, dtype="<f4").reshape(1030, 2)
+    pf = tmp_path / "pf.h5"
+    write_h5(str(pf), {"d": ((1030, 2), "f32", a.tobytes())},
+             chunks={"d": 1}, filters={"d": ["gzip"]}, fmt_version=2)
+    b = np.arange(140 * 2, dtype="<f4").reshape(140, 2)
+    pe = tmp_path / "pe.h5"
+    write_h5(str(pe), {"d": ((140, 2), "f32", b.tobytes())},
+             chunks={"d": 1}, fmt_version=2, chunk_index={"d": "earr"},
+             ea_params=(16, 4, 4, 4, 4))
+    rng = np.random.default_rng(23)
+    allowed = (ValueError, zlib.error, KeyError)
+    for src in (open(pf, "rb").read(), open(pe, "rb").read()):
+        for _ in range(120):
+            m = bytearray(src)
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+            p2 = str(tmp_path / "m.h5")
+            open(p2, "wb").write(bytes(m))
+            try:
+                with PureH5(p2) as f:
+                    f.read("d")
+            except allowed:
+                pass
+        for cut in range(1, len(src), max(1, len(src) // 25)):
+            p2 = str(tmp_path / "t.h5")
+            open(p2, "wb").write(src[:cut])
+            try:
+                with PureH5(p2) as f:
+                    f.read("d")
+            except allowed:
+                pass
