@@ -13,8 +13,10 @@ hdfgroup.org) that the MDTraj layout actually needs:
   symbol table nodes ("SNOD") → local heap ("HEAP") link names,
 - the new-style root group: version-2 object headers ("OHDR",
   checksummed, with "OCHK" continuation blocks) carrying compact
-  Link messages (0x0006); dense link storage (Link Info pointing
-  at a fractal heap) raises,
+  Link messages (0x0006) or DENSE link storage (Link Info →
+  fractal heap "FRHP"/"FHIB"/"FHDB" holding the link messages,
+  enumerated via the type-5 name-index v2 B-tree "BTHD"/"BTIN"/
+  "BTLF" — what libhdf5 switches to past 8 links),
 - version-1 object headers (incl. 0x0010 continuation blocks) and
   version-2 object headers, with Dataspace (0x0001, v1 and v2),
   Datatype (0x0003, v1–v3 atomic), Data Layout (0x0008, v3 and
@@ -24,9 +26,10 @@ hdfgroup.org) that the MDTraj layout actually needs:
 - chunked data indexed by the v1 raw-data B-tree (node type 1,
   spec section III.A.1, leaf and internal levels) for layout v3,
   and by the v4 Single Chunk / Implicit / Fixed Array ("FAHD" /
-  "FADB", non-paged) / Extensible Array ("EAHD"/"EAIB"/"EASB"/
-  "EADB", non-paged — the index libhdf5 picks for unlimited-
-  maxshape append-mode datasets) indexes for layout v4,
+  "FADB", paged and non-paged) / Extensible Array ("EAHD"/"EAIB"/
+  "EASB"/"EADB", paged and non-paged — the index libhdf5 picks
+  for unlimited-maxshape append-mode datasets) indexes for
+  layout v4,
 - filters: deflate (id 1, zlib — the spec's required filter) and
   shuffle (id 2, byte de-interleave), the pair h5py/mdtraj write
   by default for trajectories; fletcher32 checksums (id 3) are
@@ -35,9 +38,9 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: szip/unknown filters, v2-B-tree chunk indexes, paged
-Fixed/Extensible Array structures, dense links, non-LE or
-unsupported datatype classes.  The loaders prefer h5py
+of guessing: szip/unknown filters, v2-B-tree chunk indexes,
+filtered fractal heaps / indirect heap children / name B-trees
+deeper than one level, non-LE or unsupported datatype classes.  The loaders prefer h5py
 when importable and fall back to this reader otherwise; with this
 module the no-h5py gate narrows to those exotics.
 
@@ -393,6 +396,196 @@ def _fixed_array_blobs(
     return hdr, dblk
 
 
+def _dense_link_parts(
+    links: list[tuple[str, int]],
+    pos: int,
+    width: int = 4,
+    start_size: int = 512,
+    node_size: int = 512,
+) -> tuple[bytes, list[tuple[int, bytes]], int]:
+    """(Link Info message body, [(addr, blob)], end) for DENSE link
+    storage laid out from ``pos``: a fractal heap ("FRHP" header +
+    checksummed "FHDB" direct blocks, under a root "FHIB" indirect
+    block when the messages outgrow the starting block) holding one
+    serialized Link message per entry, and the name-index v2 B-tree
+    ("BTHD" + "BTLF" leaves, one "BTIN" level when past a leaf's
+    capacity) whose type-5 records are (lookup3 name hash, 7-byte
+    managed heap id).  Geometry mirrors libhdf5's group defaults
+    (width 4, 64 KiB max direct block, 32-bit heap space, id_len 7);
+    ``width``/``start_size``/``node_size`` are fixture knobs."""
+    max_direct = 64 * 1024
+    max_heap_bits = 32
+    off_size = (max_heap_bits + 7) // 8
+    len_size = 2
+    id_len = 1 + off_size + len_size
+    flags = 0x02  # direct blocks are checksummed
+    dhdr = 4 + 1 + 8 + off_size + 4
+    msgs = [_link_message(n, a) for n, a in links]
+
+    # ---- place objects into direct blocks under the doubling schedule
+    def row_size(r: int) -> int:
+        return start_size if r < 2 else start_size << (r - 1)
+
+    def row_off(r: int) -> int:
+        return 0 if r == 0 else width * start_size * (1 << (r - 1))
+
+    placements: list[tuple[int, int]] = []  # (heap offset, length) per msg
+    blocks: list[tuple[int, int, int]] = []  # (row, col, block heap off)
+    bi = -1
+    cur = cur_end = 0
+    for m in msgs:
+        if len(m) > max_direct - dhdr:
+            raise ValueError("link message larger than a direct block")
+        if bi < 0 or cur + len(m) > cur_end:
+            bi += 1
+            r, c = divmod(bi, width)
+            boff = row_off(r) + c * row_size(r)
+            if row_size(r) > max_direct:
+                raise ValueError(
+                    "dense-link writer exceeded the maximum direct "
+                    "block size; raise start_size"
+                )
+            blocks.append((r, c, boff))
+            cur = boff + dhdr
+            cur_end = boff + row_size(r)
+        placements.append((cur, len(m)))
+        cur += len(m)
+
+    # ---- file placement: FRHP, then (FHIB), FHDBs, BTHD, BT nodes
+    frhp_addr = pos
+    frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+    pos = _align8(pos + frhp_size)
+    root_direct = len(blocks) == 1
+    curr_rows = 0 if root_direct else blocks[-1][0] + 1
+    ib_addr = 0
+    if not root_direct:
+        ib_addr = pos
+        ib_size = 4 + 1 + 8 + off_size + curr_rows * width * 8 + 4
+        pos = _align8(pos + ib_size)
+    dblk_addrs: list[int] = []
+    for r, c, boff in blocks:
+        dblk_addrs.append(pos)
+        pos = _align8(pos + row_size(r))
+    heap_root = dblk_addrs[0] if root_direct else ib_addr
+
+    # ---- heap bytes
+    parts: list[tuple[int, bytes]] = []
+    used = sum(len(m) for m in msgs)
+    alloc = sum(row_size(r) for r, _, _ in blocks)
+    hdr = b"FRHP" + struct.pack("<BHHB", 0, id_len, 0, flags)
+    hdr += struct.pack("<I", max_direct - dhdr)  # max managed obj size
+    hdr += struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)  # huge id/bt2
+    free = alloc - len(blocks) * dhdr - used
+    hdr += struct.pack("<Q", free) + struct.pack("<Q", UNDEF)  # free space
+    hdr += struct.pack("<4Q", alloc, alloc, alloc, len(msgs))  # managed
+    hdr += struct.pack("<4Q", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    hdr += struct.pack("<H", width)
+    hdr += struct.pack("<QQ", start_size, max_direct)
+    hdr += struct.pack("<H", max_heap_bits)
+    hdr += struct.pack("<H", 0 if root_direct else curr_rows)  # start rows
+    hdr += struct.pack("<Q", heap_root)
+    hdr += struct.pack("<H", curr_rows)
+    hdr += struct.pack("<I", _lookup3(hdr))
+    assert len(hdr) == frhp_size
+    parts.append((frhp_addr, hdr))
+    if not root_direct:
+        ib = b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
+        ib += (0).to_bytes(off_size, "little")  # root block offset
+        entries = {(r, c): a for (r, c, _), a in zip(blocks, dblk_addrs)}
+        for r in range(curr_rows):
+            for c in range(width):
+                ib += struct.pack("<Q", entries.get((r, c), UNDEF))
+        ib += struct.pack("<I", _lookup3(ib))
+        parts.append((ib_addr, ib))
+    for (r, c, boff), daddr in zip(blocks, dblk_addrs):
+        blk = bytearray(row_size(r))
+        head = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
+        head += boff.to_bytes(off_size, "little")
+        blk[: len(head)] = head
+        for (o, ln), m in zip(placements, msgs):
+            if boff <= o < boff + row_size(r):
+                blk[o - boff : o - boff + ln] = m
+        # checksum stored INSIDE the prefix, computed with its own
+        # field zeroed (the whole block participates)
+        struct.pack_into("<I", blk, dhdr - 4, _lookup3(bytes(blk)))
+        parts.append((daddr, bytes(blk)))
+
+    # ---- name-index v2 B-tree (type 5)
+    rsize = 4 + id_len
+    recs = []
+    for (n, _), (o, ln) in zip(links, placements):
+        hid = bytes([0]) + o.to_bytes(off_size, "little") + ln.to_bytes(
+            len_size, "little"
+        )
+        recs.append(struct.pack("<I", _lookup3(n.encode())) + hid)
+    # ascending NUMERIC hash (the packed bytes are little-endian, so a
+    # plain lexicographic sort would misorder them)
+    recs.sort(key=lambda r: struct.unpack_from("<I", r)[0])
+    leaf_max = (node_size - 10) // rsize
+    nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+
+    def leaf_blob(rr: list[bytes]) -> bytes:
+        d = b"BTLF" + struct.pack("<BB", 0, 5) + b"".join(rr)
+        return d + struct.pack("<I", _lookup3(d))
+
+    bt_parts: list[tuple[int, bytes]] = []
+    bthd_addr = pos
+    bthd_size = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    pos = _align8(pos + bthd_size)
+    if len(recs) <= leaf_max:
+        depth, root_nrec = 0, len(recs)
+        root_addr = pos
+        blob = leaf_blob(recs)
+        pos = _align8(pos + len(blob))
+        bt_parts.append((root_addr, blob))
+    else:
+        # depth 1: split into leaves of <= leaf_max records with one
+        # separator record promoted to the root between each pair
+        depth = 1
+        nleaves = -(-(len(recs) + 1) // (leaf_max + 1))
+        base = (len(recs) - (nleaves - 1)) // nleaves
+        extra = (len(recs) - (nleaves - 1)) % nleaves
+        leaves: list[list[bytes]] = []
+        seps: list[bytes] = []
+        i = 0
+        for li in range(nleaves):
+            n = base + (1 if li < extra else 0)
+            leaves.append(recs[i : i + n])
+            i += n
+            if li < nleaves - 1:
+                seps.append(recs[i])
+                i += 1
+        root_nrec = len(seps)
+        ptrs = []
+        for rr in leaves:
+            a = pos
+            blob = leaf_blob(rr)
+            pos = _align8(pos + len(blob))
+            bt_parts.append((a, blob))
+            ptrs.append((a, len(rr)))
+        root_addr = pos
+        d = b"BTIN" + struct.pack("<BB", 0, 5) + b"".join(seps)
+        for a, n in ptrs:
+            d += struct.pack("<Q", a) + n.to_bytes(nrec_size, "little")
+        d += struct.pack("<I", _lookup3(d))
+        pos = _align8(pos + len(d))
+        bt_parts.append((root_addr, d))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", node_size, rsize, depth)
+    bthd += struct.pack("<BB", 100, 40)  # split/merge percents
+    bthd += struct.pack("<QH", root_addr, root_nrec)
+    bthd += struct.pack("<Q", len(recs))
+    bthd += struct.pack("<I", _lookup3(bthd))
+    assert len(bthd) == bthd_size
+    parts.append((bthd_addr, bthd))
+    parts.extend(bt_parts)
+
+    link_info = struct.pack("<BB", 0, 0) + struct.pack(
+        "<QQ", frhp_addr, bthd_addr
+    )
+    return link_info, parts, pos
+
+
 # libhdf5's H5D_EARRAY chunk-index creation parameters (H5Dearray):
 # max_nelmts_bits=32, idx_blk_elmts=4, sup_blk_min_data_ptrs=4,
 # data_blk_min_elmts=16, max_dblk_page_nelmts_bits=10
@@ -580,6 +773,8 @@ def _write_h5_v2(
     compact: set[str],
     chunk_index: dict[str, str] | None = None,
     ea_params: tuple[int, int, int, int, int] = _EA_DEFAULT_PARAMS,
+    dense_links: bool = False,
+    dense_params: tuple[int, int, int] | None = None,
 ) -> None:
     """New-file-format (``libver='latest'``-style) writer half:
     v3 superblock, OHDR object headers, compact Link messages,
@@ -656,10 +851,19 @@ def _write_h5_v2(
         hdr = ds_header(n, 0)
         ds_hdr_addr[n] = pos
         pos = _align8(pos + len(hdr))
+    dense_parts: list[tuple[int, bytes]] = []
+    if dense_links:
+        w, ss, ns = dense_params or (4, 512, 512)
+        link_info, dense_parts, pos = _dense_link_parts(
+            [(n, ds_hdr_addr[n]) for n in names], pos,
+            width=w, start_size=ss, node_size=ns,
+        )
+        root_oh = _object_header_v2([(0x0002, link_info)])
+    else:
+        root_oh = _object_header_v2(
+            [(0x0006, _link_message(n, ds_hdr_addr[n])) for n in names]
+        )
     root_oh_addr = pos
-    root_oh = _object_header_v2(
-        [(0x0006, _link_message(n, ds_hdr_addr[n])) for n in names]
-    )
     pos = _align8(pos + len(root_oh))
 
     # chunk structures + raw data
@@ -743,6 +947,8 @@ def _write_h5_v2(
     for n in names:
         put(ds_hdr_addr[n], ds_header(n, layout_addr.get(n, data_addr.get(n, 0))))
     put(root_oh_addr, root_oh)
+    for a, blob in dense_parts:
+        put(a, blob)
     for n in names:
         if n in chunks:
             if n in fa_parts:
@@ -771,6 +977,8 @@ def write_h5(
     fmt_version: int = 0,
     chunk_index: dict[str, str] | None = None,
     ea_params: tuple[int, int, int, int, int] | None = None,
+    dense_links: bool = False,
+    dense_params: tuple[int, int, int] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
@@ -810,7 +1018,12 @@ def write_h5(
     if fmt_version == 2:
         return _write_h5_v2(
             path, datasets, chunks, filters, level, compact, chunk_index,
-            ea_params or _EA_DEFAULT_PARAMS,
+            ea_params or _EA_DEFAULT_PARAMS, dense_links, dense_params,
+        )
+    if dense_links:
+        raise ValueError(
+            "dense_links (fractal-heap link storage) requires the new "
+            "file format: fmt_version=2"
         )
     if fmt_version != 0:
         raise ValueError(
@@ -1244,15 +1457,296 @@ class PureH5:
             if mtype == 0x0002:  # link info
                 fl = body[1]
                 p = 2 + (8 if fl & 0x01 else 0)
-                (fheap,) = struct.unpack_from("<Q", body, p)
+                fheap, btree = struct.unpack_from("<QQ", body, p)
                 if fheap != UNDEF:
-                    raise ValueError(
-                        "dense link storage (fractal heap) is not "
-                        "supported — install h5py for this file"
-                    )
+                    links.extend(self._dense_links(fheap, btree))
             elif mtype == 0x0006:
                 links.append(self._parse_link(body))
         return links
+
+    # -- dense link storage (fractal heap + v2 B-tree)
+
+    def _dense_links(self, fheap_addr: int, bt_addr: int):
+        """Dense link storage: link messages live as managed objects
+        in a fractal heap ("FRHP" header → "FHDB" direct blocks,
+        optionally under a root "FHIB" indirect block), enumerated
+        via the name-index v2 B-tree ("BTHD" header → "BTLF" leaves,
+        record type 5 = lookup3 name hash + 7-byte managed heap ID).
+        libhdf5 switches a group to this layout past 8 links under
+        ``libver='latest'``.
+
+        Scope: unfiltered heaps (link heaps never carry I/O filters),
+        root-direct or root-indirect-with-direct-children heaps, and
+        B-tree depths 0/1 — thousands of links; deeper shapes raise
+        the documented gate."""
+        if bt_addr == UNDEF:
+            raise ValueError(
+                "dense link storage without a name-index B-tree "
+                "(corrupt file)"
+            )
+        heap = self._fractal_heap_geometry(fheap_addr)
+        links = []
+        for rec in self._btree2_records(bt_addr, rec_type=5):
+            # record: 4-byte lookup3 hash of the name + managed heap id
+            body = self._fractal_heap_object(heap, rec[4:])
+            links.append(self._parse_link(body))
+        return links
+
+    def _fractal_heap_geometry(self, addr: int) -> dict:
+        """Parse an "FRHP" fractal heap header into the geometry the
+        object reader needs (HDF5 format spec III.G)."""
+        # fixed part up to the variable tail: sig(4) ver(1) id_len(2)
+        # filter_len(2) flags(1) max_man_size(4) next_huge(8)
+        # huge_bt2(8) free_space(8) fs_mgr(8) man_space(8) man_alloc(8)
+        # man_iter_off(8) man_nobjs(8) huge_size(8) huge_nobjs(8)
+        # tiny_size(8) tiny_nobjs(8) width(2) start_size(8)
+        # max_direct(8) max_heap_bits(2) start_rows(2) root_addr(8)
+        # curr_rows(2) + checksum(4)
+        size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+        b = self._at(addr, size)
+        if b[:4] != b"FRHP":
+            raise ValueError("bad FRHP fractal-heap signature")
+        (stored,) = struct.unpack_from("<I", b, size - 4)
+        if _lookup3(b[: size - 4]) != stored:
+            raise ValueError("FRHP checksum mismatch (corrupt file)")
+        if b[4] != 0:
+            raise ValueError(f"fractal heap version {b[4]}")
+        (id_len,) = struct.unpack_from("<H", b, 5)
+        (filter_len,) = struct.unpack_from("<H", b, 7)
+        flags = b[9]
+        if filter_len:
+            raise ValueError(
+                "filtered fractal heaps are not supported — install "
+                "h5py for this file"
+            )
+        p = 10 + 4 + 8 * 12
+        (width,) = struct.unpack_from("<H", b, p)
+        start_size, max_direct = struct.unpack_from("<QQ", b, p + 2)
+        (max_heap_bits,) = struct.unpack_from("<H", b, p + 18)
+        (root_addr,) = struct.unpack_from("<Q", b, p + 22)
+        (curr_rows,) = struct.unpack_from("<H", b, p + 30)
+        if not (
+            1 <= width <= 1024
+            and width & (width - 1) == 0  # spec: must be a power of two
+            and 16 <= start_size <= max_direct <= (1 << 36)
+            and start_size & (start_size - 1) == 0
+            and max_direct & (max_direct - 1) == 0
+            and 1 <= max_heap_bits <= 64
+        ):
+            raise ValueError("fractal heap geometry out of range (corrupt)")
+        off_size = (max_heap_bits + 7) // 8
+        len_size = id_len - 1 - off_size
+        if len_size < 1 or id_len > 32:
+            raise ValueError(
+                f"fractal heap id length {id_len} inconsistent with "
+                f"max heap size {max_heap_bits} bits (corrupt)"
+            )
+        return {
+            "addr": addr,
+            "flags": flags,
+            "id_len": id_len,
+            "off_size": off_size,
+            "len_size": len_size,
+            "width": width,
+            "start": start_size,
+            "max_direct": max_direct,
+            "root": root_addr,
+            "curr_rows": curr_rows,
+            "_iblock": None,  # lazily parsed root indirect entries
+        }
+
+    @staticmethod
+    def _heap_row_geometry(heap: dict, off: int) -> tuple[int, int, int, int]:
+        """(row, col, block_size, block_off) of the direct block
+        holding heap offset ``off`` under the doubling schedule: rows
+        0 and 1 hold ``width`` blocks of the starting size, every
+        later row doubles."""
+        width, start = heap["width"], heap["start"]
+        if off < 2 * width * start:
+            row = off // (width * start)
+        else:
+            row = off.bit_length() - (width * start).bit_length() + 1
+        size = start if row < 2 else start << (row - 1)
+        row_off = 0 if row == 0 else width * start * (1 << max(row - 1, 0))
+        # row start offset: rows 0..r-1 hold width*start * (1 (r=1) or
+        # 2^(r-1) (r>=2)) bytes cumulatively = width*start*2^(r-1) for
+        # r>=1 (row 0 starts at 0)
+        col = (off - row_off) // size
+        return row, col, size, row_off + col * size
+
+    def _fractal_heap_object(self, heap: dict, hid: bytes) -> bytes:
+        """Managed heap ID (flags byte + heap offset + length) → the
+        object's bytes out of its direct block."""
+        if len(hid) < heap["id_len"]:
+            raise ValueError("fractal heap id shorter than declared")
+        if hid[0] != 0:
+            raise ValueError(
+                f"only managed (v0) fractal heap ids are supported "
+                f"(flag byte {hid[0]})"
+            )
+        off = int.from_bytes(hid[1 : 1 + heap["off_size"]], "little")
+        ln = int.from_bytes(
+            hid[1 + heap["off_size"] : heap["id_len"]], "little"
+        )
+        if ln == 0 or ln > heap["max_direct"]:
+            raise ValueError(f"fractal heap object length {ln} invalid")
+        chk = 4 if heap["flags"] & 0x02 else 0
+        hdr_size = 4 + 1 + 8 + heap["off_size"] + chk
+        if heap["curr_rows"] == 0:
+            # root IS a single direct block of the starting size
+            dsize, dblk_off, daddr = heap["start"], 0, heap["root"]
+        else:
+            row, col, dsize, dblk_off = self._heap_row_geometry(heap, off)
+            max_direct_rows = (
+                heap["max_direct"].bit_length()
+                - heap["start"].bit_length() + 2
+            )
+            if row >= max_direct_rows:
+                raise ValueError(
+                    "indirect child blocks in a fractal heap are not "
+                    "supported — install h5py for this file"
+                )
+            if row >= heap["curr_rows"]:
+                raise ValueError(
+                    "fractal heap offset beyond the root indirect "
+                    "block's rows (corrupt file)"
+                )
+            if heap["_iblock"] is None:
+                n = heap["curr_rows"] * heap["width"]
+                isz = 4 + 1 + 8 + heap["off_size"] + n * 8 + 4
+                ib = self._at(heap["root"], isz)
+                if ib[:4] != b"FHIB":
+                    raise ValueError("bad FHIB indirect-block signature")
+                (istored,) = struct.unpack_from("<I", ib, isz - 4)
+                if _lookup3(ib[: isz - 4]) != istored:
+                    raise ValueError(
+                        "FHIB checksum mismatch (corrupt file)"
+                    )
+                (back,) = struct.unpack_from("<Q", ib, 5)
+                if ib[4] != 0 or back != heap["addr"]:
+                    raise ValueError("FHIB version/back-pointer mismatch")
+                q = 4 + 1 + 8 + heap["off_size"]
+                heap["_iblock"] = struct.unpack_from(f"<{n}Q", ib, q)
+            daddr = heap["_iblock"][row * heap["width"] + col]
+            if daddr == UNDEF:
+                raise ValueError(
+                    "fractal heap object in an unallocated direct "
+                    "block (corrupt file)"
+                )
+        rel = off - dblk_off
+        if rel < hdr_size or rel + ln > dsize:
+            raise ValueError(
+                "fractal heap object escapes its direct block (corrupt)"
+            )
+        cache = heap.setdefault("_dblocks", {})
+        blk = cache.get(daddr)
+        if blk is None:
+            blk = self._at(daddr, dsize)
+            if blk[:4] != b"FHDB":
+                raise ValueError("bad FHDB direct-block signature")
+            (back,) = struct.unpack_from("<Q", blk, 5)
+            stored_off = int.from_bytes(
+                blk[13 : 13 + heap["off_size"]], "little"
+            )
+            if blk[4] != 0 or back != heap["addr"] or stored_off != dblk_off:
+                raise ValueError(
+                    "FHDB version/back-pointer/offset mismatch (corrupt)"
+                )
+            if chk:
+                # the stored checksum covers the ENTIRE block with its
+                # own field zeroed (header and object data alike)
+                (cstored,) = struct.unpack_from("<I", blk, hdr_size - 4)
+                z = bytearray(blk)
+                z[hdr_size - 4 : hdr_size] = b"\x00\x00\x00\x00"
+                if _lookup3(bytes(z)) != cstored:
+                    raise ValueError(
+                        "FHDB checksum mismatch (corrupt file)"
+                    )
+            cache[daddr] = blk
+        return blk[rel : rel + ln]
+
+    def _btree2_records(self, addr: int, rec_type: int) -> list[bytes]:
+        """All records of a version-2 B-tree ("BTHD" header): depth 0
+        reads the root leaf, depth 1 walks internal-node child
+        pointers; deeper trees raise the documented gate."""
+        hsz = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+        b = self._at(addr, hsz)
+        if b[:4] != b"BTHD":
+            raise ValueError("bad BTHD v2-B-tree signature")
+        (stored,) = struct.unpack_from("<I", b, hsz - 4)
+        if _lookup3(b[: hsz - 4]) != stored:
+            raise ValueError("BTHD checksum mismatch (corrupt file)")
+        if b[4] != 0:
+            raise ValueError(f"v2 B-tree version {b[4]}")
+        if b[5] != rec_type:
+            raise ValueError(
+                f"v2 B-tree type {b[5]} where {rec_type} expected"
+            )
+        (node_size,) = struct.unpack_from("<I", b, 6)
+        (rsize,) = struct.unpack_from("<H", b, 10)
+        (depth,) = struct.unpack_from("<H", b, 12)
+        (root,) = struct.unpack_from("<Q", b, 16)
+        (root_nrec,) = struct.unpack_from("<H", b, 24)
+        if not (32 <= node_size <= (1 << 24) and 4 <= rsize <= node_size):
+            raise ValueError("v2 B-tree geometry out of range (corrupt)")
+        leaf_max = (node_size - 10) // rsize
+        if leaf_max < 1:
+            raise ValueError("v2 B-tree node too small for its records")
+        nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+        if depth > 1:
+            raise ValueError(
+                "v2 B-trees deeper than 1 level are not supported — "
+                "install h5py for this file"
+            )
+
+        def leaf(a: int, n: int) -> list[bytes]:
+            size = 4 + 1 + 1 + n * rsize + 4
+            d = self._at(a, size)
+            if d[:4] != b"BTLF":
+                raise ValueError("bad BTLF leaf signature")
+            (lst,) = struct.unpack_from("<I", d, size - 4)
+            if _lookup3(d[: size - 4]) != lst:
+                raise ValueError("BTLF checksum mismatch (corrupt file)")
+            if d[4] != 0 or d[5] != rec_type:
+                raise ValueError("BTLF version/type mismatch")
+            return [
+                d[6 + i * rsize : 6 + (i + 1) * rsize] for i in range(n)
+            ]
+
+        if root_nrec == 0:
+            return []
+        if depth == 0:
+            return leaf(root, root_nrec)
+        # depth 1: internal root with (nrec+1) leaf pointers, each
+        # address + leaf-record-count (sized to the leaf capacity)
+        ptr = 8 + nrec_size
+        size = 4 + 1 + 1 + root_nrec * rsize + (root_nrec + 1) * ptr + 4
+        d = self._at(root, size)
+        if d[:4] != b"BTIN":
+            raise ValueError("bad BTIN internal-node signature")
+        (ist,) = struct.unpack_from("<I", d, size - 4)
+        if _lookup3(d[: size - 4]) != ist:
+            raise ValueError("BTIN checksum mismatch (corrupt file)")
+        if d[4] != 0 or d[5] != rec_type:
+            raise ValueError("BTIN version/type mismatch")
+        recs = [
+            d[6 + i * rsize : 6 + (i + 1) * rsize] for i in range(root_nrec)
+        ]
+        q = 6 + root_nrec * rsize
+        out: list[bytes] = []
+        for i in range(root_nrec + 1):
+            (caddr,) = struct.unpack_from("<Q", d, q)
+            cn = int.from_bytes(d[q + 8 : q + 8 + nrec_size], "little")
+            if cn > leaf_max:
+                raise ValueError(
+                    "v2 B-tree child record count exceeds leaf "
+                    "capacity (corrupt file)"
+                )
+            out.extend(leaf(caddr, cn))
+            if i < root_nrec:
+                out.append(recs[i])
+            q += ptr
+        return out
 
     @staticmethod
     def _parse_link(body: bytes) -> tuple[str, int]:

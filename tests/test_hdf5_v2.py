@@ -706,3 +706,174 @@ def test_paged_structures_fuzz_regression(tmp_path):
                     f.read("d")
             except allowed:
                 pass
+
+
+# ---------------------------------------------------------------------
+# Dense link storage: Link Info → fractal heap ("FRHP"/"FHIB"/"FHDB")
+# holding the link messages, enumerated via the type-5 name-index v2
+# B-tree ("BTHD"/"BTIN"/"BTLF").  libhdf5 switches a group to this
+# layout past 8 links under libver='latest' — i.e. any new-format
+# file with many datasets.
+# ---------------------------------------------------------------------
+
+
+def _mk_dense(path, n_ds, params=None):
+    ds, want = {}, {}
+    for i in range(n_ds):
+        a = (np.arange(6, dtype="<f4") + i).reshape(3, 2)
+        ds[f"ds{i:03d}"] = ((3, 2), "f32", a.tobytes())
+        want[f"ds{i:03d}"] = a
+    write_h5(str(path), ds, fmt_version=2, dense_links=True,
+             dense_params=params)
+    return want
+
+
+def test_dense_links_root_direct_roundtrip(tmp_path):
+    """10 datasets fit one 512-byte root direct block and a depth-0
+    B-tree (single BTLF leaf)."""
+    p = tmp_path / "d.h5"
+    want = _mk_dense(p, 10)
+    b = open(p, "rb").read()
+    assert b.count(b"FRHP") == 1 and b.count(b"FHDB") == 1
+    assert b.count(b"BTHD") == 1 and b.count(b"BTLF") == 1
+    assert b"FHIB" not in b and b"BTIN" not in b
+    with PureH5(str(p)) as f:
+        assert sorted(f.datasets) == sorted(want)
+        for n, a in want.items():
+            np.testing.assert_array_equal(f.read(n), a)
+
+
+def test_dense_links_indirect_heap_depth1_btree(tmp_path):
+    """120 datasets under tiny knobs (width 4, 64-byte starting
+    block, 128-byte B-tree nodes): the heap grows a root FHIB
+    indirect block over doubling-schedule direct blocks, and the
+    name index needs a BTIN level over multiple leaves."""
+    p = tmp_path / "d.h5"
+    want = _mk_dense(p, 120, params=(4, 64, 128))
+    b = open(p, "rb").read()
+    assert b.count(b"FHIB") == 1 and b.count(b"FHDB") > 4
+    assert b.count(b"BTIN") == 1 and b.count(b"BTLF") > 2
+    with PureH5(str(p)) as f:
+        assert sorted(f.datasets) == sorted(want)
+        for n, a in want.items():
+            np.testing.assert_array_equal(f.read(n), a)
+
+
+def test_dense_links_golden_bytes(tmp_path):
+    """Hand-derived spec offsets: FRHP id-length/flags/geometry and
+    its checksum over bytes [0, size-4); BTHD type-5 node/record
+    sizes and checksum; FHDB whole-block checksum with the stored
+    field zeroed; BTLF record = 4-byte lookup3 name hash + 7-byte
+    managed heap id whose flag byte is 0."""
+    p = tmp_path / "g.h5"
+    _mk_dense(p, 10)
+    b = open(p, "rb").read()
+    fr = b.index(b"FRHP")
+    assert b[fr + 4] == 0                                  # version
+    assert struct.unpack_from("<H", b, fr + 5)[0] == 7     # heap id length
+    assert struct.unpack_from("<H", b, fr + 7)[0] == 0     # filter length
+    assert b[fr + 9] & 0x02                                # checksummed blocks
+    p0 = fr + 10 + 4 + 8 * 12
+    assert struct.unpack_from("<H", b, p0)[0] == 4         # table width
+    start, maxd = struct.unpack_from("<QQ", b, p0 + 2)
+    assert start == 512 and maxd == 64 * 1024
+    assert struct.unpack_from("<H", b, p0 + 18)[0] == 32   # max heap bits
+    frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+    (stored,) = struct.unpack_from("<I", b, fr + frhp_size - 4)
+    assert _lookup3(b[fr : fr + frhp_size - 4]) == stored
+    (root_addr,) = struct.unpack_from("<Q", b, p0 + 22)
+    (curr_rows,) = struct.unpack_from("<H", b, p0 + 30)
+    assert curr_rows == 0 and b[root_addr : root_addr + 4] == b"FHDB"
+    # FHDB checksum: whole 512-byte block, checksum field zeroed
+    blk = bytearray(b[root_addr : root_addr + 512])
+    (cstored,) = struct.unpack_from("<I", blk, 17)
+    blk[17:21] = b"\x00\x00\x00\x00"
+    assert _lookup3(bytes(blk)) == cstored
+
+    bt = b.index(b"BTHD")
+    assert b[bt + 4] == 0 and b[bt + 5] == 5               # version, type 5
+    (node_size,) = struct.unpack_from("<I", b, bt + 6)
+    (rsize,) = struct.unpack_from("<H", b, bt + 10)
+    (depth,) = struct.unpack_from("<H", b, bt + 12)
+    assert rsize == 11 and depth == 0 and node_size == 512
+    (bt_root,) = struct.unpack_from("<Q", b, bt + 16)
+    (nrec,) = struct.unpack_from("<H", b, bt + 24)
+    assert nrec == 10
+    assert b[bt_root : bt_root + 4] == b"BTLF"
+    # first record: lookup3(name) hash + managed (flag 0) heap id
+    h, flag = struct.unpack_from("<IB", b, bt_root + 6)
+    assert flag == 0
+    names = [f"ds{i:03d}".encode() for i in range(10)]
+    assert h == min(_lookup3(n) for n in names)  # records hash-sorted
+
+
+def test_dense_links_checksum_and_gates(tmp_path):
+    p = tmp_path / "d.h5"
+    _mk_dense(p, 10)
+    base = open(p, "rb").read()
+    # corrupt one byte inside each dense structure → ValueError
+    for sig in (b"FRHP", b"FHDB", b"BTHD", b"BTLF"):
+        i = base.index(sig)
+        mut = bytearray(base)
+        mut[i + 6] ^= 0xFF
+        p2 = str(tmp_path / "m.h5")
+        open(p2, "wb").write(bytes(mut))
+        with pytest.raises(ValueError):
+            PureH5(p2)
+    # depth > 1 gate (re-checksummed so the gate itself fires)
+    mut = bytearray(base)
+    bt = mut.index(b"BTHD")
+    struct.pack_into("<H", mut, bt + 12, 2)
+    bthd_size = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    struct.pack_into("<I", mut, bt + bthd_size - 4,
+                     _lookup3(bytes(mut[bt : bt + bthd_size - 4])))
+    p3 = str(tmp_path / "deep.h5")
+    open(p3, "wb").write(bytes(mut))
+    with pytest.raises(ValueError, match="deeper"):
+        PureH5(p3)
+    # filtered-heap gate
+    mut = bytearray(base)
+    fr = mut.index(b"FRHP")
+    struct.pack_into("<H", mut, fr + 7, 8)
+    frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+    struct.pack_into("<I", mut, fr + frhp_size - 4,
+                     _lookup3(bytes(mut[fr : fr + frhp_size - 4])))
+    p4 = str(tmp_path / "filt.h5")
+    open(p4, "wb").write(bytes(mut))
+    with pytest.raises(ValueError, match="filtered fractal"):
+        PureH5(p4)
+
+
+def test_dense_links_fuzz_regression(tmp_path):
+    """Mutations + truncations of both dense shapes stay inside the
+    documented ValueError family (compact regression of the
+    out-of-suite sweep)."""
+    import zlib
+
+    p1 = tmp_path / "d1.h5"
+    _mk_dense(p1, 10)
+    p2 = tmp_path / "d2.h5"
+    _mk_dense(p2, 120, params=(4, 64, 128))
+    rng = np.random.default_rng(29)
+    allowed = (ValueError, zlib.error, KeyError)
+    for src in (open(p1, "rb").read(), open(p2, "rb").read()):
+        for _ in range(120):
+            m = bytearray(src)
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+            pm = str(tmp_path / "m.h5")
+            open(pm, "wb").write(bytes(m))
+            try:
+                with PureH5(pm) as f:
+                    for n in list(f.datasets)[:3]:
+                        f.read(n)
+            except allowed:
+                pass
+        for cut in range(1, len(src), max(1, len(src) // 25)):
+            pm = str(tmp_path / "t.h5")
+            open(pm, "wb").write(src[:cut])
+            try:
+                with PureH5(pm) as f:
+                    for n in list(f.datasets)[:3]:
+                        f.read(n)
+            except allowed:
+                pass
