@@ -9,73 +9,71 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 8 (VERDICT r7 items 1, 5, 6):
-# the never-scored gates (m11b, x16c), the gates round-8 code changes
-# touch (m11, m13, and every consumer of the hardened PNG/AVI/WAV/
-# TIFF decoders: m4/m5/m6/m10 + m2/m8/m9), the r2/r3-stale debt
-# (r4-r14 last green ROUND 2; r1/r2/r17-r22, t1-t6, c1, m1, e1-e5
-# round 3), the three SS2-core g1 vec/MIC forms at the 2-round
-# staleness boundary, the three heaviest consumers of the r8
-# window-count bucket-cap rewrite (d2/d6/d7), and the stalest
-# round-4 shape (x4).
-MUST_SCORE_R8 = [
-    "m11b_decode_jpeg_progressive",
+# queries that MUST be scored in round 9 (VERDICT r8 items 1, 5):
+# t15 (never scored), x16c (touched: the r9 _frame_count_hint change
+# is on its dispatch path), the round-4-stale block (x5-x7, r15/r16,
+# r23-r34), the five bucket-cap consumers whose r8 re-verification
+# was local-only (d4/d8/d10/sx1/sx6), the 14-query SS2-core block at
+# the 2-round hard bound (last green r7), and the 12 stalest
+# r5-green shapes.
+MUST_SCORE_R9 = [
+    "t15_tfidf_top_terms",
     "x16c_pairwise_rmsd_auto",
-    "m11_decode_jpeg",
-    "m13_video_container_stats",
-    "r4_running_revenue_window",
-    "r5_semi_anti_join",
-    "r6_intersect_status",
-    "r7_regional_revenue",
-    "r8_cube_quantities",
-    "r9_rich_inactive_customers",
-    "r10_small_qty_revenue",
-    "r11_promo_share_by_month",
-    "r12_shipping_priority",
-    "r13_nation_volume",
-    "r14_supplier_part_variety",
-    "r1_pricing_summary",
-    "r2_topk_revenue",
-    "r17_grouping_sets",
-    "r18_window_functions",
-    "r19_exact_quantiles",
-    "r20_except_status",
-    "r21_min_cost_supplier",
-    "r22_sketch_distinct",
-    "t1_doc_stats",
-    "t2_quality_score",
-    "t3_langid",
-    "t4_fingerprint",
-    "t5_source_stats",
-    "t6_token_counts",
-    "c1_corpus_curation",
-    "m1_media_stats",
-    "e1_event_window_counts",
-    "e2_sessionization",
-    "e3_asof_last_purchase",
-    "e4_session_concurrency",
-    "e5_funnel_completions",
-    "g1_distances_vec",
-    "g1_distances_mic_ortho",
-    "g1_distances_mic_triclinic",
-    "x4_radius_of_gyration",
-    "d2_minhash_lsh_neardup",
-    "d6_semantic_dedup",
-    "d7_dup_components",
-    "m2_decode_features",
-    "m8_audio_window_features",
-    "m9_frame_diffs",
-    "m4_decode_png",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
-    "m10_decode_tiff",
+    "x5_rdf_histogram",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
+    "r23_priority_exists",
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    "r27_returned_items",
+    "r28_important_balances",
+    "r29_priority_lineshare",
+    "r30_customer_distribution",
+    "r31_top_supplier",
+    "r32_promo_part_suppliers",
+    "r33_waiting_suppliers",
+    "r34_approx_quantiles",
+    "d4_ngram_jaccard_neardup",
+    "d8_containment_neardup",
+    "d10_simhash_hamming_pairs",
+    "sx1_stream_neardup_batch_twin",
+    "sx6_stream_semantic_dedup_twin",
+    "g1_distances",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g8_orthogonality",
+    "g9_lengths_angles_to_vectors",
+    "g10_vectors_to_lengths_angles",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "s8_time_fallback",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    "e8_asof_tolerance",
+    "x16_pairwise_rmsd",
+    "x3_rmsd_aligned_contract",
+    "c4_sequence_packing",
+    "x20_pca_contract",
+    "x22_msm_transition_counts",
+    "x21_tica_contract",
+    "x19_compute_neighbors",
+    "t9_char_bigram_logprob",
+    "sx2_stream_exact_dedup_twin",
+    "t13_mojibake",
+    "c7_curation_chain",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R8 if n not in window]
+    missing = [n for n in MUST_SCORE_R9 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
