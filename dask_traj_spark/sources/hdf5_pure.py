@@ -28,8 +28,9 @@ hdfgroup.org) that the MDTraj layout actually needs:
   and by the v4 Single Chunk / Implicit / Fixed Array ("FAHD" /
   "FADB", paged and non-paged) / Extensible Array ("EAHD"/"EAIB"/
   "EASB"/"EADB", paged and non-paged — the index libhdf5 picks
-  for unlimited-maxshape append-mode datasets) indexes for
-  layout v4,
+  for unlimited-maxshape append-mode datasets) / v2 B-tree
+  ("BTHD"/"BTIN"/"BTLF" record types 10/11 — past one unlimited
+  dimension) indexes for layout v4,
 - filters: deflate (id 1, zlib — the spec's required filter) and
   shuffle (id 2, byte de-interleave), the pair h5py/mdtraj write
   by default for trajectories; fletcher32 checksums (id 3) are
@@ -38,9 +39,9 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: szip/unknown filters, v2-B-tree chunk indexes,
-filtered fractal heaps / indirect heap children / name B-trees
-deeper than one level, non-LE or unsupported datatype classes.  The loaders prefer h5py
+of guessing: szip/unknown filters, filtered fractal heaps /
+indirect heap children / B-trees deeper than one level, non-LE or
+unsupported datatype classes.  The loaders prefer h5py
 when importable and fall back to this reader otherwise; with this
 module the no-h5py gate narrows to those exotics.
 
@@ -396,6 +397,77 @@ def _fixed_array_blobs(
     return hdr, dblk
 
 
+def _btree2_parts(
+    recs: list[bytes],
+    rec_type: int,
+    node_size: int,
+    pos: int,
+) -> tuple[list[tuple[int, bytes]], int, int]:
+    """([(addr, blob)], BTHD address, end) for a version-2 B-tree over
+    pre-sorted fixed-size records: depth 0 (root leaf) when they fit a
+    node, else one BTIN level with separator records promoted to the
+    root — the same shapes the reader supports."""
+    rsize = len(recs[0]) if recs else 8
+    leaf_max = (node_size - 10) // rsize
+    nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+
+    def leaf_blob(rr: list[bytes]) -> bytes:
+        d = b"BTLF" + struct.pack("<BB", 0, rec_type) + b"".join(rr)
+        return d + struct.pack("<I", _lookup3(d))
+
+    parts: list[tuple[int, bytes]] = []
+    bthd_addr = pos
+    bthd_size = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    pos = _align8(pos + bthd_size)
+    if len(recs) <= leaf_max:
+        depth, root_nrec = 0, len(recs)
+        root_addr = pos
+        blob = leaf_blob(recs)
+        pos = _align8(pos + len(blob))
+        parts.append((root_addr, blob))
+    else:
+        # depth 1: leaves of <= leaf_max records, one separator record
+        # promoted to the root between each pair
+        depth = 1
+        nleaves = -(-(len(recs) + 1) // (leaf_max + 1))
+        base = (len(recs) - (nleaves - 1)) // nleaves
+        extra = (len(recs) - (nleaves - 1)) % nleaves
+        leaves: list[list[bytes]] = []
+        seps: list[bytes] = []
+        i = 0
+        for li in range(nleaves):
+            n = base + (1 if li < extra else 0)
+            leaves.append(recs[i : i + n])
+            i += n
+            if li < nleaves - 1:
+                seps.append(recs[i])
+                i += 1
+        root_nrec = len(seps)
+        ptrs = []
+        for rr in leaves:
+            a = pos
+            blob = leaf_blob(rr)
+            pos = _align8(pos + len(blob))
+            parts.append((a, blob))
+            ptrs.append((a, len(rr)))
+        root_addr = pos
+        d = b"BTIN" + struct.pack("<BB", 0, rec_type) + b"".join(seps)
+        for a, n in ptrs:
+            d += struct.pack("<Q", a) + n.to_bytes(nrec_size, "little")
+        d += struct.pack("<I", _lookup3(d))
+        pos = _align8(pos + len(d))
+        parts.append((root_addr, d))
+    bthd = b"BTHD" + struct.pack("<BB", 0, rec_type)
+    bthd += struct.pack("<IHH", node_size, rsize, depth)
+    bthd += struct.pack("<BB", 100, 40)  # split/merge percents
+    bthd += struct.pack("<QH", root_addr, root_nrec)
+    bthd += struct.pack("<Q", len(recs))
+    bthd += struct.pack("<I", _lookup3(bthd))
+    assert len(bthd) == bthd_size
+    parts.insert(0, (bthd_addr, bthd))
+    return parts, bthd_addr, pos
+
+
 def _dense_link_parts(
     links: list[tuple[str, int]],
     pos: int,
@@ -521,63 +593,7 @@ def _dense_link_parts(
     # ascending NUMERIC hash (the packed bytes are little-endian, so a
     # plain lexicographic sort would misorder them)
     recs.sort(key=lambda r: struct.unpack_from("<I", r)[0])
-    leaf_max = (node_size - 10) // rsize
-    nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
-
-    def leaf_blob(rr: list[bytes]) -> bytes:
-        d = b"BTLF" + struct.pack("<BB", 0, 5) + b"".join(rr)
-        return d + struct.pack("<I", _lookup3(d))
-
-    bt_parts: list[tuple[int, bytes]] = []
-    bthd_addr = pos
-    bthd_size = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
-    pos = _align8(pos + bthd_size)
-    if len(recs) <= leaf_max:
-        depth, root_nrec = 0, len(recs)
-        root_addr = pos
-        blob = leaf_blob(recs)
-        pos = _align8(pos + len(blob))
-        bt_parts.append((root_addr, blob))
-    else:
-        # depth 1: split into leaves of <= leaf_max records with one
-        # separator record promoted to the root between each pair
-        depth = 1
-        nleaves = -(-(len(recs) + 1) // (leaf_max + 1))
-        base = (len(recs) - (nleaves - 1)) // nleaves
-        extra = (len(recs) - (nleaves - 1)) % nleaves
-        leaves: list[list[bytes]] = []
-        seps: list[bytes] = []
-        i = 0
-        for li in range(nleaves):
-            n = base + (1 if li < extra else 0)
-            leaves.append(recs[i : i + n])
-            i += n
-            if li < nleaves - 1:
-                seps.append(recs[i])
-                i += 1
-        root_nrec = len(seps)
-        ptrs = []
-        for rr in leaves:
-            a = pos
-            blob = leaf_blob(rr)
-            pos = _align8(pos + len(blob))
-            bt_parts.append((a, blob))
-            ptrs.append((a, len(rr)))
-        root_addr = pos
-        d = b"BTIN" + struct.pack("<BB", 0, 5) + b"".join(seps)
-        for a, n in ptrs:
-            d += struct.pack("<Q", a) + n.to_bytes(nrec_size, "little")
-        d += struct.pack("<I", _lookup3(d))
-        pos = _align8(pos + len(d))
-        bt_parts.append((root_addr, d))
-    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
-    bthd += struct.pack("<IHH", node_size, rsize, depth)
-    bthd += struct.pack("<BB", 100, 40)  # split/merge percents
-    bthd += struct.pack("<QH", root_addr, root_nrec)
-    bthd += struct.pack("<Q", len(recs))
-    bthd += struct.pack("<I", _lookup3(bthd))
-    assert len(bthd) == bthd_size
-    parts.append((bthd_addr, bthd))
+    bt_parts, bthd_addr, pos = _btree2_parts(recs, 5, node_size, pos)
     parts.extend(bt_parts)
 
     link_info = struct.pack("<BB", 0, 0) + struct.pack(
@@ -829,6 +845,13 @@ def _write_h5_v2(
                     struct.pack("<5B", mb, ie, sm, dm, pb),
                     layout_addr,
                 )
+            elif (chunk_index or {}).get(n) == "bt2":
+                # creation params: node size, split/merge percents
+                layout = _layout_v4_chunked(
+                    shape, elem, c0, 5,
+                    struct.pack("<IBB", 2048, 100, 40),
+                    layout_addr,
+                )
             elif len(blobs) == 1:
                 idata = (
                     struct.pack("<QI", len(blobs[0]), 0) if flist else b""
@@ -876,7 +899,38 @@ def _write_h5_v2(
             continue
         blobs = enc_chunks[n]
         flist = filters.get(n, [])
-        if (chunk_index or {}).get(n) == "earr":
+        if (chunk_index or {}).get(n) == "bt2":
+            shape = datasets[n][0]
+            rank = len(shape)
+            rec_type = 11 if flist else 10
+
+            def mk_recs(addrs_: list[int]) -> list[bytes]:
+                recs = []
+                for i, (a, bb) in enumerate(zip(addrs_, blobs)):
+                    rec = struct.pack("<Q", a)
+                    if flist:
+                        rec += len(bb).to_bytes(8, "little")
+                        rec += struct.pack("<I", 0)
+                    # scaled offsets: chunk-grid coords, leading dim
+                    # only (non-leading dims hold one chunk)
+                    rec += struct.pack("<Q", i) + b"\x00" * (8 * (rank - 1))
+                    recs.append(rec)
+                return recs
+
+            hdr_addr = pos
+            _, _, pos = _btree2_parts(
+                mk_recs([0] * len(blobs)), rec_type, 2048, pos
+            )
+            addrs = []
+            for b in blobs:
+                addrs.append(pos)
+                pos = _align8(pos + len(b))
+            chunk_at[n] = addrs
+            layout_addr[n] = hdr_addr
+            ea_parts[n], _, _ = _btree2_parts(
+                mk_recs(addrs), rec_type, 2048, hdr_addr
+            )
+        elif (chunk_index or {}).get(n) == "earr":
             hdr_addr = pos
             client = 1 if flist else 0
             # the structure layout depends only on the entry COUNT, so
@@ -1010,10 +1064,10 @@ def write_h5(
         if n in chunks:
             raise ValueError(f"dataset {n!r}: compact layout cannot be chunked")
     for n in chunk_index or {}:
-        if chunk_index[n] != "earr" or n not in chunks:
+        if chunk_index[n] not in ("earr", "bt2") or n not in chunks:
             raise ValueError(
-                f"dataset {n!r}: chunk_index supports only 'earr' on a "
-                "chunked dataset"
+                f"dataset {n!r}: chunk_index supports only 'earr'/'bt2' "
+                "on a chunked dataset"
             )
     if fmt_version == 2:
         return _write_h5_v2(
@@ -1031,8 +1085,8 @@ def write_h5(
         )
     if chunk_index:
         raise ValueError(
-            "chunk_index='earr' (extensible array) requires the new "
-            "file format: fmt_version=2"
+            "chunk_index (extensible array / v2 B-tree) requires the "
+            "new file format: fmt_version=2"
         )
     names = sorted(datasets)  # SNOD entries must be name-ordered
     # local heap data segment: offset 0 is the empty string, then
@@ -1665,6 +1719,72 @@ class PureH5:
             cache[daddr] = blk
         return blk[rel : rel + ln]
 
+    def _parse_btree2_index(
+        self,
+        addr: int,
+        out: dict[int, tuple[int, int, int]],
+        c0: int,
+        csize: int,
+        filters: list,
+        name: str,
+        rank: int,
+    ) -> None:
+        """v4 version-2 B-tree chunk index — what libhdf5 picks for
+        datasets with MORE THAN ONE unlimited dimension.  Record
+        type 10 (unfiltered): u64 chunk address + u64 scaled offsets
+        (chunk-grid coordinates); type 11 (filtered): address + sized
+        chunk size + u32 filter mask + scaled offsets.  Only the
+        leading dimension may be chunked (the module-wide contract),
+        so every non-leading scaled offset must be zero.
+
+        The spec leaves the scaled-offset COUNT implicit (rank, or
+        rank plus the element-size dimension); the stored record size
+        disambiguates uniquely — the two candidates differ by 8 bytes
+        while the filtered form's chunk-size width must land in
+        [1, 8]."""
+        rec_type = 11 if filters else 10
+        recs = self._btree2_records(addr, rec_type)
+        if not recs:
+            return
+        rsize = len(recs[0])
+        if rec_type == 10:
+            if rsize not in (8 + 8 * rank, 8 + 8 * (rank + 1)):
+                raise ValueError(
+                    f"dataset {name!r}: v2-B-tree record size {rsize} "
+                    f"does not fit rank {rank} (corrupt file)"
+                )
+            n_off = (rsize - 8) // 8
+            csl = 0
+        else:
+            csl = rsize - 12 - 8 * rank
+            n_off = rank
+            if not (1 <= csl <= 8):
+                csl = rsize - 12 - 8 * (rank + 1)
+                n_off = rank + 1
+            if not (1 <= csl <= 8):
+                raise ValueError(
+                    f"dataset {name!r}: v2-B-tree record size {rsize} "
+                    f"does not fit rank {rank} (corrupt file)"
+                )
+        for r in recs:
+            (a,) = struct.unpack_from("<Q", r, 0)
+            p = 8
+            if rec_type == 11:
+                nb = int.from_bytes(r[p : p + csl], "little")
+                (mask,) = struct.unpack_from("<I", r, p + csl)
+                p += csl + 4
+            else:
+                nb, mask = csize, 0
+            scaled = struct.unpack_from(f"<{n_off}Q", r, p)
+            if any(s != 0 for s in scaled[1:]):
+                raise ValueError(
+                    f"dataset {name!r}: v2-B-tree chunk at non-leading "
+                    f"offset {scaled} — chunks split non-leading "
+                    "dimensions, install h5py for this file"
+                )
+            if a != UNDEF:
+                out[scaled[0] * c0] = (nb, a, mask)
+
     def _btree2_records(self, addr: int, rec_type: int) -> list[bytes]:
         """All records of a version-2 B-tree ("BTHD" header): depth 0
         reads the root leaf, depth 1 walks internal-node child
@@ -1878,10 +1998,9 @@ class PureH5:
     @staticmethod
     def _parse_layout4_chunked(body: bytes, name: str):
         """Data Layout v4 class 2 → ((index kind, ...), raw chunk
-        dims incl. the trailing element-size entry).  Single Chunk
-        (1), Implicit (2) and Fixed Array (3) indexes are supported;
-        Extensible Array (4) and v2 B-tree (5) — what libhdf5 picks
-        for unlimited-maxshape datasets — raise, naming h5py."""
+        dims incl. the trailing element-size entry).  All five index
+        types parse: Single Chunk (1), Implicit (2), Fixed Array (3),
+        Extensible Array (4) and v2 B-tree (5)."""
         flags4, ndims, enc = body[2], body[3], body[4]
         if enc not in (1, 2, 4, 8):
             raise ValueError(
@@ -1919,9 +2038,15 @@ class PureH5:
             p += 5
             (a,) = struct.unpack_from("<Q", body, p)
             return ("earr", a), dims
+        if itype == 5:  # v2 B-tree (>1 unlimited dimension)
+            # creation parameters: node size (4), split percent (1),
+            # merge percent (1) — the BTHD header re-states them
+            p += 6
+            (a,) = struct.unpack_from("<Q", body, p)
+            return ("bt2", a), dims
         raise ValueError(
-            f"dataset {name!r}: chunk index type {itype} "
-            "(v2 B-tree) is not supported — install h5py for this file"
+            f"dataset {name!r}: unknown chunk index type {itype} "
+            "(corrupt file)"
         )
 
     def _parse_filter_pipeline(self, body: bytes, name: str) -> list[tuple[int, tuple[int, ...]]]:
@@ -2016,6 +2141,10 @@ class PureH5:
                 nch = max(1, -(-max(shape[0], 1) // c0))
                 self._parse_extensible_array(
                     addr[1], idx, c0, csize, filters, name, nch
+                )
+            elif ikind == "bt2":
+                self._parse_btree2_index(
+                    addr[1], idx, c0, csize, filters, name, len(shape)
                 )
             else:  # pragma: no cover - parse never produces others
                 raise ValueError(f"unknown chunk index kind {ikind!r}")

@@ -125,9 +125,9 @@ def test_ohdr_checksum_detects_corruption(tmp_path):
 
 
 def test_layout4_index_type_dispatch():
-    """Index type 4 (extensible array) now parses — the 5 creation-
-    parameter bytes are skipped (the EAHD restates them) and the
-    header address read; type 5 (v2 B-tree) stays an honest gate."""
+    """All five v4 index types parse: type 4 (extensible array) skips
+    its 5 creation-parameter bytes (the EAHD restates them), type 5
+    (v2 B-tree) its 6; an unknown type is a corrupt-file error."""
     # layout v4, class 2, flags 0, ndims 2, 8-byte dims, index type 4,
     # cparams (max bits, idx elmts, min ptrs, min elmts, page bits),
     # header address
@@ -138,11 +138,18 @@ def test_layout4_index_type_dispatch():
     (kind, a), dims = PureH5._parse_layout4_chunked(body, "d")
     assert kind == "earr" and a == 0x1234 and dims == (3, 4)
 
+    # type 5: node size (4), split (1), merge (1), header address
     body5 = struct.pack("<BBBBB", 4, 2, 0, 2, 8)
     body5 += struct.pack("<QQ", 3, 4) + struct.pack("<B", 5)
-    body5 += struct.pack("<Q", 0)
-    with pytest.raises(ValueError, match="h5py"):
-        PureH5._parse_layout4_chunked(body5, "d")
+    body5 += struct.pack("<IBB", 2048, 100, 40)
+    body5 += struct.pack("<Q", 0x4321)
+    (kind, a), dims = PureH5._parse_layout4_chunked(body5, "d")
+    assert kind == "bt2" and a == 0x4321
+
+    body9 = struct.pack("<BBBBB", 4, 2, 0, 2, 8)
+    body9 += struct.pack("<QQ", 3, 4) + struct.pack("<B", 9)
+    with pytest.raises(ValueError, match="unknown chunk index"):
+        PureH5._parse_layout4_chunked(body9, "d")
 
 
 def test_paged_fixed_array_roundtrip(tmp_path):
@@ -877,3 +884,82 @@ def test_dense_links_fuzz_regression(tmp_path):
                         f.read(n)
             except allowed:
                 pass
+
+
+def test_bt2_chunk_index_roundtrip(tmp_path):
+    """v2 B-tree chunk index (layout-v4 type 5 — what libhdf5 picks
+    past one unlimited dimension): record type 10 (unfiltered) /
+    11 (filtered), scaled chunk-grid offsets, depth 0 and the BTIN
+    depth-1 shape at 500 chunks."""
+    for nrows, c0, filt in [(20, 3, None), (20, 3, ["shuffle", "gzip"]),
+                            (500, 1, None), (500, 1, ["gzip"])]:
+        a = (np.arange(nrows * 3, dtype="<f4") * 0.25).reshape(nrows, 3)
+        p = tmp_path / f"bt2_{nrows}_{bool(filt)}.h5"
+        write_h5(str(p), {"d": ((nrows, 3), "f32", a.tobytes())},
+                 chunks={"d": c0}, filters={"d": filt} if filt else None,
+                 fmt_version=2, chunk_index={"d": "bt2"})
+        b = open(p, "rb").read()
+        assert b.count(b"BTHD") == 1 and b"BTLF" in b
+        if nrows == 500:
+            assert b"BTIN" in b
+        with PureH5(str(p)) as f:
+            np.testing.assert_array_equal(f.read("d"), a)
+            np.testing.assert_array_equal(
+                f.read("d", nrows // 2, 5), a[nrows // 2 : nrows // 2 + 5]
+            )
+
+
+def test_bt2_chunk_index_golden_and_corruption(tmp_path):
+    """BTHD golden fields for the chunk index (type 10, record =
+    u64 address + rank scaled u64 offsets) + checksum corruption."""
+    nrows = 20
+    a = np.arange(nrows * 3, dtype="<f4").reshape(nrows, 3)
+    p = tmp_path / "g.h5"
+    write_h5(str(p), {"d": ((nrows, 3), "f32", a.tobytes())},
+             chunks={"d": 3}, fmt_version=2, chunk_index={"d": "bt2"})
+    b = open(p, "rb").read()
+    bt = b.index(b"BTHD")
+    assert b[bt + 4] == 0 and b[bt + 5] == 10      # version, type 10
+    (rsize,) = struct.unpack_from("<H", b, bt + 10)
+    assert rsize == 8 + 8 * 2                      # addr + rank-2 offsets
+    (nrec,) = struct.unpack_from("<H", b, bt + 24)
+    assert nrec == 7                               # ceil(20/3) chunks
+    mut = bytearray(b)
+    mut[bt + 7] ^= 0xFF
+    p2 = str(tmp_path / "m.h5")
+    open(p2, "wb").write(bytes(mut))
+    with pytest.raises(ValueError):
+        with PureH5(p2) as f:
+            f.read("d")
+
+
+def test_bt2_chunk_fuzz_regression(tmp_path):
+    import zlib
+
+    nrows = 500
+    a = np.arange(nrows * 3, dtype="<f4").reshape(nrows, 3)
+    p = tmp_path / "f.h5"
+    write_h5(str(p), {"d": ((nrows, 3), "f32", a.tobytes())},
+             chunks={"d": 1}, filters={"d": ["gzip"]},
+             fmt_version=2, chunk_index={"d": "bt2"})
+    src = open(p, "rb").read()
+    rng = np.random.default_rng(31)
+    allowed = (ValueError, zlib.error, KeyError)
+    for _ in range(150):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        pm = str(tmp_path / "m.h5")
+        open(pm, "wb").write(bytes(m))
+        try:
+            with PureH5(pm) as f:
+                f.read("d")
+        except allowed:
+            pass
+    for cut in range(1, len(src), max(1, len(src) // 30)):
+        pm = str(tmp_path / "t.h5")
+        open(pm, "wb").write(src[:cut])
+        try:
+            with PureH5(pm) as f:
+                f.read("d")
+        except allowed:
+            pass
