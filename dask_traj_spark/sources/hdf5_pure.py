@@ -176,10 +176,20 @@ def _object_header(messages: list[bytes]) -> bytes:
     )
 
 
-def _filter_pipeline_message(filters: list[str], elem_size: int, level: int) -> bytes:
-    """Filter Pipeline message (0x000B) v1 body.  ``filters`` is the
-    WRITE-order list; readers apply the reverse."""
-    body = struct.pack("<BB", 1, len(filters)) + b"\x00" * 6
+def _filter_pipeline_message(
+    filters: list[str], elem_size: int, level: int, version: int = 1
+) -> bytes:
+    """Filter Pipeline message (0x000B) body.  ``filters`` is the
+    WRITE-order list; readers apply the reverse.  v1 is what the
+    old-format writer emits (6 reserved bytes, padded fields); v2 is
+    the compact encoding libhdf5 uses in new-format files (no
+    reserved bytes, no name-length field for ids < 256, no padding)
+    — the v2 writer emits it so fixtures exercise the same parse
+    path a real ``libver='latest'`` file hits."""
+    if version == 1:
+        body = struct.pack("<BB", 1, len(filters)) + b"\x00" * 6
+    else:
+        body = struct.pack("<BB", 2, len(filters))
     for f in filters:
         if f == "shuffle":
             fid, cd = 2, [elem_size]
@@ -187,11 +197,16 @@ def _filter_pipeline_message(filters: list[str], elem_size: int, level: int) -> 
             fid, cd = 1, [level]
         else:
             raise ValueError(f"unsupported write filter {f!r}")
-        # id, name length (0: ids < 256 need no name), flags, n client
-        body += struct.pack("<HHHH", fid, 0, 0, len(cd))
-        body += b"".join(struct.pack("<I", v) for v in cd)
-        if len(cd) % 2:
-            body += b"\x00" * 4  # pad client data to an 8-byte multiple
+        if version == 1:
+            # id, name length (0: ids < 256 need no name), flags, n client
+            body += struct.pack("<HHHH", fid, 0, 0, len(cd))
+            body += b"".join(struct.pack("<I", v) for v in cd)
+            if len(cd) % 2:
+                body += b"\x00" * 4  # pad client data to an 8-byte multiple
+        else:
+            # v2, id < 256: no name-length field at all, no padding
+            body += struct.pack("<HHH", fid, 0, len(cd))
+            body += b"".join(struct.pack("<I", v) for v in cd)
     return body
 
 
@@ -318,7 +333,9 @@ def _dataset_header_v2(
     space += b"".join(struct.pack("<Q", d) for d in shape)
     msgs = [(0x0001, space), (0x0003, _dt_message(kind)), (0x0008, layout_body)]
     if filters:
-        msgs.append((0x000B, _filter_pipeline_message(filters, elem, level)))
+        msgs.append(
+            (0x000B, _filter_pipeline_message(filters, elem, level, version=2))
+        )
     return _object_header_v2(msgs)
 
 
@@ -2052,21 +2069,35 @@ class PureH5:
     def _parse_filter_pipeline(self, body: bytes, name: str) -> list[tuple[int, tuple[int, ...]]]:
         """→ write-order [(filter_id, client_data)].  Deflate (1),
         shuffle (2) and fletcher32 (3) are understood; anything else
-        (szip 4, nbit 5, scaleoffset 6, registered ids) raises."""
+        (szip 4, nbit 5, scaleoffset 6, registered ids) raises.
+
+        Both message versions are read: v1 (old-format files — 6
+        reserved bytes after the counts, names 8-byte padded, client
+        data padded to an even word count) and v2 (what libhdf5 emits
+        in new-format / ``libver='latest'`` files — descriptions
+        immediately follow the counts, the name-length field exists
+        ONLY for ids >= 256, and nothing is padded)."""
         ver, nf = body[0], body[1]
-        if ver != 1:
+        if ver not in (1, 2):
             raise ValueError(
                 f"dataset {name!r}: filter pipeline v{ver} is not "
-                "supported (v1 only) — install h5py for this file"
+                "supported (v1/v2 only) — install h5py for this file"
             )
-        p = 8  # 2-byte header + 6 reserved
+        p = 8 if ver == 1 else 2  # v1: counts + 6 reserved; v2: counts
         out = []
         for _ in range(nf):
-            fid, namelen, _flags, ncd = struct.unpack_from("<HHHH", body, p)
-            p += 8
-            p += _align8(namelen)  # v1 names are 8-byte padded
+            (fid,) = struct.unpack_from("<H", body, p)
+            p += 2
+            if ver == 1 or fid >= 256:
+                (namelen,) = struct.unpack_from("<H", body, p)
+                p += 2
+            else:
+                namelen = 0
+            _flags, ncd = struct.unpack_from("<HH", body, p)
+            p += 4
+            p += _align8(namelen) if ver == 1 else namelen
             cd = struct.unpack_from(f"<{ncd}I", body, p)
-            p += 4 * ncd + (4 if ncd % 2 else 0)
+            p += 4 * ncd + (4 if ver == 1 and ncd % 2 else 0)
             if fid not in (1, 2, 3):
                 raise ValueError(
                     f"dataset {name!r}: unsupported filter id {fid} — "

@@ -963,3 +963,88 @@ def test_bt2_chunk_fuzz_regression(tmp_path):
                 f.read("d")
         except allowed:
             pass
+
+
+def test_filter_pipeline_v2_golden_bytes(tmp_path):
+    """Hand-derived spec bytes for the Filter Pipeline message v2 —
+    the encoding libhdf5 emits in new-format files.
+
+    HDF5 File Format Specification, 'Filter Pipeline Message',
+    version 2: version(1) nfilters(1), then filter descriptions
+    immediately (no reserved bytes).  Each description for an id
+    < 256: id(2) flags(2) n-client-values(2) client-data(4·n) —
+    NO name-length field and NO padding (both differ from v1)."""
+    from dask_traj_spark.sources.hdf5_pure import _filter_pipeline_message
+
+    body = _filter_pipeline_message(["shuffle", "gzip"], 4, 6, version=2)
+    assert body == bytes(
+        [2, 2]                      # version 2, two filters
+        + [2, 0, 0, 0, 1, 0]        # shuffle: id=2, flags=0, 1 value
+        + [4, 0, 0, 0]              #   elem size 4
+        + [1, 0, 0, 0, 1, 0]        # deflate: id=1, flags=0, 1 value
+        + [6, 0, 0, 0]              #   level 6
+    )
+    # and it's what the v2 writer actually embeds: the bytes appear
+    # verbatim in a filtered new-format file, prefixed by the OHDR
+    # message header (type 0x0B, size, flags)
+    p = tmp_path / "fp2.h5"
+    _mk(p, chunks={"coordinates": 3},
+        filters={"coordinates": ["shuffle", "gzip"]})
+    blob = open(p, "rb").read()
+    assert (struct.pack("<BHB", 0x0B, len(body), 0) + body) in blob
+
+
+def test_filter_pipeline_v1_v2_parse_identical():
+    """A v1 body (reserved bytes, 8-byte-padded name, odd client
+    data padded to an even word count) and the v2 body for the same
+    pipeline parse to the same write-order (id, client-data) list."""
+    from dask_traj_spark.sources.hdf5_pure import PureH5
+
+    parse = PureH5._parse_filter_pipeline
+    v1 = bytes([1, 2, 0, 0, 0, 0, 0, 0]        # version 1, 2 filters, reserved
+               + [2, 0, 0, 0, 0, 0, 1, 0]      # shuffle: namelen=0, 1 value
+               + [4, 0, 0, 0] + [0, 0, 0, 0]   #   elem 4 + pad to even words
+               + [1, 0, 0, 0, 0, 0, 1, 0]      # deflate
+               + [6, 0, 0, 0] + [0, 0, 0, 0])
+    v2 = bytes([2, 2]
+               + [2, 0, 0, 0, 1, 0] + [4, 0, 0, 0]
+               + [1, 0, 0, 0, 1, 0] + [6, 0, 0, 0])
+    want = [(2, (4,)), (1, (6,))]
+    assert parse(None, v1, "d") == want
+    assert parse(None, v2, "d") == want
+    # v1 with a NAMED filter id >= 256 → unsupported-id ValueError,
+    # not a mis-parse of the padded name as client data
+    named = bytes([2, 1]
+                  + [0, 1]          # id 256 → name-length field present
+                  + [4, 0]          # name length 4
+                  + [0, 0, 1, 0]    # flags, 1 client value
+                  + list(b"xyz\0")  # name, unpadded in v2
+                  + [9, 0, 0, 0])
+    with pytest.raises(ValueError, match="unsupported filter id 256"):
+        parse(None, named, "d")
+    with pytest.raises(ValueError, match="filter pipeline v3"):
+        parse(None, bytes([3, 0]), "d")
+
+
+def test_filter_pipeline_v2_fuzz(tmp_path):
+    """Single-byte corruption + truncation over a filtered
+    new-format file keeps the ValueError contract through the v2
+    pipeline-message parse path."""
+    import zlib
+
+    p = str(tmp_path / "s.h5")
+    _mk(p, chunks={"coordinates": 3},
+        filters={"coordinates": ["shuffle", "gzip"]})
+    src = open(p, "rb").read()
+    rng = np.random.default_rng(47)
+    allowed = (ValueError, zlib.error, KeyError)
+    for _ in range(200):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        pm = str(tmp_path / "m.h5")
+        open(pm, "wb").write(bytes(m))
+        try:
+            with PureH5(pm) as f:
+                f.read("coordinates")
+        except allowed:
+            pass
