@@ -422,11 +422,33 @@ def _btree2_parts(
 ) -> tuple[list[tuple[int, bytes]], int, int]:
     """([(addr, blob)], BTHD address, end) for a version-2 B-tree over
     pre-sorted fixed-size records: depth 0 (root leaf) when they fit a
-    node, else one BTIN level with separator records promoted to the
-    root — the same shapes the reader supports."""
+    node, else BTIN levels — as many as the record count demands —
+    with separator records promoted to each parent.  Internal-node
+    pointers follow libhdf5's per-depth schedule: child address +
+    child record count (sized to the leaf capacity), plus the child's
+    SUBTREE total (sized to that subtree's maximum) once the child is
+    itself internal."""
     rsize = len(recs[0]) if recs else 8
     leaf_max = (node_size - 10) // rsize
     nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
+
+    # per-depth geometry, extended until the whole record set fits
+    int_max = [0]
+    cum_max = [leaf_max]
+    cum_size = [0]
+    while cum_max[-1] < len(recs):
+        u = len(cum_max)
+        ptr = 8 + nrec_size + cum_size[u - 1]
+        m = (node_size - 10 - ptr) // (rsize + ptr)
+        if m < 1:
+            raise ValueError(
+                f"v2 B-tree node size {node_size} cannot hold an "
+                f"internal record at depth {u}"
+            )
+        int_max.append(m)
+        cum_max.append((m + 1) * cum_max[u - 1] + m)
+        cum_size.append(max(1, (cum_max[u].bit_length() + 7) // 8))
+    depth = len(cum_max) - 1
 
     def leaf_blob(rr: list[bytes]) -> bytes:
         d = b"BTLF" + struct.pack("<BB", 0, rec_type) + b"".join(rr)
@@ -436,44 +458,44 @@ def _btree2_parts(
     bthd_addr = pos
     bthd_size = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
     pos = _align8(pos + bthd_size)
-    if len(recs) <= leaf_max:
-        depth, root_nrec = 0, len(recs)
-        root_addr = pos
-        blob = leaf_blob(recs)
-        pos = _align8(pos + len(blob))
-        parts.append((root_addr, blob))
-    else:
-        # depth 1: leaves of <= leaf_max records, one separator record
-        # promoted to the root between each pair
-        depth = 1
-        nleaves = -(-(len(recs) + 1) // (leaf_max + 1))
-        base = (len(recs) - (nleaves - 1)) // nleaves
-        extra = (len(recs) - (nleaves - 1)) % nleaves
-        leaves: list[list[bytes]] = []
-        seps: list[bytes] = []
-        i = 0
-        for li in range(nleaves):
-            n = base + (1 if li < extra else 0)
-            leaves.append(recs[i : i + n])
-            i += n
-            if li < nleaves - 1:
-                seps.append(recs[i])
-                i += 1
-        root_nrec = len(seps)
-        ptrs = []
-        for rr in leaves:
+
+    def emit(rr: list[bytes], u: int) -> tuple[int, int, int]:
+        """Write the subtree holding ``rr`` at depth ``u`` →
+        (node address, records in the node itself, subtree total)."""
+        nonlocal pos
+        if u == 0:
             a = pos
             blob = leaf_blob(rr)
             pos = _align8(pos + len(blob))
             parts.append((a, blob))
-            ptrs.append((a, len(rr)))
-        root_addr = pos
+            return a, len(rr), len(rr)
+        # k child subtrees of <= cum_max[u-1] records, k-1 separators
+        k = -(-(len(rr) + 1) // (cum_max[u - 1] + 1))
+        k = max(k, 2)
+        base = (len(rr) - (k - 1)) // k
+        extra = (len(rr) - (k - 1)) % k
+        seps: list[bytes] = []
+        ptrs: list[tuple[int, int, int]] = []
+        i = 0
+        for ci in range(k):
+            n = base + (1 if ci < extra else 0)
+            ptrs.append(emit(rr[i : i + n], u - 1))
+            i += n
+            if ci < k - 1:
+                seps.append(rr[i])
+                i += 1
+        a = pos
         d = b"BTIN" + struct.pack("<BB", 0, rec_type) + b"".join(seps)
-        for a, n in ptrs:
-            d += struct.pack("<Q", a) + n.to_bytes(nrec_size, "little")
+        for ca, cn, ct in ptrs:
+            d += struct.pack("<Q", ca) + cn.to_bytes(nrec_size, "little")
+            if u >= 2:
+                d += ct.to_bytes(cum_size[u - 1], "little")
         d += struct.pack("<I", _lookup3(d))
         pos = _align8(pos + len(d))
-        parts.append((root_addr, d))
+        parts.append((a, d))
+        return a, len(seps), len(rr)
+
+    root_addr, root_nrec, _ = emit(recs, depth)
     bthd = b"BTHD" + struct.pack("<BB", 0, rec_type)
     bthd += struct.pack("<IHH", node_size, rsize, depth)
     bthd += struct.pack("<BB", 100, 40)  # split/merge percents
@@ -1830,11 +1852,29 @@ class PureH5:
         if leaf_max < 1:
             raise ValueError("v2 B-tree node too small for its records")
         nrec_size = max(1, (leaf_max.bit_length() + 7) // 8)
-        if depth > 1:
+        if depth > 16:
             raise ValueError(
-                "v2 B-trees deeper than 1 level are not supported — "
-                "install h5py for this file"
+                f"v2 B-tree depth {depth} out of range (corrupt file)"
             )
+        # Per-depth geometry (libhdf5's node_info[] schedule): an
+        # internal pointer at depth u is child address + child record
+        # count (sized to the LEAF capacity, the largest per-node
+        # count) + — only when the child is itself internal, u >= 2 —
+        # the child's SUBTREE total, sized to that subtree's maximum.
+        int_max = [0] * (depth + 1)
+        cum_max = [leaf_max] * (depth + 1)
+        cum_size = [0] * (depth + 1)
+        for u in range(1, depth + 1):
+            ptr = 8 + nrec_size + cum_size[u - 1]
+            m = (node_size - 10 - ptr) // (rsize + ptr)
+            if m < 1:
+                raise ValueError(
+                    "v2 B-tree node too small for an internal record "
+                    "(corrupt file)"
+                )
+            int_max[u] = m
+            cum_max[u] = (m + 1) * cum_max[u - 1] + m
+            cum_size[u] = max(1, (cum_max[u].bit_length() + 7) // 8)
 
         def leaf(a: int, n: int) -> list[bytes]:
             size = 4 + 1 + 1 + n * rsize + 4
@@ -1850,40 +1890,56 @@ class PureH5:
                 d[6 + i * rsize : 6 + (i + 1) * rsize] for i in range(n)
             ]
 
-        if root_nrec == 0:
-            return []
-        if depth == 0:
-            return leaf(root, root_nrec)
-        # depth 1: internal root with (nrec+1) leaf pointers, each
-        # address + leaf-record-count (sized to the leaf capacity)
-        ptr = 8 + nrec_size
-        size = 4 + 1 + 1 + root_nrec * rsize + (root_nrec + 1) * ptr + 4
-        d = self._at(root, size)
-        if d[:4] != b"BTIN":
-            raise ValueError("bad BTIN internal-node signature")
-        (ist,) = struct.unpack_from("<I", d, size - 4)
-        if _lookup3(d[: size - 4]) != ist:
-            raise ValueError("BTIN checksum mismatch (corrupt file)")
-        if d[4] != 0 or d[5] != rec_type:
-            raise ValueError("BTIN version/type mismatch")
-        recs = [
-            d[6 + i * rsize : 6 + (i + 1) * rsize] for i in range(root_nrec)
-        ]
-        q = 6 + root_nrec * rsize
-        out: list[bytes] = []
-        for i in range(root_nrec + 1):
-            (caddr,) = struct.unpack_from("<Q", d, q)
-            cn = int.from_bytes(d[q + 8 : q + 8 + nrec_size], "little")
-            if cn > leaf_max:
+        def node(a: int, n: int, u: int) -> list[bytes]:
+            if u == 0:
+                if n > leaf_max:
+                    raise ValueError(
+                        "v2 B-tree child record count exceeds leaf "
+                        "capacity (corrupt file)"
+                    )
+                return leaf(a, n)
+            if n > int_max[u]:
                 raise ValueError(
-                    "v2 B-tree child record count exceeds leaf "
+                    "v2 B-tree internal record count exceeds node "
                     "capacity (corrupt file)"
                 )
-            out.extend(leaf(caddr, cn))
-            if i < root_nrec:
-                out.append(recs[i])
-            q += ptr
-        return out
+            ptr = 8 + nrec_size + cum_size[u - 1]
+            size = 4 + 1 + 1 + n * rsize + (n + 1) * ptr + 4
+            d = self._at(a, size)
+            if d[:4] != b"BTIN":
+                raise ValueError("bad BTIN internal-node signature")
+            (ist,) = struct.unpack_from("<I", d, size - 4)
+            if _lookup3(d[: size - 4]) != ist:
+                raise ValueError("BTIN checksum mismatch (corrupt file)")
+            if d[4] != 0 or d[5] != rec_type:
+                raise ValueError("BTIN version/type mismatch")
+            recs = [
+                d[6 + i * rsize : 6 + (i + 1) * rsize] for i in range(n)
+            ]
+            q = 6 + n * rsize
+            out: list[bytes] = []
+            for i in range(n + 1):
+                (caddr,) = struct.unpack_from("<Q", d, q)
+                cn = int.from_bytes(d[q + 8 : q + 8 + nrec_size], "little")
+                sub = node(caddr, cn, u - 1)
+                if u >= 2:
+                    ct = int.from_bytes(
+                        d[q + 8 + nrec_size : q + ptr], "little"
+                    )
+                    if ct != len(sub):
+                        raise ValueError(
+                            "v2 B-tree subtree total does not match its "
+                            "records (corrupt file)"
+                        )
+                out.extend(sub)
+                if i < n:
+                    out.append(recs[i])
+                q += ptr
+            return out
+
+        if root_nrec == 0:
+            return []
+        return node(root, root_nrec, depth)
 
     @staticmethod
     def _parse_link(body: bytes) -> tuple[str, int]:

@@ -750,16 +750,38 @@ def test_dense_links_root_direct_roundtrip(tmp_path):
             np.testing.assert_array_equal(f.read(n), a)
 
 
-def test_dense_links_indirect_heap_depth1_btree(tmp_path):
+def test_dense_links_indirect_heap_btree(tmp_path):
     """120 datasets under tiny knobs (width 4, 64-byte starting
     block, 128-byte B-tree nodes): the heap grows a root FHIB
     indirect block over doubling-schedule direct blocks, and the
-    name index needs a BTIN level over multiple leaves."""
+    name index — at these node sizes — needs a DEPTH-2 B-tree
+    (128-byte nodes cap an internal node at 5 records, so depth 1
+    tops out at 65 records; the original depth-1 shape here
+    actually OVERFLOWED the node size, which the capacity-checking
+    reader now rejects)."""
     p = tmp_path / "d.h5"
     want = _mk_dense(p, 120, params=(4, 64, 128))
     b = open(p, "rb").read()
     assert b.count(b"FHIB") == 1 and b.count(b"FHDB") > 4
-    assert b.count(b"BTIN") == 1 and b.count(b"BTLF") > 2
+    bt = b.index(b"BTHD")
+    assert struct.unpack_from("<H", b, bt + 12)[0] == 2  # depth
+    assert b.count(b"BTIN") >= 3 and b.count(b"BTLF") > 6
+    with PureH5(str(p)) as f:
+        assert sorted(f.datasets) == sorted(want)
+        for n, a in want.items():
+            np.testing.assert_array_equal(f.read(n), a)
+
+
+def test_dense_links_depth1_btree(tmp_path):
+    """40 links at the same 128-byte node size stay within depth 1
+    (<= 65 records): one BTIN root over >= 4 leaves, every record
+    retrievable."""
+    p = tmp_path / "d1.h5"
+    want = _mk_dense(p, 40, params=(4, 64, 128))
+    b = open(p, "rb").read()
+    bt = b.index(b"BTHD")
+    assert struct.unpack_from("<H", b, bt + 12)[0] == 1
+    assert b.count(b"BTIN") == 1 and b.count(b"BTLF") >= 4
     with PureH5(str(p)) as f:
         assert sorted(f.datasets) == sorted(want)
         for n, a in want.items():
@@ -827,7 +849,9 @@ def test_dense_links_checksum_and_gates(tmp_path):
         open(p2, "wb").write(bytes(mut))
         with pytest.raises(ValueError):
             PureH5(p2)
-    # depth > 1 gate (re-checksummed so the gate itself fires)
+    # a header CLAIMING depth 2 over what is really a root leaf is
+    # corrupt: the walk finds BTLF where BTIN must be
+    # (re-checksummed so the structural check itself fires)
     mut = bytearray(base)
     bt = mut.index(b"BTHD")
     struct.pack_into("<H", mut, bt + 12, 2)
@@ -836,8 +860,17 @@ def test_dense_links_checksum_and_gates(tmp_path):
                      _lookup3(bytes(mut[bt : bt + bthd_size - 4])))
     p3 = str(tmp_path / "deep.h5")
     open(p3, "wb").write(bytes(mut))
-    with pytest.raises(ValueError, match="deeper"):
+    with pytest.raises(ValueError, match="BTIN|capacity"):
         PureH5(p3)
+    # absurd depth → out-of-range, never deep recursion
+    mut = bytearray(base)
+    struct.pack_into("<H", mut, bt + 12, 17)
+    struct.pack_into("<I", mut, bt + bthd_size - 4,
+                     _lookup3(bytes(mut[bt : bt + bthd_size - 4])))
+    p3b = str(tmp_path / "deep17.h5")
+    open(p3b, "wb").write(bytes(mut))
+    with pytest.raises(ValueError, match="depth 17 out of range"):
+        PureH5(p3b)
     # filtered-heap gate
     mut = bytearray(base)
     fr = mut.index(b"FRHP")
@@ -1047,4 +1080,70 @@ def test_filter_pipeline_v2_fuzz(tmp_path):
             with PureH5(pm) as f:
                 f.read("coordinates")
         except allowed:
+            pass
+
+
+def test_btree2_depth2_golden_pointers(tmp_path):
+    """Hand-derived depth-2 internal-node layout.  At node size 128
+    with 11-byte type-5 records: leaf capacity (128-10)//11 = 10
+    (count field 1 byte); depth-1 pointer = addr(8)+count(1) = 9 →
+    internal capacity (128-10-9)//(11+9) = 5, subtree max
+    6·10+5 = 65 (1-byte total); depth-2 pointer = addr(8)+count(1)+
+    SUBTREE TOTAL(1) = 10 — the field that exists only when the
+    child is itself internal.  120 records therefore need depth 2,
+    and every pointer's stored subtree total must sum (with the
+    node's own records) to the tree total."""
+    p = tmp_path / "g2.h5"
+    _mk_dense(p, 120, params=(4, 64, 128))
+    b = open(p, "rb").read()
+    bt = b.index(b"BTHD")
+    (node_size,) = struct.unpack_from("<I", b, bt + 6)
+    (rsize,) = struct.unpack_from("<H", b, bt + 10)
+    (depth,) = struct.unpack_from("<H", b, bt + 12)
+    (root,) = struct.unpack_from("<Q", b, bt + 16)
+    (root_nrec,) = struct.unpack_from("<H", b, bt + 24)
+    (tree_total,) = struct.unpack_from("<Q", b, bt + 26)
+    assert (node_size, rsize, depth, tree_total) == (128, 11, 2, 120)
+    assert b[root : root + 4] == b"BTIN"
+    # root: nrec records then (nrec+1) pointers of 10 bytes each
+    q = root + 6 + root_nrec * rsize
+    total = root_nrec
+    for _ in range(root_nrec + 1):
+        (caddr,) = struct.unpack_from("<Q", b, q)
+        cn, ct = b[q + 8], b[q + 9]
+        assert b[caddr : caddr + 4] == b"BTIN"  # children are internal
+        assert 1 <= cn <= 5 and cn <= ct <= 65
+        # the child's own pointers are depth-1 (9 bytes, no total)
+        # and reference leaves whose record counts sum to ct - cn
+        q2 = caddr + 6 + cn * rsize
+        leaf_sum = 0
+        for _ in range(cn + 1):
+            (laddr,) = struct.unpack_from("<Q", b, q2)
+            ln = b[q2 + 8]
+            assert b[laddr : laddr + 4] == b"BTLF" and ln <= 10
+            leaf_sum += ln
+            q2 += 9
+        assert leaf_sum + cn == ct
+        total += ct
+        q += 10
+    assert total == tree_total
+
+
+def test_btree2_depth2_fuzz(tmp_path):
+    """Single-byte corruption over the depth-2 fixture keeps the
+    ValueError contract through the recursive walk."""
+    p = str(tmp_path / "s.h5")
+    _mk_dense(p, 120, params=(4, 64, 128))
+    src = open(p, "rb").read()
+    rng = np.random.default_rng(53)
+    for _ in range(300):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        pm = str(tmp_path / "m.h5")
+        open(pm, "wb").write(bytes(m))
+        try:
+            with PureH5(pm) as f:
+                for n in list(f.datasets)[:3]:
+                    f.read(n)
+        except (ValueError, KeyError):
             pass
