@@ -39,11 +39,12 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: szip/unknown filters, filtered fractal heaps /
-indirect heap children / B-trees deeper than one level, non-LE or
-unsupported datatype classes.  The loaders prefer h5py
-when importable and fall back to this reader otherwise; with this
-module the no-h5py gate narrows to those exotics.
+of guessing: szip/unknown filters, indirect CHILD blocks inside a
+fractal heap (heaps past the root indirect block's direct rows),
+huge/tiny heap ids, non-LE or unsupported datatype classes.  The
+loaders prefer h5py when importable and fall back to this reader
+otherwise; with this module the no-h5py gate narrows to those
+exotics.
 
 The writer exists to build spec-derived fixtures (and doubles as a
 beyond-reference ``.h5`` sink for contiguous trajectories): both
@@ -513,6 +514,8 @@ def _dense_link_parts(
     width: int = 4,
     start_size: int = 512,
     node_size: int = 512,
+    heap_filters: list[str] | None = None,
+    level: int = 6,
 ) -> tuple[bytes, list[tuple[int, bytes]], int]:
     """(Link Info message body, [(addr, blob)], end) for DENSE link
     storage laid out from ``pos``: a fractal heap ("FRHP" header +
@@ -562,28 +565,62 @@ def _dense_link_parts(
         placements.append((cur, len(m)))
         cur += len(m)
 
-    # ---- file placement: FRHP, then (FHIB), FHDBs, BTHD, BT nodes
-    frhp_addr = pos
-    frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
-    pos = _align8(pos + frhp_size)
+    # ---- direct-block bytes (the back-pointer is the FRHP address,
+    # which depends on sizes known up front, so build before placing)
+    filt_info = (
+        _filter_pipeline_message(heap_filters, 1, level, version=2)
+        if heap_filters
+        else b""
+    )
     root_direct = len(blocks) == 1
     curr_rows = 0 if root_direct else blocks[-1][0] + 1
+    frhp_addr = pos
+    frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+    if filt_info:
+        # optional fields before the checksum: filtered-root-block
+        # size (length) + filter mask — only when the root IS a
+        # direct block — then the encoded I/O filter information
+        frhp_size += (12 if root_direct else 0) + len(filt_info)
+    pos = _align8(pos + frhp_size)
+
+    dblks: list[bytes] = []
+    for r, c, boff in blocks:
+        blk = bytearray(row_size(r))
+        head = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
+        head += boff.to_bytes(off_size, "little")
+        blk[: len(head)] = head
+        for (o, ln), m in zip(placements, msgs):
+            if boff <= o < boff + row_size(r):
+                blk[o - boff : o - boff + ln] = m
+        # checksum stored INSIDE the prefix, computed with its own
+        # field zeroed (the whole UNFILTERED block participates);
+        # filters then apply to the entire checksummed block
+        struct.pack_into("<I", blk, dhdr - 4, _lookup3(bytes(blk)))
+        out = bytes(blk)
+        if heap_filters:
+            out = _encode_chunk(out, heap_filters, 1, level)
+        dblks.append(out)
+
+    # ---- file placement: FRHP, then (FHIB), FHDBs, BTHD, BT nodes
     ib_addr = 0
     if not root_direct:
         ib_addr = pos
-        ib_size = 4 + 1 + 8 + off_size + curr_rows * width * 8 + 4
+        # a filtered heap's direct-block entries carry the stored
+        # (filtered) size and filter mask beside the address
+        esz = 8 + (12 if heap_filters else 0)
+        ib_size = 4 + 1 + 8 + off_size + curr_rows * width * esz + 4
         pos = _align8(pos + ib_size)
     dblk_addrs: list[int] = []
-    for r, c, boff in blocks:
+    for enc in dblks:
         dblk_addrs.append(pos)
-        pos = _align8(pos + row_size(r))
+        pos = _align8(pos + len(enc))
     heap_root = dblk_addrs[0] if root_direct else ib_addr
 
     # ---- heap bytes
     parts: list[tuple[int, bytes]] = []
     used = sum(len(m) for m in msgs)
     alloc = sum(row_size(r) for r, _, _ in blocks)
-    hdr = b"FRHP" + struct.pack("<BHHB", 0, id_len, 0, flags)
+    hdr = b"FRHP" + struct.pack("<BHHB", 0, id_len, len(filt_info), flags)
     hdr += struct.pack("<I", max_direct - dhdr)  # max managed obj size
     hdr += struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)  # huge id/bt2
     free = alloc - len(blocks) * dhdr - used
@@ -596,30 +633,30 @@ def _dense_link_parts(
     hdr += struct.pack("<H", 0 if root_direct else curr_rows)  # start rows
     hdr += struct.pack("<Q", heap_root)
     hdr += struct.pack("<H", curr_rows)
+    if filt_info:
+        if root_direct:
+            hdr += struct.pack("<QI", len(dblks[0]), 0)
+        hdr += filt_info
     hdr += struct.pack("<I", _lookup3(hdr))
     assert len(hdr) == frhp_size
     parts.append((frhp_addr, hdr))
     if not root_direct:
         ib = b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
         ib += (0).to_bytes(off_size, "little")  # root block offset
-        entries = {(r, c): a for (r, c, _), a in zip(blocks, dblk_addrs)}
+        entries = {
+            (r, c): (a, len(enc))
+            for (r, c, _), a, enc in zip(blocks, dblk_addrs, dblks)
+        }
         for r in range(curr_rows):
             for c in range(width):
-                ib += struct.pack("<Q", entries.get((r, c), UNDEF))
+                a, fsz = entries.get((r, c), (UNDEF, 0))
+                ib += struct.pack("<Q", a)
+                if heap_filters:
+                    ib += struct.pack("<QI", fsz, 0)
         ib += struct.pack("<I", _lookup3(ib))
         parts.append((ib_addr, ib))
-    for (r, c, boff), daddr in zip(blocks, dblk_addrs):
-        blk = bytearray(row_size(r))
-        head = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
-        head += boff.to_bytes(off_size, "little")
-        blk[: len(head)] = head
-        for (o, ln), m in zip(placements, msgs):
-            if boff <= o < boff + row_size(r):
-                blk[o - boff : o - boff + ln] = m
-        # checksum stored INSIDE the prefix, computed with its own
-        # field zeroed (the whole block participates)
-        struct.pack_into("<I", blk, dhdr - 4, _lookup3(bytes(blk)))
-        parts.append((daddr, bytes(blk)))
+    for daddr, enc in zip(dblk_addrs, dblks):
+        parts.append((daddr, enc))
 
     # ---- name-index v2 B-tree (type 5)
     rsize = 4 + id_len
@@ -830,6 +867,7 @@ def _write_h5_v2(
     ea_params: tuple[int, int, int, int, int] = _EA_DEFAULT_PARAMS,
     dense_links: bool = False,
     dense_params: tuple[int, int, int] | None = None,
+    dense_filters: list[str] | None = None,
 ) -> None:
     """New-file-format (``libver='latest'``-style) writer half:
     v3 superblock, OHDR object headers, compact Link messages,
@@ -919,6 +957,7 @@ def _write_h5_v2(
         link_info, dense_parts, pos = _dense_link_parts(
             [(n, ds_hdr_addr[n]) for n in names], pos,
             width=w, start_size=ss, node_size=ns,
+            heap_filters=dense_filters, level=level,
         )
         root_oh = _object_header_v2([(0x0002, link_info)])
     else:
@@ -1072,6 +1111,7 @@ def write_h5(
     ea_params: tuple[int, int, int, int, int] | None = None,
     dense_links: bool = False,
     dense_params: tuple[int, int, int] | None = None,
+    dense_filters: list[str] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
 
@@ -1112,6 +1152,7 @@ def write_h5(
         return _write_h5_v2(
             path, datasets, chunks, filters, level, compact, chunk_index,
             ea_params or _EA_DEFAULT_PARAMS, dense_links, dense_params,
+            dense_filters,
         )
     if dense_links:
         raise ValueError(
@@ -1594,30 +1635,46 @@ class PureH5:
         # man_iter_off(8) man_nobjs(8) huge_size(8) huge_nobjs(8)
         # tiny_size(8) tiny_nobjs(8) width(2) start_size(8)
         # max_direct(8) max_heap_bits(2) start_rows(2) root_addr(8)
-        # curr_rows(2) + checksum(4)
-        size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
-        b = self._at(addr, size)
+        # curr_rows(2) + [filtered-root size(8) + mask(4)] +
+        # [filter info] + checksum(4)
+        base = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2
+        b = self._at(addr, base)
         if b[:4] != b"FRHP":
             raise ValueError("bad FRHP fractal-heap signature")
-        (stored,) = struct.unpack_from("<I", b, size - 4)
-        if _lookup3(b[: size - 4]) != stored:
-            raise ValueError("FRHP checksum mismatch (corrupt file)")
         if b[4] != 0:
             raise ValueError(f"fractal heap version {b[4]}")
         (id_len,) = struct.unpack_from("<H", b, 5)
         (filter_len,) = struct.unpack_from("<H", b, 7)
         flags = b[9]
-        if filter_len:
-            raise ValueError(
-                "filtered fractal heaps are not supported — install "
-                "h5py for this file"
-            )
         p = 10 + 4 + 8 * 12
         (width,) = struct.unpack_from("<H", b, p)
         start_size, max_direct = struct.unpack_from("<QQ", b, p + 2)
         (max_heap_bits,) = struct.unpack_from("<H", b, p + 18)
         (root_addr,) = struct.unpack_from("<Q", b, p + 22)
         (curr_rows,) = struct.unpack_from("<H", b, p + 30)
+        # the optional filtered-root-block size + mask exist only
+        # when the heap has filters AND the root is a direct block
+        extra = ((12 if curr_rows == 0 else 0) + filter_len) if filter_len else 0
+        size = base + extra + 4
+        b = self._at(addr, size)
+        (stored,) = struct.unpack_from("<I", b, size - 4)
+        if _lookup3(b[: size - 4]) != stored:
+            raise ValueError("FRHP checksum mismatch (corrupt file)")
+        filters: list[tuple[int, tuple[int, ...]]] = []
+        root_fsize = root_fmask = None
+        if filter_len:
+            q = base
+            if curr_rows == 0:
+                root_fsize, root_fmask = struct.unpack_from("<QI", b, q)
+                q += 12
+                if not (0 < root_fsize <= (1 << 36)):
+                    raise ValueError(
+                        "filtered root direct block size out of range "
+                        "(corrupt file)"
+                    )
+            filters = self._parse_filter_pipeline(
+                b[q : q + filter_len], "<fractal heap>"
+            )
         if not (
             1 <= width <= 1024
             and width & (width - 1) == 0  # spec: must be a power of two
@@ -1645,6 +1702,9 @@ class PureH5:
             "max_direct": max_direct,
             "root": root_addr,
             "curr_rows": curr_rows,
+            "filters": filters,
+            "root_fsize": root_fsize,
+            "root_fmask": root_fmask,
             "_iblock": None,  # lazily parsed root indirect entries
         }
 
@@ -1685,6 +1745,8 @@ class PureH5:
             raise ValueError(f"fractal heap object length {ln} invalid")
         chk = 4 if heap["flags"] & 0x02 else 0
         hdr_size = 4 + 1 + 8 + heap["off_size"] + chk
+        fsize = heap["root_fsize"]
+        fmask = heap["root_fmask"] or 0
         if heap["curr_rows"] == 0:
             # root IS a single direct block of the starting size
             dsize, dblk_off, daddr = heap["start"], 0, heap["root"]
@@ -1706,7 +1768,10 @@ class PureH5:
                 )
             if heap["_iblock"] is None:
                 n = heap["curr_rows"] * heap["width"]
-                isz = 4 + 1 + 8 + heap["off_size"] + n * 8 + 4
+                # a filtered heap's direct-block entries carry the
+                # stored (filtered) size and filter mask as well
+                esz = 8 + (12 if heap["filters"] else 0)
+                isz = 4 + 1 + 8 + heap["off_size"] + n * esz + 4
                 ib = self._at(heap["root"], isz)
                 if ib[:4] != b"FHIB":
                     raise ValueError("bad FHIB indirect-block signature")
@@ -1719,8 +1784,19 @@ class PureH5:
                 if ib[4] != 0 or back != heap["addr"]:
                     raise ValueError("FHIB version/back-pointer mismatch")
                 q = 4 + 1 + 8 + heap["off_size"]
-                heap["_iblock"] = struct.unpack_from(f"<{n}Q", ib, q)
-            daddr = heap["_iblock"][row * heap["width"] + col]
+                ents = []
+                for _ in range(n):
+                    (ea,) = struct.unpack_from("<Q", ib, q)
+                    if heap["filters"]:
+                        efs, efm = struct.unpack_from("<QI", ib, q + 8)
+                    else:
+                        efs = efm = 0
+                    ents.append((ea, efs, efm))
+                    q += esz
+                heap["_iblock"] = ents
+            daddr, fsize, fmask = heap["_iblock"][
+                row * heap["width"] + col
+            ]
             if daddr == UNDEF:
                 raise ValueError(
                     "fractal heap object in an unallocated direct "
@@ -1734,7 +1810,23 @@ class PureH5:
         cache = heap.setdefault("_dblocks", {})
         blk = cache.get(daddr)
         if blk is None:
-            blk = self._at(daddr, dsize)
+            if heap["filters"]:
+                if not (0 < fsize <= (1 << 36)):
+                    raise ValueError(
+                        "filtered direct block size out of range "
+                        "(corrupt file)"
+                    )
+                raw = self._at(daddr, fsize)
+                # filters apply to the ENTIRE block — header,
+                # checksum field and object data alike — so undo
+                # them first, then run the normal structural checks
+                # on the recovered nominal-size block
+                blk = self._decode_chunk(
+                    raw, heap["filters"], 1, fmask, dsize,
+                    "<fractal heap>",
+                )
+            else:
+                blk = self._at(daddr, dsize)
             if blk[:4] != b"FHDB":
                 raise ValueError("bad FHDB direct-block signature")
             (back,) = struct.unpack_from("<Q", blk, 5)

@@ -871,7 +871,10 @@ def test_dense_links_checksum_and_gates(tmp_path):
     open(p3b, "wb").write(bytes(mut))
     with pytest.raises(ValueError, match="depth 17 out of range"):
         PureH5(p3b)
-    # filtered-heap gate
+    # a header CLAIMING a filter pipeline where none was written is
+    # corrupt: the declared info bytes are really the old checksum
+    # region, so either the (shifted) checksum or the pipeline parse
+    # must reject it — never a silent mis-read
     mut = bytearray(base)
     fr = mut.index(b"FRHP")
     struct.pack_into("<H", mut, fr + 7, 8)
@@ -880,7 +883,7 @@ def test_dense_links_checksum_and_gates(tmp_path):
                      _lookup3(bytes(mut[fr : fr + frhp_size - 4])))
     p4 = str(tmp_path / "filt.h5")
     open(p4, "wb").write(bytes(mut))
-    with pytest.raises(ValueError, match="filtered fractal"):
+    with pytest.raises(ValueError):
         PureH5(p4)
 
 
@@ -1146,4 +1149,93 @@ def test_btree2_depth2_fuzz(tmp_path):
                 for n in list(f.datasets)[:3]:
                     f.read(n)
         except (ValueError, KeyError):
+            pass
+
+
+@pytest.mark.parametrize(
+    "label,n_ds,params",
+    [
+        ("root_direct", 10, (4, 512, 512)),
+        ("indirect_depth1_btree", 40, (4, 64, 128)),
+        ("indirect_depth2_btree", 120, (4, 64, 128)),
+    ],
+)
+def test_filtered_fractal_heap_roundtrip(tmp_path, label, n_ds, params):
+    """Dense-link heaps whose direct blocks run through the deflate
+    pipeline: the FRHP carries the encoded filter info (and, for a
+    root direct block, the stored size + mask), FHIB entries gain
+    (filtered size, mask), and every block defilters back to its
+    nominal size with the whole-block checksum intact."""
+    ds = {f"ds{i:03d}": ((4,), "f64",
+                         np.full(4, float(i)).tobytes())
+          for i in range(n_ds)}
+    p = str(tmp_path / f"{label}.h5")
+    write_h5(p, ds, fmt_version=2, dense_links=True, dense_params=params,
+             dense_filters=["gzip"])
+    with PureH5(p) as f:
+        assert len(f.datasets) == n_ds
+        for i in range(n_ds):
+            np.testing.assert_array_equal(
+                f.read(f"ds{i:03d}"), np.full(4, float(i)))
+
+
+def test_filtered_fractal_heap_golden_bytes(tmp_path):
+    """Hand-derived FRHP offsets for a filtered heap with a root
+    direct block: filter info length at offset 7; the optional
+    fields (filtered root block size u64 + mask u32) sit after the
+    fixed 142-byte prefix, followed by the v2-encoded pipeline
+    message, with the checksum moved past them; the root block on
+    disk is zlib-compressed to the stored size."""
+    import zlib
+
+    ds = {f"ds{i:03d}": ((4,), "f64", np.full(4, float(i)).tobytes())
+          for i in range(10)}
+    p = str(tmp_path / "g.h5")
+    write_h5(p, ds, fmt_version=2, dense_links=True,
+             dense_filters=["gzip"])
+    b = open(p, "rb").read()
+    fr = b.index(b"FRHP")
+    info = bytes([2, 1, 1, 0, 0, 0, 1, 0, 6, 0, 0, 0])  # v2: deflate(6)
+    (filter_len,) = struct.unpack_from("<H", b, fr + 7)
+    assert filter_len == len(info)
+    base = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2
+    fsize, fmask = struct.unpack_from("<QI", b, fr + base)
+    assert fmask == 0 and 0 < fsize < 512
+    assert b[fr + base + 12 : fr + base + 12 + filter_len] == info
+    (stored,) = struct.unpack_from("<I", b, fr + base + 12 + filter_len)
+    assert _lookup3(b[fr : fr + base + 12 + filter_len]) == stored
+    p0 = fr + 10 + 4 + 8 * 12
+    (root_addr,) = struct.unpack_from("<Q", b, p0 + 22)
+    blk = zlib.decompress(b[root_addr : root_addr + fsize])
+    assert len(blk) == 512 and blk[:4] == b"FHDB"
+    # whole-block checksum rule holds on the DEFILTERED block
+    mut = bytearray(blk)
+    (cstored,) = struct.unpack_from("<I", mut, 17)
+    mut[17:21] = b"\x00\x00\x00\x00"
+    assert _lookup3(bytes(mut)) == cstored
+
+
+def test_filtered_fractal_heap_fuzz(tmp_path):
+    """Corruption probes over a filtered indirect-rooted heap keep
+    the corrupt-file contract (ValueError, or zlib.error from a
+    mangled deflate stream — the same set the chunk fuzzers allow)."""
+    import zlib
+
+    ds = {f"ds{i:03d}": ((4,), "f64", np.full(4, float(i)).tobytes())
+          for i in range(60)}
+    p = str(tmp_path / "s.h5")
+    write_h5(p, ds, fmt_version=2, dense_links=True,
+             dense_params=(4, 64, 256), dense_filters=["gzip"])
+    src = open(p, "rb").read()
+    rng = np.random.default_rng(59)
+    for _ in range(300):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        pm = str(tmp_path / "m.h5")
+        open(pm, "wb").write(bytes(m))
+        try:
+            with PureH5(pm) as f:
+                for n in list(f.datasets)[:3]:
+                    f.read(n)
+        except (ValueError, KeyError, zlib.error):
             pass
