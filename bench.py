@@ -228,6 +228,7 @@ def main() -> None:
         "t8_heuristic_filter",
         "c4_sequence_packing",
         "d6_semantic_dedup",
+        "d11_duplicate_spans",
     ):
         timed(name, lambda name=name: _noop(registry[name](spark, sf_dir)))
 
@@ -348,6 +349,53 @@ def main() -> None:
         scale["d2_minhash_lsh_10x_iters"] = its_d2_10
         scale["d2_minhash_lsh_10x"] = min(its_d2_10)
         scale["probe_after_d2_s"] = _cpu_probe()
+
+        # duplicate-span detection at 10x.  Two shapes:
+        # - FAIR (drives the linearity entry): per-copy token
+        #   perturbation keeps the duplicated FRACTION constant, and
+        #   the corpus is materialized to parquet first so the
+        #   measurement is d11 itself, not the perturbation
+        #   transform (measured: inline perturbation dominated the
+        #   first cut of this metric 3x).
+        # - ALL-DUP (recorded beside it): the replicated-id corpus
+        #   where EVERY window is duplicated — output covers 100% of
+        #   positions, a categorically denser workload, so it stays
+        #   out of the linearity gate.
+        import shutil
+        import tempfile
+
+        from dask_traj_spark.operators.dedup import duplicate_spans
+
+        d10p_dir = tempfile.mkdtemp(prefix="d11_10x_")
+        (
+            docs.select("*", rep)
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("rep") * F.lit(10_000_000),
+            )
+            .withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(split(text, ' '), "
+                    "x -> concat(x, '_', rep)), ' ')"
+                ),
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{d10p_dir}/docs")
+        )
+        d10p = spark.read.parquet(f"{d10p_dir}/docs")
+        its_d11 = []
+        for _ in range(2):
+            t0 = time.time()
+            _noop(duplicate_spans(d10p))
+            its_d11.append(round(time.time() - t0, 3))
+        scale["d11_duplicate_spans_10x_iters"] = its_d11
+        scale["d11_duplicate_spans_10x"] = min(its_d11)
+        t0 = time.time()
+        _noop(duplicate_spans(docs10))
+        scale["d11_duplicate_spans_10x_alldup"] = round(time.time() - t0, 3)
+        shutil.rmtree(d10p_dir, ignore_errors=True)
 
         # pairwise-RMSD crossover: the x16 SQL sufficient-statistics
         # form vs the x16b blocked-gram matmul on the SAME synthetic
@@ -486,6 +534,10 @@ def main() -> None:
             "d6_semantic_dedup_auto": round(
                 scale["d6_semantic_dedup_auto_10x"]
                 / (10 * times["d6_semantic_dedup_auto"]), 2
+            ),
+            "d11_duplicate_spans": round(
+                scale["d11_duplicate_spans_10x"]
+                / (10 * times["d11_duplicate_spans"]), 2
             ),
         }
         probes["after_scale_s"] = _cpu_probe()

@@ -129,7 +129,8 @@ def register(name: str, oracle: str | None = None):
 #       (e8, x16, x3, c4, x19-x22, t9, t13, sx2, c7).  Tail = the
 #       49 r8-green gates + the remaining r7-green extension set
 #       (x1/x2/x16b hit the best-effort boundary in r10) + the 18
-#       remaining r5-green shapes (head the r10 order).
+#       remaining r5-green shapes (head the r10 order).  d11 (NEW
+#       mid-round-9, local-only evidence) seats FIRST in r10.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
@@ -140,6 +141,10 @@ def register(name: str, oracle: str | None = None):
 # c4/c6/c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the
 # r7-green set ages back in.
 _SCORING_TAIL = [
+    # NEW in round 9, never driver-scored — seats FIRST in the r10
+    # head under the new-query-first rule (local evidence: oracle
+    # hash-green at sf0.01 and sf0.1 the round it landed)
+    "d11_duplicate_spans",
     # last green ROUND 8 (fresh — scored in CORRECTNESS_r08; x16c was
     # also r8-green but re-seats under the touched-set rule: the
     # round-9 _frame_count_hint change is on its dispatch path)

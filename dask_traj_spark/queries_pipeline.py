@@ -4567,6 +4567,55 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     )
 
 
+_D11_W = 8
+
+_D11_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {_D11_W - 1})) AS i
+    FROM toks WHERE len(t) >= {_D11_W}
+),
+ngr AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i:i + {_D11_W - 1}], ' ') AS ng
+    FROM idx
+),
+dup AS (
+    SELECT ng FROM (SELECT DISTINCT ng, doc_id FROM ngr)
+    GROUP BY ng HAVING count(*) >= 2
+),
+hit AS (SELECT doc_id, pos FROM ngr JOIN dup USING (ng)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         + {_D11_W} THEN 1 ELSE 0 END AS brk
+    FROM hit
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_D11_W - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {_D11_W} AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, g
+"""
+
+
+@register("d11_duplicate_spans", _D11_ORACLE)
+def q_duplicate_spans(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import duplicate_spans
+
+    # exact n-gram keys for DuckDB parity; the operator default is
+    # hashed (xxhash64 keys — the 100-TB path)
+    return duplicate_spans(_docs(spark, sf_dir), ngram=_D11_W, key_mode="exact")
+
+
 def _x18_oracle(radius: float, n_points: int) -> str:
     from dask_traj_spark.operators.distance import _sasa_sphere_offsets
     from dask_traj_spark.queries import COORDS_CTE

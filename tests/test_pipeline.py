@@ -2683,3 +2683,59 @@ class TestJpegProgressiveRestart:
                         dc_split=split, restart_units=ru,
                     ))
                     assert got == base, (w, h, ch, sub, ru, split)
+
+
+class TestDuplicateSpans:
+    def test_hand_built_spans(self, spark):
+        from dask_traj_spark.operators.dedup import duplicate_spans
+
+        # shared phrase "x y z w" gives two overlapping duplicated
+        # 3-gram windows (pos 1 and 2) in each doc → ONE merged span
+        # of 4 tokens; doc 2's repeated-within-itself trigram is NOT
+        # flagged (min_docs counts distinct documents)
+        rows = [
+            (0, "a x y z w b c d e f"),
+            (1, "q x y z w r s t u v"),
+            (2, "m n o p m n o p m n o p"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pdf = (
+            duplicate_spans(docs, ngram=3)
+            .toPandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        assert pdf["doc_id"].tolist() == [0, 1]
+        assert pdf["span_start"].tolist() == [1, 1]
+        assert pdf["span_end"].tolist() == [4, 4]
+        assert pdf["span_tokens"].tolist() == [4, 4]
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        from dask_traj_spark.operators.dedup import duplicate_spans
+
+        # two shared trigrams far apart in doc 0 → two spans
+        rows = [
+            (0, "x y z a b c d e f p q r"),
+            (1, "x y z h i j k l m n o w"),
+            (2, "h h h h h h h h h p q r"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pdf = (
+            duplicate_spans(docs, ngram=3)
+            .toPandas()
+            .sort_values(["doc_id", "span_start"])
+        )
+        d0 = pdf[pdf.doc_id == 0]
+        assert d0["span_start"].tolist() == [0, 9]
+        assert d0["span_end"].tolist() == [2, 11]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="ngram"):
+            duplicate_spans(docs, ngram=0)
+        with _pytest.raises(ValueError, match="min_docs"):
+            duplicate_spans(docs, min_docs=1)

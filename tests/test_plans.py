@@ -663,3 +663,27 @@ def test_sasa_join_shapes(spark):
     ))
     plan = formatted_plan(sasa_exposure(traj))
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """d11's 100-TB posture: n-gram windows built JVM-side (zero
+    Python evals), duplicated-key detection through partial-agg
+    groupBys (never a window over raw occurrences — a boilerplate
+    n-gram must collapse map-side), no cartesian anything, and the
+    island merge reuses ONE doc_id exchange for both windows and
+    the final aggregate."""
+    from dask_traj_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = audit(duplicate_spans(docs))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    # (ng,doc) distinct + ng count + doc_id islands = 3 keyed
+    # shuffles; the dup-set side may add a broadcast (free) or, if
+    # AQE declines, one more keyed exchange
+    assert a.n_shuffles <= 4, a.text
+    assert "SinglePartition" not in a.text, a.text
