@@ -809,3 +809,51 @@ def duplicate_spans(
         )
         .drop("g")
     )
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans` output to the corpus: drop every
+    token covered by a span and rebuild the text — the excision step
+    of substring-level dedup (the usual pipeline keeps ONE canonical
+    copy upstream and excises the rest; which copies reach this
+    operator is the caller's policy).
+
+    → all ``docs`` columns with ``text_col`` rewritten, plus
+    ``n_removed`` (tokens dropped; 0 for untouched docs).
+
+    Plan: spans collapse to one row per doc (groupBy → array of
+    [start, end] pairs), RIGHT-joins the corpus (untouched docs pass
+    through with a null span list), and the rewrite is a JVM-side
+    ``filter`` over the token array testing coverage with ``exists``
+    — per-token cost is |spans in that doc|, no Python, no explode:
+    the only wide operations are one groupBy and one keyed join,
+    both on doc_id.  At 100 TB the span side is tiny relative to the
+    corpus (AQE broadcasts it when it fits)."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.array("span_start", "span_end")).alias("_spans")
+    )
+    joined = per_doc.join(docs, "doc_id", "right")
+    t = F.split(F.col(text_col), " ")
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS x, i AS i)), "
+        "s -> NOT exists(_spans, sp -> s.i >= sp[0] AND s.i <= sp[1]))"
+    )
+    out = (
+        joined.withColumn("t", t)
+        .withColumn("_kept", F.coalesce(
+            F.when(F.col("_spans").isNotNull(), kept), F.expr(
+                "transform(t, (x, i) -> struct(x AS x, i AS i))"
+            ),
+        ))
+        .withColumn("n_removed", (F.size("t") - F.size("_kept")).cast("long"))
+        .withColumn(
+            text_col,
+            F.array_join(F.expr("transform(_kept, s -> s.x)"), " "),
+        )
+        .drop("t", "_kept", "_spans")
+    )
+    return out

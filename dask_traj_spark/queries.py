@@ -141,10 +141,11 @@ def register(name: str, oracle: str | None = None):
 # c4/c6/c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the
 # r7-green set ages back in.
 _SCORING_TAIL = [
-    # NEW in round 9, never driver-scored — seats FIRST in the r10
+    # NEW in round 9, never driver-scored — seat FIRST in the r10
     # head under the new-query-first rule (local evidence: oracle
-    # hash-green at sf0.01 and sf0.1 the round it landed)
+    # hash-green at sf0.01 and sf0.1 the round they landed)
     "d11_duplicate_spans",
+    "d12_excise_duplicate_spans",
     # last green ROUND 8 (fresh — scored in CORRECTNESS_r08; x16c was
     # also r8-green but re-seats under the touched-set rule: the
     # round-9 _frame_count_hint change is on its dispatch path)

@@ -4616,6 +4616,80 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir), ngram=_D11_W, key_mode="exact")
 
 
+_D12_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {_D11_W - 1})) AS i
+    FROM toks WHERE len(t) >= {_D11_W}
+),
+ngr AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i:i + {_D11_W - 1}], ' ') AS ng
+    FROM idx
+),
+dup AS (
+    SELECT ng FROM (SELECT DISTINCT ng, doc_id FROM ngr)
+    GROUP BY ng HAVING count(*) >= 2
+),
+hit AS (SELECT doc_id, pos FROM ngr JOIN dup USING (ng)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         + {_D11_W} THEN 1 ELSE 0 END AS brk
+    FROM hit
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + {_D11_W - 1} AS e
+    FROM grp GROUP BY doc_id, g
+),
+tokall AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS word
+    FROM toks
+),
+keep AS (
+    SELECT k.doc_id, k.pos, k.word FROM tokall k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e
+    )
+),
+agg AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text2,
+           count(*) AS kept
+    FROM keep GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n FROM tokall GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.text2, '') AS text,
+       CAST(t.n - coalesce(a.kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("d12_excise_duplicate_spans", _D12_ORACLE)
+def q_excise_duplicate_spans(spark, sf_dir):
+    from dask_traj_spark.operators.dedup import (
+        duplicate_spans,
+        excise_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    spans = duplicate_spans(docs, ngram=_D11_W, key_mode="exact")
+    return excise_duplicate_spans(docs, spans).select(
+        "doc_id", "text", "n_removed"
+    )
+
+
 def _x18_oracle(radius: float, n_points: int) -> str:
     from dask_traj_spark.operators.distance import _sasa_sphere_offsets
     from dask_traj_spark.queries import COORDS_CTE

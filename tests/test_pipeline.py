@@ -2739,3 +2739,29 @@ class TestDuplicateSpans:
             duplicate_spans(docs, ngram=0)
         with _pytest.raises(ValueError, match="min_docs"):
             duplicate_spans(docs, min_docs=1)
+
+    def test_excision(self, spark):
+        from dask_traj_spark.operators.dedup import (
+            duplicate_spans,
+            excise_duplicate_spans,
+        )
+
+        rows = [
+            (0, "a x y z w b"),        # span [1,4] → "a b"
+            (1, "q x y z w r"),
+            (2, "short doc"),          # < ngram tokens: untouched
+            (3, "p q r"),              # fully covered → empty text
+            (4, "p q r"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = (
+            excise_duplicate_spans(docs, duplicate_spans(docs, ngram=3))
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "text"] == "a b" and out.loc[0, "n_removed"] == 4
+        assert out.loc[2, "text"] == "short doc"
+        assert out.loc[2, "n_removed"] == 0
+        assert out.loc[3, "text"] == "" and out.loc[3, "n_removed"] == 3
+        assert set(out.columns) >= {"text", "n_removed"}

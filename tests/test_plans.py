@@ -687,3 +687,23 @@ def test_duplicate_spans_plan_shape(spark):
     # AQE declines, one more keyed exchange
     assert a.n_shuffles <= 4, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_excise_spans_plan_shape(spark):
+    """d12's rewrite is a JVM-side array filter — no explode of the
+    corpus tokens, no Python, and the only wide operations are the
+    span groupBy and one doc_id-keyed join."""
+    from dask_traj_spark.operators.dedup import (
+        duplicate_spans,
+        excise_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = audit(excise_duplicate_spans(docs, duplicate_spans(docs)))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
