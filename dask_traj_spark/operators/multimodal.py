@@ -1381,16 +1381,18 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ----------------------------------------------------- baseline JPEG
 # Pure stdlib+numpy baseline JFIF codec (ITU-T T.81 is public).  The
 # DECODER is general baseline sequential: segment walk, 8-bit DQT,
-# SOF0/1 AND progressive SOF2 up to 3 components with 4:4:4 or
+# SOF0/1, progressive SOF2, lossless SOF3 up to 3 components with 4:4:4 or
 # 4:2:0 sampling, canonical Huffman tables reconstructed from DHT
 # (snapshotted per scan), byte-unstuffed entropy reader, (run,size)
 # AC run-lengths with ZRL/EOB, the four progressive scan classes
 # (DC/AC × first/refinement, EOBn runs — T.81 Annex G), restart
-# intervals (DRI/RSTn) in both modes, dequant → de-zigzag →
+# intervals (DRI/RSTn) in all modes, dequant → de-zigzag →
 # vectorized float64 IDCT → level shift → clamp, nearest-neighbor
-# chroma upsample, JFIF YCbCr→RGB.  Arithmetic coding, 12-bit
-# precision, lossless and hierarchical modes raise ValueError —
-# honest gates, not silent wrong pixels.
+# chroma upsample, JFIF YCbCr→RGB; lossless SOF3 decodes Annex-H
+# prediction differences (predictors 1-7, 2-16 bit, point
+# transform, modulo-2^16).  Arithmetic coding, 12-bit BASELINE
+# precision and hierarchical modes raise ValueError — honest
+# gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
 # table is legal JPEG) used to build oracle-checkable payloads;
@@ -2006,17 +2008,209 @@ def _jpeg_decode_baseline_block(rd, coefs, preds, cid, dct_tab, act_tab):
         k += 1
 
 
+def _jpeg_lossless_predict(
+    plane, row: int, col: int, predictor: int, default: int
+) -> int:
+    """T.81 H.1.2.1 prediction: a = left, b = above, c = above-left.
+    The first sample of the scan (and of each restart interval) uses
+    the ``default`` (2^(P-Pt-1)); the rest of the first line predicts
+    from a; the first column predicts from b."""
+    if row == 0:
+        return default if col == 0 else int(plane[0, col - 1])
+    if col == 0:
+        return int(plane[row - 1, 0])
+    a = int(plane[row, col - 1])
+    b = int(plane[row - 1, col])
+    c = int(plane[row - 1, col - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
+
+
+def _decode_jpeg_lossless(data, width, height, comps, prec, scans):
+    """SOF3 lossless process (T.81 Annex H): Huffman-coded prediction
+    differences, DC-style SSSS categories (SSSS = 16 → +32768 with no
+    additional bits), modulo-2^16 reconstruction, point transform Pt
+    re-applied as a left shift.  Components must be unsampled
+    (Hi = Vi = 1 — what lossless encoders emit); an interleaved scan's
+    MCU is one sample per component in raster order.  Precision > 8
+    is scaled down to the decoder's 8-bit byte contract."""
+    import numpy as np
+
+    if any(hi != 1 or vi != 1 for _, hi, vi, _ in comps):
+        raise ValueError(
+            "lossless JPEG with sampled components is not supported"
+        )
+    planes = {
+        cid: np.zeros((height, width), dtype=np.int64)
+        for cid, _, _, _ in comps
+    }
+    for scomps, ss, _se, _ah, al, start, htabs, dri_scan in scans:
+        predictor, pt = ss, al
+        if not (1 <= predictor <= 7):
+            raise ValueError(
+                f"invalid lossless predictor {predictor} (Ss must be 1-7)"
+            )
+        if pt >= prec:
+            raise ValueError(
+                f"point transform {pt} out of range for {prec}-bit data"
+            )
+        default = 1 << (prec - pt - 1)
+        rd = _BitReader(data, start)
+        tabs = {cid: htabs[(0, dct)] for cid, dct, _act in scomps}
+        fresh = {cid: True for cid, _, _ in scomps}
+        nmcu = 0
+        for row in range(height):
+            for col in range(width):
+                if dri_scan and nmcu and nmcu % dri_scan == 0:
+                    rd.restart()
+                    fresh = {c_: True for c_ in fresh}
+                nmcu += 1
+                for cid, _dct, _act in scomps:
+                    s = _huff_read(rd, tabs[cid])
+                    if s == 16:
+                        diff = 32768
+                    elif s > 16:
+                        raise ValueError(
+                            f"invalid lossless difference category {s}"
+                        )
+                    else:
+                        diff = _receive_extend(rd, s)
+                    if fresh[cid]:
+                        px = default
+                        fresh[cid] = False
+                    else:
+                        px = _jpeg_lossless_predict(
+                            planes[cid], row, col, predictor, default
+                        )
+                    planes[cid][row, col] = (px + diff) & 0xFFFF
+        if pt:
+            for cid, _dct, _act in scomps:
+                planes[cid] <<= pt
+    shift = prec - 8
+    out = []
+    for cid, _, _, _ in comps:
+        p = planes[cid]
+        p = (p >> shift) if shift > 0 else (p << -shift if shift < 0 else p)
+        out.append(np.clip(p, 0, 255).astype(np.uint8))
+    if len(out) == 1:
+        return width, height, 1, out[0].reshape(-1).tobytes()
+    # lossless components carry no JFIF color transform — emit the
+    # channels as stored (DNG/medical lossless streams are RGB/raw)
+    return (
+        width, height, len(out),
+        np.stack(out, axis=-1).reshape(-1).tobytes(),
+    )
+
+
+#: lossless-diff Huffman table covering every category 0-16:
+#: three 2-bit codes then one code per length 3..16 (Kraft sum
+#: 1 - 2^-16 — valid canonical table)
+_LL_BITS = [0, 3] + [1] * 14
+_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    samples,
+    precision: int = 8,
+    predictor: int = 1,
+    pt: int = 0,
+    channels: int = 1,
+    dri: int = 0,
+) -> bytes:
+    """Fixture-grade SOF3 lossless encoder: one interleaved scan,
+    the `_LL_BITS` difference table written via DHT, optional
+    restart intervals.  ``samples`` is row-major (height, width[,
+    channels]) int data in [0, 2^precision)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int64).reshape(
+        height, width, channels
+    )
+    if a.min() < 0 or a.max() >= (1 << precision):
+        raise ValueError("samples out of range for the stated precision")
+    if pt:
+        a = a >> pt
+    out = bytearray(b"\xff\xd8")
+    # DHT: class 0 id 0
+    dht = bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOF3
+    sof = struct.pack(">BHHB", precision, height, width, channels)
+    for ci in range(channels):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    # SOS: Ss = predictor, Se = 0, Ah = 0, Al = pt
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    codes = _huff_encode_map(_LL_BITS, _LL_VALS)
+    default = 1 << (precision - pt - 1)
+    bw = _BitWriter()
+    nmcu = 0
+    rst = 0
+    fresh = [True] * channels
+    for row in range(height):
+        for col in range(width):
+            if dri and nmcu and nmcu % dri == 0:
+                bw.restart(rst)
+                rst += 1
+                fresh = [True] * channels
+            nmcu += 1
+            for ci in range(channels):
+                if fresh[ci]:
+                    px = default
+                    fresh[ci] = False
+                else:
+                    px = _jpeg_lossless_predict(
+                        a[:, :, ci], row, col, predictor, default
+                    )
+                diff = (int(a[row, col, ci]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536  # wrap to [-32768, 32767]
+                if diff == -32768:
+                    s = 16
+                else:
+                    s = abs(diff).bit_length()
+                c, ln = codes[s]
+                bw.write(c, ln)
+                if 0 < s < 16:
+                    v = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(v, s)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes):
     """Parse a JFIF JPEG → (width, height, channels, pixels):
     top-down row-major bytes, gray or RGB interleaved.  Supports
-    baseline sequential (SOF0/SOF1) and PROGRESSIVE (SOF2 — DC
+    baseline sequential (SOF0/SOF1), PROGRESSIVE (SOF2 — DC
     first/refinement and AC first/refinement scans with EOBn runs,
-    T.81 Annex G), with restart intervals (DRI + RSTn) in both
-    modes.  Tables and sampling factors come from the stream, and
-    Huffman tables are snapshotted per scan (progressive streams
-    redefine them between scans).  Raises ValueError on
-    lossless/12-bit/arithmetic/hierarchical streams instead of
-    guessing."""
+    T.81 Annex G) and LOSSLESS (SOF3, Annex H — predictors 1-7,
+    2-16 bit precision scaled to the 8-bit byte contract, point
+    transform, modulo-2^16 reconstruction), with restart intervals
+    (DRI + RSTn) in all modes.  Tables and sampling factors come
+    from the stream, and Huffman tables are snapshotted per scan
+    (progressive streams redefine them between scans).  Raises
+    ValueError on 12-bit-baseline/arithmetic/hierarchical streams
+    instead of guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -2026,6 +2220,8 @@ def decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], tuple] = {}
     sof = None
     progressive = False
+    lossless = False
+    prec = 8
     dri = 0
     scans = []  # (scan_comps, ss, se, ah, al, entropy_start, tables, dri)
     try:
@@ -2065,10 +2261,16 @@ def decode_jpeg(data: bytes):
                     vals = list(body[bp + 17 : bp + 17 + n])
                     huff[(tc, th)] = _huff_decode_tables(bits, vals)
                     bp += 17 + n
-            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + lossless
                 progressive = marker == 0xC2
+                lossless = marker == 0xC3
                 prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
-                if prec != 8:
+                if lossless:
+                    if not (2 <= prec <= 16):  # T.81 B.2.2 lossless range
+                        raise ValueError(
+                            f"invalid lossless precision {prec} (2-16)"
+                        )
+                elif prec != 8:
                     raise ValueError("only 8-bit precision supported")
                 comps = []
                 for ci in range(nc):
@@ -2083,11 +2285,11 @@ def decode_jpeg(data: bytes):
                         )
                     comps.append((cid, hi, vi, tq))
                 sof = (w_, h, comps)
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "only baseline (SOF0/1) and progressive (SOF2) JPEG "
-                    "are supported"
+                    "only baseline (SOF0/1), progressive (SOF2) and "
+                    "lossless (SOF3) JPEG are supported"
                 )
             elif marker == 0xDD:  # DRI — restart interval (may change)
                 (dri,) = struct.unpack_from(">H", body, 0)
@@ -2128,6 +2330,18 @@ def decode_jpeg(data: bytes):
             f"image {width}x{height} exceeds the vendored decoder's "
             "64M-pixel cap"
         )
+
+    if lossless:
+        try:
+            width, height, comps = sof
+            return _decode_jpeg_lossless(
+                data, width, height, comps, prec, scans
+            )
+        except (struct.error, IndexError, KeyError, OverflowError,
+                ZeroDivisionError) as e:
+            raise ValueError(
+                f"malformed JPEG stream: {type(e).__name__}: {e}"
+            ) from e
 
     try:
         width, height, comps = sof

@@ -2259,9 +2259,11 @@ class TestJpegCodec:
         data[sof + 1] = 0xC2
         with _pytest.raises(ValueError, match="spectral"):
             decode_jpeg(bytes(data))
-        # lossless SOF3 still refused
+        # SOF3 is a supported marker now, but a baseline scan header
+        # (Ss=0) under it is an illegal lossless predictor — still a
+        # ValueError, never silent garbage
         data[sof + 1] = 0xC3
-        with _pytest.raises(ValueError, match="SOF"):
+        with _pytest.raises(ValueError, match="predictor"):
             decode_jpeg(bytes(data))
         with _pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x00\x01\x02")
@@ -2445,8 +2447,11 @@ class TestJpegProgressive:
         np.testing.assert_array_equal(got, want)
 
     def test_unsupported_modes_still_refuse(self):
-        """Lossless (SOF3) and arithmetic (SOF9) still raise, and a
-        progressive stream is no longer refused."""
+        """Arithmetic (SOF9) still raises with the mode message; a
+        progressive stream relabeled SOF3 (now a SUPPORTED marker) is
+        structurally invalid as lossless — its first scan's Ss=0 is
+        not a legal predictor — so it still fails the ValueError
+        contract rather than decoding garbage."""
         import pytest as _pytest
 
         from dask_traj_spark.operators.multimodal import (
@@ -2459,11 +2464,14 @@ class TestJpegProgressive:
         good = bytearray(encode_jpeg_progressive(8, 8, px, 1, 1))
         decode_jpeg(bytes(good))  # sanity: progressive decodes now
         i = bytes(good).find(b"\xff\xc2")
-        for bad_sof in (0xC3, 0xC9):
-            bad = bytearray(good)
-            bad[i + 1] = bad_sof
-            with _pytest.raises(ValueError, match="SOF"):
-                decode_jpeg(bytes(bad))
+        bad = bytearray(good)
+        bad[i + 1] = 0xC9  # arithmetic: refused by mode gate
+        with _pytest.raises(ValueError, match="SOF"):
+            decode_jpeg(bytes(bad))
+        bad = bytearray(good)
+        bad[i + 1] = 0xC3  # lossless: accepted marker, invalid stream
+        with _pytest.raises(ValueError, match="predictor"):
+            decode_jpeg(bytes(bad))
 
 
 class TestMp4Demux:

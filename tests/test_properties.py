@@ -755,3 +755,111 @@ def test_h5_fixed_array_short_filtered_entry_raises(tmp_path):
         with PureH5(p2) as f:
             with pytest.raises(ValueError, match="entry size"):
                 f.read("d")
+
+
+def test_jpeg_lossless_golden_bitstream():
+    """Hand-derived SOF3 stream for a 2x2 grayscale image, predictor
+    1, Pt 0, samples [[100, 101], [98, 98]] — every byte below is
+    worked out from T.81 Annex H + the canonical code rule of Annex
+    C, independently of the encoder:
+
+    - Huffman table (BITS [0,3,1,1,...], HUFFVAL 0..16): canonical
+      codes — cat0 '00', cat1 '01', cat2 '10', cat3 '110',
+      cat4 '1110', cat5 '11110', ...
+    - (0,0): start-of-scan prediction 2^(8-1) = 128; diff = -28 →
+      SSSS 5 ('11110'), additional bits = -28 + 31 = 3 → '00011'
+    - (0,1): first line predicts from the left sample (100);
+      diff = +1 → SSSS 1 ('01'), bits '1'
+    - (1,0): first column predicts from above (100); diff = -2 →
+      SSSS 2 ('10'), bits = -2 + 3 = 1 → '01'
+    - (1,1): predictor 1 = left (98); diff = 0 → SSSS 0 ('00')
+    - entropy bits: 11110 00011 01 1 10 01 00 = 19 bits, 1-padded
+      to 0xF0 0xDC 0x9F."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    bits_str = "11110" + "00011" + "01" + "1" + "10" + "01" + "00"
+    padded = bits_str + "1" * (-len(bits_str) % 8)
+    entropy = bytes(
+        int(padded[i : i + 8], 2) for i in range(0, len(padded), 8)
+    )
+    assert entropy == bytes([0xF0, 0xDC, 0x9F])
+
+    ll_bits = bytes([0, 3] + [1] * 14)
+    want = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (36).to_bytes(2, "big")  # DHT: 2+1+16+17
+        + b"\x00" + ll_bits + bytes(range(17))
+        + b"\xff\xc3" + (11).to_bytes(2, "big")  # SOF3: 2+6+3
+        + bytes([8]) + (2).to_bytes(2, "big") + (2).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+        + b"\xff\xda" + (8).to_bytes(2, "big")   # SOS: 2+1+2+3
+        + bytes([1, 1, 0x00, 1, 0, 0])
+        + entropy
+        + b"\xff\xd9"
+    )
+    samples = np.array([[100, 101], [98, 98]])
+    got = encode_jpeg_lossless(2, 2, samples, predictor=1)
+    assert got == want
+    w, h, ch, px = decode_jpeg(want)
+    assert (w, h, ch) == (2, 2, 1)
+    assert list(px) == [100, 101, 98, 98]
+
+
+@given(
+    st.integers(2, 9), st.integers(2, 9), st.integers(1, 7),
+    st.sampled_from([8, 12, 16]), st.integers(0, 2),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_lossless_roundtrip(w, h, predictor, prec, pt, seed):
+    """Lossless means lossless: decode(encode(x)) == x exactly for
+    every predictor/precision/point-transform combination (modulo
+    the point transform's own truncation and the decoder's 8-bit
+    output scaling)."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << prec, size=(h, w))
+    if pt >= prec:
+        pt = 0
+    W, H, C, px = decode_jpeg(
+        encode_jpeg_lossless(w, h, a, precision=prec, predictor=predictor,
+                             pt=pt)
+    )
+    want = ((a >> pt) << pt) >> max(prec - 8, 0)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(H, W)
+    assert (W, H, C) == (w, h, 1)
+    assert np.array_equal(got, np.clip(want, 0, 255))
+
+
+def test_jpeg_lossless_fuzz_valueerror_contract():
+    """Corrupt SOF3 streams raise ValueError, never an internal
+    error — same contract as the baseline/progressive paths."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(61)
+    src = encode_jpeg_lossless(
+        6, 6, rng.integers(0, 256, size=(6, 6)), predictor=4, dri=7
+    )
+    for _ in range(400):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(m))
+        except ValueError:
+            pass
