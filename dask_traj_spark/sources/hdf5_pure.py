@@ -16,7 +16,10 @@ hdfgroup.org) that the MDTraj layout actually needs:
   Link messages (0x0006) or DENSE link storage (Link Info →
   fractal heap "FRHP"/"FHIB"/"FHDB" holding the link messages,
   enumerated via the type-5 name-index v2 B-tree "BTHD"/"BTIN"/
-  "BTLF" — what libhdf5 switches to past 8 links),
+  "BTLF" — what libhdf5 switches to past 8 links; all three heap
+  id classes — MANAGED through the doubling schedule incl.
+  indirect CHILD blocks, TINY with the object in the id, HUGE as
+  whole objects tracked in the huge v2 B-tree, record types 1-4),
 - version-1 object headers (incl. 0x0010 continuation blocks) and
   version-2 object headers, with Dataspace (0x0001, v1 and v2),
   Datatype (0x0003, v1–v3 atomic), Data Layout (0x0008, v3 and
@@ -39,12 +42,10 @@ hdfgroup.org) that the MDTraj layout actually needs:
   little-endian.
 
 Everything else raises ``ValueError`` naming the limitation instead
-of guessing: szip/unknown filters, indirect CHILD blocks inside a
-fractal heap (heaps past the root indirect block's direct rows),
-huge/tiny heap ids, non-LE or unsupported datatype classes.  The
-loaders prefer h5py when importable and fall back to this reader
-otherwise; with this module the no-h5py gate narrows to those
-exotics.
+of guessing: szip/unknown filters, non-LE or unsupported datatype
+classes.  The loaders prefer h5py when importable and fall back to
+this reader otherwise; with this module the no-h5py gate narrows to
+those exotics.
 
 The writer exists to build spec-derived fixtures (and doubles as a
 beyond-reference ``.h5`` sink for contiguous trajectories): both
@@ -516,82 +517,135 @@ def _dense_link_parts(
     node_size: int = 512,
     heap_filters: list[str] | None = None,
     level: int = 6,
+    max_direct: int = 64 * 1024,
+    id_len: int | None = None,
 ) -> tuple[bytes, list[tuple[int, bytes]], int]:
     """(Link Info message body, [(addr, blob)], end) for DENSE link
     storage laid out from ``pos``: a fractal heap ("FRHP" header +
-    checksummed "FHDB" direct blocks, under a root "FHIB" indirect
-    block when the messages outgrow the starting block) holding one
-    serialized Link message per entry, and the name-index v2 B-tree
-    ("BTHD" + "BTLF" leaves, one "BTIN" level when past a leaf's
-    capacity) whose type-5 records are (lookup3 name hash, 7-byte
-    managed heap id).  Geometry mirrors libhdf5's group defaults
-    (width 4, 64 KiB max direct block, 32-bit heap space, id_len 7);
-    ``width``/``start_size``/``node_size`` are fixture knobs."""
-    max_direct = 64 * 1024
+    checksummed "FHDB" direct blocks, under "FHIB" indirect blocks —
+    including indirect CHILDREN once the doubling schedule's rows
+    outgrow the maximum direct-block size) holding one serialized
+    Link message per entry, and the name-index v2 B-tree ("BTHD" +
+    "BTLF" leaves, "BTIN" levels past a leaf's capacity) whose
+    type-5 records are (lookup3 name hash, heap id).  Storage class
+    per message mirrors libhdf5's H5HF_insert: TINY when the message
+    fits in the id itself, HUGE (whole-object, tracked in the huge
+    v2 B-tree for indirect ids) when it exceeds the max managed
+    size, MANAGED otherwise.  Geometry mirrors libhdf5's group
+    defaults (width 4, 64 KiB max direct block, 32-bit heap space,
+    id_len 7); ``width``/``start_size``/``node_size``/
+    ``max_direct``/``id_len`` are fixture knobs."""
     max_heap_bits = 32
     off_size = (max_heap_bits + 7) // 8
-    len_size = 2
-    id_len = 1 + off_size + len_size
     flags = 0x02  # direct blocks are checksummed
     dhdr = 4 + 1 + 8 + off_size + 4
+    max_man = max_direct - dhdr
+    # managed-id length field: same rule the reader derives
+    len_size = min(
+        (max_direct.bit_length() - 1 + 7) // 8,
+        (max_man.bit_length() - 1) // 8 + 1,
+    )
+    if id_len is None:
+        id_len = 1 + off_size + len_size
+    if not (1 + off_size + len_size <= id_len <= 64):
+        raise ValueError("dense-link id_len out of range for the geometry")
+    tiny_max = (id_len - 1) if id_len <= 18 else min(id_len - 2, 4096)
+    huge_direct = (id_len - 1) >= (28 if heap_filters else 16)
+    huge_id_size = min(id_len - 1, 8)
+    if 2 * max_direct < width * start_size:
+        raise ValueError(
+            "dense-link geometry cannot form indirect children "
+            "(max_direct too small for the width)"
+        )
     msgs = [_link_message(n, a) for n, a in links]
 
-    # ---- place objects into direct blocks under the doubling schedule
     def row_size(r: int) -> int:
         return start_size if r < 2 else start_size << (r - 1)
 
     def row_off(r: int) -> int:
         return 0 if r == 0 else width * start_size * (1 << (r - 1))
 
-    placements: list[tuple[int, int]] = []  # (heap offset, length) per msg
-    blocks: list[tuple[int, int, int]] = []  # (row, col, block heap off)
-    bi = -1
+    max_dblock_rows = max_direct.bit_length() - start_size.bit_length() + 2
+
+    def gen_blocks():
+        """Every direct block (heap_off, size) in heap-offset order,
+        descending through indirect entries: an entry whose row size
+        exceeds max_direct is a child indirect block whose rows
+        restart the doubling schedule."""
+        def child(base: int, cover: int):
+            n = (cover // (width * start_size)).bit_length()
+            for r in range(n):
+                size = row_size(r)
+                for c in range(width):
+                    o = base + row_off(r) + c * size
+                    if size <= max_direct:
+                        yield o, size
+                    else:
+                        yield from child(o, size)
+        r = 0
+        while True:
+            size = row_size(r)
+            for c in range(width):
+                o = row_off(r) + c * size
+                if size <= max_direct:
+                    yield o, size
+                else:
+                    yield from child(o, size)
+            r += 1
+
+    # ---- classify messages and place managed ones into direct blocks
+    specs: list[tuple] = []          # per-link id spec
+    placed: list[tuple[int, bytes]] = []   # (heap offset, msg)
+    blocks: list[tuple[int, int]] = []     # allocated (heap_off, size)
+    huge_objs: list[bytes] = []
+    blk_iter = gen_blocks()
     cur = cur_end = 0
+    have = False
     for m in msgs:
-        if len(m) > max_direct - dhdr:
-            raise ValueError("link message larger than a direct block")
-        if bi < 0 or cur + len(m) > cur_end:
-            bi += 1
-            r, c = divmod(bi, width)
-            boff = row_off(r) + c * row_size(r)
-            if row_size(r) > max_direct:
-                raise ValueError(
-                    "dense-link writer exceeded the maximum direct "
-                    "block size; raise start_size"
-                )
-            blocks.append((r, c, boff))
-            cur = boff + dhdr
-            cur_end = boff + row_size(r)
-        placements.append((cur, len(m)))
+        if len(m) <= tiny_max:
+            specs.append(("tiny", m))
+            continue
+        if len(m) > max_man:
+            huge_objs.append(m)
+            specs.append(("huge", len(huge_objs) - 1))
+            continue
+        while not have or cur + len(m) > cur_end:
+            o, size = next(blk_iter)
+            # a block too small for this message is skipped outright
+            # (left unallocated; nothing will ever point into it)
+            if size - dhdr >= len(m):
+                blocks.append((o, size))
+                cur, cur_end, have = o + dhdr, o + size, True
+        specs.append(("managed", cur, len(m)))
+        placed.append((cur, m))
         cur += len(m)
 
-    # ---- direct-block bytes (the back-pointer is the FRHP address,
-    # which depends on sizes known up front, so build before placing)
+    # ---- FRHP size (needed for back-pointers before serialization)
     filt_info = (
         _filter_pipeline_message(heap_filters, 1, level, version=2)
         if heap_filters
         else b""
     )
     root_direct = len(blocks) == 1
-    curr_rows = 0 if root_direct else blocks[-1][0] + 1
     frhp_addr = pos
     frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
     if filt_info:
         # optional fields before the checksum: filtered-root-block
-        # size (length) + filter mask — only when the root IS a
-        # direct block — then the encoded I/O filter information
-        frhp_size += (12 if root_direct else 0) + len(filt_info)
+        # size (length) + filter mask — present whenever the current
+        # root is NOT an indirect block — then the filter info
+        frhp_size += (12 if len(blocks) <= 1 else 0) + len(filt_info)
     pos = _align8(pos + frhp_size)
 
+    # ---- direct-block bytes
     dblks: list[bytes] = []
-    for r, c, boff in blocks:
-        blk = bytearray(row_size(r))
+    for boff, size in blocks:
+        blk = bytearray(size)
         head = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
         head += boff.to_bytes(off_size, "little")
         blk[: len(head)] = head
-        for (o, ln), m in zip(placements, msgs):
-            if boff <= o < boff + row_size(r):
-                blk[o - boff : o - boff + ln] = m
+        for o, m in placed:
+            if boff <= o < boff + size:
+                blk[o - boff : o - boff + len(m)] = m
         # checksum stored INSIDE the prefix, computed with its own
         # field zeroed (the whole UNFILTERED block participates);
         # filters then apply to the entire checksummed block
@@ -601,71 +655,202 @@ def _dense_link_parts(
             out = _encode_chunk(out, heap_filters, 1, level)
         dblks.append(out)
 
-    # ---- file placement: FRHP, then (FHIB), FHDBs, BTHD, BT nodes
-    ib_addr = 0
-    if not root_direct:
-        ib_addr = pos
-        # a filtered heap's direct-block entries carry the stored
-        # (filtered) size and filter mask beside the address
-        esz = 8 + (12 if heap_filters else 0)
-        ib_size = 4 + 1 + 8 + off_size + curr_rows * width * esz + 4
-        pos = _align8(pos + ib_size)
+    # ---- indirect-block tree over the allocated direct blocks
+    def block_path(off: int) -> list[tuple[int, int, int, int]]:
+        """(row, col, entry size, absolute entry offset) per level
+        from the root down to the direct block holding ``off``."""
+        out, base = [], 0
+        while True:
+            rel = off - base
+            if rel < 2 * width * start_size:
+                row = rel // (width * start_size)
+            else:
+                row = rel.bit_length() - (width * start_size).bit_length() + 1
+            size = row_size(row)
+            col = (rel - row_off(row)) // size
+            eoff = base + row_off(row) + col * size
+            out.append((row, col, size, eoff))
+            if size <= max_direct:
+                return out
+            base = eoff
+
+    class _IBlk:
+        __slots__ = ("base", "nrows", "dirs", "kids", "addr")
+
+        def __init__(self, base: int, nrows: int):
+            self.base, self.nrows = base, nrows
+            self.dirs: dict = {}
+            self.kids: dict = {}
+            self.addr = 0
+
+    esz = 8 + (12 if heap_filters else 0)
+    root_ib = None
+    if len(blocks) > 1:
+        root_ib = _IBlk(0, block_path(blocks[-1][0])[0][0] + 1)
+        for bi, (o, _size) in enumerate(blocks):
+            p = block_path(o)
+            node = root_ib
+            for row, col, size, eoff in p[:-1]:
+                kid = node.kids.get((row, col))
+                if kid is None:
+                    n = (size // (width * start_size)).bit_length()
+                    kid = node.kids[(row, col)] = _IBlk(eoff, n)
+                node = kid
+            node.dirs[(p[-1][0], p[-1][1])] = bi
+
+    def all_ibs(ib: "_IBlk") -> list["_IBlk"]:
+        out = [ib]
+        for key in sorted(ib.kids):
+            out.extend(all_ibs(ib.kids[key]))
+        return out
+
+    def ib_size(ib: "_IBlk") -> int:
+        ndir = min(ib.nrows, max_dblock_rows) * width
+        nind = max(0, ib.nrows - max_dblock_rows) * width
+        return 4 + 1 + 8 + off_size + ndir * esz + nind * 8 + 4
+
+    ibs = all_ibs(root_ib) if root_ib else []
+    for ib in ibs:
+        ib.addr = pos
+        pos = _align8(pos + ib_size(ib))
     dblk_addrs: list[int] = []
     for enc in dblks:
         dblk_addrs.append(pos)
         pos = _align8(pos + len(enc))
-    heap_root = dblk_addrs[0] if root_direct else ib_addr
+    heap_root = (
+        dblk_addrs[0] if root_direct else (ibs[0].addr if ibs else UNDEF)
+    )
 
-    # ---- heap bytes
+    # ---- huge objects: whole (individually filtered) blobs + B-tree
+    huge_encs = [
+        _encode_chunk(m, heap_filters, 1, level) if heap_filters else m
+        for m in huge_objs
+    ]
+    huge_addrs: list[int] = []
+    for enc in huge_encs:
+        huge_addrs.append(pos)
+        pos = _align8(pos + len(enc))
+    huge_bt2 = UNDEF
+    huge_parts: list[tuple[int, bytes]] = []
+    huge_tails: list[bytes] = []
+    if huge_objs:
+        recs = []
+        for i, (m, enc, a) in enumerate(
+            zip(huge_objs, huge_encs, huge_addrs)
+        ):
+            if heap_filters:
+                if huge_direct:
+                    tail = struct.pack("<QQIQ", a, len(enc), 0, len(m))
+                    recs.append(tail)  # type 4, sorted by address
+                else:
+                    recs.append(
+                        struct.pack("<QQIQQ", a, len(enc), 0, len(m), i + 1)
+                    )  # type 2, sorted by id
+                    tail = (i + 1).to_bytes(huge_id_size, "little")
+            else:
+                if huge_direct:
+                    tail = struct.pack("<QQ", a, len(m))
+                    recs.append(tail)  # type 3, sorted by address
+                else:
+                    recs.append(struct.pack("<QQQ", a, len(m), i + 1))
+                    tail = (i + 1).to_bytes(huge_id_size, "little")
+            huge_tails.append(tail)
+        rtype = (4 if huge_direct else 2) if heap_filters else (
+            3 if huge_direct else 1
+        )
+        # insertion order is already ascending in both sort keys
+        huge_parts, huge_bt2, pos = _btree2_parts(recs, rtype, node_size, pos)
+
+    # ---- heap header bytes
     parts: list[tuple[int, bytes]] = []
-    used = sum(len(m) for m in msgs)
-    alloc = sum(row_size(r) for r, _, _ in blocks)
+    used = sum(ln for _, o, ln in (s for s in specs if s[0] == "managed"))
+    alloc = sum(size for _, size in blocks)
+    n_managed = sum(1 for s in specs if s[0] == "managed")
+    n_tiny = sum(1 for s in specs if s[0] == "tiny")
+    tiny_size = sum(len(s[1]) for s in specs if s[0] == "tiny")
     hdr = b"FRHP" + struct.pack("<BHHB", 0, id_len, len(filt_info), flags)
-    hdr += struct.pack("<I", max_direct - dhdr)  # max managed obj size
-    hdr += struct.pack("<Q", 0) + struct.pack("<Q", UNDEF)  # huge id/bt2
+    hdr += struct.pack("<I", max_man)  # max managed obj size
+    hdr += struct.pack(
+        "<Q", 0 if (huge_direct or not huge_objs) else len(huge_objs) + 1
+    )
+    hdr += struct.pack("<Q", huge_bt2)
     free = alloc - len(blocks) * dhdr - used
     hdr += struct.pack("<Q", free) + struct.pack("<Q", UNDEF)  # free space
-    hdr += struct.pack("<4Q", alloc, alloc, alloc, len(msgs))  # managed
-    hdr += struct.pack("<4Q", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    hdr += struct.pack("<4Q", alloc, alloc, alloc, n_managed)  # managed
+    hdr += struct.pack(
+        "<4Q",
+        sum(len(m) for m in huge_objs), len(huge_objs),
+        tiny_size, n_tiny,
+    )
     hdr += struct.pack("<H", width)
     hdr += struct.pack("<QQ", start_size, max_direct)
     hdr += struct.pack("<H", max_heap_bits)
-    hdr += struct.pack("<H", 0 if root_direct else curr_rows)  # start rows
+    curr_rows = 0 if len(blocks) <= 1 else root_ib.nrows
+    hdr += struct.pack("<H", curr_rows)  # starting rows
     hdr += struct.pack("<Q", heap_root)
     hdr += struct.pack("<H", curr_rows)
     if filt_info:
-        if root_direct:
-            hdr += struct.pack("<QI", len(dblks[0]), 0)
+        if len(blocks) <= 1:
+            hdr += struct.pack(
+                "<QI", len(dblks[0]) if dblks else 0, 0
+            )
         hdr += filt_info
     hdr += struct.pack("<I", _lookup3(hdr))
     assert len(hdr) == frhp_size
     parts.append((frhp_addr, hdr))
-    if not root_direct:
-        ib = b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
-        ib += (0).to_bytes(off_size, "little")  # root block offset
-        entries = {
-            (r, c): (a, len(enc))
-            for (r, c, _), a, enc in zip(blocks, dblk_addrs, dblks)
-        }
-        for r in range(curr_rows):
+
+    # ---- indirect-block bytes
+    for ib in ibs:
+        blob = b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
+        blob += ib.base.to_bytes(off_size, "little")
+        for r in range(min(ib.nrows, max_dblock_rows)):
             for c in range(width):
-                a, fsz = entries.get((r, c), (UNDEF, 0))
-                ib += struct.pack("<Q", a)
-                if heap_filters:
-                    ib += struct.pack("<QI", fsz, 0)
-        ib += struct.pack("<I", _lookup3(ib))
-        parts.append((ib_addr, ib))
+                bi = ib.dirs.get((r, c))
+                if bi is None:
+                    blob += struct.pack("<Q", UNDEF)
+                    if heap_filters:
+                        blob += struct.pack("<QI", 0, 0)
+                else:
+                    blob += struct.pack("<Q", dblk_addrs[bi])
+                    if heap_filters:
+                        blob += struct.pack("<QI", len(dblks[bi]), 0)
+        for r in range(max_dblock_rows, ib.nrows):
+            for c in range(width):
+                kid = ib.kids.get((r, c))
+                blob += struct.pack("<Q", UNDEF if kid is None else kid.addr)
+        blob += struct.pack("<I", _lookup3(blob))
+        assert len(blob) == ib_size(ib)
+        parts.append((ib.addr, blob))
     for daddr, enc in zip(dblk_addrs, dblks):
         parts.append((daddr, enc))
+    for haddr, enc in zip(huge_addrs, huge_encs):
+        parts.append((haddr, enc))
+    parts.extend(huge_parts)
 
     # ---- name-index v2 B-tree (type 5)
-    rsize = 4 + id_len
-    recs = []
-    for (n, _), (o, ln) in zip(links, placements):
-        hid = bytes([0]) + o.to_bytes(off_size, "little") + ln.to_bytes(
-            len_size, "little"
-        )
-        recs.append(struct.pack("<I", _lookup3(n.encode())) + hid)
+    def heap_id(spec: tuple) -> bytes:
+        if spec[0] == "managed":
+            _, o, ln = spec
+            hid = (
+                bytes([0x00])
+                + o.to_bytes(off_size, "little")
+                + ln.to_bytes(len_size, "little")
+            )
+        elif spec[0] == "tiny":
+            m = spec[1]
+            e = len(m) - 1
+            if id_len <= 18:
+                hid = bytes([0x20 | e]) + m
+            else:
+                hid = bytes([0x20 | (e >> 8), e & 0xFF]) + m
+        else:
+            hid = bytes([0x10]) + huge_tails[spec[1]]
+        return hid + b"\x00" * (id_len - len(hid))
+
+    recs = [
+        struct.pack("<I", _lookup3(n.encode())) + heap_id(s)
+        for (n, _), s in zip(links, specs)
+    ]
     # ascending NUMERIC hash (the packed bytes are little-endian, so a
     # plain lexicographic sort would misorder them)
     recs.sort(key=lambda r: struct.unpack_from("<I", r)[0])
@@ -866,7 +1051,7 @@ def _write_h5_v2(
     chunk_index: dict[str, str] | None = None,
     ea_params: tuple[int, int, int, int, int] = _EA_DEFAULT_PARAMS,
     dense_links: bool = False,
-    dense_params: tuple[int, int, int] | None = None,
+    dense_params: tuple | None = None,
     dense_filters: list[str] | None = None,
 ) -> None:
     """New-file-format (``libver='latest'``-style) writer half:
@@ -953,11 +1138,15 @@ def _write_h5_v2(
         pos = _align8(pos + len(hdr))
     dense_parts: list[tuple[int, bytes]] = []
     if dense_links:
-        w, ss, ns = dense_params or (4, 512, 512)
+        p = tuple(dense_params or (4, 512, 512))
+        w, ss, ns = p[:3]
+        md = p[3] if len(p) > 3 else 64 * 1024
+        il = p[4] if len(p) > 4 else None
         link_info, dense_parts, pos = _dense_link_parts(
             [(n, ds_hdr_addr[n]) for n in names], pos,
             width=w, start_size=ss, node_size=ns,
             heap_filters=dense_filters, level=level,
+            max_direct=md, id_len=il,
         )
         root_oh = _object_header_v2([(0x0002, link_info)])
     else:
@@ -1110,7 +1299,7 @@ def write_h5(
     chunk_index: dict[str, str] | None = None,
     ea_params: tuple[int, int, int, int, int] | None = None,
     dense_links: bool = False,
-    dense_params: tuple[int, int, int] | None = None,
+    dense_params: tuple | None = None,
     dense_filters: list[str] | None = None,
 ) -> None:
     """Write a minimal HDF5 file: root group with the given datasets.
@@ -1601,18 +1790,16 @@ class PureH5:
     # -- dense link storage (fractal heap + v2 B-tree)
 
     def _dense_links(self, fheap_addr: int, bt_addr: int):
-        """Dense link storage: link messages live as managed objects
-        in a fractal heap ("FRHP" header → "FHDB" direct blocks,
-        optionally under a root "FHIB" indirect block), enumerated
-        via the name-index v2 B-tree ("BTHD" header → "BTLF" leaves,
-        record type 5 = lookup3 name hash + 7-byte managed heap ID).
+        """Dense link storage: link messages live as objects in a
+        fractal heap ("FRHP" header → "FHDB" direct blocks under
+        "FHIB" indirect blocks of any depth), enumerated via the
+        name-index v2 B-tree ("BTHD" → "BTIN"/"BTLF" at any depth,
+        record type 5 = lookup3 name hash + heap ID).  All three heap
+        id classes resolve: managed (offset + length through the
+        doubling schedule), tiny (message bytes in the id), and huge
+        (whole objects, via the huge v2 B-tree for indirect ids).
         libhdf5 switches a group to this layout past 8 links under
-        ``libver='latest'``.
-
-        Scope: unfiltered heaps (link heaps never carry I/O filters),
-        root-direct or root-indirect-with-direct-children heaps, and
-        B-tree depths 0/1 — thousands of links; deeper shapes raise
-        the documented gate."""
+        ``libver='latest'``."""
         if bt_addr == UNDEF:
             raise ValueError(
                 "dense link storage without a name-index B-tree "
@@ -1646,6 +1833,8 @@ class PureH5:
         (id_len,) = struct.unpack_from("<H", b, 5)
         (filter_len,) = struct.unpack_from("<H", b, 7)
         flags = b[9]
+        (max_man_size,) = struct.unpack_from("<I", b, 10)
+        (huge_bt2,) = struct.unpack_from("<Q", b, 22)
         p = 10 + 4 + 8 * 12
         (width,) = struct.unpack_from("<H", b, p)
         start_size, max_direct = struct.unpack_from("<QQ", b, p + 2)
@@ -1667,7 +1856,9 @@ class PureH5:
             if curr_rows == 0:
                 root_fsize, root_fmask = struct.unpack_from("<QI", b, q)
                 q += 12
-                if not (0 < root_fsize <= (1 << 36)):
+                # the fields are present (with undefined content) even
+                # when the heap has no managed blocks at all
+                if root_addr != UNDEF and not (0 < root_fsize <= (1 << 36)):
                     raise ValueError(
                         "filtered root direct block size out of range "
                         "(corrupt file)"
@@ -1685,8 +1876,18 @@ class PureH5:
         ):
             raise ValueError("fractal heap geometry out of range (corrupt)")
         off_size = (max_heap_bits + 7) // 8
-        len_size = id_len - 1 - off_size
-        if len_size < 1 or id_len > 32:
+        # managed-id length field size mirrors libhdf5: the smaller of
+        # the bytes addressing the largest direct block and the bytes
+        # holding the max managed-object size; id bytes past
+        # 1 + off + len are padding
+        max_dir_off = (max_direct.bit_length() - 1 + 7) // 8
+        len_size = max_dir_off
+        if max_man_size:
+            # libhdf5's H5VM_limit_enc_size: floor(log2(v))//8 + 1
+            len_size = min(
+                len_size, (max_man_size.bit_length() - 1) // 8 + 1
+            )
+        if id_len < 1 + off_size + len_size or id_len > 64:
             raise ValueError(
                 f"fractal heap id length {id_len} inconsistent with "
                 f"max heap size {max_heap_bits} bits (corrupt)"
@@ -1700,12 +1901,17 @@ class PureH5:
             "width": width,
             "start": start_size,
             "max_direct": max_direct,
+            # rows 0..max_dblock_rows-1 of any indirect block hold
+            # direct-block entries; later rows hold indirect children
+            "max_dblock_rows": (
+                max_direct.bit_length() - start_size.bit_length() + 2
+            ),
             "root": root_addr,
             "curr_rows": curr_rows,
             "filters": filters,
+            "huge_bt2": huge_bt2,
             "root_fsize": root_fsize,
             "root_fmask": root_fmask,
-            "_iblock": None,  # lazily parsed root indirect entries
         }
 
     @staticmethod
@@ -1727,22 +1933,156 @@ class PureH5:
         col = (off - row_off) // size
         return row, col, size, row_off + col * size
 
+    def _heap_iblock(
+        self, heap: dict, addr: int, nrows: int, base: int
+    ) -> tuple[list[tuple[int, int, int]], list[int]]:
+        """Parse (and cache) an "FHIB" indirect block with ``nrows``
+        rows covering heap space from offset ``base``: the first
+        ``max_dblock_rows`` rows hold direct-block entries (address,
+        plus stored size + filter mask on a filtered heap), later rows
+        hold 8-byte child-indirect-block addresses."""
+        cache = heap.setdefault("_iblocks", {})
+        hit = cache.get(addr)
+        if hit is not None:
+            return hit
+        esz = 8 + (12 if heap["filters"] else 0)
+        ndir = min(nrows, heap["max_dblock_rows"]) * heap["width"]
+        nind = max(0, nrows - heap["max_dblock_rows"]) * heap["width"]
+        isz = 4 + 1 + 8 + heap["off_size"] + ndir * esz + nind * 8 + 4
+        ib = self._at(addr, isz)
+        if ib[:4] != b"FHIB":
+            raise ValueError("bad FHIB indirect-block signature")
+        (istored,) = struct.unpack_from("<I", ib, isz - 4)
+        if _lookup3(ib[: isz - 4]) != istored:
+            raise ValueError("FHIB checksum mismatch (corrupt file)")
+        (back,) = struct.unpack_from("<Q", ib, 5)
+        stored_base = int.from_bytes(
+            ib[13 : 13 + heap["off_size"]], "little"
+        )
+        if ib[4] != 0 or back != heap["addr"] or stored_base != base:
+            raise ValueError(
+                "FHIB version/back-pointer/offset mismatch (corrupt)"
+            )
+        q = 4 + 1 + 8 + heap["off_size"]
+        dirs = []
+        for _ in range(ndir):
+            (ea,) = struct.unpack_from("<Q", ib, q)
+            if heap["filters"]:
+                efs, efm = struct.unpack_from("<QI", ib, q + 8)
+            else:
+                efs = efm = 0
+            dirs.append((ea, efs, efm))
+            q += esz
+        inds = []
+        for _ in range(nind):
+            (ia,) = struct.unpack_from("<Q", ib, q)
+            inds.append(ia)
+            q += 8
+        cache[addr] = (dirs, inds)
+        return dirs, inds
+
+    def _heap_huge_object(self, heap: dict, hid: bytes) -> bytes:
+        """Huge heap ID (type 1) → the object's bytes, stored whole
+        outside the doubling schedule.  Direct ids (id length large
+        enough, per libhdf5's rule) carry address + length (+ filter
+        fields) inline; indirect ids carry a sequential huge-object id
+        resolved through the heap's huge v2 B-tree (record type 1
+        unfiltered / 2 filtered; direct heaps use types 3/4, which a
+        reader never consults)."""
+        filt = heap["filters"]
+        direct = heap["id_len"] - 1 >= (28 if filt else 16)
+        if direct:
+            if filt:
+                a, flen, fmask, size = struct.unpack_from("<QQIQ", hid, 1)
+            else:
+                a, size = struct.unpack_from("<QQ", hid, 1)
+                flen, fmask = size, 0
+        else:
+            hid_size = min(heap["id_len"] - 1, 8)
+            want = int.from_bytes(hid[1 : 1 + hid_size], "little")
+            tab = heap.get("_huge")
+            if tab is None:
+                if heap["huge_bt2"] == UNDEF:
+                    raise ValueError(
+                        "huge heap id without a huge-object B-tree "
+                        "(corrupt file)"
+                    )
+                rt, rl = (2, 36) if filt else (1, 24)
+                tab = {}
+                for rec in self._btree2_records(heap["huge_bt2"], rt):
+                    if len(rec) != rl:
+                        raise ValueError(
+                            "huge-object B-tree record size mismatch "
+                            "(corrupt file)"
+                        )
+                    if filt:
+                        ra, rfl, rfm, rsz, rid = struct.unpack("<QQIQQ", rec)
+                    else:
+                        ra, rsz, rid = struct.unpack("<QQQ", rec)
+                        rfl, rfm = rsz, 0
+                    tab[rid] = (ra, rfl, rfm, rsz)
+                heap["_huge"] = tab
+            if want not in tab:
+                raise ValueError(
+                    f"huge heap object id {want} not in the huge-object "
+                    f"B-tree (corrupt file)"
+                )
+            a, flen, fmask, size = tab[want]
+        if a == UNDEF or not (0 < flen <= (1 << 40) and 0 < size <= (1 << 40)):
+            raise ValueError("huge heap object extent invalid (corrupt)")
+        raw = self._at(a, flen)
+        if filt:
+            return self._decode_chunk(
+                raw, filt, 1, fmask, size, "<fractal heap>"
+            )
+        return raw
+
     def _fractal_heap_object(self, heap: dict, hid: bytes) -> bytes:
-        """Managed heap ID (flags byte + heap offset + length) → the
-        object's bytes out of its direct block."""
+        """Heap ID → object bytes.  Type 0 (managed): heap offset +
+        length resolved through the doubling schedule's direct blocks,
+        descending through indirect children as needed.  Type 1
+        (huge): whole-object storage outside the schedule.  Type 2
+        (tiny): the object's bytes live in the ID itself."""
         if len(hid) < heap["id_len"]:
             raise ValueError("fractal heap id shorter than declared")
-        if hid[0] != 0:
+        if hid[0] >> 6:
             raise ValueError(
-                f"only managed (v0) fractal heap ids are supported "
-                f"(flag byte {hid[0]})"
+                f"fractal heap id version {hid[0] >> 6} (corrupt file)"
+            )
+        idtype = (hid[0] >> 4) & 0x3
+        if idtype == 2:  # tiny: data in the id; 12-bit length past 18
+            if heap["id_len"] <= 18:
+                ln = (hid[0] & 0x0F) + 1
+                data = hid[1 : 1 + ln]
+                fit = 1 + ln <= heap["id_len"]
+            else:
+                ln = (((hid[0] & 0x0F) << 8) | hid[1]) + 1
+                data = hid[2 : 2 + ln]
+                fit = 2 + ln <= heap["id_len"]
+            if not fit or len(data) != ln:
+                raise ValueError(
+                    "tiny heap object escapes its id (corrupt file)"
+                )
+            return data
+        if idtype == 1:
+            return self._heap_huge_object(heap, hid)
+        if idtype != 0:
+            raise ValueError(
+                f"reserved fractal heap id type {idtype} (corrupt file)"
             )
         off = int.from_bytes(hid[1 : 1 + heap["off_size"]], "little")
         ln = int.from_bytes(
-            hid[1 + heap["off_size"] : heap["id_len"]], "little"
+            hid[1 + heap["off_size"] :
+                1 + heap["off_size"] + heap["len_size"]],
+            "little",
         )
         if ln == 0 or ln > heap["max_direct"]:
             raise ValueError(f"fractal heap object length {ln} invalid")
+        if heap["root"] == UNDEF:
+            raise ValueError(
+                "managed heap id in a heap with no managed blocks "
+                "(corrupt file)"
+            )
         chk = 4 if heap["flags"] & 0x02 else 0
         hdr_size = 4 + 1 + 8 + heap["off_size"] + chk
         fsize = heap["root_fsize"]
@@ -1751,52 +2091,40 @@ class PureH5:
             # root IS a single direct block of the starting size
             dsize, dblk_off, daddr = heap["start"], 0, heap["root"]
         else:
-            row, col, dsize, dblk_off = self._heap_row_geometry(heap, off)
-            max_direct_rows = (
-                heap["max_direct"].bit_length()
-                - heap["start"].bit_length() + 2
-            )
-            if row >= max_direct_rows:
-                raise ValueError(
-                    "indirect child blocks in a fractal heap are not "
-                    "supported — install h5py for this file"
+            # descend: each indirect entry covering more than a direct
+            # block's worth of heap space is a child indirect block
+            # whose rows restart the doubling schedule
+            base, iaddr, nrows = 0, heap["root"], heap["curr_rows"]
+            wstart = heap["width"] * heap["start"]
+            while True:
+                row, col, dsize, boff = self._heap_row_geometry(
+                    heap, off - base
                 )
-            if row >= heap["curr_rows"]:
-                raise ValueError(
-                    "fractal heap offset beyond the root indirect "
-                    "block's rows (corrupt file)"
-                )
-            if heap["_iblock"] is None:
-                n = heap["curr_rows"] * heap["width"]
-                # a filtered heap's direct-block entries carry the
-                # stored (filtered) size and filter mask as well
-                esz = 8 + (12 if heap["filters"] else 0)
-                isz = 4 + 1 + 8 + heap["off_size"] + n * esz + 4
-                ib = self._at(heap["root"], isz)
-                if ib[:4] != b"FHIB":
-                    raise ValueError("bad FHIB indirect-block signature")
-                (istored,) = struct.unpack_from("<I", ib, isz - 4)
-                if _lookup3(ib[: isz - 4]) != istored:
+                if row >= nrows:
                     raise ValueError(
-                        "FHIB checksum mismatch (corrupt file)"
+                        "fractal heap offset beyond the indirect "
+                        "block's rows (corrupt file)"
                     )
-                (back,) = struct.unpack_from("<Q", ib, 5)
-                if ib[4] != 0 or back != heap["addr"]:
-                    raise ValueError("FHIB version/back-pointer mismatch")
-                q = 4 + 1 + 8 + heap["off_size"]
-                ents = []
-                for _ in range(n):
-                    (ea,) = struct.unpack_from("<Q", ib, q)
-                    if heap["filters"]:
-                        efs, efm = struct.unpack_from("<QI", ib, q + 8)
-                    else:
-                        efs = efm = 0
-                    ents.append((ea, efs, efm))
-                    q += esz
-                heap["_iblock"] = ents
-            daddr, fsize, fmask = heap["_iblock"][
-                row * heap["width"] + col
-            ]
+                dirs, inds = self._heap_iblock(heap, iaddr, nrows, base)
+                if row < heap["max_dblock_rows"]:
+                    daddr, fsize, fmask = dirs[row * heap["width"] + col]
+                    dblk_off = base + boff
+                    break
+                child = inds[
+                    (row - heap["max_dblock_rows"]) * heap["width"] + col
+                ]
+                if child == UNDEF:
+                    raise ValueError(
+                        "fractal heap object in an unallocated "
+                        "indirect block (corrupt file)"
+                    )
+                cn = (dsize // wstart).bit_length()
+                if cn < 1:
+                    raise ValueError(
+                        "fractal heap indirect entry smaller than one "
+                        "row (corrupt geometry)"
+                    )
+                base, iaddr, nrows = base + boff, child, cn
             if daddr == UNDEF:
                 raise ValueError(
                     "fractal heap object in an unallocated direct "

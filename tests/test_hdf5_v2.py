@@ -1239,3 +1239,225 @@ def test_filtered_fractal_heap_fuzz(tmp_path):
                     f.read(n)
         except (ValueError, KeyError, zlib.error):
             pass
+
+
+# ---------------------------------------------------------------------
+# Fractal heap: indirect CHILD blocks and tiny / huge heap ids —
+# formerly the documented "install h5py" gates.  Reference for the
+# structures: the public HDF5 file format spec III.G (doubling
+# schedule, heap-id type nibble) and libhdf5's storage-class rule
+# (tiny when the object fits the id, huge past the max managed size).
+# ---------------------------------------------------------------------
+
+
+def test_heap_indirect_children_roundtrip(tmp_path):
+    """width 2, 64-byte start, 128-byte max direct block: row 3 of
+    the root indirect block exceeds max_direct, so its entries are
+    CHILD indirect blocks (and at 90 links, a child's own row 3
+    spawns a GRANDCHILD).  Every link resolves through the descent."""
+    p = tmp_path / "kids.h5"
+    want = _mk_dense(p, 90, params=(2, 64, 512, 128))
+    b = open(p, "rb").read()
+    assert b.count(b"FHIB") >= 6  # root + children + >=1 grandchild
+    with PureH5(str(p)) as f:
+        assert sorted(f.datasets) == sorted(want)
+        for n, a in want.items():
+            np.testing.assert_array_equal(f.read(n), a)
+
+
+def test_heap_indirect_children_filtered(tmp_path):
+    """The same child-bearing geometry with a gzip'd heap: direct
+    block entries inside EVERY indirect level carry (stored size,
+    mask), child entries stay bare addresses."""
+    p = tmp_path / "kidsf.h5"
+    ds = {f"ds{i:03d}": ((3, 2), "f32",
+                         (np.arange(6, dtype="<f4") + i).tobytes())
+          for i in range(40)}
+    write_h5(str(p), ds, fmt_version=2, dense_links=True,
+             dense_params=(2, 64, 512, 128), dense_filters=["gzip"])
+    b = open(p, "rb").read()
+    assert b.count(b"FHIB") >= 3
+    with PureH5(str(p)) as f:
+        assert len(f.datasets) == 40
+        np.testing.assert_array_equal(
+            f.read("ds025"), (np.arange(6, dtype="<f4") + 25).reshape(3, 2)
+        )
+
+
+def test_heap_tiny_ids_normal_and_extended(tmp_path):
+    """id_len 17 (<= 18) uses the NORMAL tiny form — low nibble of
+    the version/type byte is length-1; id_len 24 uses the EXTENDED
+    form — 12-bit length split across the nibble and the next byte.
+    Short link messages land in the id itself: the file has NO
+    direct blocks at all and the FRHP tiny-object count says so."""
+    for id_len, nds in [(17, 9), (24, 9)]:
+        p = tmp_path / f"tiny{id_len}.h5"
+        ds = {f"d{i}": ((2,), "f64", np.full(2, float(i)).tobytes())
+              for i in range(nds)}
+        write_h5(str(p), ds, fmt_version=2, dense_links=True,
+                 dense_params=(4, 512, 512, 64 * 1024, id_len))
+        b = open(p, "rb").read()
+        fr = b.index(b"FRHP")
+        assert struct.unpack_from("<H", b, fr + 5)[0] == id_len
+        # tiny counts live at FRHP offset 10+4+8*10 (tiny size) and
+        # +8 (tiny nobjs)
+        tsz, tn = struct.unpack_from("<QQ", b, fr + 10 + 4 + 8 * 10)
+        assert tn == nds and tsz == nds * 13  # 11 + len("dN")
+        assert b"FHDB" not in b and b"FHIB" not in b
+        # the type-5 records carry tiny-type ids (0x20 nibble) with
+        # the spec's length encoding
+        leaf = b.index(b"BTLF")
+        rec0 = b[leaf + 6 : leaf + 6 + 4 + id_len]
+        vt = rec0[4]
+        assert (vt >> 4) & 0x3 == 2
+        if id_len <= 18:
+            assert (vt & 0x0F) == 13 - 1
+        else:
+            assert ((vt & 0x0F) << 8 | rec0[5]) == 13 - 1
+        with PureH5(str(p)) as f:
+            assert sorted(f.datasets) == sorted(ds)
+            np.testing.assert_array_equal(
+                f.read("d3"), np.full(2, 3.0)
+            )
+
+
+def test_heap_huge_ids_indirect(tmp_path):
+    """A link message past the max managed size (128-byte max direct
+    → 107-byte cap) becomes a HUGE object: stored whole outside the
+    doubling schedule, tracked in the heap's huge v2 B-tree (record
+    type 1: address + length + sequential id), the heap id carrying
+    just the id.  Short names stay managed in the same heap."""
+    p = tmp_path / "huge.h5"
+    longname = "L" * 150
+    ds = {f"d{i}": ((2,), "f64", np.full(2, float(i)).tobytes())
+          for i in range(6)}
+    ds[longname] = ((2,), "f64", np.full(2, 9.0).tobytes())
+    write_h5(str(p), ds, fmt_version=2, dense_links=True,
+             dense_params=(2, 64, 512, 128))
+    b = open(p, "rb").read()
+    fr = b.index(b"FRHP")
+    hsz, hn = struct.unpack_from("<QQ", b, fr + 10 + 4 + 8 * 8)
+    assert hn == 1 and hsz == 11 + 150
+    assert struct.unpack_from("<Q", b, fr + 14)[0] == 2  # next huge id
+    assert b.count(b"BTHD") == 2  # name index + huge tracker
+    with PureH5(str(p)) as f:
+        assert longname in f.datasets and len(f.datasets) == 7
+        np.testing.assert_array_equal(f.read(longname), np.full(2, 9.0))
+        np.testing.assert_array_equal(f.read("d4"), np.full(2, 4.0))
+
+
+def test_heap_huge_ids_direct(tmp_path):
+    """id_len 17 makes huge ids DIRECT (id_len - 1 >= address +
+    length): the address/length pair lives in the id itself and the
+    reader never consults the (still written, type 3) huge B-tree."""
+    p = tmp_path / "huged.h5"
+    longname = "M" * 200
+    ds = {longname: ((3,), "f64", np.arange(3.0).tobytes())}
+    for i in range(30):
+        # names long enough to escape the 16-byte tiny cap of id 17
+        ds[f"dataset{i:03d}"] = ((2,), "f64", np.full(2, float(i)).tobytes())
+    write_h5(str(p), ds, fmt_version=2, dense_links=True,
+             dense_params=(2, 64, 512, 128, 17))
+    b = open(p, "rb").read()
+    fr = b.index(b"FRHP")
+    assert struct.unpack_from("<Q", b, fr + 14)[0] == 0  # ids unused
+    with PureH5(str(p)) as f:
+        assert len(f.datasets) == 31
+        np.testing.assert_array_equal(f.read(longname), np.arange(3.0))
+        np.testing.assert_array_equal(f.read("dataset017"), np.full(2, 17.0))
+
+
+def test_heap_huge_ids_filtered(tmp_path):
+    """Huge objects in a FILTERED heap are deflated individually;
+    the type-2 record (indirect) / the id itself (direct) carries
+    (stored size, mask, memory size)."""
+    for id_len, tag in [(None, "ind"), (32, "dir")]:
+        p = tmp_path / f"hugef_{tag}.h5"
+        longname = "N" * 180
+        ds = {longname: ((2,), "f64", np.full(2, 7.0).tobytes())}
+        for i in range(8):
+            ds[f"dataset{i:02d}"] = ((2,), "f64",
+                                     np.full(2, float(i)).tobytes())
+        params = (2, 64, 512, 128) if id_len is None else (
+            2, 64, 512, 128, id_len)
+        write_h5(str(p), ds, fmt_version=2, dense_links=True,
+                 dense_params=params, dense_filters=["gzip"])
+        with PureH5(str(p)) as f:
+            assert len(f.datasets) == 9
+            np.testing.assert_array_equal(f.read(longname), np.full(2, 7.0))
+            np.testing.assert_array_equal(
+                f.read("dataset05"), np.full(2, 5.0)
+            )
+
+
+def test_heap_id_golden_encodings(tmp_path):
+    """Spec-pinned id bytes, independent of the reader: the managed
+    id in the default-geometry fixture is 0x00 + u32 offset + u16
+    length; a normal tiny id is (0x20 | len-1) + the message bytes
+    verbatim; an indirect huge id is 0x10 + the sequential id."""
+    # tiny, id_len 17: record for dataset "d3" (message = 11+2 bytes)
+    p = tmp_path / "g.h5"
+    ds = {f"d{i}": ((2,), "f64", np.full(2, float(i)).tobytes())
+          for i in range(9)}
+    write_h5(str(p), ds, fmt_version=2, dense_links=True,
+             dense_params=(4, 512, 512, 64 * 1024, 17))
+    b = open(p, "rb").read()
+    from dask_traj_spark.sources.hdf5_pure import _link_message
+    with PureH5(str(p)) as f:
+        d3_addr = None
+        # find d3's OHDR address from the decoded structure by
+        # re-encoding every candidate message and matching bytes
+        leaf = b.index(b"BTLF")
+        nrec = 9
+        for i in range(nrec):
+            rec = b[leaf + 6 + i * 21 : leaf + 6 + (i + 1) * 21]
+            vt = rec[4]
+            assert vt == 0x20 | (13 - 1)  # every link here is tiny
+            msg = rec[5 : 5 + 13]
+            assert msg[0] == 1 and msg[2] == 2  # link v1, name len 2
+            if msg[3:5] == b"d3":
+                d3_addr = struct.unpack_from("<Q", msg, 5)[0]
+                d3_msg = bytes(msg)
+                assert rec[:4] == struct.pack(
+                    "<I", _lookup3(b"d3")
+                )
+        assert d3_addr is not None
+        assert _link_message("d3", d3_addr) == d3_msg
+
+
+def test_heap_exotics_fuzz_regression(tmp_path):
+    """Single-byte mutations + truncations of the indirect-children
+    and tiny/huge fixtures stay inside the ValueError contract."""
+    import zlib
+
+    p1 = tmp_path / "kids.h5"
+    _mk_dense(p1, 90, params=(2, 64, 512, 128))
+    p2 = tmp_path / "mix.h5"
+    ds = {f"d{i}": ((2,), "f64", np.full(2, float(i)).tobytes())
+          for i in range(6)}
+    ds["H" * 150] = ((2,), "f64", np.full(2, 1.0).tobytes())
+    write_h5(str(p2), ds, fmt_version=2, dense_links=True,
+             dense_params=(2, 64, 512, 128, 17))
+    rng = np.random.default_rng(61)
+    allowed = (ValueError, KeyError, zlib.error)
+    for src in (open(p1, "rb").read(), open(p2, "rb").read()):
+        for _ in range(200):
+            m = bytearray(src)
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+            pm = str(tmp_path / "m.h5")
+            open(pm, "wb").write(bytes(m))
+            try:
+                with PureH5(pm) as f:
+                    for n in list(f.datasets)[:3]:
+                        f.read(n)
+            except allowed:
+                pass
+        for cut in range(1, len(src), max(1, len(src) // 40)):
+            pm = str(tmp_path / "t.h5")
+            open(pm, "wb").write(src[:cut])
+            try:
+                with PureH5(pm) as f:
+                    for n in list(f.datasets)[:3]:
+                        f.read(n)
+            except allowed:
+                pass
