@@ -625,3 +625,85 @@ def count_min_estimate(
         .groupBy("word")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a query string under BM25 (Robertson
+    et al.) with the RAW-RATIO idf variant idf = N/df — same
+    deliberate choice as :func:`tfidf_top_terms`: one correctly
+    rounded IEEE division instead of a libm ln() keeps the score
+    bit-identical across engines.  The retrieval primitive behind
+    decontamination search and quality-by-query curation.
+
+    score(d) = Σ_t (N/df_t) · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/L)
+
+    with dl the document token count and L the corpus token total
+    (dl·N/L = dl/avgdl without an extra division).  Each per-term
+    score is snapped to the 2^-20 dyadic grid BEFORE the per-doc
+    sum, so the sum is exact and partial-aggregation-order
+    independent (the ``char_bigram_logprob`` discipline).  The
+    k1/b-derived constants are folded in Python once and embedded
+    with full precision — the oracle embeds the identical reprs.
+
+    Plan (100-TB posture): the explode is filtered to the query's
+    terms in the same map stage (only matching tokens ever reach a
+    shuffle); df is a query-sized broadcast; dl is a map-only
+    projection (no second explode); N and L ride one broadcast
+    1-row aggregate; the candidate set (docs containing ≥1 query
+    term) aggregates on doc_id, and the final top-k is
+    TakeOrderedAndProject — never a global sort materialization.
+    No collect, no Python UDF."""
+    terms = sorted({t for t in query.split(" ") if t})
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if k1 <= 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"invalid BM25 parameters k1={k1}, b={b}")
+    c_sat = k1 + 1.0
+    c_fix = k1 * (1.0 - b)
+    c_len = k1 * b
+    base = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        ).alias("dl"),
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word").isin(terms))
+    tf = tok.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    idf = F.col("n_docs").cast("double") / F.col("df").cast("double")
+    rel_len = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_len"
+    ).cast("double")
+    tfd = F.col("tf").cast("double")
+    s = (idf * (tfd * F.lit(c_sat))) / (
+        tfd + (F.lit(c_fix) + F.lit(c_len) * rel_len)
+    )
+    snapped = F.floor(s * F.lit(1048576.0)) / F.lit(1048576.0)
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(base, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", snapped)
+        .groupBy(id_col)
+        .agg(F.sum("s").alias("score"), F.count("*").alias("matched"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.col("matched").cast("long").alias("matched_terms"),
+            F.round("score", 6).alias("bm25_q6"),
+        )
+    )

@@ -146,6 +146,7 @@ _SCORING_TAIL = [
     # hash-green at sf0.01 and sf0.1 the round they landed)
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
+    "t16_bm25_topk",
     # last green ROUND 8 (fresh — scored in CORRECTNESS_r08; x16c was
     # also r8-green but re-seats under the touched-set rule: the
     # round-9 _frame_count_hint change is on its dispatch path)

@@ -4783,3 +4783,68 @@ def q_rg_autocorrelation(spark, sf_dir):
 
     traj = trajectory_from_embeddings(spark, sf_dir)
     return rg_autocorrelation(traj, max_lag=6).orderBy("lag")
+
+
+# BM25 constants for the gated default (k1=1.2, b=0.75), folded in
+# Python and embedded at FULL precision on both sides: repr() emits
+# the shortest decimal that parses back to the identical double in
+# Spark literals and in DuckDB's SQL reader, so k1*b =
+# 0.8999999999999999 here is deliberate — the literal 0.9 would be a
+# DIFFERENT double from what the operator multiplies with
+_T16_QUERY = "hash join merge order"
+_T16_CS, _T16_CF, _T16_CL = repr(1.2 + 1.0), repr(1.2 * 0.25), repr(1.2 * 0.75)
+
+_T16_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+    FROM documents),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents),
+qt AS (
+    SELECT doc_id, word FROM tok
+    WHERE word IN ('hash', 'join', 'merge', 'order')),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM qt GROUP BY doc_id, word),
+dfreq AS (
+    SELECT word, count(DISTINCT doc_id) AS df FROM qt GROUP BY word),
+stats AS (
+    SELECT count(*) AS n_docs, sum(dl) AS total_len FROM base),
+scored AS (
+    SELECT tf.doc_id,
+           floor(((CAST(stats.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                  * (CAST(tf.tf AS DOUBLE) * {_T16_CS}))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + ({_T16_CF} + {_T16_CL}
+                       * (CAST(base.dl * stats.n_docs AS DOUBLE)
+                          / CAST(stats.total_len AS DOUBLE))))
+                 * 1048576.0) / 1048576.0 AS s
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN base USING (doc_id)
+    CROSS JOIN stats),
+agg AS (
+    SELECT doc_id, sum(s) AS score, count(*) AS matched
+    FROM scored GROUP BY doc_id)
+SELECT doc_id,
+       CAST(matched AS BIGINT) AS matched_terms,
+       round(score, 6) AS bm25_q6
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT 5
+"""
+
+
+@register("t16_bm25_topk", _T16_ORACLE)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-5 retrieval for a fixed 4-term query over the
+    documents table — the decontamination-search / query-driven
+    curation primitive; see
+    :func:`dask_traj_spark.functions.text.bm25_topk` for the
+    raw-ratio-idf + dyadic-snap exactness rationale and the 100-TB
+    plan posture (filtered explode, broadcast df/stats, top-k via
+    TakeOrderedAndProject)."""
+    from dask_traj_spark.functions.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _T16_QUERY, k=5)

@@ -129,6 +129,64 @@ class TestText:
         with _pytest.raises(ValueError, match="idf"):
             tfidf_top_terms(docs2, idf="log10")
 
+    def test_bm25_topk_matches_independent_reference(self, spark):
+        """bm25_topk vs a pure-Python double-loop BM25 with the same
+        raw-ratio idf and dyadic snap — written from the formula, not
+        from the Spark code — exact to the last bit, plus ranking and
+        input-validation contracts."""
+        import math
+
+        import pytest as _pytest
+
+        from dask_traj_spark.functions.text import bm25_topk
+
+        corpus = [
+            (0, "apple banana apple cherry"),
+            (1, "banana banana cherry"),
+            (2, "durian cherry apple apple apple"),
+            (3, "x y z"),
+            (4, "apple"),
+        ]
+        query, k1, b = "apple cherry", 1.2, 0.75
+        terms = sorted(set(query.split()))
+        toks = {d: [w for w in t.split(" ") if w] for d, t in corpus}
+        n = len(corpus)
+        total = sum(len(v) for v in toks.values())
+        df = {
+            t: sum(1 for v in toks.values() if t in v) for t in terms
+        }
+        want = {}
+        for d, v in toks.items():
+            s, matched = 0.0, 0
+            for t in terms:
+                tf = v.count(t)
+                if not tf:
+                    continue
+                matched += 1
+                idf = float(n) / float(df[t])
+                rel = float(len(v) * n) / float(total)
+                raw = (idf * (tf * (k1 + 1.0))) / (
+                    tf + (k1 * (1.0 - b) + (k1 * b) * rel)
+                )
+                s += math.floor(raw * 1048576.0) / 1048576.0
+            if matched:
+                want[d] = (matched, round(s, 6))
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        pdf = bm25_topk(docs, query, k=10).toPandas()
+        assert len(pdf) == len(want) == 4  # doc 3 matches nothing
+        for _, r in pdf.iterrows():
+            m, s = want[r["doc_id"]]
+            assert r["matched_terms"] == m
+            assert r["bm25_q6"] == s
+        # descending score, doc_id tiebreak
+        assert list(pdf["bm25_q6"]) == sorted(pdf["bm25_q6"], reverse=True)
+        top = bm25_topk(docs, query, k=2).toPandas()
+        assert list(top["doc_id"]) == list(pdf["doc_id"][:2])
+        with _pytest.raises(ValueError, match="query term"):
+            bm25_topk(docs, "   ")
+        with _pytest.raises(ValueError, match="parameters"):
+            bm25_topk(docs, query, b=1.5)
+
     def test_fingerprint_deterministic_and_discriminating(self, docs):
         from dask_traj_spark.functions.text import fingerprint
 

@@ -707,3 +707,17 @@ def test_excise_spans_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_bm25_plan_broadcasts_stats_and_stays_jvm_side(spark):
+    """bm25_topk: exactly one SinglePartition exchange (the 1-row
+    corpus stats aggregate), df and stats ride broadcast joins, the
+    final top-k is TakeOrderedAndProject (never a global sort
+    materialization), and nothing drops to Python."""
+    from dask_traj_spark.functions.text import bm25_topk
+
+    text = audit(bm25_topk(_docs_fixture(spark), "common w1 w3", k=3)).text
+    assert text.count("SinglePartition") == 1, text
+    assert "BroadcastExchange" in text, text
+    assert "TakeOrderedAndProject" in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
