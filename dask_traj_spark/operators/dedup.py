@@ -857,3 +857,107 @@ def excise_duplicate_spans(
         .drop("t", "_kept", "_spans")
     )
     return out
+
+
+# ---------------------------------------------------------------------
+# cross-corpus Bloom membership — dedup NEW data against an EXISTING
+# corpus without joining the corpus itself
+# ---------------------------------------------------------------------
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "text",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Distributed Bloom-filter bitmap over ``df[col]`` as
+    ``(word_idx, bits)`` int64 rows — at most ``n_bits/64`` rows
+    REGARDLESS of corpus size (the count-min bound argument).  Each
+    value sets ``n_hashes`` bits at ``xxhash64(value, seed) mod
+    n_bits``; the per-partition bit_or partials merge associatively,
+    so the build is one bounded shuffle over the whole corpus.
+
+    Size the filter for the corpus: false-positive rate ≈
+    (1 - e^(-k·n/m))^k, so m ≈ 10 bits/key gives <1% at k=4.  The
+    guarantee that matters for dedup is one-sided: a Bloom filter
+    NEVER false-negatives, so "not in filter" is a safe keep."""
+    if n_bits < 64 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two >= 64, got {n_bits}")
+    if not (1 <= n_hashes <= 16):
+        raise ValueError(f"n_hashes must be in [1, 16], got {n_hashes}")
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_membership(
+    ref: DataFrame,
+    probe: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Flag each ``probe`` row whose ``col`` value is (probably) in
+    ``ref`` — the incremental-crawl dedup primitive: new data is
+    checked against an existing corpus through a bitmap instead of a
+    join against the corpus itself.  Output: ``(id_col, maybe_dup)``
+    where ``maybe_dup = false`` is CERTAIN (Bloom filters have no
+    false negatives under the same hash family) and ``true`` means
+    "duplicate or false positive at the configured rate".
+
+    Plan: the ref side collapses to the ``n_bits/64``-row bitmap
+    (one bounded shuffle); each probe row explodes to ``n_hashes``
+    (word_idx, bit) lookups joined against the bitmap —
+    ``broadcast=True`` (default) broadcasts the bitmap (m bits / 8
+    bytes on the wire; right up to a few GB), ``broadcast=False``
+    shuffles the lookups on word_idx instead for filters too big to
+    ship — then one groupBy on the probe id ANDs the hits.  The
+    corpus is never joined row-to-row."""
+    bitmap = bloom_build(ref, col=col, n_bits=n_bits, n_hashes=n_hashes)
+    lookups = probe.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        F.shiftright(F.col("pos"), 6).alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+        ).alias("bit"),
+    )
+    side = F.broadcast(bitmap) if broadcast else bitmap
+    return (
+        lookups.join(side, "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
+            != F.lit(0),
+        )
+        .groupBy(id_col)
+        .agg(F.bool_and("hit").alias("maybe_dup"))
+    )

@@ -4848,3 +4848,54 @@ def q_bm25_topk(spark, sf_dir):
     from dask_traj_spark.functions.text import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir), _T16_QUERY, k=5)
+
+
+_D13_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_members,
+       CAST(0 AS BIGINT) AS false_negatives,
+       TRUE AS fp_within_bound
+FROM documents
+"""
+
+
+@register("d13_bloom_cross_corpus", _D13_ORACLE)
+def q_bloom_cross_corpus(spark, sf_dir):
+    """Cross-corpus Bloom membership contract gate: even-id docs
+    probe with their own text (true members), odd-id docs probe with
+    a guaranteed-novel suffix (true non-members).  The Spark side
+    measures the filter's ACTUAL false negatives (must be exactly 0
+    — Bloom filters never false-negative under one hash family) and
+    checks the false-positive count against a generous integer bound
+    (20·fp <= non_members + 100; theory says ~0.5% at sf0.1 for
+    2^16 bits / 4 hashes); the oracle pins the membership arithmetic
+    and the contract flags.  See
+    :func:`dask_traj_spark.operators.dedup.bloom_membership` for the
+    100-TB plan posture (bounded bitmap shuffle, broadcast-or-
+    shuffle lookups, the corpus never joined row-to-row)."""
+    from dask_traj_spark.operators.dedup import bloom_membership
+
+    docs = _docs(spark, sf_dir)
+    members = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    nonmembers = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" zz-novel-"), F.col("doc_id")
+        ).alias("text"),
+    )
+    probes = members.unionByName(nonmembers)
+    flags = bloom_membership(
+        docs, probes, n_bits=1 << 16, n_hashes=4
+    )
+    truly = F.col("doc_id") % 2 == 0
+    dup = F.col("maybe_dup")
+    return flags.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(truly.cast("long")).alias("n_true_members"),
+        F.sum((truly & ~dup).cast("long")).alias("false_negatives"),
+        (
+            F.sum(((~truly) & dup).cast("long")) * F.lit(20)
+            <= F.sum((~truly).cast("long")) + F.lit(100)
+        ).alias("fp_within_bound"),
+    )

@@ -2831,3 +2831,43 @@ class TestDuplicateSpans:
         assert out.loc[2, "n_removed"] == 0
         assert out.loc[3, "text"] == "" and out.loc[3, "n_removed"] == 3
         assert set(out.columns) >= {"text", "n_removed"}
+
+
+class TestBloomMembership:
+    def test_no_false_negatives_and_flags(self, spark):
+        """Every ref member probes true (the Bloom guarantee); novel
+        strings stay false at this m/n ratio; the broadcast and
+        shuffle-join paths agree row-for-row; bad geometry raises."""
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.dedup import (
+            bloom_build,
+            bloom_membership,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, f"doc body number {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [(i, f"doc body number {i}") for i in range(25)]      # members
+            + [(100 + i, f"unseen text {i}") for i in range(25)],  # novel
+            "doc_id long, text string",
+        )
+        got = (
+            bloom_membership(ref, probes, n_bits=1 << 12)
+            .toPandas().set_index("doc_id")["maybe_dup"]
+        )
+        assert got[got.index < 100].all()   # no false negatives, ever
+        assert not got[got.index >= 100].any()  # 4096 bits/50 keys: no FPs
+        alt = (
+            bloom_membership(ref, probes, n_bits=1 << 12, broadcast=False)
+            .toPandas().set_index("doc_id")["maybe_dup"]
+        )
+        assert (got.sort_index() == alt.sort_index()).all()
+        # bitmap row bound holds regardless of corpus size
+        assert bloom_build(ref, n_bits=1 << 12).count() <= (1 << 12) // 64
+        with _pytest.raises(ValueError, match="power of two"):
+            bloom_build(ref, n_bits=1000)
+        with _pytest.raises(ValueError, match="n_hashes"):
+            bloom_build(ref, n_hashes=0)

@@ -721,3 +721,24 @@ def test_bm25_plan_broadcasts_stats_and_stays_jvm_side(spark):
     assert "BroadcastExchange" in text, text
     assert "TakeOrderedAndProject" in text, text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_bloom_membership_plan_is_bounded_and_jvm_side(spark):
+    """bloom_membership: the bitmap side aggregates to at most
+    n_bits/64 rows and rides a BroadcastExchange by default; the
+    probe side is explode + join + one groupBy on the probe id —
+    no Python evals, no cartesian."""
+    from dask_traj_spark.operators.dedup import bloom_membership
+
+    docs = _docs_fixture(spark)
+    text = audit(
+        bloom_membership(docs, docs, n_bits=1 << 12, n_hashes=3)
+    ).text
+    assert "BroadcastExchange" in text, text
+    assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    # the shuffle-fallback path compiles without the broadcast
+    text2 = audit(
+        bloom_membership(docs, docs, n_bits=1 << 12, broadcast=False)
+    ).text
+    assert "CartesianProduct" not in text2
