@@ -908,13 +908,14 @@ def bloom_build(
 
 
 def bloom_membership(
-    ref: DataFrame,
+    ref: DataFrame | None,
     probe: DataFrame,
     col: str = "text",
     id_col: str = "doc_id",
     n_bits: int = 1 << 16,
     n_hashes: int = 4,
     broadcast: bool = True,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """Flag each ``probe`` row whose ``col`` value is (probably) in
     ``ref`` — the incremental-crawl dedup primitive: new data is
@@ -931,8 +932,13 @@ def bloom_membership(
     bytes on the wire; right up to a few GB), ``broadcast=False``
     shuffles the lookups on word_idx instead for filters too big to
     ship — then one groupBy on the probe id ANDs the hits.  The
-    corpus is never joined row-to-row."""
-    bitmap = bloom_build(ref, col=col, n_bits=n_bits, n_hashes=n_hashes)
+    corpus is never joined row-to-row.
+
+    Pass a prebuilt ``bitmap`` (e.g. the merged incremental state
+    from ``streaming.dedup.bloom_state``) to probe without
+    rebuilding; ``n_bits``/``n_hashes`` must then match the build."""
+    if bitmap is None:
+        bitmap = bloom_build(ref, col=col, n_bits=n_bits, n_hashes=n_hashes)
     lookups = probe.select(
         F.col(id_col),
         F.explode(

@@ -4899,3 +4899,91 @@ def q_bloom_cross_corpus(spark, sf_dir):
             <= F.sum((~truly).cast("long")) + F.lit(100)
         ).alias("fp_within_bound"),
     )
+
+
+_SX9_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_members,
+       CAST(0 AS BIGINT) AS false_negatives,
+       TRUE AS fp_within_bound,
+       TRUE AS state_matches_oneshot
+FROM documents
+"""
+
+
+@register("sx9_stream_bloom_twin", _SX9_ORACLE)
+def q_stream_bloom_twin(spark, sf_dir):
+    """Incremental Bloom vs the one-shot build, bitwise: replay the
+    corpus in three deterministic micro-batches through the
+    foreachBatch body (per-batch bitmap partials, batch_id-
+    partitioned state, dynamic-overwrite replay of the middle batch),
+    merge with ``bloom_state``, and (a) prove the merged bitmap
+    equals ``bloom_build`` over the whole corpus word-for-word —
+    bit_or is associative, so the stream and the batch build are
+    bit-identical — then (b) run d13's full membership contract
+    against the STREAMED bitmap."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.operators.dedup import bloom_build, bloom_membership
+    from dask_traj_spark.streaming.dedup import (
+        bloom_state,
+        process_bloom_batch,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sx9_bloom_twin_")
+    state = f"{work}/state"
+    try:
+        for bch in range(3):
+            process_bloom_batch(
+                docs.where(F.col("doc_id") % 3 == bch), bch, state
+            )
+        # crash-replay of the middle batch: the partition is rewritten
+        # in place and the bit_or merge must be unaffected
+        process_bloom_batch(
+            docs.where(F.col("doc_id") % 3 == 1), 1, state
+        )
+        merged = bloom_state(spark, state)
+        oneshot = bloom_build(docs)
+        mismatches = (
+            merged.withColumnRenamed("bits", "sb")
+            .join(oneshot.withColumnRenamed("bits", "ob"), "word_idx", "full")
+            .where(
+                F.coalesce(F.col("sb"), F.lit(0))
+                != F.coalesce(F.col("ob"), F.lit(0))
+            )
+            .count()
+        )
+        members = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text"
+        )
+        nonmembers = docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" zz-novel-"), F.col("doc_id")
+            ).alias("text"),
+        )
+        flags = bloom_membership(
+            None, members.unionByName(nonmembers), bitmap=merged
+        )
+        truly = F.col("doc_id") % 2 == 0
+        dup = F.col("maybe_dup")
+        pdf = flags.agg(
+            F.count("*").alias("n_probes"),
+            F.sum(truly.cast("long")).alias("n_true_members"),
+            F.sum((truly & ~dup).cast("long")).alias("false_negatives"),
+            (
+                F.sum(((~truly) & dup).cast("long")) * F.lit(20)
+                <= F.sum((~truly).cast("long")) + F.lit(100)
+            ).alias("fp_within_bound"),
+            F.lit(mismatches == 0).alias("state_matches_oneshot"),
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "n_probes long, n_true_members long, false_negatives long, "
+        "fp_within_bound boolean, state_matches_oneshot boolean",
+    )

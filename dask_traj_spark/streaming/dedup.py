@@ -361,6 +361,37 @@ def cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return st.groupBy("row", "col").agg(F.sum("n").alias("n"))
 
 
+# ------------------------------------------------ incremental Bloom
+
+
+def process_bloom_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    col: str = "text",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> None:
+    """One micro-batch of the incremental cross-corpus Bloom filter:
+    the batch's OWN bitmap partial (a pure function of its rows —
+    bit_or cells are associative, the sx2/sx7 exactly-once class)
+    written as partition ``batch_id``, replay-idempotent by
+    construction.  The running filter answers "was this seen in ANY
+    earlier batch" without ever re-reading the ingested data."""
+    from dask_traj_spark.operators.dedup import bloom_build
+
+    partial = bloom_build(batch_df, col=col, n_bits=n_bits, n_hashes=n_hashes)
+    _overwrite_batch_partition(partial, state_dir, batch_id)
+
+
+def bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged bitmap over every batch partial: word-wise bit_or —
+    identical to the one-shot ``bloom_build`` over the union of the
+    batches (gated bitwise by sx9)."""
+    st = spark.read.parquet(state_dir).drop("batch_id")
+    return st.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
 # ------------------------------------------- incremental MSM counting
 
 

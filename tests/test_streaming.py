@@ -1174,3 +1174,34 @@ def test_stream_transition_counts_boundary_pairs(spark, tmp_path):
     assert got == want
     # sanity: the lag-2 pairs crossing the 4- and 7-frame cuts exist
     assert sum(got.values()) == 8
+
+
+def test_incremental_bloom_matches_oneshot(spark, tmp_path):
+    """The merged incremental Bloom state equals the one-shot build
+    word-for-word (bit_or associativity), crash-replay of a batch
+    included, and the merged bitmap drives membership identically."""
+    from dask_traj_spark.operators.dedup import bloom_build, bloom_membership
+    from dask_traj_spark.streaming.dedup import (
+        bloom_state,
+        process_bloom_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i % 17}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    for b in range(3):
+        process_bloom_batch(docs.where(f"doc_id % 3 = {b}"), b, state)
+    process_bloom_batch(docs.where("doc_id % 3 = 1"), 1, state)  # replay
+    merged = {
+        r["word_idx"]: r["bits"] for r in bloom_state(spark, state).collect()
+    }
+    oneshot = {
+        r["word_idx"]: r["bits"] for r in bloom_build(docs).collect()
+    }
+    assert merged == oneshot
+    flags = bloom_membership(
+        None, docs, bitmap=bloom_state(spark, state)
+    ).collect()
+    assert all(r["maybe_dup"] for r in flags)  # every doc is in-corpus
