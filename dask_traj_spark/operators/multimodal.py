@@ -1390,9 +1390,10 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # vectorized float64 IDCT → level shift → clamp, nearest-neighbor
 # chroma upsample, JFIF YCbCr→RGB; lossless SOF3 decodes Annex-H
 # prediction differences (predictors 1-7, 2-16 bit, point
-# transform, modulo-2^16).  Arithmetic coding, 12-bit BASELINE
-# precision and hierarchical modes raise ValueError — honest
-# gates, not silent wrong pixels.
+# transform, modulo-2^16); 12-bit extended sequential/progressive
+# (Pq=1 DQT, 2048 level shift) scales to the byte contract.
+# Arithmetic coding, 12-bit-under-SOF0 and hierarchical modes
+# raise ValueError — honest gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
 # table is legal JPEG) used to build oracle-checkable payloads;
@@ -1547,9 +1548,10 @@ def _jpeg_prepare(width, height, pixels, channels, subsampling):
     return planes, samp
 
 
-def _jpeg_block_coefs(planes, samp, qt):
+def _jpeg_block_coefs(planes, samp, qt, level: float = 128.0):
     """Quantized zigzag DCT coefficients for every 8×8 block of every
-    plane → list of (bh, bw, 64) int arrays."""
+    plane → list of (bh, bw, 64) int arrays.  ``level`` is the
+    precision's level shift (128 for 8-bit, 2048 for 12-bit)."""
     import numpy as np
 
     c = _jpeg_dct_mat()
@@ -1559,7 +1561,7 @@ def _jpeg_block_coefs(planes, samp, qt):
         arr = np.zeros((bh, bw, 64), dtype=np.int64)
         for by in range(bh):
             for bx in range(bw):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - level
                 f = c @ blk @ c.T
                 zz = np.array([f[r_, c_] for r_, c_ in _JPEG_ZZ])
                 arr[by, bx] = np.round(zz / qt).astype(np.int64)
@@ -1567,24 +1569,45 @@ def _jpeg_block_coefs(planes, samp, qt):
     return out
 
 
-def _jpeg_headers(width, height, channels, samp, qt, sof_marker):
+#: DC difference table for 12-bit extended sequential: categories
+#: 0-15 (T.81 F.1.2.1.2 — 12-bit DC SSSS runs to 15, vs 11 at 8-bit)
+_JPEG_DC12_BITS = [0, 3] + [1] * 13 + [0]
+_JPEG_DC12_VALS = list(range(16))
+
+
+def _jpeg_headers(width, height, channels, samp, qt, sof_marker,
+                  precision: int = 8):
     """SOI → APP0 → DQT → SOF → DHT×2 prefix shared by the baseline
-    and progressive encoders."""
+    and progressive encoders.  12-bit precision switches DQT to
+    Pq=1 (16-bit big-endian entries) and the DC table to the
+    category-0-15 form."""
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    if precision == 12:
+        out += seg(
+            0xFFDB,
+            b"\x10" + b"".join(struct.pack(">H", int(x)) for x in qt),
+        )
+    else:
+        out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for ci, (hi, vi) in enumerate(samp):
         sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0)
     out += seg(sof_marker, sof)
-    out += seg(
-        0xFFC4,
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
-    )
+    if precision == 12:
+        out += seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC12_BITS) + bytes(_JPEG_DC12_VALS),
+        )
+    else:
+        out += seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+        )
     out += seg(
         0xFFC4,
         b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
@@ -1650,6 +1673,74 @@ def encode_jpeg(
     scan = w.flush()
 
     out, seg = _jpeg_headers(width, height, channels, samp, qt, 0xFFC0)
+    if restart_mcus:
+        out += seg(0xFFDD, struct.pack(">H", restart_mcus))
+    sos = struct.pack(">B", channels)
+    for ci in range(channels):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg12(
+    width: int,
+    height: int,
+    samples,
+    channels: int = 1,
+    quant: int = 1,
+    restart_mcus: int = 0,
+) -> bytes:
+    """Fixture-grade EXTENDED SEQUENTIAL (SOF1) 12-bit encoder,
+    4:4:4: DQT Pq=1 (16-bit entries), level shift 2048, DC
+    categories up to 15 (``_JPEG_DC12_BITS``), same flat-table /
+    block-aligned contract as :func:`encode_jpeg`.  ``samples`` is a
+    (height, width[, channels]) int array in [0, 4095]; 3-channel
+    input is treated as 12-bit RGB and converted with the JFIF
+    matrix around the 2048 center."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if width % 8 or height % 8:
+        raise ValueError("dims must be multiples of 8")
+    a = np.asarray(samples, dtype=np.int64).reshape(height, width, channels)
+    if a.min() < 0 or a.max() > 4095:
+        raise ValueError("12-bit samples out of range [0, 4095]")
+    if channels == 3:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [np.clip(p, 0, 4095) for p in (y, cb, cr)]
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+    samp = [(1, 1)] * channels
+    qt = np.full(64, int(quant), dtype=np.int64)
+    coef = _jpeg_block_coefs(planes, samp, qt, level=2048.0)
+    dc_map = _huff_encode_map(_JPEG_DC12_BITS, _JPEG_DC12_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    preds = [0] * channels
+    nmcu = 0
+    rst = 0
+    for my in range(height // 8):
+        for mx in range(width // 8):
+            if restart_mcus and nmcu and nmcu % restart_mcus == 0:
+                w.restart(rst)
+                rst += 1
+                preds = [0] * channels
+            nmcu += 1
+            for ci in range(channels):
+                preds[ci] = _jpeg_encode_block(
+                    coef[ci][my, mx], dc_map, ac_map, preds[ci], w
+                )
+    scan = w.flush()
+    out, seg = _jpeg_headers(
+        width, height, channels, samp, qt, 0xFFC1, precision=12
+    )
     if restart_mcus:
         out += seg(0xFFDD, struct.pack(">H", restart_mcus))
     sos = struct.pack(">B", channels)
@@ -2203,14 +2294,16 @@ def decode_jpeg(data: bytes):
     top-down row-major bytes, gray or RGB interleaved.  Supports
     baseline sequential (SOF0/SOF1), PROGRESSIVE (SOF2 — DC
     first/refinement and AC first/refinement scans with EOBn runs,
-    T.81 Annex G) and LOSSLESS (SOF3, Annex H — predictors 1-7,
+    T.81 Annex G), LOSSLESS (SOF3, Annex H — predictors 1-7,
     2-16 bit precision scaled to the 8-bit byte contract, point
-    transform, modulo-2^16 reconstruction), with restart intervals
-    (DRI + RSTn) in all modes.  Tables and sampling factors come
-    from the stream, and Huffman tables are snapshotted per scan
-    (progressive streams redefine them between scans).  Raises
-    ValueError on 12-bit-baseline/arithmetic/hierarchical streams
-    instead of guessing."""
+    transform, modulo-2^16 reconstruction) and 12-BIT extended
+    sequential / progressive (SOF1/SOF2 with Pq=1 16-bit DQT
+    entries, 2048 level shift, output scaled to the byte contract),
+    with restart intervals (DRI + RSTn) in all modes.  Tables and
+    sampling factors come from the stream, and Huffman tables are
+    snapshotted per scan (progressive streams redefine them between
+    scans).  Raises ValueError on 12-bit-SOF0/arithmetic/
+    hierarchical streams instead of guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -2246,12 +2339,20 @@ def decode_jpeg(data: bytes):
                 bp = 0
                 while bp < len(body):
                     pq, tq = body[bp] >> 4, body[bp] & 0x0F
-                    if pq != 0:
-                        raise ValueError("only 8-bit quantization tables supported")
-                    qts[tq] = np.frombuffer(
-                        body, dtype=np.uint8, count=64, offset=bp + 1
-                    ).astype(np.int64)
-                    bp += 65
+                    if pq == 0:
+                        qts[tq] = np.frombuffer(
+                            body, dtype=np.uint8, count=64, offset=bp + 1
+                        ).astype(np.int64)
+                        bp += 65
+                    elif pq == 1:  # 16-bit entries (12-bit precision)
+                        qts[tq] = np.frombuffer(
+                            body, dtype=">u2", count=64, offset=bp + 1
+                        ).astype(np.int64)
+                        bp += 129
+                    else:
+                        raise ValueError(
+                            f"invalid quantization table precision {pq}"
+                        )
             elif marker == 0xC4:  # DHT (possibly several tables)
                 bp = 0
                 while bp < len(body):
@@ -2270,8 +2371,15 @@ def decode_jpeg(data: bytes):
                         raise ValueError(
                             f"invalid lossless precision {prec} (2-16)"
                         )
+                elif prec == 12:
+                    # T.81 table B.2: 12-bit is legal for extended
+                    # sequential (SOF1) and progressive (SOF2) only
+                    if marker == 0xC0:
+                        raise ValueError(
+                            "baseline (SOF0) JPEG is 8-bit only"
+                        )
                 elif prec != 8:
-                    raise ValueError("only 8-bit precision supported")
+                    raise ValueError("only 8- or 12-bit precision supported")
                 comps = []
                 for ci in range(nc):
                     cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
@@ -2437,28 +2545,40 @@ def decode_jpeg(data: bytes):
         cmat = _jpeg_dct_mat()
         zz_r = np.array([r for r, _ in _JPEG_ZZ])
         zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
+        # level shift / center / clamp follow the sample precision;
+        # 12-bit output scales down to the decoder's 8-bit byte
+        # contract (same policy as the lossless path)
+        level = float(1 << (prec - 1))
+        maxv = (1 << prec) - 1
+        shift = prec - 8
         out_planes = []
         for cid, hi, vi, tq in comps:
             cz = coef[cid].astype(np.float64) * qts[tq][None, None, :]
             f = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
             f[:, :, zz_r, zz_c] = cz
-            blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + 128.0
+            blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + level
             p = blocks.transpose(0, 2, 1, 3).reshape(
                 cz.shape[0] * 8, cz.shape[1] * 8
             )
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
             out_planes.append(p[:height, :width])
         if len(out_planes) == 1:
-            px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+            px = np.clip(np.round(out_planes[0]), 0, maxv).astype(np.int64)
+            px = (px >> shift).astype(np.uint8) if shift else px.astype(
+                np.uint8
+            )
             return width, height, 1, px.reshape(-1).tobytes()
         y, cb, cr = out_planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack(
-            [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
-            axis=-1,
-        )
+        r = y + 1.402 * (cr - level)
+        g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+        b = y + 1.772 * (cb - level)
+        chans = []
+        for ch in (r, g, b):
+            q = np.clip(np.round(ch), 0, maxv).astype(np.int64)
+            chans.append(
+                (q >> shift).astype(np.uint8) if shift else q.astype(np.uint8)
+            )
+        rgb = np.stack(chans, axis=-1)
         return width, height, 3, rgb.reshape(-1).tobytes()
     except (struct.error, IndexError, KeyError, OverflowError,
             ZeroDivisionError) as e:

@@ -863,3 +863,82 @@ def test_jpeg_lossless_fuzz_valueerror_contract():
             decode_jpeg(bytes(m))
         except ValueError:
             pass
+
+
+def test_jpeg12_extended_sequential_roundtrip_and_goldens():
+    """12-bit extended sequential (SOF1): constant 8x8 tiles at
+    quant=1 reconstruct their exact 12-bit value (DC is an exact
+    integer), scaled to the byte contract by >> 4; the header bytes
+    pin Pq=1 16-bit DQT entries and the precision-12 SOF field; a
+    random image at quant=1 is near-lossless at the 12-bit scale."""
+    import struct as _struct
+
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg12,
+    )
+
+    # constant tiles: 16x8, tiles valued 3000 and 512
+    img = np.zeros((8, 16), dtype=np.int64)
+    img[:, :8] = 3000
+    img[:, 8:] = 512
+    b = encode_jpeg12(16, 8, img)
+    # golden header fields: DQT marker with Pq=1, 129-byte table body
+    i = b.index(b"\xff\xdb")
+    (dqt_len,) = _struct.unpack_from(">H", b, i + 2)
+    assert dqt_len == 2 + 1 + 128 and b[i + 4] == 0x10
+    assert b[i + 5 : i + 7] == b"\x00\x01"  # first 16-bit entry == 1
+    j = b.index(b"\xff\xc1")
+    assert b[j + 4] == 12  # SOF precision field
+    w, h, c, px = decode_jpeg(b)
+    got = np.frombuffer(px, np.uint8).reshape(8, 16)
+    assert (w, h, c) == (16, 8, 1)
+    assert (got[:, :8] == 3000 >> 4).all()
+    assert (got[:, 8:] == 512 >> 4).all()
+    # random content at quant=1: output bytes within 1 of source>>4
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 4096, size=(8, 8))
+    _, _, _, px2 = decode_jpeg(encode_jpeg12(8, 8, a))
+    got2 = np.frombuffer(px2, np.uint8).reshape(8, 8).astype(np.int64)
+    assert np.abs(got2 - (a >> 4)).max() <= 1
+    # 12-bit RGB path decodes through the 2048-centered transform
+    rgb = rng.integers(0, 4096, size=(8, 8, 3))
+    W, H, C, px3 = decode_jpeg(encode_jpeg12(8, 8, rgb, channels=3))
+    assert (W, H, C) == (8, 8, 3)
+    got3 = np.frombuffer(px3, np.uint8).reshape(8, 8, 3).astype(np.int64)
+    assert np.abs(got3 - (rgb >> 4)).max() <= 3  # YCbCr roundtrip error
+    # restart intervals reset predictors in 12-bit mode too
+    _, _, _, px4 = decode_jpeg(encode_jpeg12(16, 8, img, restart_mcus=1))
+    assert px4 == px
+    # 12-bit under SOF0 stays refused
+    bad = bytearray(b)
+    bad[j + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg12(8, 8, np.full((8, 8), 4096))
+
+
+def test_jpeg12_fuzz_valueerror_contract():
+    """Corrupt 12-bit streams raise ValueError, never an internal
+    error — the same contract as every other JPEG mode."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg12,
+    )
+
+    rng = np.random.default_rng(73)
+    src = encode_jpeg12(
+        8, 16, rng.integers(0, 4096, size=(16, 8)), restart_mcus=1
+    )
+    for _ in range(400):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(m))
+        except ValueError:
+            pass
