@@ -229,6 +229,8 @@ def main() -> None:
         "c4_sequence_packing",
         "d6_semantic_dedup",
         "d11_duplicate_spans",
+        "t16_bm25_topk",
+        "d13_bloom_cross_corpus",
     ):
         timed(name, lambda name=name: _noop(registry[name](spark, sf_dir)))
 
@@ -484,6 +486,29 @@ def main() -> None:
         _noop(semantic_dedup(emb10, threshold=0.3))
         scale["d6_semantic_dedup_auto_10x"] = round(time.time() - t0, 3)
 
+        # 10x cross-corpus Bloom membership: the bitmap is n_bits/64
+        # rows HOWEVER big the corpus (build shuffle and broadcast
+        # are scale-invariant); the linear part is the probe side
+        from dask_traj_spark.operators.dedup import bloom_membership
+
+        t0 = time.time()
+        _noop(bloom_membership(docs, docs))
+        times["d13_bloom_membership"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(bloom_membership(docs10, docs10))
+        scale["d13_bloom_membership_10x"] = round(time.time() - t0, 3)
+
+        # 10x BM25: the explode filters to the query's terms in the
+        # same map stage, so shuffled volume is matching tokens only
+        from dask_traj_spark.functions.text import bm25_topk
+
+        t0 = time.time()
+        _noop(bm25_topk(docs, "hash join merge order", k=5))
+        times["t16_bm25"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(bm25_topk(docs10, "hash join merge order", k=5))
+        scale["t16_bm25_10x"] = round(time.time() - t0, 3)
+
         # SKEWED-corpus MinHash-LSH (VERDICT r4 item 8): 20% of docs
         # share one boilerplate template, so one band bucket holds
         # ~20% of the corpus — the adversarial shape MAX_BUCKET's cap
@@ -534,6 +559,13 @@ def main() -> None:
             "d6_semantic_dedup_auto": round(
                 scale["d6_semantic_dedup_auto_10x"]
                 / (10 * times["d6_semantic_dedup_auto"]), 2
+            ),
+            "d13_bloom_membership": round(
+                scale["d13_bloom_membership_10x"]
+                / (10 * times["d13_bloom_membership"]), 2
+            ),
+            "t16_bm25": round(
+                scale["t16_bm25_10x"] / (10 * times["t16_bm25"]), 2
             ),
             "d11_duplicate_spans": round(
                 scale["d11_duplicate_spans_10x"]
