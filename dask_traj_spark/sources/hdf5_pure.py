@@ -626,14 +626,20 @@ def _dense_link_parts(
         if heap_filters
         else b""
     )
-    root_direct = len(blocks) == 1
+    # root is a direct block ONLY when the single allocated block is
+    # the offset-0 starting block (the reader derives its size from
+    # start_size); a lone block elsewhere in the schedule — a message
+    # too big for the start block — needs the indirect root, exactly
+    # as libhdf5 converts the root when an insert outgrows it
+    root_direct = len(blocks) == 1 and blocks[0][0] == 0
+    root_is_dblock = root_direct or not blocks
     frhp_addr = pos
     frhp_size = 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
     if filt_info:
         # optional fields before the checksum: filtered-root-block
         # size (length) + filter mask — present whenever the current
         # root is NOT an indirect block — then the filter info
-        frhp_size += (12 if len(blocks) <= 1 else 0) + len(filt_info)
+        frhp_size += (12 if root_is_dblock else 0) + len(filt_info)
     pos = _align8(pos + frhp_size)
 
     # ---- direct-block bytes
@@ -685,7 +691,7 @@ def _dense_link_parts(
 
     esz = 8 + (12 if heap_filters else 0)
     root_ib = None
-    if len(blocks) > 1:
+    if blocks and not root_direct:
         root_ib = _IBlk(0, block_path(blocks[-1][0])[0][0] + 1)
         for bi, (o, _size) in enumerate(blocks):
             p = block_path(o)
@@ -785,12 +791,12 @@ def _dense_link_parts(
     hdr += struct.pack("<H", width)
     hdr += struct.pack("<QQ", start_size, max_direct)
     hdr += struct.pack("<H", max_heap_bits)
-    curr_rows = 0 if len(blocks) <= 1 else root_ib.nrows
+    curr_rows = 0 if root_is_dblock else root_ib.nrows
     hdr += struct.pack("<H", curr_rows)  # starting rows
     hdr += struct.pack("<Q", heap_root)
     hdr += struct.pack("<H", curr_rows)
     if filt_info:
-        if len(blocks) <= 1:
+        if root_is_dblock:
             hdr += struct.pack(
                 "<QI", len(dblks[0]) if dblks else 0, 0
             )

@@ -1461,3 +1461,29 @@ def test_heap_exotics_fuzz_regression(tmp_path):
                         f.read(n)
             except allowed:
                 pass
+
+
+def test_heap_single_oversized_managed_message(tmp_path):
+    """One link whose message outgrows the STARTING block but stays
+    managed: the lone direct block sits deeper in the doubling
+    schedule, so the root must be an INDIRECT block with skipped
+    (unallocated) early entries — a root-direct claim here would
+    make the reader assume size=start at offset 0 and reject the
+    object.  Mirrors libhdf5 converting the root on an oversized
+    insert."""
+    p = tmp_path / "one.h5"
+    name = "Q" * 150  # message 161 bytes: skips the 64/128-blocks
+    ds = {name: ((3,), "f64", np.arange(3.0).tobytes())}
+    write_h5(str(p), ds, fmt_version=2, dense_links=True,
+             dense_params=(2, 64, 512, 512))
+    b = open(p, "rb").read()
+    assert b.count(b"FHIB") == 1 and b.count(b"FHDB") == 1
+    fr = b.index(b"FRHP")
+    # current-rows field: 110 fixed bytes + width(2) + start(8) +
+    # max_direct(8) + heap_bits(2) + start_rows(2) + root_addr(8)
+    base = 10 + 4 + 8 * 12
+    (curr_rows,) = struct.unpack_from("<H", b, fr + base + 30)
+    assert curr_rows >= 4  # the 256-block lives in row 3
+    with PureH5(str(p)) as f:
+        assert list(f.datasets) == [name]
+        np.testing.assert_array_equal(f.read(name), np.arange(3.0))
