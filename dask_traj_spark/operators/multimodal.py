@@ -1393,10 +1393,9 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # transform, modulo-2^16); 12-bit extended sequential/progressive
 # (Pq=1 DQT, 2048 level shift) scales to the byte contract;
 # hierarchical (Annex J) pipelines DHP → base frame → EXP J.1.1.2
-# upsample → SOF5 differential addition.  Arithmetic coding,
-# 12-bit-under-SOF0 and the differential progressive/lossless
-# frame types raise ValueError — honest gates, not silent wrong
-# pixels.
+# upsample → SOF5/SOF6 differential addition.  Arithmetic coding,
+# 12-bit-under-SOF0 and the differential-lossless frame type raise
+# ValueError — honest gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
 # table is legal JPEG) used to build oracle-checkable payloads;
@@ -1762,16 +1761,21 @@ def encode_jpeg_hierarchical(
     pixels: bytes,
     channels: int = 1,
     quant: int = 1,
+    progressive: bool = False,
 ) -> bytes:
     """Fixture-grade HIERARCHICAL (Annex J) encoder: DHP at full
     resolution, a non-differential SOF0 base frame at half
     resolution (rounded 2×2 box downsample), an EXP ×2 expansion,
-    and one SOF5 differential frame coding ``full − upsample(decoded
-    base)`` with no level shift.  Dims must be multiples of 16 so
-    the half-res frame stays block-aligned.  The encoder replays the
-    decoder's exact base-frame reconstruction and J.1.1.2 upsample,
-    so at quant=1 the decoded pyramid reproduces the source within
-    DCT rounding (bit-exactly for constant 16×16 tiles)."""
+    and one differential frame coding ``full − upsample(decoded
+    base)`` with no level shift — SOF5 sequential by default, or
+    SOF6 differential PROGRESSIVE (one interleaved DC scan + one
+    AC band scan per component) with ``progressive=True``; both
+    carry identical information, so their decodes are identical.
+    Dims must be multiples of 16 so the half-res frame stays
+    block-aligned.  The encoder replays the decoder's exact
+    base-frame reconstruction and J.1.1.2 upsample, so at quant=1
+    the decoded pyramid reproduces the source within DCT rounding
+    (bit-exactly for constant 16×16 tiles)."""
     import numpy as np
 
     if width % 16 or height % 16:
@@ -1835,6 +1839,63 @@ def encode_jpeg_hierarchical(
                     )
         return out + w.flush()
 
+    def frame_prog(frame_planes, w_, h_):
+        """SOF6 differential progressive: interleaved DC scan
+        (Ss=Se=0) then one full-band AC scan per component."""
+        body = struct.pack(">BHHB", 8, h_, w_, channels)
+        for ci in range(channels):
+            body += struct.pack(">BBB", ci + 1, 0x11, 0)
+        out = struct.pack(">HH", 0xFFC6, len(body) + 2) + body
+        coefs = _jpeg_block_coefs(frame_planes, samp, qt, level=0.0)
+        w = _BitWriter()
+        preds = [0] * channels
+        for my in range(h_ // 8):
+            for mx in range(w_ // 8):
+                for ci in range(channels):
+                    dc = int(coefs[ci][my, mx, 0])
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s = _jpeg_category(diff)
+                    code, length = dc_diff[s]
+                    w.write(code, length)
+                    if s:
+                        amp = diff if diff > 0 else diff + (1 << s) - 1
+                        w.write(amp, s)
+        sos = struct.pack(">B", channels)
+        for ci in range(channels):
+            sos += struct.pack(">BB", ci + 1, 0x00)
+        sos += b"\x00\x00\x00"  # Ss=0 Se=0 Ah=0 Al=0
+        out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos + w.flush()
+        for ci in range(channels):
+            w = _BitWriter()
+            for my in range(h_ // 8):
+                for mx in range(w_ // 8):
+                    blk = coefs[ci][my, mx]
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(blk[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            code, length = ac_map[0xF0]
+                            w.write(code, length)
+                            run -= 16
+                        s = _jpeg_category(v)
+                        code, length = ac_map[(run << 4) | s]
+                        w.write(code, length)
+                        amp = v if v > 0 else v + (1 << s) - 1
+                        w.write(amp, s)
+                        run = 0
+                    if run:
+                        code, length = ac_map[0x00]  # EOB run of 1
+                        w.write(code, length)
+            sos = struct.pack(">BBB", 1, ci + 1, 0x00)
+            sos += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah=0 Al=0
+            out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
+            out += w.flush()
+        return out
+
     out, seg = _jpeg_headers(width, height, channels, samp, qt, 0xFFDE)
     # _jpeg_headers wrote the DHP body in SOF form (that IS the DHP
     # encoding); frames follow with their own SOF/SOS pairs
@@ -1846,10 +1907,11 @@ def encode_jpeg_hierarchical(
         0xFFC4,
         b"\x00" + bytes(_JPEG_DC12_BITS) + bytes(_JPEG_DC12_VALS),
     )
-    out += frame(
-        0xFFC5, [r.astype(np.float64) for r in residuals],
-        width, height, 0.0, dc_diff,
-    )
+    res_planes = [r.astype(np.float64) for r in residuals]
+    if progressive:
+        out += frame_prog(res_planes, width, height)
+    else:
+        out += frame(0xFFC5, res_planes, width, height, 0.0, dc_diff)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2637,14 +2699,14 @@ def decode_jpeg(data: bytes):
     sequential / progressive (SOF1/SOF2 with Pq=1 16-bit DQT
     entries, 2048 level shift, output scaled to the byte contract)
     and HIERARCHICAL (Annex J — DHP full-res header, EXP ×2
-    reference expansion per J.1.1.2, SOF5 differential frames whose
+    reference expansion per J.1.1.2, SOF5/SOF6 differential frames whose
     unshifted IDCT output adds onto the clamped reference;
     unsampled components, like the lossless scope), with restart
     intervals (DRI + RSTn) throughout.  Tables and sampling factors
     come from the stream, and Huffman tables are snapshotted per
     scan (progressive streams redefine them between scans).  Raises
-    ValueError on 12-bit-SOF0/arithmetic/differential-progressive/
-    differential-lossless streams instead of guessing."""
+    ValueError on 12-bit-SOF0/arithmetic/differential-lossless
+    streams instead of guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -2706,13 +2768,14 @@ def decode_jpeg(data: bytes):
                     vals = list(body[bp + 17 : bp + 17 + n])
                     huff[(tc, th)] = _huff_decode_tables(bits, vals)
                     bp += 17 + n
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5):  # SOF0-3/5
-                differential = marker == 0xC5
-                progressive = marker == 0xC2
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6):
+                # SOF0-3 + differential sequential/progressive (5/6)
+                differential = marker in (0xC5, 0xC6)
+                progressive = marker in (0xC2, 0xC6)
                 lossless = marker == 0xC3
                 if differential and dhp is None:
                     raise ValueError(
-                        "differential SOF5 frame outside a hierarchical "
+                        "differential SOF frame outside a hierarchical "
                         "(DHP) stream"
                     )
                 if dhp is not None and lossless:
@@ -2776,11 +2839,11 @@ def decode_jpeg(data: bytes):
                         "EXP marker outside a hierarchical stream"
                     )
                 ops.append(("exp", body[0] >> 4, body[0] & 0x0F))
-            elif marker in (0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            elif marker in (0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise ValueError(
                     "only baseline (SOF0/1), progressive (SOF2), "
-                    "lossless (SOF3) and hierarchical sequential (SOF5) "
+                    "lossless (SOF3) and hierarchical DCT (SOF5/SOF6) "
                     "JPEG are supported"
                 )
             elif marker == 0xDD:  # DRI — restart interval (may change)

@@ -1032,11 +1032,30 @@ def test_jpeg_hierarchical_pipeline():
     with _pytest.raises(ValueError, match="reference|dims"):
         decode_jpeg(bytes(noexp))
     swapped = bytearray(b)
-    swapped[i + 1] = 0xC6  # differential progressive: refused
+    # a SEQUENTIAL scan relabeled differential-progressive (SOF6) is
+    # structurally illegal: its Ss=0/Se=63 header is not a valid
+    # progression — ValueError, never a misparse
+    swapped[i + 1] = 0xC6
+    with _pytest.raises(ValueError, match="spectral"):
+        decode_jpeg(bytes(swapped))
+    swapped[i + 1] = 0xC7  # differential lossless: refused by marker
     with _pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(swapped))
     with _pytest.raises(ValueError, match="16"):
         encode_jpeg_hierarchical(8, 8, bytes(64))
+
+    # SOF6 differential progressive carries identical information to
+    # the SOF5 sequential form — decodes must be byte-identical
+    for ch, src in ((1, a), (3, rgb)):
+        seq = decode_jpeg(
+            encode_jpeg_hierarchical(16, 16, src.tobytes(), channels=ch)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_hierarchical(
+                16, 16, src.tobytes(), channels=ch, progressive=True
+            )
+        )
+        assert seq == prog
 
 
 def test_jpeg_hierarchical_fuzz_valueerror_contract():
@@ -1050,13 +1069,13 @@ def test_jpeg_hierarchical_fuzz_valueerror_contract():
     )
 
     rng = np.random.default_rng(83)
-    src = encode_jpeg_hierarchical(
-        16, 16, rng.integers(0, 256, size=(16, 16), dtype=np.uint8).tobytes()
-    )
-    for _ in range(400):
-        m = bytearray(src)
-        m[rng.integers(0, len(m))] = rng.integers(0, 256)
-        try:
-            decode_jpeg(bytes(m))
-        except ValueError:
-            pass
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8).tobytes()
+    for prog in (False, True):
+        src = encode_jpeg_hierarchical(16, 16, px, progressive=prog)
+        for _ in range(300):
+            m = bytearray(src)
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+            try:
+                decode_jpeg(bytes(m))
+            except ValueError:
+                pass
