@@ -1393,9 +1393,10 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # transform, modulo-2^16); 12-bit extended sequential/progressive
 # (Pq=1 DQT, 2048 level shift) scales to the byte contract;
 # hierarchical (Annex J) pipelines DHP → base frame → EXP J.1.1.2
-# upsample → SOF5/SOF6 differential addition.  Arithmetic coding,
-# 12-bit-under-SOF0 and the differential-lossless frame type raise
-# ValueError — honest gates, not silent wrong pixels.
+# upsample → SOF5/SOF6 differential addition, and SOF7 lossless
+# correction frames close the pyramid exactly via modulo-2^16
+# diffs.  Arithmetic coding and 12-bit-under-SOF0 raise ValueError
+# — honest gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
 # table is legal JPEG) used to build oracle-checkable payloads;
@@ -1762,6 +1763,7 @@ def encode_jpeg_hierarchical(
     channels: int = 1,
     quant: int = 1,
     progressive: bool = False,
+    lossless_correction: bool = False,
 ) -> bytes:
     """Fixture-grade HIERARCHICAL (Annex J) encoder: DHP at full
     resolution, a non-differential SOF0 base frame at half
@@ -1775,7 +1777,13 @@ def encode_jpeg_hierarchical(
     block-aligned.  The encoder replays the decoder's exact
     base-frame reconstruction and J.1.1.2 upsample, so at quant=1
     the decoded pyramid reproduces the source within DCT rounding
-    (bit-exactly for constant 16×16 tiles)."""
+    (bit-exactly for constant 16×16 tiles).  With
+    ``lossless_correction=True`` the differential frame is instead a
+    SOF7 LOSSLESS correction — per-sample modulo-2^16 differences vs
+    the upsampled reference — so the decoded pyramid reproduces the
+    coded component planes EXACTLY (the classic lossy-base +
+    lossless-closer hierarchy; bit-exact end-to-end for channels=1,
+    where no color transform intervenes)."""
     import numpy as np
 
     if width % 16 or height % 16:
@@ -1907,11 +1915,42 @@ def encode_jpeg_hierarchical(
         0xFFC4,
         b"\x00" + bytes(_JPEG_DC12_BITS) + bytes(_JPEG_DC12_VALS),
     )
-    res_planes = [r.astype(np.float64) for r in residuals]
-    if progressive:
-        out += frame_prog(res_planes, width, height)
+    if lossless_correction:
+        # SOF7 closer: category table covering 0-16, one interleaved
+        # scan of (full - upsample(decoded base)) mod 2^16 diffs
+        out += seg(
+            0xFFC4, b"\x00" + bytes(_LL_BITS) + bytes(_LL_VALS)
+        )
+        body = struct.pack(">BHHB", 8, height, width, channels)
+        for ci in range(channels):
+            body += struct.pack(">BBB", ci + 1, 0x11, 0)
+        out += struct.pack(">HH", 0xFFC7, len(body) + 2) + body
+        sos = struct.pack(">B", channels)
+        for ci in range(channels):
+            sos += struct.pack(">BB", ci + 1, 0x00)
+        sos += b"\x00\x00\x00"  # Ss=Se=0, Al=0
+        out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
+        codes = _huff_encode_map(_LL_BITS, _LL_VALS)
+        w = _BitWriter()
+        for row in range(height):
+            for col in range(width):
+                for ci in range(channels):
+                    d = int(residuals[ci][row, col]) & 0xFFFF
+                    if d >= 32768:
+                        d -= 65536
+                    s_ = 16 if d == -32768 else abs(d).bit_length()
+                    code, length = codes[s_]
+                    w.write(code, length)
+                    if 0 < s_ < 16:
+                        amp = d if d >= 0 else d + (1 << s_) - 1
+                        w.write(amp, s_)
+        out += w.flush()
     else:
-        out += frame(0xFFC5, res_planes, width, height, 0.0, dc_diff)
+        res_planes = [r.astype(np.float64) for r in residuals]
+        if progressive:
+            out += frame_prog(res_planes, width, height)
+        else:
+            out += frame(0xFFC5, res_planes, width, height, 0.0, dc_diff)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2595,6 +2634,50 @@ def _jpeg_planes_to_bytes(out_planes, prec, width, height):
     return width, height, 3, rgb.reshape(-1).tobytes()
 
 
+def _decode_jpeg_lossless_diffs(data, width, height, comps, scans):
+    """Differential LOSSLESS frame (SOF7, T.81 Annex H for the
+    coding model + Annex J for the frame role): each sample is a
+    Huffman-coded difference against the hierarchical reference with
+    NO spatial prediction (the reference IS the prediction), added
+    modulo 2^16 by the caller.  Scans must carry Ss=0 (no predictor)
+    and Al=0; components unsampled."""
+    import numpy as np
+
+    if any(hi != 1 or vi != 1 for _, hi, vi, _ in comps):
+        raise ValueError(
+            "lossless JPEG with sampled components is not supported"
+        )
+    diffs = {
+        cid: np.zeros((height, width), dtype=np.int64)
+        for cid, _, _, _ in comps
+    }
+    for scomps, ss, se, _ah, al, start, htabs, dri_scan in scans:
+        if ss != 0 or se != 0 or al != 0:
+            raise ValueError(
+                "differential lossless scan must carry Ss=Se=0 and Al=0"
+            )
+        rd = _BitReader(data, start)
+        tabs = {cid: htabs[(0, dct)] for cid, dct, _act in scomps}
+        nmcu = 0
+        for row in range(height):
+            for col in range(width):
+                if dri_scan and nmcu and nmcu % dri_scan == 0:
+                    rd.restart()
+                nmcu += 1
+                for cid, _dct, _act in scomps:
+                    s = _huff_read(rd, tabs[cid])
+                    if s == 16:
+                        d = 32768
+                    elif s > 16:
+                        raise ValueError(
+                            f"invalid lossless difference category {s}"
+                        )
+                    else:
+                        d = _receive_extend(rd, s)
+                    diffs[cid][row, col] = d
+    return diffs
+
+
 def _jpeg_expand(p, eh: int, ev: int):
     """T.81 J.1.1.2 reference upsampling for the EXP marker: each
     enabled axis doubles with P(2x) = P(x), P(2x+1) =
@@ -2651,6 +2734,27 @@ def _decode_jpeg_hierarchical(data, dhp, ops, qts):
             )
         if not fr["scans"]:
             raise ValueError("hierarchical frame without a scan")
+        if fr["lossless"]:
+            # SOF7 correction frame: per-sample Huffman diffs vs the
+            # reference, added modulo 2^16 (T.81 lossless arithmetic)
+            # — the exact-reconstruction closer of a lossy pyramid
+            diffs = _decode_jpeg_lossless_diffs(
+                data, fr["w"], fr["h"], fr["comps"], fr["scans"]
+            )
+            for cid, _hi, _vi, _tq in fr["comps"]:
+                if cid not in refs:
+                    raise ValueError(
+                        "differential frame before its reference frame"
+                    )
+                ref = refs[cid]
+                if ref.shape[0] < fr["h"] or ref.shape[1] < fr["w"]:
+                    raise ValueError(
+                        "differential frame larger than its reference"
+                    )
+                refs[cid] = (
+                    ref[: fr["h"], : fr["w"]] + diffs[cid]
+                ) & 0xFFFF
+            continue
         level = 0.0 if fr["differential"] else float(1 << (prec - 1))
         planes = _decode_frame_planes(
             data, fr["w"], fr["h"], fr["comps"], fr["scans"],
@@ -2700,13 +2804,14 @@ def decode_jpeg(data: bytes):
     entries, 2048 level shift, output scaled to the byte contract)
     and HIERARCHICAL (Annex J — DHP full-res header, EXP ×2
     reference expansion per J.1.1.2, SOF5/SOF6 differential frames whose
-    unshifted IDCT output adds onto the clamped reference;
+    unshifted IDCT output adds onto the clamped reference, SOF7
+    lossless corrections added modulo 2^16;
     unsampled components, like the lossless scope), with restart
     intervals (DRI + RSTn) throughout.  Tables and sampling factors
     come from the stream, and Huffman tables are snapshotted per
     scan (progressive streams redefine them between scans).  Raises
-    ValueError on 12-bit-SOF0/arithmetic/differential-lossless
-    streams instead of guessing."""
+    ValueError on 12-bit-SOF0 and arithmetic-coded streams instead
+    of guessing — every Huffman-coded T.81 process decodes."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -2768,20 +2873,20 @@ def decode_jpeg(data: bytes):
                     vals = list(body[bp + 17 : bp + 17 + n])
                     huff[(tc, th)] = _huff_decode_tables(bits, vals)
                     bp += 17 + n
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6):
-                # SOF0-3 + differential sequential/progressive (5/6)
-                differential = marker in (0xC5, 0xC6)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                # SOF0-3 + differential seq/prog/lossless (5/6/7)
+                differential = marker in (0xC5, 0xC6, 0xC7)
                 progressive = marker in (0xC2, 0xC6)
-                lossless = marker == 0xC3
+                lossless = marker in (0xC3, 0xC7)
                 if differential and dhp is None:
                     raise ValueError(
                         "differential SOF frame outside a hierarchical "
                         "(DHP) stream"
                     )
-                if dhp is not None and lossless:
+                if dhp is not None and marker == 0xC3:
                     raise ValueError(
-                        "lossless frames inside a hierarchical stream "
-                        "are not supported"
+                        "a non-differential lossless frame inside a "
+                        "hierarchical stream is not supported"
                     )
                 prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
                 if lossless:
@@ -2813,7 +2918,7 @@ def decode_jpeg(data: bytes):
                 sof = (w_, h, comps)
                 fr = {
                     "prec": prec, "w": w_, "h": h, "comps": comps,
-                    "progressive": progressive,
+                    "progressive": progressive, "lossless": lossless,
                     "differential": differential, "scans": [],
                 }
                 frames.append(fr)
@@ -2839,12 +2944,9 @@ def decode_jpeg(data: bytes):
                         "EXP marker outside a hierarchical stream"
                     )
                 ops.append(("exp", body[0] >> 4, body[0] & 0x0F))
-            elif marker in (0xC7, 0xC9, 0xCA, 0xCB,
-                            0xCD, 0xCE, 0xCF):
+            elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "only baseline (SOF0/1), progressive (SOF2), "
-                    "lossless (SOF3) and hierarchical DCT (SOF5/SOF6) "
-                    "JPEG are supported"
+                    "arithmetic-coded JPEG (SOF9-15) is not supported"
                 )
             elif marker == 0xDD:  # DRI — restart interval (may change)
                 (dri,) = struct.unpack_from(">H", body, 0)

@@ -1038,11 +1038,26 @@ def test_jpeg_hierarchical_pipeline():
     swapped[i + 1] = 0xC6
     with _pytest.raises(ValueError, match="spectral"):
         decode_jpeg(bytes(swapped))
-    swapped[i + 1] = 0xC7  # differential lossless: refused by marker
-    with _pytest.raises(ValueError, match="SOF"):
+    # a sequential scan relabeled differential LOSSLESS (SOF7) is
+    # structurally illegal too: lossless scans must carry Ss=Se=0
+    swapped[i + 1] = 0xC7
+    with _pytest.raises(ValueError, match="Ss=Se=0"):
         decode_jpeg(bytes(swapped))
     with _pytest.raises(ValueError, match="16"):
         encode_jpeg_hierarchical(8, 8, bytes(64))
+
+    # SOF7 lossless correction: lossy base + modulo-2^16 closer
+    # reproduces the source EXACTLY (the hierarchy's headline
+    # property; channels=1 so no color transform intervenes)
+    for seed in (9, 23, 57):
+        rng2 = np.random.default_rng(seed)
+        src = rng2.integers(0, 256, size=(16, 32), dtype=np.uint8)
+        bl = encode_jpeg_hierarchical(
+            32, 16, src.tobytes(), lossless_correction=True
+        )
+        assert bl.count(b"\xff\xc7") == 1
+        _, _, _, pl = decode_jpeg(bl)
+        assert pl == src.tobytes()
 
     # SOF6 differential progressive carries identical information to
     # the SOF5 sequential form — decodes must be byte-identical
@@ -1070,9 +1085,13 @@ def test_jpeg_hierarchical_fuzz_valueerror_contract():
 
     rng = np.random.default_rng(83)
     px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8).tobytes()
-    for prog in (False, True):
-        src = encode_jpeg_hierarchical(16, 16, px, progressive=prog)
-        for _ in range(300):
+    seeds = [
+        encode_jpeg_hierarchical(16, 16, px),
+        encode_jpeg_hierarchical(16, 16, px, progressive=True),
+        encode_jpeg_hierarchical(16, 16, px, lossless_correction=True),
+    ]
+    for src in seeds:
+        for _ in range(250):
             m = bytearray(src)
             m[rng.integers(0, len(m))] = rng.integers(0, 256)
             try:
