@@ -1395,8 +1395,11 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # hierarchical (Annex J) pipelines DHP → base frame → EXP J.1.1.2
 # upsample → SOF5/SOF6 differential addition, and SOF7 lossless
 # correction frames close the pyramid exactly via modulo-2^16
-# diffs.  Arithmetic coding and 12-bit-under-SOF0 raise ValueError
-# — honest gates, not silent wrong pixels.
+# diffs; arithmetic sequential (SOF9) decodes through the Annex D
+# QM coder + Annex F conditioning trees, cross-validated against
+# the system libjpeg bitwise in both directions.  The arithmetic
+# progressive/lossless/differential processes and 12-bit-under-SOF0
+# raise ValueError — honest gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
 # table is legal JPEG) used to build oracle-checkable payloads;
@@ -1753,6 +1756,161 @@ def encode_jpeg12(
     out += seg(0xFFDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _qm_encode_mag(enc, stats, stp, x1, v1):
+    """Shared magnitude-category + magnitude-bits emitter: first
+    decision at ``stp`` (v > 1), the doubling chain starting at bin
+    ``x1``, then the magnitude bits one bin past the chain — the
+    exact mirror of the decode trees."""
+    if v1 == 0:
+        enc.encode(stats, stp, 0)
+        m = 0
+    else:
+        enc.encode(stats, stp, 1)
+        m = 1
+        stp = x1
+        while (m << 1) <= v1:
+            enc.encode(stats, stp, 1)
+            m <<= 1
+            stp += 1
+        enc.encode(stats, stp, 0)
+    bit = m >> 1
+    stp += 14
+    while bit:
+        enc.encode(stats, stp, 1 if v1 & bit else 0)
+        bit >>= 1
+    return m
+
+
+def encode_jpeg_arith(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 1,
+    restart_mcus: int = 0,
+) -> bytes:
+    """Fixture-grade ARITHMETIC-coded sequential JPEG (SOF9): the
+    T.81 Annex D QM coder under the Annex F conditioning model, with
+    the default DC/AC conditioning declared in a DAC marker.  Same
+    flat-quant / block-aligned / 4:4:4 contract as
+    :func:`encode_jpeg`; a stream of the same pixels decodes to
+    byte-identical output as the Huffman encoding (the entropy layer
+    carries identical coefficients), which is also how the tests
+    cross-validate both directions against the system libjpeg."""
+    import numpy as np
+
+    planes, samp = _jpeg_prepare(width, height, pixels, channels, "444")
+    qt = np.full(64, int(quant), dtype=np.int64)
+    coefs = _jpeg_block_coefs(planes, samp, qt)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += seg(0xFFC9, sof)
+    # DAC: the default conditioning, spelled out (DC L=0 U=1; AC Kx=5)
+    out += seg(0xFFCC, bytes([0x00, 0x10, 0x10, 5]))
+    if restart_mcus:
+        out += seg(0xFFDD, struct.pack(">H", restart_mcus))
+    sos = struct.pack(">B", channels)
+    for ci in range(channels):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+
+    def fresh_state():
+        return (
+            _QMEncoder(), bytearray(64), bytearray(256),
+            [0] * channels, [0] * channels,
+        )
+
+    enc, dst, ast, dc_ctx, last_dc = fresh_state()
+    nmcu = 0
+    rst = 0
+    for my in range(height // 8):
+        for mx in range(width // 8):
+            if restart_mcus and nmcu and nmcu % restart_mcus == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                enc, dst, ast, dc_ctx, last_dc = fresh_state()
+            nmcu += 1
+            for ci in range(channels):
+                blk = coefs[ci][my, mx]
+                # ---- DC
+                base = dc_ctx[ci]
+                diff = int(blk[0]) - last_dc[ci]
+                last_dc[ci] = int(blk[0])
+                if diff == 0:
+                    enc.encode(dst, base, 0)
+                    dc_ctx[ci] = 0
+                else:
+                    enc.encode(dst, base, 1)
+                    sign = 1 if diff < 0 else 0
+                    enc.encode(dst, base + 1, sign)
+                    m = _qm_encode_mag(
+                        enc, dst, base + 2 + sign, 20, abs(diff) - 1
+                    )
+                    if m < (1 << 0) >> 1:  # default L=0
+                        dc_ctx[ci] = 0
+                    elif m > (1 << 1) >> 1:  # default U=1
+                        dc_ctx[ci] = 12 + sign * 4
+                    else:
+                        dc_ctx[ci] = 4 + sign * 4
+                # ---- AC
+                kmax = 0
+                for k in range(1, 64):
+                    if blk[k]:
+                        kmax = k
+                k = 1
+                while k <= kmax:
+                    stp = 3 * (k - 1)
+                    enc.encode(ast, stp, 0)  # not EOB
+                    v = int(blk[k])
+                    while v == 0:
+                        enc.encode(ast, stp + 1, 0)
+                        stp += 3
+                        k += 1
+                        v = int(blk[k])
+                    enc.encode(ast, stp + 1, 1)
+                    enc.encode(_QM_FIXED_BIN, 0, 1 if v < 0 else 0)
+                    stp += 2
+                    v1 = abs(v) - 1
+                    if v1 == 0:
+                        enc.encode(ast, stp, 0)
+                        m = 0
+                    else:
+                        enc.encode(ast, stp, 1)  # |v| > 1
+                        if v1 < 2:
+                            enc.encode(ast, stp, 0)  # |v| == 2
+                            m = 1
+                        else:
+                            enc.encode(ast, stp, 1)
+                            m = 2
+                            stp = 189 if k <= 5 else 217  # default Kx=5
+                            while (m << 1) <= v1:
+                                enc.encode(ast, stp, 1)
+                                m <<= 1
+                                stp += 1
+                            enc.encode(ast, stp, 0)
+                    bit = m >> 1
+                    stp += 14
+                    while bit:
+                        enc.encode(ast, stp, 1 if v1 & bit else 0)
+                        bit >>= 1
+                    k += 1
+                if kmax < 63:
+                    enc.encode(ast, 3 * (k - 1), 1)  # EOB
+    out += enc.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -2491,8 +2649,485 @@ def encode_jpeg_lossless(
     return bytes(out)
 
 
+# ----------------------------------------------------- arithmetic JPEG
+# ITU-T T.81 Annex D QM coder + the Annex F conditioning model for
+# DCT coefficients.  The state table below is Table D.3; the test
+# suite re-reads it from the system libjpeg's exported ``jpeg_aritab``
+# symbol (an independent public artifact), and the cross-validation
+# tests encode with THIS encoder / decode with libjpeg and vice
+# versa, so encoder/decoder agreement is never self-consistency.
+
+#: T.81 Table D.3 state machine — (Qe, NextLPS, NextMPS, Switch)
+#: per row; verified at test time against the system libjpeg's
+#: exported jpeg_aritab (an independent public artifact).
+_QM_TAB = (
+    (0x5A1D, 1, 1, 1),
+    (0x2586, 14, 2, 0),
+    (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0),
+    (0x03D8, 20, 5, 0),
+    (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0),
+    (0x006F, 28, 8, 0),
+    (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0),
+    (0x000D, 35, 11, 0),
+    (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0),
+    (0x0001, 12, 13, 0),
+    (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0),
+    (0x2CF2, 38, 17, 0),
+    (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0),
+    (0x1182, 42, 20, 0),
+    (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0),
+    (0x072F, 46, 23, 0),
+    (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0),
+    (0x0303, 51, 26, 0),
+    (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0),
+    (0x0144, 56, 29, 0),
+    (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0),
+    (0x008A, 60, 32, 0),
+    (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0),
+    (0x003B, 32, 35, 0),
+    (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1),
+    (0x484C, 64, 38, 0),
+    (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0),
+    (0x261F, 68, 41, 0),
+    (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0),
+    (0x1518, 72, 44, 0),
+    (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0),
+    (0x0BFB, 75, 47, 0),
+    (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0),
+    (0x0706, 79, 50, 0),
+    (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0),
+    (0x040F, 50, 53, 0),
+    (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0),
+    (0x025C, 53, 56, 0),
+    (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0),
+    (0x0160, 56, 59, 0),
+    (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0),
+    (0x00CB, 59, 62, 0),
+    (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0),
+    (0x5B12, 65, 65, 1),
+    (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0),
+    (0x37D8, 82, 68, 0),
+    (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0),
+    (0x2379, 86, 71, 0),
+    (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0),
+    (0x174E, 72, 74, 0),
+    (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0),
+    (0x0F6B, 74, 77, 0),
+    (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0),
+    (0x0A40, 77, 48, 0),
+    (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0),
+    (0x438E, 89, 83, 0),
+    (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0),
+    (0x2EAE, 92, 86, 0),
+    (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0),
+    (0x5570, 88, 89, 1),
+    (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0),
+    (0x3E22, 97, 92, 0),
+    (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0),
+    (0x2E17, 93, 86, 0),
+    (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0),
+    (0x47E5, 102, 98, 0),
+    (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0),
+    (0x375E, 99, 93, 0),
+    (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0),
+    (0x4639, 107, 104, 0),
+    (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1),
+    (0x50E7, 108, 107, 0),
+    (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0),
+    (0x504F, 111, 107, 0),
+    (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0),
+    (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),
+)
+
+
+#: non-adaptive 50/50 bin for AC sign decisions (state 113 never
+#: moves and Qe = 0x5A1D ~ 0.5)
+_QM_FIXED = 113 << 1
+
+
+class _QMByteSrc:
+    """Entropy-byte feeder for the arithmetic decoder: 0xFF 0x00
+    unstuffs to a 0xFF data byte; any other marker ends the segment
+    and ZERO bytes are supplied from then on (T.81 D.4 / the
+    zero-fill convention)."""
+
+    __slots__ = ("data", "pos", "done")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.done = False
+
+    def next(self) -> int:
+        if self.done or self.pos >= len(self.data):
+            self.done = True
+            return 0
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0:
+                self.pos += 2
+                return 0xFF
+            self.done = True  # a real marker: zero-fill from here on
+            return 0
+        self.pos += 1
+        return b
+
+    def sync_restart(self) -> int:
+        """Skip to just past the next RSTn marker; returns its index
+        or raises if the stream ends first."""
+        p = self.pos
+        d = self.data
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                self.done = False
+                return d[p + 1] & 7
+            p += 1
+        raise ValueError("missing RSTn marker in arithmetic scan")
+
+
+class _QMDecoder:
+    """QM arithmetic decoder: 16-bit code window ``c`` aligned with
+    the interval register ``a`` (initially 0x10000 — the whole unit
+    interval), refilled bitwise from the byte feeder.  Statistics
+    bins are single bytes (state index << 1 | MPS) mutated in
+    place."""
+
+    __slots__ = ("src", "a", "c", "acc", "n")
+
+    def __init__(self, src: "_QMByteSrc"):
+        self.src = src
+        self.a = 0x10000
+        self.c = (src.next() << 8) | src.next()
+        self.acc = 0
+        self.n = 0
+
+    def _bit(self) -> int:
+        if self.n == 0:
+            self.acc = self.src.next()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def decode(self, stats: bytearray, idx: int) -> int:
+        # T.81 geometry (validated against libjpeg streams): the MPS
+        # subinterval sits at the BASE of [0, A), the LPS on top with
+        # size Qe; conditional exchange swaps them when A - Qe < Qe
+        sv = stats[idx]
+        i = sv >> 1
+        mps = sv & 1
+        qe, nlps, nmps, sw = _QM_TAB[i]
+        self.a -= qe
+        if self.c < self.a:
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:  # exchange: the base region became LPS
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                stats[idx] = (nlps << 1) | mps
+            else:
+                d = mps
+                stats[idx] = (nmps << 1) | mps
+        else:
+            self.c -= self.a
+            if self.a < qe:  # exchange: the top region became MPS
+                d = mps
+                stats[idx] = (nmps << 1) | mps
+            else:
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                stats[idx] = (nlps << 1) | mps
+            self.a = qe
+        while True:  # RENORMD
+            self.a <<= 1
+            self.c = ((self.c << 1) | self._bit()) & 0x1FFFF
+            if self.c > 0xFFFF:
+                raise ValueError(
+                    "arithmetic decoder code register overflow (corrupt)"
+                )
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class _QMEncoder:
+    """QM arithmetic encoder (T.81 D.1): interval/code registers with
+    byte output at C bits 19-26, carry propagation over stacked 0xFF
+    bytes, and 0x00 byte stuffing after emitted 0xFF data bytes."""
+
+    __slots__ = ("a", "c", "ct", "buf", "sc", "out", "zc")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buf = -1  # byte pending output (may still take a carry)
+        self.sc = 0    # stacked 0xFF bytes (may become 0x00 on carry)
+        self.zc = 0    # deferred zero bytes (trailing zeros droppable)
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        if b == 0:
+            self.zc += 1
+            return
+        self.out += b"\x00" * self.zc
+        self.zc = 0
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)  # byte stuffing
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            if self.buf >= 0:
+                self._emit(self.buf + 1)  # carry into the pending byte
+            for _ in range(self.sc):
+                self._emit(0x00)  # stacked 0xFFs rolled over to 0x00
+            self.sc = 0
+            self.buf = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # stack: a later carry could still roll it
+        else:
+            if self.buf >= 0:
+                self._emit(self.buf)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.buf = t
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, stats: bytearray, idx: int, d: int) -> None:
+        # mirror of _QMDecoder.decode: MPS at the base of [0, A),
+        # LPS on top with size Qe, conditional exchange on A-Qe < Qe
+        sv = stats[idx]
+        i = sv >> 1
+        mps = sv & 1
+        qe, nlps, nmps, sw = _QM_TAB[i]
+        self.a -= qe
+        if d == mps:
+            if self.a & 0x8000:
+                return
+            if self.a < qe:  # exchange: MPS coded in the top region
+                self.c += self.a
+                self.a = qe
+            stats[idx] = (nmps << 1) | mps
+            self._renorm()
+        else:
+            if not self.a < qe:  # normal: LPS takes the Qe top region
+                self.c += self.a
+                self.a = qe
+            # exchange case: LPS keeps the base region of size A-Qe
+            if sw:
+                mps ^= 1
+            stats[idx] = (nlps << 1) | mps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # T.81 D.1.8 CLEARBITS + final byteouts
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.buf >= 0:
+            self._emit(self.buf)
+        for _ in range(self.sc):
+            self._emit(0xFF)
+        # deferred trailing zero bytes are droppable: the decoder
+        # zero-fills past the next marker anyway
+        return bytes(self.out)
+
+
+def _qm_cond(dac: dict, cls: int, tbl: int) -> tuple:
+    """(L, U) for a DC table / Kx for an AC table from the captured
+    DAC values, defaulting to L=0, U=1, Kx=5 (T.81 defaults)."""
+    if cls == 0:
+        v = dac.get((0, tbl), 0x10)
+        lo, up = v & 0x0F, v >> 4
+        if not (0 <= lo <= up <= 15):
+            raise ValueError(f"invalid DC arith conditioning {v:#x}")
+        return lo, up
+    v = dac.get((1, tbl), 5)
+    if not (1 <= v <= 63):
+        raise ValueError(f"invalid AC arith conditioning {v}")
+    return v
+
+
+def _decode_arith_sequential(data, width, height, comps, scans, coef):
+    """Sequential arithmetic scan decode (T.81 F.1.4 decision trees
+    over the QM coder) filling the per-component zigzag coefficient
+    store.  Components unsampled (Hi=Vi=1) — the vendored scope."""
+    for scomps, ss, se, _ah, _al, start, dac, dri_scan in scans:
+        if ss != 0 or se != 63:
+            raise ValueError(
+                "arithmetic sequential scan must carry Ss=0, Se=63"
+            )
+        dc_stats = {}
+        ac_stats = {}
+        dc_ctx = {}
+        last_dc = {}
+        for cid, dtb, atb in scomps:
+            dc_stats.setdefault(dtb, bytearray(64))
+            ac_stats.setdefault(atb, bytearray(256))
+            dc_ctx[cid] = 0
+            last_dc[cid] = 0
+        src = _QMByteSrc(data, start)
+        dec = _QMDecoder(src)
+        bw = -(-width // 8)
+        bh = -(-height // 8)
+        nmcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri_scan and nmcu and nmcu % dri_scan == 0:
+                    src.sync_restart()
+                    dec = _QMDecoder(src)
+                    for st in dc_stats.values():
+                        st[:] = bytearray(len(st))
+                    for st in ac_stats.values():
+                        st[:] = bytearray(len(st))
+                    for cid in dc_ctx:
+                        dc_ctx[cid] = 0
+                        last_dc[cid] = 0
+                nmcu += 1
+                for cid, dtb, atb in scomps:
+                    lo, up = _qm_cond(dac, 0, dtb)
+                    kx = _qm_cond(dac, 1, atb)
+                    blk = coef[cid][by, bx]
+                    dst = dc_stats[dtb]
+                    ast = ac_stats[atb]
+                    # ---- DC (spec figures F.19-F.24)
+                    base = dc_ctx[cid]
+                    if dec.decode(dst, base) == 0:
+                        dc_ctx[cid] = 0
+                    else:
+                        sign = dec.decode(dst, base + 1)
+                        stp = base + 2 + sign
+                        m = dec.decode(dst, stp)
+                        if m:
+                            stp = 20  # X1 bin
+                            while dec.decode(dst, stp):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "arithmetic DC magnitude overflow"
+                                    )
+                                stp += 1
+                        if m < (1 << lo) >> 1:
+                            dc_ctx[cid] = 0
+                        elif m > (1 << up) >> 1:
+                            dc_ctx[cid] = 12 + sign * 4
+                        else:
+                            dc_ctx[cid] = 4 + sign * 4
+                        v = m
+                        stp += 14  # magnitude-bit bins follow the X row
+                        while m > 1:
+                            m >>= 1
+                            if dec.decode(dst, stp):
+                                v |= m
+                        v += 1
+                        last_dc[cid] += -v if sign else v
+                    blk[0] = last_dc[cid]
+                    # ---- AC (figures F.20/F.21 over bins 3(k-1)..)
+                    k = 1
+                    while k <= 63:
+                        stp = 3 * (k - 1)
+                        if dec.decode(ast, stp):
+                            break  # EOB
+                        while dec.decode(ast, stp + 1) == 0:
+                            stp += 3
+                            k += 1
+                            if k > 63:
+                                raise ValueError(
+                                    "arithmetic AC run escaped the block"
+                                )
+                        # AC sign is coded in the NON-adaptive fixed bin
+                        sign = dec.decode(_QM_FIXED_BIN, 0)
+                        stp += 2
+                        m = dec.decode(ast, stp)
+                        if m:
+                            if dec.decode(ast, stp):
+                                m = 2
+                                stp = 189 if k <= kx else 217
+                                while dec.decode(ast, stp):
+                                    m <<= 1
+                                    if m == 0x8000:
+                                        raise ValueError(
+                                            "arithmetic AC magnitude "
+                                            "overflow"
+                                        )
+                                    stp += 1
+                        v = m
+                        stp += 14
+                        while m > 1:
+                            m >>= 1
+                            if dec.decode(ast, stp):
+                                v |= m
+                        v += 1
+                        blk[k] = -v if sign else v
+                        k += 1
+
+
+#: single fixed statistics bin preset to state 113 / MPS 0 — shared,
+#: but decode() writes back the same value (state 113 maps to
+#: itself), so sharing is safe
+_QM_FIXED_BIN = bytearray([_QM_FIXED])
+
+
 def _decode_frame_planes(
-    data, width, height, comps, scans, progressive, qts, level
+    data, width, height, comps, scans, progressive, qts, level,
+    arith: bool = False,
 ):
     """Decode one DCT-based frame's scans → per-component float
     planes (pre-color-transform, cropped to width×height).  ``level``
@@ -2515,6 +3150,14 @@ def _decode_frame_planes(
         cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
         for cid, hi, vi, tq in comps
     }
+
+    if arith:
+        if hmax != 1 or vmax != 1:
+            raise ValueError(
+                "arithmetic JPEG with sampled components is not supported"
+            )
+        _decode_arith_sequential(data, width, height, comps, scans, coef)
+        scans = []  # coefficient store already filled
 
     for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
         rd = _BitReader(data, start)
@@ -2758,7 +3401,7 @@ def _decode_jpeg_hierarchical(data, dhp, ops, qts):
         level = 0.0 if fr["differential"] else float(1 << (prec - 1))
         planes = _decode_frame_planes(
             data, fr["w"], fr["h"], fr["comps"], fr["scans"],
-            fr["progressive"], qts, level,
+            fr["progressive"], qts, level, arith=fr.get("arith", False),
         )
         for (cid, _hi, _vi, _tq), pl in zip(fr["comps"], planes):
             q = np.round(pl).astype(np.int64)
@@ -2802,7 +3445,7 @@ def decode_jpeg(data: bytes):
     transform, modulo-2^16 reconstruction), 12-BIT extended
     sequential / progressive (SOF1/SOF2 with Pq=1 16-bit DQT
     entries, 2048 level shift, output scaled to the byte contract)
-    and HIERARCHICAL (Annex J — DHP full-res header, EXP ×2
+    HIERARCHICAL (Annex J — DHP full-res header, EXP ×2
     reference expansion per J.1.1.2, SOF5/SOF6 differential frames whose
     unshifted IDCT output adds onto the clamped reference, SOF7
     lossless corrections added modulo 2^16;
@@ -2810,8 +3453,11 @@ def decode_jpeg(data: bytes):
     intervals (DRI + RSTn) throughout.  Tables and sampling factors
     come from the stream, and Huffman tables are snapshotted per
     scan (progressive streams redefine them between scans).  Raises
-    ValueError on 12-bit-SOF0 and arithmetic-coded streams instead
-    of guessing — every Huffman-coded T.81 process decodes."""
+    ARITHMETIC-coded sequential (SOF9 — the Annex D QM coder under
+    the Annex F conditioning model, cross-validated bitwise against
+    the system libjpeg in both directions).  Raises ValueError on
+    12-bit-SOF0 and the arithmetic progressive/lossless/differential
+    processes instead of guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -2828,6 +3474,7 @@ def decode_jpeg(data: bytes):
     dhp = None  # hierarchical full-resolution header (Annex J)
     frames: list[dict] = []  # per-SOF frame records (hierarchical)
     ops: list[tuple] = []  # ("frame", fr) / ("exp", eh, ev) in order
+    dac: dict[tuple[int, int], int] = {}  # arithmetic conditioning
     try:
         while pos < len(data):
             if data[pos] != 0xFF:
@@ -2873,11 +3520,14 @@ def decode_jpeg(data: bytes):
                     vals = list(body[bp + 17 : bp + 17 + n])
                     huff[(tc, th)] = _huff_decode_tables(bits, vals)
                     bp += 17 + n
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-                # SOF0-3 + differential seq/prog/lossless (5/6/7)
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9):
+                # SOF0-3 + differential seq/prog/lossless (5/6/7) +
+                # arithmetic sequential (9)
                 differential = marker in (0xC5, 0xC6, 0xC7)
                 progressive = marker in (0xC2, 0xC6)
                 lossless = marker in (0xC3, 0xC7)
+                arith = marker == 0xC9
                 if differential and dhp is None:
                     raise ValueError(
                         "differential SOF frame outside a hierarchical "
@@ -2919,7 +3569,8 @@ def decode_jpeg(data: bytes):
                 fr = {
                     "prec": prec, "w": w_, "h": h, "comps": comps,
                     "progressive": progressive, "lossless": lossless,
-                    "differential": differential, "scans": [],
+                    "differential": differential, "arith": arith,
+                    "scans": [],
                 }
                 frames.append(fr)
                 ops.append(("frame", fr))
@@ -2944,10 +3595,16 @@ def decode_jpeg(data: bytes):
                         "EXP marker outside a hierarchical stream"
                     )
                 ops.append(("exp", body[0] >> 4, body[0] & 0x0F))
-            elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "arithmetic-coded JPEG (SOF9-15) is not supported"
+                    "arithmetic progressive/lossless/differential JPEG "
+                    "(SOF10/11/13-15) is not supported"
                 )
+            elif marker == 0xCC:  # DAC — arithmetic conditioning
+                bp = 0
+                while bp + 1 < len(body):
+                    dac[(body[bp] >> 4, body[bp] & 0x0F)] = body[bp + 1]
+                    bp += 2
             elif marker == 0xDD:  # DRI — restart interval (may change)
                 (dri,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:  # SOS — entropy data follows
@@ -2964,9 +3621,14 @@ def decode_jpeg(data: bytes):
                         "either DC-only Ss=Se=0 or an AC band Ss>=1)"
                     )
                 start = pos + seglen
+                tables = (
+                    dict(dac)
+                    if frames and frames[-1].get("arith")
+                    else dict(huff)
+                )
                 scan = (
                     scan_comps, ss, se, a >> 4, a & 0x0F, start,
-                    dict(huff), dri,
+                    tables, dri,
                 )
                 scans.append(scan)
                 if frames:
@@ -3020,6 +3682,7 @@ def decode_jpeg(data: bytes):
         out_planes = _decode_frame_planes(
             data, width, height, comps, scans, progressive, qts,
             float(1 << (prec - 1)),
+            arith=bool(frames and frames[-1].get("arith")),
         )
         return _jpeg_planes_to_bytes(out_planes, prec, width, height)
     except (struct.error, IndexError, KeyError, OverflowError,

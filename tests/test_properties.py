@@ -1098,3 +1098,166 @@ def test_jpeg_hierarchical_fuzz_valueerror_contract():
                 decode_jpeg(bytes(m))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9): the QM coder cross-validated against
+# the system libjpeg — an independent T.81 implementation — in BOTH
+# directions, so encoder/decoder agreement is never self-consistency.
+# ---------------------------------------------------------------------
+
+
+def _jpeg_oracle_bin(tmp_path):
+    """Compile the libjpeg-driving oracle once; None when the
+    container lacks gcc or libjpeg."""
+    import shutil
+    import subprocess
+
+    cache = getattr(_jpeg_oracle_bin, "_path", "unset")
+    if cache != "unset":
+        return cache
+    exe = str(tmp_path / "jpeg_oracle")
+    if shutil.which("gcc") is None:
+        _jpeg_oracle_bin._path = None
+        return None
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", exe, "tests/tools/jpeg_oracle.c", "-ljpeg"],
+        capture_output=True,
+    )
+    _jpeg_oracle_bin._path = exe if r.returncode == 0 else None
+    return _jpeg_oracle_bin._path
+
+
+def test_jpeg_arith_qm_table_matches_libjpeg():
+    """The hardcoded T.81 Table D.3 must equal the table the system
+    libjpeg ships (exported ``jpeg_aritab``, packed Qe<<16 |
+    NMPS<<8 | Switch<<7 | NLPS) — an independent public artifact."""
+    import ctypes
+
+    from dask_traj_spark.operators.multimodal import _QM_TAB
+
+    try:
+        lib = ctypes.CDLL("libjpeg.so.62")
+    except OSError:
+        try:
+            lib = ctypes.CDLL("libjpeg.so")
+        except OSError:
+            pytest.skip("no system libjpeg")
+    arr = (ctypes.c_int64 * 114).in_dll(lib, "jpeg_aritab")
+    for i, v in enumerate(arr):
+        want = (
+            (v >> 16) & 0xFFFF, v & 0x7F, (v >> 8) & 0x7F, (v >> 7) & 1
+        )
+        assert _QM_TAB[i] == want, f"row {i}"
+
+
+def test_jpeg_arith_self_parity():
+    """Huffman and arithmetic encodings of the same pixels carry
+    identical quantized coefficients, so my decoder must produce
+    byte-identical output for both — gray and RGB, with and without
+    restart intervals.  Runs without gcc/libjpeg."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        for (h, w), q, ch, rst in (
+            ((16, 16), 1, 1, 0),
+            ((8, 24), 3, 1, 2),
+            ((16, 16), 1, 3, 0),
+            ((16, 32), 2, 3, 3),
+        ):
+            a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            ja = encode_jpeg_arith(
+                w, h, a.tobytes(), channels=ch, quant=q, restart_mcus=rst
+            )
+            jh = encode_jpeg(
+                w, h, a.tobytes(), channels=ch, quant=q, restart_mcus=rst
+            )
+            assert ja.count(b"\xff\xc9") == 1 and b"\xff\xcc" in ja
+            assert decode_jpeg(ja) == decode_jpeg(jh)
+
+
+def test_jpeg_arith_cross_validated_with_libjpeg(tmp_path):
+    """Both directions against the independent implementation:
+    (a) libjpeg-encoded arithmetic streams decode under MY decoder to
+    the same bytes as their libjpeg-Huffman twins (coefficient-level
+    equality — my IDCT is the shared tail); (b) MY arithmetic
+    streams decode under LIBJPEG to the same bytes as my Huffman
+    twins.  Restart intervals and 3-channel interleave included;
+    libjpeg's arithmetic PROGRESSIVE output stays a ValueError."""
+    import subprocess
+
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    exe = _jpeg_oracle_bin(tmp_path)
+    if exe is None:
+        pytest.skip("no gcc/libjpeg for the cross-oracle")
+
+    def run(args, data):
+        return subprocess.run([exe] + args, input=data,
+                              capture_output=True).stdout
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        for (h, w), q, ch, rst in (
+            ((16, 16), 100, 1, 0),
+            ((24, 32), 75, 1, 2),
+            ((16, 16), 90, 3, 0),
+            ((8, 8), 50, 1, 1),
+        ):
+            a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            args = [str(w), str(h), str(ch), str(q), str(rst)]
+            ja = run(["encode-arith"] + args, a.tobytes())
+            jh = run(["encode-huff"] + args, a.tobytes())
+            assert decode_jpeg(ja) == decode_jpeg(jh)  # direction (a)
+            mja = encode_jpeg_arith(
+                w, h, a.tobytes(), channels=ch, restart_mcus=rst
+            )
+            mjh = encode_jpeg(
+                w, h, a.tobytes(), channels=ch, restart_mcus=rst
+            )
+            da = run(["decode"], mja)
+            dh = run(["decode"], mjh)
+            assert da and da == dh  # direction (b)
+    # arithmetic progressive (SOF10) stays an honest gate
+    a = np.zeros((16, 16), dtype=np.uint8)
+    jp = run(["encode-arith-prog", "16", "16", "1", "100"], a.tobytes())
+    if jp:  # libjpeg built with progressive support
+        with pytest.raises(ValueError, match="SOF10|progressive"):
+            decode_jpeg(jp)
+
+
+def test_jpeg_arith_fuzz_valueerror_contract():
+    """Corrupt arithmetic streams raise ValueError, never an
+    internal error or a hang."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(97)
+    src = encode_jpeg_arith(
+        16, 16, rng.integers(0, 256, size=(16, 16), dtype=np.uint8).tobytes(),
+        restart_mcus=2,
+    )
+    for _ in range(400):
+        m = bytearray(src)
+        m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(m))
+        except ValueError:
+            pass
