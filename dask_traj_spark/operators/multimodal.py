@@ -1395,10 +1395,10 @@ def attach_payload_tiff(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # hierarchical (Annex J) pipelines DHP → base frame → EXP J.1.1.2
 # upsample → SOF5/SOF6 differential addition, and SOF7 lossless
 # correction frames close the pyramid exactly via modulo-2^16
-# diffs; arithmetic sequential (SOF9) decodes through the Annex D
-# QM coder + Annex F conditioning trees, cross-validated against
-# the system libjpeg bitwise in both directions.  The arithmetic
-# progressive/lossless/differential processes and 12-bit-under-SOF0
+# diffs; arithmetic sequential AND progressive (SOF9/SOF10) decode
+# through the Annex D QM coder + Annex F/G.1.3 conditioning trees,
+# cross-validated against the system libjpeg bitwise.  The
+# arithmetic lossless/differential processes and 12-bit-under-SOF0
 # raise ValueError — honest gates, not silent wrong pixels.
 # The ENCODER is a fixture-grade baseline writer (Annex K luminance
 # DC table + a flat 9-bit AC table declared in DHT — any canonical
@@ -3005,28 +3005,47 @@ def _qm_cond(dac: dict, cls: int, tbl: int) -> tuple:
     return v
 
 
-def _decode_arith_sequential(data, width, height, comps, scans, coef):
-    """Sequential arithmetic scan decode (T.81 F.1.4 decision trees
-    over the QM coder) filling the per-component zigzag coefficient
-    store.  Components unsampled (Hi=Vi=1) — the vendored scope."""
-    for scomps, ss, se, _ah, _al, start, dac, dri_scan in scans:
-        if ss != 0 or se != 63:
+def _decode_arith_scans(
+    data, width, height, comps, scans, progressive, coef
+):
+    """Arithmetic scan decode (T.81 F.1.4 sequential trees + the
+    G.1.3 progressive variants over the QM coder) filling the
+    per-component zigzag coefficient store.  Components unsampled
+    (Hi=Vi=1) — the vendored scope.  Statistics and the coder are
+    initialized per scan and at every restart marker."""
+    last_dc = {cid: 0 for cid, _, _, _ in comps}
+    for scomps, ss, se, ah, al, start, dac, dri_scan in scans:
+        if not progressive and (ss != 0 or se != 63):
             raise ValueError(
                 "arithmetic sequential scan must carry Ss=0, Se=63"
             )
+        if progressive and (ss == 0) != (se == 0):
+            raise ValueError(
+                "invalid progressive spectral selection (a scan is "
+                "either DC-only Ss=Se=0 or an AC band Ss>=1)"
+            )
+        if progressive and ss > 0 and len(scomps) != 1:
+            raise ValueError("interleaved AC progressive scan is illegal")
+        if (not progressive) or (ss == 0 and ah == 0):
+            # DC predictors reset at every (DC-carrying) scan start
+            for cid, _d, _a in scomps:
+                last_dc[cid] = 0
         dc_stats = {}
         ac_stats = {}
         dc_ctx = {}
-        last_dc = {}
         for cid, dtb, atb in scomps:
             dc_stats.setdefault(dtb, bytearray(64))
             ac_stats.setdefault(atb, bytearray(256))
             dc_ctx[cid] = 0
-            last_dc[cid] = 0
         src = _QMByteSrc(data, start)
         dec = _QMDecoder(src)
-        bw = -(-width // 8)
-        bh = -(-height // 8)
+        dc_scan = not progressive or ss == 0
+        if dc_scan:
+            bw = -(-width // 8)
+            bh = -(-height // 8)
+        else:
+            cid0 = scomps[0][0]
+            bh, bw = coef[cid0].shape[:2]
         nmcu = 0
         for by in range(bh):
             for bx in range(bw):
@@ -3039,7 +3058,12 @@ def _decode_arith_sequential(data, width, height, comps, scans, coef):
                         st[:] = bytearray(len(st))
                     for cid in dc_ctx:
                         dc_ctx[cid] = 0
-                        last_dc[cid] = 0
+                    if progressive and ss == 0 and ah == 0:
+                        for cid, _d, _a in scomps:
+                            last_dc[cid] = 0
+                    elif not progressive:
+                        for cid, _d, _a in scomps:
+                            last_dc[cid] = 0
                 nmcu += 1
                 for cid, dtb, atb in scomps:
                     lo, up = _qm_cond(dac, 0, dtb)
@@ -3047,48 +3071,99 @@ def _decode_arith_sequential(data, width, height, comps, scans, coef):
                     blk = coef[cid][by, bx]
                     dst = dc_stats[dtb]
                     ast = ac_stats[atb]
-                    # ---- DC (spec figures F.19-F.24)
-                    base = dc_ctx[cid]
-                    if dec.decode(dst, base) == 0:
-                        dc_ctx[cid] = 0
-                    else:
-                        sign = dec.decode(dst, base + 1)
-                        stp = base + 2 + sign
-                        m = dec.decode(dst, stp)
-                        if m:
-                            stp = 20  # X1 bin
-                            while dec.decode(dst, stp):
-                                m <<= 1
-                                if m == 0x8000:
-                                    raise ValueError(
-                                        "arithmetic DC magnitude overflow"
-                                    )
-                                stp += 1
-                        if m < (1 << lo) >> 1:
+                    if progressive and ss == 0 and ah != 0:
+                        # DC refinement: one fixed-bin bit per block
+                        if dec.decode(_QM_FIXED_BIN, 0):
+                            blk[0] |= 1 << al
+                        continue
+                    if dc_scan:
+                        # ---- DC first (figures F.19-F.24); values at
+                        # the scan's Al point-transform scale
+                        base = dc_ctx[cid]
+                        if dec.decode(dst, base) == 0:
                             dc_ctx[cid] = 0
-                        elif m > (1 << up) >> 1:
-                            dc_ctx[cid] = 12 + sign * 4
                         else:
-                            dc_ctx[cid] = 4 + sign * 4
-                        v = m
-                        stp += 14  # magnitude-bit bins follow the X row
-                        while m > 1:
-                            m >>= 1
-                            if dec.decode(dst, stp):
-                                v |= m
-                        v += 1
-                        last_dc[cid] += -v if sign else v
-                    blk[0] = last_dc[cid]
-                    # ---- AC (figures F.20/F.21 over bins 3(k-1)..)
-                    k = 1
-                    while k <= 63:
+                            sign = dec.decode(dst, base + 1)
+                            m0 = dec.decode(dst, base + 2 + sign)
+                            if m0 == 0:
+                                v, m = 1, 0
+                            else:
+                                # magnitude chain from the shared X1 row
+                                m = 1
+                                stp = 20
+                                while dec.decode(dst, stp):
+                                    m <<= 1
+                                    if m == 0x8000:
+                                        raise ValueError(
+                                            "arithmetic DC magnitude "
+                                            "overflow"
+                                        )
+                                    stp += 1
+                                v = m
+                                stp += 14
+                                mm = m
+                                while mm > 1:
+                                    mm >>= 1
+                                    if dec.decode(dst, stp):
+                                        v |= mm
+                                v += 1
+                            if m < (1 << lo) >> 1:
+                                dc_ctx[cid] = 0
+                            elif m > (1 << up) >> 1:
+                                dc_ctx[cid] = 12 + sign * 4
+                            else:
+                                dc_ctx[cid] = 4 + sign * 4
+                            last_dc[cid] += -v if sign else v
+                        blk[0] = last_dc[cid] << al
+                        if not progressive:
+                            pass  # fall through to the AC band below
+                        else:
+                            continue
+                    if progressive and ah != 0:
+                        # ---- AC refinement (G.1.3.3): EOB decision
+                        # only past the previous stage's last nonzero
+                        p1 = 1 << al
+                        m1 = -p1
+                        kex = se
+                        while kex >= ss and blk[kex] == 0:
+                            kex -= 1
+                        k = ss
+                        while k <= se:
+                            stp = 3 * (k - 1)
+                            if k > kex and dec.decode(ast, stp):
+                                break  # EOB
+                            while True:
+                                if blk[k]:
+                                    if dec.decode(ast, stp + 2):
+                                        blk[k] += m1 if blk[k] < 0 else p1
+                                    break
+                                if dec.decode(ast, stp + 1):
+                                    blk[k] = (
+                                        m1
+                                        if dec.decode(_QM_FIXED_BIN, 0)
+                                        else p1
+                                    )
+                                    break
+                                stp += 3
+                                k += 1
+                                if k > se:
+                                    raise ValueError(
+                                        "arithmetic AC refinement escaped "
+                                        "the band"
+                                    )
+                            k += 1
+                        continue
+                    # ---- AC first / sequential AC band
+                    k = ss if progressive else 1
+                    kend = se if progressive else 63
+                    while k <= kend:
                         stp = 3 * (k - 1)
                         if dec.decode(ast, stp):
                             break  # EOB
                         while dec.decode(ast, stp + 1) == 0:
                             stp += 3
                             k += 1
-                            if k > 63:
+                            if k > kend:
                                 raise ValueError(
                                     "arithmetic AC run escaped the block"
                                 )
@@ -3115,7 +3190,7 @@ def _decode_arith_sequential(data, width, height, comps, scans, coef):
                             if dec.decode(ast, stp):
                                 v |= m
                         v += 1
-                        blk[k] = -v if sign else v
+                        blk[k] = (-v if sign else v) << al
                         k += 1
 
 
@@ -3156,7 +3231,9 @@ def _decode_frame_planes(
             raise ValueError(
                 "arithmetic JPEG with sampled components is not supported"
             )
-        _decode_arith_sequential(data, width, height, comps, scans, coef)
+        _decode_arith_scans(
+            data, width, height, comps, scans, progressive, coef
+        )
         scans = []  # coefficient store already filled
 
     for scomps, ss, se, ah, al, start, htabs, dri_scan in scans:
@@ -3453,11 +3530,12 @@ def decode_jpeg(data: bytes):
     intervals (DRI + RSTn) throughout.  Tables and sampling factors
     come from the stream, and Huffman tables are snapshotted per
     scan (progressive streams redefine them between scans).  Raises
-    ARITHMETIC-coded sequential (SOF9 — the Annex D QM coder under
-    the Annex F conditioning model, cross-validated bitwise against
-    the system libjpeg in both directions).  Raises ValueError on
-    12-bit-SOF0 and the arithmetic progressive/lossless/differential
-    processes instead of guessing."""
+    ARITHMETIC-coded sequential AND progressive (SOF9/SOF10 — the
+    Annex D QM coder under the Annex F conditioning model plus the
+    G.1.3 progressive scan classes, cross-validated bitwise against
+    the system libjpeg).  Raises ValueError on 12-bit-SOF0 and the
+    arithmetic lossless/differential processes instead of
+    guessing."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -3521,13 +3599,13 @@ def decode_jpeg(data: bytes):
                     huff[(tc, th)] = _huff_decode_tables(bits, vals)
                     bp += 17 + n
             elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9):
+                            0xC9, 0xCA):
                 # SOF0-3 + differential seq/prog/lossless (5/6/7) +
-                # arithmetic sequential (9)
+                # arithmetic sequential/progressive (9/10)
                 differential = marker in (0xC5, 0xC6, 0xC7)
-                progressive = marker in (0xC2, 0xC6)
+                progressive = marker in (0xC2, 0xC6, 0xCA)
                 lossless = marker in (0xC3, 0xC7)
-                arith = marker == 0xC9
+                arith = marker in (0xC9, 0xCA)
                 if differential and dhp is None:
                     raise ValueError(
                         "differential SOF frame outside a hierarchical "
@@ -3595,10 +3673,10 @@ def decode_jpeg(data: bytes):
                         "EXP marker outside a hierarchical stream"
                     )
                 ops.append(("exp", body[0] >> 4, body[0] & 0x0F))
-            elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "arithmetic progressive/lossless/differential JPEG "
-                    "(SOF10/11/13-15) is not supported"
+                    "arithmetic lossless/differential JPEG "
+                    "(SOF11/13-15) is not supported"
                 )
             elif marker == 0xCC:  # DAC — arithmetic conditioning
                 bp = 0

@@ -2505,7 +2505,7 @@ class TestJpegProgressive:
         np.testing.assert_array_equal(got, want)
 
     def test_unsupported_modes_still_refuse(self):
-        """Arithmetic progressive (SOF10) still raises by marker; a
+        """Arithmetic lossless (SOF11) still raises by marker; a
         progressive stream relabeled SOF3 (now a SUPPORTED marker) is
         structurally invalid as lossless — its first scan's Ss=0 is
         not a legal predictor — so it still fails the ValueError
@@ -2523,7 +2523,7 @@ class TestJpegProgressive:
         decode_jpeg(bytes(good))  # sanity: progressive decodes now
         i = bytes(good).find(b"\xff\xc2")
         bad = bytearray(good)
-        bad[i + 1] = 0xCA  # arithmetic PROGRESSIVE: refused by marker
+        bad[i + 1] = 0xCB  # arithmetic LOSSLESS: refused by marker
         with _pytest.raises(ValueError, match="SOF"):
             decode_jpeg(bytes(bad))
         bad = bytearray(good)

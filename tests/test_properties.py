@@ -1231,12 +1231,21 @@ def test_jpeg_arith_cross_validated_with_libjpeg(tmp_path):
             da = run(["decode"], mja)
             dh = run(["decode"], mjh)
             assert da and da == dh  # direction (b)
-    # arithmetic progressive (SOF10) stays an honest gate
-    a = np.zeros((16, 16), dtype=np.uint8)
-    jp = run(["encode-arith-prog", "16", "16", "1", "100"], a.tobytes())
-    if jp:  # libjpeg built with progressive support
-        with pytest.raises(ValueError, match="SOF10|progressive"):
-            decode_jpeg(jp)
+    # arithmetic PROGRESSIVE (SOF10): the four G.1.3 scan classes
+    # decode to the exact bytes of their Huffman-progressive twins
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        for (h, w), q, ch, rst in (
+            ((16, 16), 100, 1, 0),
+            ((24, 32), 75, 1, 2),
+            ((16, 16), 90, 3, 0),
+        ):
+            a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            args = [str(w), str(h), str(ch), str(q), str(rst)]
+            ja = run(["encode-arith-prog"] + args, a.tobytes())
+            jh = run(["encode-huff-prog"] + args, a.tobytes())
+            assert ja.count(b"\xff\xca") == 1
+            assert decode_jpeg(ja) == decode_jpeg(jh)
 
 
 def test_jpeg_arith_fuzz_valueerror_contract():

@@ -49,7 +49,7 @@ int main(int argc, char **argv) {
     return 0;
   }
   if (argc >= 5 && (strncmp(argv[1], "encode-arith", 12) == 0 ||
-                    strcmp(argv[1], "encode-huff") == 0)) {
+                    strncmp(argv[1], "encode-huff", 11) == 0)) {
     int w = atoi(argv[2]), h = atoi(argv[3]), c = atoi(argv[4]);
     int q = argc >= 6 ? atoi(argv[5]) : 100;
     int rst = argc >= 7 ? atoi(argv[6]) : 0;
@@ -67,7 +67,8 @@ int main(int argc, char **argv) {
     jpeg_set_defaults(&cinfo);
     jpeg_set_quality(&cinfo, q, TRUE);
     cinfo.arith_code = strncmp(argv[1], "encode-arith", 12) == 0;
-    if (strcmp(argv[1], "encode-arith-prog") == 0)
+    if (strcmp(argv[1], "encode-arith-prog") == 0 ||
+        strcmp(argv[1], "encode-huff-prog") == 0)
       jpeg_simple_progression(&cinfo);
     if (rst) cinfo.restart_interval = rst;
     if (c == 3) {  /* keep chroma unsubsampled: the python scope */
