@@ -3859,6 +3859,45 @@ def attach_payload_jpeg_variants(
     return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def attach_payload_jpeg_arith(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The :func:`attach_payload_jpeg` tiles re-encoded through the
+    ARITHMETIC entropy layer, cycling by doc_id % 2: SOF9 sequential
+    and SOF9 sequential with a 2-MCU restart interval (the coder +
+    statistics re-init path).  The entropy layer carries identical
+    coefficients, so the same closed-form oracle gates the QM
+    decoder at driver level."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for d, t in zip(pdf["doc_id"], pdf[text_col]):
+                tb = (t.encode("utf-8") + b"\x00" * JPEG_TILES)[:JPEG_TILES]
+                row = b"".join(bytes([v]) * 8 for v in tb)
+                px = row * 8
+                w = 8 * JPEG_TILES
+                if int(d) % 2:
+                    p = encode_jpeg_arith(w, 8, px, 1, quant=1,
+                                          restart_mcus=2)
+                else:
+                    p = encode_jpeg_arith(w, 8, px, 1, quant=1)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/jpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

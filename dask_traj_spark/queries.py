@@ -149,6 +149,7 @@ _SCORING_TAIL = [
     "t16_bm25_topk",
     "d13_bloom_cross_corpus",
     "sx9_stream_bloom_twin",
+    "m11c_decode_jpeg_arith",
     # last green ROUND 8 (fresh — scored in CORRECTNESS_r08; x16c was
     # also r8-green but re-seats under the touched-set rule: the
     # round-9 _frame_count_hint change is on its dispatch path)

@@ -4268,6 +4268,28 @@ def q_decode_jpeg_progressive(spark, sf_dir):
     )
 
 
+@register("m11c_decode_jpeg_arith", _M11_ORACLE)
+def q_decode_jpeg_arith(spark, sf_dir):
+    """m11's tiles through the ARITHMETIC entropy layer (SOF9, with
+    doc_id % 2 cycling a 2-MCU restart interval): the QM coder +
+    Annex F conditioning trees under m11's unchanged closed-form
+    oracle — a wrong decision, statistics update, carry or restart
+    re-init changes px_sum and hash-fails.  The codec itself is
+    additionally cross-validated bitwise against the system libjpeg
+    in tests/test_properties.py."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_jpeg_arith,
+        image_pixel_stats,
+    )
+
+    return image_pixel_stats(
+        attach_payload_jpeg_arith(_docs(spark, sf_dir))
+    ).select(
+        "doc_id", "width", "height", "channels",
+        "n_px", "px_sum", "px_min", "px_max",
+    )
+
+
 _T12_ORACLE = """
 WITH bigrams AS (
     SELECT d.doc_id, d.source, substr(d.text, u.i, 2) AS bg
