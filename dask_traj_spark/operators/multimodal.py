@@ -1935,7 +1935,15 @@ def encode_jpeg_hierarchical(
     block-aligned.  The encoder replays the decoder's exact
     base-frame reconstruction and J.1.1.2 upsample, so at quant=1
     the decoded pyramid reproduces the source within DCT rounding
-    (bit-exactly for constant 16×16 tiles).  With
+    (bit-exactly for constant 16×16 tiles).
+
+    Honest ambiguity note: DC coefficients inside differential
+    frames are DPCM-chained here (prediction reset per scan), the
+    same reading the decoder applies.  No independent hierarchical
+    T.81 implementation exists in-container (libjpeg has none) to
+    falsify that detail, so a hierarchical file from another encoder
+    could disagree on it; everything else in the pyramid is pinned
+    by the independent baseline-twin + spec-derived-upsample tests.  With
     ``lossless_correction=True`` the differential frame is instead a
     SOF7 LOSSLESS correction — per-sample modulo-2^16 differences vs
     the upsampled reference — so the decoded pyramid reproduces the

@@ -141,9 +141,11 @@ def register(name: str, oracle: str | None = None):
 # c4/c6/c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the
 # r7-green set ages back in.
 _SCORING_TAIL = [
-    # NEW in round 9, never driver-scored — seat FIRST in the r10
-    # head under the new-query-first rule (local evidence: oracle
-    # hash-green at sf0.01 and sf0.1 the round they landed)
+    # NEW in round 9, never driver-scored — ALL SIX seat FIRST in
+    # the r10 head under the new-query-first rule (local evidence:
+    # every one oracle hash-green at sf0.01 AND sf0.1 the session it
+    # landed, plus two full-registry sweeps at the r9 session-3 HEAD:
+    # 150/150 then 151/151)
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
