@@ -1270,3 +1270,32 @@ def test_jpeg_arith_fuzz_valueerror_contract():
             decode_jpeg(bytes(m))
         except ValueError:
             pass
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1)),
+             min_size=1, max_size=400),
+)
+@settings(max_examples=150, deadline=None)
+def test_qm_coder_roundtrip_random_decisions(seq):
+    """The raw QM coder pair is lossless on arbitrary decision
+    sequences over arbitrary adaptive bins — the register-level
+    property (carry chains through stacked 0xFF bytes, byte
+    stuffing, CLEARBITS flush, trailing-zero drop + decoder
+    zero-fill) that image-shaped tests cannot fully reach."""
+    from dask_traj_spark.operators.multimodal import (
+        _QMByteSrc,
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    enc = _QMEncoder()
+    est = bytearray(6)
+    for bin_, d in seq:
+        enc.encode(est, bin_, d)
+    data = enc.flush()
+    dec = _QMDecoder(_QMByteSrc(data, 0))
+    dst = bytearray(6)
+    for bin_, d in seq:
+        assert dec.decode(dst, bin_) == d
+    assert dst == est  # adaptive states must track identically
