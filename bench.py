@@ -201,8 +201,18 @@ def main() -> None:
         "canonical_distances": iters_canonical_distances,
         "canonical_onepass": iters_canonical_onepass,
     }
+    # per-query probe brackets (VERDICT r9 item 3): the r9 driver run
+    # had a contiguous 4-query block 4-10x slower than the committed
+    # same-code run while its NEIGHBORS were fast — per-tier probes
+    # can't attribute a mid-tier load window.  One fixed-work probe
+    # between suite entries (shared: entry i's "after" is entry
+    # i+1's "before") makes host noise attributable per query from
+    # bench_detail.json alone.
+    probe_bracket: dict[str, list[float]] = {}
+    _last_probe = [None]  # shared "after previous = before next"
 
     def timed(name: str, fn, n: int = 3, warmup: int = 1) -> None:
+        before = _last_probe[0] if _last_probe[0] is not None else _cpu_probe()
         for _ in range(warmup):
             fn()
         its = []
@@ -210,6 +220,9 @@ def main() -> None:
             t0 = time.time()
             fn()
             its.append(round(time.time() - t0, 3))
+        after = _cpu_probe()
+        _last_probe[0] = after
+        probe_bracket[name] = [before, after]
         iters[name] = its
         times[name] = min(its)
 
@@ -612,15 +625,27 @@ def main() -> None:
 
     probes["end_s"] = _cpu_probe()
 
-    # ---- output contract (VERDICT r5 item 3) --------------------------
-    # The driver tail-captures stdout and parses the LAST line as the
-    # bench JSON; the r5 line (with per-iteration arrays inlined) grew
-    # past its capture window and round 5 lost its parsed bench.  So:
-    # full per-iteration detail + probe brackets go to a side artifact
-    # (bench_detail.json, committed per round as evidence), and stdout
-    # gets ONE compact headline line, printed last, holding only the
-    # scalar numbers of record (best-of times, 10x scale-ups,
-    # linearity ratios, throttle-probe summary).
+    # ---- output contract (VERDICT r5 item 3, re-broken r9, re-fixed) --
+    # The driver tail-captures the last ~2000 bytes of stdout and
+    # parses the LAST line as the bench JSON.  The r9 headline (with
+    # canonical_spread + the full scale_10x dict inlined) grew to
+    # ~2.4 KB and the capture started mid-JSON -> "parsed": null.
+    # So: the LAST stdout line is a compact headline hard-capped
+    # below the window (progressively dropping optional sections if
+    # it ever outgrows the cap — queries/value/sf are never
+    # dropped), and the full record (per-iteration spreads, the
+    # whole scale_10x tier, per-query probe brackets) goes to
+    # bench_detail.json, committed per round as evidence.
+    # probe_hot: queries whose bracket probe exceeded 2x the
+    # session-median probe — the driver-visible "this entry ran
+    # under host load" flag (normally empty).
+    all_probes = sorted(
+        [p for b in probe_bracket.values() for p in b] + list(probes.values())
+    )
+    med_probe = all_probes[len(all_probes) // 2] if all_probes else 0.0
+    probe_hot = sorted(
+        n for n, b in probe_bracket.items() if max(b) > 2 * med_probe
+    )
     headline = {
         "metric": "canonical_e2e",
         "value": times["canonical_onepass"],
@@ -628,35 +653,27 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         # methodology: warm session (worker pool + JIT pre-warmed);
-        # canonical tier best-of-3, oracle-suite tier 1 throwaway +
-        # best-of-3, 10x tier best-of-3 for canonical AND the probe-
-        # bracketed d2 MinHash entries (plain 1x/10x) / single-shot
-        # for the rest.  BASELINE.md's reference numbers are 12
-        # threads — compare those against canonical_onepass_local12.
-        # Per-iteration spreads + per-tier cpu-probe brackets are in
-        # bench_detail.json.
+        # canonical tier best-of-3 / one-pass best-of-5, oracle-suite
+        # tier 1 throwaway + best-of-3 with a fixed-work cpu probe
+        # bracketing every entry, 10x tier best-of-3 for canonical +
+        # d2 / single-shot for the rest.  BASELINE.md's reference
+        # numbers are 12 threads — compare canonical_onepass_local12.
         "warm": True,
         "master": master,
-        "scale_10x": {k: v for k, v in scale.items() if not k.endswith("_iters")},
-        "cpu_probe": probes,
-        # the acceptance metric's own spread, driver-visible: BENCH_r08
-        # swung 1.87→5.51 s on identical code (host contention hit all
-        # three iterations), so the headline carries every canonical-
-        # family iteration — a tight-but-high spread with elevated cpu
-        # probes reads as host noise, a wide spread as warm-up; either
-        # way the round-over-round delta is attributable from the JSON
-        # alone.
-        "canonical_spread": {
-            k: iters[k]
-            for k in (
-                "canonical_distances",
-                "canonical_onepass",
-                "canonical_onepass_local12",
-            )
-            if k in iters
-        }
-        | {
-            "canonical_onepass_10x": scale.get("canonical_onepass_10x_iters", [])
+        # the acceptance metric's own spread stays driver-visible
+        # (BENCH_r08 swung 1.87->5.51 s on identical code): wide
+        # spread = warm-up, tight-but-high + hot probes = host noise
+        "spread": {
+            "onepass": iters_canonical_onepass,
+            "local12": iters.get("canonical_onepass_local12", []),
+            "10x": scale.get("canonical_onepass_10x_iters", []),
+        },
+        "linearity": scale.get("linearity", {}),
+        "probe": {
+            "start_s": probes.get("start_s"),
+            "end_s": probes.get("end_s"),
+            "median_s": med_probe,
+            "hot": probe_hot,
         },
         "detail": "bench_detail.json",
     }
@@ -664,6 +681,9 @@ def main() -> None:
         "iters": iters,
         "scale_10x": scale,
         "cpu_probe": probes,
+        "probe_bracket": probe_bracket,
+        "probe_median_s": med_probe,
+        "probe_hot": probe_hot,
         "best_of": {
             "canonical": 3,
             "oracle_suite": "warmup1+3",
@@ -678,8 +698,19 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # read-only checkout: the headline line still carries the record
+    # hard cap: the headline LINE must fit the driver's capture
+    # window whatever future fields grow.  Drop optional sections
+    # in (reverse) value order until it fits; the required driver
+    # contract (metric/value/unit/queries/sf) is never dropped.
+    line = json.dumps(headline, separators=(",", ":"))
+    for drop in ("linearity", "spread", "probe", "master", "warm", "detail"):
+        if len(line) <= 1800:
+            break
+        headline.pop(drop, None)
+        headline["truncated"] = True
+        line = json.dumps(headline, separators=(",", ":"))
     sys.stdout.flush()
-    print(json.dumps(headline, separators=(",", ":")))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -811,6 +811,111 @@ def duplicate_spans(
     )
 
 
+def maximal_matches(
+    docs: DataFrame,
+    text_col: str = "text",
+    ngram: int = 8,
+    max_occ: int | None = 64,
+    key_mode: str = "hashed",
+) -> DataFrame:
+    """Variable-length MAXIMAL shared substrings between document
+    pairs — the suffix-array-style signal of Lee et al.'s dedup
+    pipeline (ACL 2022), derived from :func:`duplicate_spans`'s
+    bucketed n-gram plan instead of a suffix array:
+
+    a maximal shared token run of length L >= ``ngram`` between two
+    docs contains exactly L - ngram + 1 matching ``ngram``-token
+    anchor windows at CONSECUTIVE positions on one alignment
+    diagonal (pos1 - pos2 constant), and it cannot be extended
+    precisely because the anchor before/after the run does not
+    match — so gaps-and-islands over anchor pairs grouped by
+    (doc1, doc2, diagonal) reports EXACTLY the maximal matches, at
+    full token resolution, with no suffix sort.
+
+    → (doc1, doc2, start1, start2, match_tokens): one row per
+    maximal cross-doc shared run (doc1 < doc2; all alignments are
+    reported, so a phrase occurring twice in one doc and once in
+    another yields two rows on different diagonals).  Unlike d11's
+    per-doc interval UNION (which may merge windows shared with
+    DIFFERENT partners into one range that is itself no one's
+    verbatim match), every row here is a verbatim contiguous match
+    of both docs — the contamination-attribution view.
+
+    Plan (scale posture): windows built JVM-side exactly as in
+    :func:`duplicate_spans`; occurrence counts per n-gram key
+    collapse map-side (partial agg) and keys outside
+    [2, ``max_occ``] are dropped BEFORE the pair join, so the
+    self-join emits at most ``max_occ``² anchor pairs per key —
+    the same degenerate-bucket cap discipline as MinHash-LSH's
+    MAX_BUCKET (a corpus-wide boilerplate n-gram would otherwise
+    emit O(occurrences²) pairs).  ``max_occ=None`` removes the cap
+    (gate-scale / audit use ONLY — never at 100 TB).  The islands
+    window is keyed on (doc1, doc2, diagonal) — no SinglePartition
+    anywhere.  Dropping an over-cap INTERIOR anchor can split a
+    run that crosses it (the cap is mirrored verbatim in the
+    oracle, so the gate stays exact).
+
+    ``key_mode`` as in :func:`duplicate_spans`: "hashed" (default)
+    moves 8-byte xxhash64 chain keys through every shuffle — a
+    collision can only ADD a spurious anchor at ~n²/2⁻⁶⁴
+    probability; "exact" keeps the window strings (the oracle-gated
+    bit-reproducible mode)."""
+    from pyspark.sql import Window
+
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if max_occ is not None and max_occ < 2:
+        raise ValueError(f"max_occ must be >= 2 or None, got {max_occ}")
+    if key_mode not in ("hashed", "exact"):
+        raise ValueError(f"key_mode must be 'hashed' or 'exact', got {key_mode!r}")
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("t")
+    ).where(F.size("t") >= ngram)
+    if key_mode == "hashed":
+        toks = toks.withColumn(
+            "t", F.expr("transform(t, x -> xxhash64(x))")
+        )
+        ng_col = F.expr(
+            f"transform(sequence(0, size(t) - {ngram}), "
+            f"i -> aggregate(slice(t, i + 2, {ngram - 1}), "
+            f"element_at(t, i + 1), "
+            f"(acc, h) -> xxhash64(acc, h)))"
+        )
+    else:
+        ng_col = F.expr(
+            f"transform(sequence(0, size(t) - {ngram}), "
+            f"i -> array_join(slice(t, i + 1, {ngram}), ' '))"
+        )
+    occ = toks.select("doc_id", F.posexplode(ng_col).alias("pos", "ng"))
+    cnt = occ.groupBy("ng").count().where(F.col("count") >= 2)
+    if max_occ is not None:
+        cnt = cnt.where(F.col("count") <= max_occ)
+    occ = occ.join(cnt.select("ng"), "ng", "left_semi")
+    a = occ.select(
+        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
+    )
+    b = occ.select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
+    )
+    pairs = a.join(b, "ng").where(F.col("doc1") < F.col("doc2")).select(
+        "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+    )
+    w = Window.partitionBy("doc1", "doc2", "diag").orderBy("p1")
+    brk = F.when(F.col("p1") > F.lag("p1").over(w) + 1, 1).otherwise(0)
+    grouped = pairs.withColumn("g", F.sum(brk).over(w))
+    return (
+        grouped.groupBy("doc1", "doc2", "diag", "g")
+        .agg(
+            F.min("p1").cast("long").alias("start1"),
+            F.min("p2").cast("long").alias("start2"),
+            (F.max("p1") - F.min("p1") + ngram).cast("long").alias(
+                "match_tokens"
+            ),
+        )
+        .drop("diag", "g")
+    )
+
+
 def excise_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame,
@@ -938,6 +1043,10 @@ def bloom_membership(
     from ``streaming.dedup.bloom_state``) to probe without
     rebuilding; ``n_bits``/``n_hashes`` must then match the build."""
     if bitmap is None:
+        if ref is None:
+            raise ValueError(
+                "bloom_membership needs either ref or a prebuilt bitmap"
+            )
         bitmap = bloom_build(ref, col=col, n_bits=n_bits, n_hashes=n_hashes)
     lookups = probe.select(
         F.col(id_col),

@@ -2528,13 +2528,22 @@ def _decode_jpeg_lossless(data, width, height, comps, prec, scans):
         rd = _BitReader(data, start)
         tabs = {cid: htabs[(0, dct)] for cid, dct, _act in scomps}
         fresh = {cid: True for cid, _, _ in scomps}
+        # T.81 H.1.2.1: the 1-D horizontal predictor (Ra) is used for
+        # the WHOLE first line of the scan and of each restart
+        # interval — not just the interval's first sample (which
+        # takes the 2^(P-Pt-1) default).  rst_row marks the line the
+        # current interval started on; while decoding that line the
+        # selected 2-D predictor is overridden with predictor 1.
+        rst_row = 0
         nmcu = 0
         for row in range(height):
             for col in range(width):
                 if dri_scan and nmcu and nmcu % dri_scan == 0:
                     rd.restart()
                     fresh = {c_: True for c_ in fresh}
+                    rst_row = row
                 nmcu += 1
+                pred = 1 if row == rst_row else predictor
                 for cid, _dct, _act in scomps:
                     s = _huff_read(rd, tabs[cid])
                     if s == 16:
@@ -2550,7 +2559,7 @@ def _decode_jpeg_lossless(data, width, height, comps, prec, scans):
                         fresh[cid] = False
                     else:
                         px = _jpeg_lossless_predict(
-                            planes[cid], row, col, predictor, default
+                            planes[cid], row, col, pred, default
                         )
                     planes[cid][row, col] = (px + diff) & 0xFFFF
         if pt:
@@ -2625,20 +2634,25 @@ def encode_jpeg_lossless(
     nmcu = 0
     rst = 0
     fresh = [True] * channels
+    # mirror of the decoder's T.81 H.1.2.1 rule: predictor 1 (Ra)
+    # for the whole first line of each restart interval
+    rst_row = 0
     for row in range(height):
         for col in range(width):
             if dri and nmcu and nmcu % dri == 0:
                 bw.restart(rst)
                 rst += 1
                 fresh = [True] * channels
+                rst_row = row
             nmcu += 1
+            pred = 1 if row == rst_row else predictor
             for ci in range(channels):
                 if fresh[ci]:
                     px = default
                     fresh[ci] = False
                 else:
                     px = _jpeg_lossless_predict(
-                        a[:, :, ci], row, col, predictor, default
+                        a[:, :, ci], row, col, pred, default
                     )
                 diff = (int(a[row, col, ci]) - px) & 0xFFFF
                 if diff >= 32768:
@@ -3537,7 +3551,7 @@ def decode_jpeg(data: bytes):
     unsampled components, like the lossless scope), with restart
     intervals (DRI + RSTn) throughout.  Tables and sampling factors
     come from the stream, and Huffman tables are snapshotted per
-    scan (progressive streams redefine them between scans).  Raises
+    scan (progressive streams redefine them between scans).  Decodes
     ARITHMETIC-coded sequential AND progressive (SOF9/SOF10 — the
     Annex D QM coder under the Annex F conditioning model plus the
     G.1.3 progressive scan classes, cross-validated bitwise against

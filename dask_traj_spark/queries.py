@@ -117,7 +117,7 @@ def register(name: str, oracle: str | None = None):
 #       consumers).
 #
 #
-#   r9 (now): execute the written rotation.  Head = t15 (NEW in r8,
+#   r9: execute the written rotation.  Head = t15 (NEW in r8,
 #       never driver-scored — new-query-first) + x16c (r8-green but
 #       TOUCHED: round 9 replaces its n_frames distinct-count with
 #       _frame_count_hint) + the full round-4-stale block (x5-x7,
@@ -131,30 +131,96 @@ def register(name: str, oracle: str | None = None):
 #       (x1/x2/x16b hit the best-effort boundary in r10) + the 18
 #       remaining r5-green shapes (head the r10 order).  d11 (NEW
 #       mid-round-9, local-only evidence) seats FIRST in r10.
+#   r10 (now): execute the r9-written seating + the round's one new
+#       gate.  Head = the SEVEN never-driver-scored gates (d14
+#       maximal-matches — NEW this round, the variable-length
+#       pairwise form of span dedup; d11/d12 span dedup, t16 BM25,
+#       d13/sx9 Bloom, m11c arithmetic JPEG — all locally hash-green
+#       at sf0.01 AND sf0.1) + the 18 round-5-stale shapes (v6-v8,
+#       x10-x15, x17, t10-t12, m7, sx3/sx4, e7, c6) + x1/x2/x16b at
+#       the r7 best-effort boundary + 22 of the 25 remaining
+#       r7-green extension shapes.  d14's slot deferred
+#       r3_rollup_acctbal / m3_frame_sample / t7_repetition_score
+#       (r7-green; rollup/cube machinery carries r8 evidence via
+#       r8_cube/r17, m-family r8, t7's n-gram machinery is
+#       exercised by d5+d11 in this head) — they stay AT round-7
+#       evidence and head the r11 plan below.  The d13/sx9 gates
+#       were touched this round (corpus-driven n_bits sizing) and
+#       are already seated as never-scored.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
-# Remaining debt to seat in ROUND 9, in order: t15 (NEW this round,
-# never scored — new queries outrank re-scores), then r28-r34 (last
-# green round 4), then the r5-green block (x10-x22, t9-t13, v6-v8,
-# c4/c6/c7, d6/d8, m2/m7-m10, sx1-sx4/sx6, e7/e8, x3), then the
-# r7-green set ages back in.
+# Remaining debt to seat in ROUND 11, in order (also written at the
+# top of _SCORING_TAIL): the 3 deferred r7-green shapes
+# (r3/m3/t7), then the 14-query SS2-core block (r9-green, 2-round
+# hard bound hits in r11), then the r8-green block stalest-first;
+# the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
-    # NEW in round 9, never driver-scored — ALL SIX seat FIRST in
-    # the r10 head under the new-query-first rule (local evidence:
-    # every one oracle hash-green at sf0.01 AND sf0.1 the session it
-    # landed, plus two full-registry sweeps at the r9 session-3 HEAD:
-    # 150/150 then 151/151)
-    "d11_duplicate_spans",
-    "d12_excise_duplicate_spans",
-    "t16_bm25_topk",
-    "d13_bloom_cross_corpus",
-    "sx9_stream_bloom_twin",
-    "m11c_decode_jpeg_arith",
-    # last green ROUND 8 (fresh — scored in CORRECTNESS_r08; x16c was
-    # also r8-green but re-seats under the touched-set rule: the
-    # round-9 _frame_count_hint change is on its dispatch path)
+    # ---- WRITTEN R11 PLAN (seat these first next round) ----
+    # (a) the 3 r7-green shapes deferred from the r10 head when d14
+    #     landed (new-query-first cost one slot; these are the only
+    #     entries whose evidence would otherwise age past round 7):
+    "r3_rollup_acctbal",
+    "m3_frame_sample",
+    "t7_repetition_score",
+    # (b) the 14-query SS2-core block — last green ROUND 9, hits the
+    #     2-round HARD bound in r11; it must co-seat with (a) and
+    #     with any r11 touched/never-scored set (50 - 3 - 14 = 33
+    #     free slots, so no collision):
+    "g1_distances",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g8_orthogonality",
+    "g9_lengths_angles_to_vectors",
+    "g10_vectors_to_lengths_angles",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "s8_time_fallback",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    # ---- last green ROUND 9 (fresh; age back in r11+ stalest-first)
+    "d4_ngram_jaccard_neardup",
+    "e8_asof_tolerance",
+    "x16_pairwise_rmsd",
+    "x16c_pairwise_rmsd_auto",
+    "x3_rmsd_aligned_contract",
+    "sx1_stream_neardup_batch_twin",
+    "t15_tfidf_top_terms",
+    "c4_sequence_packing",
+    "x5_rdf_histogram",
+    "x20_pca_contract",
+    "x22_msm_transition_counts",
+    "x21_tica_contract",
+    "x19_compute_neighbors",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    "t9_char_bigram_logprob",
+    "sx2_stream_exact_dedup_twin",
+    "sx6_stream_semantic_dedup_twin",
+    "t13_mojibake",
+    "c7_curation_chain",
+    "d8_containment_neardup",
+    "d10_simhash_hamming_pairs",
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
+    "r23_priority_exists",
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    "r27_returned_items",
+    "r28_important_balances",
+    "r29_priority_lineshare",
+    "r30_customer_distribution",
+    "r31_top_supplier",
+    "r32_promo_part_suppliers",
+    "r33_waiting_suppliers",
+    "r34_approx_quantiles",
+    # ---- last green ROUND 8 (re-seat r11/r12 stalest-first after
+    #      the blocks above)
     "g1_distances_vec",
     "g1_distances_mic_ortho",
     "g1_distances_mic_triclinic",
@@ -204,57 +270,6 @@ _SCORING_TAIL = [
     "r20_except_status",
     "r21_min_cost_supplier",
     "r22_sketch_distinct",
-    # last green ROUND 7 — ages to the best-effort boundary in r10;
-    # first to re-seat next round after any touched/never-scored set
-    "d1_exact_dedup",
-    "d3_simhash",
-    "v1_cosine_topk",
-    "v3_cosine_topk_ivf",
-    "v4_ann_recall",
-    "v2_embedding_neardup_lsh",
-    "x1_frame_rmsd",
-    "x16b_pairwise_rmsd_blocked",
-    "x2_rmsd_topk",
-    "c2_decontamination",
-    "c3_stratified_sample",
-    "t7_repetition_score",
-    "d5_repeated_ngram_docs",
-    "m3_frame_sample",
-    "t8_heuristic_filter",
-    "sx8_stream_transition_counts_twin",
-    "e6_cohort_retention",
-    "x8_dihedrals",
-    "x9_msd",
-    "m12_sniff_kind",
-    "d9_url_canonical_dedup",
-    "t14_count_min_heavy_hitters",
-    "sx7_stream_count_min_twin",
-    "v5_pq_recall",
-    "c5_source_token_mixture",
-    "sx5_incremental_ivf_twin",
-    "x18_sasa_exposure",
-    "r3_rollup_acctbal",
-    # last green round 5 — the 12 stalest of this block seated in the
-    # r9 head; these remaining 18 are the oldest evidence left and
-    # head the r10 seating order
-    "v8_ivf_pq_recall",
-    "x10_rmsf",
-    "t10_pii_scrub",
-    "v6_kmeans_contract",
-    "m7_resize_bmp",
-    "sx3_stream_window_counts_twin",
-    "x11_hbond_geometric",
-    "x12_vacf",
-    "t11_lexical_diversity",
-    "sx4_stream_sessionization_twin",
-    "e7_burst_detection",
-    "x13_gyration_tensor",
-    "c6_dataset_split",
-    "x14_native_contacts",
-    "t12_bigram_crossscore",
-    "v7_sq_recall",
-    "x17_rg_block_average",
-    "x15_rg_autocorrelation",
 ]
 
 

@@ -4629,6 +4629,73 @@ FROM grp GROUP BY doc_id, g
 """
 
 
+_D14_CAP = 64
+
+_D14_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {_D11_W - 1})) AS i
+    FROM toks WHERE len(t) >= {_D11_W}
+),
+ngr AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i:i + {_D11_W - 1}], ' ') AS ng
+    FROM idx
+),
+occ AS (
+    SELECT doc_id, pos, ng FROM (
+        SELECT doc_id, pos, ng, count(*) OVER (PARTITION BY ng) AS c
+        FROM ngr)
+    WHERE c BETWEEN 2 AND {_D14_CAP}
+),
+pr AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           a.pos AS p1, b.pos AS p2, a.pos - b.pos AS diag
+    FROM occ a JOIN occ b ON a.ng = b.ng AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc1, doc2, p1, p2, diag,
+           CASE WHEN p1 > lag(p1) OVER (PARTITION BY doc1, doc2, diag
+                                        ORDER BY p1) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM pr
+),
+grp AS (
+    SELECT doc1, doc2, p1, p2, diag,
+           sum(brk) OVER (PARTITION BY doc1, doc2, diag ORDER BY p1) AS g
+    FROM isl
+)
+SELECT doc1, doc2,
+       CAST(min(p1) AS BIGINT) AS start1,
+       CAST(min(p2) AS BIGINT) AS start2,
+       CAST(max(p1) - min(p1) + {_D11_W} AS BIGINT) AS match_tokens
+FROM grp GROUP BY doc1, doc2, diag, g
+"""
+
+
+@register("d14_maximal_matches", _D14_ORACLE)
+def q_maximal_matches(spark, sf_dir):
+    """Pairwise variable-length maximal shared substrings (the
+    Lee-et-al. suffix-array signal, from d11's bucketed n-gram plan:
+    consecutive anchors on one (doc1, doc2) alignment diagonal ARE
+    the maximal matches).  Exact n-gram keys for DuckDB parity; the
+    operator default is hashed (8-byte keys — the 100-TB path).
+    The occurrence cap (keys kept only at 2..{cap} occurrences) is
+    mirrored verbatim in the oracle.  See
+    :func:`dask_traj_spark.operators.dedup.maximal_matches` for the
+    scale posture (cap before the pair join, keyed islands
+    window)."""
+    from dask_traj_spark.operators.dedup import maximal_matches
+
+    return maximal_matches(
+        _docs(spark, sf_dir), ngram=_D11_W, max_occ=_D14_CAP,
+        key_mode="exact",
+    )
+
+
 @register("d11_duplicate_spans", _D11_ORACLE)
 def q_duplicate_spans(spark, sf_dir):
     from dask_traj_spark.operators.dedup import duplicate_spans
@@ -4890,8 +4957,11 @@ def q_bloom_cross_corpus(spark, sf_dir):
     measures the filter's ACTUAL false negatives (must be exactly 0
     — Bloom filters never false-negative under one hash family) and
     checks the false-positive count against a generous integer bound
-    (20·fp <= non_members + 100; theory says ~0.5% at sf0.1 for
-    2^16 bits / 4 hashes); the oracle pins the membership arithmetic
+    (20·fp <= non_members + 100).  The filter is sized FROM the
+    corpus (next power of two >= 16 bits/key, floor 2^16 — with 4
+    hashes that is ~0.2-0.5% theoretical FP at ANY scale factor), so
+    a scale bump can never cross the 5% gate bound and read as an
+    operator regression; the oracle pins the membership arithmetic
     and the contract flags.  See
     :func:`dask_traj_spark.operators.dedup.bloom_membership` for the
     100-TB plan posture (bounded bitmap shuffle, broadcast-or-
@@ -4899,6 +4969,7 @@ def q_bloom_cross_corpus(spark, sf_dir):
     from dask_traj_spark.operators.dedup import bloom_membership
 
     docs = _docs(spark, sf_dir)
+    n_bits = 1 << max(16, (16 * docs.count() - 1).bit_length())
     members = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
     nonmembers = docs.where(F.col("doc_id") % 2 == 1).select(
         "doc_id",
@@ -4908,7 +4979,7 @@ def q_bloom_cross_corpus(spark, sf_dir):
     )
     probes = members.unionByName(nonmembers)
     flags = bloom_membership(
-        docs, probes, n_bits=1 << 16, n_hashes=4
+        docs, probes, n_bits=n_bits, n_hashes=4
     )
     truly = F.col("doc_id") % 2 == 0
     dup = F.col("maybe_dup")
@@ -4955,20 +5026,25 @@ def q_stream_bloom_twin(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # same corpus-driven sizing as d13 (16 bits/key, floor 2^16):
+    # keeps the FP gate's 5% bound safe at any scale factor
+    n_bits = 1 << max(16, (16 * docs.count() - 1).bit_length())
     work = tempfile.mkdtemp(prefix="sx9_bloom_twin_")
     state = f"{work}/state"
     try:
         for bch in range(3):
             process_bloom_batch(
-                docs.where(F.col("doc_id") % 3 == bch), bch, state
+                docs.where(F.col("doc_id") % 3 == bch), bch, state,
+                n_bits=n_bits,
             )
         # crash-replay of the middle batch: the partition is rewritten
         # in place and the bit_or merge must be unaffected
         process_bloom_batch(
-            docs.where(F.col("doc_id") % 3 == 1), 1, state
+            docs.where(F.col("doc_id") % 3 == 1), 1, state,
+            n_bits=n_bits,
         )
         merged = bloom_state(spark, state)
-        oneshot = bloom_build(docs)
+        oneshot = bloom_build(docs, n_bits=n_bits)
         mismatches = (
             merged.withColumnRenamed("bits", "sb")
             .join(oneshot.withColumnRenamed("bits", "ob"), "word_idx", "full")
@@ -4988,7 +5064,8 @@ def q_stream_bloom_twin(spark, sf_dir):
             ).alias("text"),
         )
         flags = bloom_membership(
-            None, members.unionByName(nonmembers), bitmap=merged
+            None, members.unionByName(nonmembers), bitmap=merged,
+            n_bits=n_bits,
         )
         truly = F.col("doc_id") % 2 == 0
         dup = F.col("maybe_dup")

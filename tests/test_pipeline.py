@@ -2839,6 +2839,69 @@ class TestDuplicateSpans:
         assert set(out.columns) >= {"text", "n_removed"}
 
 
+class TestMaximalMatches:
+    def test_hand_built_maximal_matches(self, spark):
+        """A 12-token shared run reports as ONE maximal match at full
+        length (not n-gram pieces); a repeat of the run inside one
+        partner yields a second alignment diagonal; an exactly-ngram
+        match reports at length ngram; within-doc repeats alone are
+        not reported (cross-doc pairs only)."""
+        from dask_traj_spark.operators.dedup import maximal_matches
+
+        A = " ".join(f"a{i}" for i in range(12))
+        B = " ".join(f"b{i}" for i in range(8))
+        rows = [
+            (0, f"x0 x1 x2 {A} y0 y1 {B}"),
+            (1, f"{A} z0 z1 z2 z3 z4 z5 z6 z7 {A}"),
+            (2, f"w0 w1 w2 w3 w4 w5 w6 w7 {B} w8"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = [(0, 1, 3, 0, 12), (0, 1, 3, 20, 12), (0, 2, 17, 8, 8)]
+        for mode in ("exact", "hashed"):
+            got = sorted(
+                tuple(r)
+                for r in maximal_matches(
+                    docs, ngram=8, key_mode=mode
+                ).collect()
+            )
+            assert got == sorted(want), (mode, got)
+
+    def test_occurrence_cap_mirrors_drop(self, spark):
+        """max_occ drops over-cap anchor keys BEFORE the pair join:
+        with cap 2, the thrice-occurring run disappears while the
+        twice-occurring one survives."""
+        from dask_traj_spark.operators.dedup import maximal_matches
+
+        A = " ".join(f"a{i}" for i in range(12))
+        B = " ".join(f"b{i}" for i in range(8))
+        rows = [
+            (0, f"x0 x1 x2 {A} y0 y1 {B}"),
+            (1, f"{A} z0 z1 z2 z3 z4 z5 z6 z7 {A}"),
+            (2, f"w0 w1 w2 w3 w4 w5 w6 w7 {B} w8"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in maximal_matches(
+                docs, ngram=8, key_mode="exact", max_occ=2
+            ).collect()
+        )
+        assert got == [(0, 2, 17, 8, 8)], got
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.dedup import maximal_matches
+
+        docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="ngram"):
+            maximal_matches(docs, ngram=0)
+        with _pytest.raises(ValueError, match="max_occ"):
+            maximal_matches(docs, max_occ=1)
+        with _pytest.raises(ValueError, match="key_mode"):
+            maximal_matches(docs, key_mode="bogus")
+
+
 class TestBloomMembership:
     def test_no_false_negatives_and_flags(self, spark):
         """Every ref member probes true (the Bloom guarantee); novel

@@ -689,6 +689,26 @@ def test_duplicate_spans_plan_shape(spark):
     assert "SinglePartition" not in a.text, a.text
 
 
+def test_maximal_matches_plan_shape(spark):
+    """d14's 100-TB posture: windows JVM-side (zero Python evals),
+    the occurrence cap collapses map-side and filters BEFORE the
+    pair join (so the join fan-out is bounded by max_occ² per key),
+    the islands window is keyed on (doc1, doc2, diag) — never
+    SinglePartition — and nothing is cartesian."""
+    from dask_traj_spark.operators.dedup import maximal_matches
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = audit(maximal_matches(docs))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+
+
 def test_excise_spans_plan_shape(spark):
     """d12's rewrite is a JVM-side array filter — no explode of the
     corpus tokens, no Python, and the only wide operations are the

@@ -810,6 +810,74 @@ def test_jpeg_lossless_golden_bitstream():
     assert list(px) == [100, 101, 98, 98]
 
 
+def test_jpeg_lossless_restart_first_line_golden():
+    """T.81 H.1.2.1 restart semantics, hand-derived (NOT a roundtrip
+    — encoder and decoder mirror each other, so only a bitstream
+    whose diffs are worked out by hand from the spec can catch a
+    shared deviation): a 4x3 image under predictor 2 (Rb) with
+    Ri = 6 samples restarts at (row 1, col 2).  The spec requires
+    the 1-D horizontal predictor (Ra) for the WHOLE first line of
+    each restart interval — so (1,3) predicts from Ra = 70, not
+    from the scan predictor's Rb = 40 — with the 2^(P-Pt-1) default
+    only for the interval's first sample (1,2).
+
+    pixels            prediction (spec rule)           diff
+    (0,0) 10          scan default 128                 -118
+    (0,1..3) 20 30 40 first line -> Ra                 +10 each
+    (1,0) 50          line start -> Rb = 10            +40
+    (1,1) 60          predictor 2 -> Rb = 20           +40
+    --- RST0 (6 samples coded) ---
+    (1,2) 70          interval default 128             -58
+    (1,3) 80          interval first line -> Ra = 70   +10
+    (2,0..3) 90..120  predictor 2 -> Rb = 50..80       +40 each
+
+    SSSS categories: -118 -> 7 (extra = -118+127 = 9), +10 -> 4
+    (extra 10), +40 -> 6 (extra 40), -58 -> 6 (extra -58+63 = 5)."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        _BitWriter,
+        _huff_encode_map,
+        _LL_BITS,
+        _LL_VALS,
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    codes = _huff_encode_map(_LL_BITS, _LL_VALS)
+    bw = _BitWriter()
+
+    def put(s: int, extra: int) -> None:
+        c, ln = codes[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(extra, s)
+
+    put(7, 9)                      # (0,0)
+    for _ in range(3):
+        put(4, 10)                 # (0,1..3)
+    put(6, 40)                     # (1,0)
+    put(6, 40)                     # (1,1)
+    bw.restart(0)                  # Ri = 6 -> RST0
+    put(6, 5)                      # (1,2) diff -58
+    put(4, 10)                     # (1,3) Ra rule, NOT Rb
+    for _ in range(4):
+        put(6, 40)                 # (2,0..3)
+    entropy = bw.flush()
+
+    a = np.array(
+        [[10, 20, 30, 40], [50, 60, 70, 80], [90, 100, 110, 120]]
+    )
+    stream = encode_jpeg_lossless(4, 3, a, predictor=2, dri=6)
+    # encoder bytes end with the hand-built entropy segment + EOI
+    assert stream.endswith(entropy + b"\xff\xd9")
+    w, h, ch, px = decode_jpeg(stream)
+    assert (w, h, ch) == (4, 3, 1)
+    assert np.array_equal(
+        np.frombuffer(px, dtype=np.uint8).reshape(3, 4), a
+    )
+
+
 @given(
     st.integers(2, 9), st.integers(2, 9), st.integers(1, 7),
     st.sampled_from([8, 12, 16]), st.integers(0, 2),

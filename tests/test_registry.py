@@ -9,71 +9,50 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 9 (VERDICT r8 items 1, 5):
-# t15 (never scored), x16c (touched: the r9 _frame_count_hint change
-# is on its dispatch path), the round-4-stale block (x5-x7, r15/r16,
-# r23-r34), the five bucket-cap consumers whose r8 re-verification
-# was local-only (d4/d8/d10/sx1/sx6), the 14-query SS2-core block at
-# the 2-round hard bound (last green r7), and the 12 stalest
-# r5-green shapes.
-MUST_SCORE_R9 = [
-    "t15_tfidf_top_terms",
-    "x16c_pairwise_rmsd_auto",
-    "x5_rdf_histogram",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
-    "r23_priority_exists",
-    "r24_forecast_revenue",
-    "r25_market_share",
-    "r26_profit_by_nation_year",
-    "r27_returned_items",
-    "r28_important_balances",
-    "r29_priority_lineshare",
-    "r30_customer_distribution",
-    "r31_top_supplier",
-    "r32_promo_part_suppliers",
-    "r33_waiting_suppliers",
-    "r34_approx_quantiles",
-    "d4_ngram_jaccard_neardup",
-    "d8_containment_neardup",
-    "d10_simhash_hamming_pairs",
-    "sx1_stream_neardup_batch_twin",
-    "sx6_stream_semantic_dedup_twin",
-    "g1_distances",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g8_orthogonality",
-    "g9_lengths_angles_to_vectors",
-    "g10_vectors_to_lengths_angles",
-    "p1_frame_slice_stride_reverse",
-    "p2_atom_slice",
-    "s8_time_fallback",
-    "u1_concat_overlap_discard",
-    "u2_content_fingerprint",
-    "e8_asof_tolerance",
-    "x16_pairwise_rmsd",
-    "x3_rmsd_aligned_contract",
-    "c4_sequence_packing",
-    "x20_pca_contract",
-    "x22_msm_transition_counts",
-    "x21_tica_contract",
-    "x19_compute_neighbors",
-    "t9_char_bigram_logprob",
-    "sx2_stream_exact_dedup_twin",
-    "t13_mojibake",
-    "c7_curation_chain",
+# queries that MUST be scored in round 10 (VERDICT r9 item 1 + the
+# round's one new gate): the seven never-driver-scored gates (d14
+# maximal-matches NEW this round; d11/d12 span dedup, t16 BM25,
+# d13/sx9 Bloom — d13/sx9 also TOUCHED by the corpus-driven n_bits
+# sizing — m11c arithmetic JPEG), the 18 round-5-stale shapes, and
+# x1/x2/x16b at the r7 best-effort boundary.  The rest of the head
+# (22 r7-green extension shapes) is pinned by window-exactness, not
+# listed here.
+MUST_SCORE_R10 = [
+    "d14_maximal_matches",
+    "d11_duplicate_spans",
+    "d12_excise_duplicate_spans",
+    "t16_bm25_topk",
+    "d13_bloom_cross_corpus",
+    "sx9_stream_bloom_twin",
+    "m11c_decode_jpeg_arith",
+    "v8_ivf_pq_recall",
+    "x10_rmsf",
+    "t10_pii_scrub",
+    "v6_kmeans_contract",
+    "m7_resize_bmp",
+    "sx3_stream_window_counts_twin",
+    "x11_hbond_geometric",
+    "x12_vacf",
+    "t11_lexical_diversity",
+    "sx4_stream_sessionization_twin",
+    "e7_burst_detection",
+    "x13_gyration_tensor",
+    "c6_dataset_split",
+    "x14_native_contacts",
+    "t12_bigram_crossscore",
+    "v7_sq_recall",
+    "x17_rg_block_average",
+    "x15_rg_autocorrelation",
+    "x1_frame_rmsd",
+    "x2_rmsd_topk",
+    "x16b_pairwise_rmsd_blocked",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R9 if n not in window]
+    missing = [n for n in MUST_SCORE_R10 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
