@@ -225,12 +225,48 @@ def _displacements_sql(
 # 10^8 rows.
 
 
+#: frame count above which the vectorized feed JOINS box columns
+#: onto the packed coords (broadcast hash join — preserves the
+#: frame-contiguous partition layout the kernels require) instead of
+#: collecting a per-frame lookup to the driver.  10^7 frames ≈
+#: 600 MB of unitcell rows: fine to broadcast, NOT fine to
+#: `toPandas()` through the driver on every operator call.
+BOX_JOIN_FRAMES = 10_000_000
+
+
+def _frame_count_hint(traj) -> int:
+    """Frame count for dispatch decisions, as cheaply as possible.
+
+    Order: the Trajectory's already-cached ``n_frames`` (free) → the
+    per-frame dimension table's count (tiny, and exact — seeds the
+    cache) → the (max-min+1) frame-id span over coords.  The span is
+    a partial min/max aggregate — no shuffle, one scan, vs the exact
+    distinct-count's hash-aggregate exchange — and is an UPPER bound
+    when frame ids are sparse, which only biases dispatch toward the
+    branch that scales (blocked gram / box-column join): the safe
+    side to err on at scale."""
+    nf = traj.__dict__.get("n_frames")
+    if nf is not None:
+        return nf
+    if traj._frames is not None:
+        nf = traj._frames.count()
+        traj.__dict__["n_frames"] = nf  # exact: one row per frame
+        return nf
+    row = traj.coords.agg(
+        F.min("frame_id").alias("lo"), F.max("frame_id").alias("hi")
+    ).first()
+    if row["hi"] is None:
+        return 0
+    return int(row["hi"]) - int(row["lo"]) + 1
+
+
 class _BoxLookup:
     """Driver-collected per-frame box: frame_id → (3,3) vectors +
     orthogonality flag, queried with searchsorted inside kernels.
 
-    Scale note: one row per frame (n_frames ≪ n_rows). At extreme
-    frame counts (>10^7) switch to joining box columns instead."""
+    Scale note: one row per frame (n_frames ≪ n_rows), used below
+    ``BOX_JOIN_FRAMES``; past that, :func:`_packed_input`
+    automatically joins the box columns onto the feed instead."""
 
     def __init__(self, ids, vecs, ortho):
         self.ids = ids
@@ -280,7 +316,11 @@ def _iter_frame_blocks(batches):
 
 def _block_arrays(block, box_lookup):
     """Complete-frame block → (frame_ids (B,), xyz (B, n_atoms, 3),
-    box (B,3,3)|None, ortho (B,)|None)."""
+    box (B,3,3)|None, ortho (B,)|None).  The box comes from the
+    driver-collected ``box_lookup`` when given, else from joined box
+    COLUMNS riding on the block (the >``BOX_JOIN_FRAMES`` path —
+    rows within a frame share their box, so the first row per frame
+    is read), else no box (non-periodic)."""
     fids_all = block["frame_id"].to_numpy()
     fids, counts = np.unique(fids_all, return_counts=True)
     n_at = int(counts[0])
@@ -298,26 +338,56 @@ def _block_arrays(block, box_lookup):
         ],
         axis=-1,
     )
-    if box_lookup is None:
-        return fids, xyz, None, None
-    box, ortho = box_lookup.get(fids)
-    return fids, xyz, box, ortho
+    if box_lookup is not None:
+        box, ortho = box_lookup.get(fids)
+        return fids, xyz, box, ortho
+    if "ax" in block.columns:
+        # box-column path: first row index of each (sorted) frame
+        first = np.searchsorted(fids_all, fids)
+        box = np.stack(
+            [block[c].to_numpy(dtype=np.float32)[first] for c in _BOX_COLS],
+            axis=-1,
+        ).reshape(-1, 3, 3)
+        ang = np.stack(
+            [
+                block[c].to_numpy(dtype=np.float32)[first]
+                for c in ("alpha", "beta", "gamma")
+            ],
+            axis=-1,
+        )
+        return fids, xyz, box, kernels.is_orthogonal_np(ang)
+    return fids, xyz, None, None
 
 
-def _packed_input(traj, periodic: bool, atoms: np.ndarray | None = None):
+def _packed_input(
+    traj,
+    periodic: bool,
+    atoms: np.ndarray | None = None,
+):
     """The vectorized feed: frame-packed coords, optionally
     semi-filtered to the atoms the index set actually references
     (pushdown-friendly JVM-side predicate — with 500 of 22k atoms
     selected this cuts the Arrow feed ~45×), projected to the 4
     columns the kernel reads.
 
-    Returns (feed_df, box_lookup). When ``atoms`` is given the
-    caller must remap its indices to positions in the sorted unique
-    atom list (np.searchsorted) — frames in the feed then contain
-    exactly those atoms in sorted order.
+    Returns (feed_df, box_lookup).  The box rides as a driver-
+    collected per-frame lookup below ``BOX_JOIN_FRAMES`` frames;
+    past that the lookup's `toPandas()` would materialize n_frames
+    rows through the driver on every call, so the unitcell columns
+    are instead BROADCAST-joined onto the feed (a map-side hash
+    join — the frame-contiguous partition layout the kernels
+    require survives; a shuffle join would not preserve it, which
+    is why the join is pinned broadcast) and ``box_lookup`` comes
+    back None with :func:`_block_arrays` reading the columns.
+
+    When ``atoms`` is given the caller must remap its indices to
+    positions in the sorted unique atom list (np.searchsorted) —
+    frames in the feed then contain exactly those atoms in sorted
+    order.
     """
     use_box = periodic and traj.have_unitcell
-    lookup = _BoxLookup.from_traj(traj) if use_box else None
+    box_join = use_box and _frame_count_hint(traj) > BOX_JOIN_FRAMES
+    lookup = _BoxLookup.from_traj(traj) if use_box and not box_join else None
     feed = traj.frame_packed()
     if atoms is not None:
         lo, hi = int(atoms[0]), int(atoms[-1])
@@ -337,6 +407,19 @@ def _packed_input(traj, periodic: bool, atoms: np.ndarray | None = None):
             feed = feed.filter(F.col("atom_id").between(lo, hi))
         else:
             feed = feed.filter(F.col("atom_id").isin([int(a) for a in atoms]))
+    if box_join:
+        uc = traj.unitcell_full().select(
+            "frame_id",
+            *[F.col(c).cast("float").alias(c) for c in _BOX_COLS],
+            *[
+                F.col(c).cast("float").alias(c)
+                for c in ("alpha", "beta", "gamma")
+            ],
+        )
+        feed = feed.join(F.broadcast(uc), "frame_id").select(
+            "frame_id", "x", "y", "z", *_BOX_COLS, "alpha", "beta", "gamma"
+        )
+        return feed, None
     return feed.select("frame_id", "x", "y", "z"), lookup
 
 

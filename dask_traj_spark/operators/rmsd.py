@@ -451,30 +451,10 @@ def pairwise_rmsd_blocked(traj, block: int = 1024) -> DataFrame:
 PAIRWISE_RMSD_CROSSOVER = 2048
 
 
-def _frame_count_hint(traj) -> int:
-    """Frame count for dispatch decisions, as cheaply as possible.
-
-    Order: the Trajectory's already-cached ``n_frames`` (free) → the
-    per-frame dimension table's count (tiny, and exact — seeds the
-    cache) → the (max-min+1) frame-id span over coords.  The span is
-    a partial min/max aggregate — no shuffle, one scan, vs the exact
-    distinct-count's hash-aggregate exchange — and is an UPPER bound
-    when frame ids are sparse, which only biases the dispatch toward
-    the blocked form: the branch whose cost is bounded by tile count,
-    i.e. the safe side to err on at scale."""
-    nf = traj.__dict__.get("n_frames")
-    if nf is not None:
-        return nf
-    if traj._frames is not None:
-        nf = traj._frames.count()
-        traj.__dict__["n_frames"] = nf  # exact: one row per frame
-        return nf
-    row = traj.coords.agg(
-        F.min("frame_id").alias("lo"), F.max("frame_id").alias("hi")
-    ).first()
-    if row["hi"] is None:
-        return 0
-    return int(row["hi"]) - int(row["lo"]) + 1
+# shared with the vectorized-feed box dispatch — one hint, one
+# caching contract (moved to distance.py in round 10; re-exported
+# here for the existing import surface)
+from dask_traj_spark.operators.distance import _frame_count_hint  # noqa: E402,F401
 
 
 def pairwise_rmsd_auto(
