@@ -242,6 +242,7 @@ def main() -> None:
         "c4_sequence_packing",
         "d6_semantic_dedup",
         "d11_duplicate_spans",
+        "d14_maximal_matches",
         "t16_bm25_topk",
         "d13_bloom_cross_corpus",
     ):
@@ -410,6 +411,21 @@ def main() -> None:
         t0 = time.time()
         _noop(duplicate_spans(docs10))
         scale["d11_duplicate_spans_10x_alldup"] = round(time.time() - t0, 3)
+
+        # d14 maximal matches on the SAME fair 10x corpus (duplicated
+        # fraction constant; the occurrence cap bounds the pair join,
+        # so this measures the capped-join + diagonal-islands scaling).
+        # Both sides of the linearity ratio run the HASHED production
+        # mode — the suite's 1x entry above is the exact-mode oracle
+        # gate and would skew the ratio.
+        from dask_traj_spark.operators.dedup import maximal_matches
+
+        t0 = time.time()
+        _noop(maximal_matches(docs))
+        times["d14_maximal_matches_hashed"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(maximal_matches(d10p))
+        scale["d14_maximal_matches_10x"] = round(time.time() - t0, 3)
         shutil.rmtree(d10p_dir, ignore_errors=True)
 
         # pairwise-RMSD crossover: the x16 SQL sufficient-statistics
@@ -583,6 +599,10 @@ def main() -> None:
             "d11_duplicate_spans": round(
                 scale["d11_duplicate_spans_10x"]
                 / (10 * times["d11_duplicate_spans"]), 2
+            ),
+            "d14_maximal_matches": round(
+                scale["d14_maximal_matches_10x"]
+                / (10 * times["d14_maximal_matches_hashed"]), 2
             ),
         }
         probes["after_scale_s"] = _cpu_probe()

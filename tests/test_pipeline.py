@@ -2901,6 +2901,55 @@ class TestMaximalMatches:
         with _pytest.raises(ValueError, match="key_mode"):
             maximal_matches(docs, key_mode="bogus")
 
+    def test_matches_brute_force_on_random_corpora(self, spark):
+        """Property check against an independent per-diagonal
+        longest-common-extension reference: for each doc pair and
+        alignment diagonal, scan elementwise token equality and
+        report every >= ngram run.  Tiny alphabet forces dense
+        repeats, within-doc repeats, and overlapping diagonals —
+        the shapes where an anchor-merge bug would hide."""
+        import numpy as np
+
+        from dask_traj_spark.operators.dedup import maximal_matches
+
+        rng = np.random.default_rng(42)
+        NG = 3
+        for trial in range(6):
+            toks = [
+                [f"w{v}" for v in rng.integers(0, 4, size=int(n))]
+                for n in rng.integers(NG, 25, size=4)
+            ]
+            docs = spark.createDataFrame(
+                [(i, " ".join(t)) for i, t in enumerate(toks)],
+                "doc_id long, text string",
+            )
+            want = []
+            for d1 in range(len(toks)):
+                for d2 in range(d1 + 1, len(toks)):
+                    a, b = toks[d1], toks[d2]
+                    for diag in range(-(len(b) - 1), len(a)):
+                        run = 0
+                        lo = max(0, diag)
+                        hi = min(len(a), len(b) + diag)
+                        for p1 in range(lo, hi + 1):
+                            eq = p1 < hi and a[p1] == b[p1 - diag]
+                            if eq:
+                                run += 1
+                            else:
+                                if run >= NG:
+                                    want.append(
+                                        (d1, d2, p1 - run,
+                                         p1 - run - diag, run)
+                                    )
+                                run = 0
+            got = sorted(
+                tuple(r)
+                for r in maximal_matches(
+                    docs, ngram=NG, key_mode="exact", max_occ=None
+                ).collect()
+            )
+            assert got == sorted(want), (trial, got, sorted(want))
+
 
 class TestBloomMembership:
     def test_no_false_negatives_and_flags(self, spark):
