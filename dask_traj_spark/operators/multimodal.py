@@ -755,13 +755,15 @@ def mp4_sample(data: bytes, info: dict, i: int) -> bytes:
 MP4_SAMPLE_BYTES = 8
 
 
-def attach_payload_mp4(docs: DataFrame) -> DataFrame:
+def attach_payload_mp4(docs: DataFrame, codec_fn=None) -> DataFrame:
     """Synthesize a REAL ISO-BMFF container per document: width
     16·(1 + doc_id mod 4), height 16·(1 + doc_id mod 3),
     2 + doc_id mod 3 samples of 8 bytes, sample i byte j =
     (31·doc_id + 7·i + j) mod 256 — every demuxed field closed-form
     in doc_id, so the whole box walk + stsc/stco/stsz offset
-    resolution is oracle-checkable."""
+    resolution is oracle-checkable.  ``codec_fn(doc_id) -> bytes``
+    overrides the stsd sample-entry fourcc per doc (default avc1 —
+    the m13 contract); m14's codec-mix gate cycles it."""
     import pandas as pd
 
     def gen(batches):
@@ -780,7 +782,10 @@ def attach_payload_mp4(docs: DataFrame) -> DataFrame:
                     for i in range(n)
                 ]
                 payloads.append(
-                    encode_mp4(16 * (1 + d % 4), 16 * (1 + d % 3), samples)
+                    encode_mp4(
+                        16 * (1 + d % 4), 16 * (1 + d % 3), samples,
+                        codec=codec_fn(d) if codec_fn else b"avc1",
+                    )
                 )
             yield pd.DataFrame(
                 {
@@ -3991,23 +3996,15 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, PIXEL_STATS_SCHEMA)
 
 
-def sniff_kind(media: DataFrame) -> DataFrame:
-    """Magic-byte content sniffing → (doc_id, kind, sniffed_kind,
-    match): detect the REAL container format from the payload head
-    (BMP/PNG/JPEG/TIFF/RIFF-WAV/RIFF-AVI) and compare it to the
-    declared ``kind`` column — the mislabeled-asset detector every
-    multimodal ingest runs before trusting upstream metadata.
-
-    100-TB posture: pure JVM-side binary expressions (substring +
-    literal compares inside whole-stage codegen) — no Python, no
-    shuffle; parquet reads only the first payload bytes' pages when
-    the format supports it, and the expression never materializes
-    the tail."""
+def _sniff_expr():
+    """Magic-byte container detection over the ``payload`` column as
+    one JVM-side CASE expression (substring + literal compares inside
+    whole-stage codegen — no Python, never reads the payload tail)."""
     head = lambda off, n: F.expr(  # noqa: E731
         f"substring(payload, {off}, {n})"
     )
     lit = lambda hexs: F.expr(f"X'{hexs}'")  # noqa: E731
-    sniffed = (
+    return (
         F.when(head(1, 8) == lit("89504E470D0A1A0A"), F.lit("image/png"))
         .when(head(1, 3) == lit("FFD8FF"), F.lit("image/jpeg"))
         .when(head(1, 2) == lit("424D"), F.lit("image/bmp"))
@@ -4027,9 +4024,91 @@ def sniff_kind(media: DataFrame) -> DataFrame:
         .when(head(5, 4) == lit("66747970"), F.lit("video/mp4"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def sniff_kind(media: DataFrame) -> DataFrame:
+    """Magic-byte content sniffing → (doc_id, kind, sniffed_kind,
+    match): detect the REAL container format from the payload head
+    (BMP/PNG/JPEG/TIFF/RIFF-WAV/RIFF-AVI) and compare it to the
+    declared ``kind`` column — the mislabeled-asset detector every
+    multimodal ingest runs before trusting upstream metadata.
+
+    100-TB posture: pure JVM-side binary expressions (substring +
+    literal compares inside whole-stage codegen) — no Python, no
+    shuffle; parquet reads only the first payload bytes' pages when
+    the format supports it, and the expression never materializes
+    the tail."""
+    sniffed = _sniff_expr()
     return media.select(
         "doc_id",
         "kind",
         sniffed.alias("sniffed_kind"),
         (F.col("kind") == sniffed).cast("long").alias("match"),
+    )
+
+
+VIDEO_CODEC_MIX_SCHEMA = (
+    "container string, codec string, n_samples long, sample_bytes long, "
+    "width long"
+)
+
+
+def video_codec_mix(media: DataFrame) -> DataFrame:
+    """Per-codec corpus triage (the m13 follow-up): route every
+    payload by its SNIFFED container — never the declared ``kind``
+    column, so mislabeled assets land in the right bucket — demux
+    the video containers, and aggregate the corpus per
+    (container, codec): video count, total samples, total sample
+    bytes, width range.  The decision table a 100-TB multimodal
+    ingest uses to plan codec-specific downstream work (which
+    decoder fleets to provision, what fraction of bytes is AVC vs
+    HEVC vs AV1) without decoding a single pixel.
+
+    → (container, codec, n_videos, n_samples, total_sample_bytes,
+    min_width, max_width).  Non-video payloads aggregate under
+    container ``'none'`` with their sniffed kind as the codec and
+    zero sample stats — the triage signal that upstream labels lie.
+
+    Plan: sniff is the JVM-side magic-byte CASE; per-payload demux
+    is the same Arrow-batched ``mapInPandas`` as
+    :func:`video_container_stats` (Python per payload is inherent
+    to a from-scratch demuxer); the only shuffle is the final
+    partial+final aggregation on the tiny (container, codec) key."""
+    import pandas as pd
+
+    routed = media.select("doc_id", "payload", _sniff_expr().alias("k"))
+
+    def one(k, buf):
+        b = bytes(buf)
+        if k == "video/mp4":
+            info = demux_mp4(b)
+            return (
+                "mp4", info["codec"], info["n_samples"],
+                sum(info["sample_sizes"]), info["width"],
+            )
+        if k == "video/avi":
+            w, h, n, frames = decode_avi(b)
+            return ("avi", "DIB", n, sum(int(f.size) for f in frames), w)
+        return ("none", k, 0, 0, 0)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [one(k, buf) for k, buf in zip(pdf["k"], pdf["payload"])]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "container", "codec", "n_samples", "sample_bytes",
+                    "width",
+                ],
+            )
+
+    per = routed.mapInPandas(gen, VIDEO_CODEC_MIX_SCHEMA)
+    return per.groupBy("container", "codec").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("n_samples").alias("n_samples"),
+        F.sum("sample_bytes").alias("total_sample_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
     )

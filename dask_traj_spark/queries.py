@@ -131,39 +131,45 @@ def register(name: str, oracle: str | None = None):
 #       (x1/x2/x16b hit the best-effort boundary in r10) + the 18
 #       remaining r5-green shapes (head the r10 order).  d11 (NEW
 #       mid-round-9, local-only evidence) seats FIRST in r10.
-#   r10 (now): execute the r9-written seating + the round's one new
-#       gate.  Head = the SEVEN never-driver-scored gates (d14
+#   r10 (now): execute the r9-written seating + the round's two new
+#       gates.  Head = the EIGHT never-driver-scored gates (d14
 #       maximal-matches — NEW this round, the variable-length
-#       pairwise form of span dedup; d11/d12 span dedup, t16 BM25,
-#       d13/sx9 Bloom, m11c arithmetic JPEG — all locally hash-green
-#       at sf0.01 AND sf0.1) + the 18 round-5-stale shapes (v6-v8,
-#       x10-x15, x17, t10-t12, m7, sx3/sx4, e7, c6) + x1/x2/x16b at
-#       the r7 best-effort boundary + 22 of the 25 remaining
-#       r7-green extension shapes.  d14's slot deferred
-#       r3_rollup_acctbal / m3_frame_sample / t7_repetition_score
-#       (r7-green; rollup/cube machinery carries r8 evidence via
-#       r8_cube/r17, m-family r8, t7's n-gram machinery is
-#       exercised by d5+d11 in this head) — they stay AT round-7
-#       evidence and head the r11 plan below.  The d13/sx9 gates
-#       were touched this round (corpus-driven n_bits sizing) and
-#       are already seated as never-scored.
+#       pairwise form of span dedup; m14 video codec mix — NEW this
+#       round, sniff-routed per-codec triage; d11/d12 span dedup,
+#       t16 BM25, d13/sx9 Bloom, m11c arithmetic JPEG — all locally
+#       hash-green at sf0.01 AND sf0.1) + the 18 round-5-stale
+#       shapes (v6-v8, x10-x15, x17, t10-t12, m7, sx3/sx4, e7, c6)
+#       + x1/x2/x16b at the r7 best-effort boundary + 21 of the 25
+#       remaining r7-green extension shapes.  The two new-gate
+#       slots deferred r3_rollup_acctbal / m3_frame_sample /
+#       t7_repetition_score / x9_msd (r7-green; rollup/cube
+#       machinery carries r8 evidence via r8_cube/r17, m-family r8,
+#       t7's n-gram machinery is exercised by d5+d11 in this head,
+#       x5-x7/x19-x22 are r9-green and x8 stays seated) — they stay
+#       AT round-7 evidence and head the r11 plan below.  The
+#       d13/sx9 gates were touched this round (corpus-driven n_bits
+#       sizing) and are already seated as never-scored.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 3 deferred r7-green shapes
-# (r3/m3/t7), then the 14-query SS2-core block (r9-green, 2-round
-# hard bound hits in r11), then the r8-green block stalest-first;
-# the r9-green extension set ages back in from r12.
+# top of _SCORING_TAIL): the 4 deferred r7-green shapes
+# (r3/m3/t7/x9), then the 14-query SS2-core block (r9-green,
+# 2-round hard bound hits in r11), then the r8-green block
+# stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (a) the 3 r7-green shapes deferred from the r10 head when d14
-    #     landed (new-query-first cost one slot; these are the only
-    #     entries whose evidence would otherwise age past round 7):
+    # (a) the 4 r7-green shapes deferred from the r10 head when the
+    #     round's two new gates (d14, m14) landed (new-query-first
+    #     cost one slot each; these are the only entries whose
+    #     evidence would otherwise age past round 7).  x9 deferred
+    #     for m14: the x-family carries dense r9 evidence
+    #     (x5-x7, x19-x22 all r9-green) and x8 stays seated:
     "r3_rollup_acctbal",
     "m3_frame_sample",
     "t7_repetition_score",
+    "x9_msd",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
     #     with any r11 touched/never-scored set (50 - 3 - 14 = 33

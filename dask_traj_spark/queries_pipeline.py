@@ -2742,6 +2742,69 @@ def q_video_container_stats(spark, sf_dir):
     return video_container_stats(attach_payload_mp4(_docs(spark, sf_dir)))
 
 
+# m14 gates per-codec corpus triage (the m13 follow-up, VERDICT r9
+# item 6c): six payload classes by doc_id % 6 — four MP4 codec
+# fourccs (avc1/hev1/vp09/av01), one AVI, and one MISLABELED slice
+# (BMP bytes declared video/mp4) that must route by SNIFF into the
+# non-video bucket.  Every aggregate is closed-form in doc_id: mp4
+# n_samples = 2 + d%3 at 8 bytes each, width 16·(1 + d%4); the AVI
+# fixture is 3 frames of 4×2 24-bit DIB = 72 decoded bytes at
+# width 4.
+_M14_ORACLE = """
+WITH f AS (SELECT doc_id, doc_id % 6 AS r FROM documents),
+v AS (
+    SELECT CASE WHEN r <= 3 THEN 'mp4' WHEN r = 4 THEN 'avi'
+                ELSE 'none' END AS container,
+           CASE r WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                  WHEN 2 THEN 'vp09' WHEN 3 THEN 'av01'
+                  WHEN 4 THEN 'DIB' ELSE 'image/bmp' END AS codec,
+           CASE WHEN r <= 3 THEN 2 + doc_id % 3
+                WHEN r = 4 THEN 3 ELSE 0 END AS ns,
+           CASE WHEN r <= 3 THEN 8 * (2 + doc_id % 3)
+                WHEN r = 4 THEN 72 ELSE 0 END AS nb,
+           CASE WHEN r <= 3 THEN 16 * (1 + doc_id % 4)
+                WHEN r = 4 THEN 4 ELSE 0 END AS w
+    FROM f
+)
+SELECT container, codec,
+       CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(sum(ns) AS BIGINT) AS n_samples,
+       CAST(sum(nb) AS BIGINT) AS total_sample_bytes,
+       CAST(min(w) AS BIGINT) AS min_width,
+       CAST(max(w) AS BIGINT) AS max_width
+FROM v GROUP BY container, codec
+"""
+
+
+@register("m14_video_codec_mix", _M14_ORACLE)
+def q_video_codec_mix(spark, sf_dir):
+    """Sniff-routed per-codec triage over a mixed-container corpus;
+    the %6==5 slice is deliberately mislabeled (BMP bytes, mp4
+    label) and must land in the 'none' bucket — the operator trusts
+    magic bytes, never the label.  See
+    :func:`dask_traj_spark.operators.multimodal.video_codec_mix`."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_avi,
+        attach_payload_bmp,
+        attach_payload_mp4,
+        video_codec_mix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pick = lambda r: docs.where(F.col("doc_id") % 6 == r)  # noqa: E731
+    fourcc = {0: b"avc1", 1: b"hev1", 2: b"vp09", 3: b"av01"}
+    media = attach_payload_mp4(pick(0), codec_fn=lambda d: fourcc[0])
+    for r in (1, 2, 3):
+        media = media.unionByName(
+            attach_payload_mp4(pick(r), codec_fn=lambda d, r=r: fourcc[r])
+        )
+    media = media.unionByName(attach_payload_avi(pick(4)))
+    media = media.unionByName(
+        attach_payload_bmp(pick(5)).withColumn("kind", F.lit("video/mp4"))
+    )
+    return video_codec_mix(media)
+
+
 # d9 gates URL-canonicalization dedup: URLs synthesized from doc_id
 # (the corpus has no url column) with deliberate case/port/tracking/
 # fragment/trailing-slash noise; both engines canonicalize with the

@@ -2951,6 +2951,57 @@ class TestMaximalMatches:
             assert got == sorted(want), (trial, got, sorted(want))
 
 
+class TestVideoCodecMix:
+    def test_sniff_routing_and_per_codec_totals(self, spark):
+        """Mixed corpus: two mp4 codecs, one AVI, one BMP mislabeled
+        as video/mp4 — the mislabeled payload must route by MAGIC
+        BYTES into the 'none' bucket, and the per-codec sample/byte
+        totals must match the fixtures' closed forms."""
+        from dask_traj_spark.operators.multimodal import (
+            attach_payload_avi,
+            attach_payload_bmp,
+            attach_payload_mp4,
+            video_codec_mix,
+        )
+        from pyspark.sql import functions as SF
+
+        docs = spark.createDataFrame(
+            [(i, "hello world " * 10) for i in range(8)],
+            "doc_id long, text string",
+        )
+        pick = lambda r: docs.where(SF.col("doc_id") % 4 == r)  # noqa: E731
+        media = (
+            attach_payload_mp4(pick(0), codec_fn=lambda d: b"avc1")
+            .unionByName(
+                attach_payload_mp4(pick(1), codec_fn=lambda d: b"hev1")
+            )
+            .unionByName(attach_payload_avi(pick(2)))
+            .unionByName(
+                attach_payload_bmp(pick(3)).withColumn(
+                    "kind", SF.lit("video/mp4")
+                )
+            )
+        )
+        out = {
+            (r["container"], r["codec"]): r
+            for r in video_codec_mix(media).collect()
+        }
+        # doc_ids 0,4 -> avc1; 1,5 -> hev1; 2,6 -> avi; 3,7 -> bmp
+        # mp4 n_samples = 2 + d%3: avc1 docs {0: 2, 4: 3} -> 5
+        avc = out[("mp4", "avc1")]
+        assert (avc["n_videos"], avc["n_samples"]) == (2, 5)
+        assert avc["total_sample_bytes"] == 8 * 5
+        # hev1 docs {1: 2+1=3, 5: 2+2=4} -> 7
+        hev = out[("mp4", "hev1")]
+        assert (hev["n_videos"], hev["n_samples"]) == (2, 7)
+        avi = out[("avi", "DIB")]
+        assert (avi["n_videos"], avi["n_samples"]) == (2, 6)
+        assert avi["total_sample_bytes"] == 2 * 72
+        none = out[("none", "image/bmp")]
+        assert none["n_videos"] == 2
+        assert none["n_samples"] == 0 and none["total_sample_bytes"] == 0
+
+
 class TestBloomMembership:
     def test_no_false_negatives_and_flags(self, spark):
         """Every ref member probes true (the Bloom guarantee); novel

@@ -709,6 +709,26 @@ def test_maximal_matches_plan_shape(spark):
     assert "SinglePartition" not in a.text, a.text
 
 
+def test_video_codec_mix_plan_shape(spark):
+    """m14: sniff is a JVM-side CASE feeding ONE Arrow-batched
+    mapInPandas demux; the only exchange is the partial+final
+    aggregation on the tiny (container, codec) key — no cartesian,
+    no SinglePartition, no row-at-a-time Python."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_mp4,
+        video_codec_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(4)], "doc_id long, text string"
+    )
+    a = audit(video_codec_mix(attach_payload_mp4(docs)))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert a.n_shuffles <= 1, a.text
+
+
 def test_excise_spans_plan_shape(spark):
     """d12's rewrite is a JVM-side array filter — no explode of the
     corpus tokens, no Python, and the only wide operations are the

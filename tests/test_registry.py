@@ -19,6 +19,7 @@ WINDOW = 50
 # listed here.
 MUST_SCORE_R10 = [
     "d14_maximal_matches",
+    "m14_video_codec_mix",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
