@@ -817,6 +817,7 @@ def maximal_matches(
     ngram: int = 8,
     max_occ: int | None = 64,
     key_mode: str = "hashed",
+    within_doc: bool = False,
 ) -> DataFrame:
     """Variable-length MAXIMAL shared substrings between document
     pairs — the suffix-array-style signal of Lee et al.'s dedup
@@ -835,7 +836,11 @@ def maximal_matches(
     → (doc1, doc2, start1, start2, match_tokens): one row per
     maximal cross-doc shared run (doc1 < doc2; all alignments are
     reported, so a phrase occurring twice in one doc and once in
-    another yields two rows on different diagonals).  Unlike d11's
+    another yields two rows on different diagonals).
+    ``within_doc=True`` additionally reports each document's
+    INTERNAL maximal repeats (doc1 == doc2 rows with start1 >
+    start2, one row per repeated alignment) — the complete
+    Lee-et-al. repeat surface.  Unlike d11's
     per-doc interval UNION (which may merge windows shared with
     DIFFERENT partners into one range that is itself no one's
     verbatim match), every row here is a verbatim contiguous match
@@ -897,7 +902,17 @@ def maximal_matches(
     b = occ.select(
         F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
     )
-    pairs = a.join(b, "ng").where(F.col("doc1") < F.col("doc2")).select(
+    # cross-doc pairs one direction only; within_doc additionally
+    # keeps same-doc alignments at p1 > p2 (each internal repeat
+    # pair once, on its positive diagonal — the trivial diag-0 self
+    # match never appears), which is the Lee-et-al. within-document
+    # repeat signal
+    keep = F.col("doc1") < F.col("doc2")
+    if within_doc:
+        keep = keep | (
+            (F.col("doc1") == F.col("doc2")) & (F.col("p1") > F.col("p2"))
+        )
+    pairs = a.join(b, "ng").where(keep).select(
         "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
     )
     w = Window.partitionBy("doc1", "doc2", "diag").orderBy("p1")

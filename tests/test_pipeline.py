@@ -2901,6 +2901,29 @@ class TestMaximalMatches:
         with _pytest.raises(ValueError, match="key_mode"):
             maximal_matches(docs, key_mode="bogus")
 
+    def test_within_doc_repeats(self, spark):
+        """within_doc=True reports each document's internal maximal
+        repeats once (start1 > start2, positive diagonal, no trivial
+        self match), alongside the unchanged cross-doc rows."""
+        from dask_traj_spark.operators.dedup import maximal_matches
+
+        A = " ".join(f"a{i}" for i in range(8))
+        rows = [
+            (0, f"{A} z0 z1 z2 z3 z4 z5 z6 z7 {A}"),
+            (1, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # cross-doc default: nothing shared between doc 0 and doc 1
+        assert maximal_matches(docs, ngram=8).count() == 0
+        got = sorted(
+            tuple(r)
+            for r in maximal_matches(
+                docs, ngram=8, within_doc=True, key_mode="exact"
+            ).collect()
+        )
+        # doc 0 repeats the 8-token run at positions 0 and 16
+        assert got == [(0, 0, 16, 0, 8)], got
+
     def test_matches_brute_force_on_random_corpora(self, spark):
         """Property check against an independent per-diagonal
         longest-common-extension reference: for each doc pair and
@@ -2923,25 +2946,34 @@ class TestMaximalMatches:
                 [(i, " ".join(t)) for i, t in enumerate(toks)],
                 "doc_id long, text string",
             )
-            want = []
+            def diag_runs(d1, d2, a, b, diags):
+                out = []
+                for diag in diags:
+                    run = 0
+                    lo = max(0, diag)
+                    hi = min(len(a), len(b) + diag)
+                    for p1 in range(lo, hi + 1):
+                        eq = p1 < hi and a[p1] == b[p1 - diag]
+                        if eq:
+                            run += 1
+                        else:
+                            if run >= NG:
+                                out.append(
+                                    (d1, d2, p1 - run, p1 - run - diag, run)
+                                )
+                            run = 0
+                return out
+
+            want, want_self = [], []
             for d1 in range(len(toks)):
+                a = toks[d1]
+                # within-doc repeats: positive diagonals only
+                want_self += diag_runs(d1, d1, a, a, range(1, len(a)))
                 for d2 in range(d1 + 1, len(toks)):
-                    a, b = toks[d1], toks[d2]
-                    for diag in range(-(len(b) - 1), len(a)):
-                        run = 0
-                        lo = max(0, diag)
-                        hi = min(len(a), len(b) + diag)
-                        for p1 in range(lo, hi + 1):
-                            eq = p1 < hi and a[p1] == b[p1 - diag]
-                            if eq:
-                                run += 1
-                            else:
-                                if run >= NG:
-                                    want.append(
-                                        (d1, d2, p1 - run,
-                                         p1 - run - diag, run)
-                                    )
-                                run = 0
+                    b = toks[d2]
+                    want += diag_runs(
+                        d1, d2, a, b, range(-(len(b) - 1), len(a))
+                    )
             got = sorted(
                 tuple(r)
                 for r in maximal_matches(
@@ -2949,6 +2981,14 @@ class TestMaximalMatches:
                 ).collect()
             )
             assert got == sorted(want), (trial, got, sorted(want))
+            got_all = sorted(
+                tuple(r)
+                for r in maximal_matches(
+                    docs, ngram=NG, key_mode="exact", max_occ=None,
+                    within_doc=True,
+                ).collect()
+            )
+            assert got_all == sorted(want + want_self), trial
 
 
 class TestVideoCodecMix:
