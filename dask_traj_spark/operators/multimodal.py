@@ -4068,6 +4068,10 @@ def video_codec_mix(media: DataFrame) -> DataFrame:
     min_width, max_width).  Non-video payloads aggregate under
     container ``'none'`` with their sniffed kind as the codec and
     zero sample stats — the triage signal that upstream labels lie.
+    Payloads that SNIFF as video but fail the demux (truncated
+    boxes, corrupt sample tables) aggregate under ``'error'`` —
+    triage must bucket bad assets, never kill the job on one of
+    them.
 
     Plan: sniff is the JVM-side magic-byte CASE; per-payload demux
     is the same Arrow-batched ``mapInPandas`` as
@@ -4080,15 +4084,20 @@ def video_codec_mix(media: DataFrame) -> DataFrame:
 
     def one(k, buf):
         b = bytes(buf)
-        if k == "video/mp4":
-            info = demux_mp4(b)
-            return (
-                "mp4", info["codec"], info["n_samples"],
-                sum(info["sample_sizes"]), info["width"],
-            )
-        if k == "video/avi":
-            w, h, n, frames = decode_avi(b)
-            return ("avi", "DIB", n, sum(int(f.size) for f in frames), w)
+        try:
+            if k == "video/mp4":
+                info = demux_mp4(b)
+                return (
+                    "mp4", info["codec"], info["n_samples"],
+                    sum(info["sample_sizes"]), info["width"],
+                )
+            if k == "video/avi":
+                w, h, n, frames = decode_avi(b)
+                return (
+                    "avi", "DIB", n, sum(int(f.size) for f in frames), w
+                )
+        except ValueError:
+            return ("error", k, 0, 0, 0)
         return ("none", k, 0, 0, 0)
 
     def gen(batches):

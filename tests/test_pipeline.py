@@ -3041,6 +3041,37 @@ class TestVideoCodecMix:
         assert none["n_videos"] == 2
         assert none["n_samples"] == 0 and none["total_sample_bytes"] == 0
 
+    def test_corrupt_video_lands_in_error_bucket(self, spark):
+        """A payload that SNIFFS as video but fails the demux must
+        aggregate under 'error', not kill the job — triage buckets
+        bad assets."""
+        from dask_traj_spark.operators.multimodal import (
+            attach_payload_mp4,
+            video_codec_mix,
+        )
+        from pyspark.sql import functions as SF
+
+        docs = spark.createDataFrame(
+            [(0, "x"), (1, "y")], "doc_id long, text string"
+        )
+        media = attach_payload_mp4(docs)
+        # truncate one payload after the ftyp box: still sniffs as
+        # ISO-BMFF, demux raises on the missing moov
+        media = media.withColumn(
+            "payload",
+            SF.when(
+                SF.col("doc_id") == 1,
+                SF.expr("substring(payload, 1, 24)"),
+            ).otherwise(SF.col("payload")),
+        )
+        out = {
+            (r["container"], r["codec"]): r
+            for r in video_codec_mix(media).collect()
+        }
+        assert out[("mp4", "avc1")]["n_videos"] == 1
+        err = out[("error", "video/mp4")]
+        assert err["n_videos"] == 1 and err["n_samples"] == 0
+
 
 class TestBloomMembership:
     def test_no_false_negatives_and_flags(self, spark):
