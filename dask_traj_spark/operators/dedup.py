@@ -931,6 +931,36 @@ def maximal_matches(
     )
 
 
+def spans_from_matches(matches: DataFrame) -> DataFrame:
+    """Convert :func:`maximal_matches` output into per-doc excisable
+    spans under the KEEP-FIRST-OCCURRENCE policy (the Lee-et-al.
+    dedup action): for a cross-doc match the higher doc_id's range
+    is the duplicate; for a within-doc match (doc1 == doc2, start1 >
+    start2 by construction) the LATER occurrence is.  Feed the
+    result to :func:`excise_duplicate_spans` — its coverage filter
+    handles overlapping spans, so no pre-merge is needed.
+
+    → (doc_id, span_start, span_end): one row per excised range
+    (inclusive token positions), distinct.  Pure projections + one
+    distinct — no new shuffle class on top of the matches plan."""
+    cross = F.col("doc1") < F.col("doc2")
+    return (
+        matches.select(
+            F.when(cross, F.col("doc2")).otherwise(F.col("doc1")).alias(
+                "doc_id"
+            ),
+            F.when(cross, F.col("start2")).otherwise(F.col("start1")).alias(
+                "span_start"
+            ),
+            (
+                F.when(cross, F.col("start2")).otherwise(F.col("start1"))
+                + F.col("match_tokens") - 1
+            ).alias("span_end"),
+        )
+        .distinct()
+    )
+
+
 def excise_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame,

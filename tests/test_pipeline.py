@@ -2924,6 +2924,43 @@ class TestMaximalMatches:
         # doc 0 repeats the 8-token run at positions 0 and 16
         assert got == [(0, 0, 16, 0, 8)], got
 
+    def test_keep_first_excision_pipeline(self, spark):
+        """maximal_matches -> spans_from_matches -> excise: the
+        keep-first-occurrence policy removes every later copy of a
+        shared run (cross-doc: the higher doc_id; within-doc: the
+        later position) and leaves the first copy intact."""
+        from dask_traj_spark.operators.dedup import (
+            excise_duplicate_spans,
+            maximal_matches,
+            spans_from_matches,
+        )
+
+        A = " ".join(f"a{i}" for i in range(8))
+        rows = [
+            (0, f"head0 head1 {A} tail0"),
+            (1, f"{A} mid0 mid1 mid2 mid3 mid4 mid5 mid6 mid7 {A}"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = spans_from_matches(
+            maximal_matches(docs, ngram=8, within_doc=True)
+        )
+        out = (
+            excise_duplicate_spans(docs, spans)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 0 holds the first occurrence (lowest doc) -> untouched;
+        # doc 1 loses BOTH copies (cross-doc duplicate of doc 0's run
+        # at start 0 and 16; the within-doc repeat adds span 16..23)
+        assert out.loc[0, "text"] == f"head0 head1 {A} tail0"
+        assert out.loc[0, "n_removed"] == 0
+        assert (
+            out.loc[1, "text"]
+            == "mid0 mid1 mid2 mid3 mid4 mid5 mid6 mid7"
+        )
+        assert out.loc[1, "n_removed"] == 16
+
     def test_matches_brute_force_on_random_corpora(self, spark):
         """Property check against an independent per-diagonal
         longest-common-extension reference: for each doc pair and
