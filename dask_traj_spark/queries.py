@@ -131,22 +131,25 @@ def register(name: str, oracle: str | None = None):
 #       (x1/x2/x16b hit the best-effort boundary in r10) + the 18
 #       remaining r5-green shapes (head the r10 order).  d11 (NEW
 #       mid-round-9, local-only evidence) seats FIRST in r10.
-#   r10 (now): execute the r9-written seating + the round's two new
-#       gates.  Head = the EIGHT never-driver-scored gates (d14
+#   r10 (now): execute the r9-written seating + the round's three
+#       new gates.  Head = the NINE never-driver-scored gates (d14
 #       maximal-matches — NEW this round, the variable-length
-#       pairwise form of span dedup; m14 video codec mix — NEW this
-#       round, sniff-routed per-codec triage; d11/d12 span dedup,
-#       t16 BM25, d13/sx9 Bloom, m11c arithmetic JPEG — all locally
-#       hash-green at sf0.01 AND sf0.1) + the 18 round-5-stale
-#       shapes (v6-v8, x10-x15, x17, t10-t12, m7, sx3/sx4, e7, c6)
-#       + x1/x2/x16b at the r7 best-effort boundary + 21 of the 25
-#       remaining r7-green extension shapes.  The two new-gate
-#       slots deferred r3_rollup_acctbal / m3_frame_sample /
-#       t7_repetition_score / x9_msd (r7-green; rollup/cube
-#       machinery carries r8 evidence via r8_cube/r17, m-family r8,
-#       t7's n-gram machinery is exercised by d5+d11 in this head,
-#       x5-x7/x19-x22 are r9-green and x8 stays seated) — they stay
-#       AT round-7 evidence and head the r11 plan below.  The
+#       pairwise form of span dedup; m14 video codec mix — NEW,
+#       sniff-routed per-codec triage; d15 keep-first excision —
+#       NEW, the end-to-end matches→spans→excise action; d11/d12
+#       span dedup, t16 BM25, d13/sx9 Bloom, m11c arithmetic JPEG —
+#       all locally hash-green at sf0.01 AND sf0.1, the three new
+#       ones at sf0.001 too) + the 18 round-5-stale shapes (v6-v8,
+#       x10-x15, x17, t10-t12, m7, sx3/sx4, e7, c6) + x1/x2/x16b at
+#       the r7 best-effort boundary + 20 of the 25 remaining
+#       r7-green extension shapes.  The three new-gate slots
+#       deferred r3_rollup_acctbal / m3_frame_sample /
+#       t7_repetition_score / x9_msd / e6_cohort_retention
+#       (r7-green; rollup/cube machinery carries r8 evidence via
+#       r8_cube/r17, m-family r8, t7's n-gram machinery is
+#       exercised by d5+d11 in this head, x5-x7/x19-x22 r9-green
+#       with x8 seated, e1-e5 r8-green with e7/e8 fresh) — they
+#       stay AT round-7 evidence and head the r11 plan below.  The
 #       d13/sx9 gates were touched this round (corpus-driven n_bits
 #       sizing) and are already seated as never-scored.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
@@ -154,8 +157,8 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 4 deferred r7-green shapes
-# (r3/m3/t7/x9), then the 14-query SS2-core block (r9-green,
+# top of _SCORING_TAIL): the 5 deferred r7-green shapes
+# (r3/m3/t7/x9/e6), then the 14-query SS2-core block (r9-green,
 # 2-round hard bound hits in r11), then the r8-green block
 # stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
@@ -170,6 +173,7 @@ _SCORING_TAIL = [
     "m3_frame_sample",
     "t7_repetition_score",
     "x9_msd",
+    "e6_cohort_retention",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
     #     with any r11 touched/never-scored set (50 - 3 - 14 = 33

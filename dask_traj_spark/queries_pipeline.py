@@ -4828,6 +4828,109 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+_D15_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {_D11_W - 1})) AS i
+    FROM toks WHERE len(t) >= {_D11_W}
+),
+ngr AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i:i + {_D11_W - 1}], ' ') AS ng
+    FROM idx
+),
+occ AS (
+    SELECT doc_id, pos, ng FROM (
+        SELECT doc_id, pos, ng, count(*) OVER (PARTITION BY ng) AS c
+        FROM ngr)
+    WHERE c BETWEEN 2 AND {_D14_CAP}
+),
+pr AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           a.pos AS p1, b.pos AS p2, a.pos - b.pos AS diag
+    FROM occ a JOIN occ b ON a.ng = b.ng
+    WHERE a.doc_id < b.doc_id
+       OR (a.doc_id = b.doc_id AND a.pos > b.pos)
+),
+isl AS (
+    SELECT doc1, doc2, p1, p2, diag,
+           CASE WHEN p1 > lag(p1) OVER (PARTITION BY doc1, doc2, diag
+                                        ORDER BY p1) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM pr
+),
+grp AS (
+    SELECT doc1, doc2, p1, p2, diag,
+           sum(brk) OVER (PARTITION BY doc1, doc2, diag ORDER BY p1) AS g
+    FROM isl
+),
+matches AS (
+    SELECT doc1, doc2, min(p1) AS start1, min(p2) AS start2,
+           max(p1) - min(p1) + {_D11_W} AS L
+    FROM grp GROUP BY doc1, doc2, diag, g
+),
+spans AS (
+    SELECT DISTINCT
+           CASE WHEN doc1 < doc2 THEN doc2 ELSE doc1 END AS doc_id,
+           CASE WHEN doc1 < doc2 THEN start2 ELSE start1 END AS s,
+           CASE WHEN doc1 < doc2 THEN start2 ELSE start1 END + L - 1 AS e
+    FROM matches
+),
+tokall AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS word
+    FROM toks
+),
+keep AS (
+    SELECT k.doc_id, k.pos, k.word FROM tokall k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e
+    )
+),
+agg AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text2,
+           count(*) AS kept
+    FROM keep GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n FROM tokall GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.text2, '') AS text,
+       CAST(t.n - coalesce(a.kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("d15_keep_first_excision", _D15_ORACLE)
+def q_keep_first_excision(spark, sf_dir):
+    """The complete Lee-et-al. substring-dedup ACTION, end to end:
+    variable-length maximal matches (cross-doc AND within-doc) →
+    keep-first-occurrence span selection → excision — the pipeline a
+    100-TB curation pass actually runs.  Exact n-gram keys for
+    DuckDB parity; occurrence cap mirrored verbatim.  See
+    :func:`dask_traj_spark.operators.dedup.maximal_matches`,
+    :func:`~dask_traj_spark.operators.dedup.spans_from_matches`,
+    :func:`~dask_traj_spark.operators.dedup.excise_duplicate_spans`."""
+    from dask_traj_spark.operators.dedup import (
+        excise_duplicate_spans,
+        maximal_matches,
+        spans_from_matches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    m = maximal_matches(
+        docs, ngram=_D11_W, max_occ=_D14_CAP, key_mode="exact",
+        within_doc=True,
+    )
+    return excise_duplicate_spans(docs, spans_from_matches(m)).select(
+        "doc_id", "text", "n_removed"
+    )
+
+
 @register("d12_excise_duplicate_spans", _D12_ORACLE)
 def q_excise_duplicate_spans(spark, sf_dir):
     from dask_traj_spark.operators.dedup import (

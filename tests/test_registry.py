@@ -20,6 +20,7 @@ WINDOW = 50
 MUST_SCORE_R10 = [
     "d14_maximal_matches",
     "m14_video_codec_mix",
+    "d15_keep_first_excision",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
