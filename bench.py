@@ -659,9 +659,15 @@ def main() -> None:
     # probe_hot: queries whose bracket probe exceeded 2x the
     # session-median probe — the driver-visible "this entry ran
     # under host load" flag (normally empty).
-    all_probes = sorted(
-        [p for b in probe_bracket.values() for p in b] + list(probes.values())
-    )
+    # the bracket probes form a CHAIN (entry i's "after" IS entry
+    # i+1's "before"), so flattening the pairs would double-count
+    # every interior probe and bias the median toward mid-suite
+    # values; take each chain value once (all the "after"s plus the
+    # very first "before") plus the tier probes
+    chain = [b[1] for b in probe_bracket.values()]
+    if probe_bracket:
+        chain.append(next(iter(probe_bracket.values()))[0])
+    all_probes = sorted(chain + list(probes.values()))
     med_probe = all_probes[len(all_probes) // 2] if all_probes else 0.0
     probe_hot = sorted(
         n for n, b in probe_bracket.items() if max(b) > 2 * med_probe

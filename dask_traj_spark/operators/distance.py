@@ -252,12 +252,19 @@ def _frame_count_hint(traj) -> int:
         nf = traj._frames.count()
         traj.__dict__["n_frames"] = nf  # exact: one row per frame
         return nf
+    # the span is cached under its OWN key (never as n_frames — it is
+    # an upper bound, not the exact count): without the cache every
+    # periodic geometry call on a frames-less Trajectory would re-scan
+    # the whole coords table for this one dispatch decision
+    hint = traj.__dict__.get("_nf_span_hint")
+    if hint is not None:
+        return hint
     row = traj.coords.agg(
         F.min("frame_id").alias("lo"), F.max("frame_id").alias("hi")
     ).first()
-    if row["hi"] is None:
-        return 0
-    return int(row["hi"]) - int(row["lo"]) + 1
+    hint = 0 if row["hi"] is None else int(row["hi"]) - int(row["lo"]) + 1
+    traj.__dict__["_nf_span_hint"] = hint
+    return hint
 
 
 class _BoxLookup:

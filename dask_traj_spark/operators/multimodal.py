@@ -672,6 +672,16 @@ def demux_mp4(data: bytes) -> dict:
             elif btype == b"stsz":
                 _vf, fixed, cnt = struct.unpack_from(">III", data, b0)
                 if fixed:
+                    # both fields are unvalidated 32-bit stream input:
+                    # without this bound a corrupt cnt allocates a
+                    # multi-GB list (MemoryError — NOT the ValueError
+                    # contract) before any offset check runs.  Total
+                    # sample bytes can never exceed the file size.
+                    if fixed * cnt > len(data):
+                        raise ValueError(
+                            "stsz fixed-size table exceeds the payload: "
+                            f"{cnt} samples x {fixed} bytes > {len(data)}"
+                        )
                     info["sample_sizes"] = [fixed] * cnt
                 else:
                     info["sample_sizes"] = list(

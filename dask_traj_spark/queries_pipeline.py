@@ -4694,8 +4694,13 @@ FROM grp GROUP BY doc_id, g
 
 _D14_CAP = 64
 
-_D14_ORACLE = f"""
-WITH toks AS (
+
+def _d14_match_ctes(pair_pred: str) -> str:
+    """The shared n-gram/cap/islands CTE chain of the d14 and d15
+    oracles, parameterized by the anchor-pair predicate — ONE source
+    of truth so a cap or position-base fix can never apply to one
+    gate and not the other."""
+    return f"""toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 idx AS (
@@ -4717,7 +4722,8 @@ occ AS (
 pr AS (
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            a.pos AS p1, b.pos AS p2, a.pos - b.pos AS diag
-    FROM occ a JOIN occ b ON a.ng = b.ng AND a.doc_id < b.doc_id
+    FROM occ a JOIN occ b ON a.ng = b.ng
+    WHERE {pair_pred}
 ),
 isl AS (
     SELECT doc1, doc2, p1, p2, diag,
@@ -4730,7 +4736,11 @@ grp AS (
     SELECT doc1, doc2, p1, p2, diag,
            sum(brk) OVER (PARTITION BY doc1, doc2, diag ORDER BY p1) AS g
     FROM isl
-)
+)"""
+
+
+_D14_ORACLE = f"""
+WITH {_d14_match_ctes("a.doc_id < b.doc_id")}
 SELECT doc1, doc2,
        CAST(min(p1) AS BIGINT) AS start1,
        CAST(min(p2) AS BIGINT) AS start2,
@@ -4829,44 +4839,9 @@ LEFT JOIN agg a USING (doc_id)
 
 
 _D15_ORACLE = f"""
-WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-idx AS (
-    SELECT doc_id, t,
-           unnest(generate_series(1, len(t) - {_D11_W - 1})) AS i
-    FROM toks WHERE len(t) >= {_D11_W}
-),
-ngr AS (
-    SELECT doc_id, i - 1 AS pos,
-           array_to_string(t[i:i + {_D11_W - 1}], ' ') AS ng
-    FROM idx
-),
-occ AS (
-    SELECT doc_id, pos, ng FROM (
-        SELECT doc_id, pos, ng, count(*) OVER (PARTITION BY ng) AS c
-        FROM ngr)
-    WHERE c BETWEEN 2 AND {_D14_CAP}
-),
-pr AS (
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-           a.pos AS p1, b.pos AS p2, a.pos - b.pos AS diag
-    FROM occ a JOIN occ b ON a.ng = b.ng
-    WHERE a.doc_id < b.doc_id
-       OR (a.doc_id = b.doc_id AND a.pos > b.pos)
-),
-isl AS (
-    SELECT doc1, doc2, p1, p2, diag,
-           CASE WHEN p1 > lag(p1) OVER (PARTITION BY doc1, doc2, diag
-                                        ORDER BY p1) + 1
-                THEN 1 ELSE 0 END AS brk
-    FROM pr
-),
-grp AS (
-    SELECT doc1, doc2, p1, p2, diag,
-           sum(brk) OVER (PARTITION BY doc1, doc2, diag ORDER BY p1) AS g
-    FROM isl
-),
+WITH {_d14_match_ctes(
+    "a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos > b.pos)"
+)},
 matches AS (
     SELECT doc1, doc2, min(p1) AS start1, min(p2) AS start2,
            max(p1) - min(p1) + {_D11_W} AS L

@@ -24,10 +24,13 @@ Usage: python scripts/audit_plans.py [sf_dir] [report_path]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 # (query, pattern) pairs that are DOCUMENTED-acceptable, with why.
 # Every entry below was verified by reading the flagged plan fragment
@@ -104,8 +107,10 @@ def main() -> None:
         try:
             plan = formatted_plan(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
-            rows.append((name, "BUILD-ERROR", str(e).splitlines()[0][:100]))
+            msg = str(e).splitlines()[0][:100] if str(e) else type(e).__name__
+            rows.append((name, f"BUILD-ERROR[FAIL: {msg}]", "0s"))
             n_fail += 1
+            print(f"{name}: BUILD-ERROR {msg}", flush=True)
             continue
         flags = []
         for pat in ("CartesianProduct", "BroadcastNestedLoopJoin",

@@ -2576,6 +2576,22 @@ class TestMp4Demux:
         moov = b.find(b"moov") - 4
         with _pytest.raises(ValueError, match="trak"):
             demux_mp4(b[:moov])
+        # a lying fixed-size stsz (cnt=2^32-1) must raise the contract
+        # ValueError BEFORE allocating the multi-GB sample list (a
+        # MemoryError would escape the triage error bucket)
+        import struct as _struct
+
+        good = encode_mp4(16, 16, [b"12345678", b"abcdefgh"])
+        idx = good.index(b"stsz") - 4
+        size = _struct.unpack(">I", good[idx:idx + 4])[0]
+        bad = (
+            good[:idx]
+            + _struct.pack(">I", 20) + b"stsz"
+            + _struct.pack(">III", 0, 1, 0xFFFFFFFF)
+            + good[idx + size:]
+        )
+        with _pytest.raises(ValueError, match="exceeds the payload"):
+            demux_mp4(bad)
 
     def test_sniff_kind_detects_bmff(self, spark):
         from dask_traj_spark.operators.multimodal import (
