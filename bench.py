@@ -245,6 +245,8 @@ def main() -> None:
         "d14_maximal_matches",
         "t16_bm25_topk",
         "d13_bloom_cross_corpus",
+        "c8_quantile_prune",
+        "t17_dsir_importance",
     ):
         timed(name, lambda name=name: _noop(registry[name](spark, sf_dir)))
 
@@ -563,6 +565,18 @@ def main() -> None:
         _noop(near_duplicates_minhash(docs10_skew, threshold=0.8))
         scale["d2_minhash_lsh_skew_10x"] = round(time.time() - t0, 3)
 
+        # 10x DSIR importance (production hashed-bucket path): the
+        # model stays n_buckets rows however big the corpus, so the
+        # linear part is the token stream's two map passes
+        from dask_traj_spark.operators.curation import dsir_importance
+
+        t0 = time.time()
+        _noop(dsir_importance(docs, docs.where(F.col("doc_id") % 20 == 0)))
+        times["t17_dsir_hashed"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(dsir_importance(docs10, docs10.where(F.col("doc_id") % 20 == 0)))
+        scale["t17_dsir_hashed_10x"] = round(time.time() - t0, 3)
+
         scale["linearity"] = {
             "c4_sequence_packing": round(
                 scale["c4_sequence_packing_10x"]
@@ -603,6 +617,10 @@ def main() -> None:
             "d14_maximal_matches": round(
                 scale["d14_maximal_matches_10x"]
                 / (10 * times["d14_maximal_matches_hashed"]), 2
+            ),
+            "t17_dsir_hashed": round(
+                scale["t17_dsir_hashed_10x"]
+                / (10 * times["t17_dsir_hashed"]), 2
             ),
         }
         probes["after_scale_s"] = _cpu_probe()

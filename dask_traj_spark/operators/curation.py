@@ -409,3 +409,141 @@ def dataset_split(
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", "source", split.alias("split"))
+
+
+def quantile_prune(
+    docs: DataFrame,
+    keep_frac: float = 0.6,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum quality-percentile pruning — keep the top
+    ``keep_frac`` of every stratum by the t2 heuristic quality score
+    (the "filter at a percentile threshold, per source" curation
+    step: a single global threshold lets one high-quality source
+    starve the others, so web-scale pipelines prune each source
+    against its own quality distribution).
+
+    Rank is percent_rank() over (quality DESC, doc_id ASC) within
+    the stratum — doc_id breaks ties, so the decision is
+    deterministic and exactly mirrored by ANSI ``PERCENT_RANK()``
+    ((rank-1)/(n-1), a correctly-rounded integer division in both
+    engines).  Rows with pct_rank <= keep_frac are kept; a 1-row
+    stratum has pct_rank 0 and is always kept.
+
+    100-TB posture: one shuffle on the stratum key; the window sorts
+    each stratum's rows only (never SinglePartition), the same
+    posture as ``stratified_sample``.  The quality score itself is
+    a map-only projection fused into the scan.
+    """
+    from dask_traj_spark.functions.text import quality_score
+
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    joined = docs.select("doc_id", strata_col).join(q, "doc_id")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("pct_rank", F.percent_rank().over(w))
+        .where(F.col("pct_rank") <= F.lit(float(keep_frac)))
+        .select("doc_id", strata_col, "quality", "pct_rank")
+    )
+
+
+#: dyadic grid for the DSIR per-bucket log-ratios — same 2^-20 snap
+#: as the t9 char-bigram model: ln() is not guaranteed correctly
+#: rounded, so each bucket's log value is snapped BEFORE any per-doc
+#: summation; sums of grid values are exact, making the per-doc
+#: average independent of partial-agg order.
+DSIR_GRID = 1048576.0  # 2^20
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_mode: str = "hash",
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, DSIR): per-document average log importance ratio
+    ``ln p_target(w) − ln p_raw(w)`` under hashed-unigram
+    multinomials with add-one smoothing over ``n_buckets`` buckets —
+    the "pick raw-corpus documents that look like the target
+    distribution" selection signal (the hashed-n-gram stand-in for a
+    trained quality classifier).
+
+    Returns (doc_id, n_tokens, avg_logratio); resample downstream by
+    ordering on ``avg_logratio`` (or Gumbel-perturbing it).
+
+    Construction: token → bucket (``id_mode='hash'``: xxhash64 mod
+    n_buckets, the open-vocabulary production path; ``'sorted'``:
+    dense sorted-vocab ids mixed with the multiplicative constant —
+    the DuckDB-mirrorable gate path).  Each corpus gets one bucket
+    count table (≤ n_buckets rows); the per-bucket log-ratio is
+    snapped to the 2^-20 grid and broadcast back onto the token
+    stream; one per-doc partial+final aggregation finishes.
+
+    100-TB posture: the model is bounded by n_buckets, not corpus
+    size — two bounded aggregations, one broadcast join, one keyed
+    doc aggregation.  The two 1-row token totals ride a broadcast
+    cross-join (the audited 1-row-aggregate pattern).  No windows,
+    no UDFs, no all-pairs anywhere.
+    """
+    from dask_traj_spark.functions.text import token_id_hashed, tokens, vocab
+
+    b_lit = F.lit(int(n_buckets))
+    tok_raw = tokens(docs, text_col)
+    tok_tgt = tokens(target, text_col)
+    if id_mode == "hash":
+        raw_b = tok_raw.select(
+            "doc_id", F.pmod(token_id_hashed(F.col("word")), b_lit).alias("bucket")
+        )
+        tgt_b = tok_tgt.select(
+            F.pmod(token_id_hashed(F.col("word")), b_lit).alias("bucket")
+        )
+    elif id_mode == "sorted":
+        # vocab over the union so target-only words (impossible in the
+        # gate, where target ⊆ docs, but legal for callers) still get
+        # a stable id; mirrored verbatim in the oracle SQL.
+        voc = vocab(tok_raw.select("word").union(tok_tgt.select("word")))
+        mix = (F.col("tid").cast("long") * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        raw_b = tok_raw.join(voc, "word").select(
+            "doc_id", (mix % b_lit).alias("bucket")
+        )
+        tgt_b = tok_tgt.join(voc, "word").select((mix % b_lit).alias("bucket"))
+    else:
+        raise ValueError(f"id_mode must be 'hash' or 'sorted', got {id_mode!r}")
+
+    c_raw = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    c_tgt = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    totals = (
+        raw_b.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(tgt_b.agg(F.count(F.lit(1)).alias("n_tgt")))
+    )
+
+    def _snap_log(num, den):
+        return (
+            F.round(F.log(num.cast("double") / den.cast("double")) * F.lit(DSIR_GRID), 0)
+            / F.lit(DSIR_GRID)
+        )
+
+    model = F.broadcast(
+        c_raw.join(c_tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                _snap_log(F.coalesce("c_tgt", F.lit(0)) + F.lit(1), F.col("n_tgt") + b_lit)
+                - _snap_log(F.col("c_raw") + F.lit(1), F.col("n_raw") + b_lit)
+            ).alias("lr"),
+        )
+    )
+    return (
+        raw_b.join(model, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("avg_logratio"),
+        )
+    )

@@ -151,7 +151,12 @@ def register(name: str, oracle: str | None = None):
 #       with x8 seated, e1-e5 r8-green with e7/e8 fresh) — they
 #       stay AT round-7 evidence and head the r11 plan below.  The
 #       d13/sx9 gates were touched this round (corpus-driven n_bits
-#       sizing) and are already seated as never-scored.
+#       sizing) and are already seated as never-scored.  Late in the
+#       round two more curation gates landed and seated new-query-
+#       first (c8 per-stratum quantile pruning, t17 DSIR importance
+#       weights), deferring v5_pq_recall (v8 exercises the PQ
+#       machinery in this head) and sx7_stream_count_min_twin (t14
+#       exercises count-min in this head) to the r11 plan.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
@@ -163,17 +168,24 @@ def register(name: str, oracle: str | None = None):
 # stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (a) the 4 r7-green shapes deferred from the r10 head when the
-    #     round's two new gates (d14, m14) landed (new-query-first
-    #     cost one slot each; these are the only entries whose
-    #     evidence would otherwise age past round 7).  x9 deferred
-    #     for m14: the x-family carries dense r9 evidence
-    #     (x5-x7, x19-x22 all r9-green) and x8 stays seated:
+    # (a) the 7 r7-green shapes deferred from the r10 head when the
+    #     round's new gates (d14, m14, d15, then c8/t17 late in the
+    #     round) landed (new-query-first cost one slot each; these
+    #     are the only entries whose evidence would otherwise age
+    #     past round 7).  x9 deferred for m14: the x-family carries
+    #     dense r9 evidence (x5-x7, x19-x22 all r9-green) and x8
+    #     stays seated.  v5 deferred for c8: the v-family keeps
+    #     v1-v4 + v6-v8 seated and v8 exercises the same PQ machinery
+    #     in this head.  sx7 deferred for t17: sx3/sx4/sx5/sx8/sx9
+    #     stay seated and t14 exercises the count-min machinery in
+    #     this same head:
     "r3_rollup_acctbal",
     "m3_frame_sample",
     "t7_repetition_score",
     "x9_msd",
     "e6_cohort_retention",
+    "v5_pq_recall",
+    "sx7_stream_count_min_twin",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
     #     with any r11 touched/never-scored set (50 - 3 - 14 = 33

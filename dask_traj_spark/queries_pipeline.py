@@ -5227,3 +5227,102 @@ def q_stream_bloom_twin(spark, sf_dir):
         "n_probes long, n_true_members long, false_negatives long, "
         "fp_within_bound boolean, state_matches_oneshot boolean",
     )
+
+
+# ---------------------------------------------------------------------
+# c8: per-stratum quality-percentile pruning
+# ---------------------------------------------------------------------
+
+_C8_QUALITY = f"""(CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+            / CAST({_NTOK} AS DOUBLE)
+        + least(CAST({_NTOK} AS DOUBLE), 50.0) / 50.0
+        + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / CAST({_NTOK} AS DOUBLE)) / 3.0"""
+
+_C8_ORACLE = f"""
+WITH q AS (
+    SELECT doc_id, source, {_C8_QUALITY} AS quality FROM documents
+),
+r AS (
+    SELECT doc_id, source, quality,
+           percent_rank() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC
+           ) AS pct_rank
+    FROM q
+)
+SELECT doc_id, source, quality, pct_rank FROM r WHERE pct_rank <= 0.6
+"""
+
+
+@register("c8_quantile_prune", _C8_ORACLE)
+def q_quantile_prune(spark, sf_dir):
+    """Keep the top 60% of every source by the t2 quality score —
+    the per-source percentile pruning step (a global threshold would
+    let one clean source crowd out the rest).  percent_rank is
+    (rank-1)/(n-1) in both engines, ties broken by doc_id, so the
+    keep decision is bit-deterministic."""
+    from dask_traj_spark.operators.curation import quantile_prune
+
+    return quantile_prune(_docs(spark, sf_dir), keep_frac=0.6)
+
+
+# ---------------------------------------------------------------------
+# t17: DSIR hashed-unigram importance weights
+# ---------------------------------------------------------------------
+
+def _t17_oracle(n_buckets: int) -> str:
+    from dask_traj_spark.operators.curation import DSIR_GRID, _MIX_A, _MIX_M
+
+    bkt = f"((CAST(v.tid AS BIGINT) * {_MIX_A}) % {_MIX_M}) % {n_buckets}"
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+ttok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    WHERE doc_id % 20 = 0
+),
+voc AS (
+    SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY word) AS INT) AS tid
+    FROM (SELECT DISTINCT word
+          FROM (SELECT word FROM tok UNION ALL SELECT word FROM ttok))
+),
+rb AS (
+    SELECT {bkt} AS bucket, count(*) AS c_raw
+    FROM tok t JOIN voc v USING (word) GROUP BY 1
+),
+tb AS (
+    SELECT {bkt} AS bucket, count(*) AS c_tgt
+    FROM ttok t JOIN voc v USING (word) GROUP BY 1
+),
+tot AS (SELECT (SELECT count(*) FROM tok) AS n_raw,
+               (SELECT count(*) FROM ttok) AS n_tgt),
+model AS (
+    SELECT rb.bucket,
+           round(ln(CAST(COALESCE(tb.c_tgt, 0) + 1 AS DOUBLE)
+                    / CAST(tot.n_tgt + {n_buckets} AS DOUBLE)) * {DSIR_GRID}, 0)
+               / {DSIR_GRID}
+         - round(ln(CAST(rb.c_raw + 1 AS DOUBLE)
+                    / CAST(tot.n_raw + {n_buckets} AS DOUBLE)) * {DSIR_GRID}, 0)
+               / {DSIR_GRID} AS lr
+    FROM rb LEFT JOIN tb USING (bucket), tot
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(m.lr) / count(*), 6) AS avg_logratio
+FROM tok t JOIN voc v USING (word)
+JOIN model m ON m.bucket = {bkt}
+GROUP BY t.doc_id
+"""
+
+
+@register("t17_dsir_importance", _t17_oracle(4096))
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights with the doc_id % 20 == 0 slice as
+    the target distribution (a stand-in for "looks like Wikipedia" —
+    the operator takes any target DataFrame).  Sorted-vocab ids for
+    DuckDB parity; the operator default is open-vocabulary xxhash."""
+    from dask_traj_spark.operators.curation import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 20 == 0)
+    return dsir_importance(docs, target, n_buckets=4096, id_mode="sorted")

@@ -86,6 +86,14 @@ ALLOW = {
     ("d10_simhash_hamming_pairs", "SinglePartition"): _VOCAB,
     ("t4_fingerprint", "SinglePartition"): _VOCAB,
     ("t14_count_min_heavy_hitters", "SinglePartition"): _VOCAB,
+    # t17's gate: sorted-vocab funnel (production is xxhash — locked
+    # by tests/test_plans.py::test_dsir_importance_default_is_open_
+    # vocabulary) + the two 1-row token totals, whose cross joins are
+    # the audited 1-row-aggregate broadcast pattern
+    ("t17_dsir_importance", "SinglePartition"):
+        _VOCAB + "; plus the two 1-row token-total aggregates",
+    ("t17_dsir_importance", "BroadcastNestedLoopJoin"):
+        "cross joins against the two 1-row token-total broadcasts",
 }
 
 

@@ -3164,3 +3164,96 @@ class TestBloomMembership:
             bloom_build(ref, n_bits=1000)
         with _pytest.raises(ValueError, match="n_hashes"):
             bloom_build(ref, n_hashes=0)
+
+
+class TestQuantilePrune:
+    def test_keeps_top_fraction_per_stratum(self, spark):
+        from dask_traj_spark.operators.curation import quantile_prune
+
+        # 4 docs per source; quality is driven by distinct/stopword
+        # ratios — doc texts chosen so the per-source quality order
+        # is doc 0 > 1 > 2 > 3 (more distinct words, more stopwords)
+        rows = []
+        for s in range(2):
+            base = s * 10
+            rows += [
+                (base + 0, "the quick brown fox jumps over a lazy dog", f"s{s}"),
+                (base + 1, "the quick brown fox fox fox fox lazy dog", f"s{s}"),
+                (base + 2, "fox fox fox fox fox fox fox lazy dog", f"s{s}"),
+                (base + 3, "fox fox fox fox fox fox fox fox fox", f"s{s}"),
+            ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # keep_frac=0.5: pct_rank over 4 rows is k/3 — keep k=0 and 1
+        got = quantile_prune(docs, keep_frac=0.5).toPandas()
+        assert sorted(got["doc_id"]) == [0, 1, 10, 11]
+        # keep_frac=1.0 keeps everything; 0.0 keeps each stratum's top
+        assert quantile_prune(docs, keep_frac=1.0).count() == 8
+        top = quantile_prune(docs, keep_frac=0.0).toPandas()
+        assert sorted(top["doc_id"]) == [0, 10]
+
+    def test_decision_is_physical_order_independent(self, spark):
+        from dask_traj_spark.operators.curation import quantile_prune
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 7} common w{i % 5} tail{i}", f"s{i % 3}") for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        a = quantile_prune(docs, keep_frac=0.4).toPandas()
+        b = quantile_prune(
+            docs.repartition(7).sortWithinPartitions(F.col("doc_id").desc()),
+            keep_frac=0.4,
+        ).toPandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+class TestDsirImportance:
+    def _corpus(self, spark):
+        # target-like docs share the "alpha beta gamma" vocabulary;
+        # off-target docs use disjoint words
+        rows = [
+            (0, "alpha beta gamma alpha beta"),   # target member
+            (4, "alpha beta gamma gamma alpha"),  # target member
+            (1, "alpha beta gamma beta gamma"),   # target-like raw doc
+            (2, "delta epsilon zeta eta theta"),  # off-target raw doc
+            (3, "iota kappa lambda mu nu"),       # off-target raw doc
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_target_like_docs_score_higher(self, spark):
+        from dask_traj_spark.operators.curation import dsir_importance
+
+        docs = self._corpus(spark)
+        target = docs.where(F.col("doc_id") % 4 == 0)
+        for mode in ("hash", "sorted"):
+            pdf = (
+                dsir_importance(docs, target, n_buckets=512, id_mode=mode)
+                .toPandas()
+                .set_index("doc_id")
+            )
+            assert len(pdf) == 5
+            assert (pdf["n_tokens"] == 5).all()
+            # every target-vocabulary doc outranks every off-target doc
+            like = pdf.loc[[0, 4, 1], "avg_logratio"]
+            unlike = pdf.loc[[2, 3], "avg_logratio"]
+            assert like.min() > unlike.max(), pdf
+
+    def test_physical_order_independence_and_mode_validation(self, spark):
+        from dask_traj_spark.operators.curation import dsir_importance
+
+        docs = self._corpus(spark)
+        target = docs.where(F.col("doc_id") % 4 == 0)
+        a = (
+            dsir_importance(docs, target, n_buckets=512)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            dsir_importance(
+                docs.repartition(5).sortWithinPartitions(F.col("doc_id").desc()),
+                target, n_buckets=512,
+            )
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # dyadic-snapped per-bucket values: bit-equal, not just close
+        assert (a["avg_logratio"] == b["avg_logratio"]).all()
+        with pytest.raises(ValueError, match="id_mode"):
+            dsir_importance(docs, target, id_mode="bogus")

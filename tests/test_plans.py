@@ -782,3 +782,40 @@ def test_bloom_membership_plan_is_bounded_and_jvm_side(spark):
         bloom_membership(docs, docs, n_bits=1 << 12, broadcast=False)
     ).text
     assert "CartesianProduct" not in text2
+
+
+def test_quantile_prune_window_is_stratum_keyed(spark):
+    """c8: the percentile window partitions on the stratum key —
+    never SinglePartition — and the quality projection is map-only
+    (no Python, no extra shuffle beyond the window's stratum
+    exchange and the doc_id join)."""
+    from dask_traj_spark.operators.curation import quantile_prune
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    text = audit(quantile_prune(docs, keep_frac=0.5)).text
+    assert "SinglePartition" not in text, text
+    assert "CartesianProduct" not in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_dsir_importance_default_is_open_vocabulary(spark):
+    """t17's production path (hashed buckets): the model is bounded
+    by n_buckets and rides BroadcastExchanges; the only
+    SinglePartition exchanges are the two 1-row token totals; no
+    sorted-vocab funnel, no cartesian fan-out, no Python."""
+    from dask_traj_spark.operators.curation import dsir_importance
+
+    docs = _docs_fixture(spark)
+    target = docs.where(F.col("doc_id") % 4 == 0)
+    a = audit(dsir_importance(docs, target, n_buckets=256, id_mode="hash"))
+    text = a.text
+    # 1-row totals only: the cross-join against them broadcasts
+    assert text.count("SinglePartition") <= 2, text
+    assert "BroadcastExchange" in text, text
+    assert "CartesianProduct" not in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    # no global sorted-vocab window in the default mode
+    assert "row_number" not in text.lower(), text

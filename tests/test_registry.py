@@ -21,6 +21,8 @@ MUST_SCORE_R10 = [
     "d14_maximal_matches",
     "m14_video_codec_mix",
     "d15_keep_first_excision",
+    "c8_quantile_prune",
+    "t17_dsir_importance",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
