@@ -247,6 +247,7 @@ def main() -> None:
         "d13_bloom_cross_corpus",
         "c8_quantile_prune",
         "t17_dsir_importance",
+        "c9_weighted_sample",
     ):
         timed(name, lambda name=name: _noop(registry[name](spark, sf_dir)))
 

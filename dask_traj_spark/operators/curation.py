@@ -547,3 +547,55 @@ def dsir_importance(
             F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("avg_logratio"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    strata_col: str | None = None,
+    text_col: str = "text",
+    order_mode: str = "xxhash",
+    seed: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    every document draws key = −ln(u)/w with u a seeded hash of its
+    doc_id and w its token count; the k smallest keys are the sample.
+    P(doc drawn first) = w / Σw — the length-proportional document
+    draw data-mixing uses when sources should contribute tokens, not
+    document counts (complementing ``stratified_sample``'s uniform
+    per-stratum quota and ``source_token_mixture``'s hard budget).
+
+    Returns (doc_id, weight, key) — ``strata_col=None`` takes the k
+    globally smallest keys (TakeOrderedAndProject — no global sort
+    materialization); with a stratum column it takes k per stratum
+    through a stratum-keyed window (never SinglePartition).
+
+    Determinism: u = (hash+1)/2^32 ∈ (0,1] is an exact dyadic
+    rational; −ln(u) is snapped to the 2^-20 grid (ln is the one
+    non-correctly-rounded step — the t9 convention) and divided by
+    the integer-valued weight (correctly-rounded IEEE division), so
+    the key — and therefore the sampled SET — is bit-identical across
+    engines and physical orders.  ``xxhash`` is the production
+    default; ``mult`` mirrors exactly in ANSI SQL for the oracle.
+    """
+    from dask_traj_spark.functions.text import _n_tokens
+
+    if order_mode == "xxhash":
+        h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(_MIX_M))
+    elif order_mode == "mult":
+        h = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+    else:
+        raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_MIX_M))
+    e = F.round(-F.log(u) * F.lit(DSIR_GRID), 0) / F.lit(DSIR_GRID)
+    w = _n_tokens(F.col(text_col)).cast("double")
+    base_cols = ["doc_id"] + ([strata_col] if strata_col else [])
+    keyed = docs.select(*base_cols, w.alias("weight"), (e / w).alias("key"))
+    if strata_col is None:
+        return keyed.orderBy("key", "doc_id").limit(int(k))
+    win = Window.partitionBy(strata_col).orderBy("key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= int(k))
+        .drop("rk")
+    )

@@ -155,8 +155,10 @@ def register(name: str, oracle: str | None = None):
 #       round two more curation gates landed and seated new-query-
 #       first (c8 per-stratum quantile pruning, t17 DSIR importance
 #       weights), deferring v5_pq_recall (v8 exercises the PQ
-#       machinery in this head) and sx7_stream_count_min_twin (t14
-#       exercises count-min in this head) to the r11 plan.
+#       machinery in this head), sx7_stream_count_min_twin (t14
+#       exercises count-min in this head) and, for the third late
+#       gate c9 weighted sampling, d5_repeated_ngram_docs (d11/d14
+#       exercise the n-gram machinery in this head) to the r11 plan.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
@@ -178,7 +180,10 @@ _SCORING_TAIL = [
     #     v1-v4 + v6-v8 seated and v8 exercises the same PQ machinery
     #     in this head.  sx7 deferred for t17: sx3/sx4/sx5/sx8/sx9
     #     stay seated and t14 exercises the count-min machinery in
-    #     this same head:
+    #     this same head.  d5 deferred for c9: the d-family carries
+    #     the freshest evidence in the registry (d11-d15 all seated
+    #     this round) and d11/d14 exercise the same n-gram window
+    #     machinery in this same head:
     "r3_rollup_acctbal",
     "m3_frame_sample",
     "t7_repetition_score",
@@ -186,6 +191,7 @@ _SCORING_TAIL = [
     "e6_cohort_retention",
     "v5_pq_recall",
     "sx7_stream_count_min_twin",
+    "d5_repeated_ngram_docs",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
     #     with any r11 touched/never-scored set (50 - 3 - 14 = 33

@@ -5326,3 +5326,34 @@ def q_dsir_importance(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     target = docs.where(F.col("doc_id") % 20 == 0)
     return dsir_importance(docs, target, n_buckets=4096, id_mode="sorted")
+
+
+# ---------------------------------------------------------------------
+# c9: weighted sampling without replacement (exponential race)
+# ---------------------------------------------------------------------
+
+def _c9_oracle(k: int) -> str:
+    from dask_traj_spark.operators.curation import DSIR_GRID, _MIX_A, _MIX_M
+
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, CAST({_NTOK} AS DOUBLE) AS weight,
+           round(-ln(CAST(((doc_id * {_MIX_A}) % {_MIX_M}) + 1 AS DOUBLE)
+                     / {float(_MIX_M)}) * {DSIR_GRID}, 0) / {DSIR_GRID}
+               / CAST({_NTOK} AS DOUBLE) AS key
+    FROM documents
+)
+SELECT doc_id, weight, key FROM keyed ORDER BY key, doc_id LIMIT {k}
+"""
+
+
+@register("c9_weighted_sample", _c9_oracle(100))
+def q_weighted_sample(spark, sf_dir):
+    """Token-count-weighted document draw (Efraimidis–Spirakis
+    exponential race): key = snap(−ln(u))/n_tokens, k smallest keys.
+    Long documents are proportionally overrepresented — the
+    length-proportional mixing draw.  mult-hash u for DuckDB parity;
+    the operator default is seeded xxhash."""
+    from dask_traj_spark.operators.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=100, order_mode="mult")

@@ -3257,3 +3257,44 @@ class TestDsirImportance:
         assert (a["avg_logratio"] == b["avg_logratio"]).all()
         with pytest.raises(ValueError, match="id_mode"):
             dsir_importance(docs, target, id_mode="bogus")
+
+
+class TestWeightedSample:
+    def test_draw_is_weight_biased_and_deterministic(self, spark):
+        from dask_traj_spark.operators.curation import weighted_sample
+
+        # one 60-token doc among 59 one-token docs: across seeds, the
+        # heavy doc must appear in a k=1 draw far more often than any
+        # single light doc (P(heavy first) = 60/119 ≈ 0.5)
+        rows = [(0, " ".join(["w"] * 60))] + [(i, "w") for i in range(1, 60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        heavy_hits = 0
+        for seed in range(24):
+            got = weighted_sample(docs, k=1, seed=seed).toPandas()
+            assert len(got) == 1
+            heavy_hits += int(got["doc_id"].iloc[0] == 0)
+        assert 6 <= heavy_hits <= 22, heavy_hits  # ~12 expected, 1/60 unweighted
+        # same seed → bit-identical sample regardless of physical order
+        a = weighted_sample(docs, k=10, seed=3).toPandas()
+        b = weighted_sample(
+            docs.repartition(7).sortWithinPartitions(F.col("doc_id").desc()),
+            k=10, seed=3,
+        ).toPandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        assert (a.sort_values("doc_id")["key"].to_numpy()
+                == b.sort_values("doc_id")["key"].to_numpy()).all()
+
+    def test_stratified_form_and_validation(self, spark):
+        from dask_traj_spark.operators.curation import weighted_sample
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 7} common w{i % 5}", f"s{i % 3}") for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        got = weighted_sample(docs, k=2, strata_col="source").toPandas()
+        assert len(got) == 6
+        assert sorted(got["source"].value_counts().to_dict().items()) == [
+            ("s0", 2), ("s1", 2), ("s2", 2)
+        ]
+        with pytest.raises(ValueError, match="order_mode"):
+            weighted_sample(docs, k=1, order_mode="bogus")

@@ -819,3 +819,22 @@ def test_dsir_importance_default_is_open_vocabulary(spark):
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     # no global sorted-vocab window in the default mode
     assert "row_number" not in text.lower(), text
+
+
+def test_weighted_sample_topk_never_global_sorts(spark):
+    """c9: the global-k form must select through TakeOrderedAndProject
+    (a k-row heap per partition + k-row final merge), never a global
+    sort materialization; the stratified form windows on the stratum
+    key — neither drops to Python."""
+    from dask_traj_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    text = audit(weighted_sample(docs, k=5)).text
+    assert "TakeOrderedAndProject" in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    text2 = audit(weighted_sample(docs, k=2, strata_col="source")).text
+    assert "SinglePartition" not in text2, text2
+    assert "BatchEvalPython" not in text2 and "ArrowEvalPython" not in text2

@@ -23,6 +23,7 @@ MUST_SCORE_R10 = [
     "d15_keep_first_excision",
     "c8_quantile_prune",
     "t17_dsir_importance",
+    "c9_weighted_sample",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
