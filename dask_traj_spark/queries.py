@@ -156,9 +156,12 @@ def register(name: str, oracle: str | None = None):
 #       first (c8 per-stratum quantile pruning, t17 DSIR importance
 #       weights), deferring v5_pq_recall (v8 exercises the PQ
 #       machinery in this head), sx7_stream_count_min_twin (t14
-#       exercises count-min in this head) and, for the third late
-#       gate c9 weighted sampling, d5_repeated_ngram_docs (d11/d14
-#       exercise the n-gram machinery in this head) to the r11 plan.
+#       exercises count-min in this head) and, for the third and
+#       fourth late gates (c9 weighted sampling, sx10 its streaming
+#       twin), d5_repeated_ngram_docs (d11/d14 exercise the n-gram
+#       machinery in this head) and c3_stratified_sample (c8/c9
+#       exercise the stratum-window sampling machinery in this
+#       head) to the r11 plan.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
 # for §2-core operators, best-effort (stalest-first) for extension
@@ -183,7 +186,10 @@ _SCORING_TAIL = [
     #     this same head.  d5 deferred for c9: the d-family carries
     #     the freshest evidence in the registry (d11-d15 all seated
     #     this round) and d11/d14 exercise the same n-gram window
-    #     machinery in this same head:
+    #     machinery in this same head.  c3 deferred for the sx10
+    #     streaming twin: c8/c9 exercise the same stratum-window
+    #     sampling machinery in this head and c9 is c3's weighted
+    #     generalization:
     "r3_rollup_acctbal",
     "m3_frame_sample",
     "t7_repetition_score",
@@ -192,6 +198,7 @@ _SCORING_TAIL = [
     "v5_pq_recall",
     "sx7_stream_count_min_twin",
     "d5_repeated_ngram_docs",
+    "c3_stratified_sample",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
     #     with any r11 touched/never-scored set (50 - 3 - 14 = 33

@@ -5357,3 +5357,40 @@ def q_weighted_sample(spark, sf_dir):
     from dask_traj_spark.operators.curation import weighted_sample
 
     return weighted_sample(_docs(spark, sf_dir), k=100, order_mode="mult")
+
+
+@register("sx10_stream_weighted_sample_twin", _c9_oracle(100))
+def q_stream_weighted_sample_twin(spark, sf_dir):
+    """Streaming weighted sampling vs c9's value oracle directly:
+    replay the corpus in three deterministic micro-batches through
+    the foreachBatch body (per-batch local top-k partials, batch_id-
+    partitioned state, dynamic-overwrite replay idempotence) — the
+    k-smallest-keys merge is associative, so the merged state must
+    equal the one-shot batch draw VALUE-FOR-VALUE."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.streaming.sampling import (
+        process_weighted_sample_batch,
+        weighted_sample_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sx10_wsample_twin_")
+    state = f"{work}/state"
+    try:
+        for b in range(3):
+            process_weighted_sample_batch(
+                docs.where(F.col("doc_id") % 3 == b), b, state,
+                k=100, order_mode="mult",
+            )
+        # crash-replay of the middle batch: its partition is rewritten
+        # in place and the merge must not change
+        process_weighted_sample_batch(
+            docs.where(F.col("doc_id") % 3 == 1), 1, state,
+            k=100, order_mode="mult",
+        )
+        pdf = weighted_sample_state(spark, state, k=100).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "doc_id long, weight double, key double")

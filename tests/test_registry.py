@@ -24,6 +24,7 @@ MUST_SCORE_R10 = [
     "c8_quantile_prune",
     "t17_dsir_importance",
     "c9_weighted_sample",
+    "sx10_stream_weighted_sample_twin",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",

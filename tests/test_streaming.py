@@ -1205,3 +1205,48 @@ def test_incremental_bloom_matches_oneshot(spark, tmp_path):
         None, docs, bitmap=bloom_state(spark, state)
     ).collect()
     assert all(r["maybe_dup"] for r in flags)  # every doc is in-corpus
+
+
+def test_stream_weighted_sample_matches_oneshot_with_replay(spark, tmp_path):
+    """sx10's contract, unit-scale: per-batch top-k partials merged
+    over a 4-batch replay (one batch smaller than k, one batch
+    crash-replayed) equal the one-shot batch draw bit-for-bit."""
+    from dask_traj_spark.operators.curation import weighted_sample
+    from dask_traj_spark.streaming.sampling import (
+        process_weighted_sample_batch,
+        weighted_sample_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 13))) for i in range(120)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "wsample_state")
+    k = 10
+    # batch 3 holds only 3 docs (< k): "all rows" is still a valid
+    # partial for the k-smallest merge
+    splits = [
+        docs.where((F.col("doc_id") % 3 == b) & (F.col("doc_id") < 117))
+        if b != 3 else docs.where(F.col("doc_id") >= 117)
+        for b in range(4)
+    ]
+    for b, part in enumerate(splits):
+        process_weighted_sample_batch(part, b, state, k=k, seed=7)
+    before = (
+        weighted_sample_state(spark, state, k=k)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # crash-replay batch 2: merged view must be unchanged
+    process_weighted_sample_batch(splits[2], 2, state, k=k, seed=7)
+    after = (
+        weighted_sample_state(spark, state, k=k)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    assert (before["key"].to_numpy() == after["key"].to_numpy()).all()
+    oneshot = (
+        weighted_sample(docs, k=k, seed=7)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert before["doc_id"].tolist() == oneshot["doc_id"].tolist()
+    assert (before["key"].to_numpy() == oneshot["key"].to_numpy()).all()
