@@ -100,11 +100,11 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]:
-    (stopword_ratio + length_score + distinct_ratio) / 3, where
-    length_score = min(n_tokens, 50)/50 and distinct_ratio =
-    n_distinct/n_tokens. Deterministic rational arithmetic."""
+def _quality_parts(text_col: str) -> tuple[Column, Column, Column]:
+    """(stopword_ratio, length_score, distinct_ratio) column
+    expressions — the shared building blocks of ``quality_score``
+    and ``quality_expr`` (one definition, so the t2 gate and every
+    downstream consumer stay bit-identical by construction)."""
     t = F.col(text_col)
     n_tok = _n_tokens(t).cast("double")
     toks = F.split(t, " ")
@@ -113,12 +113,30 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     length_score = F.least(n_tok, F.lit(50.0)) / F.lit(50.0)
-    score = (stop_hits / n_tok + length_score + n_distinct / n_tok) / F.lit(3.0)
+    return stop_hits / n_tok, length_score, n_distinct / n_tok
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """The t2 quality score as a single column expression, for
+    consumers that need it fused into their own projection (e.g.
+    c8's per-stratum pruning) instead of a doc_id join against
+    ``quality_score``'s output."""
+    stop_ratio, length_score, distinct_ratio = _quality_parts(text_col)
+    return (stop_ratio + length_score + distinct_ratio) / F.lit(3.0)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    (stopword_ratio + length_score + distinct_ratio) / 3, where
+    length_score = min(n_tokens, 50)/50 and distinct_ratio =
+    n_distinct/n_tokens. Deterministic rational arithmetic."""
+    stop_ratio, length_score, distinct_ratio = _quality_parts(text_col)
+    score = (stop_ratio + length_score + distinct_ratio) / F.lit(3.0)
     return df.select(
         "doc_id",
-        (stop_hits / n_tok).alias("stopword_ratio"),
+        stop_ratio.alias("stopword_ratio"),
         length_score.alias("length_score"),
-        (n_distinct / n_tok).alias("distinct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
         score.alias("quality"),
     )
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dask_traj_spark.functions.text import tokens
+from dask_traj_spark.functions.text import LP_GRID, tokens
 
 
 def _word_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
@@ -431,31 +431,36 @@ def quantile_prune(
     engines).  Rows with pct_rank <= keep_frac are kept; a 1-row
     stratum has pct_rank 0 and is always kept.
 
-    100-TB posture: one shuffle on the stratum key; the window sorts
-    each stratum's rows only (never SinglePartition), the same
-    posture as ``stratified_sample``.  The quality score itself is
-    a map-only projection fused into the scan.
+    100-TB posture: ONE shuffle, on the stratum key; the quality
+    score is a single column expression fused into the scan
+    projection (never a doc_id join against the scored table), and
+    the window sorts each stratum's rows only (never
+    SinglePartition) — the same posture as ``stratified_sample``.
+    Plan-locked to one exchange.
     """
-    from dask_traj_spark.functions.text import quality_score
+    from dask_traj_spark.functions.text import quality_expr
 
-    q = quality_score(docs, text_col).select("doc_id", "quality")
-    joined = docs.select("doc_id", strata_col).join(q, "doc_id")
+    keyed = docs.select(
+        "doc_id", strata_col, quality_expr(text_col).alias("quality")
+    )
     w = Window.partitionBy(strata_col).orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
     return (
-        joined.withColumn("pct_rank", F.percent_rank().over(w))
+        keyed.withColumn("pct_rank", F.percent_rank().over(w))
         .where(F.col("pct_rank") <= F.lit(float(keep_frac)))
         .select("doc_id", strata_col, "quality", "pct_rank")
     )
 
 
-#: dyadic grid for the DSIR per-bucket log-ratios — same 2^-20 snap
-#: as the t9 char-bigram model: ln() is not guaranteed correctly
-#: rounded, so each bucket's log value is snapped BEFORE any per-doc
-#: summation; sums of grid values are exact, making the per-doc
-#: average independent of partial-agg order.
-DSIR_GRID = 1048576.0  # 2^20
+#: dyadic grid for the DSIR per-bucket log-ratios — THE SAME 2^-20
+#: snap constant as the t9 char-bigram model (imported, not
+#: re-declared: the cross-engine bit-parity contract lives in one
+#: place).  ln() is not guaranteed correctly rounded, so each
+#: bucket's log value is snapped BEFORE any per-doc summation; sums
+#: of grid values are exact, making the per-doc average independent
+#: of partial-agg order.
+DSIR_GRID = LP_GRID
 
 
 def dsir_importance(
@@ -515,11 +520,31 @@ def dsir_importance(
     else:
         raise ValueError(f"id_mode must be 'hash' or 'sorted', got {id_mode!r}")
 
-    c_raw = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    c_tgt = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    # rollup gives the per-bucket counts AND the grand total (the
+    # bucket-NULL row — buckets are pmod results and never null
+    # themselves) in ONE aggregation pass over each token stream; a
+    # separate totals agg would re-scan the corpus.  The two slices
+    # of each rollup share one exchange (ReusedExchange).
+    roll_raw = raw_b.rollup("bucket").agg(F.count(F.lit(1)).alias("c"))
+    roll_tgt = tgt_b.rollup("bucket").agg(F.count(F.lit(1)).alias("c"))
+    c_raw = roll_raw.where(F.col("bucket").isNotNull()).select(
+        "bucket", F.col("c").alias("c_raw")
+    )
+    c_tgt = roll_tgt.where(F.col("bucket").isNotNull()).select(
+        "bucket", F.col("c").alias("c_tgt")
+    )
+    # both total slices are 1 row but the planner can't prove it
+    # through the rollup filter — broadcast them explicitly so the
+    # cross joins stay nested-loop-over-broadcast, never cartesian
     totals = (
-        raw_b.agg(F.count(F.lit(1)).alias("n_raw"))
-        .crossJoin(tgt_b.agg(F.count(F.lit(1)).alias("n_tgt")))
+        roll_raw.where(F.col("bucket").isNull())
+        .select(F.col("c").alias("n_raw"))
+        .crossJoin(
+            F.broadcast(
+                roll_tgt.where(F.col("bucket").isNull())
+                .select(F.col("c").alias("n_tgt"))
+            )
+        )
     )
 
     def _snap_log(num, den):
@@ -590,7 +615,14 @@ def weighted_sample(
     e = F.round(-F.log(u) * F.lit(DSIR_GRID), 0) / F.lit(DSIR_GRID)
     w = _n_tokens(F.col(text_col)).cast("double")
     base_cols = ["doc_id"] + ([strata_col] if strata_col else [])
-    keyed = docs.select(*base_cols, w.alias("weight"), (e / w).alias("key"))
+    # NULL text → NULL weight → NULL key, and Spark orders NULLS
+    # FIRST ascending (DuckDB: NULLS LAST) — a zero-information doc
+    # would head the sample in one engine and miss it in the other.
+    # No weight means no ticket in the race: drop it.
+    keyed = (
+        docs.select(*base_cols, w.alias("weight"), (e / w).alias("key"))
+        .where(F.col("weight").isNotNull())
+    )
     if strata_col is None:
         return keyed.orderBy("key", "doc_id").limit(int(k))
     win = Window.partitionBy(strata_col).orderBy("key", "doc_id")

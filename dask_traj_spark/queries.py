@@ -167,15 +167,15 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 5 deferred r7-green shapes
-# (r3/m3/t7/x9/e6), then the 14-query SS2-core block (r9-green,
+# top of _SCORING_TAIL): the 9 deferred r7-green shapes
+# (r3/m3/t7/x9/e6/v5/sx7/d5/c3), then the 14-query SS2-core block (r9-green,
 # 2-round hard bound hits in r11), then the r8-green block
 # stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (a) the 7 r7-green shapes deferred from the r10 head when the
-    #     round's new gates (d14, m14, d15, then c8/t17 late in the
-    #     round) landed (new-query-first cost one slot each; these
+    # (a) the 9 r7-green shapes deferred from the r10 head when the
+    #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
+    #     in the round) landed (new-query-first cost one slot each; these
     #     are the only entries whose evidence would otherwise age
     #     past round 7).  x9 deferred for m14: the x-family carries
     #     dense r9 evidence (x5-x7, x19-x22 all r9-green) and x8
@@ -201,7 +201,7 @@ _SCORING_TAIL = [
     "c3_stratified_sample",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
-    #     with any r11 touched/never-scored set (50 - 3 - 14 = 33
+    #     with any r11 touched/never-scored set (50 - 9 - 14 = 27
     #     free slots, so no collision):
     "g1_distances",
     "g2_displacements",

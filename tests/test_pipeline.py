@@ -3298,3 +3298,19 @@ class TestWeightedSample:
         ]
         with pytest.raises(ValueError, match="order_mode"):
             weighted_sample(docs, k=1, order_mode="bogus")
+
+
+    def test_null_text_never_sampled(self, spark):
+        # NULL text → NULL weight: Spark sorts NULLs FIRST ascending
+        # (DuckDB: LAST), so an unguarded key would put the
+        # zero-information doc at the HEAD of the sample in one
+        # engine and outside it in the other
+        from dask_traj_spark.operators.curation import weighted_sample
+
+        docs = spark.createDataFrame(
+            [(0, None), (1, "w w w"), (2, "w")],
+            "doc_id long, text string",
+        )
+        got = weighted_sample(docs, k=3).toPandas()
+        assert sorted(got["doc_id"]) == [1, 2]
+        assert got["key"].notna().all()

@@ -784,21 +784,21 @@ def test_bloom_membership_plan_is_bounded_and_jvm_side(spark):
     assert "CartesianProduct" not in text2
 
 
-def test_quantile_prune_window_is_stratum_keyed(spark):
-    """c8: the percentile window partitions on the stratum key —
-    never SinglePartition — and the quality projection is map-only
-    (no Python, no extra shuffle beyond the window's stratum
-    exchange and the doc_id join)."""
+def test_quantile_prune_is_one_stratum_shuffle(spark):
+    """c8: the quality score is fused into the scan projection (no
+    doc_id join against a scored table), so the ONLY exchange is the
+    stratum-key window — never SinglePartition, no Python."""
     from dask_traj_spark.operators.curation import quantile_prune
 
     docs = spark.createDataFrame(
         [(i, f"w{i % 7} common w{i % 5}", f"s{i % 3}") for i in range(30)],
         "doc_id long, text string, source string",
     )
-    text = audit(quantile_prune(docs, keep_frac=0.5)).text
-    assert "SinglePartition" not in text, text
-    assert "CartesianProduct" not in text, text
-    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    a = audit(quantile_prune(docs, keep_frac=0.5))
+    assert a.n_shuffles <= 1, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
 
 
 def test_dsir_importance_default_is_open_vocabulary(spark):
