@@ -1,0 +1,115 @@
+"""End-to-end training-data curation walkthrough.
+
+The operators a 100-TB LLM-data pipeline runs between "raw crawl"
+and "training mix", chained over the driver's ``documents`` table —
+every step is the REAL engine operator the oracle gate scores, in
+the order a production pipeline applies them:
+
+  quality filter → exact dedup → span excision → decontamination →
+  DSIR target-likeness scoring → per-source percentile pruning →
+  length-weighted sampling → leak-proof split → sequence packing
+
+Run: ``python examples/curation_pipeline.py [sf_dir]``
+(default /root/testdata/sf0.001 — a few seconds on local[4]).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+import dask_traj_spark as dts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = dts.get_spark(app_name="curation-example", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+    print(f"raw corpus: {n0} docs")
+
+    # 1. rule-based cleaning (C4-style flags; keep the survivors)
+    from dask_traj_spark.operators.curation import heuristic_filter
+
+    kept = heuristic_filter(docs, min_words=10).where("keep").select("doc_id")
+    docs = docs.join(kept, "doc_id")
+    print(f"after heuristic filter: {docs.count()}")
+
+    # 2. exact dedup (hash-groupBy; keep the minimum doc_id per text)
+    from dask_traj_spark.operators.dedup import exact_duplicates
+
+    reps = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    docs = docs.join(reps, "doc_id")
+    print(f"after exact dedup: {docs.count()}")
+
+    # 3. span-level dedup: excise duplicated token ranges in place
+    #    (Lee et al. — dedup the SUBSTRINGS, keep the documents)
+    from dask_traj_spark.operators.dedup import (
+        duplicate_spans,
+        excise_duplicate_spans,
+    )
+
+    spans = duplicate_spans(docs, ngram=8)
+    docs = excise_duplicate_spans(docs, spans)
+    n_excised = docs.where(F.col("n_removed") > 0).count()
+    docs = docs.drop("n_removed")
+    print(f"after span excision: {n_excised} texts rewritten in place")
+
+    # 4. benchmark decontamination: drop anything sharing trigrams
+    #    with the "eval set" (stand-in: every 50th doc)
+    from dask_traj_spark.operators.curation import decontaminate
+
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    scores = decontaminate(docs, bench, n=3)
+    clean = scores.where(F.col("contamination") < 0.5).select("doc_id")
+    docs = docs.join(clean, "doc_id")
+    print(f"after decontamination: {docs.count()}")
+
+    # 5. DSIR: score every doc's likeness to a target distribution
+    #    (stand-in target: the doc_id % 20 slice)
+    from dask_traj_spark.operators.curation import dsir_importance
+
+    target = docs.where(F.col("doc_id") % 20 == 0)
+    dsir = dsir_importance(docs, target)
+    top = dsir.orderBy(F.desc("avg_logratio")).limit(3).collect()
+    print("most target-like docs:",
+          [(r["doc_id"], round(r["avg_logratio"], 3)) for r in top])
+
+    # 6. per-source percentile pruning: keep each source's top 60%
+    from dask_traj_spark.operators.curation import quantile_prune
+
+    pruned = quantile_prune(docs, keep_frac=0.6)
+    docs = docs.join(pruned.select("doc_id"), "doc_id")
+    print(f"after per-source quality pruning: {docs.count()}")
+
+    # 7. length-weighted draw: 100 docs, P(doc) ∝ its token count
+    from dask_traj_spark.operators.curation import weighted_sample
+
+    sample = weighted_sample(docs, k=min(100, docs.count()))
+    docs = docs.join(sample.select("doc_id"), "doc_id")
+    print(f"weighted sample: {docs.count()} docs, "
+          f"mean weight {sample.agg(F.avg('weight')).first()[0]:.1f}")
+
+    # 8. leak-proof split + sequence packing for the training run
+    from dask_traj_spark.operators.curation import (
+        dataset_split,
+        pack_sequences,
+    )
+
+    split = dataset_split(docs)
+    train = docs.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id"
+    )
+    packed = pack_sequences(train, budget=512)
+    n_seqs = packed.agg(
+        F.max(F.col("start_seq") + F.col("n_seqs"))
+    ).first()[0]
+    print(f"train split: {train.count()} docs → {n_seqs} sequences of 512")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
