@@ -3314,3 +3314,111 @@ class TestWeightedSample:
         got = weighted_sample(docs, k=3).toPandas()
         assert sorted(got["doc_id"]) == [1, 2]
         assert got["key"].notna().all()
+
+
+class TestCurationDifferential:
+    """Pure-Python reference recomputations of the session's curation
+    operators on fixed corpora — semantic correctness independent of
+    the DuckDB oracles (which pin engine parity, not the formula)."""
+
+    def _mk_docs(self, spark, n=60):
+        import random
+
+        rng = random.Random(11)
+        words = [f"w{j}" for j in range(9)] + ["the", "a", "of"]
+        rows = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))),
+             f"s{i % 3}")
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    @staticmethod
+    def _quality(text):
+        from dask_traj_spark.functions.text import STOPWORDS
+
+        toks = text.split(" ")
+        n = text.count(" ") + 1.0
+        stop = sum(1.0 for w in toks if w in STOPWORDS)
+        return (stop / n + min(n, 50.0) / 50.0 + len(set(toks)) / n) / 3.0
+
+    def test_quantile_prune_matches_pure_python(self, spark):
+        from dask_traj_spark.operators.curation import quantile_prune
+
+        rows, docs = self._mk_docs(spark)
+        got = quantile_prune(docs, keep_frac=0.6).toPandas()
+        by_src = {}
+        for doc_id, text, src in rows:
+            by_src.setdefault(src, []).append((-self._quality(text), doc_id))
+        want = set()
+        for src, entries in by_src.items():
+            entries.sort()
+            for rk, (negq, doc_id) in enumerate(entries):
+                if len(entries) == 1 or rk / (len(entries) - 1) <= 0.6:
+                    want.add(doc_id)
+        assert set(got["doc_id"]) == want
+
+    def test_weighted_sample_matches_pure_python(self, spark):
+        import math
+
+        from dask_traj_spark.operators.curation import (
+            _MIX_A, _MIX_M, weighted_sample,
+        )
+
+        rows, docs = self._mk_docs(spark)
+        got = weighted_sample(docs, k=15, order_mode="mult").toPandas()
+        GRID = 1048576.0
+        keys = []
+        for doc_id, text, _src in rows:
+            u = ((doc_id * _MIX_A) % _MIX_M + 1) / float(_MIX_M)
+            e = math.floor(-math.log(u) * GRID + 0.5) / GRID
+            w = text.count(" ") + 1.0
+            keys.append((e / w, doc_id))
+        keys.sort()
+        want = [doc_id for _k, doc_id in keys[:15]]
+        assert sorted(got["doc_id"]) == sorted(want)
+
+    def test_dsir_matches_pure_python(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from dask_traj_spark.operators.curation import (
+            _MIX_A, _MIX_M, dsir_importance,
+        )
+
+        rows, docs = self._mk_docs(spark)
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        B, GRID = 512, 1048576.0
+        got = (
+            dsir_importance(docs, target, n_buckets=B, id_mode="sorted")
+            .toPandas().set_index("doc_id")
+        )
+        vocab = sorted({w for _i, t, _s in rows for w in t.split(" ")})
+        tid = {w: i + 1 for i, w in enumerate(vocab)}
+        bkt = lambda w: ((tid[w] * _MIX_A) % _MIX_M) % B  # noqa: E731
+        c_raw, c_tgt, n_raw, n_tgt = {}, {}, 0, 0
+        for doc_id, text, _s in rows:
+            for w in text.split(" "):
+                c_raw[bkt(w)] = c_raw.get(bkt(w), 0) + 1
+                n_raw += 1
+                if doc_id % 5 == 0:
+                    c_tgt[bkt(w)] = c_tgt.get(bkt(w), 0) + 1
+                    n_tgt += 1
+
+        def snap(x):
+            s = x * GRID
+            return (math.floor(s + 0.5) if s >= 0 else -math.floor(-s + 0.5)) / GRID
+
+        lr = {
+            b: snap(math.log((c_tgt.get(b, 0) + 1) / (n_tgt + B)))
+            - snap(math.log((c + 1) / (n_raw + B)))
+            for b, c in c_raw.items()
+        }
+        for doc_id, text, _s in rows:
+            toks = text.split(" ")
+            want = sum(lr[bkt(w)] for w in toks) / len(toks)
+            assert got.loc[doc_id, "n_tokens"] == len(toks)
+            assert abs(got.loc[doc_id, "avg_logratio"] - want) <= 1e-6, doc_id
