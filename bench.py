@@ -566,6 +566,19 @@ def main() -> None:
         _noop(near_duplicates_minhash(docs10_skew, threshold=0.8))
         scale["d2_minhash_lsh_skew_10x"] = round(time.time() - t0, 3)
 
+        # BPE training, 1x and 10x (direct operator calls — the
+        # registry gate caches per session): rounds cost one keyed
+        # exchange over the WORD table, so corpus growth only enters
+        # through the word-frequency aggregation
+        from dask_traj_spark.operators.bpe import bpe_train
+
+        t0 = time.time()
+        bpe_train(docs, n_merges=8)
+        times["t18_bpe_train"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bpe_train(docs10, n_merges=8)
+        scale["t18_bpe_train_10x"] = round(time.time() - t0, 3)
+
         # 10x DSIR importance (production hashed-bucket path): the
         # model stays n_buckets rows however big the corpus, so the
         # linear part is the token stream's two map passes
@@ -622,6 +635,10 @@ def main() -> None:
             "t17_dsir_hashed": round(
                 scale["t17_dsir_hashed_10x"]
                 / (10 * times["t17_dsir_hashed"]), 2
+            ),
+            "t18_bpe_train": round(
+                scale["t18_bpe_train_10x"]
+                / (10 * times["t18_bpe_train"]), 2
             ),
         }
         probes["after_scale_s"] = _cpu_probe()

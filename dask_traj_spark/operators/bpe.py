@@ -1,0 +1,193 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+vocabulary-induction step an LLM data pipeline runs before token
+counting, sequence packing, and mixture budgeting can be exact.
+
+Byte-pair encoding trains on the WORD-FREQUENCY table, not the raw
+corpus: one corpus-wide aggregation produces (word, freq), and every
+merge round then works on that bounded table (open-vocabulary web
+text keeps it large enough to stay distributed, but it is the
+aggregated form — the classic Sennrich formulation).  Per round:
+
+  1. adjacent symbol pairs, weighted by word frequency — a
+     position self-join on the symbol arrays (the t7 bigram shape),
+     one keyed aggregation; overlapping occurrences all count,
+     exactly like the reference implementation's ``get_stats``;
+  2. the argmax pair under the deterministic tie-break
+     (count DESC, left ASC, right ASC) — a 1-row reduce, collected
+     to the driver (bounded by n_merges rows per training run);
+  3. the merge applied to every word's symbol sequence
+     left-to-right non-overlapping — a JVM-side fold
+     (``F.aggregate``; no Python, no explode): state carries the
+     rebuilt prefix plus one pending symbol, so a run of equal
+     symbols merges at even offsets only ("a a a a" → "aa aa",
+     never the overlapping "a aa a").
+
+The driver-side loop is inherent to BPE (each merge depends on the
+previous one); everything per-round is one exchange over the word
+table plus a broadcast-size rewrite.  ``localCheckpoint`` truncates
+the lineage every few rounds so the plan does not grow with
+n_merges.
+
+Oracle strategy (gates t18/t19): lookbehind regexes are not in the
+Java∩RE2 intersection and DuckDB's list_reduce cannot carry a
+struct accumulator, so the SQL oracle rewrites by POSITION instead:
+match positions where (s[i], s[i+1]) equals the round's best pair,
+resolve overlapping matches in equal-symbol runs by keeping even
+offsets within each run (a gaps-and-islands parity filter — only
+a==b pairs can overlap), then rebuild the symbol string excluding
+consumed positions.  Chained k times by a generated CTE pipeline —
+the same programmatically-generated-oracle pattern as the MinHash
+gate.  Both engines therefore compute the identical merge sequence
+and the identical final segmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dask_traj_spark.functions.text import tokens
+
+#: training stops early if the best pair occurs fewer than this many
+#: times (weighted); 1 = merge while any pair exists.
+MIN_PAIR_COUNT = 1
+
+
+def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) — the corpus's single wide aggregation."""
+    return (
+        tokens(docs, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _init_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq, syms: array<string>) — character-level start."""
+    return words.select(
+        "word",
+        "freq",
+        F.filter(F.split(F.col("word"), ""), lambda c: c != "").alias("syms"),
+    )
+
+
+def _pair_counts(table: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbol arrays —
+    posexplode + position self-join (the t7 bigram shape), then one
+    keyed aggregation.  Overlapping occurrences all count."""
+    pos = table.select(
+        "word", "freq", F.posexplode("syms").alias("pos", "sym")
+    )
+    nxt = pos.select(
+        "word", (F.col("pos") - 1).alias("pos"), F.col("sym").alias("sym2")
+    )
+    return (
+        pos.join(nxt, ["word", "pos"])
+        .groupBy(F.col("sym").alias("left"), F.col("sym2").alias("right"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _best_pair(counts: DataFrame):
+    """The argmax under (cnt DESC, left ASC, right ASC); None when no
+    pair clears MIN_PAIR_COUNT.  One 1-row reduce per round."""
+    rows = (
+        counts.where(F.col("cnt") >= MIN_PAIR_COUNT)
+        .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def _apply_merge(table: DataFrame, left: str, right: str) -> DataFrame:
+    """Left-to-right non-overlapping merge of (left, right) in every
+    symbol array — a JVM-side fold.  State: (out, pend) where pend
+    holds one symbol awaiting its right neighbour; '' means none
+    (symbols are never empty: chars at init, concatenations after).
+    """
+    a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+    merged = F.aggregate(
+        F.col("syms"),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("pend"),
+        ),
+        lambda acc, x: F.when(
+            (acc["pend"] == a) & (x == b),
+            F.struct(
+                F.concat(acc["out"], F.array(ab)).alias("out"),
+                F.lit("").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["pend"] == "", acc["out"]
+                ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))).alias(
+                    "out"
+                ),
+                x.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pend"] == "", acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+    )
+    return table.select("word", "freq", merged.alias("syms"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges on the corpus.  Returns
+    (merges, segmented) where merges is a list of
+    (rank, left, right, cnt) in application order — rank is 1-based —
+    and ``segmented`` is the final (word, freq, syms) table (each
+    word's segmentation under the learned vocabulary; joining it back
+    to the token stream IS bpe encoding of the corpus).
+    """
+    spark = docs.sparkSession
+    table = _init_symbols(_word_freq(docs, text_col))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        best = _best_pair(_pair_counts(table))
+        if best is None:
+            break
+        merges.append((rank, best["left"], best["right"], int(best["cnt"])))
+        table = _apply_merge(table, best["left"], best["right"])
+        if rank % checkpoint_every == 0:
+            # bound lineage growth across rounds; eager so the
+            # truncation actually happens before the next argmax
+            table = table.localCheckpoint(eager=True)
+    return merges, table
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    segmented: DataFrame,
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-document BPE token counts under a trained segmentation:
+    join the token stream to the (word → |syms|) table and sum — the
+    exact token accounting sequence packing and mixture budgets need.
+    Returns (doc_id, n_words, n_bpe_tokens).  ``broadcast=True``
+    (default) pins the word table to a broadcast join — the static
+    planner can't see through the merge-round lineage and would fall
+    back to sort-merge; pass False at open-vocabulary scales where
+    the word table outgrows the executors and one keyed exchange is
+    the right plan."""
+    sizes = segmented.select("word", F.size("syms").alias("n_syms"))
+    if broadcast:
+        sizes = F.broadcast(sizes)
+    return (
+        tokens(docs, text_col)
+        .join(sizes, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )

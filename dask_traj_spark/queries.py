@@ -167,13 +167,13 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 9 deferred r7-green shapes
-# (r3/m3/t7/x9/e6/v5/sx7/d5/c3), then the 14-query SS2-core block (r9-green,
+# top of _SCORING_TAIL): the 11 deferred r7-green shapes
+# (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2), then the 14-query SS2-core block (r9-green,
 # 2-round hard bound hits in r11), then the r8-green block
 # stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (a) the 9 r7-green shapes deferred from the r10 head when the
+    # (a) the 11 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these
     #     are the only entries whose evidence would otherwise age
@@ -189,7 +189,11 @@ _SCORING_TAIL = [
     #     machinery in this same head.  c3 deferred for the sx10
     #     streaming twin: c8/c9 exercise the same stratum-window
     #     sampling machinery in this head and c9 is c3's weighted
-    #     generalization:
+    #     generalization.  d3 deferred for t18 (BPE train): d10's
+    #     Hamming-pair gate builds ON the simhash signatures and
+    #     stays seated.  v2 deferred for t19 (BPE token counts):
+    #     v1/v3/v4 + v6-v8 + sx5 keep the embedding-LSH/recall
+    #     machinery seated in this head:
     "r3_rollup_acctbal",
     "m3_frame_sample",
     "t7_repetition_score",
@@ -199,9 +203,11 @@ _SCORING_TAIL = [
     "sx7_stream_count_min_twin",
     "d5_repeated_ngram_docs",
     "c3_stratified_sample",
+    "d3_simhash",
+    "v2_embedding_neardup_lsh",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
-    #     with any r11 touched/never-scored set (50 - 9 - 14 = 27
+    #     with any r11 touched/never-scored set (50 - 11 - 14 = 25
     #     free slots, so no collision):
     "g1_distances",
     "g2_displacements",

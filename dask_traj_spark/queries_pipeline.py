@@ -5394,3 +5394,111 @@ def q_stream_weighted_sample_twin(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, "doc_id long, weight double, key double")
+
+
+# ---------------------------------------------------------------------
+# t18/t19: distributed BPE tokenizer training + token accounting
+# ---------------------------------------------------------------------
+
+def _bpe_ctes(k: int) -> str:
+    """k chained merge rounds as generated CTE stages (the MinHash
+    generated-oracle pattern).  MATERIALIZED is load-bearing: each
+    round references its predecessor several times, and un-pinned
+    CTEs would inline exponentially.  Overlap resolution: only
+    lft==rgt matches can overlap (s[i]=a, s[i+1]=b=a, s[i+2]=b), so
+    keeping even offsets within each consecutive-match run is exactly
+    the left-to-right non-overlapping greedy scan."""
+    parts = [TOK_CTE.strip(), """
+wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+w0 AS MATERIALIZED (SELECT word, freq,
+              list_filter(regexp_split_to_array(word, ''), x -> x != '') AS syms
+       FROM wf)""".strip()]
+    for r in range(1, k + 1):
+        p = r - 1
+        parts.append(f"""
+s{r} AS MATERIALIZED (SELECT word, freq, generate_subscripts(syms, 1) AS pos,
+                unnest(syms) AS sym
+         FROM w{p}),
+p{r} AS (SELECT a.sym AS lft, b.sym AS rgt, sum(a.freq) AS cnt
+         FROM s{r} a JOIN s{r} b ON b.word = a.word AND b.pos = a.pos + 1
+         GROUP BY 1, 2),
+b{r} AS MATERIALIZED (SELECT lft, rgt, cnt FROM p{r}
+         ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+mm{r} AS (SELECT a.word, a.pos
+          FROM s{r} a
+          JOIN s{r} b ON b.word = a.word AND b.pos = a.pos + 1
+          JOIN b{r} ON a.sym = b{r}.lft AND b.sym = b{r}.rgt),
+mg{r} AS (SELECT word, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM mm{r}),
+mk{r} AS (SELECT word, pos FROM (
+              SELECT word, pos,
+                     min(pos) OVER (PARTITION BY word, grp) AS g0
+              FROM mg{r})
+          WHERE (pos - g0) % 2 = 0),
+w{r} AS MATERIALIZED (SELECT s.word, min(s.freq) AS freq,
+                list(CASE WHEN k1.pos IS NOT NULL
+                          THEN (SELECT lft || rgt FROM b{r})
+                          ELSE s.sym END ORDER BY s.pos) AS syms
+         FROM s{r} s
+         LEFT JOIN mk{r} k1 ON k1.word = s.word AND k1.pos = s.pos
+         LEFT JOIN mk{r} k2 ON k2.word = s.word AND k2.pos = s.pos - 1
+         WHERE k2.pos IS NULL
+         GROUP BY s.word)""".strip())
+    return ",\n".join(parts)
+
+
+def _t18_oracle(k: int) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lft, rgt, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return f"WITH {_bpe_ctes(k)}\n{unions}"
+
+
+def _t19_oracle(k: int) -> str:
+    return f"""WITH {_bpe_ctes(k)}
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+FROM tok t JOIN w{k} w USING (word)
+GROUP BY t.doc_id"""
+
+
+_BPE_MERGES = 8
+
+
+def _bpe_cached(spark, sf_dir):
+    """t18 and t19 share one training run per (session, sf_dir)."""
+    from dask_traj_spark.operators.bpe import bpe_train
+
+    key = ("_bpe_cache", sf_dir)
+    cache = getattr(spark, "_dts_bpe", None)
+    if cache is None or cache[0] != key:
+        merges, seg = bpe_train(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+        spark._dts_bpe = (key, merges, seg)
+        cache = spark._dts_bpe
+    return cache[1], cache[2]
+
+
+@register("t18_bpe_train", _t18_oracle(_BPE_MERGES))
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: 8 merge rounds on the
+    corpus word-frequency table, deterministic tie-break
+    (count DESC, pair ASC).  The oracle replays the identical merge
+    sequence through generated positional-rewrite CTE stages."""
+    merges, _seg = _bpe_cached(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank long, lft string, rgt string, cnt long"
+    )
+
+
+@register("t19_bpe_token_counts", _t19_oracle(_BPE_MERGES))
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document token accounting under the trained BPE
+    vocabulary — the exact counts sequence packing and mixture
+    budgets need (whitespace words → learned subword segmentation)."""
+    from dask_traj_spark.operators.bpe import bpe_token_counts
+
+    _merges, seg = _bpe_cached(spark, sf_dir)
+    return bpe_token_counts(_docs(spark, sf_dir), seg)

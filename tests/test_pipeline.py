@@ -3422,3 +3422,101 @@ class TestCurationDifferential:
             want = sum(lr[bkt(w)] for w in toks) / len(toks)
             assert got.loc[doc_id, "n_tokens"] == len(toks)
             assert abs(got.loc[doc_id, "avg_logratio"] - want) <= 1e-6, doc_id
+
+
+def _ref_bpe_train(texts, n_merges):
+    """Pure-Python Sennrich-style reference: word-freq table, argmax
+    pair under (count DESC, pair ASC), greedy left-to-right merge."""
+    freq = {}
+    for t in texts:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    syms = {w: list(w) for w in freq}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, c))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+class TestBpe:
+    def test_matches_reference_on_random_corpora(self, spark):
+        import random
+
+        from dask_traj_spark.operators.bpe import bpe_train
+
+        for seed in (5, 23):
+            rng = random.Random(seed)
+            texts = [
+                " ".join(
+                    "".join(rng.choice("abcde") for _ in range(rng.randint(1, 7)))
+                    for _ in range(rng.randint(1, 12))
+                )
+                for _ in range(40)
+            ]
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+            m_ref, syms_ref = _ref_bpe_train(texts, 10)
+            m_got, seg = bpe_train(docs, n_merges=10)
+            assert m_got == m_ref, (seed, m_got[:3], m_ref[:3])
+            got_syms = {r["word"]: r["syms"] for r in seg.collect()}
+            assert got_syms == syms_ref, seed
+
+    def test_run_merge_is_left_to_right_nonoverlapping(self, spark):
+        from dask_traj_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(0, "aaaa aaa")], "doc_id long, text string"
+        )
+        merges, seg = bpe_train(docs, n_merges=1)
+        assert merges == [(1, "a", "a", 5)]
+        got = {r["word"]: r["syms"] for r in seg.collect()}
+        assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+    def test_early_stop_when_pairs_exhaust(self, spark):
+        from dask_traj_spark.operators.bpe import bpe_train
+
+        # "ab" collapses to one symbol after merge 1; single-char "c"
+        # never pairs — training must stop at 2 merges, not 10
+        docs = spark.createDataFrame(
+            [(0, "ab ab c abab")], "doc_id long, text string"
+        )
+        merges, _seg = bpe_train(docs, n_merges=10)
+        assert [m[:3] for m in merges] == [(1, "a", "b"), (2, "ab", "ab")]
+
+    def test_token_counts_shrink_with_merges(self, spark):
+        from dask_traj_spark.operators.bpe import (
+            bpe_token_counts,
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"spark spark quark w{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        _m0, seg0 = bpe_train(docs, n_merges=0)
+        _m6, seg6 = bpe_train(docs, n_merges=6)
+        c0 = bpe_token_counts(docs, seg0).toPandas().set_index("doc_id")
+        c6 = bpe_token_counts(docs, seg6).toPandas().set_index("doc_id")
+        assert (c0["n_words"] == 4).all()
+        # chars per doc >= post-merge subwords, and merges only shrink
+        assert (c6["n_bpe_tokens"] < c0["n_bpe_tokens"]).all()
+        assert (c6["n_bpe_tokens"] >= c6["n_words"]).all()

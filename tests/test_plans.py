@@ -838,3 +838,48 @@ def test_weighted_sample_topk_never_global_sorts(spark):
     text2 = audit(weighted_sample(docs, k=2, strata_col="source")).text
     assert "SinglePartition" not in text2, text2
     assert "BatchEvalPython" not in text2 and "ArrowEvalPython" not in text2
+
+
+def test_bpe_round_is_one_keyed_exchange_no_python(spark):
+    """t18's per-round plan: the pair count is a position self-join
+    plus one keyed aggregation over the WORD table (never the raw
+    corpus), the merge rewrite is a JVM-side fold (zero Python
+    evals), and nothing is cartesian or SinglePartition except the
+    bounded 1-row argmax the driver collects."""
+    from dask_traj_spark.operators.bpe import (
+        _apply_merge,
+        _init_symbols,
+        _pair_counts,
+        _word_freq,
+    )
+
+    docs = _docs_fixture(spark)
+    table = _init_symbols(_word_freq(docs, "text"))
+    a = audit(_pair_counts(table))
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+    rewritten = _apply_merge(table, "c", "o")
+    b = audit(rewritten)
+    assert "BatchEvalPython" not in b.text and "ArrowEvalPython" not in b.text
+    assert "CartesianProduct" not in b.text, b.text
+
+
+def test_bpe_token_counts_broadcasts_word_table(spark):
+    """t19: the (word → |syms|) table rides a broadcast join onto
+    the token stream; one doc_id aggregation finishes."""
+    from dask_traj_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = _docs_fixture(spark)
+    _m, seg = bpe_train(docs, n_merges=2)
+    a = audit(bpe_token_counts(docs, seg))
+    assert "BroadcastHashJoin" in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert "CartesianProduct" not in a.text, a.text
+    # open-vocabulary fallback: one keyed exchange, still no Python
+    b = audit(bpe_token_counts(docs, seg, broadcast=False))
+    assert "CartesianProduct" not in b.text, b.text
+    assert "BatchEvalPython" not in b.text and "ArrowEvalPython" not in b.text

@@ -25,6 +25,8 @@ MUST_SCORE_R10 = [
     "t17_dsir_importance",
     "c9_weighted_sample",
     "sx10_stream_weighted_sample_twin",
+    "t18_bpe_train",
+    "t19_bpe_token_counts",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
