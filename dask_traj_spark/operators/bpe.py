@@ -53,9 +53,14 @@ MIN_PAIR_COUNT = 1
 
 
 def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
-    """(word, freq) — the corpus's single wide aggregation."""
+    """(word, freq) — the corpus's single wide aggregation.  Empty
+    tokens (consecutive/leading/trailing whitespace) carry no symbols
+    and are excluded — mirrored by the oracle's WHERE; without the
+    filter the engine would keep a zero-symbol word row that the
+    oracle's GROUP-BY rebuild drops after round 1."""
     return (
         tokens(docs, text_col)
+        .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -157,7 +162,7 @@ def bpe_train(
             break
         merges.append((rank, best["left"], best["right"], int(best["cnt"])))
         table = _apply_merge(table, best["left"], best["right"])
-        if rank % checkpoint_every == 0:
+        if checkpoint_every and rank % checkpoint_every == 0:
             # bound lineage growth across rounds; eager so the
             # truncation actually happens before the next argmax
             table = table.localCheckpoint(eager=True)

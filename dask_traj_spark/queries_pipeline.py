@@ -5409,7 +5409,7 @@ def _bpe_ctes(k: int) -> str:
     keeping even offsets within each consecutive-match run is exactly
     the left-to-right non-overlapping greedy scan."""
     parts = [TOK_CTE.strip(), """
-wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+wf AS (SELECT word, count(*) AS freq FROM tok WHERE word != '' GROUP BY word),
 w0 AS MATERIALIZED (SELECT word, freq,
               list_filter(regexp_split_to_array(word, ''), x -> x != '') AS syms
        FROM wf)""".strip()]

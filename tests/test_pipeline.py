@@ -3520,3 +3520,26 @@ class TestBpe:
         # chars per doc >= post-merge subwords, and merges only shrink
         assert (c6["n_bpe_tokens"] < c0["n_bpe_tokens"]).all()
         assert (c6["n_bpe_tokens"] >= c6["n_words"]).all()
+
+
+    def test_empty_tokens_excluded_from_vocabulary(self, spark):
+        # consecutive spaces produce empty-string tokens; they carry
+        # no symbols and must be excluded on BOTH engine and oracle
+        # sides (the oracle's GROUP-BY rebuild would drop the
+        # zero-symbol word after round 1 while an unfiltered engine
+        # kept it — the divergence the review caught)
+        from dask_traj_spark.operators.bpe import (
+            bpe_token_counts,
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "ab  ab"), (1, "ab")], "doc_id long, text string"
+        )
+        merges, seg = bpe_train(docs, n_merges=2, checkpoint_every=0)
+        assert merges == [(1, "a", "b", 3)]
+        words = {r["word"] for r in seg.collect()}
+        assert words == {"ab"}
+        got = bpe_token_counts(docs, seg).toPandas().set_index("doc_id")
+        assert got.loc[0, "n_words"] == 2 and got.loc[0, "n_bpe_tokens"] == 2
+        assert got.loc[1, "n_words"] == 1 and got.loc[1, "n_bpe_tokens"] == 1
