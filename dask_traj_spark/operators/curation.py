@@ -226,6 +226,7 @@ def pack_sequences(
     order_mode: str = "xxhash",
     seed: int = 0,
     partitions: int | None = None,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing — the training-data
     step that lays shuffled documents end to end and cuts the stream
@@ -265,13 +266,23 @@ def pack_sequences(
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
 
-    from dask_traj_spark.functions.text import _n_tokens
+    if token_counts is not None:
+        # precomputed (doc_id, n_tokens) — e.g. real tokenizer counts
+        # from bpe_token_counts; whitespace counts are only the
+        # default proxy.  Docs absent from the table are not packed.
+        base = token_counts.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            order.alias("ord"),
+        )
+    else:
+        from dask_traj_spark.functions.text import _n_tokens
 
-    base = docs.select(
-        "doc_id",
-        _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
-        order.alias("ord"),
-    )
+        base = docs.select(
+            "doc_id",
+            _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+            order.alias("ord"),
+        )
     spark = docs.sparkSession
     nparts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = base.repartitionByRange(nparts, "ord", "doc_id").withColumn(

@@ -167,13 +167,13 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 11 deferred r7-green shapes
-# (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2), then the 14-query SS2-core block (r9-green,
+# top of _SCORING_TAIL): the 12 deferred r7-green shapes
+# (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2/c5), then the 14-query SS2-core block (r9-green,
 # 2-round hard bound hits in r11), then the r8-green block
 # stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (a) the 11 r7-green shapes deferred from the r10 head when the
+    # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these
     #     are the only entries whose evidence would otherwise age
@@ -193,7 +193,10 @@ _SCORING_TAIL = [
     #     Hamming-pair gate builds ON the simhash signatures and
     #     stays seated.  v2 deferred for t19 (BPE token counts):
     #     v1/v3/v4 + v6-v8 + sx5 keep the embedding-LSH/recall
-    #     machinery seated in this head:
+    #     machinery seated in this head.  c5 deferred for c10 (BPE-
+    #     aware packing): c8/c9 keep the per-stratum window-budget
+    #     machinery seated and c10/c4's prefix sum carries the token
+    #     accounting in this same head:
     "r3_rollup_acctbal",
     "m3_frame_sample",
     "t7_repetition_score",
@@ -205,9 +208,10 @@ _SCORING_TAIL = [
     "c3_stratified_sample",
     "d3_simhash",
     "v2_embedding_neardup_lsh",
+    "c5_source_token_mixture",
     # (b) the 14-query SS2-core block — last green ROUND 9, hits the
     #     2-round HARD bound in r11; it must co-seat with (a) and
-    #     with any r11 touched/never-scored set (50 - 11 - 14 = 25
+    #     with any r11 touched/never-scored set (50 - 12 - 14 = 24
     #     free slots, so no collision):
     "g1_distances",
     "g2_displacements",

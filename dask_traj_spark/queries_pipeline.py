@@ -5502,3 +5502,44 @@ def q_bpe_token_counts(spark, sf_dir):
 
     _merges, seg = _bpe_cached(spark, sf_dir)
     return bpe_token_counts(_docs(spark, sf_dir), seg)
+
+
+def _c10_oracle(k: int) -> str:
+    """BPE-aware packing: the t19 per-doc counts feed c4's
+    single-window packing formulation (identical math; the Spark
+    side runs the distributed prefix sum, never a global sort)."""
+    return f"""WITH {_bpe_ctes(k)},
+bt AS (SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+       FROM tok t JOIN w{k} w USING (word) GROUP BY t.doc_id),
+t2 AS (SELECT doc_id, n_tokens,
+              (doc_id * 2654435761) % 4294967296 AS ord
+       FROM bt),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+                 ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t2)
+SELECT doc_id, n_tokens,
+       CAST(cb // 512 AS BIGINT) AS start_seq,
+       CAST(cb % 512 AS BIGINT) AS "offset",
+       CAST(((cb + n_tokens - 1) // 512) - (cb // 512) + 1 AS BIGINT) AS n_seqs
+FROM c"""
+
+
+@register("c10_bpe_sequence_packing", _c10_oracle(_BPE_MERGES))
+def q_bpe_sequence_packing(spark, sf_dir):
+    """Sequence packing by REAL tokenizer counts: the trained BPE
+    segmentation's per-doc token counts (t19) drive c4's distributed
+    prefix-sum packing — production packs by what the tokenizer
+    emits, not by whitespace words."""
+    from dask_traj_spark.operators.bpe import bpe_token_counts
+    from dask_traj_spark.operators.curation import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    _m, seg = _bpe_cached(spark, sf_dir)
+    counts = bpe_token_counts(docs, seg).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, budget=512, order_mode="mult", token_counts=counts
+    )

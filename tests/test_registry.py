@@ -27,6 +27,7 @@ MUST_SCORE_R10 = [
     "sx10_stream_weighted_sample_twin",
     "t18_bpe_train",
     "t19_bpe_token_counts",
+    "c10_bpe_sequence_packing",
     "d11_duplicate_spans",
     "d12_excise_duplicate_spans",
     "t16_bm25_topk",
