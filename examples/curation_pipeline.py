@@ -23,10 +23,14 @@ from pyspark.sql import functions as F
 import dask_traj_spark as dts
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = dts.get_spark(app_name="curation-example", master="local[4]")
-    spark.sparkContext.setLogLevel("ERROR")
+def main(spark=None, sf_dir=None) -> None:
+    sf_dir = sf_dir or (
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    )
+    own_session = spark is None
+    if own_session:
+        spark = dts.get_spark(app_name="curation-example", master="local[4]")
+        spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
     print(f"raw corpus: {n0} docs")
@@ -108,7 +112,8 @@ def main() -> None:
         F.max(F.col("start_seq") + F.col("n_seqs"))
     ).first()[0]
     print(f"train split: {train.count()} docs → {n_seqs} sequences of 512")
-    spark.stop()
+    if own_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

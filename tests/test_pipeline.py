@@ -3576,3 +3576,22 @@ class TestBpe:
             token_counts=counts.where("doc_id < 5"),
         ).toPandas()
         assert sorted(short["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_curation_example_runs_end_to_end(spark, capsys):
+    """The user-facing walkthrough must keep running as operators
+    evolve (it broke once mid-session on a renamed kwarg) — drive it
+    on the shared session against the sf0.001 tables."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "curation_pipeline.py"
+    )
+    spec = importlib.util.spec_from_file_location("curation_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(spark=spark, sf_dir="/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "raw corpus: 500 docs" in out
+    assert "train split:" in out
