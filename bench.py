@@ -705,8 +705,11 @@ def main() -> None:
         chain.append(next(iter(probe_bracket.values()))[0])
     all_probes = sorted(chain + list(probes.values()))
     med_probe = all_probes[len(all_probes) // 2] if all_probes else 0.0
+    # severity order (worst bracket first): the capped headline
+    # field must surface the WORST offenders, not the alphabet head
     probe_hot = sorted(
-        n for n, b in probe_bracket.items() if max(b) > 2 * med_probe
+        (n for n, b in probe_bracket.items() if max(b) > 2 * med_probe),
+        key=lambda n: -max(probe_bracket[n]),
     )
     headline = {
         "metric": "canonical_e2e",

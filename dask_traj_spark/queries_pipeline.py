@@ -1774,26 +1774,37 @@ def q_heuristic_filter(spark, sf_dir):
     )
 
 
-_C4_ORACLE = """
-WITH t AS (
-    SELECT doc_id,
-           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+def _pack_sql(with_counts: str) -> str:
+    """The single-window packing formulation (budget 512, mult-hash
+    order, (ord, doc_id) tie-break) over a ``pk_counts`` CTE of
+    (doc_id, n_tokens) — ONE definition shared by the whitespace
+    gate (c4) and the BPE-counts gate (c10), so a packing-math fix
+    can never apply to one and not the other."""
+    return f"""{with_counts},
+pk_t AS (
+    SELECT doc_id, n_tokens,
            (doc_id * 2654435761) % 4294967296 AS ord
-    FROM documents
+    FROM pk_counts
 ),
-c AS (
+pk_c AS (
     SELECT doc_id, n_tokens,
            COALESCE(sum(n_tokens) OVER (
                ORDER BY ord, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-    FROM t
+    FROM pk_t
 )
 SELECT doc_id, n_tokens,
        CAST(cb // 512 AS BIGINT) AS start_seq,
        CAST(cb % 512 AS BIGINT) AS "offset",
        CAST(((cb + n_tokens - 1) // 512) - (cb // 512) + 1 AS BIGINT) AS n_seqs
-FROM c
-"""
+FROM pk_c"""
+
+
+_C4_ORACLE = _pack_sql("""WITH pk_counts AS (
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+    FROM documents
+)""")
 
 
 @register("c4_sequence_packing", _C4_ORACLE)
@@ -5505,25 +5516,12 @@ def q_bpe_token_counts(spark, sf_dir):
 
 
 def _c10_oracle(k: int) -> str:
-    """BPE-aware packing: the t19 per-doc counts feed c4's
-    single-window packing formulation (identical math; the Spark
+    """BPE-aware packing: the t19 per-doc counts feed the SHARED
+    packing formulation (_pack_sql — identical math to c4; the Spark
     side runs the distributed prefix sum, never a global sort)."""
-    return f"""WITH {_bpe_ctes(k)},
-bt AS (SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
-       FROM tok t JOIN w{k} w USING (word) GROUP BY t.doc_id),
-t2 AS (SELECT doc_id, n_tokens,
-              (doc_id * 2654435761) % 4294967296 AS ord
-       FROM bt),
-c AS (SELECT doc_id, n_tokens,
-             COALESCE(sum(n_tokens) OVER (
-                 ORDER BY ord, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-      FROM t2)
-SELECT doc_id, n_tokens,
-       CAST(cb // 512 AS BIGINT) AS start_seq,
-       CAST(cb % 512 AS BIGINT) AS "offset",
-       CAST(((cb + n_tokens - 1) // 512) - (cb // 512) + 1 AS BIGINT) AS n_seqs
-FROM c"""
+    return _pack_sql(f"""WITH {_bpe_ctes(k)},
+pk_counts AS (SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+       FROM tok t JOIN w{k} w USING (word) GROUP BY t.doc_id)""")
 
 
 @register("c10_bpe_sequence_packing", _c10_oracle(_BPE_MERGES))

@@ -24,9 +24,10 @@ import dask_traj_spark as dts
 
 
 def main(spark=None, sf_dir=None) -> None:
-    sf_dir = sf_dir or (
-        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    )
+    # argv belongs to the host process (pytest, a notebook kernel);
+    # only the standalone __main__ path may read it
+    if sf_dir is None:
+        sf_dir = "/root/testdata/sf0.001"
     own_session = spark is None
     if own_session:
         spark = dts.get_spark(app_name="curation-example", master="local[4]")
@@ -117,4 +118,4 @@ def main(spark=None, sf_dir=None) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(sf_dir=sys.argv[1] if len(sys.argv) > 1 else None)

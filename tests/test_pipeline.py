@@ -3545,37 +3545,39 @@ class TestBpe:
         assert got.loc[1, "n_words"] == 1 and got.loc[1, "n_bpe_tokens"] == 1
 
 
-    def test_pack_sequences_with_precomputed_counts(self, spark):
-        # c10's contract: packing driven by a (doc_id, n_tokens)
-        # table must equal packing a corpus whose whitespace counts
-        # are those numbers — and docs absent from the table are
-        # simply not packed
-        from dask_traj_spark.operators.curation import pack_sequences
 
-        docs = spark.createDataFrame(
-            [(i, "x") for i in range(20)], "doc_id long, text string"
-        )
-        counts = spark.createDataFrame(
-            [(i, 3 + i % 5) for i in range(20)], "doc_id long, n_tokens long"
-        )
-        proxy = spark.createDataFrame(
-            [(i, " ".join(["w"] * (3 + i % 5))) for i in range(20)],
-            "doc_id long, text string",
-        )
-        a = (
-            pack_sequences(docs, budget=7, order_mode="mult", token_counts=counts)
-            .toPandas().sort_values("doc_id").reset_index(drop=True)
-        )
-        b = (
-            pack_sequences(proxy, budget=7, order_mode="mult")
-            .toPandas().sort_values("doc_id").reset_index(drop=True)
-        )
-        assert a.equals(b), (a.head(), b.head())
-        short = pack_sequences(
-            docs, budget=7, order_mode="mult",
-            token_counts=counts.where("doc_id < 5"),
-        ).toPandas()
-        assert sorted(short["doc_id"]) == [0, 1, 2, 3, 4]
+def test_pack_sequences_with_precomputed_counts(spark):
+    # c10's contract (a curation test — the counts SOURCE is BPE but
+    # the operator is pack_sequences): packing driven by a
+    # (doc_id, n_tokens) table must equal packing a corpus whose
+    # whitespace counts are those numbers — and docs absent from the
+    # table are simply not packed
+    from dask_traj_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(20)], "doc_id long, text string"
+    )
+    counts = spark.createDataFrame(
+        [(i, 3 + i % 5) for i in range(20)], "doc_id long, n_tokens long"
+    )
+    proxy = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 5))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = (
+        pack_sequences(docs, budget=7, order_mode="mult", token_counts=counts)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(proxy, budget=7, order_mode="mult")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b), (a.head(), b.head())
+    short = pack_sequences(
+        docs, budget=7, order_mode="mult",
+        token_counts=counts.where("doc_id < 5"),
+    ).toPandas()
+    assert sorted(short["doc_id"]) == [0, 1, 2, 3, 4]
 
 
 def test_curation_example_runs_end_to_end(spark, capsys):
