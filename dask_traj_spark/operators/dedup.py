@@ -1121,3 +1121,51 @@ def bloom_membership(
         .groupBy(id_col)
         .agg(F.bool_and("hit").alias("maybe_dup"))
     )
+
+
+def keep_best_in_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Quality-aware cluster keep policy — the curation decision that
+    follows near-dup clustering: within every duplicate cluster keep
+    the HIGHEST-QUALITY member, not the minimum id (d7's
+    ``is_representative`` is the id-stable default; real pipelines
+    keep the best copy of a templated page, which is rarely the
+    oldest one).
+
+    ``pairs`` is any near-dup pair table (id1, id2) — d2/d4/d6/d8
+    all emit one.  Returns (doc_id, component, quality, keep):
+    every document scored with the t2 quality expression, clustered
+    through :func:`dup_components`' min-label propagation, and
+    exactly one ``keep`` per component — argmax quality, doc_id
+    breaking ties, so the decision is bit-deterministic.  Singleton
+    components keep themselves.
+
+    100-TB posture: the component labels come from the O(log n)
+    pointer-doubling loop (already checkpoint-bounded); the keep
+    decision adds ONE component-keyed window (never SinglePartition)
+    over a projection whose quality column is fused into the scan.
+    """
+    from pyspark.sql import Window
+
+    from dask_traj_spark.functions.text import quality_expr
+
+    comp = dup_components(pairs, docs.select("doc_id"), max_iters=max_iters)
+    scored = docs.select(
+        "doc_id", quality_expr(text_col).alias("quality")
+    ).join(comp.select("doc_id", "component"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.col("rk") == 1).cast("long").alias("keep"),
+        )
+    )

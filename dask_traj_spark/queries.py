@@ -173,6 +173,10 @@ def register(name: str, oracle: str | None = None):
 # stalest-first; the r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
+    # (0) NEW post-rotation gate, tail-resident with local
+    #     three-SF hash-green evidence only (the r4 late-addition
+    #     precedent): seats FIRST in r11 under new-query-first.
+    "d16_cluster_keep_best",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

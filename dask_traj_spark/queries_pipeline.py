@@ -5541,3 +5541,64 @@ def q_bpe_sequence_packing(spark, sf_dir):
     return pack_sequences(
         docs, budget=512, order_mode="mult", token_counts=counts
     )
+
+
+# ---------------------------------------------------------------------
+# d16: quality-aware cluster keep policy (NEW post-rotation — tail-
+# resident with local three-SF evidence, seats FIRST in r11 per the
+# r4 late-addition precedent)
+# ---------------------------------------------------------------------
+
+def _d16_oracle(threshold: float) -> str:
+    """d7's recursive closure + the t2 quality expression + a
+    per-component argmax window (quality DESC, doc_id ASC)."""
+    d2 = _minhash_oracle(threshold)
+    return f"""
+WITH RECURSIVE p AS (SELECT doc1, doc2 FROM ({d2}) d2pairs),
+e AS (
+    SELECT doc1 AS s, doc2 AS d FROM p
+    UNION ALL
+    SELECT doc2 AS s, doc1 AS d FROM p
+),
+r(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, r.comp FROM r JOIN e ON e.s = r.id
+),
+c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+q AS (
+    SELECT doc_id, {_C8_QUALITY} AS quality FROM documents
+),
+ranked AS (
+    SELECT c.id AS doc_id, c.comp AS component, q.quality,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.comp
+               ORDER BY q.quality DESC, c.id ASC
+           ) AS rk
+    FROM c JOIN q ON q.doc_id = c.id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       quality,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM ranked
+"""
+
+
+@register("d16_cluster_keep_best", _d16_oracle(0.9))
+def q_cluster_keep_best(spark, sf_dir):
+    """Near-dup clusters keep their BEST-QUALITY member: d2's pair
+    graph → d7's min-label components → one keep per component by
+    the t2 quality argmax (doc_id breaks ties) — the decision real
+    pipelines apply to templated near-dup runs."""
+    from dask_traj_spark.operators.dedup import (
+        MAX_BUCKET,
+        keep_best_in_clusters,
+        near_duplicates_minhash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = near_duplicates_minhash(
+        docs, threshold=0.9, id_mode="sorted", max_bucket=MAX_BUCKET
+    ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    return keep_best_in_clusters(docs, pairs)

@@ -3597,3 +3597,31 @@ def test_curation_example_runs_end_to_end(spark, capsys):
     out = capsys.readouterr().out
     assert "raw corpus: 500 docs" in out
     assert "train split:" in out
+
+
+def test_cluster_keep_best_prefers_quality_over_min_id(spark):
+    """d16's policy vs d7's: the kept member is the QUALITY argmax,
+    which here is deliberately NOT the minimum doc_id."""
+    from dask_traj_spark.operators.dedup import keep_best_in_clusters
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {0,1,2}: doc 1 has the most distinct words and
+            # stopwords -> highest t2 quality; d7 would keep doc 0
+            (0, "fox fox fox fox fox"),
+            (1, "the quick brown fox jumps"),
+            (2, "fox fox fox quick quick"),
+            (3, "a lonely singleton document"),  # keeps itself
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id1 long, id2 long"
+    )
+    got = (
+        keep_best_in_clusters(docs, pairs)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (got.loc[[0, 1, 2], "component"] == 0).all()
+    assert got.loc[3, "component"] == 3
+    assert got["keep"].tolist() == [0, 1, 0, 1]

@@ -883,3 +883,19 @@ def test_bpe_token_counts_broadcasts_word_table(spark):
     b = audit(bpe_token_counts(docs, seg, broadcast=False))
     assert "CartesianProduct" not in b.text, b.text
     assert "BatchEvalPython" not in b.text and "ArrowEvalPython" not in b.text
+
+
+def test_cluster_keep_best_window_is_component_keyed(spark):
+    """d16: past the (checkpoint-bounded) component loop, the keep
+    decision is one component-keyed window — no SinglePartition, no
+    cartesian, no Python."""
+    from dask_traj_spark.operators.dedup import keep_best_in_clusters
+
+    docs = _docs_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)], "id1 long, id2 long"
+    )
+    a = audit(keep_best_in_clusters(docs, pairs))
+    assert "SinglePartition" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
