@@ -642,3 +642,55 @@ def weighted_sample(
         .where(F.col("rk") <= int(k))
         .drop("rk")
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    total_budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the UniMax/T5 α=0.5
+    convention): per-source sampling weight ∝ sqrt(source's token
+    count), normalized — the "damp the biggest sources, boost the
+    tails" budget split a multi-source training mix starts from.
+    Returns (source, n_tokens, weight, budget_tokens) with
+    budget_tokens = floor(total_budget · weight).
+
+    α is fixed at 0.5 because sqrt is the one power IEEE requires
+    correctly rounded (``pow`` is banned repo-wide); each sqrt is
+    snapped to the 2^-20 grid BEFORE the normalizing sum so the
+    total is an exact sum of dyadics — order-independent, hence
+    bit-identical across partial-agg schedules and engines.
+
+    100-TB posture: one per-source aggregation (partial+final over
+    the stratum key), then a 1-row normalizer over the ~|sources|
+    table (the audited 1-row-aggregate pattern) broadcast back.
+    """
+    from dask_traj_spark.functions.text import _n_tokens
+
+    per = (
+        docs.groupBy(strata_col)
+        .agg(F.sum(_n_tokens(F.col(text_col)).cast("long")).alias("n_tokens"))
+        .select(
+            strata_col,
+            "n_tokens",
+            (
+                F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(DSIR_GRID), 0)
+                / F.lit(DSIR_GRID)
+            ).alias("scaled"),
+        )
+    )
+    total = per.agg(F.sum("scaled").alias("z"))
+    w = F.col("scaled") / F.col("z")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_tokens",
+            w.alias("weight"),
+            F.floor(w * F.lit(float(int(total_budget)))).cast("long").alias(
+                "budget_tokens"
+            ),
+        )
+    )

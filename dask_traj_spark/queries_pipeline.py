@@ -5602,3 +5602,44 @@ def q_cluster_keep_best(spark, sf_dir):
         docs, threshold=0.9, id_mode="sorted", max_bucket=MAX_BUCKET
     ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
     return keep_best_in_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------------
+# c11: temperature-scaled mixture weights (NEW post-rotation — tail-
+# resident with local three-SF evidence, seats r11 with d16)
+# ---------------------------------------------------------------------
+
+def _c11_oracle(total_budget: int) -> str:
+    from dask_traj_spark.operators.curation import DSIR_GRID
+
+    return f"""
+WITH per AS (
+    SELECT source,
+           CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+sc AS (
+    SELECT source, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) * {DSIR_GRID}, 0) / {DSIR_GRID}
+               AS scaled
+    FROM per
+),
+tot AS (SELECT sum(scaled) AS z FROM sc)
+SELECT source, n_tokens,
+       scaled / tot.z AS weight,
+       CAST(floor(scaled / tot.z * {float(int(total_budget))}) AS BIGINT)
+           AS budget_tokens
+FROM sc, tot
+"""
+
+
+@register("c11_mixture_weights", _c11_oracle(1_000_000))
+def q_mixture_weights(spark, sf_dir):
+    """UniMax/T5-style α=0.5 mixture weights: per-source sampling
+    weight ∝ sqrt(token count), normalized, with a 1M-token budget
+    split.  sqrt is the one correctly-rounded power; each sqrt is
+    snapped to the 2^-20 grid before the normalizing sum so the
+    total is an exact dyadic sum in both engines."""
+    from dask_traj_spark.operators.curation import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), total_budget=1_000_000)

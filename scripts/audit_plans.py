@@ -94,6 +94,10 @@ ALLOW = {
         _VOCAB + "; plus the two 1-row token-total aggregates",
     ("t17_dsir_importance", "BroadcastNestedLoopJoin"):
         "cross joins against the two 1-row token-total broadcasts",
+    ("c11_mixture_weights", "SinglePartition"):
+        "1-row normalizer over the ~|sources| table",
+    ("c11_mixture_weights", "BroadcastNestedLoopJoin"):
+        "cross join against the 1-row normalizer broadcast",
 }
 
 

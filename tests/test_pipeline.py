@@ -3625,3 +3625,23 @@ def test_cluster_keep_best_prefers_quality_over_min_id(spark):
     assert (got.loc[[0, 1, 2], "component"] == 0).all()
     assert got.loc[3, "component"] == 3
     assert got["keep"].tolist() == [0, 1, 0, 1]
+
+
+def test_mixture_weights_damp_dominant_sources(spark):
+    """c11: α=0.5 damps the head — a source with 4x the tokens gets
+    only 2x the weight; weights sum to 1 and budgets to <= total."""
+    from dask_traj_spark.operators.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 16), "big") for i in range(4)]
+        + [(100, " ".join(["w"] * 16), "small")],
+        "doc_id long, text string, source string",
+    )
+    got = mixture_weights(docs, total_budget=900).toPandas().set_index("source")
+    assert got.loc["big", "n_tokens"] == 64
+    assert got.loc["small", "n_tokens"] == 16
+    # sqrt ratio: sqrt(64)/sqrt(16) = 2, so weights are 2/3 and 1/3
+    assert abs(got.loc["big", "weight"] - 2 / 3) < 1e-9
+    assert abs(got.loc["small", "weight"] - 1 / 3) < 1e-9
+    assert got["budget_tokens"].sum() <= 900
+    assert got.loc["big", "budget_tokens"] == 600

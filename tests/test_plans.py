@@ -899,3 +899,19 @@ def test_cluster_keep_best_window_is_component_keyed(spark):
     assert "SinglePartition" not in a.text, a.text
     assert "CartesianProduct" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_mixture_weights_single_stratum_agg(spark):
+    """c11: one stratum-keyed partial+final aggregation; the 1-row
+    normalizer rides the audited broadcast cross-join pattern; no
+    Python, no cartesian."""
+    from dask_traj_spark.operators.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    a = audit(mixture_weights(docs, total_budget=1000))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert a.text.count("SinglePartition") <= 1, a.text
