@@ -681,6 +681,12 @@ def mixture_weights(
             ).alias("scaled"),
         )
     )
+    # materialize the ~|sources|-row table before deriving the
+    # normalizer: `per` feeds BOTH the cross-join and total, and an
+    # un-pinned plan would re-run the corpus aggregation for each
+    # (exchange reuse is an optimization, not a guarantee) — the
+    # checkpoint makes the one-corpus-scan claim structural
+    per = per.localCheckpoint(eager=True)
     total = per.agg(F.sum("scaled").alias("z"))
     w = F.col("scaled") / F.col("z")
     return (

@@ -1945,13 +1945,13 @@ def q_decode_png(spark, sf_dir):
     )
 
 
-def _d7_oracle(threshold: float) -> str:
-    """Connected components over the d2 near-dup pair graph, as a
-    recursive min-reachability closure (fine at oracle scale; the
-    engine runs iterative min-label propagation instead)."""
+def _components_cte(threshold: float) -> str:
+    """The recursive min-reachability closure over the d2 near-dup
+    pair graph — ONE definition shared by the d7 and d16 oracles so
+    a closure fix can never apply to one and not the other.  Ends in
+    ``c(id, comp)``."""
     d2 = _minhash_oracle(threshold)
-    return f"""
-WITH RECURSIVE p AS (SELECT doc1, doc2 FROM ({d2}) d2pairs),
+    return f"""WITH RECURSIVE p AS (SELECT doc1, doc2 FROM ({d2}) d2pairs),
 e AS (
     SELECT doc1 AS s, doc2 AS d FROM p
     UNION ALL
@@ -1962,7 +1962,15 @@ r(id, comp) AS (
     UNION
     SELECT e.d, r.comp FROM r JOIN e ON e.s = r.id
 ),
-c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)"""
+
+
+def _d7_oracle(threshold: float) -> str:
+    """Connected components over the d2 near-dup pair graph, as a
+    recursive min-reachability closure (fine at oracle scale; the
+    engine runs iterative min-label propagation instead)."""
+    return f"""
+{_components_cte(threshold)}
 SELECT CAST(id AS BIGINT) AS doc_id,
        CAST(comp AS BIGINT) AS component,
        CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS BIGINT) AS is_representative
@@ -5550,22 +5558,11 @@ def q_bpe_sequence_packing(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 def _d16_oracle(threshold: float) -> str:
-    """d7's recursive closure + the t2 quality expression + a
-    per-component argmax window (quality DESC, doc_id ASC)."""
-    d2 = _minhash_oracle(threshold)
+    """The shared d7 closure (_components_cte) + the t2 quality
+    expression + a per-component argmax window
+    (quality DESC, doc_id ASC)."""
     return f"""
-WITH RECURSIVE p AS (SELECT doc1, doc2 FROM ({d2}) d2pairs),
-e AS (
-    SELECT doc1 AS s, doc2 AS d FROM p
-    UNION ALL
-    SELECT doc2 AS s, doc1 AS d FROM p
-),
-r(id, comp) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT e.d, r.comp FROM r JOIN e ON e.s = r.id
-),
-c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+{_components_cte(threshold)},
 q AS (
     SELECT doc_id, {_C8_QUALITY} AS quality FROM documents
 ),
