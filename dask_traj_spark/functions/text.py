@@ -725,3 +725,112 @@ def bm25_topk(
             F.round("score", 6).alias("bm25_q6"),
         )
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) —
+    the intrinsic gibberish/compressibility signal (random keyboard
+    mash scores near ln(alphabet); single-character runs score 0):
+    H(doc) = −Σ_c p_c·ln(p_c) over the document's OWN character
+    frequencies.  Complements the corpus-trained t9/t12 models (no
+    model, no training pass) and t11's token-level diversity.
+
+    Returns (doc_id, n_chars, n_distinct_chars, entropy).
+
+    Determinism: each p·ln(p) term is snapped to the 2^-20 dyadic
+    grid (ln is the one non-correctly-rounded step — the t9
+    convention), so the per-document sum is an exact sum of dyadics:
+    order-independent, bit-identical across engines.  The final
+    negation is written ``0.0 − Σ`` so an all-zero sum yields +0.0
+    in both engines (never −0.0, which would flip the value hash).
+
+    100-TB posture: ZERO shuffles — one projection computing the
+    distinct-character histogram per row with JVM-side higher-order
+    functions (no explode of a per-character row stream, no Python).
+    Per-row cost is O(distinct_chars × doc_len) — bounded by the
+    alphabet, not the corpus.
+    """
+    g = f"{LP_GRID:.1f}"
+    term = (
+        f"round((size(filter(cs, x -> x = c)) / CAST(nc AS DOUBLE))"
+        f" * ln(size(filter(cs, x -> x = c)) / CAST(nc AS DOUBLE))"
+        f" * {g}, 0) / {g}"
+    )
+    return (
+        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            "doc_id",
+            F.split(F.col(text_col), "").alias("cs"),
+            F.length(text_col).alias("nc"),
+        )
+        .select(
+            "doc_id",
+            F.col("nc").cast("long").alias("n_chars"),
+            F.size(F.array_distinct("cs")).cast("int").alias("n_distinct_chars"),
+            F.expr(
+                f"CAST(0.0 AS DOUBLE) - aggregate("
+                f"transform(array_distinct(cs), c -> {term}), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("entropy"),
+        )
+    )
+
+
+def source_unigram_kl(
+    docs: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution,
+    KL(P_source ‖ P_corpus) = Σ_w p_s(w)·(ln p_s(w) − ln p(w)) — the
+    mixture diagnostic ("which sources are distributionally unusual,
+    and by how many nats") that decides where mixing weights (c5/c11)
+    and domain-shift scoring (t12) should look first.  No smoothing
+    is needed: every word of a source is in the corpus, so p(w) > 0
+    wherever p_s(w) > 0 (terms with p_s(w) = 0 contribute 0).
+
+    Returns (source, n_tokens, kl_nats), one row per source.
+
+    Determinism: both ln's are snapped to the 2^-20 grid before the
+    (exact) difference; the p_s·diff product is one correctly-rounded
+    multiply, snapped again so the per-source sum is an exact sum of
+    dyadics — order-independent, bit-identical across engines.
+
+    100-TB posture: ONE corpus scan — the (word, source) counts are
+    a partial+final aggregation, ``localCheckpoint``ed (the table is
+    vocabulary × sources, executor-resident) so the corpus-level
+    marginals derive from IT, not from re-scans; the word-marginal
+    join is keyed on the word (never broadcast — vocabulary-sized);
+    per-source totals and the 1-row grand total ride the audited
+    broadcast pattern.
+    """
+    ex = docs.select(
+        F.col(strata_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    sw = (
+        ex.groupBy("word", "src")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    w_marg = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    s_tot = sw.groupBy("src").agg(F.sum("c_sw").alias("n_s"))
+    tot = sw.agg(F.sum("c_sw").alias("n"))
+    g = F.lit(LP_GRID)
+
+    def _snap(col: Column) -> Column:
+        return F.round(col * g, 0) / g
+
+    p_s = F.col("c_sw").cast("double") / F.col("n_s").cast("double")
+    lr = _snap(F.log(p_s)) - _snap(
+        F.log(F.col("c_w").cast("double") / F.col("n").cast("double"))
+    )
+    return (
+        sw.join(w_marg, "word")
+        .join(F.broadcast(s_tot), "src")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("src")
+        .agg(
+            F.sum("c_sw").alias("n_tokens"),
+            F.sum(_snap(p_s * lr)).alias("kl_nats"),
+        )
+        .select(F.col("src").alias(strata_col), "n_tokens", "kl_nats")
+    )

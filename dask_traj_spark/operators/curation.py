@@ -700,3 +700,71 @@ def mixture_weights(
             ),
         )
     )
+
+
+def context_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the context-length
+    preparation step that SPLITS long documents (the complement of
+    ``pack_sequences``, which concatenates short ones): chunk *i*
+    covers token positions [i·stride, i·stride + chunk_tokens), so
+    consecutive chunks share ``chunk_tokens − stride`` tokens (the
+    HF ``return_overflowing_tokens`` convention).  The final chunk is
+    the first one whose window reaches the document's end and may be
+    shorter; no chunk starts past the end, and a document shorter
+    than one window yields exactly one chunk.
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Determinism: pure integer arithmetic — chunk count is an exact
+    integer ceiling, the slice bounds are exact, and the chunk text
+    is a substring re-join of the whitespace tokenization.
+
+    100-TB posture: ZERO shuffles — one projection (split, exact
+    chunk-count arithmetic), one ``explode(sequence(...))`` whose
+    fan-out is the output's own row count, one slice+join per row.
+    Embarrassingly parallel; partition sizing is the only knob.
+    """
+    chunk_tokens = int(chunk_tokens)
+    stride = int(stride)
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (1 <= stride <= chunk_tokens):
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens={chunk_tokens}], got {stride}"
+        )
+    toks = F.split(F.col(text_col), " ")
+    staged = docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_doc")
+    )
+    # chunks = 1 if n <= chunk else 1 + ceil((n - chunk)/stride); the
+    # ceiling guarantees the last start < n and last end >= n.
+    n_chunks = F.when(F.col("n_doc") <= F.lit(chunk_tokens), F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(n_doc - {chunk_tokens} + {stride - 1}) DIV {stride}").cast("int")
+    )
+    start = F.col("chunk_idx") * F.lit(stride)  # 0-based token offset
+    return (
+        staged.select(
+            "doc_id",
+            "toks",
+            "n_doc",
+            F.explode(F.sequence(F.lit(0), (n_chunks - F.lit(1)).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), F.col("n_doc") - start)
+            .cast("int")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), start + F.lit(1), F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -178,6 +178,9 @@ _SCORING_TAIL = [
     #     precedent): seats FIRST in r11 under new-query-first.
     "d16_cluster_keep_best",
     "c11_mixture_weights",
+    "c12_context_chunks",
+    "t20_char_entropy",
+    "t21_source_unigram_kl",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

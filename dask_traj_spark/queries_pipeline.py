@@ -5640,3 +5640,125 @@ def q_mixture_weights(spark, sf_dir):
     from dask_traj_spark.operators.curation import mixture_weights
 
     return mixture_weights(_docs(spark, sf_dir), total_budget=1_000_000)
+
+
+# ---------------------------------------------------------------------
+# c12: fixed-window context chunking (NEW post-rotation — tail-
+# resident with local three-SF evidence, seats r11 with d16/c11)
+# ---------------------------------------------------------------------
+
+def _c12_oracle(chunk: int, stride: int) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_doc
+    FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT doc_id, toks, n_doc,
+           unnest(generate_series(0,
+               CASE WHEN n_doc <= {chunk} THEN 0
+                    ELSE (n_doc - {chunk} + {stride - 1}) // {stride} END))
+               AS chunk_idx
+    FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least({chunk}, n_doc - chunk_idx * {stride}) AS INT) AS n_tokens,
+       array_to_string(
+           list_slice(toks, chunk_idx * {stride} + 1,
+                      chunk_idx * {stride} + {chunk}), ' ') AS chunk_text
+FROM c
+"""
+
+
+@register("c12_context_chunks", _c12_oracle(64, 48))
+def q_context_chunks(spark, sf_dir):
+    """Fixed 64-token windows at stride 48 (16-token overlap): the
+    context-length splitting step, the complement of c4/c10 packing.
+    Pure integer arithmetic — chunk boundaries and the re-joined
+    chunk text are exact in both engines; zero shuffles."""
+    from dask_traj_spark.operators.curation import context_chunks
+
+    return context_chunks(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+
+
+# ---------------------------------------------------------------------
+# t20: per-document character-distribution entropy (tail-resident,
+# seats r11)
+# ---------------------------------------------------------------------
+
+_T20_TERM = (
+    "round((len(list_filter(string_split(text, ''), x -> x = c))"
+    " / CAST(length(text) AS DOUBLE))"
+    " * ln(len(list_filter(string_split(text, ''), x -> x = c))"
+    " / CAST(length(text) AS DOUBLE))"
+    " * 1048576.0, 0) / 1048576.0"
+)
+
+_T20_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(string_split(text, ''))) AS INT)
+           AS n_distinct_chars,
+       0.0 - list_sum(list_transform(
+           list_distinct(string_split(text, '')), c -> {_T20_TERM}))
+           AS entropy
+FROM documents WHERE text IS NOT NULL AND length(text) > 0
+"""
+
+
+@register("t20_char_entropy", _T20_ORACLE)
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character-distribution Shannon entropy (nats) — the
+    model-free gibberish/compressibility signal.  Each p·ln(p) term
+    is snapped to the 2^-20 grid so the per-doc sum is an exact sum
+    of dyadics (order-independent in both engines); the ASCII corpus
+    makes Spark's split('') and DuckDB's string_split('') agree
+    character-for-character.  Zero shuffles — one JVM-side HOF
+    projection."""
+    from dask_traj_spark.functions.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# t21: per-source unigram KL divergence from the corpus (tail-
+# resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _t21_oracle() -> str:
+    from dask_traj_spark.functions.text import LP_GRID
+
+    g = f"{LP_GRID:.1f}"
+    p_s = "CAST(sw.c_sw AS DOUBLE) / CAST(st.n_s AS DOUBLE)"
+    p_w = "CAST(wm.c_w AS DOUBLE) / CAST(tot.n AS DOUBLE)"
+    return f"""
+WITH ex AS (
+    SELECT source AS src, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+sw AS (SELECT word, src, count(*) AS c_sw FROM ex GROUP BY word, src),
+wm AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY word),
+st AS (SELECT src, sum(c_sw) AS n_s FROM sw GROUP BY src),
+tot AS (SELECT sum(c_sw) AS n FROM sw)
+SELECT sw.src AS source,
+       CAST(sum(sw.c_sw) AS BIGINT) AS n_tokens,
+       sum(round(({p_s})
+           * (round(ln({p_s}) * {g}, 0) / {g}
+              - round(ln({p_w}) * {g}, 0) / {g})
+           * {g}, 0) / {g}) AS kl_nats
+FROM sw JOIN wm USING (word) JOIN st USING (src), tot
+GROUP BY sw.src
+"""
+
+
+@register("t21_source_unigram_kl", _t21_oracle())
+def q_source_unigram_kl(spark, sf_dir):
+    """KL(P_source ‖ P_corpus) over unigrams, one row per source —
+    the mixture diagnostic for c5/c11 weighting.  No smoothing needed
+    (every source word is a corpus word); both ln's snapped to the
+    2^-20 grid before the exact difference, the product snapped again
+    so each per-source sum is an exact dyadic sum."""
+    from dask_traj_spark.functions.text import source_unigram_kl
+
+    return source_unigram_kl(_docs(spark, sf_dir))

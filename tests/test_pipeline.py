@@ -3645,3 +3645,190 @@ def test_mixture_weights_damp_dominant_sources(spark):
     assert abs(got.loc["small", "weight"] - 1 / 3) < 1e-9
     assert got["budget_tokens"].sum() <= 900
     assert got.loc["big", "budget_tokens"] == 600
+
+
+# ------------------------------------------------------- c12 chunking
+
+
+def test_context_chunks_exact_boundaries(spark):
+    from dask_traj_spark.operators.curation import context_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    rows = (
+        context_chunks(docs, chunk_tokens=4, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # n=10, chunk=4, stride=3: starts 0,3,6 — the last window reaches
+    # the end exactly (6+4=10); no start past the end, no tiny tail
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_context_chunks_short_doc_single_chunk_and_ragged_tail(spark):
+    from dask_traj_spark.operators.curation import context_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    rows = (
+        context_chunks(docs, chunk_tokens=4, stride=4)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    # doc 1 shorter than one window -> exactly one (short) chunk;
+    # doc 2 with stride == chunk -> disjoint windows, ragged tail
+    assert [(r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows] == [
+        (1, 0, 2, "a b"),
+        (2, 0, 4, "a b c d"),
+        (2, 1, 2, "e f"),
+    ]
+
+
+def test_context_chunks_rejects_bad_geometry(spark):
+    import pytest
+
+    from dask_traj_spark.operators.curation import context_chunks
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        context_chunks(docs, chunk_tokens=4, stride=5)  # stride > chunk
+    with pytest.raises(ValueError):
+        context_chunks(docs, chunk_tokens=0, stride=1)
+    with pytest.raises(ValueError):
+        context_chunks(docs, chunk_tokens=4, stride=0)
+
+
+def test_context_chunks_coverage_reconstructs_document(spark):
+    """Every token appears in some chunk, and stitching the stride-
+    prefix of each chunk (full tail for the last) rebuilds the doc."""
+    from dask_traj_spark.operators.curation import context_chunks
+
+    text = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = (
+        context_chunks(docs, chunk_tokens=8, stride=5)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    rebuilt = []
+    for r in rows[:-1]:
+        rebuilt.extend(r.chunk_text.split(" ")[:5])
+    rebuilt.extend(rows[-1].chunk_text.split(" "))
+    # the last window may re-cover tokens the stride walk already
+    # emitted: drop the overlap by position
+    start_last = (len(rows) - 1) * 5
+    assert rebuilt[:start_last] == text.split(" ")[:start_last]
+    assert rows[-1].chunk_text.split(" ") == text.split(" ")[start_last:]
+
+
+# ---------------------------------------------------- t20 char entropy
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from dask_traj_spark.functions.text import LP_GRID, char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "aabb")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    # single-char doc: entropy exactly +0.0 (sign matters to the hash)
+    assert got[1].entropy == 0.0
+    assert math.copysign(1.0, got[1].entropy) == 1.0
+    # uniform two-char docs: 2 * -(1/2 * snap(ln 1/2))
+    snap = round(0.5 * math.log(0.5) * LP_GRID) / LP_GRID
+    assert got[2].entropy == -2 * snap
+    assert got[3].entropy == -2 * snap
+    assert got[2].n_distinct_chars == 2 and got[2].n_chars == 2
+
+
+def test_char_entropy_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from dask_traj_spark.functions.text import LP_GRID, char_entropy
+
+    texts = ["the quick brown fox", "zzzzzz yyy x", "a b a b a b"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.entropy for r in char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        n = len(t)
+        want = 0.0
+        for c, cnt in Counter(t).items():
+            p = cnt / n
+            want -= round(p * math.log(p) * LP_GRID) / LP_GRID
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_char_entropy_drops_empty_and_null(spark):
+    from dask_traj_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    assert [r.doc_id for r in char_entropy(docs).collect()] == [1]
+
+
+# ------------------------------------------------------ t21 source KL
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    from dask_traj_spark.functions.text import source_unigram_kl
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a a b", "s2"), (3, "a a b a a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in source_unigram_kl(docs).collect()}
+    # every source's unigram distribution equals the corpus's:
+    # the snapped lns cancel exactly, so KL is exactly 0.0
+    assert rows["s1"].kl_nats == 0.0
+    assert rows["s2"].kl_nats == 0.0
+    assert rows["s1"].n_tokens == 3 and rows["s2"].n_tokens == 9
+
+
+def test_source_kl_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from dask_traj_spark.functions.text import LP_GRID, source_unigram_kl
+
+    data = [
+        (1, "a a a b", "skewed"),
+        (2, "a b c d", "uniform"),
+        (3, "c d c d", "uniform"),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string, source string")
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for _i, t, s in data:
+        ws = t.split(" ")
+        corpus.update(ws)
+        per_src.setdefault(s, Counter()).update(ws)
+    n = sum(corpus.values())
+
+    def snap(x: float) -> float:
+        return round(x * LP_GRID) / LP_GRID
+
+    want = {}
+    for s, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = 0.0
+        for w, c in cnt.items():
+            p_s = c / n_s
+            lr = snap(math.log(p_s)) - snap(math.log(corpus[w] / n))
+            kl += snap(p_s * lr)
+        want[s] = kl
+    got = {r.source: r.kl_nats for r in source_unigram_kl(docs).collect()}
+    assert got == want
+    # both sources genuinely diverge from the (mixed) corpus
+    assert got["skewed"] > 0.0 and got["uniform"] > 0.0

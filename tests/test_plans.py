@@ -915,3 +915,49 @@ def test_mixture_weights_single_stratum_agg(spark):
     assert "CartesianProduct" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
     assert a.text.count("SinglePartition") <= 1, a.text
+
+
+def test_context_chunks_is_shuffle_free(spark):
+    """c12: one projection + explode(sequence) — ZERO exchanges of
+    any kind, no Python, never SinglePartition.  The chunking step
+    must stay embarrassingly parallel at any corpus size."""
+    from dask_traj_spark.operators.curation import context_chunks
+
+    a = audit(context_chunks(_docs_fixture(spark), chunk_tokens=4, stride=3))
+    assert a.n_shuffles == 0, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_char_entropy_is_shuffle_free_hof_projection(spark):
+    """t20: the per-doc character histogram is computed inside one
+    JVM-side higher-order-function projection — zero exchanges, no
+    per-character row explosion, no Python."""
+    from dask_traj_spark.functions.text import char_entropy
+
+    a = audit(char_entropy(_docs_fixture(spark)))
+    assert a.n_shuffles == 0, a.text
+    assert "Generate" not in a.text, a.text  # no explode
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_source_kl_is_one_corpus_scan_bounded_joins(spark):
+    """t21: (word, source) counts are checkpointed so the marginals
+    derive from the bounded table, not corpus re-scans; per-source
+    totals and the grand total ride broadcasts; the word-marginal
+    join is keyed (no cartesian); at most one SinglePartition (the
+    1-row grand total); no Python."""
+    from dask_traj_spark.functions.text import source_unigram_kl
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    a = audit(source_unigram_kl(docs))
+    assert "CartesianProduct" not in a.text, a.text
+    assert a.text.count("SinglePartition") <= 1, a.text
+    assert "BroadcastExchange" in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    # the corpus scan happens before the checkpoint: the audited plan
+    # reads the checkpointed RDD, not the parquet/LocalTableScan twice
+    assert "Scan ExistingRDD" in a.text, a.text
