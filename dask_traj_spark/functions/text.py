@@ -834,3 +834,106 @@ def source_unigram_kl(
         )
         .select(F.col("src").alias(strata_col), "n_tokens", "kl_nats")
     )
+
+
+def _winnow_select(gh_df: DataFrame, w: int) -> DataFrame:
+    """Shared winnowing selection over (doc_id, gh: array<long>):
+    for every window of ``w`` consecutive gram hashes pick the
+    minimum, rightmost occurrence on ties (Schleimer et al. 2003,
+    robust tie-break), then emit the distinct selections.  Pure
+    JVM-side higher-order functions — the fold carries a
+    (pos, hash) struct accumulator; iterating positions ascending
+    with ``<=`` keeps the rightmost minimal element."""
+    w = int(w)
+    sel = (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(gh) - {w}, 0)), "
+        f"j -> aggregate("
+        f"sequence(j, least(j + {w}, size(gh)) - 1), "
+        f"named_struct('p', CAST(-1 AS INT), "
+        f"'h', CAST(9223372036854775807 AS BIGINT)), "
+        f"(acc, i) -> IF(element_at(gh, i + 1) <= acc.h, "
+        f"named_struct('p', CAST(i AS INT), 'h', element_at(gh, i + 1)), "
+        f"acc))))"
+    )
+    return gh_df.select(
+        "doc_id", F.explode(F.expr(sel)).alias("s")
+    ).select("doc_id", F.col("s.p").alias("pos"), F.col("s.h").alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every ``k``-token gram, slide a
+    window of ``w`` consecutive hashes, select each window's minimum
+    (rightmost on ties), and return the distinct selections
+    (doc_id, pos, fp).  The guarantee: any shared run of at least
+    ``w + k − 1`` tokens yields at least one shared fingerprint, at
+    ~2/(w+1) selection density — the position-robust local signal
+    for plagiarism/contamination matching that whole-doc hashing
+    (t4) misses and span dedup (d11/d14) pays a self-join for.
+    Documents shorter than ``k`` tokens yield no fingerprints; with
+    between ``k`` and ``k+w−1`` tokens the single clipped window
+    selects the global minimum.
+
+    ``id_mode='hashed'`` (default): gram hash = xxhash64 — computed
+    INSIDE one higher-order-function projection, ZERO shuffles, the
+    100 TB path.  ``id_mode='sorted'``: gram → sorted-vocab dense id
+    → multiplicative hash ((tid·2654435761) mod 2^32) — the
+    SQL-mirrorable gate path (single-partition vocab window,
+    gate-only like every sorted-vocab wrapper).
+
+    Determinism: selection is pure integer comparison — no floats
+    anywhere; output is bit-identical across engines and physical
+    orders in 'sorted' mode.
+    """
+    k, w = int(k), int(w)
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = F.split(F.col(text_col), " ")
+    eligible = df.where(F.col(text_col).isNotNull() & (F.size(toks) >= k))
+    gram = (
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> array_join(slice(toks, i + 1, {k}), ' '))"
+    )
+    if id_mode == "hashed":
+        gh_df = eligible.select(
+            "doc_id", toks.alias("toks")
+        ).select(
+            "doc_id",
+            F.expr(f"transform({gram}, g -> xxhash64(g))").alias("gh"),
+        )
+    elif id_mode == "sorted":
+        # stage the split so the gram expr sees a concrete `toks` column
+        staged = eligible.select("doc_id", toks.alias("toks"))
+        grams = staged.select(
+            "doc_id", F.posexplode(F.expr(gram)).alias("pos", "gram")
+        )
+        gvoc = (
+            grams.select("gram")
+            .distinct()
+            .select(
+                "gram",
+                F.row_number().over(Window.orderBy("gram")).alias("tid"),
+            )
+        )
+        hashed = grams.join(F.broadcast(gvoc), "gram").select(
+            "doc_id",
+            "pos",
+            ((F.col("tid").cast("long") * F.lit(2654435761)) % F.lit(2 ** 32)).alias(
+                "h"
+            ),
+        )
+        gh_df = (
+            hashed.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "h"))).alias("ph"))
+            .select("doc_id", F.expr("transform(ph, s -> s.h)").alias("gh"))
+        )
+    else:
+        raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
+    return _winnow_select(gh_df, w)

@@ -5762,3 +5762,71 @@ def q_source_unigram_kl(spark, sf_dir):
     from dask_traj_spark.functions.text import source_unigram_kl
 
     return source_unigram_kl(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# t22: winnowing fingerprints (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _t22_oracle(k: int, w: int) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {k}
+),
+ix AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - {k} + 1)) AS i
+    FROM t
+),
+g AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(list_slice(toks, i, i + {k} - 1), ' ') AS gram
+    FROM ix
+),
+voc AS (
+    SELECT gram, CAST(row_number() OVER (ORDER BY gram) AS BIGINT) AS tid
+    FROM (SELECT DISTINCT gram FROM g)
+),
+h AS (
+    SELECT doc_id, pos, (tid * 2654435761) % 4294967296 AS fp
+    FROM g JOIN voc USING (gram)
+),
+m AS (SELECT doc_id, count(*) AS m FROM h GROUP BY doc_id),
+r AS (
+    SELECT doc_id, pos AS j,
+           min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS wmin
+    FROM h
+),
+wins AS (
+    SELECT r.doc_id, r.j, r.wmin
+    FROM r JOIN m USING (doc_id)
+    WHERE r.j <= greatest(m.m - {w}, 0)
+),
+sel AS (
+    SELECT w.doc_id, w.wmin, max(h2.pos) AS pos
+    FROM wins w JOIN h h2 ON h2.doc_id = w.doc_id
+        AND h2.pos BETWEEN w.j AND w.j + {w - 1} AND h2.fp = w.wmin
+    GROUP BY w.doc_id, w.j, w.wmin
+)
+SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, CAST(wmin AS BIGINT) AS fp
+FROM sel
+"""
+
+
+@register("t22_winnowing", _t22_oracle(3, 4))
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) over
+    3-token grams, window 4: per window select the minimum hash,
+    rightmost on ties — any shared run of >= w+k-1 = 6 tokens is
+    guaranteed a shared fingerprint.  Selection is pure integer
+    comparison (no floats); the sorted-vocab mult-hash gate path is
+    mirrored positionally in SQL (the engine's HOF fold and the
+    oracle's window-min + rightmost-argmax-join compute the same
+    selection set).  Production default is zero-shuffle xxhash64."""
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4, id_mode="sorted")

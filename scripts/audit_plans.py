@@ -98,6 +98,7 @@ ALLOW = {
         "1-row normalizer over the ~|sources| table",
     ("c11_mixture_weights", "BroadcastNestedLoopJoin"):
         "cross join against the 1-row normalizer broadcast",
+    ("t22_winnowing", "SinglePartition"): _VOCAB,
     ("t21_source_unigram_kl", "SinglePartition"):
         "1-row grand-total aggregate over the checkpointed "
         "(word, source) table",

@@ -3832,3 +3832,127 @@ def test_source_kl_matches_python_reference(spark):
     assert got == want
     # both sources genuinely diverge from the (mixed) corpus
     assert got["skewed"] > 0.0 and got["uniform"] > 0.0
+
+
+# ----------------------------------------------------- t22 winnowing
+
+
+def _winnow_reference(hashes: list[int], w: int) -> set[tuple[int, int]]:
+    """Pure-Python Schleimer et al. winnowing: per window of w
+    hashes select the minimum, rightmost on ties; distinct set."""
+    m = len(hashes)
+    out = set()
+    for j in range(max(m - w, 0) + 1):
+        window = hashes[j : j + w]
+        best_p, best_h = -1, None
+        for i, h in enumerate(window):
+            if best_h is None or h <= best_h:
+                best_p, best_h = j + i, h
+        out.add((best_p, best_h))
+    return out
+
+
+def test_winnowing_matches_python_reference_hashed(spark):
+    """The hashed (production) path: collect the gram hashes Spark
+    computes, winnow them in Python, and pin the operator's selection
+    set — the selection logic is verified independent of the hash."""
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs the quick brown fox",
+        "a b",  # shorter than k -> no fingerprints
+        "one two three",  # exactly k tokens -> single clipped window
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    k, w = 3, 4
+    # gram hashes exactly as the operator computes them
+    gh = {
+        r.doc_id: r.gh
+        for r in docs.selectExpr(
+            "doc_id",
+            f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
+            f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+            f"i -> xxhash64(array_join(slice(split(text, ' '), i + 1, {k}), ' ')))"
+            " ELSE array() END AS gh",
+        ).collect()
+        if len(r.gh) > 0
+    }
+    want = {
+        (d, p, h)
+        for d, hs in gh.items()
+        for (p, h) in _winnow_reference(list(hs), w)
+    }
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert got == want
+    assert not any(d == 2 for d, _p, _h in got)  # short doc dropped
+    assert sum(1 for d, _p, _h in got if d == 3) == 1  # one clipped window
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Any shared run of >= w + k - 1 tokens must yield at least one
+    SHARED fingerprint (the winnowing guarantee, both id modes)."""
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 y1 {shared} z1 w1"),
+            (2, f"p2 q2 r2 s2 {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("hashed", "sorted"):
+        fps = winnow_fingerprints(docs, k=3, w=4, id_mode=mode)
+        both = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") == 2)
+            .count()
+        )
+        assert both >= 1, mode
+
+
+def test_winnowing_rightmost_tiebreak_and_density(spark):
+    """Equal hashes in one window select the RIGHTMOST position; and
+    selection density over random text stays near 2/(w+1)."""
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    # identical grams everywhere -> every window's min is a tie; the
+    # rightmost rule selects window-end positions only
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a a a")], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(docs, k=3, w=4, id_mode="sorted").collect()
+    # m = 8 grams, windows j=0..4 select positions j+3 (rightmost)
+    assert sorted(r.pos for r in rows) == [3, 4, 5, 6, 7]
+    assert len({r.fp for r in rows}) == 1
+
+    import random
+
+    rng = random.Random(7)
+    text = " ".join(rng.choice("abcdefghijklmnop") for _ in range(400))
+    docs2 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_sel = winnow_fingerprints(docs2, k=3, w=4).count()
+    m = 400 - 3 + 1
+    density = n_sel / m
+    assert 0.25 < density < 0.55, density  # 2/(w+1) = 0.4 expected
+
+
+def test_winnowing_rejects_bad_params(spark):
+    import pytest
+
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0, w=4)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=3, w=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=3, w=4, id_mode="nope")

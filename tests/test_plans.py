@@ -961,3 +961,16 @@ def test_source_kl_is_one_corpus_scan_bounded_joins(spark):
     # the corpus scan happens before the checkpoint: the audited plan
     # reads the checkpointed RDD, not the parquet/LocalTableScan twice
     assert "Scan ExistingRDD" in a.text, a.text
+
+
+def test_winnowing_default_is_shuffle_free(spark):
+    """t22's production path (xxhash64 gram hashes): the whole
+    gram-hash → window-min → distinct-selection chain runs inside
+    JVM-side higher-order functions — zero exchanges, no Python.
+    The sorted-vocab funnel is gate-only (allowlisted)."""
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    a = audit(winnow_fingerprints(_docs_fixture(spark), k=2, w=3))
+    assert a.n_shuffles == 0, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
