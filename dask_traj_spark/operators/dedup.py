@@ -1169,3 +1169,52 @@ def keep_best_in_clusters(
             (F.col("rk") == 1).cast("long").alias("keep"),
         )
     )
+
+
+def winnow_matches(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = MAX_SHINGLE_DF,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+) -> DataFrame:
+    """MOSS-style document matching over winnowing fingerprints
+    (the action on t22's selections): (doc1, doc2, n_shared) pairs
+    counting DISTINCT shared fingerprint values, doc1 < doc2,
+    n_shared >= ``min_shared``.  Because winnowing guarantees a
+    fingerprint in every w-window, n_shared lower-bounds how much
+    verbatim overlap two documents share — the candidate generator
+    MOSS builds its plagiarism report from, and the cheap first pass
+    before d14's exact maximal-match attribution.
+
+    Plan: distinct (doc, fp) → document-frequency cap (``max_df``,
+    the MinHash MAX_BUCKET discipline — a boilerplate fingerprint
+    shared by B docs would emit O(B²) pairs; the cap is mirrored in
+    the oracle) → ONE fp-keyed self-join → pair count.  The window
+    cap returns the table hash-partitioned on fp, so the self-join
+    reuses that exchange (the d2/_cap_buckets layout argument).
+
+    ``id_mode`` passes through to ``winnow_fingerprints``:
+    'hashed' (xxhash64, zero-shuffle fingerprinting) is the 100-TB
+    default; 'sorted' is the SQL-mirrorable gate path."""
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_mode=id_mode)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    capped = _cap_buckets(fps, ["fp"], max_df)
+    a = capped.select(F.col("doc_id").alias("doc1"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )

@@ -182,6 +182,7 @@ _SCORING_TAIL = [
     "t20_char_entropy",
     "t21_source_unigram_kl",
     "t22_winnowing",
+    "d17_winnow_matches",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

@@ -5768,9 +5768,12 @@ def q_source_unigram_kl(spark, sf_dir):
 # t22: winnowing fingerprints (tail-resident, seats r11)
 # ---------------------------------------------------------------------
 
-def _t22_oracle(k: int, w: int) -> str:
-    return f"""
-WITH t AS (
+def _t22_ctes(k: int, w: int) -> str:
+    """Shared winnowing CTE chain (gram → sorted-vocab mult-hash →
+    window-min → rightmost selection) — one definition for the t22
+    fingerprint gate and the d17 match gate (the d14/d15
+    shared-fragment rule), ending at ``sel(doc_id, wmin, pos)``."""
+    return f"""t AS (
     SELECT doc_id, string_split(text, ' ') AS toks
     FROM documents
     WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {k}
@@ -5811,9 +5814,31 @@ sel AS (
     FROM wins w JOIN h h2 ON h2.doc_id = w.doc_id
         AND h2.pos BETWEEN w.j AND w.j + {w - 1} AND h2.fp = w.wmin
     GROUP BY w.doc_id, w.j, w.wmin
-)
+)"""
+
+
+def _t22_oracle(k: int, w: int) -> str:
+    return f"""
+WITH {_t22_ctes(k, w)}
 SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, CAST(wmin AS BIGINT) AS fp
 FROM sel
+"""
+
+
+def _d17_oracle(k: int, w: int, min_shared: int, max_df: int) -> str:
+    return f"""
+WITH {_t22_ctes(k, w)},
+fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel),
+capped AS (
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfq FROM fps
+    ) WHERE dfq <= {max_df}
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
 """
 
 
@@ -5830,3 +5855,23 @@ def q_winnowing(spark, sf_dir):
     from dask_traj_spark.functions.text import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4, id_mode="sorted")
+
+
+# ---------------------------------------------------------------------
+# d17: MOSS-style winnowing matches (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+@register("d17_winnow_matches", _d17_oracle(3, 4, 2, 64))
+def q_winnow_matches(spark, sf_dir):
+    """Shared-winnowing-fingerprint pair matching (the MOSS report
+    candidates): distinct (doc, fp) selections, document-frequency
+    cap 64 (mirrored in the oracle — the MAX_BUCKET discipline),
+    one fp-keyed self-join, pairs with >= 2 shared fingerprints.
+    Counting is pure integers; the winnowing CTE chain is shared
+    verbatim with t22's oracle."""
+    from dask_traj_spark.operators.dedup import winnow_matches
+
+    return winnow_matches(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=2, max_df=64,
+        id_mode="sorted",
+    )

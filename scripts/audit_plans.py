@@ -99,6 +99,7 @@ ALLOW = {
     ("c11_mixture_weights", "BroadcastNestedLoopJoin"):
         "cross join against the 1-row normalizer broadcast",
     ("t22_winnowing", "SinglePartition"): _VOCAB,
+    ("d17_winnow_matches", "SinglePartition"): _VOCAB,
     ("t21_source_unigram_kl", "SinglePartition"):
         "1-row grand-total aggregate over the checkpointed "
         "(word, source) table",

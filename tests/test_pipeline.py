@@ -3956,3 +3956,53 @@ def test_winnowing_rejects_bad_params(spark):
         winnow_fingerprints(docs, k=3, w=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(docs, k=3, w=4, id_mode="nope")
+
+
+# -------------------------------------------------- d17 winnow matches
+
+
+def test_winnow_matches_counts_distinct_shared_fps(spark):
+    from dask_traj_spark.operators.dedup import winnow_matches
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 v1 {shared} w1"),
+            (2, f"u2 v2 {shared} w2"),
+            (3, "totally different words here none shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_matches(docs, k=3, w=4, min_shared=1).collect()
+    pairs = {(r.doc1, r.doc2): r.n_shared for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+    # doc1 < doc2 always
+    assert all(a < b for a, b in pairs)
+
+
+def test_winnow_matches_df_cap_drops_boilerplate(spark):
+    """A fingerprint shared by every doc must be dropped by the df
+    cap before the self-join (no O(B^2) pair blow-up)."""
+    from dask_traj_spark.operators.dedup import winnow_matches
+
+    boiler = "standard legal footer text repeated on every single page"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words{i} {boiler}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    # cap below the corpus size: the boilerplate fps exceed it
+    assert winnow_matches(docs, k=3, w=4, max_df=4).count() == 0
+    # uncapped, every pair matches
+    n = winnow_matches(docs, k=3, w=4, max_df=None).count()
+    assert n == 12 * 11 // 2
+
+
+def test_winnow_matches_min_shared_guard(spark):
+    import pytest
+
+    from dask_traj_spark.operators.dedup import winnow_matches
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_matches(docs, min_shared=0)

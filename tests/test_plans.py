@@ -974,3 +974,15 @@ def test_winnowing_default_is_shuffle_free(spark):
     assert a.n_shuffles == 0, a.text
     assert "SinglePartition" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_winnow_matches_default_no_cartesian_no_python(spark):
+    """d17's production path: zero-shuffle fingerprinting, the df
+    cap's fp-keyed window, one fp-keyed self-join — no cartesian, no
+    SinglePartition, no Python."""
+    from dask_traj_spark.operators.dedup import winnow_matches
+
+    a = audit(winnow_matches(_docs_fixture(spark), k=2, w=3))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
