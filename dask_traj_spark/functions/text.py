@@ -937,3 +937,43 @@ def winnow_fingerprints(
     else:
         raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
     return _winnow_select(gh_df, w)
+
+
+def perplexity_buckets(
+    docs: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document WITHIN ITS SOURCE by the t9 corpus-self bigram
+    log-probability and label the best-scoring third 'head', the
+    next 'middle', the rest 'tail' — the standard select-head/
+    sample-middle/drop-tail curation split, per-source so one clean
+    source cannot crowd the others out (the c8 argument).
+
+    Returns (doc_id, source, avg_logprob, bucket).
+
+    Determinism: the score is t9's (grid-snapped model, exact sums,
+    round-6 output — bit-identical across engines); boundaries are
+    INTEGER comparisons (rk·3 ≤ n, rk·3 ≤ 2n over row_number and the
+    stratum count), never a float percentile; doc_id breaks ties.
+
+    100-TB posture: the t9 model is |alphabet|² and broadcast; one
+    doc-keyed join attaches the stratum; one stratum-keyed window
+    ranks (never SinglePartition).  Documents with fewer than two
+    characters have no bigrams and drop out (inner join), matching
+    the oracle.
+    """
+    score = char_bigram_logprob(docs, text_col)
+    joined = docs.select("doc_id", strata_col).join(score, "doc_id")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+    rk = F.row_number().over(w)
+    bucket = (
+        F.when(rk * 3 <= n, F.lit("head"))
+        .when(rk * 3 <= n * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        "doc_id", strata_col, "avg_logprob", bucket.alias("bucket")
+    )

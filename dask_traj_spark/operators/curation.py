@@ -768,3 +768,44 @@ def context_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    order_mode: str = "xxhash",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the
+    "shuffle the corpus before training" step, reproducible across
+    runs, cluster sizes, and physical input order: shard = seeded
+    hash mod n_shards, position within the shard = rank of the hash
+    (doc_id breaking ties).  Reading shards 0..n−1 in position order
+    IS the shuffled epoch; re-running with the same seed rebuilds it
+    bit-identically, a different seed is a fresh permutation.
+
+    Returns (doc_id, shard, pos) with pos 1-based within shard.
+
+    100-TB posture: ONE shuffle on the shard key; the within-shard
+    rank is a shard-keyed window (never SinglePartition — shards are
+    the parallelism unit, size them >= cluster cores).  ``xxhash``
+    is the production default; ``mult`` mirrors exactly in ANSI SQL
+    for the oracle (the stratified_sample convention).
+    """
+    n_shards = int(n_shards)
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if order_mode == "xxhash":
+        h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(_MIX_M))
+    elif order_mode == "mult":
+        h = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+    else:
+        raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
+    keyed = docs.select("doc_id", h.alias("h"))
+    shard = F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+    w = Window.partitionBy(shard).orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

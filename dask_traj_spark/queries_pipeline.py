@@ -2451,8 +2451,11 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
-_T9_ORACLE = """
-WITH bigrams AS (
+#: shared t9 CTE chain (bigram explode → MLE model → per-doc score) —
+#: one definition for the t9 gate and the t23 bucket gate (the
+#: d14/d15 shared-fragment rule), ending at ``t9sc(doc_id,
+#: n_bigrams, avg_logprob)``.
+_T9_CTES = """bigrams AS (
     SELECT d.doc_id, substr(d.text, u.i, 2) AS bg
     FROM documents d, unnest(generate_series(1, length(d.text) - 1)) AS u(i)
 ),
@@ -2466,12 +2469,18 @@ model AS (
            round(ln(CAST(c.n_bg AS DOUBLE) / CAST(t.n_c1 AS DOUBLE)) * 1048576.0)
                / 1048576.0 AS lp
     FROM counts c JOIN c1_tot t ON substr(c.bg, 1, 1) = t.c1
-)
-SELECT b.doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(sum(m.lp) / count(*), 6) AS avg_logprob
-FROM bigrams b JOIN model m USING (bg)
-GROUP BY b.doc_id
+),
+t9sc AS (
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(m.lp) / count(*), 6) AS avg_logprob
+    FROM bigrams b JOIN model m USING (bg)
+    GROUP BY b.doc_id
+)"""
+
+_T9_ORACLE = f"""
+WITH {_T9_CTES}
+SELECT doc_id, n_bigrams, avg_logprob FROM t9sc
 """
 
 
@@ -5875,3 +5884,72 @@ def q_winnow_matches(spark, sf_dir):
         _docs(spark, sf_dir), k=3, w=4, min_shared=2, max_df=64,
         id_mode="sorted",
     )
+
+
+# ---------------------------------------------------------------------
+# c13: deterministic training-shard shuffle (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _c13_oracle(n_shards: int) -> str:
+    from dask_traj_spark.operators.curation import _MIX_A, _MIX_M
+
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, (doc_id * {_MIX_A}) % {_MIX_M} AS h FROM documents
+)
+SELECT doc_id, CAST(h % {n_shards} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY h % {n_shards} ORDER BY h, doc_id
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register("c13_shuffle_shards", _c13_oracle(8))
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards: shard =
+    seeded hash mod 8, pos = hash rank within the shard (doc_id on
+    ties) — the reproducible "shuffle before training" step.  Pure
+    integer arithmetic; mult-hash for DuckDB parity (operator
+    default is seeded xxhash)."""
+    from dask_traj_spark.operators.curation import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=8, order_mode="mult")
+
+
+# ---------------------------------------------------------------------
+# t23: CCNet-style perplexity buckets (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_T23_ORACLE = f"""
+WITH {_T9_CTES},
+j AS (
+    SELECT d.doc_id, d.source, s.avg_logprob
+    FROM documents d JOIN t9sc s USING (doc_id)
+),
+r AS (
+    SELECT doc_id, source, avg_logprob,
+           row_number() OVER (
+               PARTITION BY source ORDER BY avg_logprob DESC, doc_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM j
+)
+SELECT doc_id, source, avg_logprob,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+@register("t23_perplexity_buckets", _T23_ORACLE)
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing: rank every doc within its
+    source by the t9 bigram log-prob (best third = head), boundaries
+    as INTEGER comparisons (rk·3 ≤ n), doc_id breaking ties — the
+    select/sample/drop curation split, bit-deterministic in both
+    engines.  The t9 CTE chain is shared verbatim with t9's oracle."""
+    from dask_traj_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))

@@ -4006,3 +4006,101 @@ def test_winnow_matches_min_shared_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         winnow_matches(docs, min_shared=0)
+
+
+# ---------------------------------------------------- c13 shard shuffle
+
+
+def test_shuffle_shards_partitions_and_orders(spark):
+    from dask_traj_spark.operators.curation import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = shuffle_shards(docs, n_shards=4, order_mode="mult").collect()
+    assert len(out) == 100
+    assert {r.shard for r in out} == {0, 1, 2, 3}
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        # positions are 1..n dense within the shard
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_shuffle_shards_reproducible_and_seed_sensitive(spark):
+    from dask_traj_spark.operators.curation import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(60)], "doc_id long, text string"
+    )
+    a = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(docs, 4, seed=1).collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(docs, 4, seed=1).collect()}
+    c = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(docs, 4, seed=2).collect()}
+    # same seed: bit-identical; different seed: a different permutation
+    assert a == b
+    assert a != c
+    # repartitioned input gives the identical shuffle
+    d = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shards(docs.repartition(7), 4, seed=1).collect()
+    }
+    assert a == d
+
+
+def test_shuffle_shards_guards(spark):
+    import pytest
+
+    from dask_traj_spark.operators.curation import shuffle_shards
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        shuffle_shards(docs, n_shards=0)
+    with pytest.raises(ValueError):
+        shuffle_shards(docs, n_shards=4, order_mode="nope")
+
+
+# ------------------------------------------------ t23 perplexity buckets
+
+
+def test_perplexity_buckets_thirds_and_ordering(spark):
+    from dask_traj_spark.functions.text import perplexity_buckets
+
+    # one source, 9 docs: fluent docs (corpus-typical bigrams) must
+    # land in 'head', gibberish in 'tail'; bucket sizes are exact
+    # thirds via the integer boundaries
+    fluent = "the cat sat on the mat and the dog sat too"
+    rows = [(i, fluent + f" extra{i}", "s") for i in range(6)]
+    rows += [(10, "zq xv jk qz vx kj zq xv jk", "s"),
+             (11, "qqq zzz xxx vvv qqq zzz", "s"),
+             (12, fluent + " qz zq", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r.bucket for r in perplexity_buckets(docs).collect()}
+    assert len(got) == 9
+    from collections import Counter
+
+    assert Counter(got.values()) == {"head": 3, "middle": 3, "tail": 3}
+    assert got[10] == "tail" and got[11] == "tail"
+
+
+def test_perplexity_buckets_per_source_independence(spark):
+    """Bucketing is within-source: a doc that would be tail globally
+    is head inside a source of worse docs."""
+    from dask_traj_spark.functions.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog and the cat", "good"),
+            (2, "the dog and the cat and the dog", "good"),
+            (3, "the cat and the dog and the rat", "good"),
+            (4, "zq xv jk qz the cat", "bad"),
+            (5, "qq zz xx vv kk jj", "bad"),
+            (6, "xj qv zk jx vq kz", "bad"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.bucket for r in perplexity_buckets(docs).collect()}
+    # the least-gibberish doc of the bad source heads ITS source
+    assert got[4] == "head"
+    # every source has exactly one head with n=3
+    assert sum(1 for d in (1, 2, 3) if got[d] == "head") == 1

@@ -986,3 +986,31 @@ def test_winnow_matches_default_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_shuffle_shards_is_one_shard_keyed_window(spark):
+    """c13: one exchange on the shard key, rank inside the shard
+    window — never SinglePartition, no Python."""
+    from dask_traj_spark.operators.curation import shuffle_shards
+
+    a = audit(shuffle_shards(_docs_fixture(spark), n_shards=4))
+    assert a.n_shuffles <= 1, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_perplexity_buckets_broadcast_model_stratum_window(spark):
+    """t23: the bigram model rides broadcasts (|alphabet|² rows);
+    ranking is a stratum-keyed window — never SinglePartition, no
+    cartesian, no Python."""
+    from dask_traj_spark.functions.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    a = audit(perplexity_buckets(docs))
+    assert "SinglePartition" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastExchange" in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
