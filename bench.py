@@ -248,6 +248,8 @@ def main() -> None:
         "c8_quantile_prune",
         "t17_dsir_importance",
         "c9_weighted_sample",
+        "c12_context_chunks",
+        "t23_perplexity_buckets",
     ):
         timed(name, lambda name=name: _noop(registry[name](spark, sf_dir)))
 
@@ -269,6 +271,23 @@ def main() -> None:
     timed(
         "d6_semantic_dedup_auto",
         lambda: _noop(semantic_dedup(emb, threshold=0.3)),
+    )
+
+    # winnowing in the PRODUCTION hashed mode (zero-shuffle HOF
+    # fingerprinting + the capped fp self-join) — the registry
+    # entries are the sorted-vocab oracle gates and would measure
+    # the gate funnel instead
+    from dask_traj_spark.functions.text import winnow_fingerprints
+    from dask_traj_spark.operators.dedup import winnow_matches
+
+    docs_w = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "t22_winnowing_hashed",
+        lambda: _noop(winnow_fingerprints(docs_w, k=3, w=4)),
+    )
+    timed(
+        "d17_winnow_matches_hashed",
+        lambda: _noop(winnow_matches(docs_w, k=3, w=4)),
     )
     probes["after_tier2_s"] = _cpu_probe()
 
@@ -430,6 +449,14 @@ def main() -> None:
         _noop(maximal_matches(d10p))
         scale["d14_maximal_matches_10x"] = round(time.time() - t0, 3)
         shutil.rmtree(d10p_dir, ignore_errors=True)
+
+        # t22 winnowing at 10x: fingerprint selection is per-doc
+        # work, so the replicated-id corpus is already the fair
+        # shape (no perturbation needed; duplication changes only
+        # d17's downstream join, not t22's selection cost)
+        t0 = time.time()
+        _noop(winnow_fingerprints(docs10, k=3, w=4))
+        scale["t22_winnowing_10x"] = round(time.time() - t0, 3)
 
         # pairwise-RMSD crossover: the x16 SQL sufficient-statistics
         # form vs the x16b blocked-gram matmul on the SAME synthetic
@@ -639,6 +666,10 @@ def main() -> None:
             "t18_bpe_train": round(
                 scale["t18_bpe_train_10x"]
                 / (10 * times["t18_bpe_train"]), 2
+            ),
+            "t22_winnowing": round(
+                scale["t22_winnowing_10x"]
+                / (10 * times["t22_winnowing_hashed"]), 2
             ),
         }
         probes["after_scale_s"] = _cpu_probe()

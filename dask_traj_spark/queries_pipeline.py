@@ -5953,3 +5953,85 @@ def q_perplexity_buckets(spark, sf_dir):
     from dask_traj_spark.functions.text import perplexity_buckets
 
     return perplexity_buckets(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# sx11: streaming winnowing-match twin (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_SX11_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS stream_only_pairs,
+       CAST(0 AS BIGINT) AS batch_only_pairs,
+       TRUE AS n_shared_values_match,
+       TRUE AS replay_idempotent
+"""
+
+
+@register("sx11_stream_winnow_twin", _SX11_ORACLE)
+def q_stream_winnow_twin(spark, sf_dir):
+    """Equivalence gate for the incremental winnowing-match loop:
+    replay the corpus through the foreachBatch body in three
+    deterministic micro-batches (doc_id % 3) with a crash-replay of
+    the middle batch; the accumulated results must equal the batch
+    operator's output EXACTLY — same pairs, identical n_shared
+    (fingerprints are stateless xxhash64, so a pair's intersection
+    is the same incrementally or in one pass).  Uncapped on both
+    sides (the df cap is corpus-global in batch but prefix-local in
+    streaming — sx1's documented divergence class; the cap's own
+    semantics are gated by d17's value oracle).  Contract-row
+    oracle, the sx1 convention."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.operators.dedup import winnow_matches
+    from dask_traj_spark.streaming.dedup import process_winnow_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sx11_winnow_twin_")
+    state, results = f"{work}/state", f"{work}/results"
+    try:
+        for b in range(3):
+            process_winnow_batch(
+                docs.where(F.col("doc_id") % 3 == b), b, state, results,
+                k=3, w=4, min_shared=1, max_df=None,
+            )
+        pre = (
+            spark.read.parquet(results)
+            .select("doc1", "doc2", "n_shared")
+            .toPandas()
+            .sort_values(["doc1", "doc2"])
+            .reset_index(drop=True)
+        )
+        # crash-replay of the middle batch: its results/state
+        # partitions are rewritten in place from strictly-earlier
+        # state — output must be unchanged
+        process_winnow_batch(
+            docs.where(F.col("doc_id") % 3 == 1), 1, state, results,
+            k=3, w=4, min_shared=1, max_df=None,
+        )
+        post = (
+            spark.read.parquet(results)
+            .select("doc1", "doc2", "n_shared")
+            .toPandas()
+            .sort_values(["doc1", "doc2"])
+            .reset_index(drop=True)
+        )
+        replay_ok = pre.equals(post)
+        stream = post.rename(columns={"n_shared": "n_s"})
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    batch = (
+        winnow_matches(docs, k=3, w=4, min_shared=1, max_df=None)
+        .select("doc1", "doc2", F.col("n_shared").alias("n_b"))
+        .toPandas()
+    )
+    merged = stream.merge(batch, on=["doc1", "doc2"], how="outer")
+    stream_only = int(merged["n_b"].isna().sum())
+    batch_only = int(merged["n_s"].isna().sum())
+    both = merged.dropna()
+    values_match = bool((both["n_s"] == both["n_b"]).all())
+    return spark.createDataFrame(
+        [(stream_only, batch_only, values_match, bool(replay_ok))],
+        "stream_only_pairs long, batch_only_pairs long, "
+        "n_shared_values_match boolean, replay_idempotent boolean",
+    )

@@ -461,3 +461,78 @@ def transition_counts_state(spark: SparkSession, results_dir: str) -> DataFrame:
     (gated by sx8 against x22's value oracle)."""
     st = spark.read.parquet(results_dir).drop("batch_id")
     return st.groupBy("from_state", "to_state").agg(F.sum("n").alias("n"))
+
+
+# --------------------------------------------- incremental winnowing
+
+
+def process_winnow_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    results_dir: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> None:
+    """foreachBatch body for incremental MOSS-style winnowing
+    matches (the streaming twin of ``winnow_matches``): fingerprint
+    the NEW docs (xxhash64 — stateless, so fingerprints are
+    batch-stable and cross-batch joins are meaningful), match them
+    against the accumulated fingerprint state, fold the batch in.
+
+    Every emitted pair touches >= 1 new doc, so per-batch work
+    scales with the batch (one fp-keyed join against the state),
+    not the corpus.  Because a document's complete fingerprint set
+    arrives with its batch, a pair's n_shared — counted when its
+    LATER member arrives — equals the one-shot batch value, and the
+    per-batch result union equals ``winnow_matches`` exactly in the
+    uncapped form (gated by sx11).  With ``max_df`` set, the cap
+    sees only the prefix corpus, so a fingerprint that outgrows the
+    cap later keeps its earlier matches — the incremental result is
+    a superset of the capped one-shot (same class of documented
+    divergence as sx1's bucket cap).
+
+    Exactly-once: results and state are dynamic partition
+    overwrites of this batch's own partition; state reads keep only
+    strictly-earlier batches (``_read_or_empty``), so crash-replay
+    recomputes bit-identical output.
+    """
+    from pyspark import StorageLevel
+
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    spark = batch_df.sparkSession
+    fps_new = (
+        winnow_fingerprints(batch_df, k=k, w=w, text_col=text_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fps_old = _read_or_empty(
+        spark, state_dir, "doc_id long, fp long", batch_id
+    )
+    all_fps = _cap_buckets(fps_old.unionByName(fps_new), ["fp"], max_df)
+    new_side = all_fps.join(
+        fps_new.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    pairs = (
+        new_side.select(F.col("doc_id").alias("da"), "fp")
+        .join(all_fps.select(F.col("doc_id").alias("db"), "fp"), "fp")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc1"),
+            F.greatest("da", "db").alias("doc2"),
+            "fp",
+        )
+        # a same-batch pair arrives in both join directions; distinct
+        # fp counting collapses them (and is the pair's true n_shared)
+        .groupBy("doc1", "doc2")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    _overwrite_batch_partition(pairs, results_dir, batch_id)
+    _overwrite_batch_partition(fps_new, state_dir, batch_id)
+    fps_new.unpersist()

@@ -1250,3 +1250,59 @@ def test_stream_weighted_sample_matches_oneshot_with_replay(spark, tmp_path):
     )
     assert before["doc_id"].tolist() == oneshot["doc_id"].tolist()
     assert (before["key"].to_numpy() == oneshot["key"].to_numpy()).all()
+
+
+def test_stream_winnow_matches_batch_twin_with_replay(spark, tmp_path):
+    """sx11's contract at unit scale: three micro-batches through
+    process_winnow_batch accumulate EXACTLY winnow_matches' output
+    (uncapped, hashed fingerprints are batch-stable), a cross-batch
+    pair lands at its LATER member's batch with the full n_shared,
+    and crash-replaying the middle batch changes nothing."""
+    from dask_traj_spark.operators.dedup import winnow_matches
+    from dask_traj_spark.streaming.dedup import process_winnow_batch
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (0, f"a0 b0 {shared} c0"),     # batch 0
+            (1, f"a1 b1 c1 {shared}"),     # batch 1 — pairs with 0
+            (2, "nothing in common here at all friends"),  # batch 2
+            (3, f"{shared} d0 e0"),        # batch 0 — pairs with 0 in-batch
+            (4, "nothing in common here at all strangers"),  # batch 1
+        ],
+        "doc_id long, text string",
+    )
+    batches = [
+        docs.where(F.col("doc_id").isin(0, 3)),
+        docs.where(F.col("doc_id").isin(1, 4)),
+        docs.where(F.col("doc_id") == 2),
+    ]
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    for b, bdf in enumerate(batches):
+        process_winnow_batch(bdf, b, state, results, k=3, w=4)
+    got = spark.read.parquet(results)
+    # the (0,1) pair must be recorded at batch 1 (its later member)
+    r01 = got.where((F.col("doc1") == 0) & (F.col("doc2") == 1)).collect()
+    assert len(r01) == 1 and r01[0].batch_id == 1
+    # the (0,3) same-batch pair recorded once at batch 0
+    r03 = got.where((F.col("doc1") == 0) & (F.col("doc2") == 3)).collect()
+    assert len(r03) == 1 and r03[0].batch_id == 0
+    stream = {
+        (r.doc1, r.doc2): r.n_shared
+        for r in got.select("doc1", "doc2", "n_shared").collect()
+    }
+    batch = {
+        (r.doc1, r.doc2): r.n_shared
+        for r in winnow_matches(docs, k=3, w=4, min_shared=1,
+                                max_df=None).collect()
+    }
+    assert stream == batch
+    # crash-replay of the middle batch: bit-identical accumulation
+    process_winnow_batch(batches[1], 1, state, results, k=3, w=4)
+    replayed = {
+        (r.doc1, r.doc2): r.n_shared
+        for r in spark.read.parquet(results)
+        .select("doc1", "doc2", "n_shared").collect()
+    }
+    assert replayed == batch
