@@ -751,9 +751,13 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     alphabet, not the corpus.
     """
     g = f"{LP_GRID:.1f}"
+    # the histogram pass (one array scan per DISTINCT char) runs
+    # once; the p·ln(p) term then works on the scalar count — HOF
+    # lambdas get no common-subexpression elimination, so inlining
+    # the filter into the term would scan the array twice per char
     term = (
-        f"round((size(filter(cs, x -> x = c)) / CAST(nc AS DOUBLE))"
-        f" * ln(size(filter(cs, x -> x = c)) / CAST(nc AS DOUBLE))"
+        f"round((k / CAST(nc AS DOUBLE))"
+        f" * ln(k / CAST(nc AS DOUBLE))"
         f" * {g}, 0) / {g}"
     )
     return (
@@ -769,7 +773,8 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.array_distinct("cs")).cast("int").alias("n_distinct_chars"),
             F.expr(
                 f"CAST(0.0 AS DOUBLE) - aggregate("
-                f"transform(array_distinct(cs), c -> {term}), "
+                f"transform(transform(array_distinct(cs), "
+                f"c -> size(filter(cs, x -> x = c))), k -> {term}), "
                 f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             ).alias("entropy"),
         )

@@ -97,6 +97,17 @@ _MIX_A = 2654435761
 _MIX_M = 2 ** 32
 
 
+def _mult_mix(seed: int) -> "F.Column":
+    """The SQL-mirrorable seeded multiplicative hash of doc_id —
+    ((doc_id + seed) · 2654435761) mod 2^32 — ONE definition for
+    every ``order_mode='mult'`` consumer (the oracles embed the same
+    formula verbatim; a convention tweak applied to some hand-copies
+    but not others would silently desynchronize an operator from its
+    oracle).  (doc_id + seed)·A ≡ doc_id·A at seed = 0, so the
+    seed-0 oracle formula is unchanged."""
+    return ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+
+
 def stratified_sample(
     docs: DataFrame,
     quota: int,
@@ -122,9 +133,7 @@ def stratified_sample(
         # seed participates in both modes (the dataset_split ADVICE-r4
         # rule applied uniformly): (doc_id + seed) * A ≡ doc_id * A at
         # seed=0, so the seed-0 oracle formula is unchanged
-        order = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(
-            _MIX_M
-        )
+        order = _mult_mix(seed)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col("doc_id").asc())
@@ -260,9 +269,7 @@ def pack_sequences(
         # seed participates in both modes (the dataset_split ADVICE-r4
         # rule applied uniformly): (doc_id + seed) * A ≡ doc_id * A at
         # seed=0, so the seed-0 oracle formula is unchanged
-        order = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(
-            _MIX_M
-        )
+        order = _mult_mix(seed)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
 
@@ -361,9 +368,7 @@ def source_token_mixture(
         # seed participates in both modes (the dataset_split ADVICE-r4
         # rule applied uniformly): (doc_id + seed) * A ≡ doc_id * A at
         # seed=0, so the seed-0 oracle formula is unchanged
-        order = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(
-            _MIX_M
-        )
+        order = _mult_mix(seed)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     w = (
@@ -408,9 +413,7 @@ def dataset_split(
         # (doc_id + seed) * A ≡ doc_id * A at seed=0, so the oracle
         # formula for the default case is unchanged; nonzero seeds
         # mirror in SQL as ((doc_id + seed) * 2654435761) % 2^32.
-        bucket = (
-            ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
-        ) % F.lit(100)
+        bucket = _mult_mix(seed) % F.lit(100)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     train, val = int(fractions[0]), int(fractions[1])
@@ -619,7 +622,7 @@ def weighted_sample(
     if order_mode == "xxhash":
         h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(_MIX_M))
     elif order_mode == "mult":
-        h = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        h = _mult_mix(seed)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     u = (h + F.lit(1)).cast("double") / F.lit(float(_MIX_M))
@@ -798,7 +801,7 @@ def shuffle_shards(
     if order_mode == "xxhash":
         h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(_MIX_M))
     elif order_mode == "mult":
-        h = ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        h = _mult_mix(seed)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
     keyed = docs.select("doc_id", h.alias("h"))

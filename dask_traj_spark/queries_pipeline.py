@@ -16,6 +16,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dask_traj_spark.queries import register
 
+
+def _read_parquet_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read a streaming-twin results table, or an empty frame with
+    the right schema when no micro-batch ever emitted a row (an
+    all-empty results dir has no files to infer a schema from and
+    spark.read.parquet raises — the contract gates must report their
+    boolean row either way)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
 # ---------------------------------------------------------------------
 # shared oracle CTE fragments
 # ---------------------------------------------------------------------
@@ -1330,7 +1344,10 @@ def q_stream_neardup_batch_twin(spark, sf_dir):
                 max_bucket=None,
             )
         stream = (
-            spark.read.parquet(results)
+            _read_parquet_or_empty(
+                spark, results,
+                "doc1 long, doc2 long, jaccard double, batch_id int",
+            )
             .select("doc1", "doc2", F.col("jaccard").alias("j_s"))
             .toPandas()
         )
@@ -5995,8 +6012,9 @@ def q_stream_winnow_twin(spark, sf_dir):
                 docs.where(F.col("doc_id") % 3 == b), b, state, results,
                 k=3, w=4, min_shared=1, max_df=None,
             )
+        res_schema = "doc1 long, doc2 long, n_shared long, batch_id int"
         pre = (
-            spark.read.parquet(results)
+            _read_parquet_or_empty(spark, results, res_schema)
             .select("doc1", "doc2", "n_shared")
             .toPandas()
             .sort_values(["doc1", "doc2"])
@@ -6010,7 +6028,7 @@ def q_stream_winnow_twin(spark, sf_dir):
             k=3, w=4, min_shared=1, max_df=None,
         )
         post = (
-            spark.read.parquet(results)
+            _read_parquet_or_empty(spark, results, res_schema)
             .select("doc1", "doc2", "n_shared")
             .toPandas()
             .sort_values(["doc1", "doc2"])

@@ -1306,3 +1306,28 @@ def test_stream_winnow_matches_batch_twin_with_replay(spark, tmp_path):
         .select("doc1", "doc2", "n_shared").collect()
     }
     assert replayed == batch
+
+
+def test_stream_winnow_empty_results_still_reports(spark, tmp_path):
+    """Review regression: a corpus with NO shared fingerprints writes
+    an empty results dir; the gate helper must return an empty frame
+    with the contract schema instead of raising on schema inference."""
+    from dask_traj_spark.queries_pipeline import _read_parquet_or_empty
+    from dask_traj_spark.streaming.dedup import process_winnow_batch
+
+    docs = spark.createDataFrame(
+        [(0, "completely unique alpha words one"),
+         (1, "other totally different beta tokens two")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    results = str(tmp_path / "results")
+    for b in range(2):
+        process_winnow_batch(
+            docs.where(F.col("doc_id") == b), b, state, results, k=3, w=4
+        )
+    out = _read_parquet_or_empty(
+        spark, results, "doc1 long, doc2 long, n_shared long, batch_id int"
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc1", "doc2", "n_shared", "batch_id"]
