@@ -186,6 +186,7 @@ _SCORING_TAIL = [
     "c13_shuffle_shards",
     "t23_perplexity_buckets",
     "sx11_stream_winnow_twin",
+    "d18_pagerank_dup_graph",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

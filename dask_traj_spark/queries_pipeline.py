@@ -5851,20 +5851,30 @@ FROM sel
 """
 
 
-def _d17_oracle(k: int, w: int, min_shared: int, max_df: int) -> str:
-    return f"""
-WITH {_t22_ctes(k, w)},
+def _d17_ctes(k: int, w: int, min_shared: int, max_df: int) -> str:
+    """t22's winnowing chain + the capped match-pair CTE — one
+    definition for the d17 gate and the d18 PageRank gate, ending at
+    ``d17p(doc1, doc2, n_shared)``."""
+    return f"""{_t22_ctes(k, w)},
 fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel),
 capped AS (
     SELECT doc_id, fp FROM (
         SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfq FROM fps
     ) WHERE dfq <= {max_df}
-)
-SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       CAST(count(*) AS BIGINT) AS n_shared
-FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-HAVING count(*) >= {min_shared}
+),
+d17p AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_shared}
+)"""
+
+
+def _d17_oracle(k: int, w: int, min_shared: int, max_df: int) -> str:
+    return f"""
+WITH {_d17_ctes(k, w, min_shared, max_df)}
+SELECT doc1, doc2, n_shared FROM d17p
 """
 
 
@@ -6053,3 +6063,70 @@ def q_stream_winnow_twin(spark, sf_dir):
         "stream_only_pairs long, batch_only_pairs long, "
         "n_shared_values_match boolean, replay_idempotent boolean",
     )
+
+
+# ---------------------------------------------------------------------
+# d18: PageRank over the duplicate graph (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _d18_oracle(
+    k: int, w: int, min_shared: int, max_df: int, n_iter: int
+) -> str:
+    from dask_traj_spark.functions.text import LP_GRID
+    from dask_traj_spark.operators.graph import DAMPING
+
+    g = f"{LP_GRID:.1f}"
+    d_lit = repr(DAMPING)
+    t_lit = repr(1.0 - DAMPING)
+    stages = []
+    for i in range(1, n_iter + 1):
+        prev = f"p{i - 1}"
+        stages.append(f"""p{i} AS MATERIALIZED (
+    SELECT v.v, {t_lit} / nv.n + COALESCE(s.acc, 0.0) AS p
+    FROM verts v CROSS JOIN nv LEFT JOIN (
+        SELECT e.dst AS v,
+               sum(round((({d_lit} * p.p) / d.deg) * {g}, 0) / {g}) AS acc
+        FROM edges e JOIN {prev} p ON p.v = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.v = v.v
+)""")
+    chain = ",\n".join(stages)
+    return f"""
+WITH {_d17_ctes(k, w, min_shared, max_df)},
+edges AS (
+    SELECT doc1 AS src, doc2 AS dst FROM d17p
+    UNION ALL
+    SELECT doc2 AS src, doc1 AS dst FROM d17p
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+p0 AS (SELECT v, 1.0 / nv.n AS p FROM verts CROSS JOIN nv),
+{chain}
+SELECT v AS vertex, p AS pagerank FROM p{n_iter}
+"""
+
+
+@register("d18_pagerank_dup_graph", _d18_oracle(3, 4, 2, 64, 8))
+def q_pagerank_dup_graph(spark, sf_dir):
+    """PageRank centrality over the SYMMETRIZED d17 winnowing-match
+    graph — the template/boilerplate hubs whose excision pays the
+    most.  8 power iterations from 1/N, damping 7/8 (an exact dyadic,
+    unlike the textbook 0.85), every edge contribution grid-snapped
+    before the in-neighbor sum so per-vertex ranks are bit-identical
+    across engines and partial-agg orders.  The oracle chains the
+    d17 CTEs verbatim into 8 generated MATERIALIZED stages (the BPE
+    generated-oracle pattern)."""
+    from dask_traj_spark.operators.dedup import winnow_matches
+    from dask_traj_spark.operators.graph import pagerank
+
+    pairs = winnow_matches(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=2, max_df=64,
+        id_mode="sorted",
+    )
+    edges = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    )
+    return pagerank(edges, n_iter=8)

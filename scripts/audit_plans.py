@@ -100,6 +100,10 @@ ALLOW = {
         "cross join against the 1-row normalizer broadcast",
     ("t22_winnowing", "SinglePartition"): _VOCAB,
     ("d17_winnow_matches", "SinglePartition"): _VOCAB,
+    ("d18_pagerank_dup_graph", "SinglePartition"): _VOCAB,
+    ("d18_pagerank_dup_graph", "BroadcastNestedLoopJoin"):
+        "cross joins against the checkpointed 1-row vertex-count "
+        "broadcast",
     ("t21_source_unigram_kl", "SinglePartition"):
         "1-row grand-total aggregate over the checkpointed "
         "(word, source) table",

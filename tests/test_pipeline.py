@@ -4104,3 +4104,60 @@ def test_perplexity_buckets_per_source_independence(spark):
     assert got[4] == "head"
     # every source has exactly one head with n=3
     assert sum(1 for d in (1, 2, 3) if got[d] == "head") == 1
+
+
+# ------------------------------------------------------- d18 pagerank
+
+
+def test_pagerank_matches_python_reference(spark):
+    import math
+
+    from dask_traj_spark.functions.text import LP_GRID
+    from dask_traj_spark.operators.graph import DAMPING, pagerank
+
+    e = [(1, 2), (2, 3), (3, 1), (3, 2), (1, 3), (2, 1), (4, 1), (1, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(verts)
+    deg = {v: sum(1 for a, _ in e if a == v) for v in verts}
+    p = {v: 1.0 / n for v in verts}
+    for _ in range(8):
+        acc = {v: 0.0 for v in verts}
+        for a, b in e:
+            acc[b] += round(((DAMPING * p[a]) / deg[a]) * LP_GRID) / LP_GRID
+        p = {v: (1.0 - DAMPING) / n + acc[v] for v in verts}
+    got = {r.vertex: r.pagerank for r in pagerank(edges, n_iter=8).collect()}
+    assert got == p
+    # per-edge grid snapping drifts total mass by ~n_edges·2^-21/iter
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-4)
+
+
+def test_pagerank_hub_ranks_highest_and_is_repartition_stable(spark):
+    from dask_traj_spark.operators.graph import pagerank
+
+    # star: every leaf <-> hub 0
+    e = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r.vertex: r.pagerank for r in pagerank(edges, n_iter=8).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[i] for i in range(1, 9))
+    # physical order cannot change a single bit
+    got2 = {
+        r.vertex: r.pagerank
+        for r in pagerank(edges.repartition(7), n_iter=8).collect()
+    }
+    assert got == got2
+
+
+def test_pagerank_dangling_leak_and_guards(spark):
+    import pytest
+
+    from dask_traj_spark.operators.graph import pagerank
+
+    # directed chain 1 -> 2 -> 3: vertex 3 dangles, mass leaks
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.vertex: r.pagerank for r in pagerank(edges, n_iter=4).collect()}
+    assert len(got) == 3
+    assert sum(got.values()) < 1.0  # the documented non-redistributing variant
+    with pytest.raises(ValueError):
+        pagerank(edges, n_iter=0)

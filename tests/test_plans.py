@@ -1014,3 +1014,22 @@ def test_perplexity_buckets_broadcast_model_stratum_window(spark):
     assert "CartesianProduct" not in a.text, a.text
     assert "BroadcastExchange" in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_pagerank_round_is_keyed_joins_no_python(spark):
+    """d18: each power iteration is one src-keyed join + one
+    dst-keyed aggregation; the only nested-loop is the 1-row
+    vertex-count broadcast; no Python anywhere."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)]
+        + [((i + 1) % 10, i) for i in range(10)],
+        "src long, dst long",
+    )
+    a = audit(pagerank(edges, n_iter=2, checkpoint_every=0))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    # the 1-row vertex count is checkpointed ONCE — no per-round
+    # SinglePartition re-aggregation
+    assert a.text.count("SinglePartition") == 0, a.text
