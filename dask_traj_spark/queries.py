@@ -167,15 +167,18 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 12 deferred r7-green shapes
-# (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2/c5), then the 14-query SS2-core block (r9-green,
-# 2-round hard bound hits in r11), then the r8-green block
-# stalest-first; the r9-green extension set ages back in from r12.
+# top of _SCORING_TAIL): the 12 never-driver-scored tail-resident
+# gates below, then the 12 deferred r7-green shapes
+# (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2/c5), then the 14-query SS2-core
+# block (r9-green, 2-round hard bound hits in r11) — 12 + 12 + 14 =
+# 38 of 50, leaving 12 slots for any r11 touched set; then the
+# r8-green block stalest-first; the r9-green extension set ages
+# back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (0) NEW post-rotation gate, tail-resident with local
+    # (0) NEW post-rotation gates, tail-resident with local
     #     three-SF hash-green evidence only (the r4 late-addition
-    #     precedent): seats FIRST in r11 under new-query-first.
+    #     precedent): seat FIRST in r11 under new-query-first.
     "d16_cluster_keep_best",
     "c11_mixture_weights",
     "c12_context_chunks",
@@ -187,6 +190,7 @@ _SCORING_TAIL = [
     "t23_perplexity_buckets",
     "sx11_stream_winnow_twin",
     "d18_pagerank_dup_graph",
+    "c14_chunk_shard_pipeline",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

@@ -5673,12 +5673,15 @@ def q_mixture_weights(spark, sf_dir):
 # resident with local three-SF evidence, seats r11 with d16/c11)
 # ---------------------------------------------------------------------
 
-def _c12_oracle(chunk: int, stride: int) -> str:
-    return f"""
-WITH t AS (
+def _c12_ctes(chunk: int, stride: int, src: str = "documents") -> str:
+    """Shared chunking CTE chain over any (doc_id, text) relation —
+    one definition for the c12 gate and the c14 composite (the
+    d14/d15 shared-fragment rule), ending at ``chunks(doc_id,
+    chunk_idx, n_tokens, chunk_text)``."""
+    return f"""t AS (
     SELECT doc_id, string_split(text, ' ') AS toks,
            len(string_split(text, ' ')) AS n_doc
-    FROM documents WHERE text IS NOT NULL
+    FROM {src} WHERE text IS NOT NULL
 ),
 c AS (
     SELECT doc_id, toks, n_doc,
@@ -5687,13 +5690,22 @@ c AS (
                     ELSE (n_doc - {chunk} + {stride - 1}) // {stride} END))
                AS chunk_idx
     FROM t
-)
-SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-       CAST(least({chunk}, n_doc - chunk_idx * {stride}) AS INT) AS n_tokens,
-       array_to_string(
-           list_slice(toks, chunk_idx * {stride} + 1,
-                      chunk_idx * {stride} + {chunk}), ' ') AS chunk_text
-FROM c
+),
+chunks AS (
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least({chunk}, n_doc - chunk_idx * {stride}) AS INT)
+               AS n_tokens,
+           array_to_string(
+               list_slice(toks, chunk_idx * {stride} + 1,
+                          chunk_idx * {stride} + {chunk}), ' ') AS chunk_text
+    FROM c
+)"""
+
+
+def _c12_oracle(chunk: int, stride: int) -> str:
+    return f"""
+WITH {_c12_ctes(chunk, stride)}
+SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM chunks
 """
 
 
@@ -6130,3 +6142,61 @@ def q_pagerank_dup_graph(spark, sf_dir):
         pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     )
     return pagerank(edges, n_iter=8)
+
+
+# ---------------------------------------------------------------------
+# c14: end-to-end chunk-and-shard composite (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _c14_oracle(chunk: int, stride: int, n_shards: int) -> str:
+    from dask_traj_spark.operators.curation import _MIX_A, _MIX_M
+
+    return f"""
+WITH kept AS (
+    SELECT doc_id, text FROM documents
+    WHERE {_C8_QUALITY} >= 0.5
+),
+{_c12_ctes(chunk, stride, src="kept")},
+keyed AS (
+    SELECT doc_id, chunk_idx, n_tokens,
+           ((doc_id * 1024 + chunk_idx) * {_MIX_A}) % {_MIX_M} AS h
+    FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       CAST(h % {n_shards} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY h % {n_shards}
+           ORDER BY h, doc_id * 1024 + chunk_idx
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register("c14_chunk_shard_pipeline", _c14_oracle(64, 48, 8))
+def q_chunk_shard_pipeline(spark, sf_dir):
+    """The training-data tail of the pipeline as ONE plan (the c7
+    whole-chain convention, over this round's operators): t2 quality
+    filter (>= 0.5, the shared quality_expr) → 64/48 context chunks
+    (c12) → deterministic 8-shard shuffle (c13) keyed on the chunk
+    id doc_id·1024 + chunk_idx (chunk_idx < 1024 at every gate
+    scale; the product stays far inside BIGINT before the mult
+    hash).  Output: every kept chunk with its shard and within-shard
+    training position."""
+    from dask_traj_spark.functions.text import quality_expr
+    from dask_traj_spark.operators.curation import context_chunks, shuffle_shards
+
+    docs = _docs(spark, sf_dir)
+    chunks = context_chunks(
+        docs.where(quality_expr() >= 0.5), chunk_tokens=64, stride=48
+    )
+    keyed = chunks.withColumn(
+        "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
+    )
+    sharded = shuffle_shards(
+        keyed.select(F.col("chunk_id").alias("doc_id")),
+        n_shards=8,
+        order_mode="mult",
+    ).select(F.col("doc_id").alias("chunk_id"), "shard", "pos")
+    return keyed.join(sharded, "chunk_id").select(
+        "doc_id", "chunk_idx", "n_tokens", "shard", "pos"
+    )

@@ -4161,3 +4161,46 @@ def test_pagerank_dangling_leak_and_guards(spark):
     assert sum(got.values()) < 1.0  # the documented non-redistributing variant
     with pytest.raises(ValueError):
         pagerank(edges, n_iter=0)
+
+
+# --------------------------------------------- c14 chunk-shard composite
+
+
+def test_chunk_shard_pipeline_composition(spark):
+    """The composite equals composing the operators stepwise: only
+    quality-kept docs are chunked, every chunk lands in exactly one
+    shard, and positions are dense per shard."""
+    from dask_traj_spark.functions.text import quality_expr
+    from dask_traj_spark.operators.curation import (
+        context_chunks,
+        shuffle_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a of is to in the and cat dog tree sea sun moon star"),
+            (2, "zz zz zz zz"),  # low quality: repeated, no stopwords
+            (3, "a big table of data is all we need to work in peace now"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = docs.where(quality_expr() >= 0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 2 not in kept_ids and {1, 3} <= kept_ids
+    chunks = context_chunks(kept, chunk_tokens=8, stride=6)
+    keyed = chunks.withColumn(
+        "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
+    )
+    sharded = shuffle_shards(
+        keyed.select(F.col("chunk_id").alias("doc_id")),
+        n_shards=2,
+        order_mode="mult",
+    ).select(F.col("doc_id").alias("chunk_id"), "shard", "pos")
+    out = keyed.join(sharded, "chunk_id").collect()
+    assert len(out) == chunks.count()
+    assert {r.doc_id for r in out} == kept_ids
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

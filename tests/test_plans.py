@@ -1033,3 +1033,30 @@ def test_pagerank_round_is_keyed_joins_no_python(spark):
     # the 1-row vertex count is checkpointed ONCE — no per-round
     # SinglePartition re-aggregation
     assert a.text.count("SinglePartition") == 0, a.text
+
+
+def test_chunk_shard_pipeline_composite_plan(spark):
+    """c14's whole chain in one plan: quality filter fused into the
+    scan projection, shuffle-free chunking, shard-keyed window, one
+    chunk_id-keyed join — no cartesian, no SinglePartition, no
+    Python."""
+    from dask_traj_spark.functions.text import quality_expr
+    from dask_traj_spark.operators.curation import (
+        context_chunks,
+        shuffle_shards,
+    )
+
+    docs = _docs_fixture(spark)
+    chunks = context_chunks(
+        docs.where(quality_expr() >= 0.5), chunk_tokens=4, stride=3
+    )
+    keyed = chunks.withColumn(
+        "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
+    )
+    sharded = shuffle_shards(
+        keyed.select(F.col("chunk_id").alias("doc_id")), n_shards=4
+    ).select(F.col("doc_id").alias("chunk_id"), "shard", "pos")
+    a = audit(keyed.join(sharded, "chunk_id"))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
