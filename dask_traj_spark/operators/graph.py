@@ -57,21 +57,25 @@ def pagerank(
     n_iter = int(n_iter)
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # edges, vertices, degrees and the 1-row count all feed EVERY
+    # iteration — pin each once so no round re-runs the upstream
+    # pipeline that produced the edge list (the c11 exchange-reuse
+    # lesson: reuse is an optimization, not a guarantee; without the
+    # checkpoint an 8-round run re-executes the pair-generation
+    # subtree 8 times)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # the 1-row vertex count feeds EVERY round's cross join — pin it
-    # once so no iteration re-runs the count aggregation (the c11
-    # exchange-reuse lesson: reuse is an optimization, not a
-    # guarantee)
     n_row = verts.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     g = F.lit(LP_GRID)
     base = F.lit(1.0 - DAMPING) / F.col("n").cast("double")
     p = verts.crossJoin(F.broadcast(n_row)).select(

@@ -7,7 +7,8 @@ the order a production pipeline applies them:
 
   quality filter → exact dedup → span excision → decontamination →
   DSIR target-likeness scoring → per-source percentile pruning →
-  length-weighted sampling → leak-proof split → sequence packing
+  length-weighted sampling → leak-proof split → sequence packing →
+  context chunking → deterministic shard shuffle
 
 Run: ``python examples/curation_pipeline.py [sf_dir]``
 (default /root/testdata/sf0.001 — a few seconds on local[4]).
@@ -113,6 +114,26 @@ def main(spark=None, sf_dir=None) -> None:
         F.max(F.col("start_seq") + F.col("n_seqs"))
     ).first()[0]
     print(f"train split: {train.count()} docs → {n_seqs} sequences of 512")
+
+    # 9. long docs split into overlapping context windows, then the
+    #    reproducible epoch shuffle: chunk → shard → position
+    from dask_traj_spark.operators.curation import (
+        context_chunks,
+        shuffle_shards,
+    )
+
+    chunks = context_chunks(train, chunk_tokens=64, stride=48)
+    keyed = chunks.withColumn(
+        "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
+    )
+    sharded = shuffle_shards(
+        keyed.select(F.col("chunk_id").alias("doc_id")), n_shards=4
+    )
+    per_shard = sharded.groupBy("shard").count().orderBy("shard").collect()
+    print(
+        f"context chunks: {keyed.count()} → shards "
+        + str({r["shard"]: r["count"] for r in per_shard})
+    )
     if own_session:
         spark.stop()
 
