@@ -97,15 +97,22 @@ _MIX_A = 2654435761
 _MIX_M = 2 ** 32
 
 
-def _mult_mix(seed: int) -> "F.Column":
-    """The SQL-mirrorable seeded multiplicative hash of doc_id —
-    ((doc_id + seed) · 2654435761) mod 2^32 — ONE definition for
-    every ``order_mode='mult'`` consumer (the oracles embed the same
+def _mult_mix(seed: int, id_col: str = "doc_id") -> "F.Column":
+    """The SQL-mirrorable seeded multiplicative hash of an id —
+    ((id mod 2^31 + seed) · 2654435761) mod 2^32 — ONE definition
+    for every ``order_mode='mult'`` consumer (the oracles embed the
     formula verbatim; a convention tweak applied to some hand-copies
     but not others would silently desynchronize an operator from its
-    oracle).  (doc_id + seed)·A ≡ doc_id·A at seed = 0, so the
-    seed-0 oracle formula is unchanged."""
-    return ((F.col("doc_id") + F.lit(int(seed))) * F.lit(_MIX_A)) % F.lit(_MIX_M)
+    oracle).  The mod-2^31 reduction keeps the multiply inside
+    BIGINT for ANY id (without it, ids ≥ ~3.4e6·1024 silently wrap
+    negative in Spark and overflow-error in ANSI engines); the
+    oracle formulas omit the reduction and are therefore valid for
+    gate corpora with ids < 2^31 — where the reduction is the
+    identity and both forms agree bit-for-bit.  (id + seed)·A ≡
+    id·A at seed = 0, so the seed-0 oracle formula is unchanged."""
+    return (
+        (F.col(id_col) % F.lit(2 ** 31) + F.lit(int(seed))) * F.lit(_MIX_A)
+    ) % F.lit(_MIX_M)
 
 
 def stratified_sample(
@@ -778,6 +785,7 @@ def shuffle_shards(
     n_shards: int,
     order_mode: str = "xxhash",
     seed: int = 0,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic global shuffle into training shards — the
     "shuffle the corpus before training" step, reproducible across
@@ -787,7 +795,13 @@ def shuffle_shards(
     IS the shuffled epoch; re-running with the same seed rebuilds it
     bit-identically, a different seed is a fresh permutation.
 
-    Returns (doc_id, shard, pos) with pos 1-based within shard.
+    Returns the input columns + (shard, pos), pos 1-based within the
+    shard, so downstream stages never need a join back (the review
+    lesson from c14's first cut: a projection-only return forced a
+    key-join against the caller's own table, re-executing its
+    subtree on both sides).  ``id_col`` names the unique id to hash
+    and tie-break on (default doc_id; composites pass a derived
+    chunk id).
 
     100-TB posture: ONE shuffle on the shard key; the within-shard
     rank is a shard-keyed window (never SinglePartition — shards are
@@ -799,16 +813,18 @@ def shuffle_shards(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if order_mode == "xxhash":
-        h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(int(seed))), F.lit(_MIX_M))
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(_MIX_M))
     elif order_mode == "mult":
-        h = _mult_mix(seed)
+        h = _mult_mix(seed, id_col)
     else:
         raise ValueError(f"order_mode must be 'xxhash' or 'mult', got {order_mode!r}")
-    keyed = docs.select("doc_id", h.alias("h"))
-    shard = F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
-    w = Window.partitionBy(shard).orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    keyed = docs.withColumn("_shuffle_h", h)
+    shard = F.pmod(F.col("_shuffle_h"), F.lit(n_shards)).cast("int")
+    w = Window.partitionBy(shard).orderBy(
+        F.col("_shuffle_h").asc(), F.col(id_col).asc()
+    )
     return keyed.select(
-        "doc_id",
+        *docs.columns,
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )

@@ -5953,7 +5953,9 @@ def q_shuffle_shards(spark, sf_dir):
     default is seeded xxhash)."""
     from dask_traj_spark.operators.curation import shuffle_shards
 
-    return shuffle_shards(_docs(spark, sf_dir), n_shards=8, order_mode="mult")
+    return shuffle_shards(
+        _docs(spark, sf_dir), n_shards=8, order_mode="mult"
+    ).select("doc_id", "shard", "pos")
 
 
 # ---------------------------------------------------------------------
@@ -6135,7 +6137,7 @@ def q_pagerank_dup_graph(spark, sf_dir):
     pairs = winnow_matches(
         _docs(spark, sf_dir), k=3, w=4, min_shared=2, max_df=64,
         id_mode="sorted",
-    )
+    ).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc1").alias("src"), F.col("doc2").alias("dst")
     ).unionByName(
@@ -6189,14 +6191,17 @@ def q_chunk_shard_pipeline(spark, sf_dir):
     chunks = context_chunks(
         docs.where(quality_expr() >= 0.5), chunk_tokens=64, stride=48
     )
+    # the chunk id is unique ONLY while chunk_idx < 1024 — enforce the
+    # domain loudly instead of letting a 50k-token doc silently
+    # collide ids (review finding; corpus max is ~120 tokens)
+    guarded_idx = F.when(
+        F.col("chunk_idx") < 1024, F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(F.lit("c14 chunk id domain exceeded: chunk_idx >= 1024"))
+    )
     keyed = chunks.withColumn(
-        "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
+        "chunk_id", F.col("doc_id") * F.lit(1024) + guarded_idx
     )
-    sharded = shuffle_shards(
-        keyed.select(F.col("chunk_id").alias("doc_id")),
-        n_shards=8,
-        order_mode="mult",
-    ).select(F.col("doc_id").alias("chunk_id"), "shard", "pos")
-    return keyed.join(sharded, "chunk_id").select(
-        "doc_id", "chunk_idx", "n_tokens", "shard", "pos"
-    )
+    return shuffle_shards(
+        keyed, n_shards=8, order_mode="mult", id_col="chunk_id"
+    ).select("doc_id", "chunk_idx", "n_tokens", "shard", "pos")

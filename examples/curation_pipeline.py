@@ -126,12 +126,10 @@ def main(spark=None, sf_dir=None) -> None:
     keyed = chunks.withColumn(
         "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
     )
-    sharded = shuffle_shards(
-        keyed.select(F.col("chunk_id").alias("doc_id")), n_shards=4
-    )
+    sharded = shuffle_shards(keyed, n_shards=4, id_col="chunk_id")
     per_shard = sharded.groupBy("shard").count().orderBy("shard").collect()
     print(
-        f"context chunks: {keyed.count()} → shards "
+        f"context chunks: {sum(r['count'] for r in per_shard)} → shards "
         + str({r["shard"]: r["count"] for r in per_shard})
     )
     if own_session:

@@ -4124,7 +4124,11 @@ def test_pagerank_matches_python_reference(spark):
     for _ in range(8):
         acc = {v: 0.0 for v in verts}
         for a, b in e:
-            acc[b] += round(((DAMPING * p[a]) / deg[a]) * LP_GRID) / LP_GRID
+            # HALF_UP like Spark/DuckDB round() — Python's round()
+            # is banker's and would diverge on an exact .5 tie
+            acc[b] += math.floor(
+                ((DAMPING * p[a]) / deg[a]) * LP_GRID + 0.5
+            ) / LP_GRID
         p = {v: (1.0 - DAMPING) / n + acc[v] for v in verts}
     got = {r.vertex: r.pagerank for r in pagerank(edges, n_iter=8).collect()}
     assert got == p
@@ -4191,12 +4195,9 @@ def test_chunk_shard_pipeline_composition(spark):
     keyed = chunks.withColumn(
         "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
     )
-    sharded = shuffle_shards(
-        keyed.select(F.col("chunk_id").alias("doc_id")),
-        n_shards=2,
-        order_mode="mult",
-    ).select(F.col("doc_id").alias("chunk_id"), "shard", "pos")
-    out = keyed.join(sharded, "chunk_id").collect()
+    out = shuffle_shards(
+        keyed, n_shards=2, order_mode="mult", id_col="chunk_id"
+    ).collect()
     assert len(out) == chunks.count()
     assert {r.doc_id for r in out} == kept_ids
     by_shard: dict[int, list] = {}

@@ -1053,10 +1053,11 @@ def test_chunk_shard_pipeline_composite_plan(spark):
     keyed = chunks.withColumn(
         "chunk_id", F.col("doc_id") * F.lit(1024) + F.col("chunk_idx")
     )
-    sharded = shuffle_shards(
-        keyed.select(F.col("chunk_id").alias("doc_id")), n_shards=4
-    ).select(F.col("doc_id").alias("chunk_id"), "shard", "pos")
-    a = audit(keyed.join(sharded, "chunk_id"))
+    a = audit(shuffle_shards(keyed, n_shards=4, id_col="chunk_id"))
+    # join-free since the keep-columns rework: ONE shard-keyed window
+    # over the fused filter+chunk projection
+    assert a.n_shuffles <= 1, a.text
+    assert "Join" not in a.text, a.text
     assert "CartesianProduct" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
