@@ -4205,3 +4205,145 @@ def test_chunk_shard_pipeline_composition(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+# ---------------- session-5 randomized differential sweeps (seeded)
+
+
+def test_context_chunks_random_geometry_differential(spark):
+    """30 random (doc length, chunk, stride) geometries in one batch
+    vs a pure-Python chunker: boundaries, counts, and text all
+    exact."""
+    import random
+
+    from dask_traj_spark.operators.curation import context_chunks
+
+    rng = random.Random(42)
+    cases = []
+    for i in range(30):
+        n = rng.randint(1, 200)
+        cases.append((i, " ".join(f"w{j}" for j in range(n))))
+    # one shared geometry per run keeps it a single Spark job; cycle
+    # three representative geometries across seeds
+    for chunk, stride in ((7, 3), (16, 16), (5, 5)):
+        docs = spark.createDataFrame(cases, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+            for r in context_chunks(
+                docs, chunk_tokens=chunk, stride=stride
+            ).collect()
+        }
+        want = {}
+        for i, text in cases:
+            toks = text.split(" ")
+            n = len(toks)
+            n_chunks = (
+                1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+            )
+            for ci in range(n_chunks):
+                s = ci * stride
+                sl = toks[s : s + chunk]
+                want[(i, ci)] = (len(sl), " ".join(sl))
+        assert got == want, (chunk, stride)
+
+
+def test_winnowing_random_geometry_differential(spark):
+    """Random texts x random (k, w) vs the pure-Python winnower over
+    the operator's own gram hashes."""
+    import random
+
+    from dask_traj_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(7)
+    for k, w in ((2, 2), (4, 7), (5, 3)):
+        cases = [
+            (
+                i,
+                " ".join(
+                    rng.choice("abcdefgh") for _ in range(rng.randint(1, 60))
+                ),
+            )
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(cases, "doc_id long, text string")
+        gh = {
+            r.doc_id: list(r.gh)
+            for r in docs.selectExpr(
+                "doc_id",
+                f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
+                f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+                f"i -> xxhash64(array_join(slice(split(text, ' '), i + 1, {k}), ' ')))"
+                " ELSE array() END AS gh",
+            ).collect()
+            if len(r.gh) > 0
+        }
+        want = {
+            (d, p, h)
+            for d, hs in gh.items()
+            for (p, h) in _winnow_reference(hs, w)
+        }
+        got = {
+            (r.doc_id, r.pos, r.fp)
+            for r in winnow_fingerprints(docs, k=k, w=w).collect()
+        }
+        assert got == want, (k, w)
+
+
+def test_char_entropy_random_differential(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from dask_traj_spark.functions.text import LP_GRID, char_entropy
+
+    rng = random.Random(3)
+    cases = [
+        (i, "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 120))))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r.doc_id: r.entropy for r in char_entropy(docs).collect()}
+    for i, t in cases:
+        n = len(t)
+        want = 0.0
+        for _c, cnt in Counter(t).items():
+            p = cnt / n
+            # HALF_UP like the engines (Python round is banker's)
+            want -= math.floor(p * math.log(p) * LP_GRID + 0.5) / LP_GRID
+        assert got[i] == want, (i, t)
+
+
+def test_pagerank_random_graph_differential(spark):
+    import random
+
+    from dask_traj_spark.functions.text import LP_GRID
+    from dask_traj_spark.operators.graph import DAMPING, pagerank
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n_v = rng.randint(4, 12)
+        e = sorted(
+            {
+                (rng.randrange(n_v), rng.randrange(n_v))
+                for _ in range(rng.randint(n_v, 3 * n_v))
+            }
+        )
+        edges = spark.createDataFrame(e, "src long, dst long")
+        verts = sorted({a for a, _ in e} | {b for _, b in e})
+        deg = {v: sum(1 for a, _ in e if a == v) for v in verts}
+        n = len(verts)
+        import math
+
+        p = {v: 1.0 / n for v in verts}
+        for _ in range(6):
+            acc = {v: 0.0 for v in verts}
+            for a, b in e:
+                acc[b] += (
+                    math.floor(((DAMPING * p[a]) / deg[a]) * LP_GRID + 0.5)
+                    / LP_GRID
+                )
+            p = {v: (1.0 - DAMPING) / n + acc[v] for v in verts}
+        got = {
+            r.vertex: r.pagerank for r in pagerank(edges, n_iter=6).collect()
+        }
+        assert got == p, (trial, e)
