@@ -982,3 +982,84 @@ def perplexity_buckets(
     return joined.select(
         "doc_id", strata_col, "avg_logprob", bucket.alias("bucket")
     )
+
+
+def heaps_law(
+    docs: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: stream each
+    source's documents in doc_id order, checkpoint (N_r, V_r) =
+    (cumulative tokens, cumulative distinct words) after every
+    document, and least-squares fit ln V = ln K + β·ln N — the
+    corpus-growth diagnostic (natural text: β ≈ 0.4–0.6; templated /
+    boilerplate sources grow their vocabulary far slower, gibberish
+    far faster) that tells mixing and dedup where the vocabulary
+    actually comes from.
+
+    Returns (source, n_docs, beta, ln_k).
+
+    Determinism: V_r counts words by their FIRST document rank (a
+    min over the stratum — exact integers); ln N and ln V are
+    snapped to the 2^-20 grid, each x·y / x² product is snapped
+    again, so all five least-squares sums are exact dyadic sums —
+    order-independent — and β / ln K are correctly-rounded
+    arithmetic over them: bit-identical across engines.
+
+    100-TB posture: one token explode feeding two keyed partial+
+    final aggregations ((source, word) first-rank + per-doc counts),
+    stratum-keyed windows for the doc rank and both running sums
+    (never SinglePartition), and a final per-source aggregation of
+    checkpoint terms.  Output is |sources| rows.
+    """
+    g = F.lit(LP_GRID)
+
+    def _snap(col: Column) -> Column:
+        return F.round(col * g, 0) / g
+
+    tok = docs.select(
+        F.col(strata_col).alias("src"),
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    # doc rank within the source (doc_id order) + per-doc token count
+    per_doc = tok.groupBy("src", "doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    w_rank = Window.partitionBy("src").orderBy("doc_id")
+    ranked = per_doc.withColumn("r", F.row_number().over(w_rank))
+    # a word's first rank within its source: min doc_id, then rank it
+    first_doc = tok.groupBy("src", "word").agg(F.min("doc_id").alias("fdoc"))
+    new_words = first_doc.groupBy("src", F.col("fdoc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nw")
+    )
+    w_run = (
+        Window.partitionBy("src")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ck = (
+        ranked.join(new_words, ["src", "doc_id"], "left")
+        .select(
+            "src",
+            "r",
+            F.sum("nt").over(w_run).alias("n_cum"),
+            F.sum(F.coalesce("nw", F.lit(0))).over(w_run).alias("v_cum"),
+        )
+    )
+    x = _snap(F.log(F.col("n_cum").cast("double")))
+    y = _snap(F.log(F.col("v_cum").cast("double")))
+    sums = ck.groupBy("src").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(_snap(x * y)).alias("sxy"),
+        F.sum(_snap(x * x)).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / m) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / m
+    )
+    return sums.select(
+        F.col("src").alias(strata_col),
+        F.col("m").cast("long").alias("n_docs"),
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / m).alias("ln_k"),
+    )

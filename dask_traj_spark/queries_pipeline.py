@@ -6205,3 +6205,66 @@ def q_chunk_shard_pipeline(spark, sf_dir):
     return shuffle_shards(
         keyed, n_shards=8, order_mode="mult", id_col="chunk_id"
     ).select("doc_id", "chunk_idx", "n_tokens", "shard", "pos")
+
+
+# ---------------------------------------------------------------------
+# t24: Heaps-law vocabulary growth (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _t24_oracle() -> str:
+    from dask_traj_spark.functions.text import LP_GRID
+
+    g = f"{LP_GRID:.1f}"
+    beta = "(sxy - sx * sy / CAST(m AS DOUBLE)) / (sxx - sx * sx / CAST(m AS DOUBLE))"
+    return f"""
+WITH tok AS (
+    SELECT source AS src, doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+per_doc AS (SELECT src, doc_id, count(*) AS nt FROM tok GROUP BY src, doc_id),
+ranked AS (
+    SELECT src, doc_id, nt,
+           row_number() OVER (PARTITION BY src ORDER BY doc_id) AS r
+    FROM per_doc
+),
+first_doc AS (SELECT src, word, min(doc_id) AS fdoc FROM tok GROUP BY src, word),
+new_words AS (
+    SELECT src, fdoc AS doc_id, count(*) AS nw FROM first_doc GROUP BY src, fdoc
+),
+ck AS (
+    SELECT rk.src, rk.r,
+           sum(rk.nt) OVER w AS n_cum,
+           sum(COALESCE(nw.nw, 0)) OVER w AS v_cum
+    FROM ranked rk LEFT JOIN new_words nw USING (src, doc_id)
+    WINDOW w AS (PARTITION BY rk.src ORDER BY rk.r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+    SELECT src,
+           round(ln(CAST(n_cum AS DOUBLE)) * {g}, 0) / {g} AS x,
+           round(ln(CAST(v_cum AS DOUBLE)) * {g}, 0) / {g} AS y
+    FROM ck
+),
+sums AS (
+    SELECT src, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+           sum(round(x * y * {g}, 0) / {g}) AS sxy,
+           sum(round(x * x * {g}, 0) / {g}) AS sxx
+    FROM terms GROUP BY src
+)
+SELECT src AS source, CAST(m AS BIGINT) AS n_docs,
+       {beta} AS beta,
+       (sy - ({beta}) * sx) / CAST(m AS DOUBLE) AS ln_k
+FROM sums
+"""
+
+
+@register("t24_heaps_law", _t24_oracle())
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law fit per source: checkpoint (cumulative tokens,
+    cumulative distinct words) after every document in doc_id order,
+    least-squares ln V = ln K + β·ln N.  All five regression sums
+    are exact dyadic sums of grid-snapped terms, so β and ln K are
+    the same correctly-rounded arithmetic in both engines."""
+    from dask_traj_spark.functions.text import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir))

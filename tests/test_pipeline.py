@@ -4347,3 +4347,69 @@ def test_pagerank_random_graph_differential(spark):
             r.vertex: r.pagerank for r in pagerank(edges, n_iter=6).collect()
         }
         assert got == p, (trial, e)
+
+
+# ------------------------------------------------------ t24 heaps law
+
+
+def test_heaps_law_matches_python_reference(spark):
+    import math
+    import random
+
+    from dask_traj_spark.functions.text import LP_GRID, heaps_law
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(18):
+        n = rng.randint(3, 40)
+        rows.append(
+            (i, " ".join(rng.choice("abcdefghijkl") + rng.choice("xyz")
+                          for _ in range(n)), f"s{i % 2}")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def snap(v: float) -> float:
+        return math.floor(v * LP_GRID + 0.5) / LP_GRID
+
+    want = {}
+    for src in ("s0", "s1"):
+        seen: set[str] = set()
+        n_cum = 0
+        xs, ys = [], []
+        for i, text, s in sorted(rows):
+            if s != src:
+                continue
+            ws = text.split(" ")
+            n_cum += len(ws)
+            seen.update(ws)
+            xs.append(snap(math.log(n_cum)))
+            ys.append(snap(math.log(len(seen))))
+        m = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(snap(x * y) for x, y in zip(xs, ys))
+        sxx = sum(snap(x * x) for x in xs)
+        beta = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+        want[src] = (m, beta, (sy - beta * sx) / m)
+    got = {
+        r.source: (r.n_docs, r.beta, r.ln_k)
+        for r in heaps_law(docs).collect()
+    }
+    assert got == want
+    # natural-ish random text: sublinear vocabulary growth
+    assert all(0.0 < b < 1.0 for (_m, b, _k) in got.values())
+
+
+def test_heaps_law_degenerate_sources(spark):
+    """A one-word source grows no vocabulary (β ≈ 0); a source of
+    all-new words grows linearly (β ≈ 1)."""
+    from dask_traj_spark.functions.text import heaps_law
+
+    rows = [(i, "same same same same", "flat") for i in range(6)]
+    rows += [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(4)), "fresh")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.beta for r in heaps_law(docs).collect()}
+    assert abs(got["flat"]) < 1e-9
+    assert abs(got["fresh"] - 1.0) < 1e-6

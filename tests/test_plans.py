@@ -1061,3 +1061,19 @@ def test_chunk_shard_pipeline_composite_plan(spark):
     assert "CartesianProduct" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_heaps_law_stratum_windows_no_single_partition(spark):
+    """t24: two keyed aggregations + stratum-keyed rank/running-sum
+    windows + one per-source final agg — never SinglePartition, no
+    cartesian, no Python."""
+    from dask_traj_spark.functions.text import heaps_law
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5} tail{i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    a = audit(heaps_law(docs))
+    assert "SinglePartition" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
