@@ -1044,9 +1044,34 @@ def heaps_law(
             F.sum(F.coalesce("nw", F.lit(0))).over(w_run).alias("v_cum"),
         )
     )
-    x = _snap(F.log(F.col("n_cum").cast("double")))
-    y = _snap(F.log(F.col("v_cum").cast("double")))
-    sums = ck.groupBy("src").agg(
+    return _fit_loglog(
+        ck, F.col("n_cum"), F.col("v_cum"), strata_col, "n_docs", "beta", "ln_k"
+    )
+
+
+def _fit_loglog(
+    pts: DataFrame,
+    x_raw: Column,
+    y_raw: Column,
+    strata_col: str,
+    m_name: str,
+    slope_name: str,
+    icept_name: str,
+) -> DataFrame:
+    """Shared per-stratum least-squares fit of ln(y) on ln(x) — one
+    definition for the Heaps (t24) and Zipf (t25) gates.  Both ln's
+    snapped to the 2^-20 grid, each x·y / x² product snapped again,
+    so all five regression sums are exact dyadic sums; slope and
+    intercept are then identical correctly-rounded arithmetic in
+    both engines."""
+    g = F.lit(LP_GRID)
+
+    def _snap(col: Column) -> Column:
+        return F.round(col * g, 0) / g
+
+    x = _snap(F.log(x_raw.cast("double")))
+    y = _snap(F.log(y_raw.cast("double")))
+    sums = pts.groupBy("src").agg(
         F.count(F.lit(1)).alias("m"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
@@ -1059,7 +1084,45 @@ def heaps_law(
     )
     return sums.select(
         F.col("src").alias(strata_col),
-        F.col("m").cast("long").alias("n_docs"),
-        beta.alias("beta"),
-        ((F.col("sy") - beta * F.col("sx")) / m).alias("ln_k"),
+        F.col("m").cast("long").alias(m_name),
+        beta.alias(slope_name),
+        ((F.col("sy") - beta * F.col("sx")) / m).alias(icept_name),
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit per source: rank each source's words
+    by frequency (word breaking count ties) and least-squares fit
+    ln(count) = ln C + s·ln(rank) over the top ``max_rank`` terms —
+    natural language sits near s ≈ −1; machine-generated or
+    key-value-ish text flattens toward 0.  The frequency-structure
+    twin of t24's growth diagnostic, sharing the same exact-sum
+    regression (``_fit_loglog``).
+
+    Returns (source, n_terms, slope, ln_c).
+
+    100-TB posture: one token explode → one (source, word) keyed
+    aggregation; the rank is a stratum-keyed window over the
+    per-source vocabulary (never SinglePartition), truncated at
+    ``max_rank`` so the fit's point count is bounded; |sources|-row
+    output."""
+    wc = (
+        docs.select(
+            F.col(strata_col).alias("src"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .groupBy("src", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("word").asc())
+    pts = wc.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= int(max_rank)
+    )
+    return _fit_loglog(
+        pts, F.col("rank"), F.col("c"), strata_col, "n_terms", "slope", "ln_c"
     )

@@ -167,11 +167,11 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 13 never-driver-scored tail-resident
+# top of _SCORING_TAIL): the 14 never-driver-scored tail-resident
 # gates below, then the 12 deferred r7-green shapes
 # (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2/c5), then the 14-query SS2-core
-# block (r9-green, 2-round hard bound hits in r11) — 13 + 12 + 14 =
-# 39 of 50, leaving 11 slots for any r11 touched set; then the
+# block (r9-green, 2-round hard bound hits in r11) — 14 + 12 + 14 =
+# 40 of 50, leaving 10 slots for any r11 touched set; then the
 # r8-green block stalest-first; the r9-green extension set ages
 # back in from r12.
 _SCORING_TAIL = [
@@ -192,6 +192,7 @@ _SCORING_TAIL = [
     "d18_pagerank_dup_graph",
     "c14_chunk_shard_pipeline",
     "t24_heaps_law",
+    "t25_zipf_slope",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

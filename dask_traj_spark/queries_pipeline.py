@@ -6268,3 +6268,57 @@ def q_heaps_law(spark, sf_dir):
     from dask_traj_spark.functions.text import heaps_law
 
     return heaps_law(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# t25: Zipf rank-frequency slope (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _t25_oracle(max_rank: int) -> str:
+    from dask_traj_spark.functions.text import LP_GRID
+
+    g = f"{LP_GRID:.1f}"
+    beta = ("(sxy - sx * sy / CAST(m AS DOUBLE))"
+            " / (sxx - sx * sx / CAST(m AS DOUBLE))")
+    return f"""
+WITH wc AS (
+    SELECT source AS src, word, count(*) AS c
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY src, word
+),
+pts AS (
+    SELECT src, c,
+           row_number() OVER (PARTITION BY src ORDER BY c DESC, word ASC)
+               AS rank
+    FROM wc
+    QUALIFY rank <= {max_rank}
+),
+terms AS (
+    SELECT src,
+           round(ln(CAST(rank AS DOUBLE)) * {g}, 0) / {g} AS x,
+           round(ln(CAST(c AS DOUBLE)) * {g}, 0) / {g} AS y
+    FROM pts
+),
+sums AS (
+    SELECT src, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+           sum(round(x * y * {g}, 0) / {g}) AS sxy,
+           sum(round(x * x * {g}, 0) / {g}) AS sxx
+    FROM terms GROUP BY src
+)
+SELECT src AS source, CAST(m AS BIGINT) AS n_terms,
+       {beta} AS slope,
+       (sy - ({beta}) * sx) / CAST(m AS DOUBLE) AS ln_c
+FROM sums
+"""
+
+
+@register("t25_zipf_slope", _t25_oracle(1000))
+def q_zipf_slope(spark, sf_dir):
+    """Zipf slope per source over the top-1000 rank-frequency points
+    (count ties broken by word): natural text ≈ −1, flat/templated
+    text toward 0.  Shares t24's exact-dyadic-sum regression, so the
+    slope is bit-identical in both engines."""
+    from dask_traj_spark.functions.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), max_rank=1000)

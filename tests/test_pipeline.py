@@ -4413,3 +4413,43 @@ def test_heaps_law_degenerate_sources(spark):
     got = {r.source: r.beta for r in heaps_law(docs).collect()}
     assert abs(got["flat"]) < 1e-9
     assert abs(got["fresh"] - 1.0) < 1e-6
+
+
+# ------------------------------------------------------ t25 zipf slope
+
+
+def test_zipf_slope_matches_python_reference_and_extremes(spark):
+    import math
+    from collections import Counter
+
+    from dask_traj_spark.functions.text import LP_GRID, zipf_slope
+
+    # zipfy source: word w_k appears ~N/k times; flat source: every
+    # word exactly twice (slope exactly 0)
+    zipfy = []
+    for k in range(1, 13):
+        zipfy += [f"w{k:02d}"] * (60 // k)
+    rows = [(1, " ".join(zipfy), "zipfy"),
+            (2, " ".join(f"u{j}" for j in range(20)) + " "
+                + " ".join(f"u{j}" for j in range(20)), "flat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in zipf_slope(docs, max_rank=50).collect()}
+
+    def snap(v: float) -> float:
+        return math.floor(v * LP_GRID + 0.5) / LP_GRID
+
+    # python reference for the zipfy source
+    cnt = Counter(zipfy)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [snap(math.log(r + 1)) for r in range(len(ranked))]
+    ys = [snap(math.log(c)) for _w, c in ranked]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(snap(x * y) for x, y in zip(xs, ys))
+    sxx = sum(snap(x * x) for x in xs)
+    beta = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    assert got["zipfy"].slope == beta
+    assert -1.4 < got["zipfy"].slope < -0.6  # near the Zipf ideal
+    # uniform counts: flat up to the per-term 2^-21 snapping noise
+    assert abs(got["flat"].slope) < 1e-5
+    assert got["flat"].n_terms == 20

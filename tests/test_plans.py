@@ -1077,3 +1077,18 @@ def test_heaps_law_stratum_windows_no_single_partition(spark):
     assert "SinglePartition" not in a.text, a.text
     assert "CartesianProduct" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_zipf_slope_stratum_window_no_single_partition(spark):
+    """t25: one keyed aggregation + a stratum-keyed rank window +
+    the shared regression agg — never SinglePartition, no Python."""
+    from dask_traj_spark.functions.text import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5} tail{i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    a = audit(zipf_slope(docs))
+    assert "SinglePartition" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
