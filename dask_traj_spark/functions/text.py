@@ -1126,3 +1126,160 @@ def zipf_slope(
     return _fit_loglog(
         pts, F.col("rank"), F.col("c"), strata_col, "n_terms", "slope", "ln_c"
     )
+
+
+def top_ngram_char_fraction(
+    docs: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al., public arXiv
+    2112.11446, Table A1 "fraction of characters in most frequent
+    n-gram"): for each document, its single most frequent word
+    ``n``-gram and the fraction of the document's characters that
+    gram's occurrences account for (occurrences × gram characters,
+    the paper's multiplicative definition — overlaps not deduped;
+    :func:`dup_ngram_char_fraction` is the interval-union twin).
+    Natural text stays low; templated or looping generations spike.
+
+    Returns (doc_id, top_gram, gram_count, char_frac) — one row per
+    document; docs shorter than ``n`` tokens get ('', 0, 0.0).
+
+    Determinism: counts are exact integers; the tie on count breaks
+    to the lexicographically smallest gram (min over the
+    (-count, gram) struct ≡ ORDER BY count DESC, gram ASC);
+    char_frac is one correctly-rounded integer division.
+
+    100-TB posture: n-gram windows are built JVM-side from the split
+    array (no per-token shuffle, no Python); the occurrence count
+    collapses map-side in a (doc_id, gram) partial+final
+    aggregation; the per-doc argmax is a second partial-aggregable
+    groupBy (min over a 2-field struct — NOT a window, so a
+    boilerplate-heavy doc never sorts in one task); the zero-fill
+    join is keyed on doc_id.  Nothing is cartesian or
+    SinglePartition."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    ng_col = F.expr(
+        f"transform(sequence(0, size(t) - {n}), "
+        f"i -> array_join(slice(t, i + 1, {n}), ' '))"
+    )
+    occ = base.where(F.size("t") >= n).select(
+        "doc_id", "n_chars", F.explode(ng_col).alias("gram")
+    )
+    cnt = occ.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        cnt.groupBy("doc_id", "n_chars")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("gram"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.gram").alias("top_gram"),
+            (-F.col("m.negc")).cast("long").alias("gram_count"),
+            (
+                ((-F.col("m.negc")) * F.length("m.gram")).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("char_frac"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+            F.coalesce("gram_count", F.lit(0).cast("long")).alias("gram_count"),
+            F.coalesce("char_frac", F.lit(0.0)).alias("char_frac"),
+        )
+    )
+
+
+def dup_ngram_char_fraction(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style "fraction of characters in duplicate n-grams"
+    (Rae et al., public arXiv 2112.11446, Table A1): the fraction of
+    a document's characters covered by the INTERVAL UNION of every
+    word ``n``-gram that occurs more than once WITHIN that same
+    document — the within-doc twin of d11's cross-doc duplicated
+    spans, and the self-repetition signal the top-gram metric
+    (:func:`top_ngram_char_fraction`) undercounts when a doc loops
+    through several different phrases.
+
+    Returns (doc_id, n_chars, dup_chars, dup_frac) — one row per
+    document.  Character offsets count the single joining space
+    between tokens as part of a covering gram, but a space BETWEEN
+    two disjoint covered islands is not covered.
+
+    Determinism: offsets and coverage are exact integers (token
+    char-starts derive from prefix join lengths); dup_frac is one
+    correctly-rounded integer division.
+
+    100-TB posture: gram windows and their char spans are built
+    JVM-side from the split array (transform over sequence — no
+    Python, no per-token shuffle); the duplicate filter is a
+    (doc_id, gram)-keyed window count (bounded per doc — within-doc
+    occurrence counts, no corpus-wide skew key); the interval union
+    is a doc_id-keyed gaps-and-islands (running-max window + one
+    partial-aggregable groupBy); the zero-fill join is keyed on
+    doc_id.  Nothing is cartesian or SinglePartition."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    # struct per window: gram string + inclusive char start + exclusive
+    # char end.  cs(i) = chars of the first i tokens joined, plus the
+    # following space (0 for i = 0); ce(i) = chars of the first i + n
+    # tokens joined — all exact integer lengths, mirrored verbatim in
+    # the DuckDB oracle.
+    span_col = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> struct("
+        f"array_join(slice(t, i + 1, {n}), ' ') AS gram, "
+        f"CASE WHEN i = 0 THEN 0 "
+        f"ELSE length(array_join(slice(t, 1, i), ' ')) + 1 END AS cs, "
+        f"length(array_join(slice(t, 1, i + {n}), ' ')) AS ce))"
+    )
+    occ = base.where(F.size("t") >= n).select(
+        "doc_id", "n_chars", F.explode(span_col).alias("s")
+    ).select("doc_id", "n_chars", "s.gram", "s.cs", "s.ce")
+    w_cnt = Window.partitionBy("doc_id", "gram")
+    hits = occ.withColumn("c", F.count(F.lit(1)).over(w_cnt)).where(
+        F.col("c") >= 2
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("cs", "ce")
+    run_max = F.max("ce").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("cs") > F.coalesce(run_max, F.lit(-1)), 1).otherwise(0)
+    islands = (
+        hits.withColumn("g", F.sum(brk).over(w_ord))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg((F.max("ce") - F.min("cs")).alias("cov"))
+    )
+    per_doc = islands.groupBy("doc_id", "n_chars").agg(
+        F.sum("cov").cast("long").alias("dup_chars")
+    )
+    return (
+        docs.select("doc_id", F.length(text_col).alias("n_chars"))
+        .join(per_doc.drop("n_chars"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+            (
+                F.coalesce("dup_chars", F.lit(0).cast("long")).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -6322,3 +6322,113 @@ def q_zipf_slope(spark, sf_dir):
     from dask_traj_spark.functions.text import zipf_slope
 
     return zipf_slope(_docs(spark, sf_dir), max_rank=1000)
+
+
+# ---------------------------------------------------------------------
+# t26: Gopher top-n-gram character fraction (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_T26_ORACLE = f"""
+WITH {TOK_CTE.strip()},
+g AS (
+    SELECT t0.doc_id, t0.word || ' ' || t1.word AS gram
+    FROM tok t0
+    JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+top AS (
+    SELECT doc_id, gram, c,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, gram ASC
+           ) AS rk
+    FROM cnt
+)
+SELECT d.doc_id,
+       COALESCE(t.gram, '') AS top_gram,
+       CAST(COALESCE(t.c, 0) AS BIGINT) AS gram_count,
+       CASE WHEN t.c IS NOT NULL
+            THEN CAST(t.c * length(t.gram) AS DOUBLE)
+                 / CAST(length(d.text) AS DOUBLE)
+            ELSE 0.0 END AS char_frac
+FROM documents d
+LEFT JOIN (SELECT doc_id, gram, c FROM top WHERE rk = 1) t USING (doc_id)
+"""
+
+
+@register("t26_top_ngram_fraction", _T26_ORACLE)
+def q_top_ngram_fraction(spark, sf_dir):
+    """Gopher repetition rule "fraction of characters in the most
+    frequent 2-gram" (Rae et al., arXiv 2112.11446 Table A1): the
+    per-doc argmax gram (count ties break to the smallest gram — a
+    min over the (-count, gram) struct, partial-aggregable, never a
+    window) and its multiplicative char coverage."""
+    from dask_traj_spark.functions.text import top_ngram_char_fraction
+
+    return top_ngram_char_fraction(_docs(spark, sf_dir), n=2)
+
+
+# ---------------------------------------------------------------------
+# t27: Gopher duplicate-n-gram char coverage (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_T27_N = 5
+
+_T27_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {_T27_N - 1})) AS i
+    FROM toks WHERE len(t) >= {_T27_N}
+),
+spans AS (
+    SELECT doc_id,
+           array_to_string(t[i:i + {_T27_N - 1}], ' ') AS gram,
+           CASE WHEN i = 1 THEN 0
+                ELSE length(array_to_string(t[1:i - 1], ' ')) + 1 END AS cs,
+           length(array_to_string(t[1:i + {_T27_N - 1}], ' ')) AS ce
+    FROM idx
+),
+hits AS (
+    SELECT doc_id, cs, ce FROM (
+        SELECT doc_id, cs, ce,
+               count(*) OVER (PARTITION BY doc_id, gram) AS c
+        FROM spans)
+    WHERE c >= 2
+),
+isl AS (
+    SELECT doc_id, cs, ce,
+           CASE WHEN cs > COALESCE(max(ce) OVER (
+                    PARTITION BY doc_id ORDER BY cs, ce
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+grp AS (
+    SELECT doc_id, cs, ce,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY cs, ce) AS g
+    FROM isl
+),
+cov AS (
+    SELECT doc_id, max(ce) - min(cs) AS cov FROM grp GROUP BY doc_id, g
+),
+per AS (SELECT doc_id, sum(cov) AS dup_chars FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+           / CAST(length(d.text) AS DOUBLE) AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("t27_dup_ngram_char_fraction", _T27_ORACLE)
+def q_dup_ngram_char_fraction(spark, sf_dir):
+    """Gopher repetition rule "fraction of characters in duplicate
+    n-grams" (Rae et al., arXiv 2112.11446 Table A1): interval union
+    of every 5-gram occurring more than once WITHIN a doc, measured
+    in characters — the within-doc twin of d11's cross-doc spans."""
+    from dask_traj_spark.functions.text import dup_ngram_char_fraction
+
+    return dup_ngram_char_fraction(_docs(spark, sf_dir), n=_T27_N)

@@ -4453,3 +4453,77 @@ def test_zipf_slope_matches_python_reference_and_extremes(spark):
     # uniform counts: flat up to the per-term 2^-21 snapping noise
     assert abs(got["flat"].slope) < 1e-5
     assert got["flat"].n_terms == 20
+
+
+# ------------------------------------- t26 top-n-gram char fraction
+
+
+def test_top_ngram_char_fraction_pinned(spark):
+    """Hand-computed Gopher top-2-gram fractions, the count tie-break
+    (smallest gram wins) and the shorter-than-n zero row."""
+    from dask_traj_spark.functions.text import top_ngram_char_fraction
+
+    rows = [
+        (1, "a b a b a b c"),          # "a b" x3 of 13 chars
+        (2, "x y x y z w z w"),        # "x y" x2 ties "z w" x2 -> "x y"
+        (3, "solo"),                   # < n tokens -> zero row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in top_ngram_char_fraction(docs, n=2).collect()}
+    assert (got[1].top_gram, got[1].gram_count) == ("a b", 3)
+    assert got[1].char_frac == 3 * 3 / 13
+    assert (got[2].top_gram, got[2].gram_count) == ("x y", 2)
+    assert (got[3].top_gram, got[3].gram_count, got[3].char_frac) == ("", 0, 0.0)
+
+
+def test_top_ngram_char_fraction_n1_and_validation(spark):
+    from dask_traj_spark.functions.text import top_ngram_char_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "dog cat dog")], "doc_id long, text string"
+    )
+    r = top_ngram_char_fraction(docs, n=1).collect()[0]
+    assert (r.top_gram, r.gram_count) == ("dog", 2)
+    assert r.char_frac == 2 * 3 / 11
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        top_ngram_char_fraction(docs, n=0)
+
+
+# ------------------------------------- t27 dup-n-gram char coverage
+
+
+def test_dup_ngram_char_fraction_pinned(spark):
+    """Hand-computed interval unions: disjoint islands, merged
+    overlapping islands, no-dup zero, shorter-than-n zero."""
+    from dask_traj_spark.functions.text import dup_ngram_char_fraction
+
+    rows = [
+        # "a b c d e" at pos 0 and 6: islands [0,9) + [12,21) of 21
+        (1, "a b c d e X a b c d e"),
+        # dup 5-grams at pos 0,1 and 6,7: merged islands [0,11) + [12,23)
+        (2, "a b c d e f a b c d e f"),
+        # no within-doc duplicate 5-gram
+        (3, "p q r s t u v w"),
+        # shorter than n
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_ngram_char_fraction(docs, n=5).collect()}
+    assert (got[1].n_chars, got[1].dup_chars) == (21, 18)
+    assert got[1].dup_frac == 18 / 21
+    assert (got[2].n_chars, got[2].dup_chars) == (23, 22)
+    assert got[2].dup_frac == 22 / 23
+    assert (got[3].dup_chars, got[3].dup_frac) == (0, 0.0)
+    assert (got[4].dup_chars, got[4].dup_frac) == (0, 0.0)
+
+
+def test_dup_ngram_char_fraction_validation(spark):
+    import pytest as _pytest
+
+    from dask_traj_spark.functions.text import dup_ngram_char_fraction
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n must be"):
+        dup_ngram_char_fraction(docs, n=0)

@@ -1092,3 +1092,40 @@ def test_zipf_slope_stratum_window_no_single_partition(spark):
     assert "SinglePartition" not in a.text, a.text
     assert "CartesianProduct" not in a.text, a.text
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_top_ngram_char_fraction_plan_shape(spark):
+    """t26's 100-TB posture: gram windows JVM-side (no Python), the
+    per-doc argmax is a partial-aggregable min-over-struct groupBy
+    (never a window over raw occurrences), the zero-fill join is
+    keyed on doc_id — no cartesian, no SinglePartition."""
+    from dask_traj_spark.functions.text import top_ngram_char_fraction
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b c") for i in range(4)], "doc_id long, text string"
+    )
+    a = audit(top_ngram_char_fraction(docs, n=2))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+
+
+def test_dup_ngram_char_fraction_plan_shape(spark):
+    """t27's 100-TB posture: gram windows + char offsets JVM-side,
+    the duplicate filter a (doc_id, gram)-keyed window (within-doc
+    counts — no corpus-wide skew key), islands keyed on doc_id — no
+    cartesian, no Python, no SinglePartition."""
+    from dask_traj_spark.functions.text import dup_ngram_char_fraction
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f a b c d e f") for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = audit(dup_ngram_char_fraction(docs, n=5))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
