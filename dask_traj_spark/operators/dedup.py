@@ -1171,6 +1171,47 @@ def keep_best_in_clusters(
     )
 
 
+def soft_dedup_weights(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Soft deduplication — reweight instead of drop (the SoftDeDup
+    idea, He et al., "SoftDedup: an Efficient Data Reweighting Method
+    for Speeding Up Language Model Pre-training", public ACL 2024):
+    keep EVERY document but scale its sampling weight by the inverse
+    of its near-dup cluster size, so each distinct content item
+    contributes ~one document's worth of expected tokens per epoch
+    while high-multiplicity boilerplate keeps a small, nonzero
+    gradient signal (hard dedup's keep-one policy is the
+    weight ∈ {0, 1} special case — d16 for quality-aware keeps).
+
+    ``pairs`` is any near-dup pair table (id1, id2) — d2/d4/d6/d8
+    all emit one.  Returns (``id_col``, component, cluster_size,
+    weight) with weight = 1 / cluster_size — exact integer division,
+    bit-identical across engines; Σ weight = number of distinct
+    clusters by construction (the conservation law the unit test
+    pins).
+
+    100-TB posture: component labels come from
+    :func:`dup_components`' O(log n) pointer-doubling loop
+    (checkpoint-bounded); the size attach is one partial-aggregable
+    component-keyed count + one keyed join (AQE handles a degenerate
+    mega-cluster's skew) — never a window over raw members, never
+    SinglePartition."""
+    comp = dup_components(pairs, nodes, id_col=id_col, max_iters=max_iters)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        id_col,
+        "component",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )
+
+
 def winnow_matches(
     docs: DataFrame,
     k: int = 3,

@@ -6432,3 +6432,38 @@ def q_dup_ngram_char_fraction(spark, sf_dir):
     from dask_traj_spark.functions.text import dup_ngram_char_fraction
 
     return dup_ngram_char_fraction(_docs(spark, sf_dir), n=_T27_N)
+
+
+# ---------------------------------------------------------------------
+# d19: soft dedup — inverse-cluster-size sampling weights (tail-
+# resident, seats r11)
+# ---------------------------------------------------------------------
+
+_D19_ORACLE = f"""
+{_components_cte(0.9)},
+sz AS (SELECT comp, count(*) AS s FROM c GROUP BY comp)
+SELECT CAST(c.id AS BIGINT) AS doc_id,
+       CAST(c.comp AS BIGINT) AS component,
+       CAST(sz.s AS BIGINT) AS cluster_size,
+       1.0 / CAST(sz.s AS DOUBLE) AS weight
+FROM c JOIN sz ON sz.comp = c.comp
+"""
+
+
+@register("d19_soft_dedup_weights", _D19_ORACLE)
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup reweighting: d2's MinHash pair graph → d7's
+    min-label components → weight = 1/|cluster| per document — the
+    keep-everything, downweight-duplicates alternative to d16's
+    keep-one policy.  Shares the d7/d16 closure CTE verbatim."""
+    from dask_traj_spark.operators.dedup import (
+        MAX_BUCKET,
+        near_duplicates_minhash,
+        soft_dedup_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = near_duplicates_minhash(
+        docs, threshold=0.9, id_mode="sorted", max_bucket=MAX_BUCKET
+    ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    return soft_dedup_weights(pairs, docs.select("doc_id"))

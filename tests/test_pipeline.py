@@ -4527,3 +4527,28 @@ def test_dup_ngram_char_fraction_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="n must be"):
         dup_ngram_char_fraction(docs, n=0)
+
+
+# ------------------------------------- d19 soft dedup weights
+
+
+def test_soft_dedup_weights_pinned_and_conservation(spark):
+    """Chain cluster {1,2,3} gets weight 1/3 each; singletons keep
+    weight 1; Σ weight == number of distinct clusters (the
+    conservation law that makes soft dedup epoch-neutral)."""
+    from dask_traj_spark.operators.dedup import soft_dedup_weights
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    rows = {r.doc_id: r for r in soft_dedup_weights(pairs, nodes).collect()}
+    assert len(rows) == 5
+    for d in (1, 2, 3):
+        assert rows[d].component == 1
+        assert rows[d].cluster_size == 3
+        assert rows[d].weight == 1 / 3
+    for d in (4, 5):
+        assert rows[d].component == d
+        assert rows[d].cluster_size == 1
+        assert rows[d].weight == 1.0
+    n_clusters = len({r.component for r in rows.values()})
+    assert abs(sum(r.weight for r in rows.values()) - n_clusters) < 1e-12

@@ -1129,3 +1129,19 @@ def test_dup_ngram_char_fraction_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_soft_dedup_weights_plan_shape(spark):
+    """d19's 100-TB posture: the size attach is a partial-aggregable
+    component-keyed count + keyed join — no cartesian, no Python, no
+    SinglePartition (the component loop is checkpoint-bounded)."""
+    from dask_traj_spark.operators.dedup import soft_dedup_weights
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "id1 long, id2 long")
+    a = audit(soft_dedup_weights(pairs, nodes))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
