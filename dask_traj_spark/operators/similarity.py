@@ -48,16 +48,32 @@ def _quantized_elements(emb: DataFrame, id_col: str, prefix: str) -> DataFrame:
 
 
 def cosine_pairs(
-    emb: DataFrame, query_ids: Sequence[int], id_col: str = "vec_id"
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    id_col: str = "vec_id",
+    corpus_filter=None,
 ) -> DataFrame:
     """(qid, vec_id, cos) exact quantized cosine for every (query,
-    corpus) pair. Query side is broadcast."""
+    corpus) pair. Query side is broadcast.
+
+    ``corpus_filter`` (Column or SQL string) restricts the CORPUS
+    side before the explode — pre-filter semantics for filtered
+    vector search: the predicate sits directly on the scan, so
+    Catalyst pushes it into the parquet reader (PushedFilters) and
+    the explode/join/agg pipeline never sees a non-matching row.
+    Queries are looked up in the UNFILTERED table (a query need not
+    satisfy its own filter)."""
     q = F.broadcast(
         _quantized_elements(
             emb.where(F.col(id_col).isin([int(i) for i in query_ids])), id_col, "qid"
         )
     )
-    c = _quantized_elements(emb, id_col, "cid")
+    corpus = emb
+    if corpus_filter is not None:
+        if isinstance(corpus_filter, str):
+            corpus_filter = F.expr(corpus_filter)
+        corpus = corpus.where(corpus_filter)
+    c = _quantized_elements(corpus, id_col, "cid")
     dots = (
         q.join(c, "pos")
         .groupBy("qid", "cid")
@@ -75,11 +91,25 @@ def cosine_pairs(
 
 
 def cosine_topk(
-    emb: DataFrame, query_ids: Sequence[int], k: int = 10, id_col: str = "vec_id"
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    corpus_filter=None,
 ) -> DataFrame:
     """Exact top-k by cosine per query (excluding self), deterministic
-    tie-break on (cos desc, vec_id asc). → (qid, vec_id, cos, rank)."""
-    pairs = cosine_pairs(emb, query_ids, id_col).where(F.col("qid") != F.col(id_col))
+    tie-break on (cos desc, vec_id asc). → (qid, vec_id, cos, rank).
+
+    With ``corpus_filter`` this is FILTERED vector search (the
+    metadata-constrained top-k every production vector store exposes)
+    with pre-filter semantics: each query receives k results from the
+    filtered corpus — never fewer because ranking preceded filtering.
+    The predicate pushes down to the corpus scan; at 100 TB that is
+    the difference between reading one partition-pruned slice and
+    brute-forcing the corpus then discarding most of the ranking."""
+    pairs = cosine_pairs(emb, query_ids, id_col, corpus_filter).where(
+        F.col("qid") != F.col(id_col)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         pairs.select("qid", id_col, "cos", F.row_number().over(w).alias("rank"))

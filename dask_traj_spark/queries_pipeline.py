@@ -6467,3 +6467,60 @@ def q_soft_dedup_weights(spark, sf_dir):
         docs, threshold=0.9, id_mode="sorted", max_bucket=MAX_BUCKET
     ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
     return soft_dedup_weights(pairs, docs.select("doc_id"))
+
+
+# ---------------------------------------------------------------------
+# v9: metadata-filtered vector search (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_V9_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS vq
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS vc
+    FROM embeddings WHERE label % 2 = 0
+),
+dots AS (
+    SELECT qid, cid, sum(vq * vc) AS dot, sum(vq * vq) AS qq, sum(vc * vc) AS cc
+    FROM q JOIN c USING (pos) GROUP BY qid, cid
+),
+scored AS (
+    SELECT qid, cid, dot / (sqrt(qq) * sqrt(cc)) AS cos
+    FROM dots WHERE qid <> cid
+),
+ranked AS (
+    SELECT qid, cid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+    FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS vec_id, cos,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+@register("v9_filtered_topk", _V9_ORACLE)
+def q_filtered_topk(spark, sf_dir):
+    """Filtered vector search: exact cosine top-k restricted to the
+    corpus slice satisfying a metadata predicate (label % 2 = 0),
+    with PRE-filter semantics — k results from the filtered set, the
+    predicate pushed into the corpus scan.  The v1 machinery with
+    ``corpus_filter``; queries need not satisfy their own filter."""
+    from dask_traj_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(
+        _emb(spark, sf_dir),
+        list(range(_N_QUERIES)),
+        k=_TOPK,
+        corpus_filter="label % 2 = 0",
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )

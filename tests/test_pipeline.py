@@ -4552,3 +4552,49 @@ def test_soft_dedup_weights_pinned_and_conservation(spark):
         assert rows[d].weight == 1.0
     n_clusters = len({r.component for r in rows.values()})
     assert abs(sum(r.weight for r in rows.values()) - n_clusters) < 1e-12
+
+
+# ------------------------------------- v9 filtered vector search
+
+
+def test_cosine_topk_filtered_prefilter_semantics(spark):
+    """Filtered top-k returns only corpus vectors satisfying the
+    predicate, k of them (pre-filter, not post-filter), and equals
+    brute-force top-k over the pre-filtered corpus."""
+    import random
+
+    from dask_traj_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = cosine_topk(emb, [0, 1], k=5, corpus_filter="label = 2").collect()
+    allowed = {i for i, _v, l in rows if l == 2}
+    assert {r.vec_id for r in got} <= allowed
+    # pre-filter: full k per query even though the filter removed 2/3
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert {len(v) for v in by_q.values()} == {5}
+    # equals brute-force top-k over the manually pre-filtered corpus
+    # (queries added back so the lookup finds them; they are then
+    # dropped from the ranking, and the per-query ORDER must match)
+    manual = cosine_topk(
+        emb.where(F.col("label") == 2).unionByName(
+            emb.where(F.col("vec_id").isin([0, 1]))
+        ).distinct(),
+        [0, 1],
+        k=7,  # headroom: the 2 query vecs may occupy ranks
+    ).collect()
+    man_by_q: dict[int, list[int]] = {}
+    for r in sorted(manual, key=lambda r: (r.qid, r.rank)):
+        if r.vec_id in allowed:
+            man_by_q.setdefault(r.qid, []).append(r.vec_id)
+    for qid, rows_q in by_q.items():
+        ordered = [r.vec_id for r in sorted(rows_q, key=lambda r: r.rank)]
+        assert man_by_q[qid][:5] == ordered, (qid, man_by_q[qid][:5], ordered)

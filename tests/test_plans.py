@@ -1145,3 +1145,30 @@ def test_soft_dedup_weights_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_cosine_topk_filtered_pushdown(spark, tmp_path):
+    """v9's 100-TB posture: the metadata predicate reaches the
+    corpus parquet scan (PushedFilters), the query side is
+    broadcast, and the plan has no cartesian/Python/SinglePartition
+    beyond v1's shape."""
+    import random
+
+    from dask_traj_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)], i % 2)
+        for i in range(20)
+    ]
+    p = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(p)
+    emb = spark.read.parquet(p)
+    a = audit(cosine_topk(emb, [0], k=3, corpus_filter="label = 0"))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    # the label predicate is pushed into a parquet scan
+    assert "PushedFilters" in a.text and "label" in a.text, a.text
