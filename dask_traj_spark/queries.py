@@ -197,6 +197,8 @@ _SCORING_TAIL = [
     "t27_dup_ngram_char_fraction",
     "d19_soft_dedup_weights",
     "v9_filtered_topk",
+    "e9_inter_event_gaps",
+    "sx12_stream_gap_twin",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

@@ -6524,3 +6524,107 @@ def q_filtered_topk(spark, sf_dir):
         "cos",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------
+# e9: inter-event gap quantiles (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_E9_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_gap_us,
+       quantile_cont(gap_us, 0.5) AS p50_us,
+       quantile_cont(gap_us, 0.875) AS p875_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def _gap_rollup(gaps: DataFrame) -> DataFrame:
+    """The shared per-type rollup of (event_type, gap_us) rows — ONE
+    definition for the e9 batch gate and its sx12 streaming twin:
+    exact linear-interpolation quantiles at DYADIC percentiles (0.5,
+    0.875 = 7/8 — exactly representable, so Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` bit-for-bit, the r19 rule) plus the
+    exact-integer-sum mean."""
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("gap_us", F.lit(0.875)).alias("p875_us"),
+    )
+
+
+@register("e9_inter_event_gaps", _E9_ORACLE)
+def q_inter_event_gaps(spark, sf_dir):
+    """Per-type inter-arrival structure: each user's consecutive-event
+    gap (microseconds, attributed to the LATER event's type), rolled
+    up per event type (``_gap_rollup``).  The cadence diagnostic
+    behind rate-limit/burst policies (e7 flags the bursts; e9
+    measures the baseline rhythm).
+
+    100-TB posture: one user-keyed window (lag only — no unbounded
+    frame), one partial+final aggregation on the tiny event_type key;
+    |event types| rows out; never SinglePartition."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.sources.events import events_df
+
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+    ).where(F.col("gap_us").isNotNull())
+    return _gap_rollup(g)
+
+
+@register("sx12_stream_gap_twin", _E9_ORACLE)
+def q_stream_gap_twin(spark, sf_dir):
+    """Incremental inter-event gaps vs e9's SQL value oracle: the
+    corpus replays in three event-time slices through the versioned
+    per-user last-timestamp fold (``process_gaps_batch``); the middle
+    batch is crash-replayed inside the query; the union of emitted
+    gaps rolled up by the SHARED ``_gap_rollup`` must match the
+    one-pass batch computation value-for-value."""
+    import shutil
+    import tempfile
+
+    from dask_traj_spark.sources.events import events_df
+    from dask_traj_spark.streaming.ingest import gaps_final, process_gaps_batch
+
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    lo, hi = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    us = F.unix_micros(F.col("ts"))
+    slices = [
+        ev.where(us < c1),
+        ev.where((us >= c1) & (us < c2)),
+        ev.where(us >= c2),
+    ]
+    work = tempfile.mkdtemp(prefix="sx12_gaps_twin_")
+    state, results = f"{work}/state", f"{work}/results"
+    try:
+        for b, sl in enumerate(slices):
+            process_gaps_batch(sl, b, state, results)
+        # crash-replay of the middle batch: its results partition and
+        # state version 1 are rewritten from version 0
+        process_gaps_batch(slices[1], 1, state, results)
+        pdf = _gap_rollup(gaps_final(spark, results)).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "event_type string, n_gaps long, mean_gap_us double, "
+        "p50_us double, p875_us double",
+    )

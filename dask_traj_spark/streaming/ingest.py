@@ -694,3 +694,82 @@ def prune_state_versions(
             fs.delete(status.getPath(), True)
             removed += 1
     return removed
+
+
+def _read_gap_state(spark: SparkSession, state_dir: str, version: int):
+    schema = "user_id long, p_last long"
+    if version < 0:
+        return spark.createDataFrame([], schema)
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return spark.createDataFrame([], schema)
+    st = spark.read.parquet(state_dir)
+    return st.where(F.col("batch_id") == version).drop("batch_id")
+
+
+def process_gaps_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    results_dir: str,
+) -> None:
+    """One time-sliced micro-batch of incremental inter-event gap
+    extraction (the streaming twin of e9): within-batch gaps come
+    from one user-keyed lag window; each user's FIRST batch event
+    stitches onto the carried last-event timestamp from state
+    version ``batch_id−1``; state version ``batch_id`` holds one row
+    per user (their latest event time, absent users carried
+    forward).
+
+    Emit-is-final argument: batches are time-ordered, so every gap
+    (a consecutive pair within one user's timeline) is fully
+    determined the moment its later event arrives — nothing ever
+    reopens, unlike sx4's mergeable session tails.
+
+    Exactly-once: results and state land via the same
+    batch-partition OVERWRITE as the other versioned folds, so a
+    crash-replay of any batch rewrites its partition bit-identically
+    instead of appending duplicates.
+
+    100-TB posture: one window + one agg keyed on user_id per batch;
+    state is one row per user; old versions are replay insurance
+    (prune with :func:`prune_state_versions`)."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.streaming.dedup import _overwrite_batch_partition
+
+    spark = batch_df.sparkSession
+    ev = batch_df.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    loc = ev.withColumn("prev_us", F.lag("us").over(w))
+    prev = _read_gap_state(spark, state_dir, batch_id - 1)
+    j = loc.join(prev, "user_id", "left")
+    gap = F.coalesce(F.col("prev_us"), F.col("p_last"))
+    gaps = j.select(
+        "user_id",
+        "event_type",
+        (F.col("us") - gap).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    _overwrite_batch_partition(gaps, results_dir, batch_id)
+    tails = loc.groupBy("user_id").agg(F.max("us").alias("p_last"))
+    carried = prev.join(
+        ev.select("user_id").distinct(), "user_id", "left_anti"
+    )
+    _overwrite_batch_partition(
+        tails.unionByName(carried), state_dir, batch_id
+    )
+
+
+def gaps_final(spark: SparkSession, results_dir: str) -> DataFrame:
+    """End-of-stream gap table: every (user_id, event_type, gap_us)
+    emitted across all batches — identical to the one-pass batch lag
+    computation of the full corpus (gated by sx12 against e9's value
+    oracle after the shared per-type rollup)."""
+    return spark.read.parquet(results_dir).drop("batch_id")

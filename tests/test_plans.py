@@ -1172,3 +1172,30 @@ def test_cosine_topk_filtered_pushdown(spark, tmp_path):
     assert "BatchEvalPython" not in a.text, a.text
     # the label predicate is pushed into a parquet scan
     assert "PushedFilters" in a.text and "label" in a.text, a.text
+
+
+def test_inter_event_gaps_plan_shape(spark):
+    """e9's 100-TB posture: one user-keyed lag window feeding one
+    partial+final agg on event_type — no cartesian, no Python, no
+    SinglePartition."""
+    import datetime as dt
+
+    from dask_traj_spark.queries_pipeline import _gap_rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, i % 3, t0 + dt.timedelta(minutes=i), "a") for i in range(9)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+    ).where(F.col("gap_us").isNotNull())
+    a = audit(_gap_rollup(g))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text

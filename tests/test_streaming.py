@@ -1331,3 +1331,67 @@ def test_stream_winnow_empty_results_still_reports(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["doc1", "doc2", "n_shared", "batch_id"]
+
+
+def test_stream_gaps_stitch_across_batches_and_replay(spark, tmp_path):
+    """Inter-event gaps that span micro-batch boundaries stitch onto
+    the carried per-user last timestamp; a user absent from a middle
+    batch still bridges it; and a replay storm leaves the emitted gap
+    multiset identical to the one-pass batch lag computation."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    from dask_traj_spark.streaming.ingest import (
+        gaps_final,
+        process_gaps_batch,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: events in every batch (two boundary-spanning gaps)
+        (0, 1, m(0), "a"), (1, 1, m(30), "b"),
+        (2, 1, m(50), "a"), (3, 1, m(170), "c"),
+        # user 2: absent from the middle batch — one bridge gap
+        (4, 2, m(10), "a"), (5, 2, m(180), "b"),
+        # user 3: single event — no gap ever
+        (6, 3, m(100), "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    state, results = str(tmp_path / "st"), str(tmp_path / "res")
+    cuts = [m(40), m(160)]
+    slices = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    for b, sl in enumerate(slices):
+        process_gaps_batch(sl, b, state, results)
+    # replay storm: middle batch twice, then the last again
+    process_gaps_batch(slices[1], 1, state, results)
+    process_gaps_batch(slices[1], 1, state, results)
+    process_gaps_batch(slices[2], 2, state, results)
+
+    got = sorted(
+        (r.user_id, r.event_type, r.gap_us)
+        for r in gaps_final(spark, results).collect()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r.user_id, r.event_type, r.gap_us)
+        for r in ev.withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .collect()
+    )
+    assert got == want
+    # hand-pinned: user 2 bridges the empty middle batch (170 min)
+    assert (2, "b", 170 * 60_000_000) in got
+    # user 3 emitted nothing
+    assert not any(u == 3 for u, _t, _g in got)
