@@ -1227,6 +1227,81 @@ def audio_window_features(media: DataFrame, window: int = 8) -> DataFrame:
     return media.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)
 
 
+AUDIO_CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("clipped", T.LongType()),
+        T.StructField("max_clip_run", T.LongType()),
+        T.StructField("clip_frac", T.DoubleType()),
+    ]
+)
+
+
+def audio_clipping(media: DataFrame, threshold: int = 20000) -> DataFrame:
+    """Clipping / level QC over REAL decoded PCM samples →
+    (doc_id, n_samples, peak, clipped, max_clip_run, clip_frac):
+    the loudness-damage screen of an audio curation pipeline —
+    ``clipped`` counts samples at or above ``threshold`` in
+    magnitude, ``max_clip_run`` is the longest CONSECUTIVE clipped
+    run (sustained rail-hits are the audible artifact; isolated
+    peaks usually are not), ``clip_frac`` the clipped fraction.
+    All integers except the one exact final division.  Non-WAV
+    kinds raise (no stub QC).
+
+    100-TB posture: map-only Arrow pass (one |s| compare + one
+    run-length scan per payload), one row per doc, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+
+    def one(kind, buf):
+        if kind != "audio/wav":
+            raise NotImplementedError(
+                f"audio_clipping needs PCM WAV payloads, got {kind!r}"
+            )
+        _frames, _ch, _rate, samples = decode_wav(bytes(buf))
+        s = np.abs(np.asarray(samples, dtype=np.int64))
+        clip = s >= threshold
+        padded = np.concatenate(([0], clip.astype(np.int8), [0]))
+        d = np.diff(padded)
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        max_run = int((ends - starts).max()) if len(starts) else 0
+        n = len(s)
+        clipped = int(clip.sum())
+        return (
+            n,
+            int(s.max()) if n else 0,
+            clipped,
+            max_run,
+            clipped / n if n else 0.0,
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            stats = [
+                one(kind, buf) for kind, buf in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": [s[0] for s in stats],
+                    "peak": [s[1] for s in stats],
+                    "clipped": [s[2] for s in stats],
+                    "max_clip_run": [s[3] for s in stats],
+                    "clip_frac": [s[4] for s in stats],
+                }
+            )
+
+    return media.mapInPandas(gen, AUDIO_CLIP_SCHEMA)
+
+
 FRAME_DIFF_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

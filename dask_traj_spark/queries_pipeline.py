@@ -6628,3 +6628,63 @@ def q_stream_gap_twin(spark, sf_dir):
         "event_type string, n_gaps long, mean_gap_us double, "
         "p50_us double, p875_us double",
     )
+
+
+# ---------------------------------------------------------------------
+# m15: audio clipping QC (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_M15_THR = 20000
+
+_M15_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+),
+s AS (
+    SELECT doc_id, p.pos,
+           CASE WHEN nb >= p.pos + 1
+                THEN (ord(substr(text, CAST(p.pos + 1 AS INT), 1)) - 128) * 256
+                ELSE 0 END AS samp
+    FROM m CROSS JOIN range(32) p(pos)
+),
+c AS (SELECT doc_id, pos, samp, abs(samp) >= {_M15_THR} AS clip FROM s),
+runs AS (
+    SELECT doc_id, count(*) AS run
+    FROM (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS grp
+          FROM c WHERE clip)
+    GROUP BY doc_id, grp
+),
+mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id),
+agg AS (
+    SELECT doc_id, max(abs(samp)) AS peak,
+           sum(CASE WHEN clip THEN 1 ELSE 0 END) AS clipped
+    FROM c GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(32 AS BIGINT) AS n_samples,
+       CAST(a.peak AS BIGINT) AS peak,
+       CAST(a.clipped AS BIGINT) AS clipped,
+       CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_clip_run,
+       CAST(a.clipped AS DOUBLE) / 32.0 AS clip_frac
+FROM agg a LEFT JOIN mr USING (doc_id)
+"""
+
+
+@register("m15_audio_clipping", _M15_ORACLE)
+def q_audio_clipping(spark, sf_dir):
+    """Audio clipping QC gate: text byte head → PCM-16 WAV →
+    ``decode_wav`` → per-doc peak / clipped count / longest clipped
+    run / clipped fraction at |s| ≥ {thr}.  Sample values (b−128)·256
+    are exact int16, the /32 fraction an exact dyadic division — all
+    values bit-identical across engines."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_wav,
+        audio_clipping,
+    )
+
+    return audio_clipping(
+        attach_payload_wav(_docs(spark, sf_dir)), threshold=_M15_THR
+    )

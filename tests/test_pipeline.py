@@ -4598,3 +4598,65 @@ def test_cosine_topk_filtered_prefilter_semantics(spark):
     for qid, rows_q in by_q.items():
         ordered = [r.vec_id for r in sorted(rows_q, key=lambda r: r.rank)]
         assert man_by_q[qid][:5] == ordered, (qid, man_by_q[qid][:5], ordered)
+
+
+# ------------------------------------- m15 audio clipping QC
+
+
+class TestAudioClipping:
+    def test_pinned_runs_and_counts(self, spark):
+        import numpy as np
+
+        from dask_traj_spark.operators.multimodal import (
+            audio_clipping,
+            encode_wav,
+        )
+
+        # |s| >= 1000 clips: run of 3, gap, run of 2, isolated peak
+        s = np.array(
+            [2000, -3000, 1500, 10, -20, 1000, -1000, 0, 5000, 0],
+            dtype=np.int16,
+        )
+        payload = encode_wav(s)
+        df = spark.createDataFrame(
+            [(7, "audio/wav", bytearray(payload), len(payload))],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        r = audio_clipping(df, threshold=1000).collect()[0]
+        assert r.n_samples == 10
+        assert r.peak == 5000
+        assert r.clipped == 6
+        assert r.max_clip_run == 3
+        assert r.clip_frac == 6 / 10
+
+    def test_no_clipping_and_validation(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import (
+            audio_clipping,
+            encode_wav,
+        )
+
+        s = np.array([1, -2, 3, -4], dtype=np.int16)
+        payload = encode_wav(s)
+        df = spark.createDataFrame(
+            [(1, "audio/wav", bytearray(payload), len(payload))],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        r = audio_clipping(df, threshold=100).collect()[0]
+        assert (r.clipped, r.max_clip_run, r.clip_frac) == (0, 0, 0.0)
+        with _pytest.raises(ValueError, match="threshold"):
+            audio_clipping(df, threshold=0)
+
+    def test_rejects_non_wav(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import audio_clipping
+
+        df = spark.createDataFrame(
+            [(1, "audio/mp3", bytearray(b"ID3"), 3)],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        with _pytest.raises(Exception, match="PCM WAV"):
+            audio_clipping(df).collect()
