@@ -166,7 +166,10 @@ def lsh_candidate_pairs(
     return _band_candidates(sig, max_bucket)
 
 
-def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
+def _band_rows(sig: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(doc_id, band, bh) LSH band-bucket membership with the
+    degenerate-bucket cap applied — the shared candidate-generation
+    core of the self-join (d2) and bipartite (d20) paths."""
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -178,7 +181,11 @@ def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
             )
         ).alias("band", "bh"),
     )
-    bands = _cap_buckets(bands, ["band", "bh"], max_bucket)
+    return _cap_buckets(bands, ["band", "bh"], max_bucket)
+
+
+def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
+    bands = _band_rows(sig, max_bucket)
     l = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     r = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")
     return (
@@ -236,6 +243,64 @@ def near_duplicates_minhash(
     )
     cand = _band_candidates(_signatures_from(dt), max_bucket)
     return _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
+
+
+def cross_corpus_neardup(
+    docs: DataFrame,
+    ref: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_mode: str = "hashed",
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs ACROSS two corpora — the near-dup
+    decontamination workhorse: c2's n-gram overlap catches verbatim
+    benchmark contamination, d13's Bloom catches exact membership;
+    this catches the PARAPHRASED/templated eval document sitting in
+    the training corpus at whole-document granularity (one side from
+    ``docs``, one from ``ref``, exact-Jaccard verified).
+
+    Returns (doc_id, ref_id, jaccard) with jaccard ≥ ``threshold``.
+
+    Plan: both corpora are tagged into one frame (sid = 2·id + side
+    — BIGINT-exact for ids < 2^62) so tokenization, the shared vocab
+    (id_mode='sorted' MUST rank over the union — per-corpus vocabs
+    would put the same word at different tids) and the signature
+    aggregation run ONCE over the union; the band table splits by
+    side parity BEFORE the bucket join, so same-side pairs are never
+    generated (the self-join form post-filtered would do ~half its
+    work for nothing); the degenerate-bucket cap applies to the
+    UNION bucket, mirrored in the oracle.  Same one-keyed-shuffle
+    candidate shape as d2, bounded by cap² per bucket."""
+    tagged = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col(text_col).alias(text_col)
+    ).unionByName(
+        ref.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.col(text_col).alias(text_col),
+        )
+    )
+    from pyspark import StorageLevel
+
+    dt = _doc_token_ids(tagged, text_col, id_mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = _band_rows(_signatures_from(dt), max_bucket)
+    l = bands.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc1"), "band", "bh"
+    )
+    r = bands.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("doc2"), "band", "bh"
+    )
+    cand = (
+        l.join(r, ["band", "bh"]).select("doc1", "doc2").distinct()
+    )
+    pairs = _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
+    return pairs.select(
+        F.expr("doc1 div 2").alias("doc_id"),
+        F.expr("doc2 div 2").alias("ref_id"),
+        "jaccard",
+    )
 
 
 def simhash(

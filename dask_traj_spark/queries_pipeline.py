@@ -6688,3 +6688,92 @@ def q_audio_clipping(spark, sf_dir):
     return audio_clipping(
         attach_payload_wav(_docs(spark, sf_dir)), threshold=_M15_THR
     )
+
+
+# ---------------------------------------------------------------------
+# d20: cross-corpus near-dup join (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _d20_oracle(threshold: float, ref_mod: int) -> str:
+    from dask_traj_spark.operators.dedup import (
+        BAND_MIX,
+        MAX_BUCKET,
+        MINHASH_P,
+        N_BANDS,
+        N_HASHES,
+        _hash_consts,
+    )
+
+    mins = ", ".join(
+        f"min((CAST(tid AS BIGINT) * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in ((i, _hash_consts(i)) for i in range(N_HASHES))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT sid, {b} AS band, h{2 * b} * {BAND_MIX} + h{2 * b + 1} AS bh FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id * 2 AS sid, text FROM documents WHERE doc_id % {ref_mod} <> 0
+    UNION ALL
+    SELECT doc_id * 2 + 1 AS sid, text FROM documents WHERE doc_id % {ref_mod} = 0
+),
+tok AS (
+    SELECT sid, unnest(string_split(text, ' ')) AS word FROM base
+),
+voc AS (
+    SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY word) AS INT) AS tid
+    FROM (SELECT DISTINCT word FROM tok)
+),
+dt AS (SELECT DISTINCT t.sid, v.tid FROM tok t JOIN voc v USING (word)),
+sig AS (SELECT sid, {mins} FROM dt GROUP BY sid),
+bands AS ({band_selects}),
+bok AS (
+    SELECT band, bh FROM bands GROUP BY band, bh
+    HAVING count(*) <= {MAX_BUCKET}
+),
+bandsf AS (SELECT b.* FROM bands b JOIN bok USING (band, bh)),
+cand AS (
+    SELECT DISTINCT l.sid AS s1, r.sid AS s2
+    FROM bandsf l JOIN bandsf r ON l.band = r.band AND l.bh = r.bh
+    WHERE l.sid % 2 = 0 AND r.sid % 2 = 1
+),
+sizes AS (SELECT sid, count(*) AS sz FROM dt GROUP BY sid),
+inter AS (
+    SELECT c.s1, c.s2, count(*) AS i
+    FROM cand c
+    JOIN dt t1 ON t1.sid = c.s1
+    JOIN dt t2 ON t2.sid = c.s2 AND t2.tid = t1.tid
+    GROUP BY c.s1, c.s2
+),
+j AS (
+    SELECT i.s1, i.s2,
+           CAST(i.i AS DOUBLE) / CAST(z1.sz + z2.sz - i.i AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes z1 ON z1.sid = i.s1
+    JOIN sizes z2 ON z2.sid = i.s2
+)
+SELECT s1 // 2 AS doc_id, s2 // 2 AS ref_id, jaccard
+FROM j WHERE jaccard >= {threshold}
+"""
+
+
+_D20_REF_MOD = 7
+
+
+@register("d20_cross_corpus_neardup", _d20_oracle(0.9, _D20_REF_MOD))
+def q_cross_corpus_neardup(spark, sf_dir):
+    """Cross-corpus near-dup decontamination: the doc_id % 7 == 0
+    slice plays the benchmark corpus, the rest the training corpus;
+    bipartite MinHash-LSH (union vocab, union bucket cap, side-split
+    band join) with exact-Jaccard verification at 0.9."""
+    from dask_traj_spark.operators.dedup import MAX_BUCKET, cross_corpus_neardup
+
+    docs = _docs(spark, sf_dir)
+    return cross_corpus_neardup(
+        docs.where(F.col("doc_id") % _D20_REF_MOD != 0),
+        docs.where(F.col("doc_id") % _D20_REF_MOD == 0),
+        threshold=0.9,
+        id_mode="sorted",
+        max_bucket=MAX_BUCKET,
+    )

@@ -4660,3 +4660,43 @@ class TestAudioClipping:
         )
         with _pytest.raises(Exception, match="PCM WAV"):
             audio_clipping(df).collect()
+
+
+# ------------------------------------- d20 cross-corpus near-dup
+
+
+def test_cross_corpus_neardup_bipartite_only(spark):
+    """Identical text across corpora pairs at jaccard 1.0; identical
+    text WITHIN one corpus never pairs (bipartite, not self-join);
+    unrelated ref docs match nothing."""
+    from dask_traj_spark.operators.dedup import cross_corpus_neardup
+
+    t = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t), (2, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, t), (200, "nothing shared with anyone at all ever")],
+        "doc_id long, text string",
+    )
+    got = cross_corpus_neardup(docs, ref, threshold=0.9).collect()
+    pairs = {(r.doc_id, r.ref_id): r.jaccard for r in got}
+    assert pairs == {(0, 100): 1.0, (1, 100): 1.0}
+
+
+def test_cross_corpus_neardup_union_vocab_sorted_mode(spark):
+    """id_mode='sorted' must rank the vocab over the UNION — a word
+    appearing only in the ref corpus still gets a consistent tid, so
+    a cross pair's jaccard equals the hand-computed token-set value."""
+    from dask_traj_spark.operators.dedup import cross_corpus_neardup
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(5, "alpha beta gamma zeta")], "doc_id long, text string"
+    )
+    got = cross_corpus_neardup(docs, ref, threshold=0.1, id_mode="sorted").collect()
+    # |∩| = 3 (alpha beta gamma), |∪| = 5
+    assert len(got) == 1 and got[0].jaccard == 3 / 5

@@ -1199,3 +1199,23 @@ def test_inter_event_gaps_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_cross_corpus_neardup_plan_shape(spark):
+    """d20's 100-TB posture (hashed-id scale path): one union-wide
+    signature agg, side-split band join (no same-side candidates),
+    capped buckets — no cartesian, no Python, no SinglePartition."""
+    from dask_traj_spark.operators.dedup import cross_corpus_neardup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(4)], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(2)], "doc_id long, text string"
+    )
+    a = audit(cross_corpus_neardup(docs, ref, threshold=0.5))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
