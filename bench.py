@@ -211,7 +211,15 @@ def main() -> None:
     probe_bracket: dict[str, list[float]] = {}
     _last_probe = [None]  # shared "after previous = before next"
 
-    def timed(name: str, fn, n: int = 3, warmup: int = 1) -> None:
+    # times_detail: entries measured with the full timed() discipline
+    # but recorded ONLY in bench_detail.json — the headline "queries"
+    # dict is byte-capped (the driver's ~2000-byte tail capture), so
+    # post-cap additions go here instead of growing the line past it.
+    times_detail: dict[str, float] = {}
+
+    def timed(
+        name: str, fn, n: int = 3, warmup: int = 1, headline: bool = True
+    ) -> None:
         before = _last_probe[0] if _last_probe[0] is not None else _cpu_probe()
         for _ in range(warmup):
             fn()
@@ -224,7 +232,7 @@ def main() -> None:
         _last_probe[0] = after
         probe_bracket[name] = [before, after]
         iters[name] = its
-        times[name] = min(its)
+        (times if headline else times_detail)[name] = min(its)
 
     registry = q.queries()
     for name in (
@@ -288,6 +296,36 @@ def main() -> None:
     timed(
         "d17_winnow_matches_hashed",
         lambda: _noop(winnow_matches(docs_w, k=3, w=4)),
+    )
+
+    # ---- session-6 additions (detail-only: the headline queries
+    # dict is at its byte cap; these land in bench_detail.json) ----
+    for name in (
+        "t26_top_ngram_fraction",
+        "t27_dup_ngram_char_fraction",
+        "e9_inter_event_gaps",
+        "m15_audio_clipping",
+        "v9_filtered_topk",
+    ):
+        timed(
+            name,
+            lambda name=name: _noop(registry[name](spark, sf_dir)),
+            headline=False,
+        )
+    # d20 in the PRODUCTION hashed mode (the registry entry is the
+    # sorted-vocab oracle gate and would measure the gate funnel)
+    from dask_traj_spark.operators.dedup import cross_corpus_neardup
+
+    timed(
+        "d20_cross_corpus_hashed",
+        lambda: _noop(
+            cross_corpus_neardup(
+                docs_w.where(F.col("doc_id") % 7 != 0),
+                docs_w.where(F.col("doc_id") % 7 == 0),
+                threshold=0.9,
+            )
+        ),
+        headline=False,
     )
     probes["after_tier2_s"] = _cpu_probe()
 
@@ -448,6 +486,20 @@ def main() -> None:
         t0 = time.time()
         _noop(maximal_matches(d10p))
         scale["d14_maximal_matches_10x"] = round(time.time() - t0, 3)
+
+        # d20 cross-corpus near-dup on the SAME fair 10x corpus
+        # (duplicated fraction constant — plain replication would
+        # make everything a near-dup of everything); hashed
+        # production mode on both sides of the ratio
+        t0 = time.time()
+        _noop(
+            cross_corpus_neardup(
+                d10p.where(F.col("doc_id") % 7 != 0),
+                d10p.where(F.col("doc_id") % 7 == 0),
+                threshold=0.9,
+            )
+        )
+        scale["d20_cross_corpus_10x"] = round(time.time() - t0, 3)
         shutil.rmtree(d10p_dir, ignore_errors=True)
 
         # t22 winnowing at 10x: fingerprint selection is per-doc
@@ -457,6 +509,15 @@ def main() -> None:
         t0 = time.time()
         _noop(winnow_fingerprints(docs10, k=3, w=4))
         scale["t22_winnowing_10x"] = round(time.time() - t0, 3)
+
+        # t27 duplicate-n-gram char coverage at 10x: per-doc work
+        # (within-doc duplicates), so the replicated-id corpus is
+        # the fair shape, same argument as t22
+        from dask_traj_spark.functions.text import dup_ngram_char_fraction
+
+        t0 = time.time()
+        _noop(dup_ngram_char_fraction(docs10, n=5))
+        scale["t27_dup_ngram_10x"] = round(time.time() - t0, 3)
 
         # pairwise-RMSD crossover: the x16 SQL sufficient-statistics
         # form vs the x16b blocked-gram matmul on the SAME synthetic
@@ -671,6 +732,16 @@ def main() -> None:
                 scale["t22_winnowing_10x"]
                 / (10 * times["t22_winnowing_hashed"]), 2
             ),
+            # session-6 additions: 1x sides live in bench_detail's
+            # times_detail (headline byte cap) — short keys here
+            "t27_dup_ngram": round(
+                scale["t27_dup_ngram_10x"]
+                / (10 * times_detail["t27_dup_ngram_char_fraction"]), 2
+            ),
+            "d20_cross": round(
+                scale["d20_cross_corpus_10x"]
+                / (10 * times_detail["d20_cross_corpus_hashed"]), 2
+            ),
         }
         probes["after_scale_s"] = _cpu_probe()
 
@@ -780,6 +851,7 @@ def main() -> None:
     }
     detail = {
         "iters": iters,
+        "times_detail": times_detail,
         "scale_10x": scale,
         "cpu_probe": probes,
         "probe_bracket": probe_bracket,

@@ -930,8 +930,42 @@ def maximal_matches(
     collision can only ADD a spurious anchor at ~n²/2⁻⁶⁴
     probability; "exact" keeps the window strings (the oracle-gated
     bit-reproducible mode)."""
-    from pyspark.sql import Window
+    occ = _anchor_occurrences(docs, text_col, ngram, max_occ, key_mode)
+    a = occ.select(
+        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
+    )
+    b = occ.select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
+    )
+    # cross-doc pairs one direction only; within_doc additionally
+    # keeps same-doc alignments at p1 > p2 (each internal repeat
+    # pair once, on its positive diagonal — the trivial diag-0 self
+    # match never appears), which is the Lee-et-al. within-document
+    # repeat signal
+    keep = F.col("doc1") < F.col("doc2")
+    if within_doc:
+        keep = keep | (
+            (F.col("doc1") == F.col("doc2")) & (F.col("p1") > F.col("p2"))
+        )
+    pairs = a.join(b, "ng").where(keep).select(
+        "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+    )
+    return _matches_from_pairs(pairs, ngram)
 
+
+def _anchor_occurrences(
+    docs: DataFrame,
+    text_col: str,
+    ngram: int,
+    max_occ: int | None,
+    key_mode: str,
+) -> DataFrame:
+    """(doc_id, pos, ng) duplicated-anchor occurrences — the shared
+    window-construction + occurrence-cap front end of
+    :func:`maximal_matches` (self-join) and
+    :func:`cross_corpus_matches` (bipartite): n-gram windows built
+    JVM-side, counts collapsed map-side, keys outside [2, max_occ]
+    dropped BEFORE any pair join."""
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
     if max_occ is not None and max_occ < 2:
@@ -960,26 +994,15 @@ def maximal_matches(
     cnt = occ.groupBy("ng").count().where(F.col("count") >= 2)
     if max_occ is not None:
         cnt = cnt.where(F.col("count") <= max_occ)
-    occ = occ.join(cnt.select("ng"), "ng", "left_semi")
-    a = occ.select(
-        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
-    )
-    b = occ.select(
-        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
-    )
-    # cross-doc pairs one direction only; within_doc additionally
-    # keeps same-doc alignments at p1 > p2 (each internal repeat
-    # pair once, on its positive diagonal — the trivial diag-0 self
-    # match never appears), which is the Lee-et-al. within-document
-    # repeat signal
-    keep = F.col("doc1") < F.col("doc2")
-    if within_doc:
-        keep = keep | (
-            (F.col("doc1") == F.col("doc2")) & (F.col("p1") > F.col("p2"))
-        )
-    pairs = a.join(b, "ng").where(keep).select(
-        "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
-    )
+    return occ.join(cnt.select("ng"), "ng", "left_semi")
+
+
+def _matches_from_pairs(pairs: DataFrame, ngram: int) -> DataFrame:
+    """Diagonal gaps-and-islands over (doc1, doc2, p1, p2, diag)
+    anchor pairs → one row per maximal match — shared back end of the
+    self-join and bipartite match operators."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc1", "doc2", "diag").orderBy("p1")
     brk = F.when(F.col("p1") > F.lag("p1").over(w) + 1, 1).otherwise(0)
     grouped = pairs.withColumn("g", F.sum(brk).over(w))
@@ -993,6 +1016,62 @@ def maximal_matches(
             ),
         )
         .drop("diag", "g")
+    )
+
+
+def cross_corpus_matches(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    ngram: int = 8,
+    max_occ: int | None = 64,
+    key_mode: str = "hashed",
+) -> DataFrame:
+    """Verbatim maximal shared substrings BETWEEN two corpora — the
+    span-attribution form of decontamination: c2 scores each training
+    doc's contaminated n-gram fraction, d20 flags whole-document
+    near-dups; this reports exactly WHICH token runs of which
+    training docs appear verbatim in which benchmark docs (ready for
+    excision with :func:`excise_duplicate_spans`'s machinery), the
+    Lee-et-al. suffix-array signal restricted to cross-corpus
+    alignments.
+
+    → (doc_id, ref_id, start_doc, start_ref, match_tokens): one row
+    per maximal run of ≥ ``ngram`` tokens shared by training doc
+    ``doc_id`` and benchmark doc ``ref_id`` (all alignments).
+
+    Plan: both corpora tag into one frame (sid = 2·id + side, the
+    d20 convention) so window construction and the occurrence cap
+    run ONCE over the union (the cap counts UNION occurrences —
+    mirrored in the oracle); anchor sides split by parity BEFORE the
+    pair join, so same-corpus anchor pairs are never generated; then
+    the shared diagonal-islands back end.  Same bounded-join posture
+    as d14: ≤ ``max_occ``² anchor pairs per surviving key."""
+    tagged = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col(text_col).alias(text_col)
+    ).unionByName(
+        ref.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.col(text_col).alias(text_col),
+        )
+    )
+    occ = _anchor_occurrences(tagged, text_col, ngram, max_occ, key_mode)
+    a = occ.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
+    )
+    b = occ.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
+    )
+    pairs = a.join(b, "ng").select(
+        "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+    )
+    out = _matches_from_pairs(pairs, ngram)
+    return out.select(
+        F.expr("doc1 div 2").alias("doc_id"),
+        F.expr("doc2 div 2").alias("ref_id"),
+        F.col("start1").alias("start_doc"),
+        F.col("start2").alias("start_ref"),
+        "match_tokens",
     )
 
 

@@ -4740,13 +4740,14 @@ FROM grp GROUP BY doc_id, g
 _D14_CAP = 64
 
 
-def _d14_match_ctes(pair_pred: str) -> str:
-    """The shared n-gram/cap/islands CTE chain of the d14 and d15
-    oracles, parameterized by the anchor-pair predicate — ONE source
-    of truth so a cap or position-base fix can never apply to one
-    gate and not the other."""
+def _d14_match_ctes(pair_pred: str, base: str = "documents") -> str:
+    """The shared n-gram/cap/islands CTE chain of the d14, d15 and
+    d21 oracles, parameterized by the anchor-pair predicate and the
+    base relation (d21 passes the side-tagged union) — ONE source of
+    truth so a cap or position-base fix can never apply to one gate
+    and not the others."""
     return f"""toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    SELECT doc_id, string_split(text, ' ') AS t FROM {base}
 ),
 idx AS (
     SELECT doc_id, t,
@@ -6776,4 +6777,45 @@ def q_cross_corpus_neardup(spark, sf_dir):
         threshold=0.9,
         id_mode="sorted",
         max_bucket=MAX_BUCKET,
+    )
+
+
+# ---------------------------------------------------------------------
+# d21: cross-corpus verbatim span matches (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_D21_BASE = (
+    f"(SELECT doc_id * 2 AS doc_id, text FROM documents "
+    f"WHERE doc_id % {_D20_REF_MOD} <> 0 "
+    f"UNION ALL SELECT doc_id * 2 + 1, text FROM documents "
+    f"WHERE doc_id % {_D20_REF_MOD} = 0)"
+)
+
+_D21_ORACLE = f"""
+WITH {_d14_match_ctes("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1", _D21_BASE)}
+SELECT doc1 // 2 AS doc_id, doc2 // 2 AS ref_id,
+       CAST(min(p1) AS BIGINT) AS start_doc,
+       CAST(min(p2) AS BIGINT) AS start_ref,
+       CAST(max(p1) - min(p1) + {_D11_W} AS BIGINT) AS match_tokens
+FROM grp GROUP BY doc1, doc2, diag, g
+"""
+
+
+@register("d21_cross_corpus_matches", _D21_ORACLE)
+def q_cross_corpus_matches(spark, sf_dir):
+    """Span-attribution decontamination: verbatim maximal token runs
+    shared between the training slice (doc_id % 7 != 0) and the
+    benchmark slice (doc_id % 7 == 0) — d14's diagonal-islands
+    machinery restricted to cross-corpus alignments via the d20
+    side-tagging convention; the occurrence cap counts UNION
+    occurrences, mirrored in the shared CTE chain."""
+    from dask_traj_spark.operators.dedup import cross_corpus_matches
+
+    docs = _docs(spark, sf_dir)
+    return cross_corpus_matches(
+        docs.where(F.col("doc_id") % _D20_REF_MOD != 0),
+        docs.where(F.col("doc_id") % _D20_REF_MOD == 0),
+        ngram=_D11_W,
+        max_occ=_D14_CAP,
+        key_mode="exact",
     )

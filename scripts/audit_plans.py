@@ -98,6 +98,7 @@ ALLOW = {
         "1-row normalizer over the ~|sources| table",
     ("c11_mixture_weights", "BroadcastNestedLoopJoin"):
         "cross join against the 1-row normalizer broadcast",
+    ("d20_cross_corpus_neardup", "SinglePartition"): _VOCAB,
     ("t22_winnowing", "SinglePartition"): _VOCAB,
     ("d17_winnow_matches", "SinglePartition"): _VOCAB,
     ("d18_pagerank_dup_graph", "SinglePartition"): _VOCAB,

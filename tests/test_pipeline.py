@@ -4700,3 +4700,57 @@ def test_cross_corpus_neardup_union_vocab_sorted_mode(spark):
     got = cross_corpus_neardup(docs, ref, threshold=0.1, id_mode="sorted").collect()
     # |∩| = 3 (alpha beta gamma), |∪| = 5
     assert len(got) == 1 and got[0].jaccard == 3 / 5
+
+
+# ------------------------------------- d21 cross-corpus matches
+
+
+def test_cross_corpus_matches_pinned(spark):
+    """A 10-token run shared train↔benchmark reports at full length
+    with both start positions; a run shared only WITHIN the training
+    corpus is never reported; ngram-boundary exactness holds."""
+    from dask_traj_spark.operators.dedup import cross_corpus_matches
+
+    run = "q w e r t y u i o p"  # the 10-token shared run
+    docs = spark.createDataFrame(
+        [
+            (0, f"a b c {run} z1 z2"),     # contains run at pos 3
+            (1, f"{run} k1 k2 k3 k4 k5"),  # same run at pos 0 (train-only pair w/ 0)
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(9, f"h1 h2 {run} h3")],  # benchmark contains run at pos 2
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.ref_id, r.start_doc, r.start_ref, r.match_tokens)
+        for r in cross_corpus_matches(docs, ref, ngram=8, key_mode="exact").collect()
+    )
+    assert got == [(0, 9, 3, 2, 10), (1, 9, 0, 2, 10)]
+
+
+def test_cross_corpus_matches_cap_and_none(spark):
+    """No shared ≥ngram run → empty; the occurrence cap counts the
+    UNION (a key at cap+1 total occurrences is dropped)."""
+    from dask_traj_spark.operators.dedup import cross_corpus_matches
+
+    run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = spark.createDataFrame(
+        [(i, f"x{i} {run} y{i}") for i in range(3)],  # 3 train occurrences
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(50, f"p {run} q")], "doc_id long, text string"
+    )
+    # union occurrences = 4 > max_occ=3 -> the anchor is dropped
+    assert (
+        cross_corpus_matches(docs, ref, ngram=8, max_occ=3, key_mode="exact").count()
+        == 0
+    )
+    # no overlap at all
+    ref2 = spark.createDataFrame(
+        [(60, "entirely unrelated words only here now for sure ok")],
+        "doc_id long, text string",
+    )
+    assert cross_corpus_matches(docs, ref2, ngram=8, key_mode="exact").count() == 0

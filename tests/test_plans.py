@@ -1219,3 +1219,25 @@ def test_cross_corpus_neardup_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_cross_corpus_matches_plan_shape(spark):
+    """d21's 100-TB posture (hashed production mode): union-wide
+    window construction, occurrence cap BEFORE the side-split pair
+    join, diagonal-keyed islands — no cartesian, no Python, no
+    SinglePartition."""
+    from dask_traj_spark.operators.dedup import cross_corpus_matches
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(3)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(9, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    a = audit(cross_corpus_matches(docs, ref))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
