@@ -828,3 +828,65 @@ def shuffle_shards(
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget-constrained data selection: within each stratum,
+    greedily keep the highest-quality documents until the stratum's
+    token budget is exhausted — the "best data that fits the compute
+    budget" decision every pretraining run makes after scoring
+    (quality-classifier filtering à la FineWeb-Edu reduces to this
+    with a model score in place of the heuristic).
+
+    Uses the t2 quality expression (``quality_expr`` — ONE shared
+    definition with the t2/c8/d16 gates), ties broken by doc_id, and
+    a greedy prefix rule: a document is ``selected`` iff the running
+    token total INCLUDING it stays within ``budget_tokens`` AND every
+    better-quality document before it was within budget too (a
+    strict prefix — no skip-and-backfill, so the output is a
+    deterministic quality cut, not a knapsack approximation).
+
+    → (doc_id, ``strata_col``, quality, n_tokens, cum_tokens,
+    selected) for every document.
+
+    100-TB posture: the quality score fuses into the scan
+    projection; one stratum-keyed window (rank + running sum in the
+    same sort order — one exchange, never SinglePartition); all
+    token arithmetic exact integers."""
+    from pyspark.sql import Window
+
+    from dask_traj_spark.functions.text import quality_expr
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    t = F.col(text_col)
+    n_tok = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    scored = docs.select(
+        "doc_id",
+        strata_col,
+        quality_expr(text_col).alias("quality"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.select(
+        "doc_id",
+        strata_col,
+        "quality",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .cast("long")
+        .alias("selected"),
+    )

@@ -177,6 +177,62 @@ def cosine_topk_vectorized(
     )
 
 
+def knn_classify(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label vote over the embedding space — the semantic
+    propagation step of classifier-based curation (FineWeb-Edu-style
+    quality labels, topic routing): each query's exact cosine top-k
+    neighbors vote with their ``label_col``; the majority label wins,
+    votes tying to the SMALLEST label (a min over the
+    (-votes, label) struct — partial-aggregable, the t26 argmax
+    shape).
+
+    → (qid, pred_label, votes, mean_cos): the winning label, its
+    vote count, and the mean similarity of ITS voters (grid-snapped
+    to 2^-20 before the sum, so the k-term mean is an exact dyadic
+    sum + one correctly-rounded division — bit-stable across
+    engines and partial-agg orders).
+
+    100-TB posture: the ranking is :func:`cosine_topk`'s plan (the
+    scale path swaps in the IVF form unchanged — same (qid, vec_id)
+    output contract); the label attach joins the tiny q×k top-k
+    table against the corpus labels (broadcast-eligible, AQE
+    decides); two partial-aggregable groupBys on qid-keyed rows."""
+    topk = cosine_topk(emb, query_ids, k=k, id_col=id_col)
+    labels = emb.select(id_col, F.col(label_col).alias("nb_label"))
+    g = F.lit(1048576.0)  # 2^-20 grid — the LP_GRID convention
+    snapped = F.round(F.col("cos") * g, 0) / g
+    votes = (
+        topk.join(labels, id_col)
+        .select("qid", "nb_label", snapped.alias("cos_s"))
+        .groupBy("qid", "nb_label")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.sum("cos_s").alias("sum_cos"),
+        )
+    )
+    best = votes.groupBy("qid").agg(
+        F.min(
+            F.struct(
+                (-F.col("votes")).alias("negv"),
+                F.col("nb_label").alias("lbl"),
+                F.col("sum_cos").alias("sc"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "qid",
+        F.col("m.lbl").cast("long").alias("pred_label"),
+        (-F.col("m.negv")).cast("long").alias("votes"),
+        (F.col("m.sc") / (-F.col("m.negv")).cast("double")).alias("mean_cos"),
+    )
+
+
 # ------------------------------------------------------------------ IVF
 
 

@@ -202,6 +202,8 @@ _SCORING_TAIL = [
     "m15_audio_clipping",
     "d20_cross_corpus_neardup",
     "d21_cross_corpus_matches",
+    "v10_knn_classify",
+    "c15_budget_select",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

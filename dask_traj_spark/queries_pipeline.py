@@ -6819,3 +6819,103 @@ def q_cross_corpus_matches(spark, sf_dir):
         max_occ=_D14_CAP,
         key_mode="exact",
     )
+
+
+# ---------------------------------------------------------------------
+# v10: kNN label vote (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_V10_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS vq
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS vc
+    FROM embeddings
+),
+dots AS (
+    SELECT qid, cid, sum(vq * vc) AS dot, sum(vq * vq) AS qq, sum(vc * vc) AS cc
+    FROM q JOIN c USING (pos) GROUP BY qid, cid
+),
+scored AS (
+    SELECT qid, cid, dot / (sqrt(qq) * sqrt(cc)) AS cos
+    FROM dots WHERE qid <> cid
+),
+ranked AS (
+    SELECT qid, cid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+    FROM scored
+),
+top AS (SELECT qid, cid, cos FROM ranked WHERE rank <= {_TOPK}),
+votes AS (
+    SELECT t.qid, e.label AS nb_label, count(*) AS votes,
+           sum(round(t.cos * 1048576) / 1048576) AS sum_cos
+    FROM top t JOIN embeddings e ON e.vec_id = t.cid
+    GROUP BY t.qid, e.label
+),
+best AS (
+    SELECT qid, nb_label, votes, sum_cos,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY votes DESC, nb_label ASC
+           ) AS rk
+    FROM votes
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(nb_label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes,
+       sum_cos / CAST(votes AS DOUBLE) AS mean_cos
+FROM best WHERE rk = 1
+"""
+
+
+@register("v10_knn_classify", _V10_ORACLE)
+def q_knn_classify(spark, sf_dir):
+    """kNN label vote (classifier-style curation): exact cosine
+    top-{k} neighbors vote with their labels, majority wins (ties →
+    smallest label), mean similarity of the winning voters
+    grid-snapped for cross-engine bit-stability."""
+    from dask_traj_spark.operators.similarity import knn_classify
+
+    return knn_classify(_emb(spark, sf_dir), list(range(_N_QUERIES)), k=_TOPK)
+
+
+# ---------------------------------------------------------------------
+# c15: token-budget-constrained selection (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_C15_BUDGET = 1500
+
+_C15_ORACLE = f"""
+WITH q AS (
+    SELECT doc_id, source, {_C8_QUALITY} AS quality,
+           CAST({_NTOK} AS BIGINT) AS n_tokens
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, quality, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens
+    FROM q
+)
+SELECT doc_id, source, quality, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(CASE WHEN cum_tokens <= {_C15_BUDGET} THEN 1 ELSE 0 END AS BIGINT)
+           AS selected
+FROM r
+"""
+
+
+@register("c15_budget_select", _C15_ORACLE)
+def q_budget_select(spark, sf_dir):
+    """Token-budget selection: per source, keep the best-quality
+    prefix (t2 quality, doc_id ties) whose running token total fits
+    the budget — the "best data that fits the compute budget" cut,
+    sharing the t2/c8/d16 quality definition."""
+    from dask_traj_spark.operators.curation import budget_select
+
+    return budget_select(_docs(spark, sf_dir), budget_tokens=_C15_BUDGET)

@@ -4754,3 +4754,69 @@ def test_cross_corpus_matches_cap_and_none(spark):
         "doc_id long, text string",
     )
     assert cross_corpus_matches(docs, ref2, ngram=8, key_mode="exact").count() == 0
+
+
+# ------------------------------------- v10 kNN label vote
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Constructed neighborhoods: a clear majority wins; a vote tie
+    goes to the smallest label; mean_cos averages only the winning
+    label's voters."""
+    from dask_traj_spark.operators.similarity import knn_classify
+
+    # query 0 at origin-ish; 4 close label-1 vecs, 2 close label-2
+    # vecs, distant label-9 vecs that must not enter the top-6
+    rows = [(0, [1.0, 0.0], 5)]
+    rows += [(10 + i, [1.0, 0.01 * (i + 1)], 1) for i in range(4)]
+    rows += [(20 + i, [1.0, 0.3 + 0.01 * i], 2) for i in range(2)]
+    rows += [(30 + i, [-1.0, 0.5], 9) for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = knn_classify(emb, [0], k=6).collect()[0]
+    assert (r.qid, r.pred_label, r.votes) == (0, 1, 4)
+    assert 0.9 < r.mean_cos <= 1.0
+    # tie case: 3 votes each for labels 4 and 7 -> label 4 wins
+    rows2 = [(0, [1.0, 0.0], 5)]
+    rows2 += [(1 + i, [1.0, 0.02 * i], 4) for i in range(3)]
+    rows2 += [(11 + i, [1.0, 0.02 * i], 7) for i in range(3)]
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    )
+    r2 = knn_classify(emb2, [0], k=6).collect()[0]
+    assert (r2.pred_label, r2.votes) == (4, 3)
+
+
+# ------------------------------------- c15 budget selection
+
+
+def test_budget_select_prefix_rule(spark):
+    """The greedy prefix: best-quality docs select until the budget
+    is crossed, then NOTHING after (no skip-and-backfill), per
+    stratum independently; budget 0 selects nothing."""
+    from dask_traj_spark.operators.curation import budget_select
+
+    # quality rises with distinct-ratio; craft docs whose ordering
+    # is known: repetitive (low q) vs distinct-rich (high q)
+    rows = [
+        (1, "the a of and is to in zz yy xx", "s1"),     # stopword-rich, high q
+        (2, "w w w w w w w w w w", "s1"),                # repetitive, low q
+        (3, "the a of and is to in qq rr ss", "s1"),     # like 1, high q
+        (4, "unique words here make quality strong the a", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in budget_select(docs, budget_tokens=20).collect()}
+    assert len(got) == 4
+    # s1: two 10-token high-q docs fit exactly; the low-q one crosses
+    assert got[1].selected == 1 and got[3].selected == 1
+    assert got[2].selected == 0
+    assert got[2].cum_tokens == 30
+    # s2 has its own budget
+    assert got[4].selected == 1
+    got0 = budget_select(docs, budget_tokens=0).collect()
+    assert all(r.selected == 0 for r in got0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        budget_select(docs, budget_tokens=-1)

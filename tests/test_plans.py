@@ -1241,3 +1241,40 @@ def test_cross_corpus_matches_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_knn_classify_plan_shape(spark):
+    """v10's 100-TB posture: the label attach joins the tiny top-k
+    table (broadcast-eligible), both vote aggs partial-aggregable —
+    no cartesian, no Python, no SinglePartition."""
+    from dask_traj_spark.operators.similarity import knn_classify
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 2) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    a = audit(knn_classify(emb, [0, 1], k=3))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+
+
+def test_budget_select_plan_shape(spark):
+    """c15's 100-TB posture: quality fused into the scan projection,
+    ONE stratum-keyed window exchange — no join, no cartesian, no
+    Python, no SinglePartition."""
+    from dask_traj_spark.operators.curation import budget_select
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e", f"s{i % 2}") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    df = budget_select(docs, budget_tokens=10)
+    a = audit(df)
+    assert "CartesianProduct" not in a.text, a.text
+    assert "Join" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+    assert_max_shuffles(df, 1)
