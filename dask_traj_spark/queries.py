@@ -167,13 +167,16 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 14 never-driver-scored tail-resident
-# gates below, then the 12 deferred r7-green shapes
-# (r3/m3/t7/x9/e6/v5/sx7/d5/c3/d3/v2/c5), then the 14-query SS2-core
-# block (r9-green, 2-round hard bound hits in r11) — 14 + 12 + 14 =
-# 40 of 50, leaving 10 slots for any r11 touched set; then the
-# r8-green block stalest-first; the r9-green extension set ages
-# back in from r12.
+# top of _SCORING_TAIL): the 25 never-driver-scored tail-resident
+# gates below (14 from sessions 1-5 + the 11 session-6 additions
+# t26/t27/d19/v9/e9/sx12/m15/d20/d21/v10/c15 — all locally
+# hash-green at sf0.001+sf0.01+sf0.1), then the 14-query SS2-core
+# block (r9-green, 2-round hard bound hits in r11), then 11 of the
+# 12 deferred r7-green shapes — 25 + 14 + 11 = 50 exactly.  The
+# last deferred shape (c5_source_token_mixture — c11 exercises the
+# same per-source token-share machinery in this same head) heads
+# the r12 plan together with the r8-green block stalest-first; the
+# r9-green extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
     # (0) NEW post-rotation gates, tail-resident with local
