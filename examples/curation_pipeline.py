@@ -132,6 +132,33 @@ def main(spark=None, sf_dir=None) -> None:
         f"context chunks: {sum(r['count'] for r in per_shard)} → shards "
         + str({r["shard"]: r["count"] for r in per_shard})
     )
+
+    # 10. the budget cut: each source's best-quality prefix that fits
+    #     a token budget — the "best data that fits the compute"
+    #     decision after all scoring is done
+    from dask_traj_spark.operators.curation import budget_select
+
+    sel = budget_select(docs, budget_tokens=2000)
+    n_sel, n_tok = sel.where("selected = 1").agg(
+        F.count(F.lit(1)), F.sum("n_tokens")
+    ).first()
+    print(f"budget cut: {n_sel} docs / {n_tok} tokens within 2000/source")
+
+    # 11. or keep EVERYTHING and reweight: inverse-cluster-size
+    #     sampling weights (SoftDeDup) — Σ weight = #distinct clusters
+    from dask_traj_spark.operators.dedup import (
+        near_duplicates_minhash,
+        soft_dedup_weights,
+    )
+
+    nd_pairs = near_duplicates_minhash(docs, threshold=0.9).select(
+        F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
+    )
+    weights = soft_dedup_weights(nd_pairs, docs.select("doc_id"))
+    total_w, n_clusters = weights.agg(
+        F.sum("weight"), F.countDistinct("component")
+    ).first()
+    print(f"soft dedup: Σ weight {total_w:.1f} == {n_clusters} clusters")
     if own_session:
         spark.stop()
 
