@@ -724,11 +724,23 @@ def simhash_neardup_pairs(
     (k+1)-divisible signature under ``simhash``'s 31-hash-bit cap;
     wider blocks → sparser buckets); the 16-bit default matches
     ``simhash``'s gate geometry."""
+    sh = simhash(docs, text_col, bits, id_mode)
+    return _hamming_pairs(sh, bits, k, max_bucket)
+
+
+def _hamming_pairs(
+    sh: DataFrame, bits: int, k: int, max_bucket: int | None
+) -> DataFrame:
+    """(doc1, doc2, hamming ≤ k) pairs from any (doc_id, sh) signature
+    table via the Manku block-permutation scheme — the shared back end
+    of :func:`simhash_neardup_pairs` (text) and the multimodal
+    perceptual-hash dedup (``image_neardup_pairs``): k+1 equal bit
+    blocks (pigeonhole-complete for Hamming ≤ k), capped bucket join,
+    exact XOR-popcount verify."""
     nblocks = k + 1
     if bits % nblocks:
         raise ValueError(f"bits={bits} not divisible by k+1={nblocks} blocks")
     bw = bits // nblocks
-    sh = simhash(docs, text_col, bits, id_mode)
     blocks = sh.select(
         "doc_id",
         "sh",

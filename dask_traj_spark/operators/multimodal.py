@@ -1302,6 +1302,111 @@ def audio_clipping(media: DataFrame, threshold: int = 20000) -> DataFrame:
     return media.mapInPandas(gen, AUDIO_CLIP_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ph", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(
+    media: DataFrame, grid_w: int = 4, grid_h: int = 2
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprints over REAL
+    decoded pixels → (doc_id, ph): decode, nearest-neighbor
+    downsample the integer GRAY image (r+g+b per pixel) to a
+    ``grid_w``×``grid_h`` cell grid using ``resize_images``' exact
+    sampling rule (src = floor(dst·src_extent/dst_extent)), then
+    bit i (row-major) = cell_i·n_cells > Σcells (STRICT — a uniform
+    image hashes to 0).  All-integer arithmetic, bit-predictable
+    through the gate.  The image twin of SimHash: two visually-close
+    images land within small Hamming distance;
+    :func:`image_neardup_pairs` turns that into dedup pairs.
+
+    Real decoders only (bmp/png/tiff/jpeg); other kinds raise.
+
+    100-TB posture: map-only Arrow pass (decode + one gather + one
+    comparison per image), 8-byte output per image, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    if grid_w < 1 or grid_h < 1:
+        raise ValueError(f"grid must be >= 1x1, got {grid_w}x{grid_h}")
+    if grid_w * grid_h > 63:
+        raise ValueError(
+            f"grid_w*grid_h must fit a signed long (<= 63 bits), "
+            f"got {grid_w * grid_h}"
+        )
+
+    def one(kind, buf):
+        b = bytes(buf)
+        if kind == "image/bmp":
+            w, h, ch, px = decode_bmp(b)
+        elif kind == "image/png":
+            w, h, ch, px = decode_png(b)
+        elif kind == "image/tiff":
+            w, h, ch, px = decode_tiff(b)
+        elif kind == "image/jpeg":
+            w, h, ch, raw = decode_jpeg(b)
+            px = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            raise NotImplementedError(
+                f"no real decoder for kind={kind!r} — perceptual_hash "
+                "supports image/bmp, image/png, image/tiff, image/jpeg"
+            )
+        img = np.asarray(px, dtype=np.int64).reshape(h, w, ch)
+        gray = img.sum(axis=2)
+        ys = (np.arange(grid_h) * h) // grid_h
+        xs = (np.arange(grid_w) * w) // grid_w
+        cells = gray[ys][:, xs].reshape(-1)
+        total = int(cells.sum())
+        n = len(cells)
+        bits = (cells * n) > total
+        return int(sum(1 << i for i, v in enumerate(bits) if v))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "ph": [
+                        one(kind, buf)
+                        for kind, buf in zip(pdf["kind"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, PHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    k: int = 1,
+    grid_w: int = 4,
+    grid_h: int = 2,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (doc1, doc2, hamming)
+    with aHash Hamming distance ≤ ``k`` — the multimodal dedup block
+    (re-encoded/resized copies of one image survive exact payload
+    hashing but land within small perceptual-hash distance).
+
+    Plan: :func:`perceptual_hash`'s map-only pass, then the SAME
+    Manku block-permutation candidate machinery as d10's text
+    SimHash (`dedup._hamming_pairs` — pigeonhole-complete blocks,
+    capped bucket join, codegen'd XOR-popcount verify) — one shared
+    definition, so a cap or block fix applies to both modalities."""
+    from dask_traj_spark.operators.dedup import _hamming_pairs
+
+    sh = perceptual_hash(media, grid_w, grid_h).select(
+        "doc_id", F.col("ph").alias("sh")
+    )
+    return _hamming_pairs(sh, grid_w * grid_h, k, max_bucket)
+
+
 FRAME_DIFF_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -207,6 +207,7 @@ _SCORING_TAIL = [
     "d21_cross_corpus_matches",
     "v10_knn_classify",
     "c15_budget_select",
+    "m16_perceptual_hash",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

@@ -6919,3 +6919,60 @@ def q_budget_select(spark, sf_dir):
     from dask_traj_spark.operators.curation import budget_select
 
     return budget_select(_docs(spark, sf_dir), budget_tokens=_C15_BUDGET)
+
+
+# ---------------------------------------------------------------------
+# m16: perceptual image hash (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _m16_oracle() -> str:
+    # aHash over the decoded 7x2 BMP (top-down pixels = text bytes
+    # 1..42, zero-padded) at a 4x2 grid: src = floor(dst*src/dst) ->
+    # xs = [0,1,3,5], ys = [0,1]; cell gray = the 3 channel bytes at
+    # text positions 21*y + 3*x + 1..3; bit i (= y*4 + x) set iff
+    # gray_i * 8 > total (STRICT, mirroring the operator).
+    from dask_traj_spark.operators.multimodal import BMP_WIDTH
+
+    xs = [(dx * BMP_WIDTH) // 4 for dx in range(4)]
+    cells = []
+    for y in (0, 1):
+        for x in xs:
+            base = 21 * y + 3 * x
+            cells.append(
+                "("
+                + " + ".join(
+                    f"CASE WHEN nb >= {base + c} "
+                    f"THEN ord(substr(text, {base + c}, 1)) ELSE 0 END"
+                    for c in (1, 2, 3)
+                )
+                + ")"
+            )
+    grays = ", ".join(f"{c} AS g{i}" for i, c in enumerate(cells))
+    total = " + ".join(f"g{i}" for i in range(8))
+    ph = " + ".join(
+        f"(CASE WHEN g{i} * 8 > ({total}) THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH m AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nb, text
+    FROM documents
+),
+g AS (SELECT doc_id, {grays} FROM m)
+SELECT doc_id, CAST({ph} AS BIGINT) AS ph FROM g
+"""
+
+
+@register("m16_perceptual_hash", _m16_oracle())
+def q_perceptual_hash(spark, sf_dir):
+    """Perceptual image fingerprints: text byte head → REAL 7×2 BMP →
+    decode → 4×2 aHash (integer gray, strict above-mean bits) —
+    the multimodal dedup signature, bit-predictable end to end."""
+    from dask_traj_spark.operators.multimodal import (
+        attach_payload_bmp,
+        perceptual_hash,
+    )
+
+    return perceptual_hash(
+        attach_payload_bmp(_docs(spark, sf_dir)), grid_w=4, grid_h=2
+    )

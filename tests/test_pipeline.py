@@ -4820,3 +4820,72 @@ def test_budget_select_prefix_rule(spark):
 
     with _pytest.raises(ValueError, match="budget_tokens"):
         budget_select(docs, budget_tokens=-1)
+
+
+# ------------------------------------- m16 perceptual image hash
+
+
+class TestPerceptualHash:
+    def _bmp_df(self, spark, rows):
+        from dask_traj_spark.operators.multimodal import encode_bmp
+
+        data = [
+            (i, "image/bmp", bytearray(encode_bmp(7, 2, bytes(px))), 0)
+            for i, px in rows
+        ]
+        return spark.createDataFrame(
+            data, "doc_id long, kind string, payload binary, n_bytes long"
+        )
+
+    def test_hand_computed_hash_and_uniform_zero(self, spark):
+        from dask_traj_spark.operators.multimodal import perceptual_hash
+
+        # image A: pixel (0,0) bright white, everything else black ->
+        # only cell 0 above the mean -> ph = 1
+        a = [255, 255, 255] + [0] * 39
+        # uniform image: no cell STRICTLY above the mean -> ph = 0
+        u = [77] * 42
+        out = {
+            r.doc_id: r.ph
+            for r in perceptual_hash(
+                self._bmp_df(spark, [(1, a), (2, u)]), 4, 2
+            ).collect()
+        }
+        assert out == {1: 1, 2: 0}
+
+    def test_neardup_pairs_hamming(self, spark):
+        from dask_traj_spark.operators.multimodal import image_neardup_pairs
+
+        base = [200, 200, 200] * 7 + [0] * 21  # bright row 0, dark row 1
+        twin = list(base)
+        twin[0] = 190  # visually identical -> same cells win
+        flip = list(base)
+        # darken pixel (0,0) hard: cell 0 flips below the mean
+        flip[0:3] = [0, 0, 0]
+        df = self._bmp_df(spark, [(1, base), (2, twin), (3, flip)])
+        p0 = {
+            (r.doc1, r.doc2): r.hamming
+            for r in image_neardup_pairs(df, k=0).collect()
+        }
+        assert p0 == {(1, 2): 0}
+        p1 = {
+            (r.doc1, r.doc2): r.hamming
+            for r in image_neardup_pairs(df, k=1).collect()
+        }
+        assert p1[(1, 2)] == 0 and p1[(1, 3)] == 1 and p1[(2, 3)] == 1
+
+    def test_rejects_non_image_and_bad_grid(self, spark):
+        import pytest as _pytest
+
+        from dask_traj_spark.operators.multimodal import perceptual_hash
+
+        df = spark.createDataFrame(
+            [(1, "audio/wav", bytearray(b"RIFF"), 4)],
+            "doc_id long, kind string, payload binary, n_bytes long",
+        )
+        with _pytest.raises(Exception, match="no real decoder"):
+            perceptual_hash(df).collect()
+        with _pytest.raises(ValueError, match="grid"):
+            perceptual_hash(df, grid_w=0)
+        with _pytest.raises(ValueError, match="signed long"):
+            perceptual_hash(df, grid_w=8, grid_h=8)
