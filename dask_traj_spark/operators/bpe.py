@@ -205,3 +205,45 @@ def bpe_token_counts(
             F.sum("n_syms").alias("n_bpe_tokens"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    segmented: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per stratum — the tokenizer-evaluation
+    diagnostic (how many subwords a word explodes into, how many
+    characters one token carries) that decides whether a trained
+    vocabulary fits a corpus slice: high fertility on a source means
+    its text is being shredded (wrong language/domain for the vocab)
+    and its EFFECTIVE token budget is inflated.
+
+    → (``strata_col``, n_docs, n_chars, n_words, n_bpe_tokens,
+    tokens_per_word, chars_per_token): exact integer sums + two
+    correctly-rounded divisions — bit-identical across engines.
+
+    100-TB posture: rides :func:`bpe_token_counts`' broadcast word
+    join (one keyed doc agg), then one partial-aggregable groupBy on
+    the tiny stratum key; |strata| rows out."""
+    counts = bpe_token_counts(docs, segmented, text_col)
+    base = docs.select(
+        "doc_id", strata_col, F.length(text_col).alias("nc")
+    )
+    j = base.join(counts, "doc_id")
+    n_bpe = F.sum("n_bpe_tokens")
+    n_words = F.sum("n_words")
+    n_chars = F.sum("nc")
+    return j.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_words.cast("double")).alias(
+            "tokens_per_word"
+        ),
+        (n_chars.cast("double") / n_bpe.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )

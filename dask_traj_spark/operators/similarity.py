@@ -1252,3 +1252,72 @@ def cosine_topk_ivf_pq(
         .where(F.col("rank") <= k)
         .select("qid", id_col, "cos", "rank")
     )
+
+
+def embedding_diversity(
+    emb: DataFrame, strata_col: str = "label", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-stratum embedding diversity: the MEAN PAIRWISE COSINE of a
+    group's vectors WITHOUT any pairwise join, via the sum identity
+    mean_{i≠j} cos(u_i, u_j) = (|Σu|² − Σ|u|²) / (n(n−1)) over
+    normalized vectors — high mean cosine = a semantically collapsed
+    slice (near-dup farm, templated source), low = diverse.  The
+    corpus-diversity diagnostic next to d6's per-pair decisions, at
+    aggregation cost O(n·dim) instead of O(n²·dim).
+
+    → (``strata_col``, n_vectors, mean_pairwise_cos), strata with
+    n ≥ 2 only.
+
+    Determinism: elements snap to the 2^-12 grid; each vector's norm
+    is the sqrt of an exact dyadic sum (correctly rounded, identical
+    in both engines); normalized components snap to 2^-20 (exact
+    dyadics), so Σu per (stratum, pos) and Σ|u|² are exact sums;
+    both squared terms are snapped again before their final sums
+    (the t24 product rule).  The one closing division is correctly
+    rounded from exact operands.
+
+    100-TB posture: three keyed partial+final aggregations
+    ((stratum, vec) norms → (stratum, pos) component sums → stratum
+    rollup) plus one keyed join for the normalize — never a pairwise
+    join, never SinglePartition; |strata| rows out."""
+    g20 = F.lit(1048576.0)
+
+    def _snap(c):
+        return F.round(c * g20, 0) / g20
+
+    e = emb.select(
+        F.col(strata_col).alias("st"),
+        F.col(id_col).alias("vid"),
+        F.posexplode("embedding").alias("pos", "_v"),
+    ).select(
+        "st",
+        "vid",
+        "pos",
+        (F.round(F.col("_v").cast("double") * QGRID, 0) / QGRID).alias("v"),
+    )
+    nr = e.groupBy("st", "vid").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    u = e.join(nr, ["st", "vid"]).select(
+        "st", "vid", "pos", _snap(F.col("v") / F.col("nrm")).alias("u")
+    )
+    per_pos = u.groupBy("st", "pos").agg(F.sum("u").alias("s"))
+    s2 = per_pos.groupBy("st").agg(
+        F.sum(_snap(F.col("s") * F.col("s"))).alias("s2")
+    )
+    q = u.groupBy("st").agg(
+        F.sum(_snap(F.col("u") * F.col("u"))).alias("qq"),
+        F.countDistinct("vid").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    return (
+        s2.join(q, "st")
+        .where(F.col("n") >= 2)
+        .select(
+            F.col("st").alias(strata_col),
+            F.col("n").cast("long").alias("n_vectors"),
+            ((F.col("s2") - F.col("qq")) / (n * (n - F.lit(1.0)))).alias(
+                "mean_pairwise_cos"
+            ),
+        )
+    )

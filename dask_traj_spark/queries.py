@@ -208,6 +208,8 @@ _SCORING_TAIL = [
     "v10_knn_classify",
     "c15_budget_select",
     "m16_perceptual_hash",
+    "t28_tokenizer_fertility",
+    "v11_embedding_diversity",
     # (a) the 12 r7-green shapes deferred from the r10 head when the
     #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
     #     in the round) landed (new-query-first cost one slot each; these

@@ -6976,3 +6976,91 @@ def q_perceptual_hash(spark, sf_dir):
     return perceptual_hash(
         attach_payload_bmp(_docs(spark, sf_dir)), grid_w=4, grid_h=2
     )
+
+
+# ---------------------------------------------------------------------
+# t28: tokenizer fertility per source (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+def _t28_oracle(k: int) -> str:
+    return f"""WITH {_bpe_ctes(k)},
+cnt AS (
+    SELECT t.doc_id, count(*) AS n_words, sum(len(w.syms)) AS n_bpe
+    FROM tok t JOIN w{k} w USING (word) GROUP BY t.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+       CAST(sum(c.n_words) AS BIGINT) AS n_words,
+       CAST(sum(c.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(c.n_bpe) AS DOUBLE) / CAST(sum(c.n_words) AS DOUBLE)
+           AS tokens_per_word,
+       CAST(sum(length(d.text)) AS DOUBLE) / CAST(sum(c.n_bpe) AS DOUBLE)
+           AS chars_per_token
+FROM documents d JOIN cnt c ON c.doc_id = d.doc_id
+GROUP BY d.source"""
+
+
+@register("t28_tokenizer_fertility", _t28_oracle(_BPE_MERGES))
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per source under the trained BPE (shared
+    t18 training run): subwords per word and chars per token — the
+    vocabulary-fit diagnostic; exact integer sums, two divisions."""
+    from dask_traj_spark.operators.bpe import tokenizer_fertility
+
+    _m, seg = _bpe_cached(spark, sf_dir)
+    return tokenizer_fertility(_docs(spark, sf_dir), seg)
+
+
+# ---------------------------------------------------------------------
+# v11: per-stratum embedding diversity (tail-resident, seats r11)
+# ---------------------------------------------------------------------
+
+_V11_ORACLE = """
+WITH e AS (
+    SELECT label AS st, vec_id AS vid,
+           generate_subscripts(embedding, 1) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 4096) / 4096 AS v
+    FROM embeddings
+),
+nr AS (
+    SELECT st, vid, sqrt(sum(v * v)) AS nrm FROM e GROUP BY st, vid
+),
+u AS (
+    SELECT e.st, e.vid, e.pos,
+           round(e.v / n.nrm * 1048576) / 1048576 AS u
+    FROM e JOIN nr n ON n.st = e.st AND n.vid = e.vid
+),
+per_pos AS (SELECT st, pos, sum(u) AS s FROM u GROUP BY st, pos),
+s2 AS (
+    SELECT st, sum(round(s * s * 1048576) / 1048576) AS s2
+    FROM per_pos GROUP BY st
+),
+q AS (
+    SELECT st, sum(round(u * u * 1048576) / 1048576) AS qq,
+           count(DISTINCT vid) AS n
+    FROM u GROUP BY st
+)
+SELECT CAST(s2.st AS BIGINT) AS label,
+       CAST(q.n AS BIGINT) AS n_vectors,
+       (s2.s2 - q.qq) / (CAST(q.n AS DOUBLE) * (CAST(q.n AS DOUBLE) - 1.0))
+           AS mean_pairwise_cos
+FROM s2 JOIN q ON q.st = s2.st
+WHERE q.n >= 2
+"""
+
+
+@register("v11_embedding_diversity", _V11_ORACLE)
+def q_embedding_diversity(spark, sf_dir):
+    """Per-label mean pairwise cosine WITHOUT a pairwise join (the
+    |Σu|² identity): the corpus-diversity diagnostic at O(n·dim)
+    aggregation cost.  Normalized components and both squared terms
+    grid-snapped so every sum is exact — bit-identical engines."""
+    from dask_traj_spark.operators.similarity import embedding_diversity
+
+    out = embedding_diversity(_emb(spark, sf_dir), strata_col="label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors",
+        "mean_pairwise_cos",
+    )

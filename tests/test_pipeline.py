@@ -4889,3 +4889,80 @@ class TestPerceptualHash:
             perceptual_hash(df, grid_w=0)
         with _pytest.raises(ValueError, match="signed long"):
             perceptual_hash(df, grid_w=8, grid_h=8)
+
+
+# ------------------------------------- t28 tokenizer fertility
+
+
+def test_tokenizer_fertility_pinned(spark):
+    """Hand-built segmentation: fertility ratios are exact integer
+    divisions; a shredded source reads higher tokens_per_word."""
+    from dask_traj_spark.operators.bpe import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb", "whole"),     # both words 1 token
+            (2, "cc dd", "shredded"),  # both words 2 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    seg = spark.createDataFrame(
+        [
+            ("aa", ["aa"]), ("bb", ["bb"]),
+            ("cc", ["c", "c"]), ("dd", ["d", "d"]),
+        ],
+        "word string, syms array<string>",
+    )
+    got = {r.source: r for r in tokenizer_fertility(docs, seg).collect()}
+    w, s = got["whole"], got["shredded"]
+    assert (w.n_docs, w.n_chars, w.n_words, w.n_bpe_tokens) == (1, 5, 2, 2)
+    assert w.tokens_per_word == 1.0 and w.chars_per_token == 5 / 2
+    assert (s.n_bpe_tokens, s.tokens_per_word) == (4, 2.0)
+    assert s.chars_per_token == 5 / 4
+
+
+# ------------------------------------- v11 embedding diversity
+
+
+def test_embedding_diversity_matches_pairwise_reference(spark):
+    """The |Σu|² identity equals the brute-force mean pairwise cosine
+    (within the 2^-20 snapping tolerance); identical vectors → ~1;
+    an orthogonal pair → ~0; singleton strata are dropped."""
+    import itertools
+    import math
+
+    from dask_traj_spark.operators.similarity import embedding_diversity
+
+    rows = [
+        # label 0: three identical vectors -> mean cos ~ 1
+        (0, [1.0, 2.0, 2.0], 0), (1, [1.0, 2.0, 2.0], 0),
+        (2, [1.0, 2.0, 2.0], 0),
+        # label 1: an orthogonal pair -> mean cos ~ 0
+        (3, [1.0, 0.0, 0.0], 1), (4, [0.0, 1.0, 0.0], 1),
+        # label 2: a mixed trio, checked against brute force
+        (5, [1.0, 1.0, 0.0], 2), (6, [1.0, 0.0, 1.0], 2),
+        (7, [0.5, 0.25, 0.75], 2),
+        # label 3: singleton -> dropped
+        (8, [1.0, 1.0, 1.0], 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in embedding_diversity(emb).collect()}
+    assert set(got) == {0, 1, 2}
+    assert abs(got[0].mean_pairwise_cos - 1.0) < 1e-4
+    assert abs(got[1].mean_pairwise_cos) < 1e-4
+
+    def snap12(x):
+        return math.floor(x * 4096 + 0.5) / 4096
+
+    vecs = [[snap12(x) for x in v] for _i, v, l in rows if l == 2]
+    norm = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+    un = [[x / n for x in v] for v, n in zip(vecs, norm)]
+    cos = [
+        sum(a * b for a, b in zip(u1, u2))
+        for u1, u2 in itertools.combinations(un, 2)
+    ]
+    want = sum(cos) / len(cos)
+    assert abs(got[2].mean_pairwise_cos - want) < 1e-4
+    assert got[2].n_vectors == 3

@@ -1278,3 +1278,42 @@ def test_budget_select_plan_shape(spark):
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
     assert_max_shuffles(df, 1)
+
+
+def test_embedding_diversity_plan_shape(spark):
+    """v11's 100-TB posture: NO pairwise join — three keyed
+    partial+final aggs + one keyed normalize join; no cartesian, no
+    Python, no SinglePartition."""
+    from dask_traj_spark.operators.similarity import embedding_diversity
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)], i % 2) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    a = audit(embedding_diversity(emb))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
+
+
+def test_tokenizer_fertility_plan_shape(spark):
+    """t28's 100-TB posture: broadcast word join + two
+    partial-aggregable groupBys; no cartesian, no Python, no
+    SinglePartition."""
+    from dask_traj_spark.operators.bpe import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb", f"s{i % 2}") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    seg = spark.createDataFrame(
+        [("aa", ["aa"]), ("bb", ["b", "b"])],
+        "word string, syms array<string>",
+    )
+    a = audit(tokenizer_fertility(docs, seg))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "ArrowEvalPython" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text, a.text
+    assert "SinglePartition" not in a.text, a.text
