@@ -167,16 +167,20 @@ def register(name: str, oracle: str | None = None):
 # for §2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 25 never-driver-scored tail-resident
-# gates below (14 from sessions 1-5 + the 11 session-6 additions
-# t26/t27/d19/v9/e9/sx12/m15/d20/d21/v10/c15 — all locally
-# hash-green at sf0.001+sf0.01+sf0.1), then the 14-query SS2-core
-# block (r9-green, 2-round hard bound hits in r11), then 11 of the
-# 12 deferred r7-green shapes — 25 + 14 + 11 = 50 exactly.  The
-# last deferred shape (c5_source_token_mixture — c11 exercises the
-# same per-source token-share machinery in this same head) heads
-# the r12 plan together with the r8-green block stalest-first; the
-# r9-green extension set ages back in from r12.
+# top of _SCORING_TAIL): the 28 never-driver-scored tail-resident
+# gates below (14 from sessions 1-5 + the 14 session-6 additions
+# t26/t27/d19/v9/e9/sx12/m15/d20/d21/v10/c15/m16/t28/v11 — all
+# locally hash-green at sf0.001+sf0.01+sf0.1), then the 14-query
+# SS2-core block (r9-green, 2-round hard bound hits in r11), then 8
+# of the 12 deferred r7-green shapes — 28 + 14 + 8 = 50 exactly.
+# The four remaining deferred shapes head the r12 plan, chosen for
+# maximal same-head machinery coverage in r11: c5 (c11 exercises
+# the per-source token-share machinery), d3 (d10's Hamming gate
+# builds ON the simhash signatures and m16 exercises the shared
+# _hamming_pairs back end), v2 (v1/v9/v10/v11 keep the embedding
+# machinery seated), sx7 (t14 exercises count-min in the same
+# head); then the r8-green block stalest-first; the r9-green
+# extension set ages back in from r12.
 _SCORING_TAIL = [
     # ---- WRITTEN R11 PLAN (seat these first next round) ----
     # (0) NEW post-rotation gates, tail-resident with local
