@@ -733,12 +733,14 @@ def main() -> None:
                 / (10 * times["t22_winnowing_hashed"]), 2
             ),
             # session-6 additions: 1x sides live in bench_detail's
-            # times_detail (headline byte cap) — short keys here
-            "t27_dup_ngram": round(
+            # times_detail (headline byte cap) — MINIMAL keys here:
+            # the first run with descriptive keys pushed the line 6
+            # bytes past the cap and cost the probe section
+            "t27": round(
                 scale["t27_dup_ngram_10x"]
                 / (10 * times_detail["t27_dup_ngram_char_fraction"]), 2
             ),
-            "d20_cross": round(
+            "d20": round(
                 scale["d20_cross_corpus_10x"]
                 / (10 * times_detail["d20_cross_corpus_hashed"]), 2
             ),
@@ -829,23 +831,25 @@ def main() -> None:
         "master": master,
         # the acceptance metric's own spread stays driver-visible
         # (BENCH_r08 swung 1.87->5.51 s on identical code): wide
-        # spread = warm-up, tight-but-high + hot probes = host noise
-        "spread": {
-            "onepass": iters_canonical_onepass,
-            "local12": iters.get("canonical_onepass_local12", []),
-            "10x": scale.get("canonical_onepass_10x_iters", []),
-        },
+        # spread = warm-up, tight-but-high + hot probes = host noise.
+        # local12/10x iteration spreads moved to bench_detail.json
+        # (r10 s6): with them inline the line chronically outgrew the
+        # 1800-byte cap whenever the hot list was non-empty, and the
+        # drop loop then cost the WHOLE probe section — worse than
+        # losing two secondary spreads
+        "spread": {"onepass": iters_canonical_onepass},
         "linearity": scale.get("linearity", {}),
-        # hot list capped at 6 names: under heavy host load it held
-        # 10 names (~250 bytes) — growing the line exactly when the
-        # byte budget is tightest; hot_n carries the true count and
-        # the full list is in bench_detail.json
+        # hot list capped at 4 names (was 6 — still outgrew the cap
+        # together with the secondary spreads): under heavy host load
+        # it held 10 names (~250 bytes) — growing the line exactly
+        # when the byte budget is tightest; hot_n carries the true
+        # count and the full list is in bench_detail.json
         "probe": {
             "start_s": probes.get("start_s"),
             "end_s": probes.get("end_s"),
             "median_s": med_probe,
             "hot_n": len(probe_hot),
-            "hot": probe_hot[:6],
+            "hot": probe_hot[:4],
         },
         "detail": "bench_detail.json",
     }
