@@ -1238,21 +1238,40 @@ def dup_ngram_char_fraction(
         F.length(text_col).alias("n_chars"),
         F.split(F.col(text_col), " ").alias("t"),
     )
-    # struct per window: gram string + inclusive char start + exclusive
-    # char end.  cs(i) = chars of the first i tokens joined, plus the
-    # following space (0 for i = 0); ce(i) = chars of the first i + n
-    # tokens joined — all exact integer lengths, mirrored verbatim in
-    # the DuckDB oracle.
-    span_col = F.expr(
-        f"transform(sequence(0, size(t) - {n}), i -> struct("
-        f"array_join(slice(t, i + 1, {n}), ' ') AS gram, "
-        f"CASE WHEN i = 0 THEN 0 "
-        f"ELSE length(array_join(slice(t, 1, i), ' ')) + 1 END AS cs, "
-        f"length(array_join(slice(t, 1, i + {n}), ' ')) AS ce))"
+    # Char offsets: cs(i) = chars of the first i tokens joined, plus
+    # the following space (0 for i = 0); ce(i) = chars of the first
+    # i + n tokens joined — all exact integer lengths, mirrored
+    # verbatim in the DuckDB oracle.  The offsets derive from ONE
+    # running sum over per-token lengths (joined(p) = Σ len + p =
+    # chars of the first p+1 tokens joined), NOT from re-joining the
+    # token prefix per window — that form is O(T²) characters per
+    # document and lets a single 100k-token doc dominate a task
+    # (session-6 review finding); this one is O(T·n) for the gram
+    # strings plus one doc-keyed window.
+    tok_col = F.expr(
+        f"transform(sequence(0, size(t) - 1), i -> struct("
+        f"length(element_at(t, i + 1)) AS len, "
+        f"CASE WHEN i <= size(t) - {n} "
+        f"THEN array_join(slice(t, i + 1, {n}), ' ') END AS gram))"
     )
-    occ = base.where(F.size("t") >= n).select(
-        "doc_id", "n_chars", F.explode(span_col).alias("s")
-    ).select("doc_id", "n_chars", "s.gram", "s.cs", "s.ce")
+    rows = base.where(F.size("t") >= n).select(
+        "doc_id", "n_chars", F.posexplode(tok_col).alias("pos", "s")
+    ).select("doc_id", "n_chars", "pos", "s.len", "s.gram")
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = Window.partitionBy("doc_id").orderBy("pos")
+    joined = F.sum("len").over(w_run) + F.col("pos")
+    sp = rows.withColumn("joined", joined)
+    cs = F.when(F.col("pos") == 0, F.lit(0)).otherwise(
+        F.lag("joined").over(w_off) + 1
+    )
+    ce = F.lead("joined", n - 1).over(w_off)
+    occ = sp.select(
+        "doc_id", "n_chars", "gram", cs.alias("cs"), ce.alias("ce")
+    ).where(F.col("gram").isNotNull())
     w_cnt = Window.partitionBy("doc_id", "gram")
     hits = occ.withColumn("c", F.count(F.lit(1)).over(w_cnt)).where(
         F.col("c") >= 2
@@ -1277,9 +1296,15 @@ def dup_ngram_char_fraction(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
             F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
-            (
+            # empty text would divide 0/0 (NULL in Spark, NaN in
+            # DuckDB) — define the fraction as 0.0, mirrored in the
+            # oracle's CASE
+            F.when(
+                F.col("n_chars") > 0,
                 F.coalesce("dup_chars", F.lit(0).cast("long")).cast("double")
-                / F.col("n_chars").cast("double")
-            ).alias("dup_frac"),
+                / F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )

@@ -860,19 +860,15 @@ def budget_select(
     token arithmetic exact integers."""
     from pyspark.sql import Window
 
-    from dask_traj_spark.functions.text import quality_expr
+    from dask_traj_spark.functions.text import _n_tokens, quality_expr
 
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
-    t = F.col(text_col)
-    n_tok = (
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
     scored = docs.select(
         "doc_id",
         strata_col,
         quality_expr(text_col).alias("quality"),
-        n_tok.alias("n_tokens"),
+        _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy(strata_col)

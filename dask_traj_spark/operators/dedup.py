@@ -286,19 +286,24 @@ def cross_corpus_neardup(
         StorageLevel.MEMORY_AND_DISK
     )
     bands = _band_rows(_signatures_from(dt), max_bucket)
-    l = bands.where(F.col("doc_id") % 2 == 0).select(
+    # pmod, not %: Spark's % keeps the sign, so a NEGATIVE odd sid
+    # (legal — ids are arbitrary longs) would satisfy neither side
+    # and silently vanish from the join (session-6 review finding)
+    l = bands.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
         F.col("doc_id").alias("doc1"), "band", "bh"
     )
-    r = bands.where(F.col("doc_id") % 2 == 1).select(
+    r = bands.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
         F.col("doc_id").alias("doc2"), "band", "bh"
     )
     cand = (
         l.join(r, ["band", "bh"]).select("doc1", "doc2").distinct()
     )
     pairs = _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
+    # floor division via (sid - pmod)/2 — `div` truncates toward
+    # zero and would mis-map negative sids
     return pairs.select(
-        F.expr("doc1 div 2").alias("doc_id"),
-        F.expr("doc2 div 2").alias("ref_id"),
+        F.expr("(doc1 - pmod(doc1, 2)) div 2").alias("doc_id"),
+        F.expr("(doc2 - pmod(doc2, 2)) div 2").alias("ref_id"),
         "jaccard",
     )
 
@@ -1068,10 +1073,12 @@ def cross_corpus_matches(
         )
     )
     occ = _anchor_occurrences(tagged, text_col, ngram, max_occ, key_mode)
-    a = occ.where(F.col("doc_id") % 2 == 0).select(
+    # pmod + floor-div decode: the d20 negative-id rule (see
+    # cross_corpus_neardup)
+    a = occ.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
         F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
     )
-    b = occ.where(F.col("doc_id") % 2 == 1).select(
+    b = occ.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
         F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
     )
     pairs = a.join(b, "ng").select(
@@ -1079,8 +1086,8 @@ def cross_corpus_matches(
     )
     out = _matches_from_pairs(pairs, ngram)
     return out.select(
-        F.expr("doc1 div 2").alias("doc_id"),
-        F.expr("doc2 div 2").alias("ref_id"),
+        F.expr("(doc1 - pmod(doc1, 2)) div 2").alias("doc_id"),
+        F.expr("(doc2 - pmod(doc2, 2)) div 2").alias("ref_id"),
         F.col("start1").alias("start_doc"),
         F.col("start2").alias("start_ref"),
         "match_tokens",

@@ -1245,8 +1245,11 @@ def audio_clipping(media: DataFrame, threshold: int = 20000) -> DataFrame:
     the loudness-damage screen of an audio curation pipeline —
     ``clipped`` counts samples at or above ``threshold`` in
     magnitude, ``max_clip_run`` is the longest CONSECUTIVE clipped
-    run (sustained rail-hits are the audible artifact; isolated
-    peaks usually are not), ``clip_frac`` the clipped fraction.
+    run WITHIN ONE CHANNEL (sustained rail-hits are the audible
+    artifact; isolated peaks usually are not — and interleaved
+    multichannel PCM must be de-interleaved first or a one-channel
+    rail-hit reads as alternating singles), ``clip_frac`` the
+    clipped fraction over all samples.
     All integers except the one exact final division.  Non-WAV
     kinds raise (no stub QC).
 
@@ -1263,15 +1266,26 @@ def audio_clipping(media: DataFrame, threshold: int = 20000) -> DataFrame:
             raise NotImplementedError(
                 f"audio_clipping needs PCM WAV payloads, got {kind!r}"
             )
-        _frames, _ch, _rate, samples = decode_wav(bytes(buf))
+        _frames, ch, _rate, samples = decode_wav(bytes(buf))
         s = np.abs(np.asarray(samples, dtype=np.int64))
         clip = s >= threshold
-        padded = np.concatenate(([0], clip.astype(np.int8), [0]))
-        d = np.diff(padded)
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
-        max_run = int((ends - starts).max()) if len(starts) else 0
         n = len(s)
+        # runs measured PER CHANNEL: PCM samples are channel-
+        # interleaved, and a sustained single-channel rail-hit must
+        # not be broken up (or conflated with the other channel's)
+        # by interleaving — session-6 review finding
+        max_run = 0
+        if n and ch > 0:
+            cm = clip[: (n // ch) * ch].reshape(-1, ch)
+            for c in range(ch):
+                padded = np.concatenate(
+                    ([0], cm[:, c].astype(np.int8), [0])
+                )
+                d = np.diff(padded)
+                starts = np.flatnonzero(d == 1)
+                if len(starts):
+                    ends = np.flatnonzero(d == -1)
+                    max_run = max(max_run, int((ends - starts).max()))
         clipped = int(clip.sum())
         return (
             n,

@@ -1295,9 +1295,13 @@ def embedding_diversity(
         "pos",
         (F.round(F.col("_v").cast("double") * QGRID, 0) / QGRID).alias("v"),
     )
+    # zero-norm vectors carry no direction: EXCLUDE them from both
+    # the sums and the count (session-6 review finding: v/0 is NULL
+    # in Spark, so a zero vector silently vanished from the sums
+    # while still inflating n — mirrored as nrm > 0 in the oracle)
     nr = e.groupBy("st", "vid").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
-    )
+    ).where(F.col("nrm") > 0)
     u = e.join(nr, ["st", "vid"]).select(
         "st", "vid", "pos", _snap(F.col("v") / F.col("nrm")).alias("u")
     )

@@ -6418,8 +6418,10 @@ per AS (SELECT doc_id, sum(cov) AS dup_chars FROM cov GROUP BY doc_id)
 SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
        CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
-       CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
-           / CAST(length(d.text) AS DOUBLE) AS dup_frac
+       CASE WHEN length(d.text) > 0
+            THEN CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+                 / CAST(length(d.text) AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
@@ -7025,6 +7027,7 @@ WITH e AS (
 ),
 nr AS (
     SELECT st, vid, sqrt(sum(v * v)) AS nrm FROM e GROUP BY st, vid
+    HAVING sqrt(sum(v * v)) > 0
 ),
 u AS (
     SELECT e.st, e.vid, e.pos,

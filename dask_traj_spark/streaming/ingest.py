@@ -501,25 +501,43 @@ def window_counts_state(spark: SparkSession, state_dir: str) -> DataFrame:
 _SESS_GAP_US = 1_800_000_000  # 30 min, matching e2
 
 
+def _read_versioned_table(
+    spark: SparkSession, table_dir: str, schema: str
+) -> DataFrame | None:
+    """Read a batch_id-partitioned fold table, or None when the table
+    holds no partitions yet.  Probe existence AND population
+    explicitly (Hadoop FS API — works on hdfs/s3a/file alike, same
+    rule as prune_state_versions): a genuinely absent dir means "no
+    table" (first batch), and so does a dir WITHOUT any batch_id=
+    partition — an all-empty micro-batch's zero-row write creates
+    exactly that shape, and spark.read.parquet on it raises
+    UNABLE_TO_INFER_SCHEMA (session-6 review finding: an empty FIRST
+    batch otherwise poisoned the fold for every later batch).  Any
+    OTHER read failure must propagate — swallowing a transient read
+    error would silently restart the fold with no carried state and
+    corrupt the exactly-once guarantee (ADVICE r4 medium)."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    if not any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(path)
+    ):
+        return None
+    return spark.read.parquet(table_dir)
+
+
 def _read_session_state(spark: SparkSession, state_dir: str, version: int):
     schema = (
         "user_id long, open_no long, p_first long, p_last long, p_n long"
     )
     if version < 0:
         return spark.createDataFrame([], schema)
-    # Probe existence explicitly (Hadoop FS API — works on hdfs/s3a/
-    # file alike, same rule as prune_state_versions).  Only a genuinely
-    # absent state dir means "empty state" (first batch); any OTHER
-    # read failure must propagate — swallowing a transient read error
-    # would silently restart sessionization with no open tails and
-    # corrupt the exactly-once guarantee of the versioned fold
-    # (ADVICE r4 medium).
-    sc = spark.sparkContext
-    path = sc._jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    st = _read_versioned_table(spark, state_dir, schema)
+    if st is None:
         return spark.createDataFrame([], schema)
-    st = spark.read.parquet(state_dir)
     return st.where(F.col("batch_id") == version).drop("batch_id")
 
 
@@ -645,8 +663,17 @@ def sessions_final(
     """End-of-stream session view: every closed session plus the
     still-open tails from the last state version — identical to the
     batch sessionization of the full corpus (gated by sx4 against
-    e2's value oracle)."""
-    closed = spark.read.parquet(results_dir).drop("batch_id")
+    e2's value oracle).  A stream that never closed a session yields
+    only the open tails, not a read error."""
+    closed_schema = (
+        "user_id long, sess_no long, first_us long, last_us long, n long"
+    )
+    closed = _read_versioned_table(spark, results_dir, closed_schema)
+    closed = (
+        spark.createDataFrame([], closed_schema)
+        if closed is None
+        else closed.drop("batch_id")
+    )
     opens = _read_session_state(spark, state_dir, last_batch_id).select(
         "user_id",
         F.col("open_no").alias("sess_no"),
@@ -700,12 +727,9 @@ def _read_gap_state(spark: SparkSession, state_dir: str, version: int):
     schema = "user_id long, p_last long"
     if version < 0:
         return spark.createDataFrame([], schema)
-    sc = spark.sparkContext
-    path = sc._jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    st = _read_versioned_table(spark, state_dir, schema)
+    if st is None:
         return spark.createDataFrame([], schema)
-    st = spark.read.parquet(state_dir)
     return st.where(F.col("batch_id") == version).drop("batch_id")
 
 
@@ -771,5 +795,11 @@ def gaps_final(spark: SparkSession, results_dir: str) -> DataFrame:
     """End-of-stream gap table: every (user_id, event_type, gap_us)
     emitted across all batches — identical to the one-pass batch lag
     computation of the full corpus (gated by sx12 against e9's value
-    oracle after the shared per-type rollup)."""
-    return spark.read.parquet(results_dir).drop("batch_id")
+    oracle after the shared per-type rollup).  A stream whose every
+    batch emitted zero gaps yields the empty table, not a read
+    error."""
+    schema = "user_id long, event_type string, gap_us long"
+    t = _read_versioned_table(spark, results_dir, schema)
+    if t is None:
+        return spark.createDataFrame([], schema)
+    return t.drop("batch_id")

@@ -4966,3 +4966,84 @@ def test_embedding_diversity_matches_pairwise_reference(spark):
     want = sum(cos) / len(cos)
     assert abs(got[2].mean_pairwise_cos - want) < 1e-4
     assert got[2].n_vectors == 3
+
+
+# --------------------------- session-6 review-fix regressions
+
+
+def test_cross_corpus_ops_handle_negative_ids(spark):
+    """Negative doc_ids (legal longs) must survive the side-tagging:
+    Spark's sign-keeping % would silently drop negative odd sids and
+    `div` would mis-decode them (review finding; fixed with pmod +
+    floor division)."""
+    from dask_traj_spark.operators.dedup import (
+        cross_corpus_matches,
+        cross_corpus_neardup,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame([(-5, t)], "doc_id long, text string")
+    ref = spark.createDataFrame([(-7, t)], "doc_id long, text string")
+    nd = cross_corpus_neardup(docs, ref, threshold=0.9).collect()
+    assert [(r.doc_id, r.ref_id, r.jaccard) for r in nd] == [(-5, -7, 1.0)]
+    cm = cross_corpus_matches(docs, ref, ngram=8, key_mode="exact").collect()
+    assert [(r.doc_id, r.ref_id, r.match_tokens) for r in cm] == [(-5, -7, 10)]
+
+
+def test_embedding_diversity_ignores_zero_norm_vectors(spark):
+    """A zero vector carries no direction: it must be excluded from
+    BOTH the sums and the count (review finding: it vanished from the
+    sums but still inflated n)."""
+    from dask_traj_spark.operators.similarity import embedding_diversity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 2.0], 0),
+            (1, [1.0, 2.0, 2.0], 0),
+            (2, [0.0, 0.0, 0.0], 0),  # zero-norm: ignored
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = embedding_diversity(emb).collect()
+    assert len(got) == 1
+    assert got[0].n_vectors == 2
+    assert abs(got[0].mean_pairwise_cos - 1.0) < 1e-4
+
+
+def test_audio_clipping_per_channel_runs(spark):
+    """A sustained single-channel rail-hit in interleaved stereo must
+    report its full run length, not alternating singles (review
+    finding)."""
+    import numpy as np
+
+    from dask_traj_spark.operators.multimodal import (
+        audio_clipping,
+        encode_wav,
+    )
+
+    # 6 frames stereo: left channel clipped for 5 consecutive frames,
+    # right channel quiet throughout
+    frames = [(30000, 10)] * 5 + [(0, 10)]
+    s = np.array([v for fr in frames for v in fr], dtype=np.int16)
+    payload = encode_wav(s, n_channels=2)
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(payload), len(payload))],
+        "doc_id long, kind string, payload binary, n_bytes long",
+    )
+    r = audio_clipping(df, threshold=20000).collect()[0]
+    assert r.clipped == 5
+    assert r.max_clip_run == 5  # interleaving would have read 1
+
+
+def test_dup_ngram_char_fraction_empty_text(spark):
+    """Empty text is a defined 0.0 fraction, not NULL/NaN (review
+    finding)."""
+    from dask_traj_spark.functions.text import dup_ngram_char_fraction
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a b c d e a b c d e f")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_ngram_char_fraction(docs, n=5).collect()}
+    assert (got[1].n_chars, got[1].dup_chars, got[1].dup_frac) == (0, 0, 0.0)
+    assert got[2].dup_frac > 0

@@ -1395,3 +1395,46 @@ def test_stream_gaps_stitch_across_batches_and_replay(spark, tmp_path):
     assert (2, "b", 170 * 60_000_000) in got
     # user 3 emitted nothing
     assert not any(u == 3 for u, _t, _g in got)
+
+
+def test_gap_and_session_folds_survive_empty_first_batch(spark, tmp_path):
+    """An all-empty micro-batch writes a zero-row table (a directory
+    with NO batch_id= partitions); the next batch's state read and
+    the final views must treat that as empty state, not die on
+    UNABLE_TO_INFER_SCHEMA (review finding)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.streaming.ingest import (
+        gaps_final,
+        process_gaps_batch,
+        process_sessions_batch,
+        sessions_final,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, 1, t0 + dt.timedelta(minutes=5), "a"),
+            (1, 1, t0 + dt.timedelta(minutes=9), "b"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    empty = ev.where(F.lit(False))
+
+    st, res = str(tmp_path / "gst"), str(tmp_path / "gres")
+    process_gaps_batch(empty, 0, st, res)       # poisonous before the fix
+    process_gaps_batch(ev, 1, st, res)
+    gaps = gaps_final(spark, res).collect()
+    assert [(r.user_id, r.gap_us) for r in gaps] == [(1, 4 * 60_000_000)]
+    # a gap stream that never emitted is an empty table, not an error
+    st2, res2 = str(tmp_path / "gst2"), str(tmp_path / "gres2")
+    process_gaps_batch(empty, 0, st2, res2)
+    assert gaps_final(spark, res2).count() == 0
+
+    sst, sres = str(tmp_path / "sst"), str(tmp_path / "sres")
+    process_sessions_batch(empty.drop("event_type"), 0, sst, sres)
+    process_sessions_batch(ev.drop("event_type"), 1, sst, sres)
+    sess = sessions_final(spark, sst, sres, 1).collect()
+    assert [(r.user_id, r.n_events) for r in sess] == [(1, 2)]
