@@ -521,11 +521,18 @@ def _read_versioned_table(
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return None
-    if not any(
-        st.getPath().getName().startswith("batch_id=")
+    visible = [
+        st.getPath().getName()
         for st in fs.listStatus(path)
-    ):
+        if not st.getPath().getName().startswith(("_", "."))
+    ]
+    if not visible:
+        # only commit markers (_SUCCESS) — the footprint of an
+        # all-empty write; genuinely no state
         return None
+    # anything else (batch_id= partitions OR unexpected content) goes
+    # through spark.read.parquet, so corrupt state still RAISES
+    # (ADVICE r4: never silently restart a fold on a read error)
     return spark.read.parquet(table_dir)
 
 
