@@ -57,6 +57,39 @@ from pyspark.sql import DataFrame, functions as F
 
 from dask_traj_spark.functions.text import token_id_hashed, tokens, vocab
 
+# Several operators below persist a shared intermediate (the token /
+# shingle sets referenced by multiple plan branches).  Their results
+# are LAZY, so the cache must outlive the operator call and cannot be
+# unpersisted here; it is TRACKED instead, and a long-lived session
+# running many dedup calls releases all of them with
+# ``release_caches()`` once the results are materialized (ADVICE
+# r10: each call otherwise pins a cached RDD for the session's
+# lifetime).  Storage is MEMORY_AND_DISK and Spark evicts cached
+# blocks LRU, so an unreleased cache degrades to recompute/disk
+# churn, never OOM — but explicit release is the contract.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by the dedup operators in
+    this session; returns how many were released.  Call after the
+    returned DataFrames are materialized (collected / written) —
+    re-using a result DataFrame afterwards stays CORRECT (Spark
+    recomputes the lineage), just uncached."""
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        df.unpersist()
+    _TRACKED_CACHES.clear()
+    return n
+
 #: affine minhash constants: h_i(t) = (A_i * t + B_i) mod P. Fixed,
 #: mirrored in the oracle SQL.
 MINHASH_P = 2_147_483_647
@@ -235,12 +268,9 @@ def near_duplicates_minhash(
     """MinHash-LSH near-dup pairs with exact-Jaccard verification:
     (doc1, doc2, jaccard) where jaccard ≥ threshold. The Jaccard
     verify always uses the FULL token sets — the cap only bounds
-    candidate generation."""
-    from pyspark import StorageLevel
-
-    dt = _doc_token_ids(docs, text_col, id_mode).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    candidate generation.  The token table is cached via
+    ``_tracked_persist`` (see ``release_caches``)."""
+    dt = _tracked_persist(_doc_token_ids(docs, text_col, id_mode))
     cand = _band_candidates(_signatures_from(dt), max_bucket)
     return _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
 
@@ -280,11 +310,7 @@ def cross_corpus_neardup(
             F.col(text_col).alias(text_col),
         )
     )
-    from pyspark import StorageLevel
-
-    dt = _doc_token_ids(tagged, text_col, id_mode).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    dt = _tracked_persist(_doc_token_ids(tagged, text_col, id_mode))
     bands = _band_rows(_signatures_from(dt), max_bucket)
     # pmod, not %: Spark's % keeps the sign, so a NEGATIVE odd sid
     # (legal — ids are arbitrary longs) would satisfy neither side
@@ -412,9 +438,7 @@ def near_duplicates_ngram(
     # per reference (4× the token join). MEMORY_AND_DISK spills at
     # scale; this is the same intermediate a real pipeline would
     # materialize.
-    from pyspark import StorageLevel
-
-    ds_c = ds_c.persist(StorageLevel.MEMORY_AND_DISK)
+    ds_c = _tracked_persist(ds_c)
     # set sizes attached per row (doc-partitioned window on the tiny
     # cached set) so they ride through the intersection join — no
     # extra per-pair joins on the aggregated output
@@ -469,11 +493,9 @@ def repeated_ngram_docs(
     from dask_traj_spark.operators.curation import _word_ngrams
 
     grams = _word_ngrams(docs, n, text_col)
-    from pyspark import StorageLevel
-
     # referenced by the df-count AND the join-back AND the totals —
     # persist or the tokenize+n-way position join re-derives 3×
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = _tracked_persist(grams)
     dfc = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -619,10 +641,9 @@ def containment_pairs(
     feature-space semantics, mirrored in the oracle."""
     ds = _doc_shingle_ids(docs, text_col, id_mode)
     ds_c = _cap_buckets(ds, ["tid"], max_df)
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    ds_c = ds_c.persist(StorageLevel.MEMORY_AND_DISK)
+    ds_c = _tracked_persist(ds_c)
     ds_sz = ds_c.withColumn(
         "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )

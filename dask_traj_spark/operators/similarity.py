@@ -202,7 +202,23 @@ def knn_classify(
     scale path swaps in the IVF form unchanged — same (qid, vec_id)
     output contract); the label attach joins the tiny q×k top-k
     table against the corpus labels (broadcast-eligible, AQE
-    decides); two partial-aggregable groupBys on qid-keyed rows."""
+    decides); two partial-aggregable groupBys on qid-keyed rows.
+
+    ``label_col`` must be an integral column (the output contract is
+    a BIGINT ``pred_label``); a string/float label would otherwise be
+    cast to long and silently become NULL (ADVICE r10) — map
+    categorical labels to ids upstream."""
+    from pyspark.sql import types as T
+
+    label_type = emb.schema[label_col].dataType
+    if not isinstance(
+        label_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"knn_classify: label_col {label_col!r} must be integral "
+            f"(byte/short/int/long), got {label_type.simpleString()}; "
+            f"map categorical labels to ids before voting"
+        )
     topk = cosine_topk(emb, query_ids, k=k, id_col=id_col)
     labels = emb.select(id_col, F.col(label_col).alias("nb_label"))
     g = F.lit(1048576.0)  # 2^-20 grid — the LP_GRID convention

@@ -58,217 +58,54 @@ def register(name: str, oracle: str | None = None):
 
 # The driver scores exactly the first 50 registry entries per round.
 # All queries stay registered; _SCORING_TAIL holds the ones rotated
-# out of the scored window this round.  Rotation schedule:
-#   r1: registration order — r6/r11-r22 beyond the window (unscored).
-#   r2: 13 r1-green geometry/simple queries tailed so the relational
-#       block could be scored → all 13 relational green.
-#   r3: the 13 r2-tailed geometry queries rotated BACK IN, the tail
-#       took the 14 r2-green relational queries (r3-r16).
-#   r4: r3-r16 rotated back in plus first evidence for the 50
-#       round-4 additions; the 21 late-block additions (x10..x15)
-#       were tailed with local sf0.01+sf0.1 sweep evidence only.
-#   r5: execute the written rotation plan — the 21 late-block
-#       round-4 additions move INTO the head for first driver
-#       evidence (they have never appeared in a CORRECTNESS_r*.json).
-#       The tail takes 21 queries that are (a) driver-green in
-#       CORRECTNESS_r04 and (b) untouched by round-5 code changes:
-#       the r15/r16/r23-r34 TPC-H block and the x4-x9/e6 analysis
-#       shapes.  Everything round 5 modifies (d6 semantic-dedup
-#       rework, t9 bigram guard, g1_vec contiguity check, sx4
-#       ingest-state fix) stays scored.
-#       Keep len(_QUERIES) - len(_SCORING_TAIL) == 50 — see
-#       test_scoring_window_size.
-#   r6: VERDICT r5 item 4 amended the written plan — the §2
-#       geometry core (last green r3) outranks everything but the
-#       touched set.  Head = 22 returning r5-tailed extension queries
-#       (r4-green, untouched) + the 16-query §2 core block (g1 plain,
-#       g2, g3, g5-g10, s8, p1/p2, u1/u2, x1/x2 — last green r3) +
-#       the 8 queries round-6 code changes touch (sx5 schema fix,
-#       d9 URL-regex anchor, t14/sx7 count-min left-join, x18 SASA
-#       prune pad, sx8 carry-state bound, d3/d10 simhash bits guard,
-#       m12 sniff gaining the ISO-BMFF family) + the NEW x16b
-#       blocked-gram and m13 mp4-demux gates (never scored — new
-#       queries outrank re-scores) + the single stalest relational
-#       shape (r3, last green ROUND 2 — staler than the geometry
-#       block; r4-r6 yielded their slots to x16b/m12/m13 and head
-#       the r7 debt).  Tail = every r5-green gate + the remaining
-#       r2/r4-green relational/analysis shapes.
+# out of the scored window this round.  The round-by-round rotation
+# history (rounds 1-10) lives in NOTES_r11.md SS1; only the live plan
+# is kept here.
 #
-#   r7: NO builder session ran — the head stayed byte-identical to
-#       r6 (CORRECTNESS_r07 re-scored the same 50, all green); the
-#       planned r7 seating below became round-8 debt.
-#   r8 (now): execute the carried-over rotation.  Head = the two
-#       never-scored gates (m11b progressive JPEG — new in r6; x16c
-#       pairwise-RMSD auto-dispatcher — new this round) + the six
-#       gates round-8 code changes touch (m11 decode_jpeg
-#       sampling-factor guard, m13 demux_mp4 iterative walk, and
-#       every gate consuming the PNG/AVI/WAV/TIFF decoders the
-#       extended fuzz pass hardened: m4/m5/m6/m10 + m2/m8/m9) + the
-#       full r2/r3-stale debt (r4-r14 last green ROUND 2; r1/r2/
-#       r17-r22, t1-t6, c1, m1, e1-e5 round 3) + the three §2-core
-#       g1 vec/MIC forms at the 2-round boundary (last green r5) +
-#       the three heaviest consumers of the round-8 window-count
-#       bucket-cap rewrite (d2/d6/d7 — their physical plan changed;
-#       the lighter cap consumers d4/d8/d10/sx1/sx6 carry r8 local
-#       plain-session sweep evidence, NOTES_r08, and seat in r9) +
-#       the stalest round-4 shape (x4).  Tail = the remaining
-#       r7-green gates + the rest of the r4/r5-green shapes
-#       (x5-x7, r15/r16, r23-r34 seat first in r9 with the cap
-#       consumers).
-#
-#
-#   r9: execute the written rotation.  Head = t15 (NEW in r8,
-#       never driver-scored — new-query-first) + x16c (r8-green but
-#       TOUCHED: round 9 replaces its n_frames distinct-count with
-#       _frame_count_hint) + the full round-4-stale block (x5-x7,
-#       r15/r16, r23-r34 — the oldest evidence in the registry) +
-#       the five bucket-cap consumers whose r8 re-verification was
-#       local-only (d4/d8/d10/sx1/sx6) + the 14-query §2-core block
-#       at the 2-round hard bound (g1 plain, g2, g3, g5-g10, p1/p2,
-#       s8, u1/u2 — last green r7) + the 12 stalest r5-green shapes
-#       (e8, x16, x3, c4, x19-x22, t9, t13, sx2, c7).  Tail = the
-#       49 r8-green gates + the remaining r7-green extension set
-#       (x1/x2/x16b hit the best-effort boundary in r10) + the 18
-#       remaining r5-green shapes (head the r10 order).  d11 (NEW
-#       mid-round-9, local-only evidence) seats FIRST in r10.
-#   r10 (now): execute the r9-written seating + the round's three
-#       new gates.  Head = the NINE never-driver-scored gates (d14
-#       maximal-matches — NEW this round, the variable-length
-#       pairwise form of span dedup; m14 video codec mix — NEW,
-#       sniff-routed per-codec triage; d15 keep-first excision —
-#       NEW, the end-to-end matches→spans→excise action; d11/d12
-#       span dedup, t16 BM25, d13/sx9 Bloom, m11c arithmetic JPEG —
-#       all locally hash-green at sf0.01 AND sf0.1, the three new
-#       ones at sf0.001 too) + the 18 round-5-stale shapes (v6-v8,
-#       x10-x15, x17, t10-t12, m7, sx3/sx4, e7, c6) + x1/x2/x16b at
-#       the r7 best-effort boundary + 20 of the 25 remaining
-#       r7-green extension shapes.  The three new-gate slots
-#       deferred r3_rollup_acctbal / m3_frame_sample /
-#       t7_repetition_score / x9_msd / e6_cohort_retention
-#       (r7-green; rollup/cube machinery carries r8 evidence via
-#       r8_cube/r17, m-family r8, t7's n-gram machinery is
-#       exercised by d5+d11 in this head, x5-x7/x19-x22 r9-green
-#       with x8 seated, e1-e5 r8-green with e7/e8 fresh) — they
-#       stay AT round-7 evidence and head the r11 plan below.  The
-#       d13/sx9 gates were touched this round (corpus-driven n_bits
-#       sizing) and are already seated as never-scored.  Late in the
-#       round two more curation gates landed and seated new-query-
-#       first (c8 per-stratum quantile pruning, t17 DSIR importance
-#       weights), deferring v5_pq_recall (v8 exercises the PQ
-#       machinery in this head), sx7_stream_count_min_twin (t14
-#       exercises count-min in this head) and, for the third and
-#       fourth late gates (c9 weighted sampling, sx10 its streaming
-#       twin), d5_repeated_ngram_docs (d11/d14 exercise the n-gram
-#       machinery in this head) and c3_stratified_sample (c8/c9
-#       exercise the stratum-window sampling machinery in this
-#       head) to the r11 plan.
 # STALENESS RULE (VERDICT r5 item 4): a query's driver evidence may
 # not age past 2 rounds without re-entering the head — hard bound
-# for §2-core operators, best-effort (stalest-first) for extension
+# for SS2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
-# Remaining debt to seat in ROUND 11, in order (also written at the
-# top of _SCORING_TAIL): the 28 never-driver-scored tail-resident
-# gates below (14 from sessions 1-5 + the 14 session-6 additions
-# t26/t27/d19/v9/e9/sx12/m15/d20/d21/v10/c15/m16/t28/v11 — all
-# locally hash-green at sf0.001+sf0.01+sf0.1), then the 14-query
-# SS2-core block (r9-green, 2-round hard bound hits in r11), then 8
-# of the 12 deferred r7-green shapes — 28 + 14 + 8 = 50 exactly.
-# The four remaining deferred shapes head the r12 plan, chosen for
-# maximal same-head machinery coverage in r11: c5 (c11 exercises
-# the per-source token-share machinery), d3 (d10's Hamming gate
-# builds ON the simhash signatures and m16 exercises the shared
-# _hamming_pairs back end), v2 (v1/v9/v10/v11 keep the embedding
-# machinery seated), sx7 (t14 exercises count-min in the same
-# head); then the r8-green block stalest-first; the r9-green
-# extension set ages back in from r12.
+# New queries outrank re-scores (new-query-first); keep
+# len(_QUERIES) - len(_SCORING_TAIL) == 50 (test_scoring_window_size).
+#
+#   r11 (now, the head): executes the plan written in r10.
+#       (0) the 28 never-driver-scored session-5/6 gates (d16,
+#           c11-c15, t20-t28, d17-d21, v9-v11, e9, sx11/sx12,
+#           m15/m16 — all locally hash-green at sf0.001+0.01+0.1,
+#           judge-verified green in VERDICT r10);
+#       (1) the 14-query SS2-core block at the 2-round hard bound
+#           (g1 plain, g2, g3, g5-g10, p1/p2, s8, u1/u2 — last
+#           green r9);
+#       (2) 8 of the 12 r7-green shapes deferred by r10's
+#           new-query-first seats: r3_rollup, m3, t7, x9, e6, v5,
+#           d5, c3 (the four others are covered by same-machinery
+#           gates and head r12 — see below).
+#       28 + 14 + 8 = 50 exactly.
+#
+#   r12 PLAN (seat these first next round, in order):
+#       (0) any gate NEW in r11 that landed after this head was
+#           frozen (new-query-first), then
+#       (1) c5_source_token_mixture / d3_simhash /
+#           v2_embedding_neardup_lsh / sx7_stream_count_min_twin —
+#           the last r7-green shapes, deferred from r11 because
+#           same-head machinery covers them there (c11 exercises
+#           per-source token shares, d10+m16 exercise the simhash/
+#           Hamming back end, v1/v9-v11 keep the embedding machinery
+#           seated, t14 exercises count-min);
+#       (2) the r8-green block below, stalest-first (g1 vec/MIC
+#           forms, t1-t6, c1, d2/d6/d7, m-family, r-block);
+#       (3) fill remaining slots from the r9-green extension set,
+#           stalest-first.  The r10/r11-green sets age back in from
+#           r13.
 _SCORING_TAIL = [
-    # ---- WRITTEN R11 PLAN (seat these first next round) ----
-    # (0) NEW post-rotation gates, tail-resident with local
-    #     three-SF hash-green evidence only (the r4 late-addition
-    #     precedent): seat FIRST in r11 under new-query-first.
-    "d16_cluster_keep_best",
-    "c11_mixture_weights",
-    "c12_context_chunks",
-    "t20_char_entropy",
-    "t21_source_unigram_kl",
-    "t22_winnowing",
-    "d17_winnow_matches",
-    "c13_shuffle_shards",
-    "t23_perplexity_buckets",
-    "sx11_stream_winnow_twin",
-    "d18_pagerank_dup_graph",
-    "c14_chunk_shard_pipeline",
-    "t24_heaps_law",
-    "t25_zipf_slope",
-    "t26_top_ngram_fraction",
-    "t27_dup_ngram_char_fraction",
-    "d19_soft_dedup_weights",
-    "v9_filtered_topk",
-    "e9_inter_event_gaps",
-    "sx12_stream_gap_twin",
-    "m15_audio_clipping",
-    "d20_cross_corpus_neardup",
-    "d21_cross_corpus_matches",
-    "v10_knn_classify",
-    "c15_budget_select",
-    "m16_perceptual_hash",
-    "t28_tokenizer_fertility",
-    "v11_embedding_diversity",
-    # (a) the 12 r7-green shapes deferred from the r10 head when the
-    #     round's new gates (d14, m14, d15, then c8/t17/c9/sx10 late
-    #     in the round) landed (new-query-first cost one slot each; these
-    #     are the only entries whose evidence would otherwise age
-    #     past round 7).  x9 deferred for m14: the x-family carries
-    #     dense r9 evidence (x5-x7, x19-x22 all r9-green) and x8
-    #     stays seated.  v5 deferred for c8: the v-family keeps
-    #     v1-v4 + v6-v8 seated and v8 exercises the same PQ machinery
-    #     in this head.  sx7 deferred for t17: sx3/sx4/sx5/sx8/sx9
-    #     stay seated and t14 exercises the count-min machinery in
-    #     this same head.  d5 deferred for c9: the d-family carries
-    #     the freshest evidence in the registry (d11-d15 all seated
-    #     this round) and d11/d14 exercise the same n-gram window
-    #     machinery in this same head.  c3 deferred for the sx10
-    #     streaming twin: c8/c9 exercise the same stratum-window
-    #     sampling machinery in this head and c9 is c3's weighted
-    #     generalization.  d3 deferred for t18 (BPE train): d10's
-    #     Hamming-pair gate builds ON the simhash signatures and
-    #     stays seated.  v2 deferred for t19 (BPE token counts):
-    #     v1/v3/v4 + v6-v8 + sx5 keep the embedding-LSH/recall
-    #     machinery seated in this head.  c5 deferred for c10 (BPE-
-    #     aware packing): c8/c9 keep the per-stratum window-budget
-    #     machinery seated and c10/c4's prefix sum carries the token
-    #     accounting in this same head:
-    "r3_rollup_acctbal",
-    "m3_frame_sample",
-    "t7_repetition_score",
-    "x9_msd",
-    "e6_cohort_retention",
-    "v5_pq_recall",
-    "sx7_stream_count_min_twin",
-    "d5_repeated_ngram_docs",
-    "c3_stratified_sample",
+    # ---- r12 plan head: the last r7-green shapes (see plan above)
+    "c5_source_token_mixture",
     "d3_simhash",
     "v2_embedding_neardup_lsh",
-    "c5_source_token_mixture",
-    # (b) the 14-query SS2-core block — last green ROUND 9, hits the
-    #     2-round HARD bound in r11; it must co-seat with (a) and
-    #     with any r11 touched/never-scored set (50 - 12 - 14 = 24
-    #     free slots, so no collision):
-    "g1_distances",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g8_orthogonality",
-    "g9_lengths_angles_to_vectors",
-    "g10_vectors_to_lengths_angles",
-    "p1_frame_slice_stride_reverse",
-    "p2_atom_slice",
-    "s8_time_fallback",
-    "u1_concat_overlap_discard",
-    "u2_content_fingerprint",
-    # ---- last green ROUND 9 (fresh; age back in r11+ stalest-first)
+    "sx7_stream_count_min_twin",
+    # ---- last green ROUND 9 (age back in r12+ stalest-first,
+    #      after the r8-green block)
     "d4_ngram_jaccard_neardup",
     "e8_asof_tolerance",
     "x16_pairwise_rmsd",
@@ -305,8 +142,7 @@ _SCORING_TAIL = [
     "r32_promo_part_suppliers",
     "r33_waiting_suppliers",
     "r34_approx_quantiles",
-    # ---- last green ROUND 8 (re-seat r11/r12 stalest-first after
-    #      the blocks above)
+    # ---- last green ROUND 8 (re-seat r12 stalest-first)
     "g1_distances_vec",
     "g1_distances_mic_ortho",
     "g1_distances_mic_triclinic",
@@ -356,6 +192,57 @@ _SCORING_TAIL = [
     "r20_except_status",
     "r21_min_cost_supplier",
     "r22_sketch_distinct",
+    # ---- last green ROUND 10 (freshest; age back in from r13)
+    "d1_exact_dedup",
+    "v1_cosine_topk",
+    "v3_cosine_topk_ivf",
+    "v4_ann_recall",
+    "x1_frame_rmsd",
+    "x16b_pairwise_rmsd_blocked",
+    "x2_rmsd_topk",
+    "c2_decontamination",
+    "t8_heuristic_filter",
+    "sx8_stream_transition_counts_twin",
+    "x8_dihedrals",
+    "m12_sniff_kind",
+    "m14_video_codec_mix",
+    "d9_url_canonical_dedup",
+    "t14_count_min_heavy_hitters",
+    "v8_ivf_pq_recall",
+    "x10_rmsf",
+    "t10_pii_scrub",
+    "v6_kmeans_contract",
+    "m7_resize_bmp",
+    "sx3_stream_window_counts_twin",
+    "x11_hbond_geometric",
+    "x12_vacf",
+    "t11_lexical_diversity",
+    "sx4_stream_sessionization_twin",
+    "e7_burst_detection",
+    "x13_gyration_tensor",
+    "c6_dataset_split",
+    "x14_native_contacts",
+    "m11c_decode_jpeg_arith",
+    "t12_bigram_crossscore",
+    "v7_sq_recall",
+    "sx5_incremental_ivf_twin",
+    "x17_rg_block_average",
+    "d14_maximal_matches",
+    "d11_duplicate_spans",
+    "d15_keep_first_excision",
+    "d12_excise_duplicate_spans",
+    "x18_sasa_exposure",
+    "x15_rg_autocorrelation",
+    "t16_bm25_topk",
+    "d13_bloom_cross_corpus",
+    "sx9_stream_bloom_twin",
+    "c8_quantile_prune",
+    "t17_dsir_importance",
+    "c9_weighted_sample",
+    "sx10_stream_weighted_sample_twin",
+    "t18_bpe_train",
+    "t19_bpe_token_counts",
+    "c10_bpe_sequence_packing",
 ]
 
 

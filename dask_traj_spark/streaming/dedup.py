@@ -159,6 +159,11 @@ def process_neardup_batch(
         batch_id,
     )
     _overwrite_batch_partition(bands_new, f"{state_dir}/bands", batch_id)
+    # all three writes above are actions — release the per-batch
+    # caches or a long stream pins one cached RDD pair per batch
+    # (ADVICE r10; same lifecycle as process_winnow_batch)
+    dt_new.unpersist()
+    bands_new.unpersist()
 
 
 def stream_neardup_minhash(

@@ -515,7 +515,12 @@ def _read_versioned_table(
     batch otherwise poisoned the fold for every later batch).  Any
     OTHER read failure must propagate — swallowing a transient read
     error would silently restart the fold with no carried state and
-    corrupt the exactly-once guarantee (ADVICE r4 medium)."""
+    corrupt the exactly-once guarantee (ADVICE r4 medium).
+
+    ``schema`` lists the DATA columns (the ``batch_id`` partition
+    column is appended here) and is applied to the read, so a state
+    dir whose files drifted from the fold's contract fails loudly at
+    the read instead of propagating a mis-typed fold (ADVICE r10)."""
     sc = spark.sparkContext
     path = sc._jvm.org.apache.hadoop.fs.Path(table_dir)
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -533,7 +538,7 @@ def _read_versioned_table(
     # anything else (batch_id= partitions OR unexpected content) goes
     # through spark.read.parquet, so corrupt state still RAISES
     # (ADVICE r4: never silently restart a fold on a read error)
-    return spark.read.parquet(table_dir)
+    return spark.read.schema(f"{schema}, batch_id int").parquet(table_dir)
 
 
 def _read_session_state(spark: SparkSession, state_dir: str, version: int):

@@ -223,6 +223,21 @@ class TestDedup:
         # tokens {the,cat,sat,on,mat} vs +{big}: 5/6
         np.testing.assert_allclose(row["jaccard"].iloc[0], 5 / 6)
 
+    def test_release_caches_unpersists_tracked_intermediates(self, docs):
+        """Dedup operators cache shared intermediates for the lazy
+        result's lifetime; release_caches() must drop them all and
+        leave the result recomputable (ADVICE r10)."""
+        from dask_traj_spark.operators import dedup as dd
+
+        before = len(dd._TRACKED_CACHES)
+        result = dd.near_duplicates_minhash(docs, threshold=0.5)
+        n_rows = result.count()  # materialize through the cache
+        assert len(dd._TRACKED_CACHES) > before
+        released = dd.release_caches()
+        assert released >= 1 and not dd._TRACKED_CACHES
+        # correctness survives release: lineage just recomputes
+        assert result.count() == n_rows
+
     def test_simhash_identical_docs_equal(self, docs):
         from dask_traj_spark.operators.dedup import simhash
 
@@ -4786,6 +4801,21 @@ def test_knn_classify_majority_and_tiebreak(spark):
     )
     r2 = knn_classify(emb2, [0], k=6).collect()[0]
     assert (r2.pred_label, r2.votes) == (4, 3)
+
+
+def test_knn_classify_rejects_non_integral_labels(spark):
+    """A string label_col must raise, not silently cast to NULL
+    (ADVICE r10): categorical labels are mapped to ids upstream."""
+    import pytest
+
+    from dask_traj_spark.operators.similarity import knn_classify
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "news"), (1, [1.0, 0.1], "spam")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        knn_classify(emb, [0], k=1)
 
 
 # ------------------------------------- c15 budget selection

@@ -5,63 +5,79 @@ These tests pin the rotation bookkeeping so a new registration can't
 silently push a must-score query out of the window.
 """
 
+import re
+from pathlib import Path
+
 from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# queries that MUST be scored in round 10 (VERDICT r9 item 1 + the
-# round's one new gate): the seven never-driver-scored gates (d14
-# maximal-matches NEW this round; d11/d12 span dedup, t16 BM25,
-# d13/sx9 Bloom — d13/sx9 also TOUCHED by the corpus-driven n_bits
-# sizing — m11c arithmetic JPEG), the 18 round-5-stale shapes, and
-# x1/x2/x16b at the r7 best-effort boundary.  The rest of the head
-# (22 r7-green extension shapes) is pinned by window-exactness, not
-# listed here.
-MUST_SCORE_R10 = [
-    "d14_maximal_matches",
-    "m14_video_codec_mix",
-    "d15_keep_first_excision",
-    "c8_quantile_prune",
-    "t17_dsir_importance",
-    "c9_weighted_sample",
-    "sx10_stream_weighted_sample_twin",
-    "t18_bpe_train",
-    "t19_bpe_token_counts",
-    "c10_bpe_sequence_packing",
-    "d11_duplicate_spans",
-    "d12_excise_duplicate_spans",
-    "t16_bm25_topk",
-    "d13_bloom_cross_corpus",
-    "sx9_stream_bloom_twin",
-    "m11c_decode_jpeg_arith",
-    "v8_ivf_pq_recall",
-    "x10_rmsf",
-    "t10_pii_scrub",
-    "v6_kmeans_contract",
-    "m7_resize_bmp",
-    "sx3_stream_window_counts_twin",
-    "x11_hbond_geometric",
-    "x12_vacf",
-    "t11_lexical_diversity",
-    "sx4_stream_sessionization_twin",
-    "e7_burst_detection",
-    "x13_gyration_tensor",
-    "c6_dataset_split",
-    "x14_native_contacts",
-    "t12_bigram_crossscore",
-    "v7_sq_recall",
-    "x17_rg_block_average",
-    "x15_rg_autocorrelation",
-    "x1_frame_rmsd",
-    "x2_rmsd_topk",
-    "x16b_pairwise_rmsd_blocked",
+# The full round-11 head, per the written r11 seating plan
+# (VERDICT r10 item 1; plan comment above _SCORING_TAIL): the 28
+# never-driver-scored session-5/6 gates, the 14-query §2-core block
+# at the 2-round hard bound, and the 8 r7-green shapes deferred by
+# round 10's new-query-first seats.
+MUST_SCORE_R11 = [
+    # (0) never driver-scored (sessions 5-6)
+    "d16_cluster_keep_best",
+    "c11_mixture_weights",
+    "c12_context_chunks",
+    "t20_char_entropy",
+    "t21_source_unigram_kl",
+    "t22_winnowing",
+    "d17_winnow_matches",
+    "c13_shuffle_shards",
+    "t23_perplexity_buckets",
+    "sx11_stream_winnow_twin",
+    "d18_pagerank_dup_graph",
+    "c14_chunk_shard_pipeline",
+    "t24_heaps_law",
+    "t25_zipf_slope",
+    "t26_top_ngram_fraction",
+    "t27_dup_ngram_char_fraction",
+    "d19_soft_dedup_weights",
+    "v9_filtered_topk",
+    "e9_inter_event_gaps",
+    "sx12_stream_gap_twin",
+    "m15_audio_clipping",
+    "d20_cross_corpus_neardup",
+    "d21_cross_corpus_matches",
+    "v10_knn_classify",
+    "c15_budget_select",
+    "m16_perceptual_hash",
+    "t28_tokenizer_fertility",
+    "v11_embedding_diversity",
+    # (1) §2-core block at the 2-round hard bound (last green r9)
+    "g1_distances",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g8_orthogonality",
+    "g9_lengths_angles_to_vectors",
+    "g10_vectors_to_lengths_angles",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "s8_time_fallback",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    # (2) r7-green shapes deferred from the r10 head
+    "r3_rollup_acctbal",
+    "m3_frame_sample",
+    "t7_repetition_score",
+    "x9_msd",
+    "e6_cohort_retention",
+    "v5_pq_recall",
+    "d5_repeated_ngram_docs",
+    "c3_stratified_sample",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R10 if n not in window]
+    missing = [n for n in MUST_SCORE_R11 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
@@ -88,3 +104,17 @@ def test_every_query_has_oracle_or_is_documented():
     oracles = q.oracle_sql()
     missing = [n for n in q.queries() if n not in oracles and n not in no_oracle_ok]
     assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_coverage_doc_count():
+    # COVERAGE.md's headline registry count drifted in r9 (143→151)
+    # and again in r10 (175→189).  Pin it: the documented number must
+    # equal the live registry size (VERDICT r10 item 2).
+    text = Path(__file__).resolve().parents[1].joinpath("COVERAGE.md").read_text()
+    m = re.search(r"(\d+) registered queries", text)
+    assert m, "COVERAGE.md no longer states a registered-query count"
+    assert int(m.group(1)) == len(q.queries()), (
+        f"COVERAGE.md says {m.group(1)} registered queries; registry "
+        f"has {len(q.queries())} — update the doc in the same commit "
+        f"that registers a query"
+    )
