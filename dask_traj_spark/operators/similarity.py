@@ -736,13 +736,18 @@ def semantic_dedup(
             )
         )
         dropped = dup_pairs.select(F.col("id2").alias(id_col)).distinct()
-    return clusters.join(dropped, id_col, "left_anti").select(
-        id_col, "cluster", F.lit(True).alias("keep")
-    ).unionByName(
-        clusters.join(dropped, id_col, "left_semi").select(
-            id_col, "cluster", F.lit(False).alias("keep")
-        )
-    )
+    # ONE left join, not an anti/semi union: the union form evaluated
+    # the whole ``dropped`` pipeline (and the cluster scan) once per
+    # branch — at sf0.1 that doubled every stage of a query whose
+    # cost is pure fixed overhead, and at 100 TB it would re-run the
+    # per-cluster compare twice.  ``dropped`` ids are unique (one row
+    # per dropped vector in both forms), so the join is 1:≤1 and
+    # keep = "no drop row matched".
+    return clusters.join(
+        dropped.select(F.col(id_col), F.lit(False).alias("keep")),
+        id_col,
+        "left",
+    ).select(id_col, "cluster", F.coalesce("keep", F.lit(True)).alias("keep"))
 
 
 # ----------------------------------------------- product quantization
