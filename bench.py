@@ -327,6 +327,20 @@ def main() -> None:
         ),
         headline=False,
     )
+    # d22 in the PRODUCTION hashed mode (r11): minhash pairs →
+    # components → quality-apportioned weights, end to end
+    from dask_traj_spark.operators.dedup import (
+        near_duplicates_minhash,
+        quality_soft_dedup_weights,
+    )
+
+    def _d22_hashed():
+        pairs = near_duplicates_minhash(docs_w, threshold=0.9).select(
+            F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
+        )
+        _noop(quality_soft_dedup_weights(docs_w, pairs))
+
+    timed("d22_quality_soft_dedup_hashed", _d22_hashed, headline=False)
     probes["after_tier2_s"] = _cpu_probe()
 
     # ---- tier 3: 10x scale evidence (VERDICT r3 item 2) ---------------

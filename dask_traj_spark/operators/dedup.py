@@ -567,9 +567,25 @@ def dup_components(
     Raises after ``max_iters`` non-converged rounds (with doubling,
     50 rounds covers components of ~2^50 nodes).
     """
+    # symmetrize via ONE explode pass, not a self-union: the union
+    # form evaluates the caller's ``pairs`` lineage (typically the
+    # full MinHash/verify pipeline) once per branch when the
+    # checkpoint materializes — explode reads it once and emits both
+    # orientations per row (same multiset, bit-identical closure)
     edges = (
-        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-        .unionByName(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id1").alias("src"), F.col("id2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id2").alias("src"), F.col("id1").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -1393,6 +1409,60 @@ def soft_dedup_weights(
         "component",
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )
+
+
+def quality_soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Quality-apportioned soft deduplication — the d16 × d19
+    composition: every near-dup cluster still contributes ONE
+    document's worth of expected sampling mass per epoch (d19's
+    conservation law), but that mass is split by the t2 quality
+    score instead of uniformly, so the best copy of a templated page
+    dominates the cluster's gradient signal while worse copies keep
+    a small share (d16's keep-one argmax is the limit where the
+    winner takes the whole unit; d19's 1/size is the limit where
+    quality is flat).
+
+    Returns (doc_id, component, quality, weight) with
+    weight = q_i / Σ_cluster q_j, where q is the t2 quality snapped
+    to the 2^-20 grid BEFORE the cluster sum — grid values are exact
+    in f64 and their sums are order-independent, so the Spark
+    partial-agg total and a sequential SQL sum agree bitwise, and
+    the final division is a single correctly-rounded op (the
+    "snap products before summing" rule).  The division needs no
+    zero guard: t2's length_score is ≥ 1/50 for ANY string (split
+    always yields ≥ 1 token), so quality ≥ 1/150 ≈ 1.4e5 grid units
+    and every cluster sum is strictly positive — pinned by
+    ``test_quality_expr_strictly_positive``.
+
+    100-TB posture: identical to :func:`soft_dedup_weights` — the
+    component labels come from :func:`dup_components`' O(log n)
+    checkpoint-bounded loop; the apportioning adds one
+    component-keyed sum + one keyed join (partial-aggregable, AQE
+    handles mega-cluster skew), with the quality expression fused
+    into the document scan.  Never a window over raw members, never
+    SinglePartition."""
+    from dask_traj_spark.functions.text import quality_expr
+
+    g = F.lit(1048576.0)  # 2^-20 grid — the LP_GRID convention
+    scored = docs.select(
+        "doc_id",
+        (F.round(quality_expr(text_col) * g, 0) / g).alias("quality"),
+    )
+    comp = dup_components(
+        pairs, docs.select("doc_id"), max_iters=max_iters
+    ).join(scored, "doc_id")
+    totals = comp.groupBy("component").agg(F.sum("quality").alias("qsum"))
+    return comp.join(totals, "component").select(
+        "doc_id",
+        "component",
+        "quality",
+        (F.col("quality") / F.col("qsum")).alias("weight"),
     )
 
 

@@ -1192,12 +1192,18 @@ def sasa_exposure(
     # √3/4096 doubles the band: inclusion is always safe, the exact
     # dyadic d² < r² test below decides.
     nb = neighbor_pairs(traj, cutoff=2.0 * rr + 3.0 ** 0.5 / 4096.0)
-    # symmetric neighbor list (i sees j AND j sees i)
+    # symmetric neighbor list (i sees j AND j sees i) via ONE explode
+    # pass — a self-union here would evaluate the whole cell-list
+    # neighbor join once per branch
     nbs = nb.select(
-        "frame_id", F.col("i").alias("atom_id"), F.col("j").alias("nbid")
-    ).unionByName(
-        nb.select("frame_id", F.col("j").alias("atom_id"), F.col("i").alias("nbid"))
-    )
+        "frame_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("i").alias("atom_id"), F.col("j").alias("nbid")),
+                F.struct(F.col("j").alias("atom_id"), F.col("i").alias("nbid")),
+            )
+        ).alias("e"),
+    ).select("frame_id", "e.atom_id", "e.nbid")
     nb_coords = nbs.join(
         atoms.select(
             "frame_id", F.col("atom_id").alias("nbid"),

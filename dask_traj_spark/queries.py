@@ -77,22 +77,30 @@ def register(name: str, oracle: str | None = None):
 #       (1) the 14-query SS2-core block at the 2-round hard bound
 #           (g1 plain, g2, g3, g5-g10, p1/p2, s8, u1/u2 — last
 #           green r9);
-#       (2) 8 of the 12 r7-green shapes deferred by r10's
+#       (2) 7 of the 12 r7-green shapes deferred by r10's
 #           new-query-first seats: r3_rollup, m3, t7, x9, e6, v5,
-#           d5, c3 (the four others are covered by same-machinery
-#           gates and head r12 — see below).
-#       28 + 14 + 8 = 50 exactly.
+#           d5 (the five others are covered by same-machinery gates
+#           and head r12 — see below), plus
+#       (3) d22_quality_soft_dedup — NEW this round (VERDICT r10
+#           item 6a: cluster mass apportioned by t2 quality), seated
+#           new-query-first; its slot deferred c3_stratified_sample
+#           (c8/c9 exercise the same stratum-window sampling
+#           machinery in this head; c9 is c3's weighted
+#           generalization — the same justification that deferred it
+#           in r10).
+#       28 + 14 + 7 + 1 = 50 exactly.
 #
 #   r12 PLAN (seat these first next round, in order):
 #       (0) any gate NEW in r11 that landed after this head was
 #           frozen (new-query-first), then
-#       (1) c5_source_token_mixture / d3_simhash /
-#           v2_embedding_neardup_lsh / sx7_stream_count_min_twin —
-#           the last r7-green shapes, deferred from r11 because
-#           same-head machinery covers them there (c11 exercises
-#           per-source token shares, d10+m16 exercise the simhash/
-#           Hamming back end, v1/v9-v11 keep the embedding machinery
-#           seated, t14 exercises count-min);
+#       (1) c3_stratified_sample / c5_source_token_mixture /
+#           d3_simhash / v2_embedding_neardup_lsh /
+#           sx7_stream_count_min_twin — the last r7-green shapes,
+#           deferred from r11 because same-head machinery covers
+#           them there (c8/c9 exercise the stratum-window sampling,
+#           c11 exercises per-source token shares, d10+m16 exercise
+#           the simhash/Hamming back end, v1/v9-v11 keep the
+#           embedding machinery seated, t14 exercises count-min);
 #       (2) the r8-green block below, stalest-first (g1 vec/MIC
 #           forms, t1-t6, c1, d2/d6/d7, m-family, r-block);
 #       (3) fill remaining slots from the r9-green extension set,
@@ -100,6 +108,7 @@ def register(name: str, oracle: str | None = None):
 #           r13.
 _SCORING_TAIL = [
     # ---- r12 plan head: the last r7-green shapes (see plan above)
+    "c3_stratified_sample",
     "c5_source_token_mixture",
     "d3_simhash",
     "v2_embedding_neardup_lsh",

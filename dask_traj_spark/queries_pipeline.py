@@ -6473,6 +6473,54 @@ def q_soft_dedup_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# d22: quality-apportioned soft dedup — the d16 × d19 composition
+# (NEW in r11, seats first under new-query-first)
+# ---------------------------------------------------------------------
+
+_D22_ORACLE = f"""
+{_components_cte(0.9)},
+q AS (
+    SELECT doc_id,
+           round(({_C8_QUALITY}) * 1048576.0) / 1048576.0 AS quality
+    FROM documents
+),
+j AS (
+    SELECT c.id AS doc_id, c.comp AS component, q.quality
+    FROM c JOIN q ON q.doc_id = c.id
+),
+tot AS (
+    SELECT component, sum(quality) AS qsum FROM j GROUP BY component
+)
+SELECT CAST(j.doc_id AS BIGINT) AS doc_id,
+       CAST(j.component AS BIGINT) AS component,
+       j.quality AS quality,
+       j.quality / tot.qsum AS weight
+FROM j JOIN tot ON tot.component = j.component
+"""
+
+
+@register("d22_quality_soft_dedup", _D22_ORACLE)
+def q_quality_soft_dedup(spark, sf_dir):
+    """Quality-apportioned SoftDeDup (VERDICT r10 item 6a): each
+    near-dup cluster's unit sampling mass is split by the t2 quality
+    score (snapped to the 2^-20 grid before the cluster sum) instead
+    of uniformly — d16's argmax keep and d19's 1/size weights are
+    the two limits.  Shares d7/d16/d19's closure CTE and the t2
+    quality expression verbatim."""
+    from dask_traj_spark.operators.dedup import (
+        MAX_BUCKET,
+        near_duplicates_minhash,
+        quality_soft_dedup_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = near_duplicates_minhash(
+        docs, threshold=0.9, id_mode="sorted", max_bucket=MAX_BUCKET
+    ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    return quality_soft_dedup_weights(docs, pairs)
+
+
+# ---------------------------------------------------------------------
 # v9: metadata-filtered vector search (tail-resident, seats r11)
 # ---------------------------------------------------------------------
 

@@ -159,6 +159,27 @@ def main(spark=None, sf_dir=None) -> None:
         F.sum("weight"), F.countDistinct("component")
     ).first()
     print(f"soft dedup: Σ weight {total_w:.1f} == {n_clusters} clusters")
+
+    # 12. quality-apportioned variant: the cluster's unit mass split
+    #     by t2 quality instead of uniformly (d16's argmax keep and
+    #     step 11's 1/size are the two limits)
+    from dask_traj_spark.operators.dedup import (
+        quality_soft_dedup_weights,
+        release_caches,
+    )
+
+    qw = quality_soft_dedup_weights(docs, nd_pairs)
+    q_total, q_clusters = qw.agg(
+        F.sum("weight"), F.countDistinct("component")
+    ).first()
+    print(
+        f"quality soft dedup: Σ weight {q_total:.1f} == {q_clusters} clusters"
+    )
+
+    # the dedup operators cache shared intermediates for their lazy
+    # results' lifetime; a long-lived pipeline releases them once the
+    # outputs are materialized
+    print(f"released {release_caches()} dedup cache(s)")
     if own_session:
         spark.stop()
 

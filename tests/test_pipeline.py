@@ -238,6 +238,79 @@ class TestDedup:
         # correctness survives release: lineage just recomputes
         assert result.count() == n_rows
 
+    def test_quality_soft_dedup_apportions_by_quality(self, spark):
+        """d22: a cluster's unit mass splits by quality (better copy
+        gets the larger share), cluster sums conserve to ~1, and a
+        singleton's weight is exactly 1.0 (q/q with q > 0)."""
+        from dask_traj_spark.operators.dedup import (
+            quality_soft_dedup_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # cluster {0,1}: doc 0 is higher quality (more
+                # distinct words + a stopword)
+                (0, "the quick brown fox jumps over lazy dog"),
+                (1, "spam spam spam spam spam spam spam spam"),
+                (2, "a lone singleton document"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(0, 1)], "id1 long, id2 long")
+        pdf = (
+            quality_soft_dedup_weights(docs, pairs)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert len(pdf) == 3
+        assert pdf.loc[0, "component"] == pdf.loc[1, "component"]
+        assert pdf.loc[0, "weight"] > pdf.loc[1, "weight"] > 0
+        np.testing.assert_allclose(
+            pdf.loc[0, "weight"] + pdf.loc[1, "weight"], 1.0, rtol=1e-12
+        )
+        assert pdf.loc[2, "weight"] == 1.0  # exact: q/q
+
+    def test_quality_soft_dedup_uniform_limit_is_d19(self, spark):
+        """When every cluster member has the SAME quality q, d22's
+        q/(n·q) is the correctly-rounded 1/n — bitwise equal to
+        d19's uniform weight (the flat-quality limit the docstring
+        claims)."""
+        from dask_traj_spark.operators.dedup import (
+            quality_soft_dedup_weights,
+            soft_dedup_weights,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "identical text for every member") for i in range(7)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id1 long, id2 long"
+        )
+        qw = (
+            quality_soft_dedup_weights(docs, pairs)
+            .toPandas().set_index("doc_id")["weight"]
+        )
+        uw = (
+            soft_dedup_weights(pairs, docs.select("doc_id"))
+            .toPandas().set_index("doc_id")["weight"]
+        )
+        assert (qw == uw).all()  # bitwise, not approx
+        assert (qw == 1.0 / 7).all()
+
+    def test_quality_expr_strictly_positive(self, spark):
+        """The invariant d22's division rests on: t2 quality > 0 for
+        ANY string (split yields >= 1 token, so length_score >= 1/50),
+        including empty and whitespace-only texts."""
+        from dask_traj_spark.functions.text import quality_expr
+
+        docs = spark.createDataFrame(
+            [(0, ""), (1, "   "), (2, "\t"), (3, "x")],
+            "doc_id long, text string",
+        )
+        vals = docs.select(quality_expr("text").alias("q")).toPandas()["q"]
+        assert (vals > 0).all(), vals.tolist()
+
     def test_simhash_identical_docs_equal(self, docs):
         from dask_traj_spark.operators.dedup import simhash
 

@@ -901,6 +901,24 @@ def test_cluster_keep_best_window_is_component_keyed(spark):
     assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
 
 
+def test_quality_soft_dedup_is_keyed_aggs_only(spark):
+    """d22: past the checkpoint-bounded component loop, the quality
+    apportioning is one component-keyed sum + keyed joins with the
+    quality expression fused into the scan — no SinglePartition, no
+    cartesian, no Python, no per-member window."""
+    from dask_traj_spark.operators.dedup import quality_soft_dedup_weights
+
+    docs = _docs_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)], "id1 long, id2 long"
+    )
+    a = audit(quality_soft_dedup_weights(docs, pairs))
+    assert "SinglePartition" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert "row_number" not in a.text.lower(), a.text
+
+
 def test_mixture_weights_single_stratum_agg(spark):
     """c11: one stratum-keyed partial+final aggregation; the 1-row
     normalizer rides the audited broadcast cross-join pattern; no

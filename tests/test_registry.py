@@ -70,7 +70,9 @@ MUST_SCORE_R11 = [
     "e6_cohort_retention",
     "v5_pq_recall",
     "d5_repeated_ngram_docs",
-    "c3_stratified_sample",
+    # (3) NEW in r11 (new-query-first; its slot deferred
+    # c3_stratified_sample to the r12 head)
+    "d22_quality_soft_dedup",
 ]
 
 
@@ -110,11 +112,16 @@ def test_coverage_doc_count():
     # COVERAGE.md's headline registry count drifted in r9 (143→151)
     # and again in r10 (175→189).  Pin it: the documented number must
     # equal the live registry size (VERDICT r10 item 2).
-    text = Path(__file__).resolve().parents[1].joinpath("COVERAGE.md").read_text()
-    m = re.search(r"(\d+) registered queries", text)
-    assert m, "COVERAGE.md no longer states a registered-query count"
-    assert int(m.group(1)) == len(q.queries()), (
-        f"COVERAGE.md says {m.group(1)} registered queries; registry "
-        f"has {len(q.queries())} — update the doc in the same commit "
-        f"that registers a query"
-    )
+    root = Path(__file__).resolve().parents[1]
+    for doc, pattern in [
+        ("COVERAGE.md", r"(\d+) registered queries"),
+        ("README.md", r"(\d+) registered queries"),
+    ]:
+        text = root.joinpath(doc).read_text()
+        m = re.search(pattern, text)
+        assert m, f"{doc} no longer states a registered-query count"
+        assert int(m.group(1)) == len(q.queries()), (
+            f"{doc} says {m.group(1)} registered queries; registry "
+            f"has {len(q.queries())} — update the doc in the same "
+            f"commit that registers a query"
+        )
