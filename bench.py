@@ -341,6 +341,28 @@ def main() -> None:
         _noop(quality_soft_dedup_weights(docs_w, pairs))
 
     timed("d22_quality_soft_dedup_hashed", _d22_hashed, headline=False)
+    # d23's operator mode: tol-stopped PageRank on the PRODUCTION
+    # hashed winnow-match dup graph (the d18 graph, data-dependent
+    # round count instead of fixed-8)
+    from dask_traj_spark.operators.graph import pagerank
+
+    def _d23_tol():
+        wm = winnow_matches(docs_w, k=3, w=4)
+        ge = wm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc2").alias("src"), F.col("doc1").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        _noop(pagerank(ge, n_iter=40, tol=1.0 / 4096, damping=0.5))
+
+    timed("d23_pagerank_tol_hashed", _d23_tol, headline=False)
     probes["after_tier2_s"] = _cpu_probe()
 
     # ---- tier 3: 10x scale evidence (VERDICT r3 item 2) ---------------

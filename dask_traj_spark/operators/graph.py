@@ -42,11 +42,35 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 1,
-) -> DataFrame:
+    tol: float | None = None,
+    damping: float = DAMPING,
+    return_meta: bool = False,
+):
     """Power-iteration PageRank over a DIRECTED edge list, damping
-    7/8, ``n_iter`` fixed rounds from the uniform start 1/N.
+    ``damping`` (default 7/8), from the uniform start 1/N.
 
-    Returns (vertex, pagerank).
+    Returns (vertex, pagerank) — or ``(df, meta)`` with
+    ``meta = {"n_rounds": k, "final_delta": x}`` when
+    ``return_meta=True``.
+
+    Stopping: ``tol=None`` (default) runs exactly ``n_iter`` rounds
+    (the d18 oracle's generated-stage twin needs a FIXED count).
+    With ``tol`` set, iteration stops as soon as the round's L1 rank
+    delta Σ|p_t − p_{t−1}| drops below it (``n_iter`` becomes the
+    round CAP) — the approx mode for graphs whose diameter is
+    unknown.  The delta is DETERMINISTIC: per-vertex ranks differ
+    only in their grid-snapped contribution sums (the teleport term
+    cancels), so each |diff| is an exact 2^-20 multiple and the L1
+    sum is order-independent — the stopping round, and therefore the
+    output, is bit-stable across partial-agg orders.  Per round the
+    check adds one vertex-keyed join + a 1-row aggregate (the
+    dup_components changed-count discipline; driver state stays
+    O(1)).
+
+    ``damping`` must be a dyadic rational on the 2^-8 grid (e.g.
+    7/8, 1/2, 3/4) so ``d·p`` stays one correctly-rounded multiply
+    in every engine — enforced, since a non-representable damping
+    (the textbook 0.85) silently breaks cross-engine bit-identity.
 
     Variant note: vertices without out-edges LEAK their mass (no
     dangling redistribution) — symmetrize the edge list first for
@@ -57,6 +81,15 @@ def pagerank(
     n_iter = int(n_iter)
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    damping = float(damping)
+    if not 0.0 < damping < 1.0 or (damping * 256.0) != int(damping * 256.0):
+        raise ValueError(
+            f"damping must be a dyadic rational k/256 in (0, 1), got "
+            f"{damping!r} (0.85-style constants are not exactly "
+            f"representable and break cross-engine bit-identity)"
+        )
+    if tol is not None and not tol > 0.0:
+        raise ValueError(f"tol must be positive, got {tol!r}")
     # edges, vertices, degrees and the 1-row count all feed EVERY
     # iteration — pin each once so no round re-runs the upstream
     # pipeline that produced the edge list (the c11 exchange-reuse
@@ -77,10 +110,11 @@ def pagerank(
         eager=True
     )
     g = F.lit(LP_GRID)
-    base = F.lit(1.0 - DAMPING) / F.col("n").cast("double")
+    base = F.lit(1.0 - damping) / F.col("n").cast("double")
     p = verts.crossJoin(F.broadcast(n_row)).select(
         "v", (F.lit(1.0) / F.col("n").cast("double")).alias("p")
     )
+    meta = {"n_rounds": 0, "final_delta": None}
     for it in range(n_iter):
         contrib = (
             e.join(p, e.src == p.v)
@@ -89,7 +123,7 @@ def pagerank(
                 "dst",
                 (
                     F.round(
-                        (F.lit(DAMPING) * F.col("p"))
+                        (F.lit(damping) * F.col("p"))
                         / F.col("deg").cast("double")
                         * g,
                         0,
@@ -100,7 +134,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
-        p = (
+        new_p = (
             verts.crossJoin(F.broadcast(n_row))
             .join(contrib, verts.v == contrib.dst, "left")
             .select(
@@ -109,5 +143,22 @@ def pagerank(
             )
         )
         if checkpoint_every and (it + 1) % int(checkpoint_every) == 0:
-            p = p.localCheckpoint(eager=True)
-    return p.select(F.col("v").alias("vertex"), F.col("p").alias("pagerank"))
+            new_p = new_p.localCheckpoint(eager=True)
+        meta["n_rounds"] = it + 1
+        if tol is not None:
+            # L1 delta: teleport terms cancel, so each |diff| is an
+            # exact 2^-20 multiple and the sum is order-independent
+            delta = (
+                new_p.select("v", F.col("p").alias("pn"))
+                .join(p.select("v", F.col("p").alias("po")), "v")
+                .agg(F.sum(F.abs(F.col("pn") - F.col("po"))).alias("d"))
+                .first()["d"]
+            )
+            meta["final_delta"] = float(delta)
+            p = new_p
+            if delta < tol:
+                break
+        else:
+            p = new_p
+    out = p.select(F.col("v").alias("vertex"), F.col("p").alias("pagerank"))
+    return (out, meta) if return_meta else out

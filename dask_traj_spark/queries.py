@@ -92,7 +92,11 @@ def register(name: str, oracle: str | None = None):
 #
 #   r12 PLAN (seat these first next round, in order):
 #       (0) any gate NEW in r11 that landed after this head was
-#           frozen (new-query-first), then
+#           frozen (new-query-first) — currently
+#           d23_pagerank_tol_contract (the tol-stopped PageRank
+#           contract, VERDICT r10 item 6c; tail-resident with local
+#           three-SF hash-green evidence, the r4 late-addition
+#           precedent), then
 #       (1) c3_stratified_sample / c5_source_token_mixture /
 #           d3_simhash / v2_embedding_neardup_lsh /
 #           sx7_stream_count_min_twin — the last r7-green shapes,
@@ -107,6 +111,9 @@ def register(name: str, oracle: str | None = None):
 #           stalest-first.  The r10/r11-green sets age back in from
 #           r13.
 _SCORING_TAIL = [
+    # ---- NEW post-rotation gates (local three-SF evidence only):
+    #      seat FIRST in r12 under new-query-first
+    "d23_pagerank_tol_contract",
     # ---- r12 plan head: the last r7-green shapes (see plan above)
     "c3_stratified_sample",
     "c5_source_token_mixture",

@@ -6521,6 +6521,94 @@ def q_quality_soft_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# d23: tol-stopped PageRank contract (NEW in r11, tail-resident,
+# seats first in r12)
+# ---------------------------------------------------------------------
+
+_D23_TOL = 1.0 / 4096  # 2^-12 — dyadic, so the delta compare is exact
+_D23_CAP = 40
+
+_D23_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       TRUE AS converged_ok,
+       TRUE AS within_cap_ok,
+       TRUE AS mass_ok,
+       TRUE AS endpoint_ok
+FROM documents
+"""
+
+
+@register("d23_pagerank_tol_contract", _D23_ORACLE)
+def q_pagerank_tol_contract(spark, sf_dir):
+    """Contract gate for PageRank's approx mode (VERDICT r10 item
+    6c — the v6/x3 pattern: a data-dependent stopping round has no
+    fixed-stage SQL twin, so the gate pins the invariants any
+    correct tol-stopped power iteration must satisfy) on the
+    symmetrized doc-id chain graph (consecutive doc ids — a
+    long-diameter graph where fixed-8 rounds would NOT converge, so
+    the tol machinery is genuinely load-bearing):
+
+    - partition: every chain vertex is ranked exactly once
+      (``n_vertices`` value-gated against the oracle's count);
+    - converged: the final L1 delta the operator reports is < tol;
+    - within cap: it stopped by tol, not by exhausting the round cap
+      (damping 1/2 contracts by ~2× per round, so 2^-12 needs ~13
+      rounds against the 40 cap);
+    - mass: the symmetrized graph has no dangling leak, so Σ rank
+      = 1 up to per-edge grid dust — bounded by n_edges · n_rounds ·
+      2^-20 (each snap moves a contribution by ≤ 2^-21; doubled for
+      slack).  A genuine leak (dangling vertex, dropped edge) loses
+      O(damping/n_rounds) mass and trips the bound by orders of
+      magnitude;
+    - endpoints: the chain's minimum rank sits at one of its two
+      degree-1 endpoints — the qualitative centrality ordering.
+    """
+    from dask_traj_spark.operators.graph import pagerank
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    nxt = ids.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).join(ids.select(F.col("doc_id").alias("dst")), "dst")
+    edges = nxt.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    ranks, meta = pagerank(
+        edges, n_iter=_D23_CAP, tol=_D23_TOL, damping=0.5, return_meta=True
+    )
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("pagerank").alias("mass"),
+        F.min(F.struct(F.col("pagerank"), F.col("vertex"))).alias("mn"),
+        F.min("vertex").alias("vmin"),
+        F.max("vertex").alias("vmax"),
+    )
+    # grid-dust mass bound: 2 snaps' worth (2^-20) per edge per round
+    dust = (
+        2.0
+        * (F.col("n_vertices") - 1).cast("double")
+        * F.lit(float(meta["n_rounds"]))
+        / F.lit(1048576.0)
+    )
+    return stats.select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.lit(bool(meta["final_delta"] < _D23_TOL)).alias("converged_ok"),
+        F.lit(bool(meta["n_rounds"] < _D23_CAP)).alias("within_cap_ok"),
+        (F.abs(F.col("mass") - F.lit(1.0)) < dust).alias("mass_ok"),
+        (
+            (F.col("mn.vertex") == F.col("vmin"))
+            | (F.col("mn.vertex") == F.col("vmax"))
+        ).alias("endpoint_ok"),
+    )
+
+
+# ---------------------------------------------------------------------
 # v9: metadata-filtered vector search (tail-resident, seats r11)
 # ---------------------------------------------------------------------
 

@@ -110,6 +110,9 @@ ALLOW = {
         "(word, source) table",
     ("t21_source_unigram_kl", "BroadcastNestedLoopJoin"):
         "cross join against the 1-row grand-total broadcast",
+    ("d23_pagerank_tol_contract", "SinglePartition"):
+        "1-row contract aggregate (count/mass/argmin over the "
+        "checkpointed rank table)",
 }
 
 

@@ -4253,6 +4253,54 @@ def test_pagerank_dangling_leak_and_guards(spark):
     assert sum(got.values()) < 1.0  # the documented non-redistributing variant
     with pytest.raises(ValueError):
         pagerank(edges, n_iter=0)
+    # damping must be a dyadic k/256 — the textbook 0.85 is refused
+    with pytest.raises(ValueError, match="dyadic"):
+        pagerank(edges, n_iter=2, damping=0.85)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(edges, n_iter=2, tol=0.0)
+
+
+def test_pagerank_tol_stops_early_and_nears_fixpoint(spark):
+    """The approx mode (VERDICT r10 item 6c): on a symmetric ring the
+    uniform start IS the fixpoint, so round 1's delta is only grid
+    dust and tol stops immediately; on a star graph the tol run must
+    land within the contraction bound of a long fixed run and report
+    a sub-tol final delta."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    # symmetric ring of 8: fixpoint from the start
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)]
+        + [((i + 1) % 8, i) for i in range(8)],
+        "src long, dst long",
+    )
+    df, meta = pagerank(ring, n_iter=20, tol=1.0 / 4096, return_meta=True)
+    assert meta["n_rounds"] == 1 and meta["final_delta"] < 1.0 / 4096
+    got = {r.vertex: r.pagerank for r in df.collect()}
+    assert all(abs(v - 1.0 / 8) < 1e-4 for v in got.values())
+
+    # star graph, damping 1/2 → contraction rate 1/2 per round
+    e = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    star = spark.createDataFrame(e, "src long, dst long")
+    tol = 1.0 / 4096
+    approx, meta = pagerank(
+        star, n_iter=40, tol=tol, damping=0.5, return_meta=True
+    )
+    assert meta["final_delta"] < tol
+    assert 1 < meta["n_rounds"] < 40  # converged, not capped
+    exact = pagerank(star, n_iter=40, damping=0.5)
+    a = {r.vertex: r.pagerank for r in approx.collect()}
+    b = {r.vertex: r.pagerank for r in exact.collect()}
+    # ||p_t − p*||₁ ≤ delta·d/(1−d) = delta at d=1/2; 2× for slack
+    l1 = sum(abs(a[v] - b[v]) for v in a)
+    assert l1 <= 2 * tol, (l1, meta)
+    # determinism: physical order cannot change the stopping round
+    approx2, meta2 = pagerank(
+        star.repartition(5), n_iter=40, tol=tol, damping=0.5,
+        return_meta=True,
+    )
+    assert meta2["n_rounds"] == meta["n_rounds"]
+    assert {r.vertex: r.pagerank for r in approx2.collect()} == a
 
 
 # --------------------------------------------- c14 chunk-shard composite
