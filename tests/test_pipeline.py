@@ -289,11 +289,11 @@ class TestDedup:
         )
         qw = (
             quality_soft_dedup_weights(docs, pairs)
-            .toPandas().set_index("doc_id")["weight"]
+            .toPandas().set_index("doc_id")["weight"].sort_index()
         )
         uw = (
             soft_dedup_weights(pairs, docs.select("doc_id"))
-            .toPandas().set_index("doc_id")["weight"]
+            .toPandas().set_index("doc_id")["weight"].sort_index()
         )
         assert (qw == uw).all()  # bitwise, not approx
         assert (qw == 1.0 / 7).all()
