@@ -916,7 +916,15 @@ def main() -> None:
     # in (reverse) value order until it fits; the required driver
     # contract (metric/value/unit/queries/sf) is never dropped.
     line = json.dumps(headline, separators=(",", ":"))
-    # probe drops first: its brackets live whole in bench_detail,
+    # cheapest cut first: the hot NAMES (~40 bytes each, full list in
+    # bench_detail) — r11 run 3 showed the old order dropping the
+    # ENTIRE probe section exactly when hot entries existed, i.e.
+    # losing hot_n in the one case the driver needs it
+    if len(line) > 1800:
+        headline["probe"]["hot"] = []
+        headline["truncated"] = True
+        line = json.dumps(headline, separators=(",", ":"))
+    # then whole sections: probe's brackets live in bench_detail,
     # while linearity/spread ARE the acceptance-relevant sections
     for drop in ("probe", "master", "warm", "detail", "linearity", "spread"):
         if len(line) <= 1800:
