@@ -1454,9 +1454,15 @@ def quality_soft_dedup_weights(
         "doc_id",
         (F.round(quality_expr(text_col) * g, 0) / g).alias("quality"),
     )
-    comp = dup_components(
-        pairs, docs.select("doc_id"), max_iters=max_iters
-    ).join(scored, "doc_id")
+    # the scored join (docs scan + quality expression) feeds BOTH the
+    # qsum aggregate and the final join — tracked-persist it or the
+    # corpus text scan runs twice per action (exchange reuse is an
+    # optimization, not a guarantee)
+    comp = _tracked_persist(
+        dup_components(
+            pairs, docs.select("doc_id"), max_iters=max_iters
+        ).join(scored, "doc_id")
+    )
     totals = comp.groupBy("component").agg(F.sum("quality").alias("qsum"))
     return comp.join(totals, "component").select(
         "doc_id",

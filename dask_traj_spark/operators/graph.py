@@ -58,14 +58,22 @@ def pagerank(
     With ``tol`` set, iteration stops as soon as the round's L1 rank
     delta Σ|p_t − p_{t−1}| drops below it (``n_iter`` becomes the
     round CAP) — the approx mode for graphs whose diameter is
-    unknown.  The delta is DETERMINISTIC: per-vertex ranks differ
-    only in their grid-snapped contribution sums (the teleport term
-    cancels), so each |diff| is an exact 2^-20 multiple and the L1
-    sum is order-independent — the stopping round, and therefore the
-    output, is bit-stable across partial-agg orders.  Per round the
-    check adds one vertex-keyed join + a 1-row aggregate (the
-    dup_components changed-count discipline; driver state stays
-    O(1)).
+    unknown.  The delta is DETERMINISTIC and order-independent: it
+    is measured on a grid-exact shadow accumulator, not on the
+    float ranks (p itself carries fl(base + acc) rounding, whose
+    per-vertex errors would make the summed delta order-dependent
+    at the ulp level).  Each round's ``acc`` is an exact sum of
+    2^-20-grid contributions and round 0's baseline is d/N snapped
+    to the same grid, so every |Δacc| is an exact grid multiple,
+    the L1 sum is independent of partial-agg order, and the
+    stopping round — and therefore the output — is bit-stable
+    across runs and engines.  |Δacc| IS the exact-arithmetic rank
+    delta (the teleport base cancels in exact math); only round 1's
+    value is offset ≤ n·2^-21 by the snapped baseline.  An empty
+    edge list converges trivially in one round (delta 0).  Per
+    round the check adds one vertex-keyed join + a 1-row aggregate
+    (the dup_components changed-count discipline; driver state
+    stays O(1)).
 
     ``damping`` must be a dyadic rational on the 2^-8 grid (e.g.
     7/8, 1/2, 3/4) so ``d·p`` stays one correctly-rounded multiply
@@ -111,8 +119,16 @@ def pagerank(
     )
     g = F.lit(LP_GRID)
     base = F.lit(1.0 - damping) / F.col("n").cast("double")
+    # ``acc`` is the delta-tracking shadow (see docstring): round 0's
+    # baseline is d/N snapped to the grid so round 1's delta is an
+    # exact grid sum like every later round's.  p0 itself stays the
+    # exact uniform 1/N — acc never feeds the rank math.
     p = verts.crossJoin(F.broadcast(n_row)).select(
-        "v", (F.lit(1.0) / F.col("n").cast("double")).alias("p")
+        "v",
+        (F.lit(1.0) / F.col("n").cast("double")).alias("p"),
+        (
+            F.round(F.lit(damping) / F.col("n").cast("double") * g, 0) / g
+        ).alias("acc"),
     )
     meta = {"n_rounds": 0, "final_delta": None}
     for it in range(n_iter):
@@ -140,21 +156,23 @@ def pagerank(
             .select(
                 "v",
                 (base + F.coalesce(F.col("acc"), F.lit(0.0))).alias("p"),
+                F.coalesce(F.col("acc"), F.lit(0.0)).alias("acc"),
             )
         )
         if checkpoint_every and (it + 1) % int(checkpoint_every) == 0:
             new_p = new_p.localCheckpoint(eager=True)
         meta["n_rounds"] = it + 1
         if tol is not None:
-            # L1 delta: teleport terms cancel, so each |diff| is an
-            # exact 2^-20 multiple and the sum is order-independent
-            delta = (
-                new_p.select("v", F.col("p").alias("pn"))
-                .join(p.select("v", F.col("p").alias("po")), "v")
-                .agg(F.sum(F.abs(F.col("pn") - F.col("po"))).alias("d"))
-                .first()["d"]
+            # exact L1 over the grid shadow (docstring); NULL sum =
+            # empty vertex set = trivially converged
+            row = (
+                new_p.select("v", F.col("acc").alias("an"))
+                .join(p.select("v", F.col("acc").alias("ao")), "v")
+                .agg(F.sum(F.abs(F.col("an") - F.col("ao"))).alias("d"))
+                .first()
             )
-            meta["final_delta"] = float(delta)
+            delta = 0.0 if row["d"] is None else float(row["d"])
+            meta["final_delta"] = delta
             p = new_p
             if delta < tol:
                 break

@@ -519,8 +519,12 @@ def _read_versioned_table(
 
     ``schema`` lists the DATA columns (the ``batch_id`` partition
     column is appended here) and is applied to the read, so a state
-    dir whose files drifted from the fold's contract fails loudly at
-    the read instead of propagating a mis-typed fold (ADVICE r10)."""
+    dir whose files drifted in TYPE fails loudly at the read instead
+    of propagating a mis-typed fold (ADVICE r10).  NAME drift is
+    checked explicitly first (footer-only inferred read): a pinned
+    schema would otherwise fill a missing/renamed column with NULLs
+    and silently corrupt the fold — the exact failure mode the old
+    inferred read surfaced as an AnalysisException downstream."""
     sc = spark.sparkContext
     path = sc._jvm.org.apache.hadoop.fs.Path(table_dir)
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -538,6 +542,17 @@ def _read_versioned_table(
     # anything else (batch_id= partitions OR unexpected content) goes
     # through spark.read.parquet, so corrupt state still RAISES
     # (ADVICE r4: never silently restart a fold on a read error)
+    declared = [
+        c.strip().split()[0] for c in schema.split(",") if c.strip()
+    ]
+    found = set(spark.read.parquet(table_dir).columns)
+    missing = [c for c in declared if c not in found]
+    if missing:
+        raise ValueError(
+            f"versioned table {table_dir} is missing declared state "
+            f"column(s) {missing} (found {sorted(found)}): refusing "
+            f"to fold against NULL-filled state"
+        )
     return spark.read.schema(f"{schema}, batch_id int").parquet(table_dir)
 
 

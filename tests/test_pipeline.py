@@ -4303,6 +4303,18 @@ def test_pagerank_tol_stops_early_and_nears_fixpoint(spark):
     assert {r.vertex: r.pagerank for r in approx2.collect()} == a
 
 
+def test_pagerank_tol_empty_edges_converges_trivially(spark):
+    """Review finding (r11): an empty edge list must return the empty
+    rank table with delta 0 in one round, not crash on a NULL L1
+    aggregate (the dup graph of a clean corpus has no edges)."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    df, meta = pagerank(empty, n_iter=40, tol=1.0 / 4096, return_meta=True)
+    assert df.count() == 0
+    assert meta == {"n_rounds": 1, "final_delta": 0.0}
+
+
 # --------------------------------------------- c14 chunk-shard composite
 
 

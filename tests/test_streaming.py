@@ -878,6 +878,32 @@ def test_prune_state_versions_keeps_replay_window(spark, tmp_path):
     assert prune_state_versions(spark, str(tmp_path / "missing"), 1) == 0
 
 
+def test_versioned_table_read_rejects_name_drift(spark, tmp_path):
+    """Review finding (r11): the schema-pinned state read must refuse
+    a state dir whose files drifted in column NAME — Spark would
+    otherwise fill the declared column with NULLs and silently
+    corrupt the fold (types still fail loudly inside the read)."""
+    import pytest
+
+    from dask_traj_spark.streaming.ingest import _read_versioned_table
+
+    table = str(tmp_path / "state")
+    # written by a hypothetical older fold: p_last stored as last_us
+    (
+        spark.createDataFrame([(1, 100)], "user_id long, last_us long")
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .parquet(table)
+    )
+    with pytest.raises(ValueError, match="missing declared state"):
+        _read_versioned_table(spark, table, "user_id long, p_last long")
+    # the matching contract still reads (schema-pinned)
+    ok = _read_versioned_table(spark, table, "user_id long, last_us long")
+    assert ok.count() == 1 and set(ok.columns) == {
+        "user_id", "last_us", "batch_id"
+    }
+
+
 def test_real_stream_crash_replay_exact_dedup(spark, tmp_path):
     """sx2's state design under Spark's OWN streaming commit protocol
     (VERDICT r4 item 7): a real readStream → foreachBatch →
