@@ -1367,3 +1367,51 @@ def test_qm_coder_roundtrip_random_decisions(seq):
     for bin_, d in seq:
         assert dec.decode(dst, bin_) == d
     assert dst == est  # adaptive states must track identically
+
+
+# ------------------------------------- d22 quality-apportioned weights
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2 ** 31),
+    n_docs=st.integers(2, 40),
+    n_pairs=st.integers(0, 30),
+)
+def test_quality_soft_dedup_invariants_random_graphs(
+    spark, seed, n_docs, n_pairs
+):
+    """d22 on random corpora and random pair graphs: every cluster's
+    weights sum to ~1 (conservation), all weights are in (0, 1], a
+    singleton's weight is exactly 1.0, and within a component the
+    weight ordering matches the (snapped) quality ordering — exact,
+    since weights share the component denominator."""
+    from dask_traj_spark.operators.dedup import quality_soft_dedup_weights
+
+    rng = np.random.default_rng(seed)
+    words = ["the", "cat", "runs", "fast", "zz", "qq", "data", "spark"]
+    rows = [
+        (
+            int(i),
+            " ".join(rng.choice(words, size=int(rng.integers(1, 12)))),
+        )
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pr = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n_docs, size=(n_pairs, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(pr or [(0, 1)], "id1 long, id2 long")
+    pdf = quality_soft_dedup_weights(docs, pairs).toPandas()
+    assert len(pdf) == n_docs
+    assert ((pdf["weight"] > 0) & (pdf["weight"] <= 1.0)).all()
+    grp = pdf.groupby("component")
+    np.testing.assert_allclose(grp["weight"].sum(), 1.0, rtol=1e-9)
+    sizes = grp.size()
+    singles = pdf[pdf["component"].map(sizes) == 1]
+    assert (singles["weight"] == 1.0).all()  # q/q exact
+    for _, g in grp:
+        by_q = g.sort_values(["quality", "doc_id"]).reset_index(drop=True)
+        assert by_q["weight"].is_monotonic_increasing
