@@ -67,7 +67,8 @@ def register(name: str, oracle: str | None = None):
 # for SS2-core operators, best-effort (stalest-first) for extension
 # queries once the touched set and never-scored queries are seated.
 # New queries outrank re-scores (new-query-first); keep
-# len(_QUERIES) - len(_SCORING_TAIL) == 50 (test_scoring_window_size).
+# len(_QUERIES) - len(_SCORING_TAIL) == 50
+# (test_registry.py::test_scoring_window_exactly_full).
 #
 #   r11 (now, the head): executes the plan written in r10.
 #       (0) the 28 never-driver-scored session-5/6 gates (d16,
