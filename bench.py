@@ -217,6 +217,10 @@ def main() -> None:
     # post-cap additions go here instead of growing the line past it.
     times_detail: dict[str, float] = {}
 
+    # thunks kept for the end-of-run self-clearing re-time pass
+    # (VERDICT r11 item 3)
+    _thunks: dict[str, object] = {}
+
     def timed(
         name: str, fn, n: int = 3, warmup: int = 1, headline: bool = True
     ) -> None:
@@ -232,6 +236,7 @@ def main() -> None:
         _last_probe[0] = after
         probe_bracket[name] = [before, after]
         iters[name] = its
+        _thunks[name] = fn
         (times if headline else times_detail)[name] = min(its)
 
     registry = q.queries()
@@ -363,6 +368,25 @@ def main() -> None:
         _noop(pagerank(ge, n_iter=40, tol=1.0 / 4096, damping=0.5))
 
     timed("d23_pagerank_tol_hashed", _d23_tol, headline=False)
+
+    # d24's operator mode: dangling-mass redistribution on the
+    # DIRECTED (unsymmetrized) hashed winnow graph — doc2-only
+    # vertices are genuine sinks, so the per-round sink-mass
+    # aggregate is load-bearing
+    def _d24_dangling():
+        wm = winnow_matches(docs_w, k=3, w=4)
+        _noop(
+            pagerank(
+                wm.select(
+                    F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+                ),
+                n_iter=8,
+                damping=0.5,
+                dangling="redistribute",
+            )
+        )
+
+    timed("d24_pagerank_dangling_hashed", _d24_dangling, headline=False)
     probes["after_tier2_s"] = _cpu_probe()
 
     # ---- tier 3: 10x scale evidence (VERDICT r3 item 2) ---------------
@@ -819,6 +843,55 @@ def main() -> None:
         times["canonical_onepass_local12"] = min(its12)
         spark12.stop()
 
+    # ---- self-clearing re-time pass (VERDICT r11 item 3) --------------
+    # Four r11 entries (t8, r24, t16, d13) read as 1.5-3.6x
+    # regressions on byte-identical code and needed a judge-side warm
+    # re-measure to clear as host noise.  Any suite entry whose
+    # best-of exceeds 2x its PREVIOUS round's recorded best (prior
+    # bench_detail iters, falling back to the latest BENCH_r*.json)
+    # gets 2 extra late-session iterations; the min over all 5 is
+    # what the round records.  Sub-0.2 s entries are skipped — at
+    # that scale 2x is scheduler jitter, not a regression signal.
+    def _prior_bests() -> dict:
+        here = os.path.dirname(os.path.abspath(__file__))
+        out: dict = {}
+        try:
+            import glob as _glob
+
+            benches = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+            if benches:
+                with open(benches[-1]) as f:
+                    for k, v in json.load(f).get("queries", {}).items():
+                        out[k] = float(v)
+        except Exception:
+            pass
+        try:
+            # fresher and covers detail-only entries; read BEFORE this
+            # run overwrites the file
+            with open(os.path.join(here, "bench_detail.json")) as f:
+                for k, v in json.load(f).get("iters", {}).items():
+                    if isinstance(v, list) and v:
+                        out[k] = min(float(x) for x in v)
+        except Exception:
+            pass
+        return out
+
+    retimed: dict[str, list[float]] = {}
+    _prior = _prior_bests()
+    for name, fn in _thunks.items():
+        rec = times if name in times else times_detail
+        cur, prev = rec.get(name), _prior.get(name)
+        if cur is None or prev is None or prev <= 0.0 or cur < 0.2:
+            continue
+        if cur > 2.0 * prev:
+            extra = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                extra.append(round(time.time() - t0, 3))
+            iters[name] = iters[name] + extra
+            rec[name] = min(iters[name])
+            retimed[name] = [cur, rec[name]]
     probes["end_s"] = _cpu_probe()
 
     # ---- output contract (VERDICT r5 item 3, re-broken r9, re-fixed) --
@@ -887,6 +960,9 @@ def main() -> None:
             "hot_n": len(probe_hot),
             "hot": probe_hot[:4],
         },
+        # entries re-timed by the self-clearing pass (>2x their prior
+        # round): count only; old->new pairs live in bench_detail
+        "retimed_n": len(retimed),
         "detail": "bench_detail.json",
     }
     detail = {
@@ -901,7 +977,9 @@ def main() -> None:
             "canonical": 3,
             "oracle_suite": "warmup1+3",
             "scale_10x": "canonical 3, d2 (plain 1x/10x) 3, others 1",
+            "retime": ">2x prior round -> +2 iters (VERDICT r11 item 3)",
         },
+        "retimed": retimed,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"

@@ -45,6 +45,7 @@ def pagerank(
     tol: float | None = None,
     damping: float = DAMPING,
     return_meta: bool = False,
+    dangling: str = "leak",
 ):
     """Power-iteration PageRank over a DIRECTED edge list, damping
     ``damping`` (default 7/8), from the uniform start 1/N.
@@ -80,11 +81,22 @@ def pagerank(
     in every engine — enforced, since a non-representable damping
     (the textbook 0.85) silently breaks cross-engine bit-identity.
 
-    Variant note: vertices without out-edges LEAK their mass (no
-    dangling redistribution) — symmetrize the edge list first for
-    undirected semantics (every vertex then has out-edges, no leak),
-    as the duplicate-graph gate does.  Citing the classic
-    formulation: p_{t+1}(v) = (1−d)/N + Σ_{u→v} snap(d·p_t(u)/deg(u)).
+    ``dangling`` picks the sink policy.  ``"leak"`` (default):
+    vertices without out-edges LEAK their mass — symmetrize the edge
+    list first for undirected semantics (every vertex then has
+    out-edges, no leak), as the duplicate-graph gate does.
+    ``"redistribute"``: each round the total mass parked on sinks,
+    D_t = Σ_{deg(u)=0} p_t(u), is spread uniformly — every vertex
+    additionally receives snap(d·D_t/N) — so Σ rank stays 1 on any
+    directed graph (the classic dangling-node correction).  D_t is
+    assembled deterministically from the grid shadow: D = fl(k·base)
+    + Σ acc(u) where k is the sink count and the acc sum is an exact
+    sum of grid values (order-independent), then the per-vertex share
+    is snapped back to the grid, so ``acc`` stays grid-exact and the
+    tol machinery works unchanged.  Per round this adds one
+    sink-semi-join + a 1-row broadcast aggregate.  Citing the classic
+    formulation: p_{t+1}(v) = (1−d)/N + Σ_{u→v} snap(d·p_t(u)/deg(u))
+    [+ snap(d·D_t/N) when redistributing].
     """
     n_iter = int(n_iter)
     if n_iter < 1:
@@ -98,6 +110,10 @@ def pagerank(
         )
     if tol is not None and not tol > 0.0:
         raise ValueError(f"tol must be positive, got {tol!r}")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
+        )
     # edges, vertices, degrees and the 1-row count all feed EVERY
     # iteration — pin each once so no round re-runs the upstream
     # pipeline that produced the edge list (the c11 exchange-reuse
@@ -117,6 +133,12 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
+    dang = None
+    if dangling == "redistribute":
+        # sink set is topology, not rank — pin once like deg
+        dang = verts.join(
+            deg, verts.v == deg.src, "left_anti"
+        ).localCheckpoint(eager=True)
     g = F.lit(LP_GRID)
     base = F.lit(1.0 - damping) / F.col("n").cast("double")
     # ``acc`` is the delta-tracking shadow (see docstring): round 0's
@@ -150,16 +172,54 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
-        new_p = (
-            verts.crossJoin(F.broadcast(n_row))
-            .join(contrib, verts.v == contrib.dst, "left")
-            .select(
-                "v",
-                (base + F.coalesce(F.col("acc"), F.lit(0.0))).alias("p"),
-                F.coalesce(F.col("acc"), F.lit(0.0)).alias("acc"),
+        if dangling == "redistribute":
+            # D_t from the grid shadow (docstring): k·base is one
+            # correctly-rounded multiply, the acc sum is grid-exact,
+            # and the uniform share is snapped back to the grid so
+            # new acc stays a sum of grid values
+            dmass = (
+                p.join(dang, "v", "left_semi")
+                .agg(
+                    F.count(F.lit(1)).alias("k"),
+                    F.coalesce(F.sum("acc"), F.lit(0.0)).alias("dacc"),
+                )
             )
-        )
-        if checkpoint_every and (it + 1) % int(checkpoint_every) == 0:
+            share = (
+                F.round(
+                    F.lit(damping)
+                    * (F.col("k").cast("double") * base + F.col("dacc"))
+                    / F.col("n").cast("double")
+                    * g,
+                    0,
+                )
+                / g
+            )
+            acc_new = F.coalesce(F.col("acc"), F.lit(0.0)) + share
+            new_p = (
+                verts.crossJoin(F.broadcast(n_row))
+                .crossJoin(F.broadcast(dmass))
+                .join(contrib, verts.v == contrib.dst, "left")
+                .select("v", (base + acc_new).alias("p"), acc_new.alias("acc"))
+            )
+        else:
+            new_p = (
+                verts.crossJoin(F.broadcast(n_row))
+                .join(contrib, verts.v == contrib.dst, "left")
+                .select(
+                    "v",
+                    (base + F.coalesce(F.col("acc"), F.lit(0.0))).alias("p"),
+                    F.coalesce(F.col("acc"), F.lit(0.0)).alias("acc"),
+                )
+            )
+        if (checkpoint_every and (it + 1) % int(checkpoint_every) == 0) or (
+            tol is not None
+        ):
+            # tol mode ALWAYS pins new_p before the delta action:
+            # with checkpoint_every=0 (or >1) the per-round .first()
+            # would otherwise re-execute every prior round's lineage
+            # (quadratic stage work) and the new_p-vs-p delta join
+            # would lean on self-join dedup of shared attributes
+            # (ADVICE r11)
             new_p = new_p.localCheckpoint(eager=True)
         meta["n_rounds"] = it + 1
         if tol is not None:

@@ -210,6 +210,13 @@ def knn_classify(
     categorical labels to ids upstream."""
     from pyspark.sql import types as T
 
+    if label_col not in emb.columns:
+        # schema[...] would raise an opaque KeyError; keep the error
+        # shape consistent with the integral-type one (ADVICE r11)
+        raise ValueError(
+            f"knn_classify: label_col {label_col!r} not found in "
+            f"embedding columns {emb.columns}"
+        )
     label_type = emb.schema[label_col].dataType
     if not isinstance(
         label_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)

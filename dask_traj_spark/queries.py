@@ -70,59 +70,62 @@ def register(name: str, oracle: str | None = None):
 # len(_QUERIES) - len(_SCORING_TAIL) == 50
 # (test_registry.py::test_scoring_window_exactly_full).
 #
-#   r11 (now, the head): executes the plan written in r10.
-#       (0) the 28 never-driver-scored session-5/6 gates (d16,
-#           c11-c15, t20-t28, d17-d21, v9-v11, e9, sx11/sx12,
-#           m15/m16 — all locally hash-green at sf0.001+0.01+0.1,
-#           judge-verified green in VERDICT r10);
-#       (1) the 14-query SS2-core block at the 2-round hard bound
-#           (g1 plain, g2, g3, g5-g10, p1/p2, s8, u1/u2 — last
-#           green r9);
-#       (2) 7 of the 12 r7-green shapes deferred by r10's
-#           new-query-first seats: r3_rollup, m3, t7, x9, e6, v5,
-#           d5 (the five others are covered by same-machinery gates
-#           and head r12 — see below), plus
-#       (3) d22_quality_soft_dedup — NEW this round (VERDICT r10
-#           item 6a: cluster mass apportioned by t2 quality), seated
-#           new-query-first; its slot deferred c3_stratified_sample
-#           (c8/c9 exercise the same stratum-window sampling
-#           machinery in this head; c9 is c3's weighted
-#           generalization — the same justification that deferred it
-#           in r10).
-#       28 + 14 + 7 + 1 = 50 exactly.
-#
-#   r12 PLAN (seat these first next round, in order):
-#       (0) any gate NEW in r11 that landed after this head was
-#           frozen (new-query-first) — currently
-#           d23_pagerank_tol_contract (the tol-stopped PageRank
-#           contract, VERDICT r10 item 6c; tail-resident with local
-#           three-SF hash-green evidence, the r4 late-addition
-#           precedent), then
-#       (1) c3_stratified_sample / c5_source_token_mixture /
+#   r12 (now, the head): executes the plan written in r11, amended
+#       per VERDICT r11 item 1 (the g1 forms seat immediately after
+#       d23 — their r8 evidence breached the SS2-core 2-round hard
+#       bound):
+#       (0) d23_pagerank_tol_contract (new in r11 after that head
+#           froze — new-query-first, the r4 late-addition precedent)
+#           and d24_pagerank_dangling_contract (NEW this round,
+#           VERDICT r11 item 5a — dangling-mass redistribution,
+#           registered before this head froze: the d22 precedent);
+#       (1) g1_distances_vec / g1_distances_mic_ortho /
+#           g1_distances_mic_triclinic — SS2-core, last green r8,
+#           the hard-bound breach VERDICT r11 flagged;
+#       (2) c3_stratified_sample / c5_source_token_mixture /
 #           d3_simhash / v2_embedding_neardup_lsh /
 #           sx7_stream_count_min_twin — the last r7-green shapes,
-#           deferred from r11 because same-head machinery covers
-#           them there (c8/c9 exercise the stratum-window sampling,
-#           c11 exercises per-source token shares, d10+m16 exercise
-#           the simhash/Hamming back end, v1/v9-v11 keep the
-#           embedding machinery seated, t14 exercises count-min);
-#       (2) the r8-green block below, stalest-first (g1 vec/MIC
-#           forms, t1-t6, c1, d2/d6/d7, m-family, r-block);
-#       (3) fill remaining slots from the r9-green extension set,
-#           stalest-first.  The r10/r11-green sets age back in from
-#           r13.
+#           deferred from r11 because same-head machinery covered
+#           them there;
+#       (3) 40 of the 46 remaining r8-green entries, stalest-first.
+#           Six defer to r13, each with a same-machinery sibling
+#           seated in THIS head (the c3-in-r11 justification):
+#           m11b_decode_jpeg_progressive (m11 baseline-JPEG seated),
+#           r8_cube_quantities (r17 grouping-sets seated; cube
+#           lowers to grouping sets), r4_running_revenue_window
+#           (r18 window-functions seated), r6_intersect_status
+#           (r20 except seated — same set-op rewrite path),
+#           e4_session_concurrency (e2 sessionization seated),
+#           m9_frame_diffs (m5 AVI frame decode seated — m9
+#           composes directly on it).
+#       2 + 3 + 5 + 40 = 50 exactly.
+#
+#   r13 PLAN (seat these first next round, in order — VERDICT r11
+#   item 4's discipline):
+#       (0) any gate NEW in r12 that lands after this head freezes
+#           (new-query-first; currently none);
+#       (1) the six r8-green entries deferred above (m11b, r8, r4,
+#           r6, e4, m9) — the stalest evidence in the registry
+#           after r12;
+#       (2) the r9-green extension set, stalest-first: d4, e8,
+#           x16/x16c, x3, sx1, t15, c4, x5, x20, x22, x21, x19,
+#           x6, x7, t9, sx2, sx6, t13, c7, d8, d10, r15, r16, r23,
+#           r24, r25, r26, r27, r28, r29, r30, r31, r32, r33, r34
+#           (40 entries incl. the r-block);
+#       (3) fill the remaining ~4 slots from the r10-green set,
+#           stalest-first (d1, v1, v3, v4, ...).  The r11/r12-green
+#           sets age back in from r14.
 _SCORING_TAIL = [
-    # ---- NEW post-rotation gates (local three-SF evidence only):
-    #      seat FIRST in r12 under new-query-first
-    "d23_pagerank_tol_contract",
-    # ---- r12 plan head: the last r7-green shapes (see plan above)
-    "c3_stratified_sample",
-    "c5_source_token_mixture",
-    "d3_simhash",
-    "v2_embedding_neardup_lsh",
-    "sx7_stream_count_min_twin",
-    # ---- last green ROUND 9 (age back in r12+ stalest-first,
-    #      after the r8-green block)
+    # ---- r8-green entries deferred from the r12 head (see plan
+    #      above): the stalest evidence — seat FIRST in r13
+    "m11b_decode_jpeg_progressive",
+    "r8_cube_quantities",
+    "r4_running_revenue_window",
+    "r6_intersect_status",
+    "e4_session_concurrency",
+    "m9_frame_diffs",
+    # ---- last green ROUND 9 (age back in r13 stalest-first,
+    #      after the deferred r8 entries)
     "d4_ngram_jaccard_neardup",
     "e8_asof_tolerance",
     "x16_pairwise_rmsd",
@@ -159,57 +162,7 @@ _SCORING_TAIL = [
     "r32_promo_part_suppliers",
     "r33_waiting_suppliers",
     "r34_approx_quantiles",
-    # ---- last green ROUND 8 (re-seat r12 stalest-first)
-    "g1_distances_vec",
-    "g1_distances_mic_ortho",
-    "g1_distances_mic_triclinic",
-    "t1_doc_stats",
-    "t2_quality_score",
-    "t3_langid",
-    "t4_fingerprint",
-    "t5_source_stats",
-    "c1_corpus_curation",
-    "d2_minhash_lsh_neardup",
-    "m1_media_stats",
-    "m2_decode_features",
-    "e1_event_window_counts",
-    "e2_sessionization",
-    "e3_asof_last_purchase",
-    "e4_session_concurrency",
-    "t6_token_counts",
-    "e5_funnel_completions",
-    "d6_semantic_dedup",
-    "m4_decode_png",
-    "d7_dup_components",
-    "x4_radius_of_gyration",
-    "m13_video_container_stats",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
-    "m8_audio_window_features",
-    "m9_frame_diffs",
-    "m10_decode_tiff",
-    "m11_decode_jpeg",
-    "m11b_decode_jpeg_progressive",
-    "r1_pricing_summary",
-    "r2_topk_revenue",
-    "r4_running_revenue_window",
-    "r5_semi_anti_join",
-    "r7_regional_revenue",
-    "r8_cube_quantities",
-    "r9_rich_inactive_customers",
-    "r10_small_qty_revenue",
-    "r11_promo_share_by_month",
-    "r6_intersect_status",
-    "r12_shipping_priority",
-    "r13_nation_volume",
-    "r14_supplier_part_variety",
-    "r17_grouping_sets",
-    "r18_window_functions",
-    "r19_exact_quantiles",
-    "r20_except_status",
-    "r21_min_cost_supplier",
-    "r22_sketch_distinct",
-    # ---- last green ROUND 10 (freshest; age back in from r13)
+    # ---- last green ROUND 10 (age back in from r13's tail slots)
     "d1_exact_dedup",
     "v1_cosine_topk",
     "v3_cosine_topk_ivf",
@@ -260,6 +213,57 @@ _SCORING_TAIL = [
     "t18_bpe_train",
     "t19_bpe_token_counts",
     "c10_bpe_sequence_packing",
+    # ---- last green ROUND 11 (freshest; age back in from r14)
+    "g1_distances",
+    "g8_orthogonality",
+    "g2_displacements",
+    "g3_angles",
+    "g5_center_of_mass",
+    "g6_center_of_geometry",
+    "g7_closest_contact",
+    "g9_lengths_angles_to_vectors",
+    "p1_frame_slice_stride_reverse",
+    "p2_atom_slice",
+    "u1_concat_overlap_discard",
+    "u2_content_fingerprint",
+    "s8_time_fallback",
+    "t7_repetition_score",
+    "d5_repeated_ngram_docs",
+    "g10_vectors_to_lengths_angles",
+    "m3_frame_sample",
+    "e6_cohort_retention",
+    "x9_msd",
+    "v5_pq_recall",
+    "d16_cluster_keep_best",
+    "c11_mixture_weights",
+    "c12_context_chunks",
+    "t20_char_entropy",
+    "t21_source_unigram_kl",
+    "t22_winnowing",
+    "d17_winnow_matches",
+    "c13_shuffle_shards",
+    "t23_perplexity_buckets",
+    "sx11_stream_winnow_twin",
+    "d18_pagerank_dup_graph",
+    "c14_chunk_shard_pipeline",
+    "t24_heaps_law",
+    "t25_zipf_slope",
+    "t26_top_ngram_fraction",
+    "t27_dup_ngram_char_fraction",
+    "d19_soft_dedup_weights",
+    "d22_quality_soft_dedup",
+    "v9_filtered_topk",
+    "e9_inter_event_gaps",
+    "sx12_stream_gap_twin",
+    "m15_audio_clipping",
+    "d20_cross_corpus_neardup",
+    "d21_cross_corpus_matches",
+    "v10_knn_classify",
+    "c15_budget_select",
+    "m16_perceptual_hash",
+    "t28_tokenizer_fertility",
+    "v11_embedding_diversity",
+    "r3_rollup_acctbal",
 ]
 
 

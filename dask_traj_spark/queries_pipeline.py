@@ -6589,12 +6589,18 @@ def q_pagerank_tol_contract(spark, sf_dir):
         F.min("vertex").alias("vmin"),
         F.max("vertex").alias("vmax"),
     )
-    # grid-dust mass bound: 2 snaps' worth (2^-20) per edge per round
-    dust = (
+    # grid-dust mass bound: 2 snaps' worth (2^-20) per edge per
+    # round, CAPPED size-independently at 2^-8 (ADVICE r11: the
+    # linear-in-n bound goes vacuous once n ≳ 40k since |Σrank−1|
+    # ≤ 1 always; snap errors contract geometrically under damping
+    # 1/2, so actual dust stays orders below 2^-8 at every SF and a
+    # genuine mass leak — O(d·sink_mass) per round — still trips it)
+    dust = F.least(
         2.0
         * (F.col("n_vertices") - 1).cast("double")
         * F.lit(float(meta["n_rounds"]))
-        / F.lit(1048576.0)
+        / F.lit(1048576.0),
+        F.lit(2.0 ** -8),
     )
     return stats.select(
         F.col("n_vertices").cast("long").alias("n_vertices"),
@@ -6605,6 +6611,88 @@ def q_pagerank_tol_contract(spark, sf_dir):
             (F.col("mn.vertex") == F.col("vmin"))
             | (F.col("mn.vertex") == F.col("vmax"))
         ).alias("endpoint_ok"),
+    )
+
+
+# ---------------------------------------------------------------------
+# d24: dangling-mass PageRank contract (NEW in r12, tail-resident,
+# seats first in r13)
+# ---------------------------------------------------------------------
+
+_D24_ROUNDS = 8
+
+_D24_ORACLE = """
+SELECT CAST(2 * count(*) AS BIGINT) AS n_vertices,
+       TRUE AS mass_ok,
+       TRUE AS leak_demo_ok,
+       TRUE AS source_min_ok
+FROM documents d
+WHERE d.doc_id % 2 = 0
+  AND EXISTS (SELECT 1 FROM documents s WHERE s.doc_id = d.doc_id + 1)
+"""
+
+
+@register("d24_pagerank_dangling_contract", _D24_ORACLE)
+def q_pagerank_dangling_contract(spark, sf_dir):
+    """Contract gate for PageRank's dangling-mass redistribution
+    (VERDICT r11 item 5a — the directed-graph completeness gap the
+    operator's own docstring named): on the even→odd doc-id pair
+    graph (edges doc→doc+1 for even doc only), HALF the vertices are
+    sinks, so leak mode loses ~d/2 of the remaining mass every round
+    while ``dangling="redistribute"`` must conserve it.
+
+    - partition: every vertex ranked exactly once (``n_vertices``
+      value-gated against the oracle's 2× even-with-successor
+      count);
+    - mass: redistribute mode keeps |Σ rank − 1| under grid dust
+      (per-edge snap + per-vertex dangling-share snap per round,
+      capped size-independently at 2^-8 — the d23 bound);
+    - leak demo: the SAME graph under default leak mode ends with
+      Σ rank < 1 − 2^-4 after 8 rounds (damping 1/2, sinks hold
+      ≈ half the mass ⇒ ≈ 1/4 of it leaks per round) — pins that
+      the mode is load-bearing, not a no-op;
+    - ordering: the minimum rank sits on an even (source-side)
+      vertex — sinks receive a full out-edge's mass plus the
+      dangling share, sources only teleport + share.
+    """
+    from dask_traj_spark.operators.graph import pagerank
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        ids.where(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+        .join(ids.select(F.col("doc_id").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    redis = pagerank(
+        edges, n_iter=_D24_ROUNDS, damping=0.5, dangling="redistribute"
+    )
+    leak = pagerank(edges, n_iter=_D24_ROUNDS, damping=0.5)
+    leak_row = F.broadcast(
+        leak.agg(F.sum("pagerank").alias("leak_mass"))
+    )
+    stats = redis.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("pagerank").alias("mass"),
+        F.min(F.struct(F.col("pagerank"), F.col("vertex"))).alias("mn"),
+    ).crossJoin(leak_row)
+    # per round: one snap per edge + one dangling-share snap per
+    # vertex (n_edges = n_vertices/2 here) → ≤ 2·n·rounds·2^-21;
+    # capped at 2^-8 like d23 (ADVICE r11)
+    dust = F.least(
+        2.0
+        * F.col("n_vertices").cast("double")
+        * F.lit(float(_D24_ROUNDS))
+        / F.lit(1048576.0),
+        F.lit(2.0 ** -8),
+    )
+    return stats.select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        (F.abs(F.col("mass") - F.lit(1.0)) < dust).alias("mass_ok"),
+        (F.col("leak_mass") < F.lit(1.0 - 2.0 ** -4)).alias("leak_demo_ok"),
+        (F.col("mn.vertex") % 2 == 0).alias("source_min_ok"),
     )
 
 

@@ -541,10 +541,14 @@ def _read_versioned_table(
         return None
     # anything else (batch_id= partitions OR unexpected content) goes
     # through spark.read.parquet, so corrupt state still RAISES
-    # (ADVICE r4: never silently restart a fold on a read error)
-    declared = [
-        c.strip().split()[0] for c in schema.split(",") if c.strip()
-    ]
+    # (ADVICE r4: never silently restart a fold on a read error).
+    # Parse the DDL properly (str.split(',') breaks on nested generics
+    # like array<struct<a:int,b:int>> — ADVICE r11 low) and check
+    # batch_id too: a dir of plain non-partitioned parquet has no
+    # batch_id column, and the pinned read would NULL-fill it so
+    # where(batch_id == version) silently restarts the fold with no
+    # carried state (ADVICE r11 medium).
+    declared = T.StructType.fromDDL(schema).fieldNames() + ["batch_id"]
     found = set(spark.read.parquet(table_dir).columns)
     missing = [c for c in declared if c not in found]
     if missing:

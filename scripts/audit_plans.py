@@ -113,6 +113,13 @@ ALLOW = {
     ("d23_pagerank_tol_contract", "SinglePartition"):
         "1-row contract aggregate (count/mass/argmin over the "
         "checkpointed rank table)",
+    ("d24_pagerank_dangling_contract", "SinglePartition"):
+        "1-row contract aggregates (count/mass/argmin over the two "
+        "checkpointed rank tables; per-round 1-row dangling-mass "
+        "aggregate)",
+    ("d24_pagerank_dangling_contract", "BroadcastNestedLoopJoin"):
+        "cross joins against the 1-row vertex-count / dangling-mass "
+        "/ leak-mass broadcasts",
 }
 
 

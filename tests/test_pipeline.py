@@ -4315,6 +4315,128 @@ def test_pagerank_tol_empty_edges_converges_trivially(spark):
     assert meta == {"n_rounds": 1, "final_delta": 0.0}
 
 
+def test_pagerank_dangling_redistribute_matches_python_reference(spark):
+    """dangling="redistribute" (VERDICT r11 item 5a) against an exact
+    Python mirror of the documented arithmetic — D_t assembled from
+    the grid shadow (k·base one multiply + exact grid sum), uniform
+    share snapped back to the grid — on a two-sink graph where leak
+    mode demonstrably loses mass."""
+    import math
+
+    from dask_traj_spark.functions.text import LP_GRID
+    from dask_traj_spark.operators.graph import pagerank
+
+    # 1→2, 1→3, 4→2: vertices 2 and 3 are sinks (half the graph)
+    e = [(1, 2), (1, 3), (4, 2)]
+    d = 0.5
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(verts)
+    base = (1.0 - d) / n
+    deg = {v: sum(1 for a, _ in e if a == v) for v in verts}
+    sinks = [v for v in verts if deg.get(v, 0) == 0]
+    snap = lambda x: math.floor(x * LP_GRID + 0.5) / LP_GRID  # noqa: E731
+    p = {v: 1.0 / n for v in verts}
+    acc = {v: snap(d / n) for v in verts}  # round-0 shadow baseline
+    for _ in range(6):
+        dmass = len(sinks) * base + math.fsum(acc[u] for u in sinks)
+        share = snap(d * dmass / n)
+        nxt = {v: 0.0 for v in verts}
+        for a, b in e:
+            nxt[b] += snap((d * p[a]) / deg[a])
+        acc = {v: nxt[v] + share for v in verts}
+        p = {v: base + acc[v] for v in verts}
+    got = {
+        r.vertex: r.pagerank
+        for r in pagerank(
+            edges, n_iter=6, damping=d, dangling="redistribute"
+        ).collect()
+    }
+    assert got == p
+    # mass conserved up to grid dust; leak mode loses real mass
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-4)
+    leak = {
+        r.vertex: r.pagerank
+        for r in pagerank(edges, n_iter=6, damping=d).collect()
+    }
+    assert sum(leak.values()) < 1.0 - 1.0 / 16
+    # physical order cannot change a bit
+    got2 = {
+        r.vertex: r.pagerank
+        for r in pagerank(
+            edges.repartition(5), n_iter=6, damping=d,
+            dangling="redistribute",
+        ).collect()
+    }
+    assert got == got2
+    # no sinks → redistribute is exactly the leak-mode result
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    a = {r.vertex: r.pagerank for r in pagerank(ring, n_iter=4).collect()}
+    b = {
+        r.vertex: r.pagerank
+        for r in pagerank(
+            ring, n_iter=4, dangling="redistribute"
+        ).collect()
+    }
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(ring, n_iter=2, dangling="uniform")
+
+
+def test_pagerank_dangling_redistribute_with_tol(spark):
+    """The grid shadow keeps working under redistribution: tol mode
+    stops on a sink graph, conserves mass, and the stopping round is
+    partition-stable."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    e = [(i, i + 10) for i in range(8)]  # 8 sources, 8 sinks
+    edges = spark.createDataFrame(e, "src long, dst long")
+    df, meta = pagerank(
+        edges, n_iter=40, tol=1.0 / 4096, damping=0.5,
+        dangling="redistribute", return_meta=True,
+    )
+    assert meta["final_delta"] < 1.0 / 4096
+    assert meta["n_rounds"] < 40
+    got = {r.vertex: r.pagerank for r in df.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    df2, meta2 = pagerank(
+        edges.repartition(3), n_iter=40, tol=1.0 / 4096, damping=0.5,
+        dangling="redistribute", return_meta=True,
+    )
+    assert meta2["n_rounds"] == meta["n_rounds"]
+    assert {r.vertex: r.pagerank for r in df2.collect()} == got
+
+
+def test_pagerank_tol_checkpoint_every_zero_is_safe(spark):
+    """ADVICE r11: tol + checkpoint_every=0 used to leave new_p and p
+    on one shared uncheckpointed lineage (quadratic per-round
+    re-execution + self-join ambiguity risk); tol mode now pins new_p
+    before the delta action regardless, so the legal parameter combo
+    returns the checkpoint_every=1 result exactly."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    e = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    star = spark.createDataFrame(e, "src long, dst long")
+    tol = 1.0 / 4096
+    ref, meta_ref = pagerank(
+        star, n_iter=40, tol=tol, damping=0.5, return_meta=True
+    )
+    for ck in (0, 3):
+        df, meta = pagerank(
+            star, n_iter=40, tol=tol, damping=0.5,
+            checkpoint_every=ck, return_meta=True,
+        )
+        assert meta["n_rounds"] == meta_ref["n_rounds"], ck
+        assert (
+            {r.vertex: r.pagerank for r in df.collect()}
+            == {r.vertex: r.pagerank for r in ref.collect()}
+        ), ck
+
+
 # --------------------------------------------- c14 chunk-shard composite
 
 
@@ -4949,6 +5071,10 @@ def test_knn_classify_rejects_non_integral_labels(spark):
     )
     with pytest.raises(ValueError, match="must be integral"):
         knn_classify(emb, [0], k=1)
+    # absent label_col: a named ValueError, not an opaque KeyError
+    # from schema[...] (ADVICE r11)
+    with pytest.raises(ValueError, match="not found"):
+        knn_classify(emb, [0], k=1, label_col="labell")
 
 
 # ------------------------------------- c15 budget selection

@@ -1053,6 +1053,27 @@ def test_pagerank_round_is_keyed_joins_no_python(spark):
     assert a.text.count("SinglePartition") == 0, a.text
 
 
+def test_pagerank_redistribute_round_shape(spark):
+    """d24: dangling redistribution adds exactly ONE 1-row aggregate
+    per round (the sink-mass sum — the documented broadcast pattern)
+    on top of d18's keyed-join round; still no cartesian product and
+    no Python.  checkpoint_every=0 keeps both rounds in one audited
+    plan."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, i + 10) for i in range(10)], "src long, dst long"
+    )
+    a = audit(
+        pagerank(edges, n_iter=2, checkpoint_every=0,
+                 dangling="redistribute")
+    )
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    # one dangling-mass SinglePartition per round, nothing else
+    assert a.text.count("SinglePartition") <= 2 * 2, a.text
+
+
 def test_chunk_shard_pipeline_composite_plan(spark):
     """c14's whole chain in one plan: quality filter fused into the
     scan projection, shuffle-free chunking, shard-keyed window, one

@@ -12,74 +12,73 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# The full round-11 head, per the written r11 seating plan
-# (VERDICT r10 item 1; plan comment above _SCORING_TAIL): the 28
-# never-driver-scored session-5/6 gates, the 14-query §2-core block
-# at the 2-round hard bound, and the 8 r7-green shapes deferred by
-# round 10's new-query-first seats.
-MUST_SCORE_R11 = [
-    # (0) never driver-scored (sessions 5-6)
-    "d16_cluster_keep_best",
-    "c11_mixture_weights",
-    "c12_context_chunks",
-    "t20_char_entropy",
-    "t21_source_unigram_kl",
-    "t22_winnowing",
-    "d17_winnow_matches",
-    "c13_shuffle_shards",
-    "t23_perplexity_buckets",
-    "sx11_stream_winnow_twin",
-    "d18_pagerank_dup_graph",
-    "c14_chunk_shard_pipeline",
-    "t24_heaps_law",
-    "t25_zipf_slope",
-    "t26_top_ngram_fraction",
-    "t27_dup_ngram_char_fraction",
-    "d19_soft_dedup_weights",
-    "v9_filtered_topk",
-    "e9_inter_event_gaps",
-    "sx12_stream_gap_twin",
-    "m15_audio_clipping",
-    "d20_cross_corpus_neardup",
-    "d21_cross_corpus_matches",
-    "v10_knn_classify",
-    "c15_budget_select",
-    "m16_perceptual_hash",
-    "t28_tokenizer_fertility",
-    "v11_embedding_diversity",
-    # (1) §2-core block at the 2-round hard bound (last green r9)
-    "g1_distances",
-    "g2_displacements",
-    "g3_angles",
-    "g5_center_of_mass",
-    "g6_center_of_geometry",
-    "g7_closest_contact",
-    "g8_orthogonality",
-    "g9_lengths_angles_to_vectors",
-    "g10_vectors_to_lengths_angles",
-    "p1_frame_slice_stride_reverse",
-    "p2_atom_slice",
-    "s8_time_fallback",
-    "u1_concat_overlap_discard",
-    "u2_content_fingerprint",
-    # (2) r7-green shapes deferred from the r10 head
-    "r3_rollup_acctbal",
-    "m3_frame_sample",
-    "t7_repetition_score",
-    "x9_msd",
-    "e6_cohort_retention",
-    "v5_pq_recall",
-    "d5_repeated_ngram_docs",
-    # (3) NEW in r11 (new-query-first; its slot deferred
-    # c3_stratified_sample to the r12 head)
-    "d22_quality_soft_dedup",
+# The full round-12 head, per the written r12 seating plan
+# (VERDICT r11 item 1; plan comment above _SCORING_TAIL): d23 + d24
+# new-query-first, the three SS2-core g1 forms at the hard-bound
+# breach, the five last r7-green shapes, and 40 of the 46 r8-green
+# entries (six defer to r13 with same-machinery siblings seated).
+MUST_SCORE_R12 = [
+    # (0) new gates (new-query-first)
+    "d23_pagerank_tol_contract",
+    "d24_pagerank_dangling_contract",
+    # (1) SS2-core g1 forms, last green r8 (hard-bound breach)
+    "g1_distances_vec",
+    "g1_distances_mic_ortho",
+    "g1_distances_mic_triclinic",
+    # (2) the last r7-green shapes (deferred from r11)
+    "c3_stratified_sample",
+    "c5_source_token_mixture",
+    "d3_simhash",
+    "v2_embedding_neardup_lsh",
+    "sx7_stream_count_min_twin",
+    # (3) the r8-green block, minus the six r13 deferrals
+    "t1_doc_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_source_stats",
+    "t6_token_counts",
+    "c1_corpus_curation",
+    "d2_minhash_lsh_neardup",
+    "d6_semantic_dedup",
+    "d7_dup_components",
+    "m1_media_stats",
+    "m2_decode_features",
+    "m4_decode_png",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
+    "m8_audio_window_features",
+    "m10_decode_tiff",
+    "m11_decode_jpeg",
+    "m13_video_container_stats",
+    "e1_event_window_counts",
+    "e2_sessionization",
+    "e3_asof_last_purchase",
+    "e5_funnel_completions",
+    "x4_radius_of_gyration",
+    "r1_pricing_summary",
+    "r2_topk_revenue",
+    "r5_semi_anti_join",
+    "r7_regional_revenue",
+    "r9_rich_inactive_customers",
+    "r10_small_qty_revenue",
+    "r11_promo_share_by_month",
+    "r12_shipping_priority",
+    "r13_nation_volume",
+    "r14_supplier_part_variety",
+    "r17_grouping_sets",
+    "r18_window_functions",
+    "r19_exact_quantiles",
+    "r20_except_status",
+    "r21_min_cost_supplier",
+    "r22_sketch_distinct",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R11 if n not in window]
+    missing = [n for n in MUST_SCORE_R12 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 

@@ -904,6 +904,44 @@ def test_versioned_table_read_rejects_name_drift(spark, tmp_path):
     }
 
 
+def test_versioned_table_read_rejects_missing_batch_id(spark, tmp_path):
+    """ADVICE r11 (medium): a state dir holding plain NON-partitioned
+    parquet (no batch_id= partitions) must RAISE — the pinned read
+    would NULL-fill batch_id, where(batch_id == version) would return
+    empty, and the fold would silently restart with no carried state."""
+    import pytest
+
+    from dask_traj_spark.streaming.ingest import _read_versioned_table
+
+    table = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 100)], "user_id long, last_us long"
+    ).write.parquet(table)
+    with pytest.raises(ValueError, match="batch_id"):
+        _read_versioned_table(spark, table, "user_id long, last_us long")
+
+
+def test_versioned_table_declared_names_parse_nested_ddl(spark, tmp_path):
+    """ADVICE r11 (low): declared column names come from a real DDL
+    parse, not str.split(',') — a nested generic type (array<struct>)
+    must not shred into garbage 'declared' names that spuriously
+    fail the drift check."""
+    from dask_traj_spark.streaming.ingest import _read_versioned_table
+
+    table = str(tmp_path / "state")
+    schema = "user_id long, spans array<struct<a:int,b:int>>"
+    (
+        spark.createDataFrame([(1, [(2, 3)])], schema)
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .parquet(table)
+    )
+    ok = _read_versioned_table(spark, table, schema)
+    assert ok.count() == 1 and set(ok.columns) == {
+        "user_id", "spans", "batch_id"
+    }
+
+
 def test_real_stream_crash_replay_exact_dedup(spark, tmp_path):
     """sx2's state design under Spark's OWN streaming commit protocol
     (VERDICT r4 item 7): a real readStream → foreachBatch →
