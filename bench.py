@@ -861,7 +861,13 @@ def main() -> None:
             benches = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
             if benches:
                 with open(benches[-1]) as f:
-                    for k, v in json.load(f).get("queries", {}).items():
+                    rec = json.load(f)
+                # the driver wraps the headline under "parsed"; a raw
+                # headline file has "queries" at top level
+                qd = (rec.get("queries") or
+                      (rec.get("parsed") or {}).get("queries") or {})
+                for k, v in qd.items():
+                    if isinstance(v, (int, float)):
                         out[k] = float(v)
         except Exception:
             pass
