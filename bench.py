@@ -807,49 +807,14 @@ def main() -> None:
         }
         probes["after_scale_s"] = _cpu_probe()
 
-    master = spark.sparkContext.master
-
-    # Optional apples-to-apples run vs BASELINE.md's 12-thread
-    # LocalCluster: re-run the canonical one-pass on local[12].
-    # Enabled by default (it adds one workload's wall time); set
-    # SPARK_GRAFT_BASELINE_RUN=0 to skip.
-    if os.environ.get("SPARK_GRAFT_BASELINE_RUN", "1") != "0":
-        spark.stop()
-        spark12 = get_spark(
-            app_name="dask-traj-spark-bench-12", master="local[12]",
-            shuffle_partitions=12,
-        )
-        spark12.sparkContext.setLogLevel("ERROR")
-        # warm the worker pool the same way as the main run
-        N_FRAMES = 160
-        mini = _canonical_traj(spark12)
-        _noop(
-            compute_distances(
-                mini, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
-            )
-        )
-        N_FRAMES = real_frames
-        its12 = []
-        for _ in range(5):
-            t0 = time.time()
-            fresh = _canonical_traj(spark12)
-            _noop(
-                compute_distances(
-                    fresh, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
-                )
-            )
-            its12.append(round(time.time() - t0, 3))
-        iters["canonical_onepass_local12"] = its12
-        times["canonical_onepass_local12"] = min(its12)
-        spark12.stop()
-
     # ---- self-clearing re-time pass (VERDICT r11 item 3) --------------
     # Four r11 entries (t8, r24, t16, d13) read as 1.5-3.6x
     # regressions on byte-identical code and needed a judge-side warm
     # re-measure to clear as host noise.  Any suite entry whose
     # best-of exceeds 2x its PREVIOUS round's recorded best (prior
     # bench_detail iters, falling back to the latest BENCH_r*.json)
-    # gets 2 extra late-session iterations; the min over all 5 is
+    # gets 2 extra late-suite iterations (still on the MAIN session —
+    # the local[12] tier below stops it); the min over all 5 is
     # what the round records.  Sub-0.2 s entries are skipped — at
     # that scale 2x is scheduler jitter, not a regression signal.
     def _prior_bests() -> dict:
@@ -898,6 +863,43 @@ def main() -> None:
             iters[name] = iters[name] + extra
             rec[name] = min(iters[name])
             retimed[name] = [cur, rec[name]]
+
+    master = spark.sparkContext.master
+
+    # Optional apples-to-apples run vs BASELINE.md's 12-thread
+    # LocalCluster: re-run the canonical one-pass on local[12].
+    # Enabled by default (it adds one workload's wall time); set
+    # SPARK_GRAFT_BASELINE_RUN=0 to skip.
+    if os.environ.get("SPARK_GRAFT_BASELINE_RUN", "1") != "0":
+        spark.stop()
+        spark12 = get_spark(
+            app_name="dask-traj-spark-bench-12", master="local[12]",
+            shuffle_partitions=12,
+        )
+        spark12.sparkContext.setLogLevel("ERROR")
+        # warm the worker pool the same way as the main run
+        N_FRAMES = 160
+        mini = _canonical_traj(spark12)
+        _noop(
+            compute_distances(
+                mini, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
+            )
+        )
+        N_FRAMES = real_frames
+        its12 = []
+        for _ in range(5):
+            t0 = time.time()
+            fresh = _canonical_traj(spark12)
+            _noop(
+                compute_distances(
+                    fresh, pairs, periodic=True, form="vectorized", n_atoms=N_ATOMS
+                )
+            )
+            its12.append(round(time.time() - t0, 3))
+        iters["canonical_onepass_local12"] = its12
+        times["canonical_onepass_local12"] = min(its12)
+        spark12.stop()
+
     probes["end_s"] = _cpu_probe()
 
     # ---- output contract (VERDICT r5 item 3, re-broken r9, re-fixed) --
