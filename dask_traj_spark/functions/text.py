@@ -44,6 +44,36 @@ FP_WEIGHTS: tuple[int, ...] = tuple(31 ** i for i in range(8))
 FP_MOD = 1_000_000_007
 
 
+def spread_for_expansion(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-spread a narrow input across the cluster before a
+    row-multiplying expansion (bigram/shingle/n-gram explode), IF the
+    scan produced fewer partitions than the configured shuffle width.
+
+    Why: an explode multiplies each document into O(|text|) rows, and
+    everything up to the first exchange runs with the SCAN's
+    parallelism.  A sub-``maxPartitionBytes`` single-file input scans
+    as ONE task, serializing the most expensive stage of the whole
+    query on one core.  Hash-repartitioning the compact (id, text)
+    rows first costs a shuffle of the small input and buys full-width
+    execution of the expansion + partial aggregation.
+
+    100-TB posture: at scale the scan already yields far more
+    partitions than ``spark.sql.shuffle.partitions`` and this returns
+    the input UNCHANGED — no shuffle is added on the path where the
+    shuffle would hurt.  Partitioning is BY THE KEY (deterministic
+    hash), never round-robin, so retried tasks repartition
+    identically and downstream per-key aggregates stay exact.
+    """
+    spark = df.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # "auto" under some AQE configs
+        width = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, F.col(key))
+
+
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, pos, word) — whitespace tokenization with positions."""
     return df.select(
@@ -222,12 +252,24 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     no Python, no explode of a Python UDF.
 
     Returns (doc_id, n_bigrams, avg_logprob).
+
+    Plan shape: ONE explode feeding ONE (doc_id, bg) partial+final
+    count; both the corpus model and the per-doc score derive from
+    that table (the model by a second tiny aggregation, the score by
+    a broadcast join weighted by the per-doc count), so the exchange
+    on (doc_id, bg) is planned once and reused — the explode's
+    O(total characters) output is shuffled and scanned a single
+    time.  Weighting by the integer count k instead of summing k
+    copies of lp is exact: lp is snapped to the 2^-20 grid, so k·lp
+    and every partial sum are dyadic rationals well inside double
+    precision — bit-identical to the row-at-a-time sum in any
+    grouping/order.
     """
     # Guard length < 2: Spark's sequence(1, 0) yields a DESCENDING
     # [1, 0], which would emit spurious 1-char "bigram" rows, while
     # the oracle's generate_series(1, 0) is empty (ADVICE r4) — the
     # empty-array branch makes both engines drop short docs alike.
-    bigrams = df.select(
+    bigrams = spread_for_expansion(df.select("doc_id", text_col)).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -238,7 +280,8 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("bg"),
     )
-    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    doc_bg = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
+    counts = doc_bg.groupBy("bg").agg(F.sum("k").alias("n_bg"))
     c1_tot = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("n_bg").alias("n_c1")
     )
@@ -257,11 +300,13 @@ def char_bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return (
-        bigrams.join(model, "bg")
+        doc_bg.join(model, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp") * F.col("k")) / F.sum("k"), 6
+            ).alias("avg_logprob"),
         )
     )
 
