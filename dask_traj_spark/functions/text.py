@@ -75,8 +75,12 @@ def spread_for_expansion(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
 
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, pos, word) — whitespace tokenization with positions."""
-    return df.select(
+    """(id, pos, word) — whitespace tokenization with positions.
+
+    Input is spread (``spread_for_expansion``) so the explode and the
+    consumer's partial aggregation run at full width even when the
+    scan is a single small file; a no-op at production scale."""
+    return spread_for_expansion(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     )
@@ -952,15 +956,17 @@ def winnow_fingerprints(
         f"i -> array_join(slice(toks, i + 1, {k}), ' '))"
     )
     if id_mode == "hashed":
-        gh_df = eligible.select(
-            "doc_id", toks.alias("toks")
+        # spread first: the gram/hash/winnow projection is O(|text|·w)
+        # per row and must not run at a small scan's width
+        gh_df = spread_for_expansion(
+            eligible.select("doc_id", toks.alias("toks"))
         ).select(
             "doc_id",
             F.expr(f"transform({gram}, g -> xxhash64(g))").alias("gh"),
         )
     elif id_mode == "sorted":
         # stage the split so the gram expr sees a concrete `toks` column
-        staged = eligible.select("doc_id", toks.alias("toks"))
+        staged = spread_for_expansion(eligible.select("doc_id", toks.alias("toks")))
         grams = staged.select(
             "doc_id", F.posexplode(F.expr(gram)).alias("pos", "gram")
         )

@@ -76,18 +76,21 @@ def _init_symbols(words: DataFrame) -> DataFrame:
 
 
 def _pair_counts(table: DataFrame) -> DataFrame:
-    """Weighted adjacent-pair counts over the symbol arrays —
-    posexplode + position self-join (the t7 bigram shape), then one
-    keyed aggregation.  Overlapping occurrences all count."""
-    pos = table.select(
-        "word", "freq", F.posexplode("syms").alias("pos", "sym")
-    )
-    nxt = pos.select(
-        "word", (F.col("pos") - 1).alias("pos"), F.col("sym").alias("sym2")
+    """Weighted adjacent-pair counts over the symbol arrays — the
+    adjacent pairs are built INSIDE one array projection
+    (``zip_with(syms, tail, struct)``) and exploded once into a
+    single keyed aggregation.  Overlapping occurrences all count.
+    Versus the posexplode + position self-join form this removes a
+    per-round shuffle join of the fully exploded symbol table (BPE
+    runs this every merge round, so the saved join is ×n_merges)."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+        F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
     )
     return (
-        pos.join(nxt, ["word", "pos"])
-        .groupBy(F.col("sym").alias("left"), F.col("sym2").alias("right"))
+        table.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .agg(F.sum("freq").alias("cnt"))
     )
 

@@ -55,7 +55,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dask_traj_spark.functions.text import token_id_hashed, tokens, vocab
+from dask_traj_spark.functions.text import (
+    spread_for_expansion,
+    token_id_hashed,
+    tokens,
+    vocab,
+)
 
 # Several operators below persist a shared intermediate (the token /
 # shingle sets referenced by multiple plan branches).  Their results
@@ -231,22 +236,35 @@ def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
 
 def _jaccard_verify(pairs: DataFrame, dt: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs from distinct token sets.
-    Set sizes ride per-row via a doc-partitioned window so the
-    aggregated pair output needs no further joins."""
-    from pyspark.sql import Window
 
-    dtz = dt.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    t1 = dtz.select(F.col("doc_id").alias("doc1"), "tid", F.col("sz").alias("sz1"))
-    t2 = dtz.select(F.col("doc_id").alias("doc2"), "tid", F.col("sz").alias("sz2"))
+    Each doc's distinct tids are packed into ONE array row and the
+    candidate pairs join that table twice on the doc key; the
+    intersection is a JVM-side ``array_intersect``.  Versus the
+    exploded form (pairs ⋈ tokens ⋈ tokens, grouped back), this
+    shuffles |pairs| + |docs| rows instead of |pairs|·|tokens/doc| —
+    the same set content, packed — so the verify stage no longer
+    dominates when LSH emits many candidates (boilerplate corpora).
+    ``array_intersect`` is hash-set based (O(n+m) per pair); the
+    collect_set order is engine-dependent but size/intersection are
+    order-invariant, so the output stays deterministic."""
+    sets = dt.groupBy("doc_id").agg(F.collect_set("tid").alias("s"))
+    t1 = sets.select(
+        F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.size("s").alias("sz1")
+    )
+    t2 = sets.select(
+        F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.size("s").alias("sz2")
+    )
     inter = (
         pairs.join(t1, "doc1")
-        .join(t2, ["doc2", "tid"])
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("sz1").alias("sz1"),
-            F.first("sz2").alias("sz2"),
+        .join(t2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("s1", "s2")).alias("inter"),
+            "sz1",
+            "sz2",
         )
+        .where(F.col("inter") > 0)
     )
     return inter.select(
         "doc1",
@@ -877,9 +895,11 @@ def duplicate_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     if key_mode not in ("hashed", "exact"):
         raise ValueError(f"key_mode must be 'hashed' or 'exact', got {key_mode!r}")
-    toks = docs.select(
-        "doc_id", F.split(F.col(text_col), " ").alias("t")
-    ).where(F.size("t") >= ngram)
+    toks = spread_for_expansion(
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("t")).where(
+            F.size("t") >= ngram
+        )
+    )
     if key_mode == "hashed":
         # hash each TOKEN once, then fold the window's token hashes
         # with chained xxhash64(acc, h) — order-sensitive, no
@@ -1026,9 +1046,11 @@ def _anchor_occurrences(
         raise ValueError(f"max_occ must be >= 2 or None, got {max_occ}")
     if key_mode not in ("hashed", "exact"):
         raise ValueError(f"key_mode must be 'hashed' or 'exact', got {key_mode!r}")
-    toks = docs.select(
-        "doc_id", F.split(F.col(text_col), " ").alias("t")
-    ).where(F.size("t") >= ngram)
+    toks = spread_for_expansion(
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("t")).where(
+            F.size("t") >= ngram
+        )
+    )
     if key_mode == "hashed":
         toks = toks.withColumn(
             "t", F.expr("transform(t, x -> xxhash64(x))")
