@@ -64,6 +64,8 @@ def spread_for_expansion(df: DataFrame, key: str = "doc_id") -> DataFrame:
     hash), never round-robin, so retried tasks repartition
     identically and downstream per-key aggregates stay exact.
     """
+    if df.isStreaming:  # .rdd is illegal on unbounded plans; a
+        return df  # micro-batch's partitioning is the source's anyway
     spark = df.sparkSession
     try:
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -36,6 +36,26 @@ class TestText:
             pdf.loc[0, "mean_token_len"], (22 - 5) / 6
         )
 
+    def test_spread_for_expansion(self, spark):
+        from dask_traj_spark.functions.text import spread_for_expansion
+
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        narrow = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], ["doc_id", "text"]
+        ).coalesce(1)
+        spread = spread_for_expansion(narrow)
+        assert spread.rdd.getNumPartitions() == width
+        # content unchanged
+        assert sorted(r.doc_id for r in spread.collect()) == list(range(20))
+        # no-op when the input is already at (or beyond) full width
+        wide = narrow.repartition(width + 2, "doc_id")
+        assert spread_for_expansion(wide) is wide
+        # no-op on streaming plans (.rdd would raise there)
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        )
+        assert spread_for_expansion(stream, key="value") is stream
+
     def test_quality_bounds(self, docs):
         from dask_traj_spark.functions.text import quality_score
 
