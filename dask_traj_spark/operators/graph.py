@@ -18,9 +18,12 @@ Determinism rules (the DuckDB oracles hash-compare values):
 - the teleport term ``(1−d)/N`` is one correctly-rounded division
   added once per vertex — identical bits.
 
-Scale posture: per iteration ONE src-keyed join (rank × out-degree
-attach) and ONE dst-keyed aggregation — the standard distributed
-PageRank shape; ``localCheckpoint`` every round bounds lineage
+Scale posture: out-degrees are folded into the checkpointed edge
+table ONCE, so per iteration the loop runs ONE src-keyed join
+(edges × ranks) and ONE dst-keyed aggregation — the standard
+distributed PageRank shape with the static edge side scanned in
+place (localCheckpoint preserves the fold's hash(src)
+partitioning); ``localCheckpoint`` every round bounds lineage
 (the d7/BPE loop discipline).  The iteration count is fixed (the
 driver loop is inherent to power iteration, everything per-round is
 distributed).
@@ -71,10 +74,11 @@ def pagerank(
     across runs and engines.  |Δacc| IS the exact-arithmetic rank
     delta (the teleport base cancels in exact math); only round 1's
     value is offset ≤ n·2^-21 by the snapped baseline.  An empty
-    edge list converges trivially in one round (delta 0).  Per
-    round the check adds one vertex-keyed join + a 1-row aggregate
-    (the dup_components changed-count discipline; driver state
-    stays O(1)).
+    edge list converges trivially in one round (delta 0).  The
+    previous round's accumulator rides in-row through the rank
+    join, so per round the check adds only a 1-row aggregate over
+    the just-checkpointed ranks (the dup_components changed-count
+    discipline; driver state stays O(1)).
 
     ``damping`` must be a dyadic rational on the 2^-8 grid (e.g.
     7/8, 1/2, 3/4) so ``d·p`` stays one correctly-rounded multiply
@@ -133,6 +137,16 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
+    # Fold out-degree into the edge table ONCE: per round the loop
+    # then needs a single src-keyed join (edges × ranks) instead of
+    # two.  The fold's join output is hash-partitioned on src and
+    # localCheckpoint PRESERVES that partitioning, so later rounds
+    # scan the edge side in place — the only per-round shuffle left
+    # is the inherent dst-keyed contribution aggregation.  At fleet
+    # scale this is the difference between re-shuffling the (huge,
+    # static) edge list every round and shuffling only the
+    # (vertex-sized) rank table.
+    e = e.join(deg, "src").localCheckpoint(eager=True)
     dang = None
     if dangling == "redistribute":
         # sink set is topology, not rank — pin once like deg
@@ -154,9 +168,16 @@ def pagerank(
     )
     meta = {"n_rounds": 0, "final_delta": None}
     for it in range(n_iter):
+        # The rank table invariantly holds the FULL vertex set (it
+        # starts as verts and every round left-joins from it), so it
+        # doubles as the per-round spine: joining contributions back
+        # onto ``pv`` instead of ``verts`` saves nothing in rows but
+        # carries the previous round's shadow accumulator (``ao``)
+        # in-row — the tol delta then reads the checkpointed result
+        # directly instead of running a second vertex-keyed join.
+        pv = p.select("v", F.col("acc").alias("ao"))
         contrib = (
             e.join(p, e.src == p.v)
-            .join(deg, "src")
             .select(
                 "dst",
                 (
@@ -194,21 +215,28 @@ def pagerank(
                 )
                 / g
             )
-            acc_new = F.coalesce(F.col("acc"), F.lit(0.0)) + share
+            acc_new = F.coalesce(contrib.acc, F.lit(0.0)) + share
             new_p = (
-                verts.crossJoin(F.broadcast(n_row))
+                pv.crossJoin(F.broadcast(n_row))
                 .crossJoin(F.broadcast(dmass))
-                .join(contrib, verts.v == contrib.dst, "left")
-                .select("v", (base + acc_new).alias("p"), acc_new.alias("acc"))
-            )
-        else:
-            new_p = (
-                verts.crossJoin(F.broadcast(n_row))
-                .join(contrib, verts.v == contrib.dst, "left")
+                .join(contrib, pv.v == contrib.dst, "left")
                 .select(
                     "v",
-                    (base + F.coalesce(F.col("acc"), F.lit(0.0))).alias("p"),
-                    F.coalesce(F.col("acc"), F.lit(0.0)).alias("acc"),
+                    (base + acc_new).alias("p"),
+                    acc_new.alias("acc"),
+                    F.col("ao"),
+                )
+            )
+        else:
+            acc_new = F.coalesce(contrib.acc, F.lit(0.0))
+            new_p = (
+                pv.crossJoin(F.broadcast(n_row))
+                .join(contrib, pv.v == contrib.dst, "left")
+                .select(
+                    "v",
+                    (base + acc_new).alias("p"),
+                    acc_new.alias("acc"),
+                    F.col("ao"),
                 )
             )
         if (checkpoint_every and (it + 1) % int(checkpoint_every) == 0) or (
@@ -224,13 +252,12 @@ def pagerank(
         meta["n_rounds"] = it + 1
         if tol is not None:
             # exact L1 over the grid shadow (docstring); NULL sum =
-            # empty vertex set = trivially converged
-            row = (
-                new_p.select("v", F.col("acc").alias("an"))
-                .join(p.select("v", F.col("acc").alias("ao")), "v")
-                .agg(F.sum(F.abs(F.col("an") - F.col("ao"))).alias("d"))
-                .first()
-            )
+            # empty vertex set = trivially converged.  ``ao`` rides
+            # in-row (see pv above), so this is a scan of the just-
+            # checkpointed table — no join.
+            row = new_p.agg(
+                F.sum(F.abs(F.col("acc") - F.col("ao"))).alias("d")
+            ).first()
             delta = 0.0 if row["d"] is None else float(row["d"])
             meta["final_delta"] = delta
             p = new_p
