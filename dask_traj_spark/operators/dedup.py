@@ -605,11 +605,18 @@ def dup_components(
         )
         .select("e.src", "e.dst")
         .distinct()
+        # distinct leaves hash(src, dst) partitioning; re-key on src
+        # ONCE so the per-round message join scans the (static,
+        # edge-sized) side in place — localCheckpoint preserves the
+        # partitioning, and only the vertex-sized label table moves
+        # per round
+        .repartition("src")
         .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    label_t = dict(labels.dtypes)["label"]
 
     def _jump(lbl: DataFrame) -> DataFrame:
         # label ← label(label(v)): follow each node's pointer one hop
@@ -621,25 +628,32 @@ def dup_components(
             .select(
                 "node",
                 F.coalesce(F.least("p_label", "label"), F.col("label")).alias("label"),
+                "old",
             )
         )
 
     for _ in range(max_iters):
+        # each node's previous label rides in-row through the round
+        # (every node appears exactly once in ``labels``, so
+        # max(old) over the message group recovers it — messages
+        # carry NULL), making the convergence check a scan of the
+        # just-checkpointed table instead of a vertex-keyed join
         msgs = edges.join(
             labels, edges["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(
+            F.col("dst").alias("node"),
+            "label",
+            F.lit(None).cast(label_t).alias("old"),
+        )
         prop = (
-            labels.unionByName(msgs)
+            labels.withColumn("old", F.col("label"))
+            .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         new_labels = _jump(_jump(prop)).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("old")).count()
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     else:
