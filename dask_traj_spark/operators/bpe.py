@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dask_traj_spark.functions.text import tokens
+from dask_traj_spark.session import release_local_checkpoint
 
 #: training stops early if the best pair occurs fewer than this many
 #: times (weighted); 1 = merge while any pair exists.
@@ -168,6 +169,10 @@ def bpe_train(
     spark = docs.sparkSession
     table = _init_symbols(_word_freq(docs, text_col))
     merges: list[tuple[int, str, str, int]] = []
+    # previous merge round's checkpoint: superseded (released) once
+    # the next round's checkpoint materializes; the FINAL checkpoint
+    # backs the returned ``segmented`` table and is never released
+    ckpt_prev = None
     for rank in range(1, int(n_merges) + 1):
         best = _best_pair(_pair_counts(table))
         if best is None:
@@ -178,6 +183,8 @@ def bpe_train(
             # bound lineage growth across rounds; eager so the
             # truncation actually happens before the next argmax
             table = table.localCheckpoint(eager=True)
+            release_local_checkpoint(ckpt_prev)
+            ckpt_prev = table
     return merges, table
 
 

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dask_traj_spark.session import release_local_checkpoint
 from dask_traj_spark.functions.text import (
     spread_for_expansion,
     token_id_hashed,
@@ -617,6 +618,7 @@ def dup_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
     label_t = dict(labels.dtypes)["label"]
+    ckpt_prev = labels
 
     def _jump(lbl: DataFrame) -> DataFrame:
         # label ← label(label(v)): follow each node's pointer one hop
@@ -653,6 +655,12 @@ def dup_components(
         )
         new_labels = _jump(_jump(prop)).localCheckpoint()
         changed = new_labels.where(F.col("label") != F.col("old")).count()
+        # the previous round's label checkpoint is superseded the
+        # moment the new one materializes — release it so a long
+        # convergence run doesn't pin one vertex-sized cache per
+        # round for the session's lifetime
+        release_local_checkpoint(ckpt_prev)
+        ckpt_prev = new_labels
         labels = new_labels.drop("old")
         if changed == 0:
             break
@@ -660,6 +668,8 @@ def dup_components(
         raise RuntimeError(
             f"dup_components did not converge in {max_iters} iterations"
         )
+    # the returned projection reads only the final label checkpoint
+    release_local_checkpoint(edges)
     return labels.select(
         F.col("node").alias(id_col),
         F.col("label").alias("component"),

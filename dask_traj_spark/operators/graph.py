@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dask_traj_spark.functions.text import LP_GRID
+from dask_traj_spark.session import release_local_checkpoint
 
 #: dyadic damping factor (7/8) — see module docstring.
 DAMPING = 0.875
@@ -146,6 +147,7 @@ def pagerank(
     # scale this is the difference between re-shuffling the (huge,
     # static) edge list every round and shuffling only the
     # (vertex-sized) rank table.
+    e_raw = e
     e = e.join(deg, "src").localCheckpoint(eager=True)
     dang = None
     if dangling == "redistribute":
@@ -153,6 +155,13 @@ def pagerank(
         dang = verts.join(
             deg, verts.v == deg.src, "left_anti"
         ).localCheckpoint(eager=True)
+    # everything derived from the raw edge checkpoint and the degree
+    # table is materialized now — their blocks are superseded state
+    # (the loop reads only the folded ``e``); release them so a
+    # long-lived session doesn't pin two extra edge-sized caches per
+    # call (see release_local_checkpoint)
+    release_local_checkpoint(e_raw)
+    release_local_checkpoint(deg)
     g = F.lit(LP_GRID)
     base = F.lit(1.0 - damping) / F.col("n").cast("double")
     # ``acc`` is the delta-tracking shadow (see docstring): round 0's
@@ -167,6 +176,10 @@ def pagerank(
         ).alias("acc"),
     )
     meta = {"n_rounds": 0, "final_delta": None}
+    # previous round's checkpoint — superseded (and released) as soon
+    # as the next round's checkpoint materializes; the FINAL round's
+    # checkpoint is the returned result and is never released here
+    ckpt_prev = None
     for it in range(n_iter):
         # The rank table invariantly holds the FULL vertex set (it
         # starts as verts and every round left-joins from it), so it
@@ -249,6 +262,13 @@ def pagerank(
             # would lean on self-join dedup of shared attributes
             # (ADVICE r11)
             new_p = new_p.localCheckpoint(eager=True)
+            if ckpt_prev is not None:
+                release_local_checkpoint(ckpt_prev)
+            else:
+                # the first checkpoint consumes the last reference to
+                # the initial rank projection's vertex spine
+                release_local_checkpoint(verts)
+            ckpt_prev = new_p
         meta["n_rounds"] = it + 1
         if tol is not None:
             # exact L1 over the grid shadow (docstring); NULL sum =
@@ -266,4 +286,12 @@ def pagerank(
         else:
             p = new_p
     out = p.select(F.col("v").alias("vertex"), F.col("p").alias("pagerank"))
+    if ckpt_prev is not None and p is ckpt_prev:
+        # the result is a projection over the final checkpoint alone —
+        # the loop's static state (folded edges, 1-row count, sink
+        # set) is no longer reachable from it
+        release_local_checkpoint(e)
+        release_local_checkpoint(n_row)
+        if dang is not None:
+            release_local_checkpoint(dang)
     return (out, meta) if return_meta else out

@@ -101,3 +101,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_local_checkpoint(df) -> bool:
+    """Best-effort unpersist of a ``localCheckpoint``'ed DataFrame's
+    backing blocks.  For SUPERSEDED loop state only: iterative
+    operators (PageRank, connected components, BPE merges) checkpoint
+    every round, and each checkpoint pins its blocks in the block
+    manager until the JVM happens to GC the RDD reference — in a
+    long-lived session the stale rounds accumulate into thousands of
+    pinned blocks and measurable GC/bookkeeping drag (the same leak
+    class ``release_caches`` covers for tracked persists).  The
+    released DataFrame is IRRECOVERABLE afterwards (localCheckpoint
+    truncates lineage), so callers may only release state that
+    nothing downstream references — i.e. the previous round after the
+    next round's checkpoint has materialized.
+
+    Returns True when blocks were released, False when the plan was
+    not a materialized local checkpoint (wrong node type, or any
+    py4j failure — never raises: releasing is an optimization, and a
+    Spark version that renames the internals must degrade to the old
+    keep-until-GC behavior, not break the operator)."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

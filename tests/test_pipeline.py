@@ -4639,6 +4639,81 @@ def test_pagerank_random_graph_differential(spark):
         assert got == p, (trial, e)
 
 
+def _n_persistent(spark) -> int:
+    return spark._jsc.getPersistentRDDs().size()
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.session import release_local_checkpoint
+
+    before = _n_persistent(spark)
+    df = spark.range(50).select((F.col("id") * 3).alias("x"))
+    ck = df.localCheckpoint(eager=True)
+    assert _n_persistent(spark) == before + 1
+    # non-checkpoint plans are refused, not released
+    assert release_local_checkpoint(df) is False
+    assert release_local_checkpoint(None) is False
+    assert release_local_checkpoint(ck) is True
+    assert _n_persistent(spark) == before
+
+
+def test_pagerank_releases_superseded_round_state(spark):
+    """The loop checkpoints every round; all but the FINAL round's
+    blocks (plus static state once the result no longer references
+    it) must be released — a long-lived session running many ranks
+    would otherwise pin one cache per round forever."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(3, 7), (9, 2)],
+        "src long, dst long",
+    )
+    for kwargs in (
+        {"n_iter": 6},
+        {"n_iter": 30, "tol": 1.0 / 1024},
+        {"n_iter": 5, "dangling": "redistribute"},
+    ):
+        before = _n_persistent(spark)
+        out = pagerank(edges, damping=0.5, **kwargs)
+        assert out.count() == 12
+        # only the final round's checkpoint may remain pinned
+        assert _n_persistent(spark) <= before + 1, kwargs
+
+
+def test_dup_components_releases_superseded_round_state(spark):
+    from pyspark.sql import functions as F
+
+    from dask_traj_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)] + [(1, 3), (5, 7)],
+        "id1 long, id2 long",
+    )
+    nodes = spark.range(22).select(F.col("id").alias("doc_id"))
+    before = _n_persistent(spark)
+    comp = dup_components(pairs, nodes)
+    assert comp.count() == 22
+    # final label checkpoint only — per-round labels and the edge
+    # table are released as they are superseded
+    assert _n_persistent(spark) <= before + 1
+
+
+def test_bpe_train_releases_superseded_round_state(spark):
+    from dask_traj_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer new") for i in range(6)],
+        "doc_id long, text string",
+    )
+    before = _n_persistent(spark)
+    merges, seg = bpe_train(docs, n_merges=4)
+    assert len(merges) == 4 and seg.count() > 0
+    # the returned segmented table's final checkpoint only
+    assert _n_persistent(spark) <= before + 1
+
+
 # ------------------------------------------------------ t24 heaps law
 
 
