@@ -221,17 +221,29 @@ def main() -> None:
     # (VERDICT r11 item 3)
     _thunks: dict[str, object] = {}
 
+    # Between-iteration cache hygiene: each thunk call builds (and
+    # materializes) its operators' tracked persists fresh, so the
+    # PREVIOUS call's caches are unreachable garbage — but they stay
+    # pinned in the block manager until released, and across ~30
+    # tier-2 entries x 4 calls each the accumulated dead caches
+    # measurably degrade the whole JVM (run-5/6 probe brackets: the
+    # fixed probe ran 10x slower by the time the iterative entries
+    # were reached).  Released OUTSIDE the timed window.
+    from dask_traj_spark.session import release_caches as _release_caches
+
     def timed(
         name: str, fn, n: int = 3, warmup: int = 1, headline: bool = True
     ) -> None:
         before = _last_probe[0] if _last_probe[0] is not None else _cpu_probe()
         for _ in range(warmup):
             fn()
+            _release_caches()
         its = []
         for _ in range(n):
             t0 = time.time()
             fn()
             its.append(round(time.time() - t0, 3))
+            _release_caches()
         after = _cpu_probe()
         _last_probe[0] = after
         probe_bracket[name] = [before, after]
@@ -475,6 +487,7 @@ def main() -> None:
             t0 = time.time()
             _noop(near_duplicates_minhash(docs, threshold=0.8))
             its_d2.append(round(time.time() - t0, 3))
+            _release_caches()
         iters["d2_minhash_lsh"] = its_d2
         times["d2_minhash_lsh"] = min(its_d2)
         its_d2_10 = []
@@ -482,6 +495,7 @@ def main() -> None:
             t0 = time.time()
             _noop(near_duplicates_minhash(docs10, threshold=0.8))
             its_d2_10.append(round(time.time() - t0, 3))
+            _release_caches()
         scale["d2_minhash_lsh_10x_iters"] = its_d2_10
         scale["d2_minhash_lsh_10x"] = min(its_d2_10)
         scale["probe_after_d2_s"] = _cpu_probe()
@@ -860,6 +874,7 @@ def main() -> None:
                 t0 = time.time()
                 fn()
                 extra.append(round(time.time() - t0, 3))
+                _release_caches()
             iters[name] = iters[name] + extra
             rec[name] = min(iters[name])
             retimed[name] = [cur, rec[name]]

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dask_traj_spark.functions.text import LP_GRID, tokens
+from dask_traj_spark.session import track_cache
 
 
 def _word_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
@@ -311,8 +312,13 @@ def pack_sequences(
         "local_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
     # persist: the totals collect and the final plan must see the SAME
-    # range boundaries (re-sampling on recompute would shift offsets)
-    local = local.persist()
+    # range boundaries (re-sampling on recompute would shift offsets).
+    # Tracked so a long-lived session can release it once the packing
+    # result is materialized — this is the one tracked cache whose
+    # result must NOT be re-collected after release (the collected
+    # offsets are baked into the plan as literals; see
+    # session.release_caches)
+    local = track_cache(local)
     totals = sorted(
         local.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect(),
         key=lambda r: r["pid"],

@@ -55,7 +55,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dask_traj_spark.session import release_local_checkpoint
+from dask_traj_spark.session import (
+    release_caches,  # noqa: F401 — established public API of this module
+    release_local_checkpoint,
+    track_cache,
+)
 from dask_traj_spark.functions.text import (
     spread_for_expansion,
     token_id_hashed,
@@ -72,29 +76,10 @@ from dask_traj_spark.functions.text import (
 # r10: each call otherwise pins a cached RDD for the session's
 # lifetime).  Storage is MEMORY_AND_DISK and Spark evicts cached
 # blocks LRU, so an unreleased cache degrades to recompute/disk
-# churn, never OOM — but explicit release is the contract.
-_TRACKED_CACHES: list[DataFrame] = []
-
-
-def _tracked_persist(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRACKED_CACHES.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every intermediate cached by the dedup operators in
-    this session; returns how many were released.  Call after the
-    returned DataFrames are materialized (collected / written) —
-    re-using a result DataFrame afterwards stays CORRECT (Spark
-    recomputes the lineage), just uncached."""
-    n = len(_TRACKED_CACHES)
-    for df in _TRACKED_CACHES:
-        df.unpersist()
-    _TRACKED_CACHES.clear()
-    return n
+# churn, never OOM — but explicit release is the contract.  The
+# registry itself now lives in ``dask_traj_spark.session`` (shared
+# with curation); these names stay as the established public API.
+_tracked_persist = track_cache
 
 #: affine minhash constants: h_i(t) = (A_i * t + B_i) mod P. Fixed,
 #: mirrored in the oracle SQL.

@@ -130,3 +130,42 @@ def release_local_checkpoint(df) -> bool:
         return True
     except Exception:
         return False
+
+
+# Operators that persist a shared intermediate referenced by the
+# returned (lazy) plan register it here; a long-lived session running
+# many such operators releases them all with ``release_caches()`` once
+# the results are materialized.  Central registry — the dedup module's
+# original tracker now delegates here so curation/dedup caches share
+# one release point.
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """Persist ``df`` (MEMORY_AND_DISK) and register it for
+    ``release_caches``.  Returns the persisted DataFrame."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked intermediate; returns how many were
+    released.  Call after the operators' returned DataFrames are
+    materialized (collected / written).  Re-using a result DataFrame
+    afterwards generally stays CORRECT (Spark recomputes the
+    lineage) — the one exception is sequence packing, whose collected
+    partition offsets are baked into the plan as literals: its result
+    must be fully materialized before release and not re-collected
+    after (a recomputed range partitioning could re-sample
+    boundaries)."""
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TRACKED_CACHES.clear()
+    return n

@@ -137,6 +137,14 @@ def main():
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # the result is fully materialized (or the query failed);
+            # drop the operators' tracked persists so a 192-query
+            # sweep doesn't accumulate dead caches (session hygiene —
+            # see session.release_caches)
+            from dask_traj_spark.session import release_caches
+
+            release_caches()
         if name not in os_:
             print(f"SKIP {name}: no oracle (rows={len(spdf)}) [{time.time()-t0:.1f}s]")
             continue

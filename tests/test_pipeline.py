@@ -247,14 +247,15 @@ class TestDedup:
         """Dedup operators cache shared intermediates for the lazy
         result's lifetime; release_caches() must drop them all and
         leave the result recomputable (ADVICE r10)."""
+        from dask_traj_spark import session as ds
         from dask_traj_spark.operators import dedup as dd
 
-        before = len(dd._TRACKED_CACHES)
+        before = len(ds._TRACKED_CACHES)
         result = dd.near_duplicates_minhash(docs, threshold=0.5)
         n_rows = result.count()  # materialize through the cache
-        assert len(dd._TRACKED_CACHES) > before
+        assert len(ds._TRACKED_CACHES) > before
         released = dd.release_caches()
-        assert released >= 1 and not dd._TRACKED_CACHES
+        assert released >= 1 and not ds._TRACKED_CACHES
         # correctness survives release: lineage just recomputes
         assert result.count() == n_rows
 
@@ -4698,6 +4699,24 @@ def test_dup_components_releases_superseded_round_state(spark):
     # final label checkpoint only — per-round labels and the edge
     # table are released as they are superseded
     assert _n_persistent(spark) <= before + 1
+
+
+def test_pack_sequences_cache_is_tracked(spark):
+    """The packing prefix-sum's persist must register with the
+    central registry so long-lived sessions can release it (it was
+    the one untracked corpus-sized persist)."""
+    from dask_traj_spark import session as ds
+    from dask_traj_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a few words here " * (i % 3 + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    before = len(ds._TRACKED_CACHES)
+    out = pack_sequences(docs, budget=8)
+    out.count()  # fully materialize BEFORE release (packing contract)
+    assert len(ds._TRACKED_CACHES) > before
+    assert ds.release_caches() >= 1 and not ds._TRACKED_CACHES
 
 
 def test_bpe_train_releases_superseded_round_state(spark):
