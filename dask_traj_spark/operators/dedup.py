@@ -177,6 +177,69 @@ def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     )
 
 
+# In-row pair emission over a packed bucket: members sorted, each
+# (i < j) pair once as struct(a, b) — a < b in member-struct order.
+_PAIR_EXPR = (
+    "flatten(transform(ms, (x, i) -> "
+    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+    "y -> named_struct('a', x, 'b', y))))"
+)
+
+# Bipartite variant (the d20/d21 tagged-union convention: even
+# doc_id = left corpus, odd = right): every (even, odd) pair once.
+_BIPARTITE_PAIR_EXPR = (
+    "flatten(transform(filter(ms, m -> pmod(m.doc_id, 2) = 0), x -> "
+    "transform(filter(ms, m -> pmod(m.doc_id, 2) = 1), "
+    "y -> named_struct('a', x, 'b', y))))"
+)
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    keys: list[str],
+    cap: int,
+    member_cols: list[str],
+    bipartite: bool = False,
+) -> DataFrame:
+    """Co-bucket member pairs via ONE groupBy on ``keys``: pack each
+    bucket's members (structs of ``member_cols``, first column unique
+    within a bucket) into a sorted array, drop buckets above ``cap``
+    (the ``_cap_buckets`` semantics — size counts the whole bucket,
+    union-wide for the bipartite form) or below 2, and emit the pairs
+    in-row.  Output: one row per pair, column ``p`` =
+    struct<a, b> with a < b in member order (bipartite: a even doc_id,
+    b odd).
+
+    Why not the count-filter + self-join form these operators used
+    before: where the filter is a count SEMI-JOIN (the anchor/winnow
+    family), the two pair-join sides and the two semi-join sides hold
+    four DIFFERENT subtrees above the key exchange, AQE reuses
+    nothing, and the expensive upstream pipeline (n-gram windows,
+    winnow fingerprints) physically executed FOUR times per query
+    (measured: executedPlan of the r12-pre d14/d17/d21 shows 4
+    parquet scans, 0 ReusedExchange).  This form executes it once.
+
+    The trade: pair emission materializes one in-row array of up to
+    cap·(cap-1)/2 structs per bucket, and ``slice`` copies make that
+    O(cap²) allocations for a full bucket — fine at cap ≤ 64 (≤ 2016
+    structs), pathological at cap 1024 (~0.5M structs per hot bucket;
+    measured GC storms on the d2 profile).  So this helper is for
+    SMALL-cap callers only; the MinHash/SimHash band family (cap
+    1024) keeps the window-cap + streaming self-join, whose identical
+    under-window subtrees AQE DOES reuse at runtime (executedPlan of
+    d2/d20 shows 4 ReusedExchange — the static explain misleads
+    here).  ``cap`` is REQUIRED; uncapped callers (gate/audit paths)
+    keep their legacy streaming join, which tolerates unbounded
+    buckets."""
+    member = F.struct(*[F.col(c).alias(c) for c in member_cols])
+    g = df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(member)).alias("ms")
+    )
+    g = g.where((F.size("ms") >= 2) & (F.size("ms") <= cap))
+    expr = _BIPARTITE_PAIR_EXPR if bipartite else _PAIR_EXPR
+    return g.select(F.explode(F.expr(expr)).alias("p"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -190,11 +253,13 @@ def lsh_candidate_pairs(
     return _band_candidates(sig, max_bucket)
 
 
-def _band_rows(sig: DataFrame, max_bucket: int | None) -> DataFrame:
-    """(doc_id, band, bh) LSH band-bucket membership with the
-    degenerate-bucket cap applied — the shared candidate-generation
-    core of the self-join (d2) and bipartite (d20) paths."""
-    bands = sig.select(
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band-bucket membership — the shared
+    candidate-generation core of the self-join (d2) and bipartite
+    (d20) paths.  The degenerate-bucket cap is applied by the caller
+    (``_cap_buckets``; cap 1024 keeps the streaming join — see
+    ``_bucket_pairs`` on why)."""
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -205,11 +270,14 @@ def _band_rows(sig: DataFrame, max_bucket: int | None) -> DataFrame:
             )
         ).alias("band", "bh"),
     )
-    return _cap_buckets(bands, ["band", "bh"], max_bucket)
 
 
 def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
-    bands = _band_rows(sig, max_bucket)
+    # streaming self-join, not _bucket_pairs: at cap 1024 the packed
+    # form's in-row pair arrays are GC-pathological, and AQE reuses
+    # the capped-bands exchange across the two sides at runtime so
+    # the signature pipeline executes once (see _bucket_pairs)
+    bands = _cap_buckets(_band_rows(sig), ["band", "bh"], max_bucket)
     l = bands.select(F.col("doc_id").alias("doc1"), "band", "bh")
     r = bands.select(F.col("doc_id").alias("doc2"), "band", "bh")
     return (
@@ -315,19 +383,21 @@ def cross_corpus_neardup(
         )
     )
     dt = _tracked_persist(_doc_token_ids(tagged, text_col, id_mode))
-    bands = _band_rows(_signatures_from(dt), max_bucket)
-    # pmod, not %: Spark's % keeps the sign, so a NEGATIVE odd sid
-    # (legal — ids are arbitrary longs) would satisfy neither side
-    # and silently vanish from the join (session-6 review finding)
+    bands = _cap_buckets(
+        _band_rows(_signatures_from(dt)), ["band", "bh"], max_bucket
+    )
+    # streaming bipartite join, not _bucket_pairs — the cap-1024
+    # rationale of _band_candidates.  pmod, not %: Spark's % keeps
+    # the sign, so a NEGATIVE odd sid (legal — ids are arbitrary
+    # longs) would satisfy neither side and silently vanish from the
+    # join (session-6 review finding)
     l = bands.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
         F.col("doc_id").alias("doc1"), "band", "bh"
     )
     r = bands.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
         F.col("doc_id").alias("doc2"), "band", "bh"
     )
-    cand = (
-        l.join(r, ["band", "bh"]).select("doc1", "doc2").distinct()
-    )
+    cand = l.join(r, ["band", "bh"]).select("doc1", "doc2").distinct()
     pairs = _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
     # floor division via (sid - pmod)/2 — `div` truncates toward
     # zero and would mis-map negative sids
@@ -822,6 +892,9 @@ def _hamming_pairs(
             )
         ).alias("blk", "bv"),
     )
+    # streaming self-join, not _bucket_pairs — the SimHash block cap
+    # is the MinHash MAX_BUCKET (1024): same rationale as
+    # _band_candidates
     blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
     l = blocks.select(
         F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"), "blk", "bv"
@@ -1013,42 +1086,58 @@ def maximal_matches(
     collision can only ADD a spurious anchor at ~n²/2⁻⁶⁴
     probability; "exact" keeps the window strings (the oracle-gated
     bit-reproducible mode)."""
-    occ = _anchor_occurrences(docs, text_col, ngram, max_occ, key_mode)
-    a = occ.select(
-        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
-    )
-    b = occ.select(
-        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
-    )
     # cross-doc pairs one direction only; within_doc additionally
     # keeps same-doc alignments at p1 > p2 (each internal repeat
     # pair once, on its positive diagonal — the trivial diag-0 self
     # match never appears), which is the Lee-et-al. within-document
     # repeat signal
-    keep = F.col("doc1") < F.col("doc2")
-    if within_doc:
-        keep = keep | (
-            (F.col("doc1") == F.col("doc2")) & (F.col("p1") > F.col("p2"))
+    if max_occ is None:
+        # uncapped audit path: streaming self-join (see _bucket_pairs)
+        occ = _anchor_occurrences(docs, text_col, ngram, max_occ, key_mode)
+        a = occ.select(
+            F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
         )
-    pairs = a.join(b, "ng").where(keep).select(
-        "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
-    )
+        b = occ.select(
+            F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
+        )
+        keep = F.col("doc1") < F.col("doc2")
+        if within_doc:
+            keep = keep | (
+                (F.col("doc1") == F.col("doc2")) & (F.col("p1") > F.col("p2"))
+            )
+        pairs = a.join(b, "ng").where(keep).select(
+            "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+        )
+        return _matches_from_pairs(pairs, ngram)
+    # packed path: members sorted by (doc_id, pos), so a same-doc pair
+    # always has a.pos < b.pos — mapping it to (p1=b.pos, p2=a.pos)
+    # lands each internal repeat once on its positive diagonal,
+    # exactly the legacy keep-predicate's output
+    p = _anchor_pairs(docs, text_col, ngram, max_occ, key_mode)
+    a, b = F.col("p.a"), F.col("p.b")
+    same = a["doc_id"] == b["doc_id"]
+    rows = p if within_doc else p.where(~same)
+    pairs = rows.select(
+        a["doc_id"].alias("doc1"),
+        b["doc_id"].alias("doc2"),
+        F.when(same, b["pos"]).otherwise(a["pos"]).alias("p1"),
+        F.when(same, a["pos"]).otherwise(b["pos"]).alias("p2"),
+    ).withColumn("diag", F.col("p1") - F.col("p2"))
     return _matches_from_pairs(pairs, ngram)
 
 
-def _anchor_occurrences(
+def _anchor_windows(
     docs: DataFrame,
     text_col: str,
     ngram: int,
     max_occ: int | None,
     key_mode: str,
 ) -> DataFrame:
-    """(doc_id, pos, ng) duplicated-anchor occurrences — the shared
-    window-construction + occurrence-cap front end of
-    :func:`maximal_matches` (self-join) and
-    :func:`cross_corpus_matches` (bipartite): n-gram windows built
-    JVM-side, counts collapsed map-side, keys outside [2, max_occ]
-    dropped BEFORE any pair join."""
+    """(doc_id, pos, ng) EVERY n-gram window occurrence — argument
+    validation + JVM-side window construction shared by the packed
+    (capped) and flat (uncapped legacy) anchor paths.  ``max_occ`` is
+    validated here but applied by the caller (packed size filter or
+    the legacy count semi-join)."""
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
     if max_occ is not None and max_occ < 2:
@@ -1075,11 +1164,48 @@ def _anchor_occurrences(
             f"transform(sequence(0, size(t) - {ngram}), "
             f"i -> array_join(slice(t, i + 1, {ngram}), ' '))"
         )
-    occ = toks.select("doc_id", F.posexplode(ng_col).alias("pos", "ng"))
+    return toks.select("doc_id", F.posexplode(ng_col).alias("pos", "ng"))
+
+
+def _anchor_occurrences(
+    docs: DataFrame,
+    text_col: str,
+    ngram: int,
+    max_occ: int | None,
+    key_mode: str,
+) -> DataFrame:
+    """Flat (doc_id, pos, ng) duplicated-anchor occurrences with the
+    [2, max_occ] occurrence filter applied via a count semi-join —
+    the LEGACY front end kept for the uncapped (``max_occ=None``)
+    gate/audit path, where the packed form's in-row pair arrays would
+    be unbounded.  Capped callers use ``_anchor_pairs`` instead (one
+    evaluation of the window pipeline instead of four: the semi-join
+    here re-evaluates it once per side, and the downstream pair
+    self-join doubled that again)."""
+    occ = _anchor_windows(docs, text_col, ngram, max_occ, key_mode)
     cnt = occ.groupBy("ng").count().where(F.col("count") >= 2)
     if max_occ is not None:
         cnt = cnt.where(F.col("count") <= max_occ)
     return occ.join(cnt.select("ng"), "ng", "left_semi")
+
+
+def _anchor_pairs(
+    docs: DataFrame,
+    text_col: str,
+    ngram: int,
+    max_occ: int,
+    key_mode: str,
+    bipartite: bool = False,
+) -> DataFrame:
+    """Packed anchor-pair generation for capped callers: ONE ng-keyed
+    groupBy packs each duplicated window's (doc_id, pos) occurrence
+    list (the [2, max_occ] filter applied on the packed size — same
+    semantics as the legacy count semi-join), then pairs are emitted
+    in-row.  Returns exploded ``p`` = struct<a:(doc_id,pos),
+    b:(doc_id,pos)> with a < b in (doc_id, pos) order (bipartite:
+    a even doc_id, b odd)."""
+    occ = _anchor_windows(docs, text_col, ngram, max_occ, key_mode)
+    return _bucket_pairs(occ, ["ng"], max_occ, ["doc_id", "pos"], bipartite)
 
 
 def _matches_from_pairs(pairs: DataFrame, ngram: int) -> DataFrame:
@@ -1140,18 +1266,31 @@ def cross_corpus_matches(
             F.col(text_col).alias(text_col),
         )
     )
-    occ = _anchor_occurrences(tagged, text_col, ngram, max_occ, key_mode)
     # pmod + floor-div decode: the d20 negative-id rule (see
     # cross_corpus_neardup)
-    a = occ.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
-        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
-    )
-    b = occ.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
-        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
-    )
-    pairs = a.join(b, "ng").select(
-        "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
-    )
+    if max_occ is None:
+        # uncapped audit path: streaming bipartite join
+        occ = _anchor_occurrences(tagged, text_col, ngram, max_occ, key_mode)
+        a = occ.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+            F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "ng"
+        )
+        b = occ.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
+            F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "ng"
+        )
+        pairs = a.join(b, "ng").select(
+            "doc1", "doc2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+        )
+    else:
+        p = _anchor_pairs(
+            tagged, text_col, ngram, max_occ, key_mode, bipartite=True
+        )
+        pairs = p.select(
+            F.col("p.a.doc_id").alias("doc1"),
+            F.col("p.b.doc_id").alias("doc2"),
+            F.col("p.a.pos").alias("p1"),
+            F.col("p.b.pos").alias("p2"),
+            (F.col("p.a.pos") - F.col("p.b.pos")).alias("diag"),
+        )
     out = _matches_from_pairs(pairs, ngram)
     return out.select(
         F.expr("(doc1 - pmod(doc1, 2)) div 2").alias("doc_id"),
@@ -1521,12 +1660,13 @@ def winnow_matches(
     MOSS builds its plagiarism report from, and the cheap first pass
     before d14's exact maximal-match attribution.
 
-    Plan: distinct (doc, fp) → document-frequency cap (``max_df``,
-    the MinHash MAX_BUCKET discipline — a boilerplate fingerprint
-    shared by B docs would emit O(B²) pairs; the cap is mirrored in
-    the oracle) → ONE fp-keyed self-join → pair count.  The window
-    cap returns the table hash-partitioned on fp, so the self-join
-    reuses that exchange (the d2/_cap_buckets layout argument).
+    Plan: distinct (doc, fp) → ONE fp-keyed groupBy packing each
+    fingerprint's doc list (document-frequency cap ``max_df`` applied
+    on the packed size — the MinHash MAX_BUCKET discipline: a
+    boilerplate fingerprint shared by B docs would emit O(B²) pairs;
+    the cap is mirrored in the oracle) → in-row pair emission → pair
+    count.  See ``_bucket_pairs``: the previous self-join form
+    re-evaluated the whole fingerprint pipeline per join side.
 
     ``id_mode`` passes through to ``winnow_fingerprints``:
     'hashed' (xxhash64, zero-shuffle fingerprinting) is the 100-TB
@@ -1540,13 +1680,19 @@ def winnow_matches(
         .select("doc_id", "fp")
         .distinct()
     )
-    capped = _cap_buckets(fps, ["fp"], max_df)
-    a = capped.select(F.col("doc_id").alias("doc1"), "fp")
-    b = capped.select(F.col("doc_id").alias("doc2"), "fp")
+    if max_df is None:
+        # uncapped gate/audit path: streaming self-join (see
+        # _bucket_pairs on why the packed form requires the cap)
+        a = fps.select(F.col("doc_id").alias("doc1"), "fp")
+        b = fps.select(F.col("doc_id").alias("doc2"), "fp")
+        pairs = a.join(b, "fp").where(F.col("doc1") < F.col("doc2"))
+    else:
+        pairs = _bucket_pairs(fps, ["fp"], max_df, ["doc_id"]).select(
+            F.col("p.a.doc_id").alias("doc1"),
+            F.col("p.b.doc_id").alias("doc2"),
+        )
     return (
-        a.join(b, "fp")
-        .where(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
+        pairs.groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= F.lit(int(min_shared)))
     )
