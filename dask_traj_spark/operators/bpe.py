@@ -173,18 +173,36 @@ def bpe_train(
     # the next round's checkpoint materializes; the FINAL checkpoint
     # backs the returned ``segmented`` table and is never released
     ckpt_prev = None
+    # the per-round checkpoint is LAZY: the next round's argmax is a
+    # full pass over the rewritten table, so ITS job materializes
+    # (and truncates) the marked RDD — one job per round instead of
+    # an argmax job plus an eager-checkpoint job.  ``pending`` is the
+    # marked-but-not-yet-materialized checkpoint; the previous
+    # materialized one (``ckpt_prev``) may only be released once the
+    # pending blocks exist.
+    pending = None
     for rank in range(1, int(n_merges) + 1):
         best = _best_pair(_pair_counts(table))
+        if pending is not None:
+            # the argmax above materialized ``pending`` — the prior
+            # round's checkpoint is now superseded
+            release_local_checkpoint(ckpt_prev)
+            ckpt_prev = pending
+            pending = None
         if best is None:
             break
         merges.append((rank, best["left"], best["right"], int(best["cnt"])))
         table = _apply_merge(table, best["left"], best["right"])
         if checkpoint_every and rank % checkpoint_every == 0:
-            # bound lineage growth across rounds; eager so the
-            # truncation actually happens before the next argmax
-            table = table.localCheckpoint(eager=True)
-            release_local_checkpoint(ckpt_prev)
-            ckpt_prev = table
+            table = table.localCheckpoint(eager=False)
+            pending = table
+    if pending is not None:
+        # final round's checkpoint was never consumed by an argmax —
+        # materialize it (O(vocabulary) pass) so the superseded
+        # previous round can be released and the returned table is a
+        # truncated checkpoint scan, as before
+        pending.count()
+        release_local_checkpoint(ckpt_prev)
     return merges, table
 
 

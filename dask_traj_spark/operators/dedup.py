@@ -708,7 +708,13 @@ def dup_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
-        new_labels = _jump(_jump(prop)).localCheckpoint()
+        # LAZY checkpoint: the convergence count below scans every
+        # partition, so its job materializes (and truncates) the
+        # marked RDD — one job per round instead of an eager
+        # checkpoint job plus the count job.  The superseded previous
+        # round is only released after the count, i.e. after the new
+        # blocks exist.
+        new_labels = _jump(_jump(prop)).localCheckpoint(eager=False)
         changed = new_labels.where(F.col("label") != F.col("old")).count()
         # the previous round's label checkpoint is superseded the
         # moment the new one materializes — release it so a long

@@ -119,12 +119,11 @@ def pagerank(
         raise ValueError(
             f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
         )
-    # edges, vertices, degrees and the 1-row count all feed EVERY
-    # iteration — pin each once so no round re-runs the upstream
-    # pipeline that produced the edge list (the c11 exchange-reuse
-    # lesson: reuse is an optimization, not a guarantee; without the
-    # checkpoint an 8-round run re-executes the pair-generation
-    # subtree 8 times)
+    # edges, vertices and degrees all feed EVERY iteration — pin each
+    # once so no round re-runs the upstream pipeline that produced
+    # the edge list (the c11 exchange-reuse lesson: reuse is an
+    # optimization, not a guarantee; without the checkpoint an
+    # 8-round run re-executes the pair-generation subtree 8 times)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
@@ -134,7 +133,18 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_row = verts.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    # N is a QUERY CONSTANT — collect the single scalar once instead
+    # of crossJoin(broadcast(1-row table)) in every round's plan: the
+    # broadcast build was one extra job per round (measured: ~10
+    # jobs/round for the tol loop, the per-round driver latency that
+    # dominates the composite entries), and a 1-row collect is the
+    # same O(1) driver state the tol delta check already holds.
+    # IEEE-754 scalar ops are bit-identical in Python and the JVM, so
+    # every derived literal matches the old per-row SQL arithmetic;
+    # grid SNAPS stay in SQL (F.round is HALF_UP, not Python's
+    # banker's rounding).
+    n = verts.count()
+    n_d = float(n) if n else 1.0  # n=0 => zero rows; value never read
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
@@ -150,11 +160,17 @@ def pagerank(
     e_raw = e
     e = e.join(deg, "src").localCheckpoint(eager=True)
     dang = None
+    kb = 0.0
     if dangling == "redistribute":
-        # sink set is topology, not rank — pin once like deg
+        # sink set is topology, not rank — pin once like deg; the
+        # sink COUNT k is a query constant like N (the per-round
+        # dmass aggregate then carries only the rank-dependent acc
+        # sum), and k·base is one correctly-rounded multiply whether
+        # done here or per-row in SQL
         dang = verts.join(
             deg, verts.v == deg.src, "left_anti"
         ).localCheckpoint(eager=True)
+        kb = float(dang.count()) * ((1.0 - damping) / n_d)
     # everything derived from the raw edge checkpoint and the degree
     # table is materialized now — their blocks are superseded state
     # (the loop reads only the folded ``e``); release them so a
@@ -163,17 +179,15 @@ def pagerank(
     release_local_checkpoint(e_raw)
     release_local_checkpoint(deg)
     g = F.lit(LP_GRID)
-    base = F.lit(1.0 - damping) / F.col("n").cast("double")
+    base = F.lit((1.0 - damping) / n_d)
     # ``acc`` is the delta-tracking shadow (see docstring): round 0's
     # baseline is d/N snapped to the grid so round 1's delta is an
     # exact grid sum like every later round's.  p0 itself stays the
     # exact uniform 1/N — acc never feeds the rank math.
-    p = verts.crossJoin(F.broadcast(n_row)).select(
+    p = verts.select(
         "v",
-        (F.lit(1.0) / F.col("n").cast("double")).alias("p"),
-        (
-            F.round(F.lit(damping) / F.col("n").cast("double") * g, 0) / g
-        ).alias("acc"),
+        F.lit(1.0 / n_d).alias("p"),
+        (F.round(F.lit(damping / n_d) * g, 0) / g).alias("acc"),
     )
     meta = {"n_rounds": 0, "final_delta": None}
     # previous round's checkpoint — superseded (and released) as soon
@@ -213,16 +227,13 @@ def pagerank(
             # new acc stays a sum of grid values
             dmass = (
                 p.join(dang, "v", "left_semi")
-                .agg(
-                    F.count(F.lit(1)).alias("k"),
-                    F.coalesce(F.sum("acc"), F.lit(0.0)).alias("dacc"),
-                )
+                .agg(F.coalesce(F.sum("acc"), F.lit(0.0)).alias("dacc"))
             )
             share = (
                 F.round(
                     F.lit(damping)
-                    * (F.col("k").cast("double") * base + F.col("dacc"))
-                    / F.col("n").cast("double")
+                    * (F.lit(kb) + F.col("dacc"))
+                    / F.lit(n_d)
                     * g,
                     0,
                 )
@@ -230,8 +241,7 @@ def pagerank(
             )
             acc_new = F.coalesce(contrib.acc, F.lit(0.0)) + share
             new_p = (
-                pv.crossJoin(F.broadcast(n_row))
-                .crossJoin(F.broadcast(dmass))
+                pv.crossJoin(F.broadcast(dmass))
                 .join(contrib, pv.v == contrib.dst, "left")
                 .select(
                     "v",
@@ -243,8 +253,7 @@ def pagerank(
         else:
             acc_new = F.coalesce(contrib.acc, F.lit(0.0))
             new_p = (
-                pv.crossJoin(F.broadcast(n_row))
-                .join(contrib, pv.v == contrib.dst, "left")
+                pv.join(contrib, pv.v == contrib.dst, "left")
                 .select(
                     "v",
                     (base + acc_new).alias("p"),
@@ -260,24 +269,37 @@ def pagerank(
             # would otherwise re-execute every prior round's lineage
             # (quadratic stage work) and the new_p-vs-p delta join
             # would lean on self-join dedup of shared attributes
-            # (ADVICE r11)
-            new_p = new_p.localCheckpoint(eager=True)
-            if ckpt_prev is not None:
-                release_local_checkpoint(ckpt_prev)
-            else:
-                # the first checkpoint consumes the last reference to
-                # the initial rank projection's vertex spine
-                release_local_checkpoint(verts)
-            ckpt_prev = new_p
+            # (ADVICE r11).  In tol mode the checkpoint is LAZY: the
+            # delta aggregate below is a full scan, so ITS job
+            # materializes (and truncates) the marked RDD — one job
+            # per round instead of an eager-checkpoint job plus the
+            # delta job.  Superseded-state release then happens after
+            # the delta action, once the new blocks exist.
+            new_p = new_p.localCheckpoint(eager=tol is None)
+            if tol is None:
+                if ckpt_prev is not None:
+                    release_local_checkpoint(ckpt_prev)
+                else:
+                    # the first checkpoint consumes the last reference
+                    # to the initial rank projection's vertex spine
+                    release_local_checkpoint(verts)
+                ckpt_prev = new_p
         meta["n_rounds"] = it + 1
         if tol is not None:
             # exact L1 over the grid shadow (docstring); NULL sum =
             # empty vertex set = trivially converged.  ``ao`` rides
             # in-row (see pv above), so this is a scan of the just-
-            # checkpointed table — no join.
+            # checkpointed table — no join.  This global aggregate
+            # computes every partition of the lazily-marked RDD, so
+            # the round's checkpoint is materialized here.
             row = new_p.agg(
                 F.sum(F.abs(F.col("acc") - F.col("ao"))).alias("d")
             ).first()
+            if ckpt_prev is not None:
+                release_local_checkpoint(ckpt_prev)
+            else:
+                release_local_checkpoint(verts)
+            ckpt_prev = new_p
             delta = 0.0 if row["d"] is None else float(row["d"])
             meta["final_delta"] = delta
             p = new_p
@@ -288,10 +310,9 @@ def pagerank(
     out = p.select(F.col("v").alias("vertex"), F.col("p").alias("pagerank"))
     if ckpt_prev is not None and p is ckpt_prev:
         # the result is a projection over the final checkpoint alone —
-        # the loop's static state (folded edges, 1-row count, sink
-        # set) is no longer reachable from it
+        # the loop's static state (folded edges, sink set) is no
+        # longer reachable from it
         release_local_checkpoint(e)
-        release_local_checkpoint(n_row)
         if dang is not None:
             release_local_checkpoint(dang)
     return (out, meta) if return_meta else out
