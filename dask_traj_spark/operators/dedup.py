@@ -135,21 +135,63 @@ def _doc_token_ids(
     raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
 
 
-def _signatures_from(dt: DataFrame) -> DataFrame:
+def _minhash_aggs() -> list:
     aggs = []
     for i in range(N_HASHES):
         a, b = _hash_consts(i)
         aggs.append(
             F.min((F.col("tid").cast("long") * a + b) % MINHASH_P).alias(f"h{i}")
         )
-    return dt.groupBy("doc_id").agg(*aggs)
+    return aggs
+
+
+def _signatures_from(dt: DataFrame) -> DataFrame:
+    return dt.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+def _raw_token_ids(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
+    """(doc_id, tid) token ids WITH duplicates — one row per token
+    occurrence.  Feed this only to duplicate-insensitive aggregates
+    (min, collect_set); everything counting rows wants
+    ``_doc_token_ids`` (the distinct form)."""
+    tok = tokens(docs, text_col)
+    if id_mode == "hashed":
+        return tok.select("doc_id", token_id_hashed(F.col("word")).alias("tid"))
+    if id_mode == "sorted":
+        v = F.broadcast(vocab(tok))
+        return tok.join(v, "word").select("doc_id", "tid")
+    raise ValueError(f"id_mode must be 'hashed' or 'sorted', got {id_mode!r}")
+
+
+def _packed_doc_tokens(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
+) -> DataFrame:
+    """(doc_id, s, h0..h{k-1}): each doc's DISTINCT token-id set packed
+    into one array plus its full minhash signature, from ONE
+    groupBy(doc_id) over the raw (non-distinct) token stream.
+
+    Both aggregates are duplicate-insensitive (min and collect_set),
+    so the old ``.distinct()`` exchange bought nothing — and computing
+    signatures and sets in one aggregation makes the whole minhash
+    front end a single token-table exchange instead of three
+    (distinct, signature groupBy, set groupBy).  Map-side partial
+    aggregation dedups within each input partition before the
+    exchange, so the shuffled bytes are the partition-local distinct
+    sets either way."""
+    return _raw_token_ids(docs, text_col, id_mode).groupBy("doc_id").agg(
+        F.collect_set("tid").alias("s"), *_minhash_aggs()
+    )
 
 
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_mode: str = "hashed"
 ) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — k min-aggregations in one groupBy."""
-    return _signatures_from(_doc_token_ids(docs, text_col, id_mode))
+    """(doc_id, h0..h{k-1}) — k min-aggregations in one groupBy,
+    straight over the raw token stream (min is duplicate-insensitive,
+    so no distinct pass — same values, one fewer exchange)."""
+    return _signatures_from(_raw_token_ids(docs, text_col, id_mode))
 
 
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
@@ -288,12 +330,13 @@ def _band_candidates(sig: DataFrame, max_bucket: int | None) -> DataFrame:
     )
 
 
-def _jaccard_verify(pairs: DataFrame, dt: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs from distinct token sets.
+def _jaccard_verify(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from packed distinct token
+    sets (``sets``: doc_id + array column ``s`` — the
+    ``_packed_doc_tokens`` shape).
 
-    Each doc's distinct tids are packed into ONE array row and the
-    candidate pairs join that table twice on the doc key; the
-    intersection is a JVM-side ``array_intersect``.  Versus the
+    The candidate pairs join the packed table twice on the doc key;
+    the intersection is a JVM-side ``array_intersect``.  Versus the
     exploded form (pairs ⋈ tokens ⋈ tokens, grouped back), this
     shuffles |pairs| + |docs| rows instead of |pairs|·|tokens/doc| —
     the same set content, packed — so the verify stage no longer
@@ -301,7 +344,6 @@ def _jaccard_verify(pairs: DataFrame, dt: DataFrame) -> DataFrame:
     ``array_intersect`` is hash-set based (O(n+m) per pair); the
     collect_set order is engine-dependent but size/intersection are
     order-invariant, so the output stays deterministic."""
-    sets = dt.groupBy("doc_id").agg(F.collect_set("tid").alias("s"))
     t1 = sets.select(
         F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.size("s").alias("sz1")
     )
@@ -340,11 +382,17 @@ def near_duplicates_minhash(
     """MinHash-LSH near-dup pairs with exact-Jaccard verification:
     (doc1, doc2, jaccard) where jaccard ≥ threshold. The Jaccard
     verify always uses the FULL token sets — the cap only bounds
-    candidate generation.  The token table is cached via
-    ``_tracked_persist`` (see ``release_caches``)."""
-    dt = _tracked_persist(_doc_token_ids(docs, text_col, id_mode))
-    cand = _band_candidates(_signatures_from(dt), max_bucket)
-    return _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
+    candidate generation.
+
+    The whole front end (signatures + packed sets) is ONE
+    token-table exchange (``_packed_doc_tokens``); the packed table
+    is cached via ``_tracked_persist`` (see ``release_caches``) and
+    feeds both the band candidates (a projection) and the two verify
+    joins."""
+    packed = _tracked_persist(_packed_doc_tokens(docs, text_col, id_mode))
+    sig = packed.drop("s")
+    cand = _band_candidates(sig, max_bucket)
+    return _jaccard_verify(cand, packed).where(F.col("jaccard") >= threshold)
 
 
 def cross_corpus_neardup(
@@ -382,9 +430,9 @@ def cross_corpus_neardup(
             F.col(text_col).alias(text_col),
         )
     )
-    dt = _tracked_persist(_doc_token_ids(tagged, text_col, id_mode))
+    packed = _tracked_persist(_packed_doc_tokens(tagged, text_col, id_mode))
     bands = _cap_buckets(
-        _band_rows(_signatures_from(dt)), ["band", "bh"], max_bucket
+        _band_rows(packed.drop("s")), ["band", "bh"], max_bucket
     )
     # streaming bipartite join, not _bucket_pairs — the cap-1024
     # rationale of _band_candidates.  pmod, not %: Spark's % keeps
@@ -398,7 +446,7 @@ def cross_corpus_neardup(
         F.col("doc_id").alias("doc2"), "band", "bh"
     )
     cand = l.join(r, ["band", "bh"]).select("doc1", "doc2").distinct()
-    pairs = _jaccard_verify(cand, dt).where(F.col("jaccard") >= threshold)
+    pairs = _jaccard_verify(cand, packed).where(F.col("jaccard") >= threshold)
     # floor division via (sid - pmod)/2 — `div` truncates toward
     # zero and would mis-map negative sids
     return pairs.select(

@@ -150,7 +150,11 @@ def process_neardup_batch(
         .distinct()
     )
     dt_all = dt_old.unionByName(dt_new.select("doc_id", F.col("tid").cast("long")))
-    matches = _jaccard_verify(cand, dt_all).where(F.col("jaccard") >= threshold)
+    # _jaccard_verify takes PACKED sets (the batch path fuses this
+    # packing into its signature aggregate); the streaming state stays
+    # exploded (doc_id, tid) on disk — schema-pinned — so pack here
+    sets_all = dt_all.groupBy("doc_id").agg(F.collect_set("tid").alias("s"))
+    matches = _jaccard_verify(cand, sets_all).where(F.col("jaccard") >= threshold)
 
     _overwrite_batch_partition(matches, results_dir, batch_id)
     _overwrite_batch_partition(
