@@ -495,20 +495,23 @@ def _doc_shingle_ids(
     nxt = tok.select(
         "doc_id", (F.col("pos") - 1).alias("pos"), F.col("word").alias("word2")
     )
-    big = (
-        tok.join(nxt, ["doc_id", "pos"])
-        .select("doc_id", F.concat_ws("_", "word", "word2").alias("shingle"))
-        .distinct()
+    big = tok.join(nxt, ["doc_id", "pos"]).select(
+        "doc_id", F.concat_ws("_", "word", "word2").alias("shingle")
     )
     if id_mode == "hashed":
-        # distinct AFTER hashing: a 31-bit collision between two
-        # shingles of one doc must not yield duplicate (doc_id, tid)
-        # rows (they'd double-count in the intersection self-join and
-        # the per-doc size window)
+        # ONE distinct, on the hashed id: deduping by tid subsumes
+        # deduping by shingle string (hash is a function of the
+        # string), and it must be the tid that is deduped — a 31-bit
+        # collision between two shingles of one doc must not yield
+        # duplicate (doc_id, tid) rows (they'd double-count in the
+        # intersection self-join and the per-doc size window).  The
+        # old string-distinct + tid-distinct form paid two exchanges
+        # of the shingle table for the same rows.
         return big.select(
             "doc_id", token_id_hashed(F.col("shingle")).alias("tid")
         ).distinct()
     if id_mode == "sorted":
+        big = big.distinct()
         from pyspark.sql import Window
 
         sv = F.broadcast(
