@@ -525,8 +525,12 @@ def dsir_importance(
     from dask_traj_spark.functions.text import token_id_hashed, tokens, vocab
 
     b_lit = F.lit(int(n_buckets))
-    tok_raw = tokens(docs, text_col)
-    tok_tgt = tokens(target, text_col)
+    # spread=False: both token streams feed only bounded bucket
+    # rollups and one per-doc partial+final aggregate — all map-side
+    # collapsing — so the pre-explode shuffle costs more than the
+    # width it buys (measured r12: t17 0.50×; see ``tokens``)
+    tok_raw = tokens(docs, text_col, spread=False)
+    tok_tgt = tokens(target, text_col, spread=False)
     if id_mode == "hash":
         raw_b = tok_raw.select(
             "doc_id", F.pmod(token_id_hashed(F.col("word")), b_lit).alias("bucket")

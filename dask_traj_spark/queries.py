@@ -70,107 +70,40 @@ def register(name: str, oracle: str | None = None):
 # len(_QUERIES) - len(_SCORING_TAIL) == 50
 # (test_registry.py::test_scoring_window_exactly_full).
 #
-#   r12 (now, the head): executes the plan written in r11, amended
-#       per VERDICT r11 item 1 (the g1 forms seat immediately after
-#       d23 — their r8 evidence breached the SS2-core 2-round hard
-#       bound):
-#       (0) d23_pagerank_tol_contract (new in r11 after that head
-#           froze — new-query-first, the r4 late-addition precedent)
-#           and d24_pagerank_dangling_contract (NEW this round,
-#           VERDICT r11 item 5a — dangling-mass redistribution,
-#           registered before this head froze: the d22 precedent);
-#       (1) g1_distances_vec / g1_distances_mic_ortho /
-#           g1_distances_mic_triclinic — SS2-core, last green r8,
-#           the hard-bound breach VERDICT r11 flagged;
-#       (2) c3_stratified_sample / c5_source_token_mixture /
-#           d3_simhash / v2_embedding_neardup_lsh /
-#           sx7_stream_count_min_twin — the last r7-green shapes,
-#           deferred from r11 because same-head machinery covered
-#           them there;
-#       (3) 40 of the 46 remaining r8-green entries, stalest-first.
-#           Six defer to r13, each with a same-machinery sibling
-#           seated in THIS head (the c3-in-r11 justification):
-#           m11b_decode_jpeg_progressive (m11 baseline-JPEG seated),
-#           r8_cube_quantities (r17 grouping-sets seated; cube
-#           lowers to grouping sets), r4_running_revenue_window
-#           (r18 window-functions seated), r6_intersect_status
-#           (r20 except seated — same set-op rewrite path),
-#           e4_session_concurrency (e2 sessionization seated),
-#           m9_frame_diffs (m5 AVI frame decode seated — m9
-#           composes directly on it).
-#       2 + 3 + 5 + 40 = 50 exactly.
-#
-#   r13 PLAN (seat these first next round, in order — VERDICT r11
-#   item 4's discipline):
-#       (0) any gate NEW in r12 that lands after this head freezes
-#           (new-query-first; currently none);
-#       (1) the six r8-green entries deferred above (m11b, r8, r4,
-#           r6, e4, m9) — the stalest evidence in the registry
-#           after r12;
-#       (2) the r9-green extension set, stalest-first: d4, e8,
+#   r13 (now, the head): executes the plan written in r12, verbatim
+#       (and VERDICT r12 item 7: the seated head is also emitted as
+#       HEAD_r13.json so the driver's dropped/newly-failing diff can
+#       be joined against rotation instead of reporting ~49 phantom
+#       drops every round):
+#       (0) no gate is new in r12/r13 (r13 is an optimization round —
+#           no new queries), so new-query-first seats nothing;
+#       (1) the six r8-green entries deferred from the r12 head
+#           (m11b_decode_jpeg_progressive, r8_cube_quantities,
+#           r4_running_revenue_window, r6_intersect_status,
+#           e4_session_concurrency, m9_frame_diffs) — the stalest
+#           evidence in the registry after r12;
+#       (2) the full r9-green extension set, stalest-first: d4, e8,
 #           x16/x16c, x3, sx1, t15, c4, x5, x20, x22, x21, x19,
-#           x6, x7, t9, sx2, sx6, t13, c7, d8, d10, r15, r16, r23,
-#           r24, r25, r26, r27, r28, r29, r30, r31, r32, r33, r34
-#           (40 entries incl. the r-block);
-#       (3) fill the remaining ~4 slots from the r10-green set,
-#           stalest-first (d1, v1, v3, v4, ...).  The r11/r12-green
-#           sets age back in from r14.
+#           x6, x7, t9, sx2, sx6, t13, c7, d8, d10 + the r15–r34
+#           r-block (36 entries);
+#       (3) the remaining 8 slots from the r10-green set,
+#           stalest-first: d1, v1, v3, v4, x1, x16b, x2, c2.
+#       6 + 36 + 8 = 50 exactly.
+#
+#   r14 PLAN (seat these first next round, in order):
+#       (0) any gate NEW by then (new-query-first);
+#       (1) the rest of the r10-green set, stalest-first (t8, sx8,
+#           x8, m12, m14, d9, t14, v8, x10, t10, v6, m7, sx3, x11,
+#           x12, t11, sx4, e7, x13, c6, x14, m11c, t12, v7, sx5,
+#           x17, d14, d11, d15, d12, x18, x15, t16, d13, sx9, c8,
+#           t17, c9, sx10, t18, t19, c10 — 42 entries);
+#       (2) fill the remaining ~8 slots from the r11-green set in
+#           tail order (g1_distances, g8, g2, g3, ...).  The
+#           r12/r13-green sets age back in from r15.
 _SCORING_TAIL = [
-    # ---- r8-green entries deferred from the r12 head (see plan
-    #      above): the stalest evidence — seat FIRST in r13
-    "m11b_decode_jpeg_progressive",
-    "r8_cube_quantities",
-    "r4_running_revenue_window",
-    "r6_intersect_status",
-    "e4_session_concurrency",
-    "m9_frame_diffs",
-    # ---- last green ROUND 9 (age back in r13 stalest-first,
-    #      after the deferred r8 entries)
-    "d4_ngram_jaccard_neardup",
-    "e8_asof_tolerance",
-    "x16_pairwise_rmsd",
-    "x16c_pairwise_rmsd_auto",
-    "x3_rmsd_aligned_contract",
-    "sx1_stream_neardup_batch_twin",
-    "t15_tfidf_top_terms",
-    "c4_sequence_packing",
-    "x5_rdf_histogram",
-    "x20_pca_contract",
-    "x22_msm_transition_counts",
-    "x21_tica_contract",
-    "x19_compute_neighbors",
-    "x6_neighbor_pairs",
-    "x7_superpose_contract",
-    "t9_char_bigram_logprob",
-    "sx2_stream_exact_dedup_twin",
-    "sx6_stream_semantic_dedup_twin",
-    "t13_mojibake",
-    "c7_curation_chain",
-    "d8_containment_neardup",
-    "d10_simhash_hamming_pairs",
-    "r15_large_volume_orders",
-    "r16_disjunctive_revenue",
-    "r23_priority_exists",
-    "r24_forecast_revenue",
-    "r25_market_share",
-    "r26_profit_by_nation_year",
-    "r27_returned_items",
-    "r28_important_balances",
-    "r29_priority_lineshare",
-    "r30_customer_distribution",
-    "r31_top_supplier",
-    "r32_promo_part_suppliers",
-    "r33_waiting_suppliers",
-    "r34_approx_quantiles",
-    # ---- last green ROUND 10 (age back in from r13's tail slots)
-    "d1_exact_dedup",
-    "v1_cosine_topk",
-    "v3_cosine_topk_ivf",
-    "v4_ann_recall",
-    "x1_frame_rmsd",
-    "x16b_pairwise_rmsd_blocked",
-    "x2_rmsd_topk",
-    "c2_decontamination",
+    # ---- last green ROUND 10 (the r13 head took its first 8 —
+    #      d1, v1, v3, v4, x1, x16b, x2, c2; the rest age back in
+    #      r14 stalest-first)
     "t8_heuristic_filter",
     "sx8_stream_transition_counts_twin",
     "x8_dihedrals",
@@ -264,6 +197,58 @@ _SCORING_TAIL = [
     "t28_tokenizer_fertility",
     "v11_embedding_diversity",
     "r3_rollup_acctbal",
+    # ---- last green ROUND 12 (the full r12 head; freshest — age
+    #      back in from r15)
+    "d23_pagerank_tol_contract",
+    "d24_pagerank_dangling_contract",
+    "g1_distances_vec",
+    "g1_distances_mic_ortho",
+    "g1_distances_mic_triclinic",
+    "c3_stratified_sample",
+    "c5_source_token_mixture",
+    "d3_simhash",
+    "v2_embedding_neardup_lsh",
+    "sx7_stream_count_min_twin",
+    "t1_doc_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_source_stats",
+    "t6_token_counts",
+    "c1_corpus_curation",
+    "d2_minhash_lsh_neardup",
+    "d6_semantic_dedup",
+    "d7_dup_components",
+    "m1_media_stats",
+    "m2_decode_features",
+    "m4_decode_png",
+    "m5_decode_avi_frames",
+    "m6_decode_wav",
+    "m8_audio_window_features",
+    "m10_decode_tiff",
+    "m11_decode_jpeg",
+    "m13_video_container_stats",
+    "e1_event_window_counts",
+    "e2_sessionization",
+    "e3_asof_last_purchase",
+    "e5_funnel_completions",
+    "x4_radius_of_gyration",
+    "r1_pricing_summary",
+    "r2_topk_revenue",
+    "r5_semi_anti_join",
+    "r7_regional_revenue",
+    "r9_rich_inactive_customers",
+    "r10_small_qty_revenue",
+    "r11_promo_share_by_month",
+    "r12_shipping_priority",
+    "r13_nation_volume",
+    "r14_supplier_part_variety",
+    "r17_grouping_sets",
+    "r18_window_functions",
+    "r19_exact_quantiles",
+    "r20_except_status",
+    "r21_min_cost_supplier",
+    "r22_sketch_distinct",
 ]
 
 

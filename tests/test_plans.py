@@ -1356,3 +1356,89 @@ def test_tokenizer_fertility_plan_shape(spark):
     assert "ArrowEvalPython" not in a.text, a.text
     assert "BatchEvalPython" not in a.text, a.text
     assert "SinglePartition" not in a.text, a.text
+
+
+def test_band_candidates_capped_is_joinless_single_band_exchange(spark):
+    """r13: the capped LSH candidate path packs each band bucket with
+    ONE groupBy and emits pairs in-row — no self-join, so the band
+    pipeline cannot re-execute whatever join strategy AQE picks (the
+    r12 join form relied on exchange reuse that never fired above a
+    cached table).  The uncapped path keeps the legacy streaming
+    join (unbounded buckets must not be packed into one row)."""
+    from dask_traj_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_fixture(spark)
+    capped = audit(lsh_candidate_pairs(docs, max_bucket=64)).text
+    assert "Join" not in capped, capped
+    assert "SinglePartition" not in capped, capped
+    uncapped = audit(lsh_candidate_pairs(docs, max_bucket=None)).text
+    assert "Join" in uncapped, uncapped
+
+
+def test_band_candidates_packed_matches_legacy_join_form(spark):
+    """The packed-bucket emitter and the legacy self-join must produce
+    the identical candidate-pair SET (the capped form additionally
+    drops over-cap buckets, checked with a cap that keeps all)."""
+    from dask_traj_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_fixture(spark)
+    packed = {
+        (r.doc1, r.doc2)
+        for r in lsh_candidate_pairs(docs, max_bucket=10_000).collect()
+    }
+    legacy = {
+        (r.doc1, r.doc2)
+        for r in lsh_candidate_pairs(docs, max_bucket=None).collect()
+    }
+    assert packed == legacy and packed, (len(packed), len(legacy))
+
+
+def test_band_candidates_cap_drops_oversized_buckets(spark):
+    """The groupBy size filter must keep the _cap_buckets semantics:
+    a boilerplate bucket above the cap emits NO pairs."""
+    from dask_traj_spark.operators.dedup import lsh_candidate_pairs
+
+    same = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(12)], "doc_id long, text string"
+    )
+    # every doc identical -> each band bucket holds all 12 docs
+    assert lsh_candidate_pairs(same, max_bucket=11).count() == 0
+    assert lsh_candidate_pairs(same, max_bucket=12).count() == 12 * 11 // 2
+
+
+def test_cross_corpus_capped_is_joinless_and_matches_uncapped(spark):
+    """d20's capped bipartite path: parity-split in-row emission, no
+    band join; result set identical to the legacy join form."""
+    from dask_traj_spark.operators.dedup import cross_corpus_neardup
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e f tail{i % 3}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(i, f"a b c d e f tail{i % 3}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    capped = cross_corpus_neardup(docs, ref, threshold=0.1, max_bucket=10_000)
+    uncapped = cross_corpus_neardup(docs, ref, threshold=0.1, max_bucket=None)
+    got = {(r.doc_id, r.ref_id, r.jaccard) for r in capped.collect()}
+    want = {(r.doc_id, r.ref_id, r.jaccard) for r in uncapped.collect()}
+    assert got == want and got, (len(got), len(want))
+
+
+def test_tokens_spread_optout_has_no_repartition(spark):
+    """r13 spread budget: fingerprint and DSIR opt out of the
+    pre-explode spread (their downstream is one map-side-collapsing
+    aggregate), so their plans carry no REPARTITION exchange; the
+    heavy consumers (minhash front end) keep it."""
+    from dask_traj_spark.functions.text import fingerprint
+    from dask_traj_spark.operators.curation import dsir_importance
+    from dask_traj_spark.operators.dedup import minhash_signatures
+
+    # one input partition so spread_for_expansion WOULD fire if asked
+    docs = _docs_fixture(spark).coalesce(1)
+    assert "REPARTITION" not in audit(fingerprint(docs)).text
+    assert "REPARTITION" not in audit(
+        dsir_importance(docs, docs.where(F.col("doc_id") % 4 == 0))
+    ).text
+    assert "REPARTITION" in audit(minhash_signatures(docs)).text

@@ -12,73 +12,71 @@ from dask_traj_spark import queries as q
 
 WINDOW = 50
 
-# The full round-12 head, per the written r12 seating plan
-# (VERDICT r11 item 1; plan comment above _SCORING_TAIL): d23 + d24
-# new-query-first, the three SS2-core g1 forms at the hard-bound
-# breach, the five last r7-green shapes, and 40 of the 46 r8-green
-# entries (six defer to r13 with same-machinery siblings seated).
-MUST_SCORE_R12 = [
-    # (0) new gates (new-query-first)
-    "d23_pagerank_tol_contract",
-    "d24_pagerank_dangling_contract",
-    # (1) SS2-core g1 forms, last green r8 (hard-bound breach)
-    "g1_distances_vec",
-    "g1_distances_mic_ortho",
-    "g1_distances_mic_triclinic",
-    # (2) the last r7-green shapes (deferred from r11)
-    "c3_stratified_sample",
-    "c5_source_token_mixture",
-    "d3_simhash",
-    "v2_embedding_neardup_lsh",
-    "sx7_stream_count_min_twin",
-    # (3) the r8-green block, minus the six r13 deferrals
-    "t1_doc_stats",
-    "t2_quality_score",
-    "t3_langid",
-    "t4_fingerprint",
-    "t5_source_stats",
-    "t6_token_counts",
-    "c1_corpus_curation",
-    "d2_minhash_lsh_neardup",
-    "d6_semantic_dedup",
-    "d7_dup_components",
-    "m1_media_stats",
-    "m2_decode_features",
-    "m4_decode_png",
-    "m5_decode_avi_frames",
-    "m6_decode_wav",
-    "m8_audio_window_features",
-    "m10_decode_tiff",
-    "m11_decode_jpeg",
-    "m13_video_container_stats",
-    "e1_event_window_counts",
-    "e2_sessionization",
-    "e3_asof_last_purchase",
-    "e5_funnel_completions",
-    "x4_radius_of_gyration",
-    "r1_pricing_summary",
-    "r2_topk_revenue",
-    "r5_semi_anti_join",
-    "r7_regional_revenue",
-    "r9_rich_inactive_customers",
-    "r10_small_qty_revenue",
-    "r11_promo_share_by_month",
-    "r12_shipping_priority",
-    "r13_nation_volume",
-    "r14_supplier_part_variety",
-    "r17_grouping_sets",
-    "r18_window_functions",
-    "r19_exact_quantiles",
-    "r20_except_status",
-    "r21_min_cost_supplier",
-    "r22_sketch_distinct",
+# The full round-13 head, per the written r13 seating plan
+# (plan comment above _SCORING_TAIL; emitted as HEAD_r13.json per
+# VERDICT r12 item 7): the six r8-green deferrals, the full
+# r9-green extension set, and the first 8 r10-green entries.
+MUST_SCORE_R13 = [
+    # (1) the six r8-green entries deferred from the r12 head
+    "d1_exact_dedup",
+    "d4_ngram_jaccard_neardup",
+    "v1_cosine_topk",
+    "v3_cosine_topk_ivf",
+    "v4_ann_recall",
+    "e8_asof_tolerance",
+    # (2) the full r9-green extension set, stalest-first
+    "e4_session_concurrency",
+    "x1_frame_rmsd",
+    "x16_pairwise_rmsd",
+    "x16b_pairwise_rmsd_blocked",
+    "x16c_pairwise_rmsd_auto",
+    "x2_rmsd_topk",
+    "x3_rmsd_aligned_contract",
+    "sx1_stream_neardup_batch_twin",
+    "c2_decontamination",
+    "t15_tfidf_top_terms",
+    "c4_sequence_packing",
+    "x5_rdf_histogram",
+    "x20_pca_contract",
+    "x22_msm_transition_counts",
+    "x21_tica_contract",
+    "x19_compute_neighbors",
+    "x6_neighbor_pairs",
+    "x7_superpose_contract",
+    "t9_char_bigram_logprob",
+    "sx2_stream_exact_dedup_twin",
+    "sx6_stream_semantic_dedup_twin",
+    "t13_mojibake",
+    "c7_curation_chain",
+    "m9_frame_diffs",
+    "m11b_decode_jpeg_progressive",
+    "d8_containment_neardup",
+    "d10_simhash_hamming_pairs",
+    "r4_running_revenue_window",
+    "r8_cube_quantities",
+    "r6_intersect_status",
+    "r15_large_volume_orders",
+    "r16_disjunctive_revenue",
+    "r23_priority_exists",
+    "r24_forecast_revenue",
+    "r25_market_share",
+    "r26_profit_by_nation_year",
+    # (3) the remaining 8 slots from the r10-green set, stalest-first
+    "r27_returned_items",
+    "r28_important_balances",
+    "r29_priority_lineshare",
+    "r30_customer_distribution",
+    "r31_top_supplier",
+    "r32_promo_part_suppliers",
+    "r33_waiting_suppliers",
+    "r34_approx_quantiles",
 ]
 
 
 def test_scoring_window_holds_must_score_queries():
     names = list(q.queries().keys())
     window = set(names[:WINDOW])
-    missing = [n for n in MUST_SCORE_R12 if n not in window]
+    missing = [n for n in MUST_SCORE_R13 if n not in window]
     assert not missing, f"pushed out of the scored window: {missing}"
 
 
