@@ -58,9 +58,17 @@ def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
     tokens (consecutive/leading/trailing whitespace) carry no symbols
     and are excluded — mirrored by the oracle's WHERE; without the
     filter the engine would keep a zero-symbol word row that the
-    oracle's GROUP-BY rebuild drops after round 1."""
+    oracle's GROUP-BY rebuild drops after round 1.
+
+    ``spread=False`` (r13): the downstream is one map-side-collapsing
+    groupBy(word) whose OUTPUT width comes from the aggregation's own
+    shuffle, not from the pre-explode spread — and since every merge
+    round's job inherits the word table's partitioning, the spread's
+    extra width multiplied scheduler overhead across all n_merges
+    round jobs (measured at sf0.1: bpe_train 4.4 → 3.1 s without it;
+    at production scan widths the spread was a no-op anyway)."""
     return (
-        tokens(docs, text_col)
+        tokens(docs, text_col, spread=False)
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

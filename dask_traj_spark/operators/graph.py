@@ -23,9 +23,11 @@ table ONCE, so per iteration the loop runs ONE src-keyed join
 (edges × ranks) and ONE dst-keyed aggregation — the standard
 distributed PageRank shape with the static edge side scanned in
 place (localCheckpoint preserves the fold's hash(src)
-partitioning); ``localCheckpoint`` every round bounds lineage
-(the d7/BPE loop discipline).  The iteration count is fixed (the
-driver loop is inherent to power iteration, everything per-round is
+partitioning); ``localCheckpoint`` every ``checkpoint_every``
+rounds bounds lineage (the d7/BPE loop discipline; fixed-count
+leak-mode rounds batch 2 per checkpoint job — see the in-function
+measurement note).  The iteration count is fixed (the driver loop
+is inherent to power iteration, everything per-round is
 distributed).
 """
 
@@ -45,7 +47,7 @@ def pagerank(
     n_iter: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
     tol: float | None = None,
     damping: float = DAMPING,
     return_meta: bool = False,
@@ -119,6 +121,22 @@ def pagerank(
         raise ValueError(
             f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
         )
+    # Fixed-count LEAK rounds may batch k rounds per checkpoint job
+    # (default 2): an un-checkpointed round's table is referenced
+    # twice by the next round (spine + contribution join) and the
+    # executed plan PROVABLY shares that subtree (measured r13: 2
+    # batched rounds run exactly 4 SMJ / 2-per-round — no
+    # re-execution — for ~10% wall and half the checkpoint jobs;
+    # VERDICT r12 item 5).  REDISTRIBUTE rounds must checkpoint every
+    # round: the rank table is referenced THREE times (spine, join,
+    # sink-mass aggregate) and the dangling-mass broadcast defeats
+    # the sharing — measured 2 batched rounds at 10 SMJ / 22
+    # Exchange vs 3 / 7 for one round, i.e. super-linear
+    # re-execution.  tol mode checkpoints every round regardless
+    # (the delta action needs the round materialized) — unchanged.
+    checkpoint_every = int(checkpoint_every)
+    if dangling == "redistribute" and checkpoint_every > 1:
+        checkpoint_every = 1  # 0 (never — the plan-audit mode) stays 0
     # edges, vertices and degrees all feed EVERY iteration — pin each
     # once so no round re-runs the upstream pipeline that produced
     # the edge list (the c11 exchange-reuse lesson: reuse is an
@@ -261,9 +279,14 @@ def pagerank(
                     F.col("ao"),
                 )
             )
-        if (checkpoint_every and (it + 1) % int(checkpoint_every) == 0) or (
-            tol is not None
-        ):
+        if (
+            checkpoint_every
+            and ((it + 1) % checkpoint_every == 0 or it == n_iter - 1)
+        ) or (tol is not None):
+            # the final round always checkpoints (when checkpointing
+            # at all) so the returned table stays a materialized scan
+            # whatever k is — a caller running several actions on the
+            # result must not re-execute a lazy tail round
             # tol mode ALWAYS pins new_p before the delta action:
             # with checkpoint_every=0 (or >1) the per-round .first()
             # would otherwise re-execute every prior round's lineage

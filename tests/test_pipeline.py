@@ -5450,3 +5450,39 @@ def test_dup_ngram_char_fraction_empty_text(spark):
     got = {r.doc_id: r for r in dup_ngram_char_fraction(docs, n=5).collect()}
     assert (got[1].n_chars, got[1].dup_chars, got[1].dup_frac) == (0, 0, 0.0)
     assert got[2].dup_frac > 0
+
+
+def test_pagerank_checkpoint_batching_is_value_invariant(spark):
+    """r13: fixed-count leak rounds batch 2 per checkpoint job
+    (VERDICT r12 item 5).  Checkpointing is materialization only —
+    every checkpoint_every (including an odd n_iter tail) must
+    produce bit-identical ranks; redistribute mode clamps batching
+    back to per-round (its triple rank reference re-executes under
+    batching), which must also be invisible in the values."""
+    from dask_traj_spark.operators.graph import pagerank
+
+    e = [(i, (i + 1) % 9) for i in range(9)] + [(i, (i + 4) % 9) for i in range(6)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    base = sorted(
+        (r.vertex, r.pagerank)
+        for r in pagerank(edges, n_iter=7, checkpoint_every=1).collect()
+    )
+    for k in (2, 3, 7):
+        got = sorted(
+            (r.vertex, r.pagerank)
+            for r in pagerank(edges, n_iter=7, checkpoint_every=k).collect()
+        )
+        assert got == base, k
+    dang1 = sorted(
+        (r.vertex, r.pagerank)
+        for r in pagerank(
+            edges, n_iter=5, checkpoint_every=1, dangling="redistribute"
+        ).collect()
+    )
+    dang2 = sorted(
+        (r.vertex, r.pagerank)
+        for r in pagerank(
+            edges, n_iter=5, checkpoint_every=2, dangling="redistribute"
+        ).collect()
+    )
+    assert dang1 == dang2
