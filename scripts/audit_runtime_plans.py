@@ -1,8 +1,8 @@
 """Runtime (post-AQE) executed-plan audit.
 
 ``audit_plans.py`` greps STATIC ``explain('formatted')`` text; this
-tool EXECUTES each declared query (a bounded ``collect()`` at a small
-scale factor — the same materialization the oracle harness does) and
+tool EXECUTES each declared query (``foreach`` — full materialization
+with executor-side disposal, no driver transfer) and
 walks the final ``executedPlan`` tree over py4j, so it sees what AQE
 actually ran: join strategies after runtime re-planning, exchange
 reuse that did or did not fire, and subtrees that physically executed
@@ -25,17 +25,21 @@ Usage: python scripts/audit_runtime_plans.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import io
 import os
 import sys
 import time
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 args = sys.argv[1:]
-sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
-names = args[1:] if args and os.path.isdir(args[0]) else args
+if args and os.path.isdir(args[0]):
+    sf_dir, names = args[0], args[1:]
+else:
+    # fail fast on a mistyped path instead of silently treating it as
+    # a query name against the default sf dir (ADVICE r12)
+    if args and ("/" in args[0] or args[0].startswith("sf")):
+        sys.exit(f"not a directory: {args[0]}")
+    sf_dir, names = "/root/testdata/sf0.001", args
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -81,11 +85,23 @@ for name in names or list(qs):
     try:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        static_scans = buf.getvalue().count("Scan parquet")
-        df.collect()
+        # static baseline: walk the PRE-execution physical plan with
+        # the SAME skip rules as the runtime walk, instead of grepping
+        # the formatted text — the text re-prints a cached table's
+        # build plan at every reference, inflating the baseline and
+        # potentially masking genuine re-execution in caching queries
+        # (ADVICE r12)
+        static_counts: dict[str, int] = {}
+        walk(df._jdf.queryExecution().sparkPlan(), static_counts)
+        static_scans = static_counts.get("FileSourceScanExec", 0)
+        # materialize WITHOUT a driver transfer: collect() of a full
+        # result can OOM/stall the driver at larger sf dirs (ADVICE
+        # r12).  NOT the noop sink here — that would be a SEPARATE
+        # QueryExecution and this df's own adaptive plan would stay
+        # un-executed (the walk below must see the post-AQE final
+        # stages of THIS DataFrame).  foreach is an action on the same
+        # QueryExecution with executor-side disposal.
+        df.foreach(lambda _: None)
         counts: dict[str, int] = {}
         walk(df._jdf.queryExecution().executedPlan(), counts)
         exec_scans = counts.get("FileSourceScanExec", 0)
